@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: runs each oracle SQL in
+DuckDB against the sf tables and compares (sorted columns, sorted rows, value
+hash) with the Verify parquet dumps. Usage: selfcheck.py <sfDir> <verifyOut>"""
+import sys, json, glob, os
+import duckdb, pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    d = f"{out_dir}/{name}"
+    if not os.path.isdir(d):
+        print(f"MISSING  {name} (no parquet dump)"); fail += 1; continue
+    try:
+        got = pd.concat([pq.read_table(f).to_pandas()
+                         for f in sorted(glob.glob(f"{d}/*.parquet"))])
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fail += 1; continue
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        return df.map(lambda v: f"{v:.6f}" if isinstance(v, float) else str(v))
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"SCHEMA   {name}: got {list(g.columns)} vs {list(e.columns)}"); fail += 1
+    elif len(g) != len(e):
+        print(f"ROWS     {name}: got {len(g)} vs {len(e)}"); fail += 1
+    elif not g.equals(e):
+        diff = (g != e).any(axis=1)
+        print(f"VALUES   {name}: first diff rows:\n  got {g[diff].head(3).to_dict('records')}\n  exp {e[diff].head(3).to_dict('records')}")
+        fail += 1
+    else:
+        ok += 1
+print(f"\n{ok} ok, {fail} failed of {len(oracle)}")
+sys.exit(1 if fail else 0)
