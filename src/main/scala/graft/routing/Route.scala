@@ -1,0 +1,116 @@
+package graft.routing
+
+import graft.signal._
+
+/** Orchestrator events surfaced to user hooks (H1).
+  * Reference: routing_runtime_constructs.py:856-1160. */
+trait RouteHooks {
+  def onPendingNodeCreated(route: Route, node: RuntimeLinkNode): Unit = ()
+  def onPendingNodeExpired(route: Route, node: RuntimeLinkNode): Unit = ()
+  def onExecBegin(route: Route, ctx: ExecutionContext): Unit = ()
+  def onExecSuccess(route: Route, ctx: ExecutionContext): Unit = ()
+  def onExecFailure(route: Route, ctx: ExecutionContext, error: Throwable): Unit = ()
+}
+object RouteHooks { val none: RouteHooks = new RouteHooks {} }
+
+/** A ready-to-run unit: materialized inputs + materialized output.
+  * Reference: ExecutionContext, routing_runtime_constructs.py:1427-1444. */
+final case class ExecutionContext(
+    routeId: String,
+    inputs: List[Signal],
+    output: Signal)
+
+/** A data node at runtime: link-node template + output signal + output dim
+  * matrix + pending nodes + TTL. Reference: Route,
+  * routing_runtime_constructs.py:1172-1484. */
+final class Route(
+    val id: String,
+    val linkNode: SignalLinkNode,
+    val output: Signal,
+    val outputLinks: List[DimensionLink],
+    val pendingNodeTtlMillis: Long = Long.MaxValue,
+    val hooks: RouteHooks = RouteHooks.none) {
+
+  private var pending: List[RuntimeLinkNode] = Nil
+  def pendingNodes: List[RuntimeLinkNode] = pending
+
+  /** Does an incoming concrete signal belong to any of this route's inputs? */
+  def accepts(incoming: Signal): Boolean =
+    linkNode.signals.exists(s => !s.isReference && s.sameResource(incoming) &&
+      s.applyEvent(incoming).isDefined)
+
+  /** Offer a signal: feed pending nodes; un-consumed non-reference signals
+    * open a new pending node. Ready nodes become ExecutionContexts and leave
+    * the pending list. Reference: Route.receive,
+    * routing_runtime_constructs.py:1396-1444. */
+  def receive(incoming: Signal, probe: PathProbe,
+              nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] = {
+    expireNodes(nowMillis)
+    var consumed = false
+    pending.foreach { n => if (n.receive(incoming)) consumed = true }
+
+    if (!consumed) {
+      val declared = linkNode.signals.find(s => s.sameResource(incoming) && !s.isReference)
+      if (declared.isDefined) {
+        val n = new RuntimeLinkNode(linkNode, output, outputLinks, nowMillis)
+        if (n.receive(incoming)) {
+          pending :+= n
+          hooks.onPendingNodeCreated(this, n)
+        }
+      }
+    }
+
+    // zombie elimination bounds pending state (reference 547-614)
+    val (zombies, alive) = pending.partition(_.isZombie)
+    zombies.foreach(hooks.onPendingNodeExpired(this, _))
+    pending = alive
+
+    val (ready, waiting) = pending.partition(_.isReady(probe))
+    pending = waiting
+    ready.map { n =>
+      ExecutionContext(id, n.materializedInputs(probe), n.materializeOutput())
+    }
+  }
+
+  /** TTL expiry of stale pending nodes (J4; reference check_expired_nodes,
+    * routing_runtime_constructs.py:1446-1459). */
+  def expireNodes(nowMillis: Long): Unit = {
+    if (pendingNodeTtlMillis == Long.MaxValue) return
+    val (expired, alive) = pending.partition(n =>
+      nowMillis - n.createdAtMillis > pendingNodeTtlMillis)
+    expired.foreach(hooks.onPendingNodeExpired(this, _))
+    pending = alive
+  }
+}
+
+/** Event → route index + dispatch: matches an incoming (kind, path) to
+  * candidate routes and runs their receive cycle. Single-driver in-proc
+  * equivalent of the reference's RoutingTable + RouteIndex
+  * (constructs.py:2685-2741, 3293-3433); the per-route DynamoDB lock is a
+  * plain object monitor here.
+  */
+final class RoutingTable(probe: PathProbe) {
+  private val cachingProbe = new CachingProbe(probe)
+  private var routes: List[Route] = Nil
+
+  def add(route: Route): Unit = synchronized { routes :+= route }
+  def all: List[Route] = routes
+  def find(id: String): Option[Route] = routes.find(_.id == id)
+
+  /** Ingest one concrete event signal; returns ready execution contexts
+    * across all matching routes. */
+  def receive(incoming: Signal): List[ExecutionContext] = synchronized {
+    routes.filter(_.accepts(incoming)).flatMap(_.receive(incoming, cachingProbe))
+  }
+
+  /** Ingest a raw physical path event: decode against every route input
+    * (reference event classification + RouteIndex.find). */
+  def receivePath(path: String): List[ExecutionContext] = synchronized {
+    val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
+      .flatMap(s => s.fromEventPath(path)).distinct
+    decoded.headOption.map(receive).getOrElse(Nil)
+  }
+
+  /** Pre-seed known-complete paths (transfer_ranges analog). */
+  def markComplete(paths: Iterable[String]): Unit = cachingProbe.markComplete(paths)
+}

@@ -1,0 +1,195 @@
+package graft.routing
+
+import graft.dimension._
+import graft.signal._
+
+/** Pluggable existence probe for completion ("range/integrity") checks.
+  * Single point of I/O for the orchestrator — production impl uses Hadoop
+  * FileSystem; tests use an in-memory set.
+  * Reference: _SignalRangeAnalyzer, routing_runtime_constructs.py:47-221. */
+trait PathProbe {
+  def exists(path: String): Boolean
+  /** Resource is complete when its protocol resource exists. */
+  def isComplete(path: String, protocol: IntegrityProtocol): Boolean = protocol match {
+    case IntegrityProtocol.None_ => exists(path)
+    case IntegrityProtocol.FileCheck(f) => exists(s"$path/$f")
+  }
+}
+
+/** Memoizing wrapper: completed paths never get re-probed (reference
+  * completed-path cache, routing_runtime_constructs.py:317-330). */
+final class CachingProbe(underlying: PathProbe) extends PathProbe {
+  private val completed = scala.collection.mutable.Set.empty[String]
+  def exists(path: String): Boolean = path.synchronized {
+    completed.contains(path) || {
+      val ok = underlying.exists(path)
+      if (ok) completed += path
+      ok
+    }
+  }
+  /** Cross-node range transfer: pre-seed known-complete resources
+    * (reference transfer_ranges, routing_runtime_constructs.py:370-395). */
+  def markComplete(paths: Iterable[String]): Unit = completed ++= paths
+}
+
+/** Runtime instantiation of a SignalLinkNode: accumulates ready signals
+  * until every non-reference input's linked dimension tips align, then the
+  * node is ready to trigger. This is the engine's N-way *event-coincidence
+  * join*. Reference: RuntimeLinkNode, routing_runtime_constructs.py:228-722.
+  */
+final class RuntimeLinkNode(
+    val node: SignalLinkNode,
+    val output: Signal,
+    val outputLinks: List[DimensionLink],
+    val createdAtMillis: Long = System.currentTimeMillis()) {
+
+  private var readySignals: List[Signal] = Nil
+  private val processedPaths = scala.collection.mutable.Set.empty[String]
+  var isZombie: Boolean = false
+
+  def ready: List[Signal] = readySignals
+
+  /** Tips aligned check (J1): every link between an already-ready signal and
+    * the candidate must map to the candidate's tip value.
+    * Reference: _check_links, routing_runtime_constructs.py:474-500. */
+  private def checkLinks(candidate: Signal): Boolean = {
+    readySignals.forall { rs =>
+      node.linksBetween(rs.alias, candidate.alias).forall { link =>
+        val srcDim = link.source match {
+          case LinkSource.FromDim(r) => r.dim
+          case _ => return true
+        }
+        val tgtDim = link.target.dim
+        (rs.tipValue(srcDim), candidate.tipValue(tgtDim)) match {
+          case (Some(sv), Some(cv)) =>
+            val mapped = link.func(sv)
+            cv.matchesValue(mapped) || mapped.matchesValue(cv)
+          case (_, None) =>
+            throw new IllegalStateException(
+              s"candidate ${candidate.alias} lacks linked dim $tgtDim")
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** Zombie prediction (J3): if the inputs reverse-materialized from the
+    * partially-materialized output violate any input's declared filter, the
+    * node can never complete. Reference: predict_if_zombie,
+    * routing_runtime_constructs.py:547-614. */
+  private def predictZombie(): Boolean = {
+    try {
+      node.materializedInputsForOutput(
+        materializeOutput(force = true), outputLinks,
+        alreadyMaterialized = readySignals, enforceAll = false) match {
+        case Some(inputs) =>
+          // an input materialized to an empty filter = declared filter rejected it
+          inputs.exists(i => i.filter.isEmpty)
+        case None => false
+      }
+    } catch { case _: Exception => true }
+  }
+
+  /** Offer an incoming concrete signal (J7 receive). Returns true if
+    * consumed. Reference: receive, routing_runtime_constructs.py:616-675. */
+  def receive(incoming: Signal): Boolean = {
+    if (incoming.materializedPaths.toSet.subsetOf(processedPaths)) return true
+
+    var consumed = false
+    // every declared input sharing the resource sees the event (multi-alias
+    // inputs over one dataset are legal, reference advanced_input_modes)
+    node.signals.filter(_.sameResource(incoming)).foreach { declared =>
+      declared.applyEvent(incoming) match {
+        case None => // declared filter rejected this event for this alias
+        case Some(candidate) =>
+          if (checkLinks(candidate)) {
+            if (readySignals.exists(_.alias == candidate.alias)) {
+              // duplicate for an already-ready input (e.g. reference auto-added)
+              if (candidate.isReference || candidate.nearestTheTip) consumed = true
+            } else {
+              readySignals :+= candidate
+              processedPaths ++= incoming.materializedPaths
+              isZombie = isZombie || predictZombie()
+              resolveDependents()
+              consumed = true
+            }
+          }
+      }
+    }
+    consumed
+  }
+
+  /** Reference/dependent input resolution (J2): once the output can be
+    * (partially) materialized from ready signals, derive the remaining
+    * reference/nearest inputs transitively — they never get events.
+    * Reference: _check_dependents, routing_runtime_constructs.py:502-545. */
+  private def resolveDependents(): Unit = {
+    if (readySignals.isEmpty) return
+    val dependents = node.signals.filter(s => s.isReference || s.nearestTheTip)
+    if (dependents.isEmpty) return
+    try {
+      val out = materializeOutput(force = true)
+      node.materializedInputsForOutput(out, outputLinks,
+        alreadyMaterialized = readySignals, enforceAll = false).foreach { inputs =>
+        inputs.foreach { m =>
+          if ((m.isReference || m.nearestTheTip) &&
+              !readySignals.exists(_.alias == m.alias) && m.isMaterialized)
+            readySignals :+= m
+        }
+      }
+    } catch { case _: IllegalStateException => isZombie = true }
+  }
+
+  /** All non-reference inputs ready (references resolved transitively)? */
+  def allSignalsReady: Boolean =
+    node.signals.forall(s => readySignals.exists(_.alias == s.alias))
+
+  /** Full readiness: signals ready + completion checks pass (J5).
+    * `nearestTheTip` inputs narrow to the first existing partition. */
+  def isReady(probe: PathProbe): Boolean = {
+    if (isZombie || !allSignalsReady) false
+    else readySignals.forall { s =>
+      if (s.nearestTheTip) nearestExisting(s, probe).isDefined
+      else if (s.rangeCheckRequired)
+        s.materializedPaths.forall(p => probe.isComplete(p, s.source.protocol))
+      else true
+    }
+  }
+
+  /** First existing partition in range (S4/nearest semantics, fail-fast
+    * ordered probe; reference glueetl_default_ABI.py:283-284). */
+  def nearestExisting(s: Signal, probe: PathProbe): Option[String] =
+    s.materializedPaths.find(p => probe.isComplete(p, s.source.protocol))
+
+  /** Materialize the output's partition tuple from ready-signal tips
+    * through the output link matrix (J6). Reference: materialize_output,
+    * routing_runtime_constructs.py:677-722. */
+  def materializeOutput(force: Boolean = false): Signal = {
+    require(force || allSignalsReady, "node not ready")
+    val values: Map[String, Any] = output.dimNames.flatMap { od =>
+      val tgt = DimRef("output", od)
+      val linked: Option[Any] = outputLinks.collectFirst {
+        case DimensionLink(`tgt`, LinkSource.FromDim(DimRef(a, sd)), f) =>
+          readySignals.find(_.alias == a).flatMap(_.tipValue(sd)).map(v => f(v).rawValue)
+        case DimensionLink(`tgt`, LinkSource.LiteralValue(v), _) => Some(v)
+      }.flatten
+      // auto-bind by dim-name equality against any ready signal
+      val auto: Option[Any] = readySignals.view
+        .flatMap(_.tipValue(od)).headOption.map(_.rawValue)
+      linked.orElse(auto).map(od -> _)
+    }.toMap
+    output.materializeWith(values)
+  }
+
+  /** Final ready inputs for compute, nearest inputs narrowed to their
+    * satisfied partition. */
+  def materializedInputs(probe: PathProbe): List[Signal] =
+    readySignals.map { s =>
+      if (s.nearestTheTip) {
+        nearestExisting(s, probe) match {
+          case Some(path) => s.fromEventPath(path).getOrElse(s)
+          case None => s
+        }
+      } else s
+    }
+}

@@ -1,0 +1,158 @@
+package graft.signal
+
+import graft.dimension._
+
+/** One edge of the dimension-link matrix: `target` dimension receives
+  * `func(source value)`. Equality links (identity func) are checked in both
+  * directions; custom funcs only in the declared direction.
+  * Reference: DimensionVariantMapper (dimension_constructs.py:704-780) +
+  * SignalDimensionLink (signal.py:692-748).
+  */
+final case class DimRef(alias: String, dim: String)
+
+sealed trait LinkSource
+object LinkSource {
+  final case class FromDim(ref: DimRef) extends LinkSource
+  final case class LiteralValue(value: Any) extends LinkSource
+}
+
+final case class DimensionLink(
+    target: DimRef,
+    source: LinkSource,
+    func: DimValue => DimValue = identity) {
+  def isIdentity: Boolean = func eq DimensionLink.Identity
+}
+
+object DimensionLink {
+  val Identity: DimValue => DimValue = identity
+  /** EQUALS link (reference api.py:66). */
+  def equals(target: DimRef, source: DimRef): DimensionLink =
+    DimensionLink(target, LinkSource.FromDim(source), Identity)
+  def literal(target: DimRef, value: Any): DimensionLink =
+    DimensionLink(target, LinkSource.LiteralValue(value))
+  def mapped(target: DimRef, source: DimRef, f: DimValue => DimValue): DimensionLink =
+    DimensionLink(target, LinkSource.FromDim(source), f)
+}
+
+/** Dev-time group of input signals + link matrix. Validates aliases, rejects
+  * all-reference inputs, auto-links same-named dimensions, derives the output
+  * filter, and reverse-materializes inputs from a concrete output.
+  * Reference: SignalLinkNode, signal.py:750-1457.
+  */
+final case class SignalLinkNode(
+    signals: List[Signal],
+    links: List[DimensionLink] = Nil) {
+
+  require(signals.map(_.alias).distinct.length == signals.length,
+    s"duplicate input aliases: ${signals.map(_.alias)}")
+  require(signals.isEmpty || signals.exists(s => !s.isReference && !s.nearestTheTip),
+    "all inputs cannot be reference/nearest (nothing would ever trigger)")
+
+  def signal(alias: String): Option[Signal] = signals.find(_.alias == alias)
+  def independentSignals: List[Signal] = signals.filterNot(_.isReference)
+
+  /** Auto-link same-named dims across every signal pair that doesn't already
+    * have a link (reference compensate_missing_links, signal.py:1341-1410). */
+  def withAutoLinks: SignalLinkNode = {
+    val extra = for {
+      a <- signals; b <- signals if a.alias != b.alias
+      dim <- a.dimNames if b.dimNames.contains(dim)
+      tgt = DimRef(b.alias, dim)
+      if !links.exists(l => l.target == tgt &&
+        (l.source match { case LinkSource.FromDim(r) => r.alias == a.alias; case _ => false }))
+    } yield DimensionLink.equals(tgt, DimRef(a.alias, dim))
+    copy(links = links ++ extra)
+  }
+
+  /** Links whose value can be produced from `srcAlias` toward `dstAlias`,
+    * including reversed identity links. */
+  def linksBetween(srcAlias: String, dstAlias: String): List[DimensionLink] = {
+    val direct = links.collect {
+      case l @ DimensionLink(DimRef(`dstAlias`, _), LinkSource.FromDim(DimRef(`srcAlias`, _)), _) => l
+    }
+    val reversed = links.collect {
+      case l @ DimensionLink(DimRef(`srcAlias`, td), LinkSource.FromDim(DimRef(`dstAlias`, sd)), _)
+        if l.isIdentity =>
+        DimensionLink.equals(DimRef(dstAlias, sd), DimRef(srcAlias, td))
+    }
+    direct ++ reversed
+  }
+
+  /** Reverse-materialize every input from a concrete output (+ already
+    * materialized inputs): the core of reference resolution and manual
+    * `execute`. Auto-binds unlinked dims by name equality with the output.
+    * Reference: get_materialized_inputs_for_output, signal.py:1105-1339. */
+  def materializedInputsForOutput(
+      output: Signal,
+      outputLinks: List[DimensionLink],
+      alreadyMaterialized: List[Signal] = Nil,
+      enforceAll: Boolean = true): Option[List[Signal]] = {
+
+    val done = alreadyMaterialized.map(s => s.alias -> s).toMap
+
+    val resolved = signals.map { in =>
+      done.get(in.alias) match {
+        case Some(m) => Some(m)
+        case None =>
+          // collect values for each of this input's dims
+          val values: Map[String, Any] = in.dimNames.flatMap { dim =>
+            val tgt = DimRef(in.alias, dim)
+            // 1. explicit link output->input (or reversed identity input->output)
+            val fromOutput: Option[Any] = outputLinks.collectFirst {
+              case DimensionLink(`tgt`, LinkSource.FromDim(DimRef("output", od)), f) =>
+                output.tipValue(od).map(v => f(v).rawValue)
+              case l @ DimensionLink(DimRef("output", od), LinkSource.FromDim(`tgt`), _)
+                if l.isIdentity => output.tipValue(od).map(_.rawValue)
+            }.flatten
+            // 2. literal assignment
+            val fromLiteral: Option[Any] = outputLinks.collectFirst {
+              case DimensionLink(`tgt`, LinkSource.LiteralValue(v), _) => v
+            }
+            // 3. link from another (already materialized) input
+            val fromOther: Option[Any] = links.collectFirst {
+              case DimensionLink(`tgt`, LinkSource.FromDim(DimRef(oa, od)), f)
+                if done.contains(oa) => done(oa).tipValue(od).map(v => f(v).rawValue)
+            }.flatten
+            // 4. auto-bind by name equality with output dims
+            val autoBound: Option[Any] = output.tipValue(dim).map(_.rawValue)
+            fromOutput.orElse(fromLiteral).orElse(fromOther).orElse(autoBound)
+              .map(dim -> _)
+          }.toMap
+          val m = in.materializeWith(values)
+          if (values.nonEmpty && m.filter.isEmpty) Some(m) // rejected by own
+          // declared filter — kept visible so zombie prediction can see it
+          else if (m.isMaterialized) Some(m)
+          else None
+      }
+    }
+    if (resolved.forall(_.isDefined)) Some(resolved.flatten)
+    else if (!enforceAll) Some(resolved.flatten)
+    else None
+  }
+
+  /** Derive the output's dev-time filter from inputs through output links
+    * (reference get_output_filter, signal.py:1067-1104): each output dim
+    * takes the linked input dim's declared variant (or literal). */
+  def deriveOutputFilter(outputSpec: DimSpec, outputLinks: List[DimensionLink]): DimFilter = {
+    val values: List[DimValue] = outputSpec.flatten.map { d =>
+      val dimName = d.name.getOrElse("")
+      val tgt = DimRef("output", dimName)
+      val linked: Option[DimValue] = outputLinks.collectFirst {
+        case DimensionLink(`tgt`, LinkSource.FromDim(DimRef(a, sd)), f) =>
+          signal(a).flatMap(_.filter.values.headOption match {
+            case Some(v) if v.isMaterial => signal(a).flatMap(_.tipValue(sd)).map(f)
+            case Some(v) => Some(v) // special variants pass through un-mapped
+            case None => None
+          })
+        case DimensionLink(`tgt`, LinkSource.LiteralValue(v), _) =>
+          Some(DimValue.resolve(v, d))
+      }.flatten
+      // auto-bind: same-named dim on any input
+      val auto: Option[DimValue] = signals.view.flatMap(s =>
+        if (s.dimNames.contains(dimName)) s.tipValue(dimName).orElse(s.filter.values.headOption)
+        else None).headOption
+      linked.orElse(auto).getOrElse(AnyVal_(d.name, d.dtype, d.params))
+    }
+    values.foldRight(DimFilter.empty)((v, sub) => DimFilter(List((v, sub))))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.signal
+
+import graft.dimension._
+
+/** How a dataset/resource is laid out and validated.
+  * Reference: core/signal_processing/signal_source.py (attrs 481-560,
+  * integrity protocols 790-815).
+  */
+sealed trait IntegrityProtocol
+object IntegrityProtocol {
+  /** Resource (partition dir) presence is enough. */
+  case object None_ extends IntegrityProtocol
+  /** Completion marker file must exist in the partition (e.g. _SUCCESS). */
+  final case class FileCheck(file: String = "_SUCCESS") extends IntegrityProtocol
+}
+
+/** REPLACE → SaveMode.Overwrite, APPEND → SaveMode.Append
+  * (reference: signal_source.py:550-560). */
+sealed trait DatasetType
+object DatasetType {
+  case object REPLACE extends DatasetType
+  case object APPEND extends DatasetType
+}
+
+/** Dataset-level attributes (reference: signal_source.py:481-560; CSV with
+  * '|' delimiter + header is the reference default, we default to parquet —
+  * the Spark-native choice — while supporting the same surface). */
+final case class DatasetAttrs(
+    format: String = "parquet",
+    delimiter: String = "|",
+    header: Boolean = true,
+    compression: Option[String] = None,
+    schemaJson: Option[String] = None,
+    partitionKeys: Seq[String] = Nil,
+    primaryKeys: Seq[String] = Nil,
+    datasetType: DatasetType = DatasetType.REPLACE,
+    dataFolder: Option[String] = None)
+
+/** Where a signal's resources live. The path⇄dimension codec lives here:
+  * `materializePath` renders `root/dim1/dim2/...` from a value tuple;
+  * `extractDims` parses a physical path back into dimension values.
+  * Reference: signal_source.py:171-430 (extract at 282-340).
+  */
+sealed trait SignalSourceKind
+object SignalSourceKind {
+  case object EXTERNAL extends SignalSourceKind // S3/FS-style external dataset
+  case object INTERNAL extends SignalSourceKind // managed output dataset
+  case object CATALOG extends SignalSourceKind  // catalog table w/ partition keys
+  case object TIMER extends SignalSourceKind
+  case object METRIC extends SignalSourceKind
+  case object ALARM extends SignalSourceKind
+}
+
+final case class SignalSource(
+    kind: SignalSourceKind,
+    rootPath: String,
+    attrs: DatasetAttrs = DatasetAttrs(),
+    protocol: IntegrityProtocol = IntegrityProtocol.None_,
+    /** optional `name=` style partition prefixes per depth, e.g.
+      * Seq("", "partition_day=") renders root/NA/partition_day=2021-01-13 */
+    partitionPrefixes: Seq[String] = Nil) {
+
+  private def prefixAt(i: Int): String =
+    if (i < partitionPrefixes.length) partitionPrefixes(i) else ""
+
+  /** Render one concrete partition path from a value tuple. */
+  def materializePath(values: Seq[DimValue]): String = {
+    val parts = values.zipWithIndex.map { case (v, i) => prefixAt(i) + v.transform().value }
+    (rootPath +: parts).mkString("/")
+  }
+
+  /** All concrete paths of a materialized filter, tip first. */
+  def materializePaths(filter: DimFilter): Seq[String] =
+    filter.tuples.map(materializePath(_))
+
+  /** Parse a physical resource path back into raw dimension value strings.
+    * Returns None if the path is not under this source's root. */
+  def extractDims(path: String, depth: Int): Option[Seq[String]] = {
+    val normalized = path.stripSuffix("/")
+    if (!normalized.startsWith(rootPath)) None
+    else {
+      val rest = normalized.drop(rootPath.length).stripPrefix("/")
+      if (rest.isEmpty) Some(Nil)
+      else {
+        val segs = rest.split('/').toSeq
+        if (segs.length < depth) None
+        else Some(segs.take(depth).zipWithIndex.map { case (s, i) =>
+          s.stripPrefix(prefixAt(i))
+        })
+      }
+    }
+  }
+}
+
+object SignalSource {
+  /** Managed internal dataset path layout `/internal_data/{id}/{dims...}`
+    * with _SUCCESS completion (reference: signal_source.py:790-815,
+    * internal/nodes.py:43). */
+  def internal(rootDir: String, nodeId: String): SignalSource =
+    SignalSource(SignalSourceKind.INTERNAL, s"$rootDir/internal_data/$nodeId",
+      protocol = IntegrityProtocol.FileCheck("_SUCCESS"))
+
+  def external(rootPath: String, attrs: DatasetAttrs = DatasetAttrs(),
+               protocol: IntegrityProtocol = IntegrityProtocol.None_,
+               partitionPrefixes: Seq[String] = Nil): SignalSource =
+    SignalSource(SignalSourceKind.EXTERNAL, rootPath.stripSuffix("/"), attrs,
+      protocol, partitionPrefixes)
+
+  /** Timer signal: `<timer_id>/<date>` (reference: signal_source.py:1103-1160). */
+  def timer(timerId: String): SignalSource =
+    SignalSource(SignalSourceKind.TIMER, timerId)
+}

@@ -1,0 +1,195 @@
+package graft.routing
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dimension._
+import graft.signal._
+
+/** Scenarios ported from the reference's runtime-link-node / route suites
+  * (test/intelliflow/core/signal_processing/routing_runtime_constructs/):
+  * coincidence trigger, tip alignment, ranges+completion, reference inputs,
+  * nearest, zombie prediction, dedup, TTL.
+  */
+class RoutingSuite extends AnyFunSuite {
+
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+  private val regionDaySpec = DimSpec.pretty(
+    "region" -> (DimType.STRING, Map.empty[String, Any]),
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  private def extSignal(alias: String, root: String, spec: DimSpec, raw: Any*): Signal =
+    Signal(alias, SignalSource.external(root), spec,
+      DimFilter.loadRaw(spec, DimFilter.RawFilter(
+        raw.toList.map(_ -> DimFilter.RawFilter.empty))))
+
+  private def chainedSignal(alias: String, root: String, spec: DimSpec, values: Any*): Signal =
+    Signal(alias, SignalSource.external(root), spec, DimFilter.branchOf(spec, values))
+
+  private class MemProbe(var existing: Set[String] = Set.empty) extends PathProbe {
+    def exists(path: String): Boolean = existing.contains(path)
+  }
+  private val allExists = new PathProbe { def exists(p: String) = true }
+
+  private def outputFor(node: SignalLinkNode, id: String, spec: DimSpec): Signal =
+    Signal(id, SignalSource.internal("/app", id), spec,
+      node.deriveOutputFilter(spec, Nil))
+
+  test("single input: event triggers and output inherits partition value") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val node = SignalLinkNode(List(a)).withAutoLinks
+    val out = outputFor(node, "n1", daySpec)
+    val route = new Route("n1", node, out, Nil)
+    val ctxs = route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.output.tip.map(_.value) == List("2026-08-12"))
+    assert(ctxs.head.inputs.head.tip.map(_.value) == List("2026-08-12"))
+  }
+
+  test("two inputs coincidence-join on linked day; misaligned tips open a second pending node") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    val out = outputFor(node, "join", daySpec)
+    val route = new Route("join", node, out, Nil)
+
+    assert(route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists).isEmpty)
+    assert(route.pendingNodes.length == 1)
+    // different day → cannot link into the first node; second node opens
+    assert(route.receive(chainedSignal("b", "/data/b", daySpec, "2026-08-11"), allExists).isEmpty)
+    assert(route.pendingNodes.length == 2)
+    // aligned day completes the first node
+    val ctxs = route.receive(chainedSignal("b", "/data/b", daySpec, "2026-08-12"), allExists)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.inputs.map(_.alias).toSet == Set("a", "b"))
+    assert(ctxs.head.output.tip.map(_.value) == List("2026-08-12"))
+    assert(route.pendingNodes.length == 1)
+  }
+
+  test("duplicate event is deduped (processed paths)") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    val route = new Route("r", node, outputFor(node, "r", daySpec), Nil)
+    route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists)
+    route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists)
+    assert(route.pendingNodes.length == 1)
+  }
+
+  test("reference input is never awaited and materializes from the trigger") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val ref = extSignal("lookup", "/data/lookup", daySpec, "*").copy(isReference = true)
+    val node = SignalLinkNode(List(a, ref)).withAutoLinks
+    val out = outputFor(node, "withref", daySpec)
+    val route = new Route("withref", node, out, Nil)
+    val ctxs = route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists)
+    assert(ctxs.length == 1)
+    val lookupIn = ctxs.head.inputs.find(_.alias == "lookup").get
+    assert(lookupIn.tip.map(_.value) == List("2026-08-12"))
+  }
+
+  test("ranged input with range check waits for all partitions to complete") {
+    val a = Signal("a", SignalSource.external("/data/a"), daySpec,
+      DimFilter.loadRaw(daySpec, DimFilter.RawFilter.leafValues("_:-2")),
+      rangeCheckRequired = true)
+    val node = SignalLinkNode(List(a)).withAutoLinks
+    val out = outputFor(node, "ranged", daySpec)
+    val route = new Route("ranged", node, out, Nil)
+    val probe = new MemProbe(Set("/data/a/2026-08-12"))
+    // range = {12, 11}; 11 missing → no trigger, node stays pending
+    assert(route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), probe).isEmpty)
+    assert(route.pendingNodes.length == 1)
+    // partition 11 lands → re-offering the same event is deduped, but the
+    // pending node re-evaluates ranges on the next receive cycle
+    probe.existing += "/data/a/2026-08-11"
+    val ctxs = route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), probe)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.inputs.head.materializedPaths ==
+      Seq("/data/a/2026-08-12", "/data/a/2026-08-11"))
+  }
+
+  test("nearest-the-tip picks first existing partition in range") {
+    val trigger = extSignal("t", "/data/t", daySpec, "*")
+    val near = Signal("n", SignalSource.external("/data/n"), daySpec,
+      DimFilter.loadRaw(daySpec, DimFilter.RawFilter.leafValues("_:-7")),
+      isReference = true, nearestTheTip = true)
+    val node = SignalLinkNode(List(trigger, near)).withAutoLinks
+    val out = outputFor(node, "near", daySpec)
+    val route = new Route("near", node, out, Nil)
+    val probe = new MemProbe(Set("/data/n/2026-08-09", "/data/n/2026-08-07"))
+    val ctxs = route.receive(chainedSignal("t", "/data/t", daySpec, "2026-08-12"), probe)
+    assert(ctxs.length == 1)
+    val nearIn = ctxs.head.inputs.find(_.alias == "n").get
+    assert(nearIn.tip.map(_.value) == List("2026-08-09"))
+  }
+
+  test("zombie prediction: conflicting aliases over the same resource") {
+    val all = extSignal("alias1", "/data/x", regionDaySpec, "*")
+      .copy(filter = DimFilter.allPassFor(regionDaySpec))
+    val naOnly = Signal("alias2", SignalSource.external("/data/x"), regionDaySpec,
+      DimFilter.loadRaw(regionDaySpec, DimFilter.RawFilter(List(
+        "NA" -> DimFilter.RawFilter.leafValues("*")))))
+    val node = SignalLinkNode(List(all, naOnly)).withAutoLinks
+    val out = outputFor(node, "z", regionDaySpec)
+    val route = new Route("z", node, out, Nil)
+    // EU event: alias1 accepts, alias2's declared filter rejects → can never complete
+    route.receive(chainedSignal("alias1", "/data/x", regionDaySpec, "EU", "2026-08-12"), allExists)
+    assert(route.pendingNodes.isEmpty) // zombie eliminated
+    // NA event: both aliases accept → triggers
+    val ctxs = route.receive(chainedSignal("alias1", "/data/x", regionDaySpec, "NA", "2026-08-12"), allExists)
+    assert(ctxs.length == 1)
+  }
+
+  test("pending node TTL expiry fires hook and drops state") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    var expired = 0
+    val hooks = new RouteHooks {
+      override def onPendingNodeExpired(r: Route, n: RuntimeLinkNode): Unit = expired += 1
+    }
+    val route = new Route("ttl", node, outputFor(node, "ttl", daySpec), Nil,
+      pendingNodeTtlMillis = 1000, hooks = hooks)
+    route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists, nowMillis = 0)
+    assert(route.pendingNodes.length == 1)
+    route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-10"), allExists, nowMillis = 5000)
+    assert(expired == 1)
+    assert(route.pendingNodes.length == 1) // only the fresh node remains
+  }
+
+  test("routing table: path events decode, route, and feed back downstream") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val nodeA = SignalLinkNode(List(a)).withAutoLinks
+    val outA = outputFor(nodeA, "stage1", daySpec)
+    // stage2 consumes stage1's internal output
+    val s1 = Signal("stage1", outA.source, daySpec, DimFilter.allPassFor(daySpec))
+    val nodeB = SignalLinkNode(List(s1)).withAutoLinks
+    val outB = outputFor(nodeB, "stage2", daySpec)
+
+    val table = new RoutingTable(allExists)
+    table.add(new Route("stage1", nodeA, outA, Nil))
+    table.add(new Route("stage2", nodeB, outB, Nil))
+
+    val ctxs1 = table.receivePath("/data/a/2026-08-12")
+    assert(ctxs1.map(_.routeId) == List("stage1"))
+    // feed-back: stage1's completed output partition re-enters as an event
+    val outPath = ctxs1.head.output.materializedPaths.head
+    val ctxs2 = table.receivePath(outPath)
+    assert(ctxs2.map(_.routeId) == List("stage2"))
+    assert(ctxs2.head.output.tip.map(_.value) == List("2026-08-12"))
+  }
+
+  test("reverse materialization: inputs derived from output (execute path)") {
+    val a = Signal("a", SignalSource.external("/data/a"), daySpec,
+      DimFilter.loadRaw(daySpec, DimFilter.RawFilter.leafValues("_:-3")))
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    val outSpec = daySpec
+    val out = Signal("out", SignalSource.internal("/app", "out"), outSpec,
+      DimFilter.branchOf(outSpec, Seq("2026-08-12")))
+    val inputs = node.materializedInputsForOutput(out, Nil).get
+    val aIn = inputs.find(_.alias == "a").get
+    assert(aIn.materializedPaths == Seq(
+      "/data/a/2026-08-12", "/data/a/2026-08-11", "/data/a/2026-08-10"))
+    assert(inputs.find(_.alias == "b").get.tip.map(_.value) == List("2026-08-12"))
+  }
+}
