@@ -1,0 +1,216 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.compute._
+import graft.dimension._
+import graft.routing._
+import graft.signal._
+
+/** Fluent dev-time handle over a declared node's Signal (the reference's
+  * MarshalerNode / FilteredView, marshaling/nodes.py:20-243,
+  * filtered_views.py:33-270). Python slicing (`node['NA'][:-2]`) becomes
+  * positional `apply`: `node("NA", "_:-2")` — raw values resolve through the
+  * dimension-variant factory, so wildcards and relative ranges just work.
+  */
+final case class NodeRef private[app] (
+    private val app: Application,
+    signal: Signal) {
+
+  /** Filter the node's dimensions positionally (one value per level). */
+  def apply(values: Any*): NodeRef = {
+    val raw = DimFilter.RawFilter.chainOf(values: _*)
+    val value = DimFilter.loadRaw(signal.spec, raw)
+    val chained = signal.filter.chain(value).getOrElse(
+      throw new IllegalArgumentException(
+        s"filter ${values.mkString("/")} incompatible with '${signal.alias}'"))
+    copy(signal = signal.copy(filter = chained))
+  }
+
+  /** Last `n` partitions ending at the tip (explicit DSL for Python `[:-n]`). */
+  def latest(n: Int): NodeRef = apply(s"_:-$n")
+
+  /** Mark as reference: never awaited, values derived from other inputs. */
+  def ref: NodeRef = copy(signal = signal.copy(isReference = true))
+
+  /** Demand completion of every partition in range before trigger. */
+  def rangeCheck(enabled: Boolean = true): NodeRef =
+    copy(signal = signal.copy(rangeCheckRequired = enabled))
+
+  /** Use the first existing partition in range. */
+  def nearest: NodeRef =
+    copy(signal = signal.copy(nearestTheTip = true, isReference = true))
+
+  def as(alias: String): NodeRef = copy(signal = signal.copy(alias = alias))
+
+  /** Physical paths this (possibly materialized) view resolves to. */
+  def materializedPaths: Seq[String] = signal.materializedPaths
+}
+
+/** The Spark-native application: declare external data + derived nodes
+  * (DAG), `activate` into an in-memory routing table, then drive with
+  * events (`process`) or manual/backfill execution (`execute`).
+  * Reference: Application (application.py:1197-1543 create_data,
+  * 1877-1981 process, 2981-3664 execute, 2051-2267 poll).
+  */
+final class Application(val name: String, val spark: SparkSession,
+                        val rootDir: String,
+                        args: Map[String, Any] = Map.empty) {
+
+  private case class NodeDef(id: String, linkNode: SignalLinkNode,
+                             output: Signal, outputLinks: List[DimensionLink],
+                             slots: Seq[Slot], ttlMillis: Long, hooks: RouteHooks)
+
+  private var defs: List[NodeDef] = Nil
+  private var routingTable: Option[RoutingTable] = None
+  private lazy val probe = new FsProbe(spark)
+  private lazy val compute = new LocalSparkCompute(spark, probe, args)
+
+  // ---- dev-time declaration --------------------------------------------
+
+  /** Import an external dataset as a signal node. */
+  def marshalExternalData(id: String, rootPath: String, spec: DimSpec,
+                          attrs: DatasetAttrs = DatasetAttrs(),
+                          protocol: IntegrityProtocol = IntegrityProtocol.None_,
+                          partitionPrefixes: Seq[String] = Nil): NodeRef =
+    NodeRef(this, Signal(id,
+      SignalSource.external(rootPath, attrs, protocol, partitionPrefixes),
+      spec, DimFilter.allPassFor(spec)))
+
+  /** Timer node: single DATETIME dimension (reference application.py:1023-1052). */
+  def createTimer(id: String, format: String = "%Y-%m-%d",
+                  dimName: String = "time"): NodeRef = {
+    val spec = DimSpec.pretty(
+      dimName -> (DimType.DATETIME, Map[String, Any]("format" -> format)))
+    NodeRef(this, Signal(id, SignalSource.timer(id), spec, DimFilter.allPassFor(spec)))
+  }
+
+  /** Declare a derived data node (reference create_data,
+    * application.py:1197-1323). Output spec defaults to the first
+    * independent input's spec; same-named dims auto-link. */
+  def createData(id: String,
+                 inputs: Seq[NodeRef],
+                 computeTargets: Seq[Slot],
+                 outputSpec: DimSpec = null,
+                 inputLinks: List[DimensionLink] = Nil,
+                 outputLinks: List[DimensionLink] = Nil,
+                 autoInputDimLinking: Boolean = true,
+                 attrs: DatasetAttrs = DatasetAttrs(),
+                 pendingNodeTtlMillis: Long = Long.MaxValue,
+                 hooks: RouteHooks = RouteHooks.none): NodeRef = {
+    require(!defs.exists(_.id == id), s"node '$id' already declared")
+    val signals = inputs.map(_.signal).toList
+    val linkNode0 = SignalLinkNode(signals, inputLinks)
+    val linkNode = if (autoInputDimLinking) linkNode0.withAutoLinks else linkNode0
+    val spec = Option(outputSpec).getOrElse(
+      signals.find(s => !s.isReference && !s.nearestTheTip)
+        .getOrElse(signals.head).spec)
+    val outSource = SignalSource(SignalSourceKind.INTERNAL,
+      s"$rootDir/internal_data/$id", attrs,
+      IntegrityProtocol.FileCheck("_SUCCESS"))
+    val output = Signal(id, outSource, spec,
+      linkNode.deriveOutputFilter(spec, outputLinks))
+    defs :+= NodeDef(id, linkNode, output, outputLinks, computeTargets,
+      pendingNodeTtlMillis, hooks)
+    NodeRef(this, output)
+  }
+
+  // ---- activation -------------------------------------------------------
+
+  /** Compile the dev context into the runtime routing table (reference
+    * activate(), application.py:201-263 — no AWS provisioning here, a
+    * single in-memory table). */
+  def activate(): Unit = {
+    val table = new RoutingTable(probe)
+    defs.foreach(d => table.add(
+      new Route(d.id, d.linkNode, d.output, d.outputLinks, d.ttlMillis, d.hooks)))
+    routingTable = Some(table)
+  }
+
+  private def table: RoutingTable =
+    routingTable.getOrElse(throw new IllegalStateException("activate() first"))
+
+  private def slotsOf(routeId: String): Seq[Slot] =
+    defs.find(_.id == routeId).map(_.slots).getOrElse(Nil)
+
+  // ---- runtime ----------------------------------------------------------
+
+  /** Inject one concrete event signal; runs every ready node synchronously
+    * and feeds completed output partitions back for downstream routes
+    * (reference process(), application.py:1877-1981 + feed-back loop,
+    * processor/aws.py:2746-2803). Returns completed output paths in
+    * topological completion order. */
+  def process(event: Signal): List[String] = runContexts(table.receive(event))
+
+  /** Inject a raw physical partition path as an event. */
+  def processPath(path: String): List[String] = runContexts(table.receivePath(path))
+
+  /** Fire a timer tick. */
+  def fireTimer(timer: NodeRef, value: Any): List[String] =
+    process(timer.signal.copy(filter = DimFilter.branchOf(timer.signal.spec, Seq(value))))
+
+  private def runContexts(ctxs: List[ExecutionContext]): List[String] = {
+    ctxs.flatMap { ctx =>
+      val hooks = defs.find(_.id == ctx.routeId).map(_.hooks).getOrElse(RouteHooks.none)
+      val route = table.find(ctx.routeId).get
+      hooks.onExecBegin(route, ctx)
+      val written =
+        try {
+          val w = compute.run(ctx, slotsOf(ctx.routeId))
+          hooks.onExecSuccess(route, ctx)
+          w
+        } catch {
+          case e: Throwable => hooks.onExecFailure(route, ctx, e); throw e
+        }
+      written.toList.flatMap { path =>
+        table.markComplete(Seq(path))
+        path :: processPath(path) // feed-back: downstream routes
+      }
+    }
+  }
+
+  /** Manual/backfill execution of a materialized target view (reference
+    * execute(), application.py:2981-3664): reverse-derive the inputs from
+    * the output partition values; `recursive` walks internal-input
+    * ancestors and backfills missing partitions first. */
+  def execute(target: NodeRef, recursive: Boolean = false): String = {
+    val d = defs.find(_.id == target.signal.alias).getOrElse(
+      throw new IllegalArgumentException(s"unknown node '${target.signal.alias}'"))
+    require(target.signal.isMaterialized,
+      s"execute target must be materialized, got ${target.signal.filter.pretty}")
+    val out = target.signal
+    val inputs = d.linkNode.materializedInputsForOutput(out, d.outputLinks).getOrElse(
+      throw new IllegalStateException(s"cannot materialize inputs for '${d.id}'"))
+
+    if (recursive) inputs.foreach { in =>
+      defs.find(nd => in.source.rootPath == nd.output.source.rootPath).foreach { parent =>
+        in.filter.tuples.foreach { tuple =>
+          val partPath = in.source.materializePath(tuple)
+          if (!probe.isComplete(partPath, in.source.protocol)) {
+            val parentOut = parent.output.materializeWith(
+              parent.output.dimNames.zip(tuple.map(_.rawValue)).toMap)
+            execute(NodeRef(this, parentOut), recursive = true)
+          }
+        }
+      }
+    }
+
+    val ctx = ExecutionContext(d.id, inputs, out)
+    compute.run(ctx, d.slots).getOrElse(out.materializedPaths.head)
+  }
+
+  /** Completed output partition path for a materialized view, if present
+    * (reference poll(), application.py:2051-2267 — synchronous engine, so
+    * no wait loop needed). */
+  def poll(target: NodeRef): Option[String] = {
+    val path = target.signal.materializedPaths.head
+    if (probe.isComplete(path, target.signal.source.protocol)) Some(path) else None
+  }
+
+  /** Render physical paths for a view (reference materialize(),
+    * application.py:3810-3913). */
+  def materialize(target: NodeRef): Seq[String] = target.materializedPaths
+
+  /** Read a materialized node output back as a DataFrame. */
+  def load(target: NodeRef): DataFrame =
+    InputLoader.load(spark, target.signal, probe)
+}

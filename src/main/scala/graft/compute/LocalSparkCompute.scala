@@ -1,0 +1,135 @@
+package graft.compute
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.routing.{ExecutionContext, PathProbe}
+import graft.signal._
+
+/** Hadoop-FS backed existence probe (works for file://, s3a://, hdfs://). */
+final class FsProbe(spark: SparkSession) extends PathProbe {
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** Loads a materialized input Signal (a *range of partitions*) as ONE
+  * DataFrame. Re-expresses the reference's generated-template input path
+  * (glueetl_default_ABI.py:181-296) Spark-first:
+  *
+  * - the whole surviving path list goes into a single
+  *   `spark.read.format(f).load(paths: _*)` — one scan node, partition
+  *   parallelism preserved, no N-way union (the reference only batches
+  *   parquet; we batch every format);
+  * - missing paths are tolerated (pre-probed and filtered) unless the
+  *   signal demands `rangeCheckRequired`, which mirrors the reference's
+  *   AnalysisException-swallowing contract (ABI:269-277);
+  * - `nearestTheTip` probes in tip order and reads the first existing
+  *   partition only (ABI:283-284).
+  */
+object InputLoader {
+
+  def load(spark: SparkSession, signal: Signal, probe: PathProbe): DataFrame = {
+    val attrs = signal.source.attrs
+    val allPaths: Seq[String] = signal.materializedPaths
+      .map(p => attrs.dataFolder.map(d => s"$p/$d").getOrElse(p))
+
+    val paths: Seq[String] =
+      if (signal.nearestTheTip)
+        allPaths.find(probe.exists).toSeq
+      else if (signal.rangeCheckRequired) {
+        val missing = allPaths.filterNot(probe.exists)
+        require(missing.isEmpty,
+          s"range check failed for '${signal.alias}': missing ${missing.take(3).mkString(", ")}")
+        allPaths
+      } else allPaths.filter(probe.exists)
+
+    require(paths.nonEmpty,
+      s"no existing partitions for input '${signal.alias}' under ${signal.source.rootPath}")
+
+    var reader = spark.read.format(attrs.format)
+    if (attrs.format.equalsIgnoreCase("csv"))
+      reader = reader.option("header", attrs.header.toString).option("sep", attrs.delimiter)
+        .option("inferSchema", attrs.schemaJson.isEmpty.toString)
+    attrs.schemaJson.foreach { js =>
+      reader = reader.schema(DataType.fromJson(js).asInstanceOf[StructType])
+    }
+    reader.load(paths: _*)
+  }
+}
+
+/** Managed write of a node's output partition, with the reference's
+  * completion contract: data + `_SUCCESS` marker + `_SCHEMA.spark.json`
+  * (from df.schema.json) next to the partition
+  * (glueetl_default_ABI.py:380-446). */
+object OutputWriter {
+
+  def write(spark: SparkSession, df: DataFrame, output: Signal): String = {
+    val attrs = output.source.attrs
+    val path = output.materializedPaths.head
+    val mode = attrs.datasetType match {
+      case DatasetType.REPLACE => SaveMode.Overwrite
+      case DatasetType.APPEND => SaveMode.Append
+    }
+    var writer = df.write.format(attrs.format).mode(mode)
+    if (attrs.format.equalsIgnoreCase("csv"))
+      writer = writer.option("header", attrs.header.toString).option("sep", attrs.delimiter)
+    attrs.compression.foreach(c => writer = writer.option("compression", c))
+    if (attrs.partitionKeys.nonEmpty) writer = writer.partitionBy(attrs.partitionKeys: _*)
+    writer.save(path)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    // schema file (SPARK_SCHEMA_JSON, signal_source.py:507-510)
+    val schemaOut = fs.create(new Path(dir, "_SCHEMA.spark.json"), true)
+    try schemaOut.write(df.schema.json.getBytes("UTF-8")) finally schemaOut.close()
+    // _SUCCESS: Spark's committer usually writes it; guarantee it
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) fs.create(new Path(dir, "_SUCCESS"), true).close()
+    path
+  }
+}
+
+/** The single BatchCompute driver (reference CompositeBatchCompute routes
+  * across Glue/EMR/Athena/…, constructs.py:1046-1244; Spark-native needs
+  * exactly one): load inputs → register temp views (alias + inputN) → run
+  * slots in order → write output. */
+final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
+                              args: Map[String, Any] = Map.empty) {
+
+  /** Execute all slots of a ready context; returns the output partition
+    * path (None when only inlined slots ran). */
+  def run(ctx: ExecutionContext, slots: Seq[Slot]): Option[String] = {
+    // timers/metrics/alarms are trigger-only signals, not datasets
+    val datasetInputs = ctx.inputs.filter(s => s.source.kind match {
+      case SignalSourceKind.TIMER | SignalSourceKind.METRIC
+           | SignalSourceKind.ALARM => false
+      case _ => true
+    })
+    val inputs: Map[String, DataFrame] =
+      datasetInputs.map(s => s.alias -> InputLoader.load(spark, s, probe)).toMap
+    val inputList = datasetInputs.map(s => inputs(s.alias))
+
+    // temp views: alias + positional inputN (glueetl_default_ABI.py:303-322)
+    datasetInputs.zipWithIndex.foreach { case (s, i) =>
+      inputs(s.alias).createOrReplaceTempView(s.alias)
+      inputs(s.alias).createOrReplaceTempView(s"input$i")
+    }
+
+    val dims: Map[String, Any] = ctx.output.dimNames
+      .zip(ctx.output.tip.map(_.transform().value)).toMap
+    val slotCtx = SlotContext(spark, inputs, inputList, dims, args,
+      ctx.inputs.map(s => s.alias -> s).toMap, ctx.output)
+
+    var lastDf: Option[DataFrame] = None
+    slots.foreach {
+      case ScalaSlot(f) => lastDf = Some(f(slotCtx))
+      case SqlSlot(sql) =>
+        val rendered = SqlSlot.interpolate(sql, dims)
+        SqlSlot.statements(rendered).foreach(st => lastDf = Some(spark.sql(st)))
+      case InlinedSlot(f) => f(slotCtx)
+    }
+    lastDf.map(OutputWriter.write(spark, _, ctx.output))
+  }
+}

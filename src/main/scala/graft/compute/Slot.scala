@@ -1,0 +1,58 @@
+package graft.compute
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.signal.Signal
+
+/** Unit of compute attached to a data node. The reference ships user code to
+  * Glue/EMR/Athena (slot.py:16-174); Spark-native slots run in-process:
+  *
+  * - [[ScalaSlot]]: `Map[alias -> DataFrame] => DataFrame` — the idiomatic
+  *   form; full Dataset API available.
+  * - [[SqlSlot]]: multi-statement SQL with `{dim}` placeholders interpolated
+  *   from output dimension values (reference aws_athena.py:542-561 +
+  *   api_ext.py:192-227). Inputs are registered as temp views under their
+  *   alias and `inputN` before execution; the last statement's result is the
+  *   output.
+  * - [[InlinedSlot]]: driver-side callback (reference SYNC_INLINED,
+  *   constructs.py:4369-4436) — side effects, no output DataFrame.
+  */
+sealed trait Slot
+final case class ScalaSlot(f: SlotContext => DataFrame) extends Slot
+final case class SqlSlot(sql: String) extends Slot
+final case class InlinedSlot(f: SlotContext => Unit) extends Slot
+
+/** What user code receives (reference glueetl_default_ABI.py:41-62 reserved
+  * keywords: spark, inputs by alias and positional inputN, output dimensions
+  * map, args). */
+final case class SlotContext(
+    spark: SparkSession,
+    inputs: Map[String, DataFrame],
+    inputList: List[DataFrame],
+    dimensions: Map[String, Any],
+    args: Map[String, Any],
+    inputSignals: Map[String, Signal],
+    outputSignal: Signal) {
+  def input(alias: String): DataFrame = inputs(alias)
+}
+
+object SqlSlot {
+  /** `{dim}` → materialized output dimension value (format_map semantics:
+    * unknown placeholders are left untouched). */
+  def interpolate(sql: String, dims: Map[String, Any]): String =
+    dims.foldLeft(sql) { case (acc, (k, v)) => acc.replace(s"{$k}", v.toString) }
+
+  /** Split a multi-statement body on top-level ';' (quote-aware). */
+  def statements(sql: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    sql.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toList.map(_.trim).filter(_.nonEmpty)
+  }
+}

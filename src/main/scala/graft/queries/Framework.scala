@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.app._
+import graft.compute._
+import graft.dimension._
+
+/** Framework-implemented operators (SURVEY.md §2.a) driven END-TO-END
+  * through the orchestrator and checked against DuckDB oracles: each query
+  * stages the sf tables as day-partitioned external datasets, declares a
+  * node DAG, executes it, and returns the node's managed output. The oracle
+  * replays the same semantics as plain SQL over the unpartitioned tables.
+  *
+  * Covered: S1/S3 partition-range union with missing-path tolerance,
+  * S4 nearest-in-range, S5 temp views, S6 managed sink, S9/S10 SQL slot +
+  * {dim} parametrization, J1 coincidence join, J2 reference inputs,
+  * J6 output materialization, B1 recursive backfill, F2 range expansion.
+  */
+object Framework {
+
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  private def fmt(d: java.time.LocalDate): String = d.toString
+
+  /** Stage rows of `table` whose `dateCol` falls in the last `windowDays`
+    * calendar days (of the table max) as `scratch/<yyyy-MM-dd>/` parquet
+    * partitions. Idempotent per (sfDir, table). Returns the max day. */
+  private def stage(spark: SparkSession, sfDir: String, table: String,
+                    dateCol: String, scratch: String, windowDays: Int,
+                    anchor: Option[java.time.LocalDate] = None): java.time.LocalDate = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      .withColumn("__day", date_format(col(dateCol), "yyyy-MM-dd"))
+    val maxDay = anchor.getOrElse(java.time.LocalDate.parse(
+      df.agg(max("__day")).collect().head.getString(0)))
+    val lo = fmt(maxDay.minusDays(windowDays - 1L))
+    val days = df.select("__day")
+      .where(col("__day") >= lo && col("__day") <= fmt(maxDay)).distinct()
+      .collect().map(_.getString(0)).sorted
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    days.foreach { d =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/$d/_SUCCESS")))
+        df.where(col("__day") === d).drop("__day")
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/$d")
+    }
+    maxDay
+  }
+
+  private def work(sfDir: String): String =
+    s"/tmp/graft_fw_${new java.io.File(sfDir).getName}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S3: ranged input = ONE multi-path scan over last-3-calendar-days
+    // partitions, missing days tolerated; S9/S10 SQL slot with {day} param
+    "fw01_range_union" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 3)
+      val app = new Application("fw01", s, s"$w/app_fw01")
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val node = app.createData("range_agg", Seq(src.latest(3)), Seq(SqlSlot(
+        """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_daily GROUP BY o_orderstatus""")))
+      app.activate()
+      app.execute(node(fmt(maxDay)))
+      app.load(node(fmt(maxDay))).orderBy("o_orderstatus")
+    }),
+
+    // ---- S4: nearest-the-tip — anchor 2 days past the data tip; the probe
+    // walks back and reads exactly the newest existing partition
+    "fw02_nearest" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 3)
+      val anchor = fmt(maxDay.plusDays(2))
+      val app = new Application("fw02", s, s"$w/app_fw02")
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      // a nearest input is a dependent — a timer is the trigger (T1)
+      val timer = app.createTimer("daily_tick", dimName = "day")
+      val node = app.createData("nearest_agg", Seq(timer, src.latest(7).nearest), Seq(SqlSlot(
+        """SELECT COUNT(*) AS order_cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_daily""")))
+      app.activate()
+      app.execute(node(anchor))
+      app.load(node(anchor))
+    }),
+
+    // ---- J2: reference input (dimension-less lookup) joined to the
+    // triggering partition through temp views (S5)
+    "fw03_reference_join" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      // customer staged as a single dimension-less dataset
+      val custRoot = s"$w/customer_all"
+      val fs = new org.apache.hadoop.fs.Path(custRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$custRoot/_SUCCESS")))
+        s.read.parquet(s"$dir/customer.parquet").coalesce(1)
+          .write.mode("overwrite").parquet(custRoot)
+      val app = new Application("fw03", s, s"$w/app_fw03")
+      val orders = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val cust = app.marshalExternalData("customer_all", custRoot, DimSpec.empty)
+      val node = app.createData("seg_rev", Seq(orders.latest(1), cust.ref), Seq(SqlSlot(
+        """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_daily JOIN customer_all ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""")))
+      app.activate()
+      app.execute(node(fmt(maxDay)))
+      app.load(node(fmt(maxDay))).orderBy("c_mktsegment")
+    }),
+
+    // ---- J1/J6: two partitioned sources coincidence-joined on the same
+    // day dimension (tips aligned), then equi-joined row-wise in the slot
+    "fw04_coincidence_join" -> ((s, dir) => {
+      val w = work(dir)
+      val maxOrd = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 5)
+      // anchor the item window at the orders tip (shipdates run ~3 months past)
+      stage(s, dir, "lineitem", "l_shipdate", s"$w/lineitem_daily", 14, Some(maxOrd))
+      val app = new Application("fw04", s, s"$w/app_fw04")
+      val orders = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val items = app.marshalExternalData("lineitem_daily", s"$w/lineitem_daily", daySpec)
+      val node = app.createData("same_day", Seq(orders.latest(1), items.latest(14)), Seq(SqlSlot(
+        """SELECT o_orderpriority, COUNT(*) AS item_cnt,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM orders_daily JOIN lineitem_daily ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority""")))
+      app.activate()
+      app.execute(node(fmt(maxOrd)))
+      app.load(node(fmt(maxOrd))).orderBy("o_orderpriority")
+    }),
+
+    // ---- B1: recursive backfill — stage2 depends on stage1's managed
+    // output; executing stage2 materializes the missing ancestor first
+    "fw05_backfill" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 2)
+      val app = new Application("fw05", s, s"$w/app_fw05_${System.nanoTime()}", Map.empty)
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val stage1 = app.createData("by_status", Seq(src.latest(2)), Seq(SqlSlot(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+           FROM orders_daily GROUP BY o_orderstatus, o_orderpriority""")))
+      val stage2 = app.createData("by_priority", Seq(stage1), Seq(SqlSlot(
+        """SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS order_cnt
+           FROM by_status GROUP BY o_orderpriority""")))
+      app.activate()
+      app.execute(stage2(fmt(maxDay)), recursive = true)
+      app.load(stage2(fmt(maxDay))).orderBy("o_orderpriority")
+    }),
+
+    // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
+    // calendar arithmetic (30 days ending at the orders tip)
+    "fw06_range_expansion" -> ((s, dir) => {
+      import s.implicits._
+      val maxDay = s.read.parquet(s"$dir/orders.parquet")
+        .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .collect().head.getString(0)
+      val datum = DimValue.resolve(maxDay,
+        Dim(Some("day"), Some(DimType.DATETIME), Map("format" -> "%Y-%m-%d")))
+      val expanded = RelativeValue(-30).range(datum).map(_.value.toString)
+      expanded.toDF("day").orderBy("day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fw01_range_union" ->
+      """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >=
+           (SELECT MAX(CAST(o_orderdate AS DATE)) - 2 FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "fw02_nearest" ->
+      """SELECT COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) = (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)""",
+    "fw03_reference_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE CAST(o_orderdate AS DATE) = (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "fw04_coincidence_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS item_cnt,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE CAST(o_orderdate AS DATE) = (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+           AND CAST(l_shipdate AS DATE) >= (SELECT MAX(CAST(o_orderdate AS DATE)) - 13 FROM orders)
+           AND CAST(l_shipdate AS DATE) <= (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "fw05_backfill" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_cnt
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >=
+           (SELECT MAX(CAST(o_orderdate AS DATE)) - 1 FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "fw06_range_expansion" ->
+      """SELECT STRFTIME(d, '%Y-%m-%d') AS day
+         FROM (SELECT UNNEST(GENERATE_SERIES(
+                 (SELECT MAX(CAST(o_orderdate AS DATE)) - 29 FROM orders),
+                 (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
+                 INTERVAL 1 DAY)) AS d)
+         ORDER BY day"""
+  )
+}

@@ -151,7 +151,10 @@ final case class SignalLinkNode(
       val auto: Option[DimValue] = signals.view.flatMap(s =>
         if (s.dimNames.contains(dimName)) s.tipValue(dimName).orElse(s.filter.values.headOption)
         else None).headOption
-      linked.orElse(auto).getOrElse(AnyVal_(d.name, d.dtype, d.params))
+      // ranged/wildcard sources leave the output dim open ('*') — the
+      // concrete value is picked at materialization time (tip semantics)
+      linked.orElse(auto).filter(_.isMaterial)
+        .getOrElse(AnyVal_(d.name, d.dtype, d.params))
     }
     values.foldRight(DimFilter.empty)((v, sub) => DimFilter(List((v, sub))))
   }

@@ -53,7 +53,9 @@ final case class Signal(
     if (idx < 0) Nil else filter.tuples.flatMap(_.lift(idx)).distinct
   }
 
-  def isMaterialized: Boolean = !filter.isEmpty && filter.isMaterialized
+  /** Dimension-less signals (lookup datasets) are trivially materialized. */
+  def isMaterialized: Boolean =
+    if (spec.flatten.isEmpty) true else !filter.isEmpty && filter.isMaterialized
 
   def materializedPaths: Seq[String] = source.materializePaths(filter)
 
