@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * Everything here is a Catalyst `Column` expression (codegen'd, no UDF)
+  * except langId/simhash/fingerprint, which are narrow per-row scalar UDFs
+  * (O(doc length), embarrassingly parallel — no shuffle, no state).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word-ish tokens by regex (the "BPE-ish" pre-tokenizer pass). */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Cheap byte-pair-encoding token-count estimate (~4 chars/token). */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    hits.cast("double") / size(toks).cast("double")
+  }
+
+  /** Mean token length (quality signal). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(toks).cast("double")
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]: favors moderate stopword density,
+    * word lengths in the natural-language band, low punctuation noise. */
+  def qualityScore(text: Column): Column = {
+    val sw = stopwordRatio(text)
+    val mt = meanTokenLength(text)
+    val pr = punctRatio(text)
+    val swScore = lit(1.0) - abs(sw - lit(0.2)) * 2.0
+    val mtScore = lit(1.0) - abs(mt - lit(5.0)) / 5.0
+    val prScore = lit(1.0) - pr * 5.0
+    greatest(lit(0.0), least(lit(1.0), (swScore + mtScore + prScore) / 3.0))
+  }
+
+  // ---- scalar UDF zone -------------------------------------------------
+
+  /** Tiny per-language stopword/particle profiles for the n-gram-free
+    * language-ID heuristic. Deterministic, driver-independent. */
+  private val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Heuristic language ID: stopword-profile voting with deterministic
+    * alphabetic tie-break; "und" (undetermined) when nothing scores. */
+  val langIdF: String => String = { text =>
+    val toks = text.toLowerCase.split("\\s+").toSeq
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> toks.count(words.contains)
+    }
+    val best = scores.filter(_._2 > 0)
+    if (best.isEmpty) "und"
+    else best.toSeq.sortBy { case (l, s) => (-s, l) }.head._1
+  }
+  def langId(text: Column): Column = udf(langIdF).apply(text)
+
+  /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
+    * ±1 on each bit; the sign vector is the fingerprint. Near-dup docs
+    * differ in few bits (small hamming distance). */
+  val simhash64F: String => Long = { text =>
+    val counts = new Array[Int](64)
+    text.split("\\s+").foreach { tok =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c).toLong
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b).toLong
+      val h = (h1 << 32) | (h2 & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  def simhash64(text: Column): Column = udf(simhash64F).apply(text)
+
+  /** FNV-1a 64-bit rolling document fingerprint over normalized
+    * (lowercased, whitespace-collapsed) content. */
+  val fingerprintF: String => Long = { text =>
+    val normalized = text.toLowerCase.trim.replaceAll("\\s+", " ")
+    var h = 0xcbf29ce484222325L
+    normalized.getBytes("UTF-8").foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    h
+  }
+  def fingerprint(text: Column): Column = udf(fingerprintF).apply(text)
+}

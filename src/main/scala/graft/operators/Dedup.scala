@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for 100TB-class corpora. Scale notes per op:
+  *
+  * - exact: shuffle keys are fixed-width digests, never the full document —
+  *   a groupBy(md5) moves ~16 bytes/row regardless of doc size;
+  * - MinHash+LSH: one explode + one partial-aggregated groupBy for
+  *   signatures; candidate generation joins on (band, bandHash) buckets, so
+  *   only near-dup candidates ever meet — never an O(n²) cross join;
+  * - SimHash: per-row scalar fingerprint (no shuffle), banding on 16-bit
+  *   chunks for candidates, exact hamming verify;
+  * - n-gram Jaccard: inverted-index self-join on shared grams (document-pair
+  *   counts via map-side combine), exact-verified.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per content digest. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup on normalized content (case/whitespace-insensitive). */
+  def exactDedupNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__norm",
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+      .groupBy(md5(col("__norm")).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
+
+  /** Word n-gram (shingle) array, 1-based positions, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = TextFunctions.tokens(text)
+    if (n == 1) array_distinct(words)
+    else array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** MinHash signatures: explode shingles once, k mins in one partial-agg
+    * groupBy (map-side combine keeps the shuffle at k longs per doc).
+    * Output: (idCol, sig: array<bigint> of length k). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("g"))
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: k-length signature → `bands` buckets of r=k/bands rows
+    * each; docs sharing any (band, bandHash) bucket become candidates.
+    * Candidate pairs are exact-verified by estimated Jaccard (matching
+    * signature positions / k) >= minEstJaccard. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col(idCol).as("d1"), col("sig").as("sig1"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("d2"), col("sig").as("sig2"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
+          .as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash near-dup pairs: fingerprint per row (narrow), candidates via
+    * 4x16-bit band buckets (pigeonhole: hamming<=3 pairs share >=1 exact
+    * band), verified by true hamming distance. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
+    val bandExprs = (0 until 4).map(b =>
+      shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = fp.select(col(idCol), col("sh"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val a = banded.select(col(idCol).as("d1"), col("sh").as("sh1"), col("band"), col("band_val"))
+    val b = banded.select(col(idCol).as("d2"), col("sh").as("sh2"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index join: only documents
+    * sharing at least one gram are compared. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val common = grams.select(col("doc").as("d1"), col("g"))
+      .join(grams.select(col("doc").as("d2"), col("g")), Seq("g"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("s1")), Seq("d1"))
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("s1") + col("s2") - col("c")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, candidates bucketed
+    * by random-hyperplane LSH signature (see Similarity.planeSignature) so
+    * the pair join stays within buckets at scale. Exact cosine verify. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            minCosine: Double = 0.95, planes: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol), col(vecCol),
+      Similarity.planeSignature(col(vecCol), planes).as("bucket"))
+    val a = sig.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("bucket"))
+    val b = sig.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("bucket"))
+    a.join(b, "bucket").where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        Similarity.cosine(col("v1"), col("v2")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * - [[cosine]] / [[cosineTopK]]: exact brute force — `zip_with` +
+  *   `aggregate` Catalyst expressions (whole-stage-codegen'd, no UDF);
+  *   one narrow pass over the table, a global top-k (orderBy+limit is
+  *   optimized to TakeOrdered — no full sort shuffle).
+  * - [[lshTopK]]: the scale path — random-hyperplane signatures bucket the
+  *   table; only the query's bucket is reranked exactly. Hyperplanes are
+  *   hash-derived (deterministic, no stored model).
+  */
+object Similarity {
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Exact cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
+
+  /** Exact top-k rows most similar to `queryVec`. */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
+                 queryVec: Seq[Float], k: Int): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * ±1 from a 64-bit avalanche hash — no RNG state, identical on every
+    * executor. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane (sign) signature of a vector: `planes` bits packed
+    * into a long — vectors with high cosine land in the same bucket with
+    * high probability. */
+  def planeSignature(vec: Column, planes: Int): Column = {
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val dotP = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** ANN top-k: restrict the exact rerank to the query's LSH bucket;
+    * `probeBits=1` additionally probes all hamming-1 neighbor buckets
+    * (multi-probe) for recall. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+              queryVec: Seq[Float], k: Int, planes: Int = 8,
+              probeBits: Int = 1): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val withSig = df.withColumn("__bucket", planeSignature(col(vecCol), planes))
+    val querySig = withSig.sparkSession.range(1)
+      .select(planeSignature(q, planes).as("s")).collect().head.getLong(0)
+    val buckets: Seq[Long] =
+      if (probeBits >= 1) querySig +: (0 until planes).map(b => querySig ^ (1L << b))
+      else Seq(querySig)
+    withSig.where(col("__bucket").isin(buckets: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

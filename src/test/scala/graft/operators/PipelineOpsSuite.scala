@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.TextFunctions
+
+/** Exact verification (planted duplicates / known vectors) for the
+  * operators whose hash functions are engine-specific and therefore not
+  * DuckDB-oracle-able: MinHash+LSH, SimHash, fingerprints, ANN, multimodal.
+  */
+class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("pipeline-ops-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (2L, "completely different content about spark catalyst optimizer internals and codegen"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "unrelated musings on distributed shuffle partitioning and skew handling")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exactDedup(docsDf, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // 0&3 merge
+    val merged = out.find(_.getAs[Long]("dup_cnt") == 2L).get
+    assert(merged.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("minhash LSH finds planted near-dup, skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docsDf, "text", "doc_id",
+      k = 64, bands = 16, shingleN = 2, minEstJaccard = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // near-dup found
+    assert(pairs.contains((0L, 3L))) // exact dup found
+    assert(!pairs.contains((2L, 4L))) // unrelated pair absent
+  }
+
+  test("minhash est_jaccard is exact 1.0 for identical docs") {
+    val est = Dedup.minhashLshPairs(docsDf, "text", "doc_id",
+      k = 64, bands = 16, shingleN = 2, minEstJaccard = 0.5)
+      .where(col("d1") === 0 && col("d2") === 3)
+      .select("est_jaccard").collect().head.getDouble(0)
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs hamming 0, near-dups small, unrelated large") {
+    val fp = docsDf.select(col("doc_id"),
+      TextFunctions.simhash64(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(1L)) <= 10)
+    assert(ham(fp(0L), fp(2L)) > 10)
+    val pairs = Dedup.simhashPairs(docsDf, "text", "doc_id", maxHamming = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard pairs: exact dup = 1.0; inverted index skips disjoint docs") {
+    val out = Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", n = 2, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 3L)) == 1.0)
+    assert(out.contains((0L, 1L)) && out((0L, 1L)) > 0.8)
+    assert(!out.contains((2L, 4L)))
+  }
+
+  test("fingerprint: whitespace/case-insensitive determinism") {
+    assert(TextFunctions.fingerprintF("Hello  World") ==
+      TextFunctions.fingerprintF("hello world"))
+    assert(TextFunctions.fingerprintF("hello world") !=
+      TextFunctions.fingerprintF("hello worlds"))
+  }
+
+  test("langId votes by stopword profiles with deterministic tie-break") {
+    assert(TextFunctions.langIdF("the cat sat on the mat and it is warm") == "en")
+    assert(TextFunctions.langIdF("der hund ist ein freund und nicht böse") == "de")
+    assert(TextFunctions.langIdF("xyzzy qwerty asdf") == "und")
+  }
+
+  private def vecsDf = {
+    val sp = spark; import sp.implicits._
+    val base = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val near = base.clone(); near(7) = near(7) + 0.01f
+    val anti = base.map(-_)
+    val ortho = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    Seq((0L, base.toSeq), (1L, near.toSeq), (2L, anti.toSeq), (3L, ortho.toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("cosine topk: exact brute force ranks the planted neighbor first") {
+    val q = vecsDf.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val top = Similarity.cosineTopK(vecsDf.where(col("vec_id") =!= 0),
+      "embedding", "vec_id", q, 2).collect()
+    assert(top.head.getLong(0) == 1L)
+    assert(top.head.getDouble(1) > 0.999)
+    assert(top.last.getDouble(1) < top.head.getDouble(1))
+  }
+
+  test("lsh ann recalls the near neighbor through bucket probing") {
+    val q = vecsDf.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val top = Similarity.lshTopK(vecsDf.where(col("vec_id") =!= 0),
+      "embedding", "vec_id", q, k = 1, planes = 4).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 1L)
+  }
+
+  test("embedding near-dup pairs via plane-signature buckets") {
+    val pairs = Dedup.embeddingNearDupPairs(vecsDf, "embedding", "vec_id",
+      minCosine = 0.99, planes = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // anti-parallel excluded
+  }
+
+  test("multimodal: pack, batch feature extraction, frame sampling") {
+    val sp = spark; import sp.implicits._
+    val media = Multimodal.packAsMedia(docsDf, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 5)
+    val f0 = feats.find(_.media_id == 0L).get
+    val f3 = feats.find(_.media_id == 3L).get
+    assert(f0.checksum == f3.checksum) // identical payloads → identical features
+    assert(f0.histogram.sum > 0.999 && f0.histogram.sum < 1.001) // normalized
+    assert(f0.byte_len == docsDf.where($"doc_id" === 0).select(length($"text"))
+      .collect().head.getInt(0).toLong)
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.count(_.media_id == 0L) == 4)
+    // frames are deterministic: same payload → same per-frame checksums
+    val fr0 = frames.filter(_.media_id == 0L).sortBy(_.frame_idx).map(_.frame_checksum).toSeq
+    val fr3 = frames.filter(_.media_id == 3L).sortBy(_.frame_idx).map(_.frame_checksum).toSeq
+    assert(fr0 == fr3)
+  }
+}
