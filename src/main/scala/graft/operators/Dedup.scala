@@ -55,28 +55,45 @@ object Dedup {
   /** LSH banding: k-length signature → `bands` buckets of r=k/bands rows
     * each; docs sharing any (band, bandHash) bucket become candidates.
     * Candidate pairs are exact-verified by estimated Jaccard (matching
-    * signature positions / k) >= minEstJaccard. */
+    * signature positions / k) >= minEstJaccard.
+    *
+    * `maxBucketSize` is the skew guard that makes this survive 100TB: a
+    * bucket holding m docs yields m²/2 candidate pairs, so one
+    * near-universal bucket (boilerplate, tiny shared vocab) turns the join
+    * quadratic. Oversized buckets are dropped — they encode "everything
+    * looks like everything", not useful near-dup candidates. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-                      minEstJaccard: Double = 0.5): DataFrame = {
+                      minEstJaccard: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-    val banded = sigs.select(col(idCol), col("sig"),
+    val banded0 = sigs.select(col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col(idCol).as("d1"), col("sig").as("sig1"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("d2"), col("sig").as("sig2"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    val smallBuckets = banded0.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .drop("__bsz")
+    val banded = banded0.join(smallBuckets, Seq("band", "band_hash"))
+    // candidate generation carries ONLY ids (16 bytes/row): the bucket join
+    // can emit millions of pre-distinct rows, so neither the k-long
+    // signatures (1KB/row) nor the verify compute may ride along
+    val a = banded.select(col(idCol).as("d1"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("d2"), col("band"), col("band_hash"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // verify: re-join the (numDocs-sized) signature table on each side
+    pairs
+      .join(sigs.select(col(idCol).as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col(idCol).as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1"), col("d2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
           .as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -84,13 +101,19 @@ object Dedup {
     * 4x16-bit band buckets (pigeonhole: hamming<=3 pairs share >=1 exact
     * band), verified by true hamming distance. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val fp = df.select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
     val bandExprs = (0 until 4).map(b =>
       shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = fp.select(col(idCol), col("sh"),
+    val banded0 = fp.select(col(idCol), col("sh"),
       posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    // same quadratic-bucket guard as minhashLshPairs
+    val smallBuckets = banded0.groupBy("band", "band_val")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .drop("__bsz")
+    val banded = banded0.join(smallBuckets, Seq("band", "band_val"))
     val a = banded.select(col(idCol).as("d1"), col("sh").as("sh1"), col("band"), col("band_val"))
     val b = banded.select(col(idCol).as("d2"), col("sh").as("sh2"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
@@ -125,9 +148,13 @@ object Dedup {
     * by random-hyperplane LSH signature (see Similarity.planeSignature) so
     * the pair join stays within buckets at scale. Exact cosine verify. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            minCosine: Double = 0.95, planes: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol), col(vecCol),
+                            minCosine: Double = 0.95, planes: Int = 8,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    val sig0 = df.select(col(idCol), col(vecCol),
       Similarity.planeSignature(col(vecCol), planes).as("bucket"))
+    val smallBuckets = sig0.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1).drop("__bsz")
+    val sig = sig0.join(smallBuckets, "bucket")
     val a = sig.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("bucket"))
     val b = sig.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("bucket"))
     a.join(b, "bucket").where(col("d1") < col("d2"))

@@ -77,10 +77,14 @@ object PipelineOps {
         .orderBy("label")
     }),
 
-    // ---- MinHash+LSH near-dup candidates (rows-only: hash engine-specific)
+    // ---- MinHash+LSH near-dup candidates (rows-only: hash engine-specific).
+    // Bounded doc subset: the synthetic corpus shares one tiny vocabulary,
+    // so unigram-shingle similarity is globally high — unbounded input would
+    // make every LSH bucket near-universal (see maxBucketSize in Dedup).
     "p07_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
-          k = 64, bands = 16, shingleN = 1, minEstJaccard = 0.8)
+      Dedup.minhashLshPairs(docs(s, dir).where(col("doc_id") < 500),
+          "text", "doc_id", k = 64, bands = 16, shingleN = 1,
+          minEstJaccard = 0.8, maxBucketSize = 600)
         .orderBy("d1", "d2")
     }),
 
