@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second block of the delegated relational surface (SURVEY.md §2.b):
+  * cube/grouping sets, analytic windows (lag/lead/ntile/percent_rank),
+  * string/math/array/JSON/conditional/regexp scalar functions. Math sticks
+  * to operations with exact cross-engine parity (sqrt is correctly-rounded
+  * IEEE; integer pow via multiplication; no libm exp/log whose last ulp
+  * differs between runtimes).
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CUBE: all grouping combinations with grouping-null coalesce
+    "q22_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("total"))
+        .orderBy("status", "priority")
+    }),
+
+    // ---- GROUPING SETS via SQL on a temp view
+    "q23_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS cnt
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")
+    }),
+
+    // ---- analytic window: lag/lead over order history per customer
+    "q24_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .where(col("prev_order").isNotNull)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- ntile + percent_rank + cume_dist
+    "q25_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- string functions
+    "q26_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("renamed"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          substring(col("c_name"), -5, 5).as("name_tail"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          repeat(lit("x"), col("c_nationkey")).as("xs"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- exact-parity math
+    "q27_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          ceil(col("l_quantity")).cast("double").as("ceil_q"),
+          floor(col("l_extendedprice")).cast("double").as("floor_p"),
+          (col("l_extendedprice") * col("l_extendedprice")).as("p_sq"),
+          sqrt(col("l_quantity")).as("sqrt_q"),
+          signum(col("l_discount") - 0.05).as("sign_d"),
+          pmod(col("l_orderkey"), lit(97)).as("mod_ok"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- array functions over tokenized text
+    "q28_array_funcs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_words"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct_words"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"),
+          concat_ws(",", slice(sort_array(array_distinct(split(col("text"), " "))), 1, 5))
+            .as("first5_sorted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- JSON extraction from the events.props payload
+    "q29_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"))
+        .orderBy("k_mod")
+    }),
+
+    // ---- conditionals: nullif/coalesce/greatest/least/case
+    "q30_conditionals" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          coalesce(nullif(col("s_acctbal"), lit(0.0)), lit(-1.0)).as("bal_or_neg"),
+          greatest(col("s_acctbal"), lit(1000.0)).as("floor_1k"),
+          least(col("s_nationkey"), lit(10)).as("nat_cap"),
+          when(col("s_acctbal") > 5000, "high")
+            .when(col("s_acctbal") > 1000, "mid")
+            .otherwise("low").as("tier"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- regexp extraction/matching
+    "q31_regexp" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+          col("p_brand").rlike("Brand#[0-9]+").as("brand_ok"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"))
+        .orderBy("p_partkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q23_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rf, ls""",
+    "q24_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, prev_order, next_order FROM (
+           SELECT o_custkey, o_orderkey,
+             LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+             LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+           FROM orders) x
+         WHERE prev_order IS NOT NULL ORDER BY o_custkey, o_orderkey""",
+    "q25_ntile" ->
+      """SELECT o_orderkey,
+         NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+         ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey), 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER (ORDER BY o_totalprice DESC, o_orderkey), 6) AS cume
+         FROM orders ORDER BY o_orderkey""",
+    "q26_string_funcs" ->
+      """SELECT c_custkey,
+         LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+         REPLACE(c_name, 'Customer', 'Cust') AS renamed,
+         REVERSE(c_mktsegment) AS seg_rev,
+         SUBSTRING(c_name, LENGTH(c_name) - 4, 5) AS name_tail,
+         INSTR(c_name, '#') AS hash_pos,
+         REPEAT('x', c_nationkey) AS xs
+         FROM customer ORDER BY c_custkey""",
+    "q27_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         ABS(l_discount - 0.05) AS abs_d,
+         CAST(CEIL(l_quantity) AS DOUBLE) AS ceil_q,
+         CAST(FLOOR(l_extendedprice) AS DOUBLE) AS floor_p,
+         l_extendedprice * l_extendedprice AS p_sq,
+         SQRT(l_quantity) AS sqrt_q,
+         CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_d,
+         l_orderkey % 97 AS mod_ok
+         FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000) t
+         ORDER BY l_orderkey, l_linenumber""",
+    "q28_array_funcs" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+         list_contains(string_split(text, ' '), 'spark') AS has_spark,
+         array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+           AS first5_sorted
+         FROM documents ORDER BY doc_id""",
+    "q29_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+         FROM events GROUP BY 1 ORDER BY k_mod""",
+    "q30_conditionals" ->
+      """SELECT s_suppkey,
+         COALESCE(NULLIF(s_acctbal, 0.0), -1.0) AS bal_or_neg,
+         GREATEST(s_acctbal, 1000.0) AS floor_1k,
+         LEAST(s_nationkey, 10) AS nat_cap,
+         CASE WHEN s_acctbal > 5000 THEN 'high'
+              WHEN s_acctbal > 1000 THEN 'mid' ELSE 'low' END AS tier
+         FROM supplier ORDER BY s_suppkey""",
+    "q31_regexp" ->
+      """SELECT p_partkey,
+         REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_head,
+         REGEXP_MATCHES(p_brand, 'Brand#[0-9]+') AS brand_ok,
+         len(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS n_vowels
+         FROM part ORDER BY p_partkey"""
+  )
+}
