@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.diagnostics._
+
+/** Metric/alarm evaluation (M1-M4) oracle-checked over the `events` table
+  * treated as a metric stream: name=event_type, value=value, time=ts. The
+  * oracles replay the identical windowed semantics in DuckDB SQL. */
+object DiagnosticsQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  private val DaySecs = 86400L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- M2: daily statistic evaluation of every metric name
+    "m01_metric_stats" -> ((s, dir) => {
+      Metrics.evaluateAll(events(s, dir), "event_type", "value", "ts", DaySecs)
+        .select(col("name"),
+          date_format(col("period_start"), "yyyy-MM-dd").as("day"),
+          round(col("sum"), 4).as("sum"), round(col("avg"), 4).as("avg"),
+          round(col("min"), 4).as("min"), round(col("max"), 4).as("max"),
+          col("sample_count"), round(col("p50"), 4).as("p50"))
+        .orderBy("name", "day")
+    }),
+
+    // ---- M3: N-of-M alarm over the daily error-rate metric
+    "m02_alarm_eval" -> ((s, dir) => {
+      val series = Metrics.evaluate(events(s, dir)
+          .where(col("event_type") === "error"),
+        "event_type", "value", "ts", DaySecs, MetricStatistic.SAMPLE_COUNT)
+      Alarms.evaluate(series,
+          AlarmParams(45.0, AlarmComparison.GreaterThanOrEqualToThreshold,
+            evaluationPeriods = 3, datapointsToAlarm = 2), DaySecs)
+        .select(date_format(col("period_start"), "yyyy-MM-dd").as("day"),
+          col("value"), col("state"))
+        .orderBy("day")
+    }),
+
+    // ---- M4: composite of two alarms: errors & ~purchases
+    "m03_composite_alarm" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def dailyCount(typ: String) = Metrics.evaluate(
+        ev.where(col("event_type") === typ),
+        "event_type", "value", "ts", DaySecs, MetricStatistic.SAMPLE_COUNT)
+      val params = AlarmParams(45.0,
+        AlarmComparison.GreaterThanOrEqualToThreshold, 2, 2)
+      val errA = Alarms.evaluate(dailyCount("error"), params, DaySecs)
+        .select(col("period_start"), col("state").as("err_state"))
+      val viewA = Alarms.evaluate(dailyCount("view"), params, DaySecs)
+        .select(col("period_start"), col("state").as("view_state"))
+      val joined = errA.join(viewA, "period_start")
+      import AlarmRule._
+      AlarmRule.evaluate(joined, Ref("err") & ~Ref("view"),
+          Map("err" -> "err_state", "view" -> "view_state"))
+        .select(date_format(col("period_start"), "yyyy-MM-dd").as("day"),
+          col("err_state"), col("view_state"), col("composite_state"))
+        .orderBy("day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_metric_stats" ->
+      """SELECT event_type AS name,
+         STRFTIME(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         ROUND(SUM(value), 4) AS sum, ROUND(AVG(value), 4) AS avg,
+         ROUND(MIN(value), 4) AS min, ROUND(MAX(value), 4) AS max,
+         COUNT(value) AS sample_count,
+         ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50
+         FROM events GROUP BY 1, 2 ORDER BY name, day""",
+    "m02_alarm_eval" ->
+      """WITH series AS (
+           SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  CAST(COUNT(*) AS DOUBLE) AS value
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+         ev AS (
+           SELECT d, value,
+             SUM(CASE WHEN value >= 45.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS br,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS dps
+           FROM series)
+         SELECT STRFTIME(d, '%Y-%m-%d') AS day, value,
+           CASE WHEN dps < 3 THEN 'INSUFFICIENT_DATA'
+                WHEN br >= 2 THEN 'ALARM' ELSE 'OK' END AS state
+         FROM ev ORDER BY day""",
+    "m03_composite_alarm" ->
+      """WITH mk AS (
+           SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  CAST(COUNT(*) AS DOUBLE) AS value
+           FROM events WHERE event_type IN ('error', 'view') GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, d,
+             CASE WHEN COUNT(*) OVER w < 2 THEN 'INSUFFICIENT_DATA'
+                  WHEN SUM(CASE WHEN value >= 45.0 THEN 1 ELSE 0 END) OVER w >= 2
+                    THEN 'ALARM' ELSE 'OK' END AS state
+           FROM mk
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)),
+         j AS (SELECT e.d, e.state AS err_state, v.state AS view_state
+               FROM st e JOIN st v ON e.d = v.d
+               WHERE e.event_type = 'error' AND v.event_type = 'view')
+         SELECT STRFTIME(d, '%Y-%m-%d') AS day, err_state, view_state,
+           CASE WHEN err_state = 'ALARM' AND NOT (view_state = 'ALARM')
+                THEN 'ALARM' ELSE 'OK' END AS composite_state
+         FROM j ORDER BY day"""
+  )
+}

@@ -1,0 +1,112 @@
+package graft.diagnostics
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Alarm/metric semantics ported from the reference's alarming tests
+  * (test_aws_application_alarming_and_metrics.py shapes): emission, period
+  * statistics, N-of-M alarm transitions, missing-data policies, composite
+  * algebra. */
+class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+
+  test("emit + period statistics (M1/M2)") {
+    val diag = new Diagnostics(spark)
+    val m = diag("processor")("error_count")
+    m.emit(1.0, ts(0)); m.emit(3.0, ts(1)) // period 1
+    m.emit(5.0, ts(5))                     // period 2
+    m.emit(Seq((2.0, 3L)), ts(11))         // period 3, value-count pair
+    val out = Metrics.evaluate(diag.df, "name", "value", "time", 300,
+      MetricStatistic.SUM).orderBy("period_start").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(4.0, 5.0, 2.0))
+    val avg = Metrics.evaluate(diag.df, "name", "value", "time", 300,
+      MetricStatistic.AVG).orderBy("period_start").collect()
+    assert(avg.head.getDouble(2) == 2.0)
+  }
+
+  test("alarm N-of-M transitions (M3)") {
+    val sp = spark
+    import sp.implicits._
+    // values: 3 breaching (>=5), 1 ok, 2 breaching
+    val series = Seq(
+      ("err", ts(0), 7.0), ("err", ts(5), 9.0), ("err", ts(10), 6.0),
+      ("err", ts(15), 1.0), ("err", ts(20), 8.0), ("err", ts(25), 9.0))
+      .toDF("name", "period_start", "value")
+    val out = Alarms.evaluate(series,
+      AlarmParams(5.0, AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 3, datapointsToAlarm = 2), 300)
+      .orderBy("period_start").collect().map(_.getString(3)).toSeq
+    // windows: [7]=insuff, [7,9]=insuff, [7,9,6]=3/3 ALARM,
+    // [9,6,1]=2/3 ALARM, [6,1,8]=2/3 ALARM, [1,8,9]=2/3 ALARM
+    assert(out == Seq(Alarms.INSUFFICIENT, Alarms.INSUFFICIENT,
+      Alarms.ALARM, Alarms.ALARM, Alarms.ALARM, Alarms.ALARM))
+    val strict = Alarms.evaluate(series,
+      AlarmParams(5.0, AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 3, datapointsToAlarm = 3), 300)
+      .orderBy("period_start").collect().map(_.getString(3)).toSeq
+    assert(strict == Seq(Alarms.INSUFFICIENT, Alarms.INSUFFICIENT,
+      Alarms.ALARM, Alarms.OK, Alarms.OK, Alarms.OK))
+  }
+
+  test("missing-data policies densify the period grid (M3)") {
+    val sp = spark
+    import sp.implicits._
+    // gap at minute 5
+    val series = Seq(("err", ts(0), 9.0), ("err", ts(10), 9.0))
+      .toDF("name", "period_start", "value")
+    val params = AlarmParams(5.0, AlarmComparison.GreaterThanOrEqualToThreshold,
+      evaluationPeriods = 3, datapointsToAlarm = 3,
+      missingData = MissingDataPolicy.Breaching)
+    val breaching = Alarms.evaluate(series, params, 300)
+      .orderBy("period_start").collect()
+    assert(breaching.length == 3) // gap filled
+    assert(breaching.last.getString(3) == Alarms.ALARM)
+    val notBreaching = Alarms.evaluate(series,
+      params.copy(missingData = MissingDataPolicy.NotBreaching), 300)
+      .orderBy("period_start").collect()
+    assert(notBreaching.last.getString(3) == Alarms.OK)
+  }
+
+  test("composite alarm algebra (M4): a & (b | ~c)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (ts(0), "ALARM", "OK", "OK"),
+      (ts(5), "ALARM", "ALARM", "ALARM"),
+      (ts(10), "OK", "ALARM", "OK"),
+      (ts(15), "ALARM", "OK", "ALARM"))
+      .toDF("period_start", "a_state", "b_state", "c_state")
+    import AlarmRule._
+    val rule = Ref("a") & (Ref("b") | ~Ref("c"))
+    val out = AlarmRule.evaluate(df, rule,
+      Map("a" -> "a_state", "b" -> "b_state", "c" -> "c_state"))
+      .orderBy("period_start").collect().map(_.getAs[String]("composite_state")).toSeq
+    // t0: A & (OK | ~OK=T) = ALARM; t5: A & (A | F) = ALARM;
+    // t10: OK & ... = OK; t15: A & (OK | ~A=F) = OK
+    assert(out == Seq("ALARM", "ALARM", "OK", "OK"))
+  }
+
+  test("percentile statistic matches interpolated definition") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("m", ts(0), 1.0), ("m", ts(1), 2.0), ("m", ts(2), 3.0),
+      ("m", ts(3), 4.0)).toDF("name", "time", "value")
+    val p50 = Metrics.evaluate(df, "name", "value", "time", 3600,
+      MetricStatistic.Percentile(0.5)).collect().head.getDouble(2)
+    assert(p50 == 2.5) // linear interpolation between 2 and 3
+  }
+}
