@@ -58,7 +58,8 @@ final class Application(val name: String, val spark: SparkSession,
 
   private case class NodeDef(id: String, linkNode: SignalLinkNode,
                              output: Signal, outputLinks: List[DimensionLink],
-                             slots: Seq[Slot], ttlMillis: Long, hooks: RouteHooks)
+                             slots: Seq[Slot], ttlMillis: Long, hooks: RouteHooks,
+                             retry: RetryPolicy = RetryPolicy())
 
   private var defs: List[NodeDef] = Nil
   private var routingTable: Option[RoutingTable] = None
@@ -96,7 +97,8 @@ final class Application(val name: String, val spark: SparkSession,
                  autoInputDimLinking: Boolean = true,
                  attrs: DatasetAttrs = DatasetAttrs(),
                  pendingNodeTtlMillis: Long = Long.MaxValue,
-                 hooks: RouteHooks = RouteHooks.none): NodeRef = {
+                 hooks: RouteHooks = RouteHooks.none,
+                 retry: RetryPolicy = RetryPolicy()): NodeRef = {
     require(!defs.exists(_.id == id), s"node '$id' already declared")
     val signals = inputs.map(_.signal).toList
     val linkNode0 = SignalLinkNode(signals, inputLinks)
@@ -110,7 +112,7 @@ final class Application(val name: String, val spark: SparkSession,
     val output = Signal(id, outSource, spec,
       linkNode.deriveOutputFilter(spec, outputLinks))
     defs :+= NodeDef(id, linkNode, output, outputLinks, computeTargets,
-      pendingNodeTtlMillis, hooks)
+      pendingNodeTtlMillis, hooks, retry)
     NodeRef(this, output)
   }
 
@@ -153,9 +155,10 @@ final class Application(val name: String, val spark: SparkSession,
       val hooks = defs.find(_.id == ctx.routeId).map(_.hooks).getOrElse(RouteHooks.none)
       val route = table.find(ctx.routeId).get
       hooks.onExecBegin(route, ctx)
+      val retry = defs.find(_.id == ctx.routeId).map(_.retry).getOrElse(RetryPolicy())
       val written =
         try {
-          val w = compute.run(ctx, slotsOf(ctx.routeId))
+          val w = compute.run(ctx, slotsOf(ctx.routeId), retry)
           hooks.onExecSuccess(route, ctx)
           w
         } catch {
@@ -195,8 +198,31 @@ final class Application(val name: String, val spark: SparkSession,
     }
 
     val ctx = ExecutionContext(d.id, inputs, out)
-    compute.run(ctx, d.slots).getOrElse(out.materializedPaths.head)
+    compute.run(ctx, d.slots, d.retry).getOrElse(out.materializedPaths.head)
   }
+
+  /** R1: retention sweep — delete all but the newest `keepLatest`
+    * partitions of a node's managed output (reference retention hooks,
+    * routing_runtime_constructs.py:784-855). Partition recency = descending
+    * canonical dimension-value order (formatted dates sort correctly). */
+  def applyRetention(target: NodeRef, keepLatest: Int): Seq[String] = {
+    val src = target.signal.source
+    require(src.kind == SignalSourceKind.INTERNAL, "retention is for managed outputs")
+    val root = new org.apache.hadoop.fs.Path(src.rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).sortBy(_.getName)(Ordering[String].reverse)
+    val evict = parts.drop(keepLatest)
+    evict.foreach(p => fs.delete(p, true))
+    evict.map(_.toString).toSeq
+  }
+
+  /** Marshal a catalog table (S2) as an input node; dims = partition keys. */
+  def marshalCatalogTable(id: String, database: String, table: String,
+                          spec: DimSpec): NodeRef =
+    NodeRef(this, Signal(id, SignalSource.catalog(database, table),
+      spec, DimFilter.allPassFor(spec)))
 
   /** Completed output partition path for a materialized view, if present
     * (reference poll(), application.py:2051-2267 — synchronous engine, so

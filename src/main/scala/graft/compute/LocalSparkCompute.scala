@@ -2,13 +2,17 @@ package graft.compute
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.routing.{ExecutionContext, PathProbe}
 import graft.signal._
 
-/** Hadoop-FS backed existence probe (works for file://, s3a://, hdfs://). */
+/** Hadoop-FS backed existence probe (works for file://, s3a://, hdfs://).
+  * Catalog resources are always "present" — their pruning happens in the
+  * scan, not via FS probes. */
 final class FsProbe(spark: SparkSession) extends PathProbe {
   def exists(path: String): Boolean = {
+    if (path.startsWith("catalog://")) return true
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -31,6 +35,7 @@ final class FsProbe(spark: SparkSession) extends PathProbe {
 object InputLoader {
 
   def load(spark: SparkSession, signal: Signal, probe: PathProbe): DataFrame = {
+    if (signal.source.kind == SignalSourceKind.CATALOG) return loadCatalog(spark, signal)
     val attrs = signal.source.attrs
     val allPaths: Seq[String] = signal.materializedPaths
       .map(p => attrs.dataFolder.map(d => s"$p/$d").getOrElse(p))
@@ -56,6 +61,21 @@ object InputLoader {
       reader = reader.schema(DataType.fromJson(js).asInstanceOf[StructType])
     }
     reader.load(paths: _*)
+  }
+
+  /** S2: catalog scan with partition pushdown — one `isin` predicate per
+    * materialized dimension (partition key); Catalyst turns these into
+    * partition pruning, mirroring the reference's catalog
+    * `WHERE pk IN (...)` path (glueetl_default_ABI.py:196-241). */
+  private def loadCatalog(spark: SparkSession, signal: Signal): DataFrame = {
+    val base = spark.table(CatalogSource.tableName(signal.source))
+    val dims = signal.dimNames
+    dims.zipWithIndex.foldLeft(base) { case (df, (dim, idx)) =>
+      val values = signal.filter.tuples.flatMap(_.lift(idx))
+        .filter(_.isMaterial).map(_.transform().value.toString).distinct
+      if (values.isEmpty) df
+      else df.where(col(dim).cast("string").isin(values: _*))
+    }
   }
 }
 
@@ -91,6 +111,24 @@ object OutputWriter {
   }
 }
 
+/** E3: bounded retry with exponential backoff (reference can_retry,
+  * constructs.py:953-970; MAX_RETRY_COUNT=100, internal/nodes.py:45). */
+final case class RetryPolicy(maxRetries: Int = 0, backoffMs: Long = 1000,
+                             sleeper: Long => Unit = Thread.sleep) {
+  require(maxRetries <= 100, "retry count capped at 100 (reference parity)")
+  def run[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < maxRetries =>
+          sleeper(backoffMs << math.min(attempt, 16)); attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** The single BatchCompute driver (reference CompositeBatchCompute routes
   * across Glue/EMR/Athena/…, constructs.py:1046-1244; Spark-native needs
   * exactly one): load inputs → register temp views (alias + inputN) → run
@@ -98,9 +136,14 @@ object OutputWriter {
 final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
                               args: Map[String, Any] = Map.empty) {
 
-  /** Execute all slots of a ready context; returns the output partition
-    * path (None when only inlined slots ran). */
-  def run(ctx: ExecutionContext, slots: Seq[Slot]): Option[String] = {
+  /** Execute all slots of a ready context with retry; returns the output
+    * partition path (None when only inlined slots ran). */
+  def run(ctx: ExecutionContext, slots: Seq[Slot],
+          retry: RetryPolicy = RetryPolicy()): Option[String] = retry.run {
+    runOnce(ctx, slots)
+  }
+
+  private def runOnce(ctx: ExecutionContext, slots: Seq[Slot]): Option[String] = {
     // timers/metrics/alarms are trigger-only signals, not datasets
     val datasetInputs = ctx.inputs.filter(s => s.source.kind match {
       case SignalSourceKind.TIMER | SignalSourceKind.METRIC

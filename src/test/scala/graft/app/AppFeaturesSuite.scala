@@ -1,0 +1,145 @@
+package graft.app
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.compute._
+import graft.dimension._
+import graft.signal.{DatasetAttrs, DatasetType}
+
+/** End-to-end Application features: catalog inputs with partition pruning
+  * (S2), slot retry (E3), retention sweeps (R1), APPEND datasets, CSV
+  * format attributes, multi-statement SQL slots (S9). */
+class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var work: String = _
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  override def beforeAll(): Unit = {
+    work = Files.createTempDirectory("graft_app_test").toString
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def stageDays(root: String, days: Seq[String]): Unit = {
+    val sp = spark
+    import sp.implicits._
+    days.foreach { d =>
+      Seq((d, 1.0), (d, 2.0), (d, 3.0)).toDF("day", "amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$d")
+    }
+  }
+
+  test("catalog input (S2): isin partition pruning through spark.table") {
+    val sp = spark
+    import sp.implicits._
+    Seq(("2026-08-10", 10L), ("2026-08-11", 20L), ("2026-08-12", 30L),
+      ("2026-08-12", 40L))
+      .toDF("day", "v").write.mode("overwrite")
+      .partitionBy("day").saveAsTable("sales")
+
+    val app = new Application("cat", spark, s"$work/app_cat")
+    val sales = app.marshalCatalogTable("sales", "default", "sales", daySpec)
+    val node = app.createData("daily_sales", Seq(sales.latest(2)), Seq(SqlSlot(
+      "SELECT CAST(SUM(v) AS BIGINT) AS total, COUNT(*) AS cnt FROM sales")))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    val out = app.load(node("2026-08-12")).collect().head
+    // last 2 days = 11th (20) + 12th (30+40) = 90, 3 rows — the 10th pruned
+    assert(out.getLong(0) == 90L && out.getLong(1) == 3L)
+  }
+
+  test("slot retry (E3): transient failures retried with backoff") {
+    stageDays(s"$work/src_retry", Seq("2026-08-12"))
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    var sleeps = List.empty[Long]
+    val app = new Application("retry", spark, s"$work/app_retry")
+    val src = app.marshalExternalData("src", s"$work/src_retry", daySpec)
+    val node = app.createData("flaky", Seq(src.latest(1)), Seq(ScalaSlot { ctx =>
+      if (attempts.incrementAndGet() < 3) sys.error("transient")
+      ctx.input("src").groupBy("day").agg(count(lit(1)).as("cnt"))
+    }), retry = RetryPolicy(maxRetries = 3, backoffMs = 10,
+      sleeper = ms => sleeps :+= ms))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    assert(attempts.get() == 3)
+    assert(sleeps == List(10L, 20L)) // exponential backoff
+    assert(app.load(node("2026-08-12")).collect().head.getLong(1) == 3L)
+  }
+
+  test("retry exhaustion propagates the failure") {
+    stageDays(s"$work/src_fail", Seq("2026-08-12"))
+    val app = new Application("fail", spark, s"$work/app_fail")
+    val src = app.marshalExternalData("src", s"$work/src_fail", daySpec)
+    val node = app.createData("dead", Seq(src.latest(1)), Seq(ScalaSlot { _ =>
+      sys.error("permanent")
+    }), retry = RetryPolicy(maxRetries = 2, backoffMs = 1, sleeper = _ => ()))
+    app.activate()
+    val e = intercept[RuntimeException](app.execute(node("2026-08-12")))
+    assert(e.getMessage.contains("permanent"))
+  }
+
+  test("retention (R1): keep newest partitions, evict the rest") {
+    stageDays(s"$work/src_ret", Seq("2026-08-10", "2026-08-11", "2026-08-12"))
+    val app = new Application("ret", spark, s"$work/app_ret")
+    val src = app.marshalExternalData("src", s"$work/src_ret", daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM src")))
+    app.activate()
+    Seq("2026-08-10", "2026-08-11", "2026-08-12").foreach(d => app.execute(node(d)))
+    assert(app.poll(node("2026-08-10")).isDefined)
+    val evicted = app.applyRetention(node, keepLatest = 2)
+    assert(evicted.length == 1 && evicted.head.endsWith("2026-08-10"))
+    assert(app.poll(node("2026-08-10")).isEmpty)
+    assert(app.poll(node("2026-08-11")).isDefined)
+    assert(app.poll(node("2026-08-12")).isDefined)
+  }
+
+  test("APPEND dataset type accumulates across executions") {
+    stageDays(s"$work/src_app", Seq("2026-08-12"))
+    val app = new Application("app", spark, s"$work/app_append")
+    val src = app.marshalExternalData("src", s"$work/src_app", daySpec)
+    val node = app.createData("acc", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, amount FROM src")),
+      attrs = DatasetAttrs(datasetType = DatasetType.APPEND))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    app.execute(node("2026-08-12"))
+    assert(app.load(node("2026-08-12")).count() == 6L) // 3 rows x 2 runs
+  }
+
+  test("multi-statement SQL slot (S9): intermediate views, last result wins") {
+    stageDays(s"$work/src_ms", Seq("2026-08-12"))
+    val app = new Application("ms", spark, s"$work/app_ms")
+    val src = app.marshalExternalData("src", s"$work/src_ms", daySpec)
+    val node = app.createData("multi", Seq(src.latest(1)), Seq(SqlSlot(
+      """CREATE OR REPLACE TEMP VIEW doubled AS SELECT day, amount * 2 AS amount FROM src;
+         SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM doubled GROUP BY day""")))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 12.0)
+  }
+
+  test("CSV external input honors delimiter/header attrs") {
+    val csvRoot = s"$work/src_csv/2026-08-12"
+    new java.io.File(csvRoot).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$csvRoot/data.csv"),
+      "day|amount\n2026-08-12|5.0\n2026-08-12|7.0\n")
+    val app = new Application("csv", spark, s"$work/app_csv")
+    val src = app.marshalExternalData("src", s"$work/src_csv", daySpec,
+      attrs = DatasetAttrs(format = "csv", delimiter = "|", header = true))
+    val node = app.createData("csv_agg", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(CAST(amount AS DOUBLE)) AS DOUBLE) AS total FROM src")))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(0) == 12.0)
+  }
+}
