@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.app.Application
+
+/** §2.c — the reference's "streaming" is partition-granularity incremental
+  * processing: completion events drive pending nodes. Spark-native bridges:
+  *
+  * - [[MarkerStream]]: a Structured Streaming `binaryFile` source watches
+  *   for new `_SUCCESS` markers (one row per new FILE, works for empty
+  *   markers) and feeds each completed partition path into the
+  *   application's routing table via foreachBatch — the event-bus analog of
+  *   the reference's S3→Lambda notification path (processor/aws.py).
+  * - [[StreamingMetrics.windowedStats]]: watermarked tumbling-window metric
+  *   aggregation (M2 in streaming form).
+  * - [[Coincidence.trigger]]: `flatMapGroupsWithState` keyed by partition
+  *   tuple, emitting when every required input type has arrived — the
+  *   RuntimeLinkNode pending-node state machine as a streaming operator,
+  *   with processing-time timeout as the TTL analog (J4).
+  */
+final class MarkerStream(app: Application, roots: Seq[String],
+                         checkpointDir: String) {
+
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Start watching; AvailableNow processes the backlog then stops (use
+    * ProcessingTime for a long-lived watcher).
+    *
+    * Spark's file index hard-filters `_`-prefixed files, so the `_SUCCESS`
+    * markers themselves can't be streamed: we stream new `part-*` data
+    * files instead, fold them to their partition directory, and gate each
+    * candidate on the marker's presence via the filesystem (the completion
+    * protocol stays authoritative). */
+  def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = app.spark
+    val sources = roots.map { root =>
+      spark.readStream.format("binaryFile")
+        .schema(binaryFileSchema)
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"))
+    }
+    val unioned = sources.reduce(_ union _)
+    unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // partition completions per micro-batch are few: fold data files to
+        // their partition dirs, then require the _SUCCESS marker
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dirs = batch.collect().map(_.getString(0))
+          .map(raw => new org.apache.hadoop.fs.Path(raw).getParent)
+          .distinct
+          .filter { dir =>
+            val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+            marker.getFileSystem(conf).exists(marker)
+          }
+        dirs.map(_.toUri.getPath).foreach(app.processPath)
+        ()
+      }
+      .start()
+  }
+}
+
+object StreamingMetrics {
+  /** Watermarked tumbling-window statistics over a metric stream
+    * (name, value, time). Late data beyond the watermark is dropped. */
+  def windowedStats(stream: DataFrame, nameCol: String, valueCol: String,
+                    timeCol: String, windowSecs: Long,
+                    watermarkSecs: Long): DataFrame =
+    stream
+      .withWatermark(timeCol, s"$watermarkSecs seconds")
+      .groupBy(window(col(timeCol), s"$windowSecs seconds").as("w"),
+        col(nameCol).as("name"))
+      .agg(sum(col(valueCol)).cast("double").as("sum"),
+        count(col(valueCol)).as("sample_count"),
+        min(col(valueCol)).cast("double").as("min"),
+        max(col(valueCol)).cast("double").as("max"))
+      .select(col("w.start").as("period_start"), col("name"),
+        col("sum"), col("sample_count"), col("min"), col("max"))
+}
+
+/** One input-arrival event for a keyed coincidence group. */
+final case class ArrivalEvent(key: String, inputType: String)
+/** Emitted when all required inputs for a key have arrived. */
+final case class CoincidenceTrigger(key: String, inputs: Seq[String])
+
+object Coincidence {
+
+  /** The streaming form of the event-coincidence join: accumulate arrived
+    * input types per key; emit exactly once when the required set is
+    * complete; `ttlMs > 0` expires silent keys via processing-time timeout
+    * (pending-node TTL, J4); `ttlMs <= 0` keeps state until completion. */
+  def trigger(events: Dataset[ArrivalEvent], required: Set[String],
+              ttlMs: Long = 0): Dataset[CoincidenceTrigger] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Set[String], CoincidenceTrigger](
+        OutputMode.Append(), timeoutConf) {
+        case (key, rows, state: GroupState[Set[String]]) =>
+          if (ttlMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Set.empty) ++
+              rows.map(_.inputType).filter(required.contains)
+            if (required.subsetOf(seen)) {
+              state.remove() // fire once, clear pending state
+              Iterator.single(CoincidenceTrigger(key, seen.toSeq.sorted))
+            } else {
+              state.update(seen)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.app.Application
+import graft.compute.SqlSlot
+import graft.dimension.{DimSpec, DimType}
+
+class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var work: String = _
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  override def beforeAll(): Unit = {
+    work = Files.createTempDirectory("graft_stream_test").toString
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("marker stream drives the routing table from _SUCCESS events") {
+    val sp = spark
+    import sp.implicits._
+    // stage two day partitions WITH markers (parquet write emits _SUCCESS)
+    val srcRoot = s"$work/stream_src"
+    Seq("2026-08-11", "2026-08-12").foreach { d =>
+      Seq((d, 1.0), (d, 2.0)).toDF("day", "amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d")
+    }
+    val app = new Application("stream", spark, s"$work/app_stream")
+    val src = app.marshalExternalData("src", srcRoot, daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+
+    val q = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt1").start()
+    q.awaitTermination(60000)
+    // both day partitions' completion markers triggered the node
+    assert(app.poll(node("2026-08-11")).isDefined)
+    assert(app.poll(node("2026-08-12")).isDefined)
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
+  }
+
+  test("windowed streaming metric aggregation with watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(String, Double, Timestamp)]
+    val stats = StreamingMetrics.windowedStats(
+      mem.toDF().toDF("name", "value", "time"),
+      "name", "value", "time", windowSecs = 60, watermarkSecs = 30)
+    val q = stats.writeStream.format("memory").queryName("win_stats")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(("err", 1.0, t("2026-01-01 00:00:10")),
+      ("err", 2.0, t("2026-01-01 00:00:50")))
+    q.processAllAvailable()
+    // advance the watermark far past the first window to close it
+    mem.addData(("err", 9.0, t("2026-01-01 00:10:00")))
+    q.processAllAvailable()
+    mem.addData(("err", 1.0, t("2026-01-01 00:20:00")))
+    q.processAllAvailable()
+    val rows = spark.table("win_stats").orderBy("period_start").collect()
+    q.stop()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Double]("sum") == 3.0)
+    assert(first.getAs[Long]("sample_count") == 2L)
+  }
+
+  test("coincidence trigger fires once when all required inputs arrive") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[ArrivalEvent]
+    val out = Coincidence.trigger(mem.toDS(), Set("a", "b"))
+    val q = out.writeStream.format("memory").queryName("coincide")
+      .outputMode("append").start()
+    mem.addData(ArrivalEvent("2026-08-12", "a"))
+    q.processAllAvailable()
+    assert(spark.table("coincide").count() == 0) // b not yet arrived
+    mem.addData(ArrivalEvent("2026-08-11", "a"),
+      ArrivalEvent("2026-08-12", "b"))
+    q.processAllAvailable()
+    val fired = spark.table("coincide").as[CoincidenceTrigger].collect()
+    assert(fired.length == 1 && fired.head.key == "2026-08-12")
+    assert(fired.head.inputs == Seq("a", "b"))
+    // duplicate arrival does not re-fire (state cleared)
+    mem.addData(ArrivalEvent("2026-08-12", "b"))
+    q.processAllAvailable()
+    assert(spark.table("coincide").count() == 1)
+    q.stop()
+  }
+}
