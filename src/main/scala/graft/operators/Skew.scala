@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities for the 100TB path.
+  *
+  * AQE's skew-join split handles sort-merge skew at runtime; salting is the
+  * explicit fallback for pathological hot keys (one key >> one partition)
+  * and for hash-partitioned stages AQE can't split. Correctness is
+  * unaffected by the salt: the big side gets a pseudo-random salt per ROW,
+  * the small side is replicated across every salt value, so each (key,
+  * salt) bucket joins exactly once.
+  */
+object Skew {
+
+  /** Salted equi-join: decomposes each hot key's rows across `salts`
+    * shuffle partitions. Use when one join key dominates (e.g. null-ish
+    * defaults, celebrity entities). Small side grows x salts — keep it the
+    * dimension side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    // row-deterministic-enough salt: partition id + row position hash; the
+    // result set is identical for ANY salt assignment
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+        lit(salts.toLong)).cast("int"))
+    val expandedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(expandedSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Per-key frequency profile — decide whether salting is worth it
+    * (top key count vs. rows/partition budget). */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc)
+      .limit(topN)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Scale-path mechanics: salted joins preserve results, bucketed tables
+  * co-locate joins with no shuffle exchange. */
+class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var work: String = _
+  override def beforeAll(): Unit = {
+    work = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", s"$work/warehouse")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("salted join returns exactly the plain join's result on skewed data") {
+    val sp = spark
+    import sp.implicits._
+    // 90% of rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty"), (999L, "none"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
+      .select("k", "v", "name").orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(salted.count(_.head == 7L) == 1800)
+  }
+
+  test("salted left join keeps unmatched rows exactly once") {
+    val sp = spark
+    import sp.implicits._
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    val out = Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "left")
+      .select("k", "v", "name").orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 2)
+  }
+
+  test("key skew profile surfaces the hot key first") {
+    val sp = spark
+    import sp.implicits._
+    val df = ((1 to 100).map(_ => 7L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val top = Skew.keySkewProfile(df, Seq("k"), topN = 1).collect().head
+    assert(top.getLong(0) == 7L && top.getLong(1) == 100L)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("bucketed_l")
+    (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("bucketed_r")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_l").join(spark.table("bucketed_r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() == 1000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
