@@ -201,6 +201,24 @@ final class Application(val name: String, val spark: SparkSession,
     compute.run(ctx, d.slots, d.retry).getOrElse(out.materializedPaths.head)
   }
 
+  /** B1 `update_dependency_tree`: execute the target, then re-run its
+    * descendants by feeding the completed output partition back through
+    * the routing table (reference application.py:2650-2977). Returns the
+    * target path plus every downstream completion. */
+  def executeWithDependents(target: NodeRef, recursive: Boolean = false): List[String] = {
+    val path = execute(target, recursive)
+    table.markComplete(Seq(path))
+    path :: processPath(path)
+  }
+
+  /** E4 async execution: the ComputeSessionState analog — a Future handle;
+    * combine with `poll` for completion probing (reference
+    * constructs.py:3949-4360, synchronous engine → trivial sessions). */
+  def executeAsync(target: NodeRef, recursive: Boolean = false)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[String] =
+    scala.concurrent.Future(execute(target, recursive))
+
   /** R1: retention sweep — delete all but the newest `keepLatest`
     * partitions of a node's managed output (reference retention hooks,
     * routing_runtime_constructs.py:784-855). Partition recency = descending
