@@ -101,7 +101,10 @@ object TextFunctions {
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-  def simhash64(text: Column): Column = udf(simhash64F).apply(text)
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** FNV-1a 64-bit rolling document fingerprint over normalized
     * (lowercased, whitespace-collapsed) content. */
@@ -113,5 +116,8 @@ object TextFunctions {
     }
     h
   }
-  def fingerprint(text: Column): Column = udf(fingerprintF).apply(text)
+  def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.FnvFingerprint(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 }

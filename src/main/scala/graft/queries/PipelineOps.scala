@@ -72,7 +72,9 @@ object PipelineOps {
       a.join(b, col("i1") < col("i2"))
         .where(col("l1") === col("l2")) // within-label affinity
         .groupBy(col("l1").as("label"))
-        .agg(round(avg(Similarity.cosine(col("v1"), col("v2"))), 4).as("avg_cosine"),
+        // +0.0 normalizes IEEE negative zero out of the rounded result
+        .agg((round(avg(Similarity.cosine(col("v1"), col("v2"))), 4) + lit(0.0))
+               .as("avg_cosine"),
              count(lit(1)).as("pair_cnt"))
         .orderBy("label")
     }),
@@ -188,7 +190,7 @@ object PipelineOps {
                          SQRT(SUM(a.v * a.v)) AS na, SQRT(SUM(b.v * b.v)) AS nb
                   FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
                   GROUP BY 1, 2, 3, 4)
-         SELECT l1 AS label, ROUND(AVG(dot / (na * nb)), 4) AS avg_cosine,
+         SELECT l1 AS label, ROUND(AVG(dot / (na * nb)), 4) + 0.0 AS avg_cosine,
                 COUNT(*) AS pair_cnt
          FROM dots WHERE l1 = l2 GROUP BY l1 ORDER BY label""",
     "p13_embed_neardup" ->
