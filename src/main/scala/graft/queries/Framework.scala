@@ -150,6 +150,40 @@ object Framework {
       app.load(stage2(fmt(maxDay))).orderBy("o_orderpriority")
     }),
 
+    // ---- nested 2-level dimension spec (flag/day) through the
+    // orchestrator: concrete value on the first level, range on the second
+    "fw07_two_level_dims" -> ((s, dir) => {
+      val w = work(dir)
+      val flagDaySpec = DimSpec.pretty(
+        "flag" -> (DimType.STRING, Map.empty[String, Any]),
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+      // stage lineitem as flag/day partitions over the last 5 ship days
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("__day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      val maxDay = java.time.LocalDate.parse(
+        li.agg(max("__day")).collect().head.getString(0))
+      val lo = fmt(maxDay.minusDays(4))
+      val fs = new org.apache.hadoop.fs.Path(s"$w/li_fd")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      li.where(col("__day") >= lo)
+        .select(col("l_returnflag"), col("__day")).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).foreach { case (f, d) =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$w/li_fd/$f/$d/_SUCCESS")))
+            li.where(col("__day") === d && col("l_returnflag") === f).drop("__day")
+              .coalesce(1).write.mode("overwrite").parquet(s"$w/li_fd/$f/$d")
+        }
+      val app = new Application("fw07", s, s"$w/app_fw07")
+      val src = app.marshalExternalData("li_fd", s"$w/li_fd", flagDaySpec)
+      val node = app.createData("flag_window",
+        Seq(src("N", "_:-3")), Seq(SqlSlot(
+          """SELECT '{flag}' AS flag, l_linestatus, COUNT(*) AS cnt,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             FROM li_fd GROUP BY l_linestatus""")))
+      app.activate()
+      app.execute(node("N", fmt(maxDay)))
+      app.load(node("N", fmt(maxDay))).orderBy("l_linestatus")
+    }),
+
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
     "fw06_range_expansion" -> ((s, dir) => {
@@ -197,6 +231,13 @@ object Framework {
          WHERE CAST(o_orderdate AS DATE) >=
            (SELECT MAX(CAST(o_orderdate AS DATE)) - 1 FROM orders)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "fw07_two_level_dims" ->
+      """SELECT 'N' AS flag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem
+         WHERE l_returnflag = 'N'
+           AND CAST(l_shipdate AS DATE) >= (SELECT MAX(CAST(l_shipdate AS DATE)) - 2 FROM lineitem)
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
     "fw06_range_expansion" ->
       """SELECT STRFTIME(d, '%Y-%m-%d') AS day
          FROM (SELECT UNNEST(GENERATE_SERIES(

@@ -130,6 +130,31 @@ object Relational2 {
         .orderBy("s_suppkey")
     }),
 
+    // ---- min-per-group correlated lookup (TPC-H Q2 shape): cheapest
+    // supplier per nation via join-with-min (decorrelated)
+    "q32_min_per_group" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val minBal = sup.groupBy(col("s_nationkey").as("nk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      sup.join(minBal, col("s_nationkey") === col("nk") &&
+          col("s_acctbal") === col("min_bal"))
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
+    // ---- double-EXISTS / NOT-EXISTS combination (TPC-H Q21 shape)
+    "q33_exists_combo" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("ord33")
+      t(s, dir, "lineitem").createOrReplaceTempView("li33")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus FROM ord33 o
+        WHERE EXISTS (SELECT 1 FROM li33 l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          AND NOT EXISTS (SELECT 1 FROM li33 l2
+                          WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 45)
+        ORDER BY o_orderkey""")
+    }),
+
     // ---- regexp extraction/matching
     "q31_regexp" -> ((s, dir) => {
       t(s, dir, "part")
@@ -208,6 +233,20 @@ object Relational2 {
          CASE WHEN s_acctbal > 5000 THEN 'high'
               WHEN s_acctbal > 1000 THEN 'mid' ELSE 'low' END AS tier
          FROM supplier ORDER BY s_suppkey""",
+    "q32_min_per_group" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+         FROM supplier s JOIN (
+           SELECT s_nationkey AS nk, MIN(s_acctbal) AS min_bal
+           FROM supplier GROUP BY s_nationkey) m
+         ON s.s_nationkey = m.nk AND s.s_acctbal = m.min_bal
+         ORDER BY s_nationkey, s_suppkey""",
+    "q33_exists_combo" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+           AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 45)
+         ORDER BY o_orderkey""",
     "q31_regexp" ->
       """SELECT p_partkey,
          REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_head,

@@ -75,4 +75,23 @@ class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(joined.count() == 1000L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("one-pass MinHash aggregator matches column-based signature semantics") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (2L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val sigs = MinHashAggregator.signatures(docs, "text", "doc_id", k = 32, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L)) // identical docs, identical signatures
+    assert(sigs(0L) != sigs(2L))
+    assert(sigs(0L).length == 32)
+    // deterministic across evaluations
+    val again = MinHashAggregator.signatures(docs, "text", "doc_id", k = 32, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == sigs)
+  }
 }
