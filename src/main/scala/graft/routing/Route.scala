@@ -44,16 +44,17 @@ final class Route(
     * the pending list. Reference: Route.receive,
     * routing_runtime_constructs.py:1396-1444. */
   def receive(incoming: Signal, probe: PathProbe,
-              nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] = {
+              nowMillis: Long = System.currentTimeMillis(),
+              isBlocked: Boolean = false): List[ExecutionContext] = {
     expireNodes(nowMillis)
     var consumed = false
-    pending.foreach { n => if (n.receive(incoming)) consumed = true }
+    pending.foreach { n => if (n.receive(incoming, isBlocked)) consumed = true }
 
     if (!consumed) {
       val declared = linkNode.signals.find(s => s.sameResource(incoming) && !s.isReference)
       if (declared.isDefined) {
         val n = new RuntimeLinkNode(linkNode, output, outputLinks, nowMillis)
-        if (n.receive(incoming)) {
+        if (n.receive(incoming, isBlocked)) {
           pending :+= n
           hooks.onPendingNodeCreated(this, n)
         }
@@ -99,16 +100,18 @@ final class RoutingTable(probe: PathProbe) {
 
   /** Ingest one concrete event signal; returns ready execution contexts
     * across all matching routes. */
-  def receive(incoming: Signal): List[ExecutionContext] = synchronized {
-    routes.filter(_.accepts(incoming)).flatMap(_.receive(incoming, cachingProbe))
-  }
+  def receive(incoming: Signal, isBlocked: Boolean = false): List[ExecutionContext] =
+    synchronized {
+      routes.filter(_.accepts(incoming))
+        .flatMap(_.receive(incoming, cachingProbe, isBlocked = isBlocked))
+    }
 
   /** Ingest a raw physical path event: decode against every route input
     * (reference event classification + RouteIndex.find). */
   def receivePath(path: String): List[ExecutionContext] = synchronized {
     val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
       .flatMap(s => s.fromEventPath(path)).distinct
-    decoded.headOption.map(receive).getOrElse(Nil)
+    decoded.headOption.map(s => receive(s)).getOrElse(Nil)
   }
 
   /** Pre-seed known-complete paths (transfer_ranges analog). */

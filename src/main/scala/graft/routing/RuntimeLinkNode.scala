@@ -45,6 +45,7 @@ final class RuntimeLinkNode(
 
   private var readySignals: List[Signal] = Nil
   private val processedPaths = scala.collection.mutable.Set.empty[String]
+  private val blockedPaths = scala.collection.mutable.Set.empty[String]
   var isZombie: Boolean = false
 
   def ready: List[Signal] = readySignals
@@ -92,7 +93,15 @@ final class RuntimeLinkNode(
 
   /** Offer an incoming concrete signal (J7 receive). Returns true if
     * consumed. Reference: receive, routing_runtime_constructs.py:616-675. */
-  def receive(incoming: Signal): Boolean = {
+  def receive(incoming: Signal): Boolean = receive(incoming, isBlocked = false)
+
+  /** `isBlocked` marks the event's resources as blocked (reference
+    * _update_blocked_ranges, routing_runtime_constructs.py:397-472): the
+    * signal is admitted but the node won't fire while any ready resource is
+    * blocked; a later un-blocked event for the same path clears it. */
+  def receive(incoming: Signal, isBlocked: Boolean): Boolean = {
+    if (isBlocked) blockedPaths ++= incoming.materializedPaths
+    else blockedPaths --= incoming.materializedPaths.toSet
     if (incoming.materializedPaths.toSet.subsetOf(processedPaths)) return true
 
     var consumed = false
@@ -149,10 +158,13 @@ final class RuntimeLinkNode(
   def isReady(probe: PathProbe): Boolean = {
     if (isZombie || !allSignalsReady) false
     else readySignals.forall { s =>
-      if (s.nearestTheTip) nearestExisting(s, probe).isDefined
-      else if (s.rangeCheckRequired)
-        s.materializedPaths.forall(p => probe.isComplete(p, s.source.protocol))
-      else true
+      val unblocked = s.materializedPaths.forall(p => !blockedPaths.contains(p))
+      unblocked && {
+        if (s.nearestTheTip) nearestExisting(s, probe).isDefined
+        else if (s.rangeCheckRequired)
+          s.materializedPaths.forall(p => probe.isComplete(p, s.source.protocol))
+        else true
+      }
     }
   }
 

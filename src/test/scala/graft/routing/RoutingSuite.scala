@@ -192,4 +192,23 @@ class RoutingSuite extends AnyFunSuite {
       "/data/a/2026-08-12", "/data/a/2026-08-11", "/data/a/2026-08-10"))
     assert(inputs.find(_.alias == "b").get.tip.map(_.value) == List("2026-08-12"))
   }
+
+  test("blocked ranges hold the trigger until the partition is re-published") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    val route = new Route("blk", node, outputFor(node, "blk", daySpec), Nil)
+    // A arrives BLOCKED (known-bad partition): admitted, node pending
+    assert(route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"),
+      allExists, isBlocked = true).isEmpty)
+    // B aligns: would fire, but A's resource is blocked
+    assert(route.receive(chainedSignal("b", "/data/b", daySpec, "2026-08-12"),
+      allExists).isEmpty)
+    assert(route.pendingNodes.length == 1)
+    // A re-published un-blocked: trigger fires
+    val ctxs = route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"),
+      allExists)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.inputs.map(_.alias).toSet == Set("a", "b"))
+  }
 }
