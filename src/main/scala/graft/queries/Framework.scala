@@ -184,6 +184,36 @@ object Framework {
       app.load(node("N", fmt(maxDay))).orderBy("l_linestatus")
     }),
 
+    // ---- end-to-end curation DAG: documents partitioned by lang; stage 1
+    // quality-filters and exact-dedups, stage 2 aggregates per source —
+    // recursive execute materializes the chain (training-data pipeline
+    // composed through the orchestrator)
+    "fw08_curation_pipeline" -> ((s, dir) => {
+      val w = work(dir)
+      val langSpec = DimSpec.pretty("lang" -> (DimType.STRING, Map.empty[String, Any]))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val fs = new org.apache.hadoop.fs.Path(s"$w/docs_lang")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      docs.select("lang").distinct().collect().map(_.getString(0)).foreach { l =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$w/docs_lang/$l/_SUCCESS")))
+          docs.where(col("lang") === l).coalesce(1)
+            .write.mode("overwrite").parquet(s"$w/docs_lang/$l")
+      }
+      val app = new Application("fw08", s, s"$w/app_fw08")
+      val src = app.marshalExternalData("docs", s"$w/docs_lang", langSpec)
+      val curated = app.createData("curated", Seq(src("en")), Seq(SqlSlot(
+        """SELECT MD5(text) AS text_hash, MIN(doc_id) AS doc_id,
+                  MIN(source) AS source, MIN(n_chars) AS n_chars
+           FROM docs WHERE n_chars >= 100 GROUP BY MD5(text)""")))
+      val stats = app.createData("source_stats", Seq(curated), Seq(SqlSlot(
+        """SELECT source, COUNT(*) AS kept_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM curated GROUP BY source""")))
+      app.activate()
+      app.execute(stats("en"), recursive = true)
+      app.load(stats("en")).orderBy("source")
+    }),
+
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
     "fw06_range_expansion" -> ((s, dir) => {
@@ -238,6 +268,15 @@ object Framework {
          WHERE l_returnflag = 'N'
            AND CAST(l_shipdate AS DATE) >= (SELECT MAX(CAST(l_shipdate AS DATE)) - 2 FROM lineitem)
          GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "fw08_curation_pipeline" ->
+      """WITH curated AS (
+           SELECT MD5(text) AS text_hash, MIN(doc_id) AS doc_id,
+                  MIN(source) AS source, MIN(n_chars) AS n_chars
+           FROM documents WHERE lang = 'en' AND n_chars >= 100
+           GROUP BY MD5(text))
+         SELECT source, COUNT(*) AS kept_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM curated GROUP BY source ORDER BY source""",
     "fw06_range_expansion" ->
       """SELECT STRFTIME(d, '%Y-%m-%d') AS day
          FROM (SELECT UNNEST(GENERATE_SERIES(
