@@ -19,17 +19,17 @@ trait PathProbe {
 /** Memoizing wrapper: completed paths never get re-probed (reference
   * completed-path cache, routing_runtime_constructs.py:317-330). */
 final class CachingProbe(underlying: PathProbe) extends PathProbe {
-  private val completed = scala.collection.mutable.Set.empty[String]
-  def exists(path: String): Boolean = path.synchronized {
+  private val completed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def exists(path: String): Boolean =
     completed.contains(path) || {
       val ok = underlying.exists(path)
-      if (ok) completed += path
+      if (ok) completed.add(path)
       ok
     }
-  }
   /** Cross-node range transfer: pre-seed known-complete resources
     * (reference transfer_ranges, routing_runtime_constructs.py:370-395). */
-  def markComplete(paths: Iterable[String]): Unit = completed ++= paths
+  def markComplete(paths: Iterable[String]): Unit = paths.foreach(completed.add)
 }
 
 /** Runtime instantiation of a SignalLinkNode: accumulates ready signals

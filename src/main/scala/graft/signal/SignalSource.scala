@@ -77,7 +77,8 @@ final case class SignalSource(
     * Returns None if the path is not under this source's root. */
   def extractDims(path: String, depth: Int): Option[Seq[String]] = {
     val normalized = path.stripSuffix("/")
-    if (!normalized.startsWith(rootPath)) None
+    // boundary-aware prefix: "/data/ab" must NOT match root "/data/a"
+    if (normalized != rootPath && !normalized.startsWith(rootPath + "/")) None
     else {
       val rest = normalized.drop(rootPath.length).stripPrefix("/")
       if (rest.isEmpty) Some(Nil)
