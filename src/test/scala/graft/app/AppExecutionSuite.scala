@@ -70,4 +70,25 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
         .getAs[Double]("scaled") == 30.0)
     }
   }
+
+  test("event-driven process(): 2-input coincidence join at the app level") {
+    val sp = spark
+    import sp.implicits._
+    Seq(("2026-08-12", 5.0)).toDF("day", "bonus")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/src_b/2026-08-12")
+    val app = new Application("events", spark, s"$work/app_events")
+    val a = app.marshalExternalData("a", s"$work/src", daySpec)
+    val b = app.marshalExternalData("b", s"$work/src_b", daySpec)
+    val joined = app.createData("joined", Seq(a.latest(1), b.latest(1)), Seq(SqlSlot(
+      """SELECT a.day, CAST(SUM(a.amount + b.bonus) AS DOUBLE) AS total
+         FROM a JOIN b ON a.day = b.day GROUP BY a.day""")))
+    app.activate()
+    // first event: node pending (b's tip not seen yet)
+    assert(app.processPath(s"$work/src/2026-08-12").isEmpty)
+    // aligned second event completes the coincidence and runs the slot
+    val completed = app.processPath(s"$work/src_b/2026-08-12")
+    assert(completed.nonEmpty)
+    // (1+5) + (2+5) = 13
+    assert(app.load(joined("2026-08-12")).collect().head.getDouble(1) == 13.0)
+  }
 }
