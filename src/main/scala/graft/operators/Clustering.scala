@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution + deterministic sampling for corpus
+  * curation.
+  *
+  * Near-dup detection yields PAIRS; curation needs CLUSTERS with one
+  * canonical survivor each. [[connectedComponents]] runs min-label
+  * propagation over the pair graph — each iteration is one self-join +
+  * aggregate (shuffle on ids only), converging in O(graph diameter)
+  * rounds, with localCheckpoint cutting lineage growth. This is the
+  * standard large-graph CC shape (no driver-side graph).
+  */
+object Clustering {
+
+  /** (id, component) for every id in `ids`; component = min id reachable
+    * through `pairs` (columns d1, d2). Isolated ids form their own
+    * singleton components. */
+  def connectedComponents(ids: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min of (its label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint() // cut iterative lineage
+      val changes = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).limit(1).count()
+      converged = changes == 0
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", idCol)
+  }
+
+  /** Cluster each document by near-dup pairs and keep the canonical (min
+    * id) representative per component: pairs → dedup decision in one call. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(docs.select(idCol), idCol, pairs)
+    docs.join(cc, idCol)
+      .withColumn("is_canonical", col(idCol) === col("component"))
+  }
+}
+
+/** Deterministic sampling / source mixing: hash thresholds instead of RNG —
+  * reproducible across runs, engines, and cluster sizes, and expressible
+  * in plain SQL for verification (`md5(key) < hex-threshold` keeps
+  * ~threshold/2^16 of rows uniformly). */
+object Sampling {
+
+  /** Keep rows whose md5(key) falls under `hexThreshold` (4 hex chars:
+    * "2000" ≈ 12.5%). Uniform, deterministic, join-stable. */
+  def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame =
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < hexThreshold)
+
+  /** Mix sources at different deterministic rates: (sourceValue →
+    * 4-hex-char threshold); rows of unlisted sources are dropped. */
+  def mixByWeight(df: DataFrame, sourceCol: String, keyCol: String,
+                  thresholds: Map[String, String]): DataFrame = {
+    val cases = thresholds.foldLeft(lit("0000")) { case (acc, (src, thr)) =>
+      when(col(sourceCol) === src, lit(thr)).otherwise(acc)
+    }
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < cases)
+  }
+}

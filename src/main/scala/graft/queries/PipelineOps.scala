@@ -124,6 +124,25 @@ object PipelineOps {
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    // ---- duplicate-cluster resolution: connected components over the
+    // near-dup pair graph, canonical representative = min id per cluster
+    "p14_dup_clusters" -> ((s, dir) => {
+      val sub = docs(s, dir).where(col("doc_id") < 60)
+      val pairs = Dedup.ngramJaccardPairs(sub, "text", "doc_id", n = 2, minJaccard = 0.05)
+      graft.operators.Clustering
+        .connectedComponents(sub.select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic md5-threshold sampling + weighted source mixing
+    "p15_deterministic_mix" -> ((s, dir) => {
+      val mixed = graft.operators.Sampling.mixByWeight(
+        docs(s, dir), "lang", "doc_id",
+        Map("en" -> "8000", "de" -> "4000", "fr" -> "2000"))
+      mixed.groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    }),
+
     // ---- embedding near-dup pairs above cosine threshold (oracle-able)
     "p13_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -193,6 +212,35 @@ object PipelineOps {
          SELECT l1 AS label, ROUND(AVG(dot / (na * nb)), 4) + 0.0 AS avg_cosine,
                 COUNT(*) AS pair_cnt
          FROM dots WHERE l1 = l2 GROUP BY l1 ORDER BY label""",
+    "p14_dup_clusters" ->
+      """WITH RECURSIVE
+         words AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                   FROM documents WHERE doc_id < 60),
+         pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
+         grams AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS g
+                   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+                    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2
+                   FROM common JOIN sizes s1 ON d1 = s1.doc_id
+                               JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.05),
+         edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         reach(s, t) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id < 60
+           UNION
+           SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+         SELECT s AS doc_id, MIN(t) AS component
+         FROM reach GROUP BY s ORDER BY doc_id""",
+    "p15_deterministic_mix" ->
+      """SELECT lang, COUNT(*) AS kept FROM documents
+         WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                     WHEN 'fr' THEN '2000' ELSE '0000' END
+         GROUP BY lang ORDER BY lang""",
     "p13_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
                            generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -147,4 +147,32 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val fr3 = frames.filter(_.media_id == 3L).sortBy(_.frame_idx).map(_.frame_checksum).toSeq
     assert(fr0 == fr3)
   }
+
+  test("connected components cluster dup pairs; canonical = min id") {
+    val sp = spark; import sp.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val cc = Clustering.connectedComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    val canon = Clustering.canonicalize(ids, "doc_id", pairs)
+      .where(col("is_canonical")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(canon == Set(0L, 3L, 5L))
+  }
+
+  test("deterministic sampling is reproducible and roughly proportional") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val s1 = Sampling.deterministicSample(df, "id", "4000")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(df, "id", "4000")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // reproducible
+    assert(s1.size > 350 && s1.size < 650) // ~25% of 2000
+    // threshold monotonicity: smaller threshold is a subset
+    val smaller = Sampling.deterministicSample(df, "id", "2000")
+      .collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(s1))
+  }
 }
