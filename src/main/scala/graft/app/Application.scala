@@ -222,15 +222,32 @@ final class Application(val name: String, val spark: SparkSession,
   /** R1: retention sweep — delete all but the newest `keepLatest`
     * partitions of a node's managed output (reference retention hooks,
     * routing_runtime_constructs.py:784-855). Partition recency = descending
-    * canonical dimension-value order (formatted dates sort correctly). */
+    * TYPED dimension-value order: dir names are parsed through the node's
+    * first declared dimension, so unpadded LONG partitions ("9" vs "10")
+    * and format-declared dates order numerically/chronologically, not
+    * lexicographically. Unparseable names fall back to name order and sort
+    * oldest (never ahead of a typed value). */
   def applyRetention(target: NodeRef, keepLatest: Int): Seq[String] = {
     val src = target.signal.source
     require(src.kind == SignalSourceKind.INTERNAL, "retention is for managed outputs")
     val root = new org.apache.hadoop.fs.Path(src.rootPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    val dim = target.signal.spec.flatten.headOption.getOrElse(Dim(None, None))
+    def typed(name: String): Option[DimValue] =
+      scala.util.Try(DimValue.resolve(name, dim)).toOption
+    val newestFirst: Ordering[org.apache.hadoop.fs.Path] =
+      Ordering.fromLessThan { (a, b) =>
+        (typed(a.getName), typed(b.getName)) match {
+          case (Some(x: LongValue), Some(y: LongValue)) => x.v > y.v
+          case (Some(x: DateValue), Some(y: DateValue)) => x.date.isAfter(y.date)
+          case (Some(_), None) => true  // typed outlives unparseable
+          case (None, Some(_)) => false
+          case _ => a.getName > b.getName
+        }
+      }
     val parts = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).sortBy(_.getName)(Ordering[String].reverse)
+      .map(_.getPath).sorted(newestFirst)
     val evict = parts.drop(keepLatest)
     evict.foreach(p => fs.delete(p, true))
     evict.map(_.toString).toSeq

@@ -161,7 +161,9 @@ object DimValue {
           .orElse(Try(LocalDate.parse(t, DateTimeFormatter.ofPattern(p)).atStartOfDay()).toOption)
       }.headOption
     }
-    viaCommon.orElse(viaFormat)
+    // a declared format is authoritative: "%Y-%d-%m" on "2024-05-03" must
+    // parse as Mar 5, not the generic ISO reading (May 3)
+    viaFormat.orElse(viaCommon)
   }
 
   /** Variant factory: resolve a raw user/event value to a typed DimValue.

@@ -33,9 +33,18 @@ object Clustering {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+      // pointer-jump (2-hop min): adopt your label's own label — labels
+      // always point at in-component ids, so this halves chain depth each
+      // round and makes convergence O(log diameter), not O(diameter)
+      val updated = propagated.as("a")
+        .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
+          col("component") === col("cid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ccomp"), col("component")))
             .as("component"))
         .localCheckpoint() // cut iterative lineage
       val changes = updated.join(labels.withColumnRenamed("component", "old"), "id")
@@ -45,6 +54,9 @@ object Clustering {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "components would be silently split; raise maxIter")
     labels.withColumnRenamed("id", idCol)
   }
 

@@ -21,6 +21,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // the small side is replicated `salts`×, so any join type that preserves
+    // unmatched SMALL-side rows (right/full) would emit them `salts` times
+    // null-extended — silently wrong. Only big-side-preserving types are safe.
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(safe.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/semi/anti join types, not '$joinType' " +
+        "(replicated small side would duplicate its unmatched rows)")
     // row-deterministic-enough salt: partition id + row position hash; the
     // result set is identical for ANY salt assignment
     val saltedBig = big.withColumn("__salt",

@@ -24,6 +24,13 @@ import graft.app.Application
 final class MarkerStream(app: Application, roots: Seq[String],
                          checkpointDir: String) {
 
+  /** Partition dirs whose data files streamed by before the `_SUCCESS`
+    * marker existed. A marker write emits no new `part-*` row, so without
+    * this carry-over set those completions would be dropped forever: every
+    * batch re-checks prior not-yet-marked dirs alongside its own. */
+  private val pendingDirs =
+    scala.collection.mutable.LinkedHashSet.empty[org.apache.hadoop.fs.Path]
+
   private val binaryFileSchema = StructType(Seq(
     StructField("path", StringType),
     StructField("modificationTime", TimestampType),
@@ -38,8 +45,26 @@ final class MarkerStream(app: Application, roots: Seq[String],
     * files instead, fold them to their partition directory, and gate each
     * candidate on the marker's presence via the filesystem (the completion
     * protocol stays authoritative). */
+  /** Check every carried-over dir for a (possibly late) `_SUCCESS` marker;
+    * process the ready ones, keep the rest pending. Runs inside every
+    * micro-batch and at `start()` so a restart with no new data files still
+    * re-offers completions whose markers landed in between. */
+  def recheckPending(): Unit = {
+    val conf = app.spark.sparkContext.hadoopConfiguration
+    val candidates = pendingDirs.synchronized {
+      val v = pendingDirs.toVector; pendingDirs.clear(); v
+    }
+    val (ready, notYet) = candidates.partition { dir =>
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      marker.getFileSystem(conf).exists(marker)
+    }
+    pendingDirs.synchronized { pendingDirs ++= notYet }
+    ready.map(_.toUri.getPath).foreach(app.processPath)
+  }
+
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = app.spark
+    recheckPending()
     val sources = roots.map { root =>
       spark.readStream.format("binaryFile")
         .schema(binaryFileSchema)
@@ -56,15 +81,10 @@ final class MarkerStream(app: Application, roots: Seq[String],
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // partition completions per micro-batch are few: fold data files to
         // their partition dirs, then require the _SUCCESS marker
-        val conf = spark.sparkContext.hadoopConfiguration
-        val dirs = batch.collect().map(_.getString(0))
+        val batchDirs = batch.collect().map(_.getString(0))
           .map(raw => new org.apache.hadoop.fs.Path(raw).getParent)
-          .distinct
-          .filter { dir =>
-            val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-            marker.getFileSystem(conf).exists(marker)
-          }
-        dirs.map(_.toUri.getPath).foreach(app.processPath)
+        pendingDirs.synchronized { pendingDirs ++= batchDirs }
+        recheckPending()
         ()
       }
       .start()

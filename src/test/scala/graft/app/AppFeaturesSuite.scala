@@ -103,6 +103,29 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.poll(node("2026-08-12")).isDefined)
   }
 
+  test("retention (R1): unpadded LONG partitions evict numerically, not lexically") {
+    val sp = spark
+    import sp.implicits._
+    val longSpec = DimSpec.pretty("p" -> (DimType.LONG, Map[String, Any]()))
+    Seq(9L, 10L, 11L).foreach { p =>
+      Seq((p, 1.0)).toDF("p", "amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/src_lret/$p")
+    }
+    val app = new Application("lret", spark, s"$work/app_lret")
+    val src = app.marshalExternalData("src", s"$work/src_lret", longSpec)
+    val node = app.createData("lret_out", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM src")))
+    app.activate()
+    Seq(9L, 10L, 11L).foreach(p => app.execute(node(p)))
+    // lexicographic descending would keep "9" and evict "10" — typed order
+    // must keep 10 and 11 and evict 9
+    val evicted = app.applyRetention(node, keepLatest = 2)
+    assert(evicted.length == 1 && evicted.head.endsWith("/9"), evicted.mkString(","))
+    assert(app.poll(node(9L)).isEmpty)
+    assert(app.poll(node(10L)).isDefined)
+    assert(app.poll(node(11L)).isDefined)
+  }
+
   test("APPEND dataset type accumulates across executions") {
     stageDays(s"$work/src_app", Seq("2026-08-12"))
     val app = new Application("app", spark, s"$work/app_append")

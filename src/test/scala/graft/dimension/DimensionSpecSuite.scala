@@ -43,6 +43,15 @@ class DimensionSpecSuite extends AnyFunSuite {
     assert(LongValue(10).minus(5).rawValue == 5L)
   }
 
+  test("declared datetime format beats the generic common-pattern parse") {
+    // "%Y-%d-%m" on "2024-05-03" is day=5/month=3, NOT the ISO reading May 3
+    val parsed = DimValue.parseDateTime("2024-05-03", Some("%Y-%d-%m"))
+    assert(parsed.contains(LocalDateTime.of(2024, 3, 5, 0, 0)))
+    // unparseable under the declared format still falls back to common forms
+    val fallback = DimValue.parseDateTime("2024-07-30T12:00:00", Some("%Y%m%d"))
+    assert(fallback.contains(LocalDateTime.of(2024, 7, 30, 12, 0)))
+  }
+
   // ---- datetime formatting + granularity arithmetic (1751-1794)
   test("date format and granularity stepping") {
     val d = DateValue(LocalDateTime.of(2020, 7, 30, 0, 0),

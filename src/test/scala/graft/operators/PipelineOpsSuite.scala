@@ -161,6 +161,18 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon == Set(0L, 3L, 5L))
   }
 
+  test("connected components: non-convergence throws instead of silently splitting") {
+    val sp = spark; import sp.implicits._
+    val ids = (0L to 4L).toDF("doc_id")
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    assertThrows[IllegalStateException](
+      Clustering.connectedComponents(ids, "doc_id", chain, maxIter = 1).collect())
+    // pointer-jumping converges a depth-4 chain well inside 4 iterations
+    val cc = Clustering.connectedComponents(ids, "doc_id", chain, maxIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(0L))
+  }
+
   test("deterministic sampling is reproducible and roughly proportional") {
     val sp = spark; import sp.implicits._
     val df = (1L to 2000L).toDF("id")

@@ -49,6 +49,21 @@ class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_.isNullAt(2)) == 2)
   }
 
+  test("salted join rejects right/full joins (replicated small side)") {
+    val sp = spark
+    import sp.implicits._
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    // right/full would emit small's unmatched rows `salts`× null-extended
+    assertThrows[IllegalArgumentException](
+      Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "right"))
+    assertThrows[IllegalArgumentException](
+      Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "full_outer"))
+    // semi stays fine: each big row at most once
+    val semi = Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "left_semi")
+    assert(semi.count() == 1)
+  }
+
   test("key skew profile surfaces the hot key first") {
     val sp = spark
     import sp.implicits._

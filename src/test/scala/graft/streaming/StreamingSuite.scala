@@ -51,6 +51,35 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
   }
 
+  test("late _SUCCESS marker still fires the completion (pending re-check)") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_late_src"
+    val day = "2026-08-12"
+    Seq((day, 1.0), (day, 2.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+    // simulate data files landing BEFORE the completion marker
+    val marker = new java.io.File(s"$srcRoot/$day/_SUCCESS")
+    assert(marker.delete())
+
+    val app = new Application("stream_late", spark, s"$work/app_stream_late")
+    val src = app.marshalExternalData("src", srcRoot, daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+
+    val ms = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_late")
+    ms.start().awaitTermination(60000)
+    assert(app.poll(node(day)).isEmpty) // marker absent: must NOT fire yet
+
+    // the marker lands late — no new part-* row will ever be emitted, so
+    // only the carried-over pending set can redeem this completion
+    assert(marker.createNewFile())
+    ms.recheckPending()
+    assert(app.poll(node(day)).isDefined)
+    assert(app.load(node(day)).collect().head.getDouble(1) == 3.0)
+  }
+
   test("windowed streaming metric aggregation with watermark") {
     val sp = spark
     import sp.implicits._
