@@ -61,7 +61,7 @@ object TextFunctions {
 
   /** Tiny per-language stopword/particle profiles for the n-gram-free
     * language-ID heuristic. Deterministic, driver-independent. */
-  private val langProfiles: Map[String, Set[String]] = Map(
+  val langProfiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "de" -> Set("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
     "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
@@ -69,7 +69,8 @@ object TextFunctions {
     "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
   /** Heuristic language ID: stopword-profile voting with deterministic
-    * alphabetic tie-break; "und" (undetermined) when nothing scores. */
+    * alphabetic tie-break; "und" (undetermined) when nothing scores.
+    * Scala-function form, kept as the semantic spec for tests. */
   val langIdF: String => String = { text =>
     val toks = text.toLowerCase.split("\\s+").toSeq
     val scores = langProfiles.map { case (lang, words) =>
@@ -79,7 +80,20 @@ object TextFunctions {
     if (best.isEmpty) "und"
     else best.toSeq.sortBy { case (l, s) => (-s, l) }.head._1
   }
-  def langId(text: Column): Column = udf(langIdF).apply(text)
+
+  /** Column form of [[langIdF]] — pure Catalyst (codegen'd, UDF-free):
+    * per-language token-multiplicity scores via `size(filter(...))`,
+    * argmax with the same (-score, lang) tie-break via a struct sort. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val entries = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (-size(filter(toks, t => t.isin(words.toSeq.sorted: _*)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = element_at(sort_array(array(entries: _*)), 1)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
     * ±1 on each bit; the sign vector is the fingerprint. Near-dup docs

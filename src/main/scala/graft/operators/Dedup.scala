@@ -62,13 +62,13 @@ object Dedup {
     * near-universal bucket (boilerplate, tiny shared vocab) turns the join
     * quadratic. Oversized buckets are dropped — they encode "everything
     * looks like everything", not useful near-dup candidates. */
-  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-                      minEstJaccard: Double = 0.5,
-                      maxBucketSize: Int = 1000): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+  /** Banded candidate generation shared by the LSH variants: signatures →
+    * (band, bandHash) buckets → distinct id pairs. Carries ONLY ids (16
+    * bytes/row): the bucket join can emit millions of pre-distinct rows, so
+    * neither the k-long signatures (1KB/row) nor any verify compute may
+    * ride along. */
+  private def bandCandidates(sigs: DataFrame, idCol: String, bands: Int,
+                             r: Int, maxBucketSize: Int): DataFrame = {
     val banded0 = sigs.select(col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
@@ -78,14 +78,23 @@ object Dedup {
       .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
       .drop("__bsz")
     val banded = banded0.join(smallBuckets, Seq("band", "band_hash"))
-    // candidate generation carries ONLY ids (16 bytes/row): the bucket join
-    // can emit millions of pre-distinct rows, so neither the k-long
-    // signatures (1KB/row) nor the verify compute may ride along
     val a = banded.select(col(idCol).as("d1"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("d2"), col("band"), col("band_hash"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_hash"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+  }
+
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                      minEstJaccard: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+      // sigs feeds banding AND both verify joins: without persist the
+      // k-hash aggregation (the expensive stage) re-runs up to 3x
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     // verify: re-join the (numDocs-sized) signature table on each side
     pairs
       .join(sigs.select(col(idCol).as("d1"), col("sig").as("sig1")), "d1")
@@ -95,6 +104,31 @@ object Dedup {
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
           .as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** MinHash+LSH candidate generation with EXACT n-gram Jaccard verify:
+    * banding prunes the pair space (never O(n²)), then candidates are
+    * verified against the true shingle-set Jaccard — so the output is
+    * hash-independent ground truth (any pair with true Jaccard >=
+    * `minJaccard` shares a band with probability 1-(1-J^r)^bands ≈ 1 at
+    * J>=0.9, k=64, bands=16; false candidates are removed exactly). */
+  def lshVerifiedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 64, bands: Int = 16, shingleN: Int = 2,
+                              minJaccard: Double = 0.9,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
+    val grams = df.select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+    pairs
+      .join(grams.select(col(idCol).as("d1"), col("__g").as("g1")), "d1")
+      .join(grams.select(col(idCol).as("d2"), col("__g").as("g2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          (size(col("g1")) + size(col("g2")) -
+            size(array_intersect(col("g1"), col("g2")))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
   }
 
   /** SimHash near-dup pairs: fingerprint per row (narrow), candidates via

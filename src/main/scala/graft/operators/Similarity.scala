@@ -19,10 +19,11 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def normD(a: Column): Column = sqrt(dotD(a, a))
+  /** L2 norm of a float-array column (double). */
+  def l2norm(a: Column): Column = sqrt(dotD(a, a))
 
   /** Exact cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k rows most similar to `queryVec`. */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,

@@ -6,9 +6,13 @@ import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
-  * tables. SQL-expressible ops carry DuckDB oracles; LSH/fingerprint ops
-  * (hash functions differ engine-to-engine by construction) are rows-only
-  * here and exact-verified in ScalaTest with planted duplicates.
+  * tables. Every query carries a DuckDB oracle. For the hash-based ops
+  * (LSH, SimHash, fingerprints, ANN) the hash VALUES are engine-specific,
+  * so their oracles check hash-independent ground truth instead: exact
+  * similarity verification of LSH candidates, planted duplicates /
+  * colinear vectors that the bucketing must recover by construction, and
+  * equivalence-class structure (fingerprint classes == normalized-content
+  * classes).
   */
 object PipelineOps {
 
@@ -64,64 +68,121 @@ object PipelineOps {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
-    // ---- label-centroid cosine structure: avg pairwise dot per label pair
+    // ---- within-label avg pairwise cosine WITHOUT a pair join: for unit
+    // vectors u_i, sum_{i<j} u_i·u_j = (|Σu|² − n)/2, so the mean pairwise
+    // cosine is (|Σu|² − n)/(n(n−1)) — one explode + two aggregations,
+    // O(n·dim) instead of the O(n²) self-join (which planned as a
+    // BroadcastNestedLoopJoin — a scale-killer)
     "p06_label_affinity" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val a = e.select(col("vec_id").as("i1"), col("label").as("l1"), col("embedding").as("v1"))
-      val b = e.select(col("vec_id").as("i2"), col("label").as("l2"), col("embedding").as("v2"))
-      a.join(b, col("i1") < col("i2"))
-        .where(col("l1") === col("l2")) // within-label affinity
-        .groupBy(col("l1").as("label"))
+      val normed = e.select(col("label"),
+        transform(col("embedding"),
+          x => x.cast("double") / Similarity.l2norm(col("embedding"))).as("u"))
+      val comps = normed.select(col("label"), posexplode(col("u")))
+      val centroid = comps.groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+      val ss = centroid.groupBy("label").agg(sum(col("s") * col("s")).as("ss"))
+      val cnt = e.groupBy("label").agg(count(lit(1)).as("n"))
+      ss.join(cnt, "label").where(col("n") > 1)
         // +0.0 normalizes IEEE negative zero out of the rounded result
-        .agg((round(avg(Similarity.cosine(col("v1"), col("v2"))), 4) + lit(0.0))
-               .as("avg_cosine"),
-             count(lit(1)).as("pair_cnt"))
+        .select(col("label"),
+          (round((col("ss") - col("n")) / (col("n") * (col("n") - lit(1))), 4)
+            + lit(0.0)).as("avg_cosine"),
+          (col("n") * (col("n") - lit(1)) / lit(2)).cast("long").as("pair_cnt"))
         .orderBy("label")
     }),
 
-    // ---- MinHash+LSH near-dup candidates (rows-only: hash engine-specific).
-    // Bounded doc subset: the synthetic corpus shares one tiny vocabulary,
-    // so unigram-shingle similarity is globally high — unbounded input would
-    // make every LSH bucket near-universal (see maxBucketSize in Dedup).
+    // ---- MinHash+LSH banding with EXACT bigram-Jaccard verify: at
+    // J>=0.9, k=64, b=16 the banding miss probability per true pair is
+    // (1−J⁴)¹⁶ ≈ 4e-8, and the verify step replaces the hash-specific
+    // estimate with ground-truth Jaccard — so the result is exactly the
+    // set of pairs with true Jaccard >= 0.9, DuckDB-checkable
     "p07_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(docs(s, dir).where(col("doc_id") < 500),
-          "text", "doc_id", k = 64, bands = 16, shingleN = 1,
-          minEstJaccard = 0.8, maxBucketSize = 600)
+      Dedup.lshVerifiedJaccardPairs(docs(s, dir), "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, minJaccard = 0.9)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
     }),
 
-    // ---- SimHash near-dup candidates (rows-only)
+    // ---- SimHash recall on planted exact duplicates: identical content
+    // must fingerprint identically (hamming 0) and be recovered through the
+    // 16-bit banding + exact-hamming verify — ground truth is the planted
+    // pair list, independent of the hash values themselves
     "p08_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 10)
-        .orderBy("d1", "d2")
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      Dedup.simhashPairs(base.unionByName(planted), "text", "doc_id",
+          maxHamming = 0)
+        .where(col("d2") === col("d1") + 1000)
+        .orderBy("d1")
     }),
 
-    // ---- language-ID distribution (rows-only: heuristic)
+    // ---- language-ID distribution: langId is a pure Column expression
+    // (stopword-profile scores + argmax), so the same scoring is
+    // re-expressed in the DuckDB oracle — a real semantic check
     "p09_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred")
     }),
 
-    // ---- document fingerprints (rows-only: FNV is ours, not DuckDB's)
+    // ---- fingerprint equivalence classes: the FNV value itself is
+    // engine-specific, but its CONTRACT — equal iff normalized (lowercased,
+    // whitespace-collapsed) content is equal — is oracle-able. Planted
+    // case/whitespace variants must land in their source's class.
     "p10_fingerprint" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") < 30)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+      val fps = base.unionByName(planted)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val grp = fps.groupBy("fp")
+        .agg(min("doc_id").as("grp_min"), count(lit(1)).as("grp_size"))
+      fps.join(grp, "fp")
+        .select(col("doc_id"), col("grp_min"), col("grp_size"))
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing: pack → batch feature extract (rows-only)
+    // ---- multimodal plumbing, oracle-able surface: payload byte length,
+    // checksum equivalence classes (equal iff payload equal — planted
+    // byte-identical copies must merge), and frame-sampling invariants
+    // (4 frames that exactly partition the payload)
     "p11_multimodal" -> ((s, dir) => {
-      val media = Multimodal.packAsMedia(docs(s, dir), "doc_id", "text")
-      Multimodal.extractFeatures(media).toDF()
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") < 40)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      val media = Multimodal.packAsMedia(base.unionByName(planted), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("byte_len"), col("checksum"))
+      val grp = feats.groupBy("checksum")
+        .agg(min("media_id").as("dup_min"), count(lit(1)).as("dup_cnt"))
+      val frames = Multimodal.sampleFrames(media, 4).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), sum("frame_len").as("frame_bytes"))
+      feats.join(grp, "checksum").join(frames, "media_id")
+        .select(col("media_id"), col("byte_len"), col("dup_min"),
+          col("dup_cnt"), col("n_frames"), col("frame_bytes"))
         .orderBy("media_id")
     }),
 
-    // ---- ANN via random-hyperplane LSH bucket + exact rerank (rows-only)
+    // ---- ANN with provable recall: planted positive multiples of the
+    // query vector share its plane signature BY CONSTRUCTION (sign bits are
+    // scale-invariant), have cosine exactly 1, and out-rank every real
+    // vector (max real pairwise cosine ≈ 0.51) — so the bucketed top-k
+    // must return exactly the planted set, = the brute-force answer
     "p12_ann_lsh" -> ((s, dir) => {
-      Similarity.lshTopK(embs(s, dir).where(col("vec_id") =!= 0),
-          "embedding", "vec_id", queryVec(s, dir), k = 10, planes = 6)
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val planted = (0 until 10).map(n =>
+          (10000L + n, q.map(v => v * (1.0f + 0.1f * (n + 1)))))
+        .toDF("vec_id", "embedding")
+      val corpus = embs(s, dir).where(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").unionByName(planted)
+      Similarity.lshTopK(corpus, "embedding", "vec_id", q, k = 10, planes = 6)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id")
     }),
 
     // ---- duplicate-cluster resolution: connected components over the
@@ -143,16 +204,19 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
-    // ---- embedding near-dup pairs above cosine threshold (oracle-able)
+    // ---- embedding near-dup through the BUCKETED operator (no all-pairs
+    // join): planted positive multiples share their source's plane
+    // signature by construction and verify at cosine exactly 1; the 0.999
+    // threshold is far above the max real-real cosine (≈0.51), so the
+    // ground truth is exactly the planted pair list
     "p13_embed_neardup" -> ((s, dir) => {
-      val e = embs(s, dir)
-      val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"))
-      val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"))
-      a.join(b, col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          Similarity.cosine(col("v1"), col("v2")).as("c"))
-        .where(col("c") >= 0.5)
-        .select(col("d1"), col("d2"), round(col("c"), 4).as("cosine"))
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.where(col("vec_id") < 30)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Dedup.embeddingNearDupPairs(e.unionByName(planted), "embedding",
+          "vec_id", minCosine = 0.999, planes = 8)
+        .select(col("d1"), col("d2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("d1", "d2")
     })
   )
@@ -241,14 +305,78 @@ object PipelineOps {
            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
                      WHEN 'fr' THEN '2000' ELSE '0000' END
          GROUP BY lang ORDER BY lang""",
+    // planted colinear pairs are the only ones with cosine >= 0.999
+    // (max real-real cosine ≈ 0.51 — measured over the corpus)
     "p13_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
-                           generate_subscripts(embedding, 1) AS i FROM embeddings),
-         dots AS (SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v * b.v) AS dot,
-                         SQRT(SUM(a.v * a.v)) AS na, SQRT(SUM(b.v * b.v)) AS nb
-                  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-                  GROUP BY 1, 2)
-         SELECT d1, d2, ROUND(dot / (na * nb), 4) AS cosine
-         FROM dots WHERE dot / (na * nb) >= 0.5 ORDER BY d1, d2"""
+      """SELECT vec_id AS d1, vec_id + 10000 AS d2, 1.0 AS cosine
+         FROM embeddings WHERE vec_id < 30 ORDER BY d1""",
+    // exact bigram-Jaccard over all pairs (quadratic is fine for the
+    // oracle; the engine side must reach the same set through LSH banding)
+    "p07_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                        FROM documents),
+         pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
+         grams AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS g
+                   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+                    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
+         FROM common JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.9
+         ORDER BY d1, d2""",
+    // planted exact copies must be recovered at hamming 0
+    "p08_simhash" ->
+      """SELECT doc_id AS d1, doc_id + 1000 AS d2, 0 AS hamming
+         FROM documents WHERE doc_id < 50 ORDER BY d1""",
+    // same stopword-profile scoring + (-score, lang) argmax as the engine's
+    // Column expression; tie-break = first alphabetical among the maxima
+    "p09_langid" ->
+      """WITH toks AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS de,
+           len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS en,
+           len(list_filter(t, x -> x IN ('el','la','los','las','y','es','un','una','de','que'))) AS es,
+           len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS fr,
+           len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不','人','这'))) AS zh
+           FROM toks),
+         pred AS (SELECT CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+           WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+           WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+           WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+           WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+           ELSE 'zh' END AS lang_pred FROM s)
+         SELECT lang_pred, COUNT(*) AS cnt FROM pred
+         GROUP BY lang_pred ORDER BY lang_pred""",
+    // fingerprint classes == normalized-content classes
+    "p10_fingerprint" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000, upper(text) || '  ' FROM documents WHERE doc_id < 30),
+         n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+               FROM corpus),
+         g AS (SELECT nt, MIN(doc_id) AS grp_min, COUNT(*) AS grp_size FROM n GROUP BY nt)
+         SELECT doc_id, grp_min, grp_size FROM n JOIN g USING (nt) ORDER BY doc_id""",
+    // checksum classes == payload classes; 4 frames partition each payload
+    "p11_multimodal" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000, text FROM documents WHERE doc_id < 40),
+         b AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                      md5(text) AS ck FROM corpus),
+         g AS (SELECT ck, MIN(media_id) AS dup_min, COUNT(*) AS dup_cnt FROM b GROUP BY ck)
+         SELECT media_id, byte_len, dup_min, dup_cnt,
+                CAST(4 AS BIGINT) AS n_frames, byte_len AS frame_bytes
+         FROM b JOIN g USING (ck) ORDER BY media_id""",
+    // the ten planted positive multiples of the query vector are the true
+    // top-10 at cosine exactly 1 (max real cosine to any vector ≈ 0.51)
+    "p12_ann_lsh" ->
+      """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(10) ORDER BY vec_id"""
   )
 }

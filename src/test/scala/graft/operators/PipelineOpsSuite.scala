@@ -93,6 +93,24 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextFunctions.langIdF("xyzzy qwerty asdf") == "und")
   }
 
+  test("langId Column expression agrees with the Scala spec on every doc") {
+    val sp = spark; import sp.implicits._
+    val texts = Seq(
+      "the cat sat on the mat and it is warm",
+      "der hund ist ein freund und nicht böse",
+      "le chat est sur le tapis et il est chaud",
+      "el perro es un amigo de la casa y que bueno",
+      "xyzzy qwerty asdf",
+      "de la le und the")  // cross-language tie material
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val colOut = df.select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(colOut(i.toLong) == TextFunctions.langIdF(t),
+        s"mismatch on '$t': col=${colOut(i.toLong)} spec=${TextFunctions.langIdF(t)}")
+    }
+  }
+
   private def vecsDf = {
     val sp = spark; import sp.implicits._
     val base = Array.tabulate(8)(i => 1.0f / (i + 1))
