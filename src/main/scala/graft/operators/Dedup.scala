@@ -18,6 +18,17 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Explode-heavy operators need input parallelism >= cores BEFORE the
+    * fan-out: a small local file often arrives as one unsplittable
+    * partition (row-group bound), serializing the whole shingle/hash stage
+    * on a single task. No-op when the input is already as parallel as the
+    * cluster — the 100TB case, where inputs arrive in thousands of
+    * partitions and an extra shuffle would be a regression. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: one survivor (min id) per content digest. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_hash"))
@@ -44,9 +55,27 @@ object Dedup {
     * Output: (idCol, sig: array<bigint> of length k). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, shingleN: Int = 3): DataFrame = {
-    val exploded = df
+    // ONE string hash per shingle (string hashing dominates at corpus
+    // scale); the k min-hash draws are affine permutations h_i = a_i·h +
+    // b_i mod P over the Mersenne prime P = 2^31-1. a_i·h < 2^62 so the
+    // arithmetic never overflows a long under ANSI mode, and mod-prime
+    // multiplication is a true permutation (a plain non-wrapping h1 + i·h2
+    // is NOT — the i·h2 term dominates and correlates the positions).
+    val P = 2147483647L
+    def mix(x: Long): Long = { // splitmix64 finalizer for the a_i/b_i draws
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val exploded = spread(df)
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("g"))
-    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+      .select(col(idCol), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val minCols = (0 until k).map { i =>
+      val a = java.lang.Math.floorMod(mix(i.toLong), P - 1) + 1
+      val b = java.lang.Math.floorMod(mix(i.toLong + 7919), P)
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"h$i")
+    }
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -119,14 +148,15 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
-    val grams = df.select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+    val grams = spread(df)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
     pairs
       .join(grams.select(col(idCol).as("d1"), col("__g").as("g1")), "d1")
       .join(grams.select(col(idCol).as("d2"), col("__g").as("g2")), "d2")
+      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
-          (size(col("g1")) + size(col("g2")) -
-            size(array_intersect(col("g1"), col("g2")))).cast("double"))
+        (col("__c").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
@@ -136,7 +166,7 @@ object Dedup {
     * band), verified by true hamming distance. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val fp = df.select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
+    val fp = spread(df).select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
     val bandExprs = (0 until 4).map(b =>
       shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))
     val banded0 = fp.select(col(idCol), col("sh"),
@@ -162,7 +192,7 @@ object Dedup {
     * sharing at least one gram are compared. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).as("doc"),
+    val grams = spread(df).select(col(idCol).as("doc"),
       explode(shingles(col(textCol), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val common = grams.select(col("doc").as("d1"), col("g"))

@@ -19,11 +19,15 @@ final class MinHashAggregator(k: Int)
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // double-hashing: two murmur draws, k cheap combinations — not 2k
+    // string hashes per shingle
+    val a = scala.util.hashing.MurmurHash3.stringHash(shingle, 0x9747b28c).toLong
+    val b = scala.util.hashing.MurmurHash3.stringHash(shingle, 0x85ebca6b).toLong
+    val h1 = (a << 32) | (b & 0xffffffffL)
+    val h2 = (b << 32) | (a & 0xffffffffL) | 1L // odd step, full-period mod 2^64
     var i = 0
     while (i < k) {
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(shingle, 0x9747b28c + i).toLong
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(shingle, 0x85ebca6b ^ i).toLong
-      val h = (h1 << 32) | (h2 & 0xffffffffL)
+      val h = h1 + i.toLong * h2
       if (h < buf(i)) buf(i) = h
       i += 1
     }
