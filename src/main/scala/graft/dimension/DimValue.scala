@@ -143,7 +143,16 @@ object DimValue {
     val t = s.trim
     def viaFormat: Option[LocalDateTime] = format.flatMap { f =>
       val jf = strftimeToJava(f)
-      Try(LocalDateTime.parse(t, DateTimeFormatter.ofPattern(jf))).toOption
+      // time-of-day fields default to 0 so partial formats (e.g.
+      // "%Y-%m-%d %H") keep the fields they DO declare instead of being
+      // degraded to a date-only parse that drops the hour
+      def lenient = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern(jf)
+        .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+        .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+        .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+        .toFormatter
+      Try(LocalDateTime.parse(t, lenient)).toOption
         .orElse(Try(LocalDate.parse(t, DateTimeFormatter.ofPattern(jf)).atStartOfDay()).toOption)
         .orElse( // hour-only / partial formats, e.g. "%H" with value "23"
           if (f == "%H") Try(LocalDateTime.of(1900, 1, 1, t.toInt, 0)).toOption
@@ -285,12 +294,19 @@ object StringValue {
 }
 
 /** DATETIME variant: strftime format, granularity-stepped ±, optional min
-  * clamp. Values are naive (no embedded tz), matching the reference's
-  * restriction. Reference: dimension_constructs.py:1494-1851. */
+  * clamp, optional `timezone`. Values are naive local datetimes (no
+  * embedded tz in the string form, matching the reference's restriction —
+  * dimension_constructs.py:1681-1692); the declared `timezone` param fixes
+  * which instant a local value denotes, so cross-timezone equality,
+  * conversion ([[atTimezone]]) and zone-aware stepping work. The reference
+  * declares the param (dimension_constructs.py:1496,1586-1592) but leaves
+  * applying it as a TODO (:1707-1719); here it is applied.
+  * Reference: dimension_constructs.py:1494-1851. */
 final case class DateValue(date: LocalDateTime, name: Option[String] = None,
                            params: Map[String, Any] = Map.empty) extends DimValue {
   val dtype: Option[DimType] = Some(DimType.DATETIME)
   val format: Option[String] = params.get("format").map(_.toString)
+  val timezone: Option[java.time.ZoneId] = params.get("timezone").map(DateValue.zoneOf)
   val granularity: Granularity = params.get("granularity") match {
     case Some(g: Granularity) => g
     case Some(s: String) => s.toUpperCase match {
@@ -319,14 +335,59 @@ final case class DateValue(date: LocalDateTime, name: Option[String] = None,
   def withAttrs(n: Option[String], t: Option[DimType], p: Map[String, Any]): DimValue =
     copy(name = n, params = p)
 
+  /** The instant this local partition value denotes (UTC when no tz
+    * declared). */
+  def instant: java.time.Instant =
+    date.atZone(timezone.getOrElse(java.time.ZoneOffset.UTC)).toInstant
+
+  /** The same instant re-expressed as a local value in `tz` — day/hour
+    * boundaries shift: (2026-08-12 03:00 UTC).atTimezone("PST") is
+    * 2026-08-11 19:00. */
+  def atTimezone(tz: Any): DateValue = {
+    val z = DateValue.zoneOf(tz)
+    copy(date = instant.atZone(z).toLocalDateTime,
+      params = params + ("timezone" -> z))
+  }
+
   override def matchesValue(other: DimValue): Boolean = other match {
     case d: DateValue =>
-      value == d.value || date == d.date ||
+      // when BOTH sides declare a timezone, equal means same instant:
+      // (2026-08-11 19:00 PST) == (2026-08-12 03:00 UTC)
+      ((timezone.isDefined && d.timezone.isDefined) && instant == d.instant) ||
+        value == d.value || date == d.date ||
         format.exists(f => value == d.date.format(DimValue.formatterFor(f)))
     case _ => false
   }
 
-  def plus(n: Int): DimValue = copy(date = date.plus(n.toLong, granularity.unit))
+  /** Zone-aware stepping when a timezone is declared (DST-correct for IANA
+    * region zones; identical to naive stepping for fixed offsets). */
+  def plus(n: Int): DimValue = timezone match {
+    case Some(z) =>
+      copy(date = date.atZone(z).plus(n.toLong, granularity.unit).toLocalDateTime)
+    case None => copy(date = date.plus(n.toLong, granularity.unit))
+  }
+}
+
+object DateValue {
+  /** Timezone resolution: the reference's named fixed offsets
+    * (definitions/dimension_defs.py:20-38 — UTC/GMT=0, PST=-8, EST=-5),
+    * else any IANA/offset id accepted by ZoneId. */
+  def zoneOf(tz: Any): java.time.ZoneId = tz match {
+    case z: java.time.ZoneId => z
+    case s => s.toString.toUpperCase match {
+      case "UTC" | "GMT" => java.time.ZoneOffset.UTC
+      case "PST" => java.time.ZoneOffset.ofHours(-8)
+      case "EST" => java.time.ZoneOffset.ofHours(-5)
+      case _ => java.time.ZoneId.of(s.toString)
+    }
+  }
+
+  /** DimensionLink mapper: convert a datetime dimension value into `tz`
+    * (non-datetime values pass through untouched). */
+  def toTimezone(tz: Any): DimValue => DimValue = {
+    case d: DateValue => d.atTimezone(tz)
+    case v => v
+  }
 }
 
 /** LONG variant with zero-padding `digits` param.

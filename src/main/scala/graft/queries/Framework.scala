@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.app._
 import graft.compute._
 import graft.dimension._
+import graft.signal.{DimRef, DimensionLink}
 
 /** Framework-implemented operators (SURVEY.md §2.a) driven END-TO-END
   * through the orchestrator and checked against DuckDB oracles: each query
@@ -214,6 +215,38 @@ object Framework {
       app.load(stats("en")).orderBy("source")
     }),
 
+    // ---- DATETIME timezone: an hour-granularity UTC timer fires at
+    // 03:00 UTC; the node's output dimension is declared in PST, linked
+    // through DateValue.toTimezone — the materialized partition lands on
+    // the PREVIOUS local day (2026-08-11), which load() must find when
+    // addressed by the PST day value. A wrong/no conversion writes to
+    // 2026-08-12 and load() returns zero rows.
+    "fw09_timezone" -> ((s, dir) => {
+      val w = work(dir)
+      val ordersRoot = s"$w/orders_all"
+      val fs = new org.apache.hadoop.fs.Path(ordersRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$ordersRoot/_SUCCESS")))
+        s.read.parquet(s"$dir/orders.parquet").coalesce(1)
+          .write.mode("overwrite").parquet(ordersRoot)
+      val app = new Application("fw09", s, s"$w/app_fw09_${System.nanoTime()}")
+      val timer = app.createTimer("utc_tick", format = "%Y-%m-%d %H",
+        dimName = "utc_hour")
+      val orders = app.marshalExternalData("orders_all", ordersRoot, DimSpec.empty)
+      val pstDaySpec = DimSpec.pretty("day" -> (DimType.DATETIME,
+        Map[String, Any]("format" -> "%Y-%m-%d", "timezone" -> "PST")))
+      val node = app.createData("pst_report", Seq(timer, orders.ref),
+        Seq(SqlSlot(
+          """SELECT '{day}' AS pst_day, o_orderstatus, COUNT(*) AS order_cnt
+             FROM orders_all GROUP BY o_orderstatus""")),
+        outputSpec = pstDaySpec,
+        outputLinks = List(DimensionLink.mapped(DimRef("output", "day"),
+          DimRef("utc_tick", "utc_hour"), DateValue.toTimezone("PST"))))
+      app.activate()
+      app.fireTimer(timer, "2026-08-12 03")
+      app.load(node("2026-08-11")).orderBy("o_orderstatus")
+    }),
+
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
     "fw06_range_expansion" -> ((s, dir) => {
@@ -277,6 +310,9 @@ object Framework {
          SELECT source, COUNT(*) AS kept_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM curated GROUP BY source ORDER BY source""",
+    "fw09_timezone" ->
+      """SELECT '2026-08-11' AS pst_day, o_orderstatus, COUNT(*) AS order_cnt
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "fw06_range_expansion" ->
       """SELECT STRFTIME(d, '%Y-%m-%d') AS day
          FROM (SELECT UNNEST(GENERATE_SERIES(

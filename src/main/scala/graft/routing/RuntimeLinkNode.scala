@@ -84,8 +84,10 @@ final class RuntimeLinkNode(
         materializeOutput(force = true), outputLinks,
         alreadyMaterialized = readySignals, enforceAll = false) match {
         case Some(inputs) =>
-          // an input materialized to an empty filter = declared filter rejected it
-          inputs.exists(i => i.filter.isEmpty)
+          // an input materialized to an empty filter = declared filter
+          // rejected it. Dimension-less inputs (reference lookups) have an
+          // empty filter BY CONSTRUCTION — they can never be rejected.
+          inputs.exists(i => i.dimNames.nonEmpty && i.filter.isEmpty)
         case None => false
       }
     } catch { case _: Exception => true }

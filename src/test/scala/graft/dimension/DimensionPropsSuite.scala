@@ -71,6 +71,28 @@ object DimensionPropsSuite extends Properties("dimension") {
       s.length == digits && s.toLong == v
     }
 
+  property("timezone: UTC and PST locals of one instant match both ways") =
+    forAll(dateGen) { dt =>
+      val utc = DateValue(dt, params = Map("timezone" -> "UTC"))
+      val pst = utc.atTimezone("PST")
+      utc.instant == pst.instant &&
+        utc.matchesValue(pst) && pst.matchesValue(utc) &&
+        // -8h offset: the PST local day shifts back exactly when hour < 8
+        (pst.date.toLocalDate != dt.toLocalDate) == (dt.getHour < 8)
+    }
+
+  property("timezone: atTimezone round-trip restores the local value") =
+    forAll(dateGen, Gen.oneOf("UTC", "PST", "EST")) { (dt, tz) =>
+      val v = DateValue(dt, params = Map("timezone" -> tz))
+      v.atTimezone("PST").atTimezone(tz).date == dt
+    }
+
+  property("timezone: stepping preserves the declared zone's local calendar") =
+    forAll(dateGen, Gen.choose(1, 72)) { (dt, n) =>
+      val v = DateValue(dt, params = Map("timezone" -> "PST", "granularity" -> "HOUR"))
+      v.plus(n).minus(n).asInstanceOf[DateValue].date == dt
+    }
+
   property("factory resolve handles arbitrary alphanumeric strings safely") =
     forAll(alnumGen) { s =>
       DimValue.resolve(s) match {

@@ -43,6 +43,39 @@ class DimensionSpecSuite extends AnyFunSuite {
     assert(LongValue(10).minus(5).rawValue == 5L)
   }
 
+  test("timezone conversion crosses day boundaries and formats locally") {
+    val utc = DateValue(LocalDateTime.of(2026, 8, 12, 3, 0),
+      params = Map("timezone" -> "UTC", "format" -> "%Y-%m-%d"))
+    val pst = utc.atTimezone("PST")
+    assert(pst.date == LocalDateTime.of(2026, 8, 11, 19, 0))
+    assert(pst.value == "2026-08-11") // previous local day
+    assert(utc.value == "2026-08-12")
+    assert(utc.matchesValue(pst) && pst.matchesValue(utc)) // same instant
+    val est = utc.atTimezone("EST")
+    assert(est.date == LocalDateTime.of(2026, 8, 11, 22, 0))
+    // naive (no tz declared) values keep naive equality semantics
+    val naive = DateValue(LocalDateTime.of(2026, 8, 12, 3, 0))
+    assert(!naive.matchesValue(pst))
+  }
+
+  test("IANA zone stepping is DST-aware") {
+    // US DST spring-forward 2026-03-08: 02:00 -> 03:00 local
+    val v = DateValue(LocalDateTime.of(2026, 3, 8, 1, 0),
+      params = Map("timezone" -> "America/Los_Angeles", "granularity" -> "HOUR"))
+    assert(v.plus(1).asInstanceOf[DateValue].date ==
+      LocalDateTime.of(2026, 3, 8, 3, 0)) // 02:xx doesn't exist locally
+    // a fixed offset (reference PST) has no DST: plain +1h
+    val fixed = DateValue(LocalDateTime.of(2026, 3, 8, 1, 0),
+      params = Map("timezone" -> "PST", "granularity" -> "HOUR"))
+    assert(fixed.plus(1).asInstanceOf[DateValue].date ==
+      LocalDateTime.of(2026, 3, 8, 2, 0))
+  }
+
+  test("hour-bearing declared formats keep the hour field") {
+    val parsed = DimValue.parseDateTime("2026-08-12 03", Some("%Y-%m-%d %H"))
+    assert(parsed.contains(LocalDateTime.of(2026, 8, 12, 3, 0)))
+  }
+
   test("declared datetime format beats the generic common-pattern parse") {
     // "%Y-%d-%m" on "2024-05-03" is day=5/month=3, NOT the ISO reading May 3
     val parsed = DimValue.parseDateTime("2024-05-03", Some("%Y-%d-%m"))

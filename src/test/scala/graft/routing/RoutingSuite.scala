@@ -139,6 +139,40 @@ class RoutingSuite extends AnyFunSuite {
     assert(ctxs.length == 1)
   }
 
+  test("dimension-less reference input is not a zombie (event-driven trigger)") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val lookup = Signal("lookup", SignalSource.external("/data/lookup"),
+      DimSpec.empty, DimFilter.empty).copy(isReference = true)
+    val node = SignalLinkNode(List(a, lookup)).withAutoLinks
+    val out = outputFor(node, "ref0", daySpec)
+    val route = new Route("ref0", node, out, Nil)
+    // the lookup's filter is empty BY CONSTRUCTION (no dims) — zombie
+    // prediction must not read that as "rejected by declared filter"
+    val ctxs = route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.inputs.map(_.alias).toSet == Set("a", "lookup"))
+  }
+
+  test("mapped output link converts timezone at materialization") {
+    val hourSpec = DimSpec.pretty(
+      "utc_hour" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d %H")))
+    val pstSpec = DimSpec.pretty(
+      "day" -> (DimType.DATETIME, Map[String, Any](
+        "format" -> "%Y-%m-%d", "timezone" -> "PST")))
+    val a = extSignal("a", "/data/a", hourSpec, "*")
+    val node = SignalLinkNode(List(a))
+    val links = List(DimensionLink.mapped(DimRef("output", "day"),
+      DimRef("a", "utc_hour"), DateValue.toTimezone("PST")))
+    val out = Signal("tz", SignalSource.internal("/app", "tz"), pstSpec,
+      node.deriveOutputFilter(pstSpec, links))
+    val route = new Route("tz", node, out, links)
+    val ctxs = route.receive(
+      chainedSignal("a", "/data/a", hourSpec, "2026-08-12 03"), allExists)
+    assert(ctxs.length == 1)
+    // 03:00 UTC = 19:00 previous day PST
+    assert(ctxs.head.output.tip.map(_.value) == List("2026-08-11"))
+  }
+
   test("pending node TTL expiry fires hook and drops state") {
     val a = extSignal("a", "/data/a", daySpec, "*")
     val b = extSignal("b", "/data/b", daySpec, "*")
