@@ -65,6 +65,26 @@ final class Application(val name: String, val spark: SparkSession,
   private var routingTable: Option[RoutingTable] = None
   private lazy val probe = new FsProbe(spark)
   private lazy val compute = new LocalSparkCompute(spark, probe, args)
+  /** Active executions: output partition path → Spark job group id. */
+  private val activeGroups =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run a context inside a cancellable Spark job group (the kill switch;
+    * setJobGroup is thread-local, so concurrent executeAsync calls get
+    * independent groups). */
+  private def runCancellable(ctx: ExecutionContext, slots: Seq[Slot],
+                             retry: RetryPolicy): Option[String] = {
+    val outPath = ctx.output.materializedPaths.head
+    val group = s"graft-${ctx.routeId}-${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setJobGroup(group,
+      s"graft ${ctx.routeId} -> $outPath", interruptOnCancel = true)
+    activeGroups.put(outPath, group)
+    try compute.run(ctx, slots, retry)
+    finally {
+      activeGroups.remove(outPath)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
 
   // ---- dev-time declaration --------------------------------------------
 
@@ -158,7 +178,7 @@ final class Application(val name: String, val spark: SparkSession,
       val retry = defs.find(_.id == ctx.routeId).map(_.retry).getOrElse(RetryPolicy())
       val written =
         try {
-          val w = compute.run(ctx, slotsOf(ctx.routeId), retry)
+          val w = runCancellable(ctx, slotsOf(ctx.routeId), retry)
           hooks.onExecSuccess(route, ctx)
           w
         } catch {
@@ -198,7 +218,7 @@ final class Application(val name: String, val spark: SparkSession,
     }
 
     val ctx = ExecutionContext(d.id, inputs, out)
-    compute.run(ctx, d.slots, d.retry).getOrElse(out.materializedPaths.head)
+    runCancellable(ctx, d.slots, d.retry).getOrElse(out.materializedPaths.head)
   }
 
   /** B1 `update_dependency_tree`: execute the target, then re-run its
@@ -258,6 +278,62 @@ final class Application(val name: String, val spark: SparkSession,
                           spec: DimSpec): NodeRef =
     NodeRef(this, Signal(id, SignalSource.catalog(database, table),
       spec, DimFilter.allPassFor(spec)))
+
+  /** Kill any active execution for the target output partition (reference
+    * kill(), application.py:2342-2408). The kill is Spark-native: each
+    * execution runs in its own job group with interruptOnCancel, so cancel
+    * aborts the running stages; the caller tracks the outcome with `poll`.
+    * Returns true when an active execution was found and cancelled. */
+  def kill(target: NodeRef): Boolean = {
+    require(target.signal.isMaterialized, "kill needs a materialized output view")
+    val outPath = target.signal.materializedPaths.head
+    Option(activeGroups.get(outPath)) match {
+      case Some(group) => spark.sparkContext.cancelJobGroup(group); true
+      case None => false
+    }
+  }
+
+  /** Feed the GROUND signal of a dangling input: satisfies the input
+    * condition of nodes that consume `input` — without a physical data
+    * event — and possibly causes execution on them (reference ground(),
+    * application.py:1844-1876: "equivalent to process(GROUND of input)"). */
+  def ground(input: NodeRef): List[String] = {
+    require(input.signal.isMaterialized,
+      s"ground requires a materialized input view, got ${input.signal.filter.pretty}")
+    process(input.signal)
+  }
+
+  /** Emulate the target's runtime behavior for the given materialized view
+    * WITHOUT executing: reverse-materialize its inputs, surface zombie
+    * configurations (an input's declared filter rejects the linked values)
+    * and trigger-impossibility (reference validate(),
+    * application.py:3665-3763). Throws IllegalStateException with the
+    * diagnosis; returns silently when executions are possible. */
+  def validate(target: NodeRef): Unit = {
+    val d = defs.find(_.id == target.signal.alias).getOrElse(
+      throw new IllegalArgumentException(s"unknown node '${target.signal.alias}'"))
+    require(target.signal.isMaterialized,
+      s"validate needs a materialized view, got ${target.signal.filter.pretty}")
+    val out = target.signal
+    val inputs = d.linkNode.materializedInputsForOutput(out, d.outputLinks).getOrElse(
+      throw new IllegalStateException(
+        s"'${d.id}': inputs cannot be materialized from output ${out.filter.pretty} — " +
+          "check dimension links"))
+    inputs.find(i => i.dimNames.nonEmpty && i.filter.isEmpty).foreach { i =>
+      throw new IllegalStateException(
+        s"'${d.id}': input '${i.alias}' declared filter rejects the values derived " +
+          s"from output ${out.filter.pretty} — executions would be zombies")
+    }
+    // emulate the runtime coincidence join: feed every independent input
+    val rln = new RuntimeLinkNode(d.linkNode, out, d.outputLinks)
+    inputs.filterNot(i => i.isReference || i.nearestTheTip).foreach(rln.receive(_))
+    if (rln.isZombie) throw new IllegalStateException(
+      s"'${d.id}': runtime node for ${out.filter.pretty} predicts zombie")
+    if (!rln.allSignalsReady) throw new IllegalStateException(
+      s"'${d.id}': would never trigger for ${out.filter.pretty} — only " +
+        s"${rln.ready.map(_.alias).mkString(",")} of " +
+        s"${d.linkNode.signals.map(_.alias).mkString(",")} become ready")
+  }
 
   /** Completed output partition path for a materialized view, if present
     * (reference poll(), application.py:2051-2267 — synchronous engine, so

@@ -107,10 +107,17 @@ final class RoutingTable(probe: PathProbe) {
     }
 
   /** Ingest a raw physical path event: decode against every route input
-    * (reference event classification + RouteIndex.find). */
+    * (reference event classification + RouteIndex.find). Data-FILE events
+    * normalize to their partition dir first — a `part-*` object creation is
+    * the completion indicator of its partition (reference
+    * processor/aws.py:2850-2861 normalizes `part-00000`; Spark writers emit
+    * `part-<n>-<uuid>` so any part file counts here). */
   def receivePath(path: String): List[ExecutionContext] = synchronized {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val normalized =
+      if (p.getName.startsWith("part-")) p.getParent.toUri.getPath else path
     val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
-      .flatMap(s => s.fromEventPath(path)).distinct
+      .flatMap(s => s.fromEventPath(normalized)).distinct
     decoded.headOption.map(s => receive(s)).getOrElse(Nil)
   }
 

@@ -71,6 +71,75 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("part-file event normalizes to its partition completion") {
+    val (app, s1, _) = buildChain("partfile")
+    // a data-FILE creation event (Spark writer part file) must trigger the
+    // same route as its partition dir (reference part-00000 normalization)
+    val partFile = new java.io.File(s"$work/src/2026-08-12").listFiles()
+      .map(_.getName).find(_.startsWith("part-")).get
+    val completed = app.processPath(s"$work/src/2026-08-12/$partFile")
+    assert(completed.nonEmpty)
+    assert(app.poll(s1("2026-08-12")).isDefined)
+  }
+
+  test("kill cancels an active execution; no-op without one (control surface)") {
+    val app = new Application("kill", spark, s"$work/app_kill")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val slow = app.createData("slow", Seq(src.latest(1)), Seq(graft.compute.ScalaSlot { ctx =>
+      import org.apache.spark.sql.functions._
+      started.countDown()
+      // a genuinely long Spark job: cancel must abort its stages
+      ctx.spark.range(50000000000L)
+        .filter(col("id") % 1000000007L === 123).count()
+      ctx.input("src")
+    }))
+    app.activate()
+    assert(!app.kill(slow("2026-08-12"))) // nothing active yet
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = app.executeAsync(slow("2026-08-12"))
+    started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    Thread.sleep(500) // let the Spark job actually start
+    assert(app.kill(slow("2026-08-12")))
+    val failed = Await.ready(fut, 60.seconds).value.get
+    assert(failed.isFailure)
+    assert(app.poll(slow("2026-08-12")).isEmpty) // no completed partition
+  }
+
+  test("validate reports zombies and trigger-impossibility without executing") {
+    val regionDaySpec = DimSpec.pretty(
+      "region" -> (DimType.STRING, Map.empty[String, Any]),
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+    val sp = spark
+    import sp.implicits._
+    Seq(("2026-08-12", 1.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/src_rd/NA/2026-08-12")
+    val app = new Application("validate", spark, s"$work/app_validate")
+    // two aliases over one dataset: all-pass + NA-pinned (the output stays
+    // open, so EU views exist dev-time — only validate can diagnose them)
+    val srcAll = app.marshalExternalData("src_all", s"$work/src_rd", regionDaySpec)
+    val srcNa = app.marshalExternalData("src_na", s"$work/src_rd", regionDaySpec)
+    val node = app.createData("combo", Seq(srcAll, srcNa("NA", "*")), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM src_all")))
+    app.activate()
+    app.validate(node("NA", "2026-08-12")) // possible: no throw
+    // EU is rejected by src_na's declared filter -> zombie diagnosis
+    val e = intercept[IllegalStateException](app.validate(node("EU", "2026-08-12")))
+    assert(e.getMessage.contains("zombie"))
+    assert(app.poll(node("NA", "2026-08-12")).isEmpty) // validate never executes
+  }
+
+  test("ground satisfies a dangling input without a physical event") {
+    val appG = new Application("ground2", spark, s"$work/app_ground2")
+    val srcG = appG.marshalExternalData("src", s"$work/src", daySpec)
+    val node = appG.createData("grounded", Seq(srcG.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    appG.activate()
+    val completed = appG.ground(srcG("2026-08-12"))
+    assert(completed.nonEmpty)
+    assert(appG.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
+  }
+
   test("event-driven process(): 2-input coincidence join at the app level") {
     val sp = spark
     import sp.implicits._
