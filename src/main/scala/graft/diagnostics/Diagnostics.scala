@@ -95,6 +95,29 @@ object Metrics {
         col("sample_count"), col("p50"))
 }
 
+/** Metric math (reference MetricExpression, metric_alarm_defs.py:162-174):
+  * arithmetic over aliased per-period metric series, producing a derived
+  * series that feeds [[Alarms.evaluate]] like any raw metric — the
+  * CloudWatch metric-math analog. The expression is Spark SQL over the
+  * alias columns (e.g. `"(err / total) * 100"`), so it rides Catalyst
+  * codegen; series are aligned on period_start (inner join: a period
+  * missing from any input is missing from the result, the reference's
+  * gap semantics). */
+object MetricMath {
+  /** Reference MetricExpression.DEFAULT_ALIAS. */
+  val DefaultAlias = "if_target_metric_expression"
+
+  def evaluate(series: Map[String, DataFrame], expression: String,
+               alias: String = DefaultAlias): DataFrame = {
+    require(series.nonEmpty, "metric math needs at least one input series")
+    val joined = series.toSeq.sortBy(_._1).map { case (a, df) =>
+      df.select(col("period_start"), col("value").as(a))
+    }.reduce(_.join(_, Seq("period_start")))
+    joined.select(lit(alias).as("name"), col("period_start"),
+      expr(expression).cast("double").as("value"))
+  }
+}
+
 /** Comparison operators (reference metric_alarm_defs.py:271-329). */
 sealed trait AlarmComparison { def breaches(v: Column, threshold: Double): Column }
 object AlarmComparison {

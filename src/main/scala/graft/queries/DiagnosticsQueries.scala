@@ -48,6 +48,24 @@ object DiagnosticsQueries {
         .orderBy("day")
     }),
 
+    // ---- metric math: derived error-rate-percent series feeding an alarm
+    "m04_metric_math" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def dailyCount(typ: String) = Metrics.evaluate(
+        ev.where(col("event_type") === typ),
+        "event_type", "value", "ts", DaySecs, MetricStatistic.SAMPLE_COUNT)
+      val rate = MetricMath.evaluate(
+        Map("err" -> dailyCount("error"), "vw" -> dailyCount("view")),
+        "(err / vw) * 100", alias = "error_rate_pct")
+      Alarms.evaluate(rate,
+          AlarmParams(100.0, AlarmComparison.GreaterThanOrEqualToThreshold,
+            evaluationPeriods = 2, datapointsToAlarm = 1), DaySecs)
+        .select(col("name"),
+          date_format(col("period_start"), "yyyy-MM-dd").as("day"),
+          round(col("value"), 4).as("value"), col("state"))
+        .orderBy("day")
+    }),
+
     // ---- M4: composite of two alarms: errors & ~purchases
     "m03_composite_alarm" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -93,6 +111,26 @@ object DiagnosticsQueries {
          SELECT STRFTIME(d, '%Y-%m-%d') AS day, value,
            CASE WHEN dps < 3 THEN 'INSUFFICIENT_DATA'
                 WHEN br >= 2 THEN 'ALARM' ELSE 'OK' END AS state
+         FROM ev ORDER BY day""",
+    "m04_metric_math" ->
+      """WITH mk AS (
+           SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  CAST(COUNT(*) AS DOUBLE) AS value
+           FROM events WHERE event_type IN ('error', 'view') GROUP BY 1, 2),
+         rate AS (
+           SELECT e.d, (e.value / v.value) * 100 AS value
+           FROM mk e JOIN mk v ON e.d = v.d
+           WHERE e.event_type = 'error' AND v.event_type = 'view'),
+         ev AS (
+           SELECT d, value,
+             SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS br,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS dps
+           FROM rate)
+         SELECT 'error_rate_pct' AS name, STRFTIME(d, '%Y-%m-%d') AS day,
+           ROUND(value, 4) AS value,
+           CASE WHEN dps < 2 THEN 'INSUFFICIENT_DATA'
+                WHEN br >= 1 THEN 'ALARM' ELSE 'OK' END AS state
          FROM ev ORDER BY day""",
     "m03_composite_alarm" ->
       """WITH mk AS (

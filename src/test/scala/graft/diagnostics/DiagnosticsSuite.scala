@@ -38,6 +38,29 @@ class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(avg.head.getDouble(2) == 2.0)
   }
 
+  test("metric math: expression over aliased series feeds an alarm") {
+    val sp = spark
+    import sp.implicits._
+    val err = Seq((ts(0), 10.0), (ts(5), 50.0), (ts(10), 20.0))
+      .toDF("period_start", "value").withColumn("name", lit("err"))
+    val total = Seq((ts(0), 100.0), (ts(5), 100.0), (ts(10), 100.0))
+      .toDF("period_start", "value").withColumn("name", lit("total"))
+    val rate = MetricMath.evaluate(
+      Map("e" -> err, "t" -> total), "(e / t) * 100", alias = "rate")
+    val rows = rate.orderBy("period_start").collect()
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(10.0, 50.0, 20.0))
+    assert(rows.forall(_.getAs[String]("name") == "rate"))
+    // the derived series alarms like any raw metric
+    val st = Alarms.evaluate(rate, AlarmParams(40.0,
+      AlarmComparison.GreaterThanOrEqualToThreshold, 1, 1), 300)
+      .orderBy("period_start").collect().map(_.getAs[String]("state")).toSeq
+    assert(st == Seq(Alarms.OK, Alarms.ALARM, Alarms.OK))
+    // inner-join gap semantics: a period missing from one input is absent
+    val gappy = MetricMath.evaluate(
+      Map("e" -> err.limit(2), "t" -> total), "e + t")
+    assert(gappy.count() == 2)
+  }
+
   test("alarm N-of-M transitions (M3)") {
     val sp = spark
     import sp.implicits._
