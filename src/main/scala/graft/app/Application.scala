@@ -140,13 +140,24 @@ final class Application(val name: String, val spark: SparkSession,
 
   /** Compile the dev context into the runtime routing table (reference
     * activate(), application.py:201-263 — no AWS provisioning here, a
-    * single in-memory table). */
+    * single in-memory table). Routing state checkpoints to
+    * `<rootDir>/routing_state.json` on every mutation; call [[recover]]
+    * after activate to reload a previous driver's pending state. */
   def activate(): Unit = {
-    val table = new RoutingTable(probe)
+    val cp = new RoutingCheckpoint(s"$rootDir/routing_state.json",
+      spark.sparkContext.hadoopConfiguration)
+    val table = new RoutingTable(probe, Some(cp))
     defs.foreach(d => table.add(
       new Route(d.id, d.linkNode, d.output, d.outputLinks, d.ttlMillis, d.hooks)))
     routingTable = Some(table)
   }
+
+  /** Reload routing state persisted by a previous driver (reference
+    * RouteRecord reload, constructs.py:3293-3433): replays the event log to
+    * rebuild pending nodes and RE-RUNS executions that were mid-flight
+    * (ready but never completed) when the driver died. Returns their
+    * completed output paths. */
+  def recover(): List[String] = runContexts(table.recover())
 
   private def table: RoutingTable =
     routingTable.getOrElse(throw new IllegalStateException("activate() first"))

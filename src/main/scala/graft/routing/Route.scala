@@ -90,9 +90,16 @@ final class Route(
   * (constructs.py:2685-2741, 3293-3433); the per-route DynamoDB lock is a
   * plain object monitor here.
   */
-final class RoutingTable(probe: PathProbe) {
+final class RoutingTable(probe: PathProbe,
+                         checkpoint: Option[RoutingCheckpoint] = None) {
   private val cachingProbe = new CachingProbe(probe)
   private var routes: List[Route] = Nil
+  private val eventLog = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+  private val completedLog = scala.collection.mutable.LinkedHashSet.empty[String]
+  private var replaying = false
+
+  private def persist(): Unit =
+    checkpoint.foreach(_.save(eventLog.toList, completedLog.toList))
 
   def add(route: Route): Unit = synchronized { routes :+= route }
   def all: List[Route] = routes
@@ -102,9 +109,34 @@ final class RoutingTable(probe: PathProbe) {
     * across all matching routes. */
   def receive(incoming: Signal, isBlocked: Boolean = false): List[ExecutionContext] =
     synchronized {
+      if (!replaying) {
+        // log the tip resource (reference ONLY_HEAD processing mode) so a
+        // restart can rebuild pending state by replaying the event log
+        incoming.materializedPaths.headOption.foreach(p =>
+          eventLog += ((p, isBlocked)))
+        persist()
+      }
       routes.filter(_.accepts(incoming))
         .flatMap(_.receive(incoming, cachingProbe, isBlocked = isBlocked))
     }
+
+  /** Rebuild pending-node state after a restart: replay the persisted event
+    * log through the normal receive path (reference RouteRecord reload).
+    * Returns contexts that became ready but whose outputs never completed —
+    * the executions that were mid-flight when the previous driver died. */
+  def recover(): List[ExecutionContext] = synchronized {
+    checkpoint.flatMap(_.load()).map { case (events, completed) =>
+      eventLog.clear(); eventLog ++= events
+      completedLog ++= completed
+      cachingProbe.markComplete(completed)
+      replaying = true
+      val ctxs =
+        try events.flatMap { case (p, blocked) => receivePath(p, blocked) }
+        finally { replaying = false }
+      ctxs.filterNot(c => c.output.materializedPaths.headOption.exists(p =>
+        cachingProbe.isComplete(p, c.output.source.protocol)))
+    }.getOrElse(Nil)
+  }
 
   /** Ingest a raw physical path event: decode against every route input
     * (reference event classification + RouteIndex.find). Data-FILE events
@@ -112,15 +144,22 @@ final class RoutingTable(probe: PathProbe) {
     * the completion indicator of its partition (reference
     * processor/aws.py:2850-2861 normalizes `part-00000`; Spark writers emit
     * `part-<n>-<uuid>` so any part file counts here). */
-  def receivePath(path: String): List[ExecutionContext] = synchronized {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val normalized =
-      if (p.getName.startsWith("part-")) p.getParent.toUri.getPath else path
-    val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
-      .flatMap(s => s.fromEventPath(normalized)).distinct
-    decoded.headOption.map(s => receive(s)).getOrElse(Nil)
-  }
+  def receivePath(path: String, isBlocked: Boolean = false): List[ExecutionContext] =
+    synchronized {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val normalized =
+        if (p.getName.startsWith("part-")) p.getParent.toUri.getPath else path
+      val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
+        .flatMap(s => s.fromEventPath(normalized)).distinct
+      decoded.headOption.map(s => receive(s, isBlocked)).getOrElse(Nil)
+    }
 
   /** Pre-seed known-complete paths (transfer_ranges analog). */
-  def markComplete(paths: Iterable[String]): Unit = cachingProbe.markComplete(paths)
+  def markComplete(paths: Iterable[String]): Unit = synchronized {
+    cachingProbe.markComplete(paths)
+    if (!replaying && paths.nonEmpty) {
+      completedLog ++= paths
+      persist()
+    }
+  }
 }

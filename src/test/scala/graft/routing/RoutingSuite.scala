@@ -173,6 +173,55 @@ class RoutingSuite extends AnyFunSuite {
     assert(ctxs.head.output.tip.map(_.value) == List("2026-08-11"))
   }
 
+  test("checkpoint: restart mid-pending, the late event still completes the join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
+      new org.apache.hadoop.conf.Configuration())
+    def mkTable(): RoutingTable = {
+      val a = extSignal("a", "/data/a", daySpec, "*")
+      val b = extSignal("b", "/data/b", daySpec, "*")
+      val node = SignalLinkNode(List(a, b)).withAutoLinks
+      val out = outputFor(node, "join", daySpec)
+      val t = new RoutingTable(allExists, Some(cp))
+      t.add(new Route("join", node, out, Nil))
+      t
+    }
+    val t1 = mkTable()
+    assert(t1.receivePath("/data/a/2026-08-12").isEmpty) // half-join pending
+    // driver dies; a fresh table reloads the persisted event log
+    val t2 = mkTable()
+    assert(t2.recover().isEmpty) // nothing was mid-flight
+    val ctxs = t2.receivePath("/data/b/2026-08-12")
+    assert(ctxs.length == 1, "recovered pending state must complete the join")
+    assert(ctxs.head.inputs.map(_.alias).toSet == Set("a", "b"))
+  }
+
+  test("checkpoint: recover re-offers mid-flight executions until completed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
+      new org.apache.hadoop.conf.Configuration())
+    val probe = new MemProbe()
+    def mkTable(): RoutingTable = {
+      val a = extSignal("a", "/data/a", daySpec, "*")
+      val node = SignalLinkNode(List(a)).withAutoLinks
+      val out = outputFor(node, "solo", daySpec)
+      val t = new RoutingTable(probe, Some(cp))
+      t.add(new Route("solo", node, out, Nil))
+      t
+    }
+    val t1 = mkTable()
+    assert(t1.receivePath("/data/a/2026-08-12").length == 1) // execution starts
+    // driver dies BEFORE the output completes -> recover re-offers it
+    val t2 = mkTable()
+    val again = t2.recover()
+    assert(again.length == 1)
+    val outPath = again.head.output.materializedPaths.head
+    // output completes this time; a third restart no longer re-offers
+    probe.existing += s"$outPath/_SUCCESS"
+    val t3 = mkTable()
+    assert(t3.recover().isEmpty)
+  }
+
   test("pending node TTL expiry fires hook and drops state") {
     val a = extSignal("a", "/data/a", daySpec, "*")
     val b = extSignal("b", "/data/b", daySpec, "*")
