@@ -71,6 +71,19 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("avro round-trips through the generic format path (S1/S6)") {
+    // spark-avro is an external module (built-in since 2.4 but deployed
+    // separately); this container ships only avro-core, so the test cancels
+    // here and runs wherever the standard connector is on the classpath.
+    val avroAvailable = scala.util.Try(
+      spark.range(1).write.mode("overwrite").format("avro")
+        .save(s"$work/avro_probe")).isSuccess
+    assume(avroAvailable, "spark-avro connector not deployed")
+    val (app, s1, s2) = buildChain("fmt_avro", "avro")
+    app.executeWithDependents(s1("2026-08-12"))
+    assert(app.load(s2("2026-08-12")).collect().head.getAs[Double]("scaled") == 30.0)
+  }
+
   test("part-file event normalizes to its partition completion") {
     val (app, s1, _) = buildChain("partfile")
     // a data-FILE creation event (Spark writer part file) must trigger the
