@@ -161,13 +161,22 @@ object DimValue {
           else None)
     }
     def viaCommon: Option[LocalDateTime] = {
+      // unambiguous common forms (the reference's separators + the breadth
+      // of dateutil's defaults that stays order-unambiguous: ISO variants
+      // with sub-second/minute precision, month-name forms, compact digits)
       val candidates = List(
-        "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
+        "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd HH:mm:ss.SSS",
+        "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
         "yyyy-MM-dd-HH", "yyyy-MM-dd_HH", "yyyy-MM-dd@HH", "yyyy-MM-dd/HH",
-        "yyyy/MM/dd", "yyyy-MM-dd", "yyyyMMddHH", "yyyyMMdd")
+        "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd", "yyyy.MM.dd", "yyyy-MM-dd",
+        "yyyyMMddHHmm", "yyyyMMddHH", "yyyyMMdd",
+        "MMM d yyyy", "d MMM yyyy", "MMMM d, yyyy", "MMMM d yyyy",
+        "d MMMM yyyy", "MMM d, yyyy")
       candidates.view.flatMap { p =>
-        Try(LocalDateTime.parse(t, DateTimeFormatter.ofPattern(p))).toOption
-          .orElse(Try(LocalDate.parse(t, DateTimeFormatter.ofPattern(p)).atStartOfDay()).toOption)
+        val fmt = DateTimeFormatter.ofPattern(p, java.util.Locale.ENGLISH)
+        Try(LocalDateTime.parse(t, fmt)).toOption
+          .orElse(Try(LocalDate.parse(t, fmt).atStartOfDay()).toOption)
       }.headOption
     }
     // a declared format is authoritative: "%Y-%d-%m" on "2024-05-03" must

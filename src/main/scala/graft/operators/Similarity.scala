@@ -56,20 +56,44 @@ object Similarity {
 
   /** ANN top-k: restrict the exact rerank to the query's LSH bucket;
     * `probeBits=1` additionally probes all hamming-1 neighbor buckets
-    * (multi-probe) for recall. */
+    * (multi-probe) for recall. Signatures are computed per call — for
+    * repeated queries over one corpus, build an [[AnnIndex]] once. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               queryVec: Seq[Float], k: Int, planes: Int = 8,
-              probeBits: Int = 1): DataFrame = {
-    val q = array(queryVec.map(v => lit(v)): _*)
-    val withSig = df.withColumn("__bucket", planeSignature(col(vecCol), planes))
-    val querySig = withSig.sparkSession.range(1)
-      .select(planeSignature(q, planes).as("s")).collect().head.getLong(0)
-    val buckets: Seq[Long] =
-      if (probeBits >= 1) querySig +: (0 until planes).map(b => querySig ^ (1L << b))
-      else Seq(querySig)
-    withSig.where(col("__bucket").isin(buckets: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+              probeBits: Int = 1): DataFrame =
+    buildIndex(df, vecCol, idCol, planes, persist = false)
+      .topK(queryVec, k, probeBits)
+
+  /** Precomputed, optionally persisted signature table: the stored-index
+    * path for repeated ANN queries — the corpus scan + signature compute
+    * happens once, every query is a bucket-pruned rerank. */
+  final case class AnnIndex private[operators] (
+      sigs: DataFrame, vecCol: String, idCol: String, planes: Int) {
+
+    def topK(queryVec: Seq[Float], k: Int, probeBits: Int = 1): DataFrame = {
+      val q = array(queryVec.map(v => lit(v)): _*)
+      val querySig = sigs.sparkSession.range(1)
+        .select(planeSignature(q, planes).as("s")).collect().head.getLong(0)
+      val buckets: Seq[Long] =
+        if (probeBits >= 1)
+          querySig +: (0 until planes).map(b => querySig ^ (1L << b))
+        else Seq(querySig)
+      sigs.where(col("__bucket").isin(buckets: _*))
+        .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+
+    def unpersist(): Unit = sigs.unpersist()
+  }
+
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String,
+                 planes: Int = 8, persist: Boolean = true): AnnIndex = {
+    val sigs = df.select(col(idCol), col(vecCol),
+      planeSignature(col(vecCol), planes).as("__bucket"))
+    AnnIndex(
+      if (persist) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs,
+      vecCol, idCol, planes)
   }
 }

@@ -153,6 +153,24 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(appG.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
   }
 
+  test("inlined compute slot (E1): driver-side side effects, no managed write") {
+    val app = new Application("inlined", spark, s"$work/app_inlined")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val seen = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]]()
+    val rows = new java.util.concurrent.atomic.AtomicLong(-1)
+    val node = app.createData("fx", Seq(src.latest(1)), Seq(graft.compute.InlinedSlot { ctx =>
+      seen.set(ctx.dimensions)
+      rows.set(ctx.input("src").count())
+    }))
+    app.activate()
+    val path = app.execute(node("2026-08-12"))
+    assert(rows.get() == 2L) // the callback saw the loaded input
+    assert(seen.get() == Map("day" -> "2026-08-12")) // and the output dims
+    // inlined-only nodes produce no managed partition (no _SUCCESS)
+    assert(app.poll(node("2026-08-12")).isEmpty)
+    assert(path.endsWith("2026-08-12")) // execute still reports the target
+  }
+
   test("event-driven process(): 2-input coincidence join at the app level") {
     val sp = spark
     import sp.implicits._

@@ -71,6 +71,19 @@ class DimensionSpecSuite extends AnyFunSuite {
       LocalDateTime.of(2026, 3, 8, 2, 0))
   }
 
+  test("fuzzy common-form parsing breadth (dateutil-like unambiguous forms)") {
+    def p(s: String) = DimValue.parseDateTime(s, None)
+    assert(p("2026-08-12T03:15:30.250").contains(LocalDateTime.of(2026, 8, 12, 3, 15, 30, 250000000)))
+    assert(p("2026-08-12T03:15").contains(LocalDateTime.of(2026, 8, 12, 3, 15)))
+    assert(p("2026/08/12 03:15:30").contains(LocalDateTime.of(2026, 8, 12, 3, 15, 30)))
+    assert(p("2026.08.12").contains(LocalDateTime.of(2026, 8, 12, 0, 0)))
+    assert(p("202608120315").contains(LocalDateTime.of(2026, 8, 12, 3, 15)))
+    assert(p("Aug 12 2026").contains(LocalDateTime.of(2026, 8, 12, 0, 0)))
+    assert(p("12 Aug 2026").contains(LocalDateTime.of(2026, 8, 12, 0, 0)))
+    assert(p("August 12, 2026").contains(LocalDateTime.of(2026, 8, 12, 0, 0)))
+    assert(p("not a date").isEmpty)
+  }
+
   test("hour-bearing declared formats keep the hour field") {
     val parsed = DimValue.parseDateTime("2026-08-12 03", Some("%Y-%m-%d %H"))
     assert(parsed.contains(LocalDateTime.of(2026, 8, 12, 3, 0)))

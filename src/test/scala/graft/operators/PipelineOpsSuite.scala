@@ -139,6 +139,26 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.nonEmpty && top.head.getLong(0) == 1L)
   }
 
+  test("ann stored index: build once, query repeatedly with same results") {
+    val idx = Similarity.buildIndex(vecsDf.where(col("vec_id") =!= 0),
+      "embedding", "vec_id", planes = 4)
+    try {
+      val q = vecsDf.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val r1 = idx.topK(q, 1).collect()
+      assert(r1.nonEmpty && r1.head.getLong(0) == 1L)
+      // second query against the same index (no signature recompute)
+      val anti = vecsDf.where(col("vec_id") === 2)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val r2 = idx.topK(anti, 1).collect()
+      assert(r2.nonEmpty && r2.head.getLong(0) == 2L)
+      // index results match the one-shot operator
+      val oneShot = Similarity.lshTopK(vecsDf.where(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, k = 1, planes = 4).collect()
+      assert(r1.map(_.getLong(0)).toSeq == oneShot.map(_.getLong(0)).toSeq)
+    } finally idx.unpersist()
+  }
+
   test("embedding near-dup pairs via plane-signature buckets") {
     val pairs = Dedup.embeddingNearDupPairs(vecsDf, "embedding", "vec_id",
       minCosine = 0.99, planes = 4)

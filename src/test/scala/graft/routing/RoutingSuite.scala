@@ -173,6 +173,29 @@ class RoutingSuite extends AnyFunSuite {
     assert(ctxs.head.output.tip.map(_.value) == List("2026-08-11"))
   }
 
+  test("route locking (J8): concurrent half-join events never lose or double a day") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    val out = outputFor(node, "cjoin", daySpec)
+    val table = new RoutingTable(allExists)
+    table.add(new Route("cjoin", node, out, Nil))
+    val days = (1 to 28).map(d => f"2026-08-$d%02d")
+    val ctxs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[ExecutionContext]())
+    // two racing threads: one fires all a-halves, one all b-halves
+    val threads = Seq("/data/a", "/data/b").map { root =>
+      new Thread(() => days.foreach { d =>
+        table.receivePath(s"$root/$d").foreach(ctxs.add)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every day joined exactly once — no lost updates, no double triggers
+    val outDays = ctxs.toArray.map(
+      _.asInstanceOf[ExecutionContext].output.tip.head.value.toString).sorted
+    assert(outDays.toSeq == days.sorted)
+  }
+
   test("checkpoint: restart mid-pending, the late event still completes the join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
