@@ -148,6 +148,10 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
+    // NOTE: deliberately NOT persisted — the gram table feeds both verify
+    // joins, but caching here measured 10x SLOWER end-to-end (the cache
+    // materialization barrier defeats the broadcast-join pipelining);
+    // recomputing the narrow shingle projection twice is the cheaper path
     val grams = spread(df)
       .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
     pairs
