@@ -84,6 +84,25 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(s2("2026-08-12")).collect().head.getAs[Double]("scaled") == 30.0)
   }
 
+  test("libsvm round-trips through the generic format path (S1/S6)") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = spark.createDataFrame(Seq(
+      (1.0, Vectors.dense(1.0, 2.0, 3.0)),
+      (0.0, Vectors.sparse(3, Array(1), Array(4.0))))).toDF("label", "features")
+    df.coalesce(1).write.mode("overwrite").format("libsvm")
+      .save(s"$work/src_svm/2026-08-12")
+    val app = new Application("svm", spark, s"$work/app_svm")
+    val src = app.marshalExternalData("src", s"$work/src_svm", daySpec,
+      attrs = graft.signal.DatasetAttrs(format = "libsvm"))
+    val node = app.createData("svm_agg", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        ctx.input("src").selectExpr("CAST(SUM(label) AS DOUBLE) AS label_sum")
+      }))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(0) == 1.0)
+  }
+
   test("part-file event normalizes to its partition completion") {
     val (app, s1, _) = buildChain("partfile")
     // a data-FILE creation event (Spark writer part file) must trigger the

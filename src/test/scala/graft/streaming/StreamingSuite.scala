@@ -80,6 +80,33 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node(day)).collect().head.getDouble(1) == 3.0)
   }
 
+  test("long-lived ProcessingTime watcher picks up partitions created later") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_live_src"
+    val d1 = "2026-08-11"
+    Seq((d1, 1.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d1")
+    val app = new Application("stream_live", spark, s"$work/app_stream_live")
+    val src = app.marshalExternalData("src", srcRoot, daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+    val q = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_live")
+      .start(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+    try {
+      // a partition that lands AFTER the watcher started
+      val d2 = "2026-08-12"
+      Seq((d2, 2.0), (d2, 3.0)).toDF("day", "amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d2")
+      val deadline = System.currentTimeMillis() + 60000
+      while (app.poll(node(d2)).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(app.poll(node(d2)).isDefined, "late partition never triggered")
+      assert(app.load(node(d2)).collect().head.getDouble(1) == 5.0)
+    } finally q.stop()
+  }
+
   test("windowed streaming metric aggregation with watermark") {
     val sp = spark
     import sp.implicits._
