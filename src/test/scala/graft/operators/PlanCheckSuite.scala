@@ -24,6 +24,39 @@ class PlanCheckSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  private def planOf(name: String): String =
+    (graft.queries.Relational.queries ++ graft.queries.Relational2.queries)(name)(
+      spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: two-phase aggregation with pruned column scan") {
+    val plan = planOf("q01_agg_pricing")
+    assert(plan.contains("partial_sum"), "map-side combine missing")
+    // projection pruning reaches the parquet scan: the 16-column lineitem
+    // scan must read only the aggregation's columns
+    assert(plan.contains("ReadSchema: struct<l_quantity"), plan.take(500))
+    assert(!plan.contains("l_orderkey"), "q01 scan reads columns it never uses")
+  }
+
+  test("q02: filters push to the scan, dimension side broadcasts") {
+    val plan = planOf("q02_join_agg_topk")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter not pushed to the customer scan")
+    assert(plan.contains("TakeOrdered"), "top-k should avoid a full sort")
+  }
+
+  test("q03: star joins broadcast every dimension") {
+    val plan = planOf("q03_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "star dimensions should broadcast, not shuffle")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join expected in the star")
+  }
+
+  test("q18: IN-list predicate pushes into the scan") {
+    val plan = planOf("q18_in_pruning")
+    assert(plan.contains("In(n_name"), "IN-list not pushed to the nation scan")
+  }
+
   test("no p-/q-query plans an all-pairs join") {
     val queries = (graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
