@@ -1,59 +1,90 @@
 package graft.routing
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FSDataOutputStream, Path}
 
 /** Durable routing state (reference RouteRecord persistence,
-  * constructs.py:3293-3433 + drivers/routing/aws.py — DynamoDB there, one
-  * JSON file under the app root here). The routing table is a deterministic
-  * function of its event log, so the checkpoint persists RECEIVED EVENTS
-  * (+ completed paths) and recovery REPLAYS them: pending nodes are
-  * reconstructed by the exact code path that built them originally, which
-  * keeps the persisted format independent of in-memory class shapes.
+  * constructs.py:3293-3433 + drivers/routing/aws.py — per-record DynamoDB
+  * writes there, a write-ahead log here). The routing table is a
+  * deterministic function of its event log, so the checkpoint persists
+  * RECEIVED EVENTS (+ completed paths) and recovery REPLAYS them: pending
+  * nodes are reconstructed by the exact code path that built them
+  * originally, keeping the persisted format independent of in-memory class
+  * shapes.
+  *
+  * Layout: a directory of WAL segments — each driver process appends to its
+  * OWN segment (created at first write, so no filesystem append support is
+  * needed; Hadoop local FS does not append), one flushed line per record.
+  * O(1) per event with a single open stream — a rewritten state file would
+  * make the nth event cost O(n), and per-record files cap at the
+  * filesystem's create rate (~300/s measured locally). Lines are
+  * `hflush`ed: durable on syncable filesystems (HDFS), OS-buffered
+  * locally. Replay order = (segment name, line order); segment names are
+  * timestamped so restarts sort after their predecessors.
   */
 final class RoutingCheckpoint(path: String, conf: Configuration) {
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
-
-  def save(events: Seq[(String, Boolean)], completed: Seq[String]): Unit = {
-    val sb = new StringBuilder("{\"events\":[")
-    sb.append(events.map { case (p, b) =>
-      s"""{"path":"${esc(p)}","blocked":$b}"""
-    }.mkString(","))
-    sb.append("],\"completed\":[")
-    sb.append(completed.map(p => "\"" + esc(p) + "\"").mkString(","))
-    sb.append("]}")
-    val f = new Path(path)
-    val fs = f.getFileSystem(conf)
-    val out = fs.create(f, true)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  private val dir = new Path(path + ".d")
+  private lazy val fs = {
+    val f = dir.getFileSystem(conf)
+    // the checksummed local FS buffers flushes until a full 512B chunk —
+    // a restart would lose the tail of the log; raw streams flush through
+    f.setWriteChecksum(false)
+    f
   }
 
-  def load(): Option[(List[(String, Boolean)], List[String])] = {
-    val f = new Path(path)
-    val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) return None
-    val in = fs.open(f)
-    val raw = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
+  private var wal: FSDataOutputStream = _
 
-    val eventRe = """\{"path":"((?:[^"\\]|\\.)*)","blocked":(true|false)\}""".r
-    val eventsPart = raw.substring(raw.indexOf("\"events\":["),
-      raw.indexOf("],\"completed\":"))
-    val events = eventRe.findAllMatchIn(eventsPart)
-      .map(m => (unesc(m.group(1)), m.group(2).toBoolean)).toList
-    val completedPart = raw.substring(raw.indexOf("\"completed\":["))
-    val pathRe = """"((?:[^"\\]|\\.)*)"""".r
-    val completed = pathRe.findAllMatchIn(completedPart)
-      .map(m => unesc(m.group(1))).toList.filterNot(_ == "completed")
-    Some((events, completed))
+  private def esc(s: String): String =
+    s.replace("%", "%25").replace("\t", "%09").replace("\n", "%0A")
+  private def unesc(s: String): String =
+    s.replace("%0A", "\n").replace("%09", "\t").replace("%25", "%")
+
+  /** kinds: "e" event, "eb" blocked event, "c" completed path */
+  private def record(kind: String, payload: String): Unit = synchronized {
+    if (wal == null) {
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val name = f"wal-${System.currentTimeMillis()}%013d-${
+        java.util.UUID.randomUUID().toString.take(8)}.log"
+      wal = fs.create(new Path(dir, name), true)
+    }
+    wal.write(s"$kind\t${esc(payload)}\n".getBytes("UTF-8"))
+    wal.hflush()
+  }
+
+  def appendEvent(p: String, blocked: Boolean): Unit =
+    record(if (blocked) "eb" else "e", p)
+
+  def appendCompleted(p: String): Unit = record("c", p)
+
+  def close(): Unit = synchronized {
+    if (wal != null) { wal.close(); wal = null }
+  }
+
+  /** Replay-ordered state: (events with blocked flag, completed paths).
+    * None when no checkpoint exists yet. */
+  def load(): Option[(List[(String, Boolean)], List[String])] = {
+    if (!fs.exists(dir)) return None
+    val segments = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("wal-")).sortBy(_.getName)
+    val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val completed = scala.collection.mutable.ListBuffer.empty[String]
+    segments.foreach { f =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          line.split('\t') match {
+            case Array("e", p) => events += ((unesc(p), false))
+            case Array("eb", p) => events += ((unesc(p), true))
+            case Array("c", p) => completed += unesc(p)
+            case _ => // unknown/torn record: ignore (forward compatibility)
+          }
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+    Some((events.toList, completed.toList))
   }
 }

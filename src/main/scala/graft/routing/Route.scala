@@ -94,12 +94,7 @@ final class RoutingTable(probe: PathProbe,
                          checkpoint: Option[RoutingCheckpoint] = None) {
   private val cachingProbe = new CachingProbe(probe)
   private var routes: List[Route] = Nil
-  private val eventLog = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
-  private val completedLog = scala.collection.mutable.LinkedHashSet.empty[String]
   private var replaying = false
-
-  private def persist(): Unit =
-    checkpoint.foreach(_.save(eventLog.toList, completedLog.toList))
 
   def add(route: Route): Unit = synchronized { routes :+= route }
   def all: List[Route] = routes
@@ -113,8 +108,7 @@ final class RoutingTable(probe: PathProbe,
         // log the tip resource (reference ONLY_HEAD processing mode) so a
         // restart can rebuild pending state by replaying the event log
         incoming.materializedPaths.headOption.foreach(p =>
-          eventLog += ((p, isBlocked)))
-        persist()
+          checkpoint.foreach(_.appendEvent(p, isBlocked)))
       }
       routes.filter(_.accepts(incoming))
         .flatMap(_.receive(incoming, cachingProbe, isBlocked = isBlocked))
@@ -126,8 +120,6 @@ final class RoutingTable(probe: PathProbe,
     * the executions that were mid-flight when the previous driver died. */
   def recover(): List[ExecutionContext] = synchronized {
     checkpoint.flatMap(_.load()).map { case (events, completed) =>
-      eventLog.clear(); eventLog ++= events
-      completedLog ++= completed
       cachingProbe.markComplete(completed)
       replaying = true
       val ctxs =
@@ -157,9 +149,7 @@ final class RoutingTable(probe: PathProbe,
   /** Pre-seed known-complete paths (transfer_ranges analog). */
   def markComplete(paths: Iterable[String]): Unit = synchronized {
     cachingProbe.markComplete(paths)
-    if (!replaying && paths.nonEmpty) {
-      completedLog ++= paths
-      persist()
-    }
+    if (!replaying)
+      paths.foreach(p => checkpoint.foreach(_.appendCompleted(p)))
   }
 }
