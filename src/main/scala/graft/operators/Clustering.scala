@@ -89,4 +89,40 @@ object Sampling {
     }
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < cases)
   }
+
+  /** Deterministic stratified sampling: EXACT per-group quotas (unlike
+    * threshold sampling, which is only proportional in expectation). Rows
+    * rank by md5(key) inside each group — a reproducible, engine-agnostic
+    * shuffle order — and the first `quota` survive. One hash-partitioned
+    * window per group; no driver-side collection. */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
+                       quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= quota)
+      .drop("__rk")
+  }
+}
+
+/** Benchmark-contamination detection for training corpora: a document is
+  * contaminated when it shares at least one word n-gram with the benchmark
+  * set. The check is an inverted-index LEFT SEMI join on grams — only
+  * documents that share a gram ever meet, never an all-pairs comparison —
+  * so it scales like the dedup operators. */
+object Contamination {
+
+  /** Ids of `df` documents sharing >= 1 n-gram with `benchmark`. */
+  def contaminatedIds(df: DataFrame, textCol: String, idCol: String,
+                      benchmark: DataFrame, benchTextCol: String,
+                      n: Int = 3): DataFrame = {
+    val docGrams = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    docGrams.join(benchGrams, Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

@@ -204,6 +204,26 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- deterministic stratified sampling: exact per-lang quotas picked
+    // by hash order (reproducible, engine-agnostic)
+    "p16_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling
+        .stratifiedSample(docs(s, dir), "lang", "doc_id", quota = 10)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // ---- benchmark contamination: corpus docs sharing any trigram with
+    // the benchmark set (inverted-index semi-join, never all-pairs)
+    "p17_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val benchmark = d.where(col("doc_id") < 5)
+      val corpus = d.where(col("doc_id") >= 5)
+      graft.operators.Contamination
+        .contaminatedIds(corpus, "text", "doc_id", benchmark, "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding near-dup through the BUCKETED operator (no all-pairs
     // join): planted positive multiples share their source's plane
     // signature by construction and verify at cosine exactly 1; the 0.999
@@ -305,6 +325,27 @@ object PipelineOps {
            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
                      WHEN 'fr' THEN '2000' ELSE '0000' END
          GROUP BY lang ORDER BY lang""",
+    "p16_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY lang, doc_id""",
+    "p17_contamination" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                        FROM documents),
+         pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i
+                 FROM words),
+         grams AS (SELECT DISTINCT a.doc_id,
+                          a.word || ' ' || b.word || ' ' || c.word AS g
+                   FROM pos a
+                   JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+         SELECT DISTINCT doc_id FROM grams
+         WHERE doc_id >= 5 AND g IN (SELECT g FROM bench)
+         ORDER BY doc_id""",
     // planted colinear pairs are the only ones with cosine >= 0.999
     // (max real-real cosine ≈ 0.51 — measured over the corpus)
     "p13_embed_neardup" ->

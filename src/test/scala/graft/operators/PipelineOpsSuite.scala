@@ -211,6 +211,32 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc.values.toSet == Set(0L))
   }
 
+  test("stratified sample: exact quotas, deterministic pick") {
+    val sp = spark; import sp.implicits._
+    val df = (1L to 100L).map(i => (if (i % 3 == 0) "a" else "b", i)).toDF("g", "id")
+    val s1 = Sampling.stratifiedSample(df, "g", "id", quota = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1.count(_._1 == "a") == 5 && s1.count(_._1 == "b") == 5) // exact
+    val s2 = Sampling.stratifiedSample(df, "g", "id", quota = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2) // deterministic
+    // a group smaller than the quota survives whole
+    val tiny = Seq(("t", 1L), ("t", 2L)).toDF("g", "id")
+    assert(Sampling.stratifiedSample(tiny, "g", "id", 5).count() == 2)
+  }
+
+  test("contamination: shared n-grams flag docs, disjoint docs pass") {
+    val sp = spark; import sp.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "look the quick brown fox appeared again"), // shares "the quick brown"
+      (1L, "completely unrelated sentence with different words entirely"))
+      .toDF("doc_id", "text")
+    val hits = Contamination.contaminatedIds(corpus, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(0L))
+  }
+
   test("deterministic sampling is reproducible and roughly proportional") {
     val sp = spark; import sp.implicits._
     val df = (1L to 2000L).toDF("id")
