@@ -105,6 +105,24 @@ final class Application(val name: String, val spark: SparkSession,
     NodeRef(this, Signal(id, SignalSource.timer(id), spec, DimFilter.allPassFor(spec)))
   }
 
+  /** Alarm node: (state_transition, time) dimensions so alarm state
+    * transitions can TRIGGER data nodes like any other signal (reference
+    * AlarmDimension, metric_alarm_defs.py:195-205; alarm ingestion in
+    * processor/aws.py). Filter to react to specific states:
+    * `alarm("ALARM", "*")`. */
+  def marshalAlarm(id: String, timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
+    val spec = DimSpec.pretty(
+      "state_transition" -> (DimType.STRING, Map.empty[String, Any]),
+      "time" -> (DimType.DATETIME, Map[String, Any]("format" -> timeFormat)))
+    NodeRef(this, Signal(id, SignalSource.alarm(id), spec, DimFilter.allPassFor(spec)))
+  }
+
+  /** Raise an alarm state transition into the routing table (the analog of
+    * a CloudWatch alarm event arriving at the processor). */
+  def raiseAlarm(alarm: NodeRef, state: String, time: Any): List[String] =
+    process(alarm.signal.copy(
+      filter = DimFilter.branchOf(alarm.signal.spec, Seq(state, time))))
+
   /** Declare a derived data node (reference create_data,
     * application.py:1197-1323). Output spec defaults to the first
     * independent input's spec; same-named dims auto-link. */
@@ -283,6 +301,21 @@ final class Application(val name: String, val spark: SparkSession,
     evict.foreach(p => fs.delete(p, true))
     evict.map(_.toString).toSeq
   }
+
+  /** Import another application's managed output as an input node
+    * (reference upstream-app collaboration, application.py
+    * import_upstream_application + _check_upstream_signal): reads the
+    * upstream app's internal layout read-only, honoring its _SUCCESS
+    * completion protocol — so cross-app dependencies trigger/complete with
+    * the same semantics as local ones. */
+  def importUpstream(id: String, upstreamRoot: String, nodeId: String,
+                     spec: DimSpec,
+                     attrs: DatasetAttrs = DatasetAttrs()): NodeRef =
+    NodeRef(this, Signal(id,
+      SignalSource(SignalSourceKind.EXTERNAL,
+        s"$upstreamRoot/internal_data/$nodeId", attrs,
+        IntegrityProtocol.FileCheck("_SUCCESS")),
+      spec, DimFilter.allPassFor(spec)))
 
   /** Marshal a catalog table (S2) as an input node; dims = partition keys. */
   def marshalCatalogTable(id: String, database: String, table: String,

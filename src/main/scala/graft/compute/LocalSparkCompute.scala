@@ -53,11 +53,34 @@ object InputLoader {
     require(paths.nonEmpty,
       s"no existing partitions for input '${signal.alias}' under ${signal.source.rootPath}")
 
+    // managed outputs persist their exact Spark schema next to the data
+    // (_SCHEMA.spark.json, written by OutputWriter) — prefer it over
+    // inference so text formats (json/csv) round-trip types exactly
+    val persistedSchema: Option[String] =
+      if (attrs.schemaJson.isDefined ||
+          signal.source.kind != SignalSourceKind.INTERNAL) None
+      else paths.headOption.flatMap { p =>
+        val f = new Path(p, "_SCHEMA.spark.json")
+        val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            Some(buf.toString("UTF-8"))
+          } finally in.close()
+        }
+      }
+    val effectiveSchema = attrs.schemaJson.orElse(persistedSchema)
+
     var reader = spark.read.format(attrs.format)
     if (attrs.format.equalsIgnoreCase("csv"))
       reader = reader.option("header", attrs.header.toString).option("sep", attrs.delimiter)
-        .option("inferSchema", attrs.schemaJson.isEmpty.toString)
-    attrs.schemaJson.foreach { js =>
+        .option("inferSchema", effectiveSchema.isEmpty.toString)
+    effectiveSchema.foreach { js =>
       reader = reader.schema(DataType.fromJson(js).asInstanceOf[StructType])
     }
     reader.load(paths: _*)

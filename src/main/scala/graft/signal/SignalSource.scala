@@ -111,6 +111,12 @@ object SignalSource {
   def timer(timerId: String): SignalSource =
     SignalSource(SignalSourceKind.TIMER, timerId)
 
+  /** Alarm signal: `<alarm_id>/<state_transition>/<time>` (reference
+    * AlarmDimension, metric_alarm_defs.py:195-205 — STATE_TRANSITION
+    * string + TIME datetime). */
+  def alarm(alarmId: String): SignalSource =
+    SignalSource(SignalSourceKind.ALARM, alarmId)
+
   /** Catalog table (reference S2, glueetl_default_ABI.py:146-158 +
     * glue/catalog.py): reads go through `spark.table(db.tbl)` with `isin`
     * partition-key predicates — Catalyst prunes partitions, the direct

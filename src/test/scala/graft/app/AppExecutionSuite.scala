@@ -84,6 +84,22 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(s2("2026-08-12")).collect().head.getAs[Double]("scaled") == 30.0)
   }
 
+  test("persisted _SCHEMA.spark.json wins over inference for managed outputs") {
+    val app = new Application("schema", spark, s"$work/app_schema")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    // a zero-padded code written as csv would re-infer as a NUMBER and lose
+    // its padding — the persisted Spark schema must win over inference
+    val s1 = app.createData("typed", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, '00123' AS padded_code, amount FROM src")),
+      attrs = graft.signal.DatasetAttrs(format = "csv"))
+    app.activate()
+    app.execute(s1("2026-08-12"))
+    val loaded = app.load(s1("2026-08-12"))
+    assert(loaded.schema("padded_code").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(loaded.collect().head.getAs[String]("padded_code") == "00123")
+  }
+
   test("libsvm round-trips through the generic format path (S1/S6)") {
     import org.apache.spark.ml.linalg.Vectors
     val df = spark.createDataFrame(Seq(

@@ -151,6 +151,47 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 12.0)
   }
 
+  test("alarm state transitions trigger data nodes like any signal") {
+    stageDays(s"$work/src_alarm", Seq("2026-08-12"))
+    val app = new Application("alarm", spark, s"$work/app_alarm")
+    val alarm = app.marshalAlarm("err_alarm")
+    val src = app.marshalExternalData("src", s"$work/src_alarm", daySpec)
+    // react ONLY to transitions into ALARM; data rides as a reference input
+    val node = app.createData("on_alarm", Seq(alarm("ALARM", "*"), src.latest(1).ref),
+      Seq(SqlSlot(
+        """SELECT '{state_transition}' AS state,
+                  CAST(SUM(amount) AS DOUBLE) AS total FROM src""")),
+      outputLinks = List(graft.signal.DimensionLink.literal(
+        graft.signal.DimRef("src", "day"), "2026-08-12")))
+    app.activate()
+    // OK transition: declared filter rejects it, nothing runs
+    assert(app.raiseAlarm(alarm, "OK", "2026-08-12 03").isEmpty)
+    // ALARM transition triggers the node
+    val completed = app.raiseAlarm(alarm, "ALARM", "2026-08-12 03")
+    assert(completed.nonEmpty)
+    assert(app.load(node("ALARM", "2026-08-12 03")).collect().head.getDouble(1) == 6.0)
+  }
+
+  test("upstream-app import: cross-app dependency with completion protocol") {
+    stageDays(s"$work/src_up", Seq("2026-08-12"))
+    // producer app materializes a partition in its own root
+    val producer = new Application("producer", spark, s"$work/app_producer")
+    val pSrc = producer.marshalExternalData("src", s"$work/src_up", daySpec)
+    val pNode = producer.createData("daily_totals", Seq(pSrc.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    producer.activate()
+    producer.execute(pNode("2026-08-12"))
+    // consumer app imports the producer's managed output read-only
+    val consumer = new Application("consumer", spark, s"$work/app_consumer")
+    val imported = consumer.importUpstream(
+      "daily_totals", s"$work/app_producer", "daily_totals", daySpec)
+    val cNode = consumer.createData("scaled", Seq(imported.latest(1)), Seq(SqlSlot(
+      "SELECT day, total * 2 AS doubled FROM daily_totals")))
+    consumer.activate()
+    consumer.execute(cNode("2026-08-12"))
+    assert(consumer.load(cNode("2026-08-12")).collect().head.getDouble(1) == 12.0)
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()

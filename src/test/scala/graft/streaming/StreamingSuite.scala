@@ -92,19 +92,27 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
       "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
     app.activate()
-    val q = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_live")
-      .start(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
-    try {
-      // a partition that lands AFTER the watcher started
-      val d2 = "2026-08-12"
-      Seq((d2, 2.0), (d2, 3.0)).toDF("day", "amount")
-        .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d2")
-      val deadline = System.currentTimeMillis() + 60000
-      while (app.poll(node(d2)).isEmpty && System.currentTimeMillis() < deadline)
-        Thread.sleep(250)
-      assert(app.poll(node(d2)).isDefined, "late partition never triggered")
-      assert(app.load(node(d2)).collect().head.getDouble(1) == 5.0)
-    } finally q.stop()
+    // a partition that lands AFTER the watcher started
+    val d2 = "2026-08-12"
+    // under full-suite CPU oversubscription the micro-batch engine can die
+    // reading its own just-created offset log (empty-file race) — retry
+    // with a fresh checkpoint; the behavior under test is unaffected
+    var attempt = 0
+    while (app.poll(node(d2)).isEmpty && attempt < 3) {
+      attempt += 1
+      val q = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_live_$attempt")
+        .start(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      try {
+        Seq((d2, 2.0), (d2, 3.0)).toDF("day", "amount")
+          .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d2")
+        val deadline = System.currentTimeMillis() + 60000
+        while (app.poll(node(d2)).isEmpty && q.exception.isEmpty &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+      } finally scala.util.Try(q.stop())
+    }
+    assert(app.poll(node(d2)).isDefined, "late partition never triggered")
+    assert(app.load(node(d2)).collect().head.getDouble(1) == 5.0)
   }
 
   test("windowed streaming metric aggregation with watermark") {
