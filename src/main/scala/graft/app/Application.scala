@@ -61,6 +61,18 @@ final class Application(val name: String, val spark: SparkSession,
                              slots: Seq[Slot], ttlMillis: Long, hooks: RouteHooks,
                              retry: RetryPolicy = RetryPolicy())
 
+  /** Application lifecycle (reference ApplicationState; pause stops the
+    * event processor only — manual execute still works, matching
+    * application.py:1919-1926 which allows local process in PAUSED). */
+  sealed trait AppState
+  object AppState {
+    case object INACTIVE extends AppState
+    case object ACTIVE extends AppState
+    case object PAUSED extends AppState
+  }
+  @volatile private var appState: AppState = AppState.INACTIVE
+  def state: AppState = appState
+
   private var defs: List[NodeDef] = Nil
   private var routingTable: Option[RoutingTable] = None
   private lazy val probe = new FsProbe(spark)
@@ -168,6 +180,71 @@ final class Application(val name: String, val spark: SparkSession,
     defs.foreach(d => table.add(
       new Route(d.id, d.linkNode, d.output, d.outputLinks, d.ttlMillis, d.hooks)))
     routingTable = Some(table)
+    appState = AppState.ACTIVE
+  }
+
+  /** Stop reacting to events; manual execute stays available (reference
+    * pause(), application.py:383-391). */
+  def pause(): Unit = {
+    require(appState == AppState.ACTIVE, s"cannot pause from $appState")
+    appState = AppState.PAUSED
+  }
+
+  /** Resume event processing (reference resume(), application.py:392-401). */
+  def resume(): Unit = {
+    require(appState == AppState.PAUSED, s"cannot resume from $appState")
+    appState = AppState.ACTIVE
+  }
+
+  /** Tear down the runtime routing state, keeping the dev context declared
+    * so a later activate() rebuilds it (reference terminate(),
+    * application.py:295-356 — infra removal there, table drop here). */
+  def terminate(): Unit = {
+    routingTable = None
+    appState = AppState.INACTIVE
+  }
+
+  // ---- dev-context introspection (reference list/get/query/search_data,
+  // application.py:1745-1843) ------------------------------------------
+
+  /** Declared node ids, declaration order. */
+  def listData: List[String] = defs.map(_.id)
+
+  /** Re-resolve a declared node as a fresh all-pass view. */
+  def getData(id: String): Option[NodeRef] =
+    defs.find(_.id == id).map(d => NodeRef(this,
+      d.output.copy(filter = DimFilter.allPassFor(d.output.spec))))
+
+  /** Nodes whose id contains `term` (case-insensitive). */
+  def searchData(term: String): List[NodeRef] =
+    defs.filter(_.id.toLowerCase.contains(term.toLowerCase))
+      .flatMap(d => getData(d.id))
+
+  /** Pending (partially satisfied) runtime nodes per route id — the
+    * reference's get_pending_nodes/has_active_routes introspection. */
+  def pendingNodeCounts: Map[String, Int] =
+    table.all.map(r => r.id -> r.pendingNodes.length)
+      .filter(_._2 > 0).toMap
+
+  /** Replace a declared node's definition before re-activation (reference
+    * update_data, application.py:1544-1667): same construction surface as
+    * createData, applied to an existing id. */
+  def updateData(id: String,
+                 inputs: Seq[NodeRef],
+                 computeTargets: Seq[Slot],
+                 outputSpec: DimSpec = null,
+                 inputLinks: List[DimensionLink] = Nil,
+                 outputLinks: List[DimensionLink] = Nil,
+                 autoInputDimLinking: Boolean = true,
+                 attrs: DatasetAttrs = DatasetAttrs(),
+                 pendingNodeTtlMillis: Long = Long.MaxValue,
+                 hooks: RouteHooks = RouteHooks.none,
+                 retry: RetryPolicy = RetryPolicy()): NodeRef = {
+    require(defs.exists(_.id == id), s"unknown node '$id' — use createData")
+    defs = defs.filterNot(_.id == id)
+    createData(id, inputs, computeTargets, outputSpec, inputLinks,
+      outputLinks, autoInputDimLinking, attrs, pendingNodeTtlMillis,
+      hooks, retry)
   }
 
   /** Reload routing state persisted by a previous driver (reference
@@ -190,10 +267,14 @@ final class Application(val name: String, val spark: SparkSession,
     * (reference process(), application.py:1877-1981 + feed-back loop,
     * processor/aws.py:2746-2803). Returns completed output paths in
     * topological completion order. */
-  def process(event: Signal): List[String] = runContexts(table.receive(event))
+  def process(event: Signal): List[String] =
+    if (appState == AppState.PAUSED) Nil
+    else runContexts(table.receive(event))
 
   /** Inject a raw physical partition path as an event. */
-  def processPath(path: String): List[String] = runContexts(table.receivePath(path))
+  def processPath(path: String): List[String] =
+    if (appState == AppState.PAUSED) Nil
+    else runContexts(table.receivePath(path))
 
   /** Fire a timer tick. */
   def fireTimer(timer: NodeRef, value: Any): List[String] =

@@ -151,6 +151,58 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 12.0)
   }
 
+  test("lifecycle: pause drops events, resume processes, terminate clears runtime") {
+    stageDays(s"$work/src_life", Seq("2026-08-12"))
+    val app = new Application("life", spark, s"$work/app_life")
+    val src = app.marshalExternalData("src", s"$work/src_life", daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+    assert(app.state == app.AppState.ACTIVE)
+    app.pause()
+    // a paused app ignores events (the reference pauses the processor)...
+    assert(app.processPath(s"$work/src_life/2026-08-12").isEmpty)
+    assert(app.poll(node("2026-08-12")).isEmpty)
+    // ...but manual execute still works in PAUSED (application.py:1919-1926)
+    app.execute(node("2026-08-12"))
+    assert(app.poll(node("2026-08-12")).isDefined)
+    app.resume()
+    assert(app.processPath(s"$work/src_life/2026-08-12").nonEmpty)
+    app.terminate()
+    assertThrows[IllegalStateException](
+      app.processPath(s"$work/src_life/2026-08-12"))
+    app.activate() // dev context survives termination
+    assert(app.processPath(s"$work/src_life/2026-08-12").nonEmpty)
+  }
+
+  test("introspection + updateData: list/search nodes, replace a definition") {
+    stageDays(s"$work/src_intro", Seq("2026-08-12"))
+    val app = new Application("intro", spark, s"$work/app_intro")
+    val src = app.marshalExternalData("src", s"$work/src_intro", daySpec)
+    app.createData("daily_sum", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS v FROM src")))
+    app.createData("daily_max", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(MAX(amount) AS DOUBLE) AS v FROM src")))
+    assert(app.listData == List("daily_sum", "daily_max"))
+    assert(app.searchData("max").map(_.signal.alias) == List("daily_max"))
+    assert(app.getData("nope").isEmpty)
+    // redefine daily_sum to a count before activation
+    val updated = app.updateData("daily_sum", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM src")))
+    app.activate()
+    app.execute(updated("2026-08-12"))
+    assert(app.load(updated("2026-08-12")).collect().head.getDouble(0) == 3.0)
+    // pending-node introspection: a half-satisfied join shows up
+    val app2 = new Application("intro2", spark, s"$work/app_intro2")
+    val a = app2.marshalExternalData("a", s"$work/src_intro", daySpec)
+    val b = app2.marshalExternalData("b", s"$work/src_intro_b", daySpec)
+    app2.createData("j", Seq(a.latest(1), b.latest(1)), Seq(SqlSlot(
+      "SELECT 1 AS one FROM a")))
+    app2.activate()
+    app2.processPath(s"$work/src_intro/2026-08-12")
+    assert(app2.pendingNodeCounts == Map("j" -> 1))
+  }
+
   test("alarm state transitions trigger data nodes like any signal") {
     stageDays(s"$work/src_alarm", Seq("2026-08-12"))
     val app = new Application("alarm", spark, s"$work/app_alarm")
