@@ -81,6 +81,25 @@ final class Application(val name: String, val spark: SparkSession,
   private val activeGroups =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One finished execution (reference ComputeRecord,
+    * constructs.py:3949-4360 — the poll/debug surface). */
+  final case class ComputeRecord(routeId: String, outputPath: String,
+                                 startedAtMillis: Long, finishedAtMillis: Long,
+                                 succeeded: Boolean, error: Option[String])
+  private val records =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[ComputeRecord]())
+
+  /** Execution history, oldest first (reference
+    * get_inactive_compute_records, application.py:4083-4098). */
+  def computeRecords: List[ComputeRecord] =
+    records.synchronized { scala.jdk.CollectionConverters
+      .ListHasAsScala(records).asScala.toList }
+
+  /** Output paths with an execution in flight right now (reference
+    * get_active_compute_records). */
+  def activeComputePaths: Set[String] =
+    scala.jdk.CollectionConverters.SetHasAsScala(activeGroups.keySet()).asScala.toSet
+
   /** Run a context inside a cancellable Spark job group (the kill switch;
     * setJobGroup is thread-local, so concurrent executeAsync calls get
     * independent groups). */
@@ -91,12 +110,30 @@ final class Application(val name: String, val spark: SparkSession,
     spark.sparkContext.setJobGroup(group,
       s"graft ${ctx.routeId} -> $outPath", interruptOnCancel = true)
     activeGroups.put(outPath, group)
-    try compute.run(ctx, slots, retry)
-    finally {
+    val started = System.currentTimeMillis()
+    try {
+      val w = compute.run(ctx, slots, retry)
+      records.add(ComputeRecord(ctx.routeId, outPath, started,
+        System.currentTimeMillis(), succeeded = true, None))
+      w
+    } catch {
+      case e: Throwable =>
+        records.add(ComputeRecord(ctx.routeId, outPath, started,
+          System.currentTimeMillis(), succeeded = false,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+        throw e
+    } finally {
       activeGroups.remove(outPath)
       spark.sparkContext.clearJobGroup()
     }
   }
+
+  /** Execute one target over a batch of partition value tuples (reference
+    * execute_batch, application.py:2888-2980). Returns output paths in
+    * input order; fails fast on the first failing partition. */
+  def executeBatch(target: NodeRef, valueTuples: Seq[Seq[Any]],
+                   recursive: Boolean = false): Seq[String] =
+    valueTuples.map(vs => execute(target.apply(vs: _*), recursive))
 
   // ---- dev-time declaration --------------------------------------------
 

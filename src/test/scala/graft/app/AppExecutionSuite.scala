@@ -188,6 +188,28 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(appG.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
   }
 
+  test("compute records track successes and failures; executeBatch runs tuples") {
+    val sp = spark
+    import sp.implicits._
+    Seq(("2026-08-11", 4.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/src/2026-08-11")
+    val app = new Application("records", spark, s"$work/app_records")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    val bad = app.createData("broken", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT no_such_column FROM src")))
+    app.activate()
+    val paths = app.executeBatch(node, Seq(Seq("2026-08-11"), Seq("2026-08-12")))
+    assert(paths.length == 2 && paths.forall(_.contains("daily")))
+    intercept[Exception](app.execute(bad("2026-08-12")))
+    val recs = app.computeRecords
+    assert(recs.count(r => r.routeId == "daily" && r.succeeded) == 2)
+    val failed = recs.find(_.routeId == "broken").get
+    assert(!failed.succeeded && failed.error.isDefined)
+    assert(app.activeComputePaths.isEmpty) // nothing in flight afterwards
+  }
+
   test("inlined compute slot (E1): driver-side side effects, no managed write") {
     val app = new Application("inlined", spark, s"$work/app_inlined")
     val src = app.marshalExternalData("src", s"$work/src", daySpec)
