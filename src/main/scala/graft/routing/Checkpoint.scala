@@ -61,6 +61,31 @@ final class RoutingCheckpoint(path: String, conf: Configuration) {
     if (wal != null) { wal.close(); wal = null }
   }
 
+  /** Compact the log into one snapshot segment and drop the older ones.
+    * Replay only needs the LAST occurrence per event path (duplicate
+    * re-publishes are node-level deduped; the last blocked flag wins) and
+    * the distinct completed set — so re-published partitions stop growing
+    * the log. Called after a successful recovery replay. */
+  def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit =
+    synchronized {
+      if (!fs.exists(dir)) return
+      val lastPerPath = events.zipWithIndex
+        .groupBy(_._1._1).map { case (_, occ) => occ.last }
+        .toSeq.sortBy(_._2).map(_._1)
+      val old = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("wal-"))
+      close() // the snapshot becomes the new open segment's predecessor
+      val name = f"wal-${System.currentTimeMillis()}%013d-compacted.log"
+      val out = fs.create(new Path(dir, name), true)
+      try {
+        lastPerPath.foreach { case (p, b) =>
+          out.write(s"${if (b) "eb" else "e"}\t${esc(p)}\n".getBytes("UTF-8")) }
+        completed.distinct.foreach(p =>
+          out.write(s"c\t${esc(p)}\n".getBytes("UTF-8")))
+      } finally out.close()
+      old.foreach(f => fs.delete(f, false))
+    }
+
   /** Replay-ordered state: (events with blocked flag, completed paths).
     * None when no checkpoint exists yet. */
   def load(): Option[(List[(String, Boolean)], List[String])] = {

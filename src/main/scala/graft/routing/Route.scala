@@ -119,14 +119,16 @@ final class RoutingTable(probe: PathProbe,
     * Returns contexts that became ready but whose outputs never completed —
     * the executions that were mid-flight when the previous driver died. */
   def recover(): List[ExecutionContext] = synchronized {
-    checkpoint.flatMap(_.load()).map { case (events, completed) =>
-      cachingProbe.markComplete(completed)
-      replaying = true
-      val ctxs =
-        try events.flatMap { case (p, blocked) => receivePath(p, blocked) }
-        finally { replaying = false }
-      ctxs.filterNot(c => c.output.materializedPaths.headOption.exists(p =>
-        cachingProbe.isComplete(p, c.output.source.protocol)))
+    checkpoint.flatMap(cp => cp.load().map((cp, _))).map {
+      case (cp, (events, completed)) =>
+        cachingProbe.markComplete(completed)
+        replaying = true
+        val ctxs =
+          try events.flatMap { case (p, blocked) => receivePath(p, blocked) }
+          finally { replaying = false }
+        cp.compact(events, completed) // bound the log across restarts
+        ctxs.filterNot(c => c.output.materializedPaths.headOption.exists(p =>
+          cachingProbe.isComplete(p, c.output.source.protocol)))
     }.getOrElse(Nil)
   }
 

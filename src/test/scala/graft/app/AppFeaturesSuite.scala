@@ -151,6 +151,38 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 12.0)
   }
 
+  test("app-level recover: a restarted driver resumes pending joins") {
+    stageDays(s"$work/src_rc_a", Seq("2026-08-12"))
+    stageDays(s"$work/src_rc_b", Seq("2026-08-12"))
+    val root = s"$work/app_recover"
+    def mkApp(): (Application, NodeRef) = {
+      val app = new Application("recover", spark, root)
+      val a = app.marshalExternalData("a", s"$work/src_rc_a", daySpec)
+      val b = app.marshalExternalData("b", s"$work/src_rc_b", daySpec)
+      val j = app.createData("joined", Seq(a.latest(1), b.latest(1)), Seq(SqlSlot(
+        """SELECT a.day, CAST(SUM(a.amount + b.amount) AS DOUBLE) AS total
+           FROM a JOIN b ON a.day = b.day GROUP BY a.day""")))
+      app.activate()
+      (app, j)
+    }
+    val (app1, _) = mkApp()
+    assert(app1.processPath(s"$work/src_rc_a/2026-08-12").isEmpty) // half-join
+    // driver restarts: fresh Application over the same root
+    val (app2, j2) = mkApp()
+    assert(app2.recover().isEmpty) // pending rebuilt, nothing mid-flight
+    assert(app2.pendingNodeCounts == Map("joined" -> 1))
+    val done = app2.processPath(s"$work/src_rc_b/2026-08-12")
+    assert(done.nonEmpty)
+    // 3 rows per side join on day: sum(a+b) over 9 pairs = 3*6 + 3*6
+    assert(app2.load(j2("2026-08-12")).collect().head.getDouble(1) == 36.0)
+    // a third restart replays a COMPACTED log and re-runs nothing
+    val (app3, _) = mkApp()
+    assert(app3.recover().isEmpty)
+    val segments = new java.io.File(s"$root/routing_state.json.d")
+      .listFiles().map(_.getName).filter(_.startsWith("wal-"))
+    assert(segments.length <= 2, segments.mkString(",")) // compacted + open tail
+  }
+
   test("lifecycle: pause drops events, resume processes, terminate clears runtime") {
     stageDays(s"$work/src_life", Seq("2026-08-12"))
     val app = new Application("life", spark, s"$work/app_life")
