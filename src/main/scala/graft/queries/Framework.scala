@@ -215,6 +215,30 @@ object Framework {
       app.load(stats("en")).orderBy("source")
     }),
 
+    // ---- S2 catalog input: day-partitioned table read through
+    // spark.table with isin partition pruning (the catalog analog of the
+    // fw01 ranged union)
+    "fw10_catalog" -> ((s, dir) => {
+      val sfTag = new java.io.File(dir).getName.replace(".", "_")
+      val db = "graft_cat"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_cat_wh'")
+      val tbl = s"$db.orders_$sfTag"
+      if (!s.catalog.tableExists(tbl))
+        s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("day").saveAsTable(tbl)
+      val maxDay = s.table(tbl).agg(max("day")).collect().head.getString(0)
+      val app = new Application("fw10", s, s"${work(dir)}/app_fw10")
+      val src = app.marshalCatalogTable("orders_cat", db, s"orders_$sfTag", daySpec)
+      val node = app.createData("cat_agg", Seq(src.latest(2)), Seq(SqlSlot(
+        """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_cat GROUP BY o_orderstatus""")))
+      app.activate()
+      app.execute(node(maxDay))
+      app.load(node(maxDay)).orderBy("o_orderstatus")
+    }),
+
     // ---- DATETIME timezone: an hour-granularity UTC timer fires at
     // 03:00 UTC; the node's output dimension is declared in PST, linked
     // through DateValue.toTimezone — the materialized partition lands on
@@ -310,6 +334,13 @@ object Framework {
          SELECT source, COUNT(*) AS kept_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM curated GROUP BY source ORDER BY source""",
+    "fw10_catalog" ->
+      """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >=
+           (SELECT MAX(CAST(o_orderdate AS DATE)) - 1 FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "fw09_timezone" ->
       """SELECT '2026-08-11' AS pst_day, o_orderstatus, COUNT(*) AS order_cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
