@@ -223,10 +223,16 @@ object Framework {
       val db = "graft_cat"
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_cat_wh'")
       val tbl = s"$db.orders_$sfTag"
-      if (!s.catalog.tableExists(tbl))
+      if (!s.catalog.tableExists(tbl)) {
+        // the in-memory catalog is per-JVM but the location persists: a
+        // stale dir from a previous run must go before re-creating
+        val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_cat_wh/orders_$sfTag")
+        val lfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (lfs.exists(loc)) lfs.delete(loc, true)
         s.read.parquet(s"$dir/orders.parquet")
           .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
           .write.mode("overwrite").partitionBy("day").saveAsTable(tbl)
+      }
       val maxDay = s.table(tbl).agg(max("day")).collect().head.getString(0)
       val app = new Application("fw10", s, s"${work(dir)}/app_fw10")
       val src = app.marshalCatalogTable("orders_cat", db, s"orders_$sfTag", daySpec)

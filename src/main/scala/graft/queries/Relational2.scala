@@ -163,6 +163,32 @@ object Relational2 {
           col("p_brand").rlike("Brand#[0-9]+").as("brand_ok"),
           size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"))
         .orderBy("p_partkey")
+    }),
+
+    // ---- lateral explode (UNNEST family): one row per word token with
+    // its position, re-aggregated — the generator/flatten surface
+    "q34_lateral_explode" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .groupBy("word")
+        .agg(count(lit(1)).as("occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          min(col("pos")).cast("long").as("min_pos"))
+        .where(col("occurrences") >= 10)
+        .orderBy("word")
+    }),
+
+    // ---- RANGE-frame window: value-based frame (orders within 50k price
+    // below the current row), vs the row-based frames of q08
+    "q35_range_frame" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("ord35")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
+                 AS peers_within_50k
+        FROM ord35 ORDER BY o_orderkey""")
     })
   )
 
@@ -252,6 +278,19 @@ object Relational2 {
          REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_head,
          REGEXP_MATCHES(p_brand, 'Brand#[0-9]+') AS brand_ok,
          len(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS n_vowels
-         FROM part ORDER BY p_partkey"""
+         FROM part ORDER BY p_partkey""",
+    "q34_lateral_explode" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                        FROM documents WHERE doc_id < 50),
+         pos AS (SELECT doc_id, UNNEST(w) AS word,
+                        generate_subscripts(w, 1) - 1 AS pos FROM words)
+         SELECT word, COUNT(*) AS occurrences, MIN(doc_id) AS first_doc,
+                CAST(MIN(pos) AS BIGINT) AS min_pos
+         FROM pos GROUP BY word HAVING COUNT(*) >= 10 ORDER BY word""",
+    "q35_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+         COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS peers_within_50k
+         FROM orders ORDER BY o_orderkey"""
   )
 }
