@@ -111,10 +111,10 @@ object PipelineOps {
     "p08_simhash" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val planted = base.where(col("doc_id") < 50)
-        .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       Dedup.simhashPairs(base.unionByName(planted), "text", "doc_id",
           maxHamming = 0)
-        .where(col("d2") === col("d1") + 1000)
+        .where(col("d2") === col("d1") + 10000000L)
         .orderBy("d1")
     }),
 
@@ -134,7 +134,7 @@ object PipelineOps {
     "p10_fingerprint" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val planted = base.where(col("doc_id") < 30)
-        .select((col("doc_id") + 1000).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(upper(col("text")), lit("  ")).as("text"))
       val fps = base.unionByName(planted)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -152,7 +152,7 @@ object PipelineOps {
     "p11_multimodal" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val planted = base.where(col("doc_id") < 40)
-        .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val media = Multimodal.packAsMedia(base.unionByName(planted), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("byte_len"), col("checksum"))
@@ -232,7 +232,7 @@ object PipelineOps {
     "p13_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val planted = e.where(col("vec_id") < 30)
-        .select((col("vec_id") + 10000).as("vec_id"),
+        .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
       Dedup.embeddingNearDupPairs(e.unionByName(planted), "embedding",
           "vec_id", minCosine = 0.999, planes = 8)
@@ -349,7 +349,7 @@ object PipelineOps {
     // planted colinear pairs are the only ones with cosine >= 0.999
     // (max real-real cosine ≈ 0.51 — measured over the corpus)
     "p13_embed_neardup" ->
-      """SELECT vec_id AS d1, vec_id + 10000 AS d2, 1.0 AS cosine
+      """SELECT vec_id AS d1, vec_id + 10000000 AS d2, 1.0 AS cosine
          FROM embeddings WHERE vec_id < 30 ORDER BY d1""",
     // exact bigram-Jaccard over all pairs (quadratic is fine for the
     // oracle; the engine side must reach the same set through LSH banding)
@@ -369,7 +369,7 @@ object PipelineOps {
          ORDER BY d1, d2""",
     // planted exact copies must be recovered at hamming 0
     "p08_simhash" ->
-      """SELECT doc_id AS d1, doc_id + 1000 AS d2, 0 AS hamming
+      """SELECT doc_id AS d1, doc_id + 10000000 AS d2, 0 AS hamming
          FROM documents WHERE doc_id < 50 ORDER BY d1""",
     // same stopword-profile scoring + (-score, lang) argmax as the engine's
     // Column expression; tie-break = first alphabetical among the maxima
@@ -396,7 +396,7 @@ object PipelineOps {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 1000, upper(text) || '  ' FROM documents WHERE doc_id < 30),
+           SELECT doc_id + 10000000, upper(text) || '  ' FROM documents WHERE doc_id < 30),
          n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
                FROM corpus),
          g AS (SELECT nt, MIN(doc_id) AS grp_min, COUNT(*) AS grp_size FROM n GROUP BY nt)
@@ -406,7 +406,7 @@ object PipelineOps {
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 1000, text FROM documents WHERE doc_id < 40),
+           SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 40),
          b AS (SELECT doc_id AS media_id,
                       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                       md5(text) AS ck FROM corpus),
