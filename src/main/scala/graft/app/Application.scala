@@ -77,9 +77,11 @@ final class Application(val name: String, val spark: SparkSession,
   private var routingTable: Option[RoutingTable] = None
   private lazy val probe = new FsProbe(spark)
   private lazy val compute = new LocalSparkCompute(spark, probe, args)
-  /** Active executions: output partition path → Spark job group id. */
+  /** Active executions: output partition path → Spark job group ids
+    * (a set — concurrent executions of one target each keep their own
+    * group, so neither finishing wipes the other's registration). */
   private val activeGroups =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** One finished execution (reference ComputeRecord,
     * constructs.py:3949-4360 — the poll/debug surface). */
@@ -109,7 +111,7 @@ final class Application(val name: String, val spark: SparkSession,
     val group = s"graft-${ctx.routeId}-${java.util.UUID.randomUUID()}"
     spark.sparkContext.setJobGroup(group,
       s"graft ${ctx.routeId} -> $outPath", interruptOnCancel = true)
-    activeGroups.put(outPath, group)
+    activeGroups.merge(outPath, Set(group), _ ++ _)
     val started = System.currentTimeMillis()
     try {
       val w = compute.run(ctx, slots, retry)
@@ -123,7 +125,8 @@ final class Application(val name: String, val spark: SparkSession,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
         throw e
     } finally {
-      activeGroups.remove(outPath)
+      activeGroups.computeIfPresent(outPath, (_, gs) =>
+        if ((gs - group).isEmpty) null else gs - group)
       spark.sparkContext.clearJobGroup()
     }
   }
@@ -278,10 +281,15 @@ final class Application(val name: String, val spark: SparkSession,
                  hooks: RouteHooks = RouteHooks.none,
                  retry: RetryPolicy = RetryPolicy()): NodeRef = {
     require(defs.exists(_.id == id), s"unknown node '$id' — use createData")
+    val before = defs
     defs = defs.filterNot(_.id == id)
-    createData(id, inputs, computeTargets, outputSpec, inputLinks,
+    try createData(id, inputs, computeTargets, outputSpec, inputLinks,
       outputLinks, autoInputDimLinking, attrs, pendingNodeTtlMillis,
       hooks, retry)
+    catch { case e: Throwable =>
+      defs = before // a failed update must not delete the existing node
+      throw e
+    }
   }
 
   /** Reload routing state persisted by a previous driver (reference
@@ -450,8 +458,10 @@ final class Application(val name: String, val spark: SparkSession,
     require(target.signal.isMaterialized, "kill needs a materialized output view")
     val outPath = target.signal.materializedPaths.head
     Option(activeGroups.get(outPath)) match {
-      case Some(group) => spark.sparkContext.cancelJobGroup(group); true
-      case None => false
+      case Some(groups) if groups.nonEmpty =>
+        groups.foreach(spark.sparkContext.cancelJobGroup)
+        true
+      case _ => false
     }
   }
 

@@ -360,10 +360,12 @@ final case class DateValue(date: LocalDateTime, name: Option[String] = None,
 
   override def matchesValue(other: DimValue): Boolean = other match {
     case d: DateValue =>
-      // when BOTH sides declare a timezone, equal means same instant:
-      // (2026-08-11 19:00 PST) == (2026-08-12 03:00 UTC)
-      ((timezone.isDefined && d.timezone.isDefined) && instant == d.instant) ||
-        value == d.value || date == d.date ||
+      // when BOTH sides declare a timezone, equality IS instant equality —
+      // (2026-08-11 19:00 PST) == (2026-08-12 03:00 UTC), and crucially
+      // (19:00 PST) != (19:00 UTC) despite equal wall-clock text, so the
+      // naive comparisons must NOT be consulted as a fallback
+      if (timezone.isDefined && d.timezone.isDefined) instant == d.instant
+      else value == d.value || date == d.date ||
         format.exists(f => value == d.date.format(DimValue.formatterFor(f)))
     case _ => false
   }

@@ -41,13 +41,19 @@ object Dedup {
       .groupBy(md5(col("__norm")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
 
-  /** Word n-gram (shingle) array, 1-based positions, distinct. */
+  /** Word n-gram (shingle) array, 1-based positions, distinct. Documents
+    * shorter than n tokens yield an EMPTY array — Spark's
+    * `sequence(1, 0)` is descending [1, 0] (not empty) and slice at
+    * position 0 is a runtime error, so the short case needs its own
+    * branch. */
   def shingles(text: Column, n: Int): Column = {
     val words = TextFunctions.tokens(text)
     if (n == 1) array_distinct(words)
-    else array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(words, i, lit(n)))))
+    else array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
   }
 
   /** MinHash signatures: explode shingles once, k mins in one partial-agg
@@ -119,10 +125,12 @@ object Dedup {
                       minEstJaccard: Double = 0.5,
                       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    // sigs feeds banding AND both verify joins. Deliberately NOT persisted:
+    // a persist here leaks session-lifetime cached storage per call (no
+    // safe unpersist point before the lazy result materializes), and the
+    // one-string-hash signature stage is cheap enough that recomputation
+    // measured faster than the cache barrier (see lshVerifiedJaccardPairs)
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-      // sigs feeds banding AND both verify joins: without persist the
-      // k-hash aggregation (the expensive stage) re-runs up to 3x
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     // verify: re-join the (numDocs-sized) signature table on each side
     pairs

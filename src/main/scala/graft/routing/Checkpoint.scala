@@ -26,7 +26,14 @@ final class RoutingCheckpoint(path: String, conf: Configuration) {
 
   private val dir = new Path(path + ".d")
   private lazy val fs = {
-    val f = dir.getFileSystem(conf)
+    // a PRIVATE (uncached) FileSystem instance: setWriteChecksum below
+    // would otherwise mutate the JVM-shared cached instance and silently
+    // disable CRC writing for every other component in the process
+    val privateConf = new org.apache.hadoop.conf.Configuration(conf)
+    val scheme = Option(dir.toUri.getScheme).getOrElse(
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme)
+    privateConf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
+    val f = dir.getFileSystem(privateConf)
     // the checksummed local FS buffers flushes until a full 512B chunk —
     // a restart would lose the tail of the log; raw streams flush through
     f.setWriteChecksum(false)
@@ -75,7 +82,10 @@ final class RoutingCheckpoint(path: String, conf: Configuration) {
       val old = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("wal-"))
       close() // the snapshot becomes the new open segment's predecessor
-      val name = f"wal-${System.currentTimeMillis()}%013d-compacted.log"
+      // zero timestamp: the snapshot must sort BEFORE every future live
+      // segment (a same-millisecond live segment could otherwise sort
+      // ahead of a timestamped snapshot and invert replay order)
+      val name = f"wal-${0L}%013d-compacted-${System.currentTimeMillis()}.log"
       val out = fs.create(new Path(dir, name), true)
       try {
         lastPerPath.foreach { case (p, b) =>

@@ -106,7 +106,11 @@ final class RoutingTable(probe: PathProbe,
     synchronized {
       if (!replaying) {
         // log the tip resource (reference ONLY_HEAD processing mode) so a
-        // restart can rebuild pending state by replaying the event log
+        // restart can rebuild pending state by replaying the event log.
+        // KNOWN GRANULARITY LIMIT: a multi-partition event signal (e.g.
+        // ground() of a ranged view) replays as its tip partition only —
+        // completion checks still probe the real filesystem, but replayed
+        // pending nodes track the tip path, not the full range.
         incoming.materializedPaths.headOption.foreach(p =>
           checkpoint.foreach(_.appendEvent(p, isBlocked)))
       }

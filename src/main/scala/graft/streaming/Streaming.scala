@@ -27,9 +27,41 @@ final class MarkerStream(app: Application, roots: Seq[String],
   /** Partition dirs whose data files streamed by before the `_SUCCESS`
     * marker existed. A marker write emits no new `part-*` row, so without
     * this carry-over set those completions would be dropped forever: every
-    * batch re-checks prior not-yet-marked dirs alongside its own. */
+    * batch re-checks prior not-yet-marked dirs alongside its own. The set
+    * is persisted next to the source checkpoint (the binaryFile offsets are
+    * durable, so a NEW JVM would never re-see the already-committed part
+    * files — the pending set must survive with them). */
   private val pendingDirs =
     scala.collection.mutable.LinkedHashSet.empty[org.apache.hadoop.fs.Path]
+  private val pendingFile =
+    new org.apache.hadoop.fs.Path(checkpointDir, "_graft_pending_dirs")
+  loadPending()
+
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(app.spark.sparkContext.hadoopConfiguration)
+
+  private def loadPending(): Unit = {
+    val fs = fsOf(pendingFile)
+    if (fs.exists(pendingFile)) {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(pendingFile), "UTF-8"))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty)
+            pendingDirs += new org.apache.hadoop.fs.Path(line)
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+  }
+
+  private def savePending(): Unit = {
+    val fs = fsOf(pendingFile)
+    val out = fs.create(pendingFile, true)
+    try out.write(pendingDirs.map(_.toString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   private val binaryFileSchema = StructType(Seq(
     StructField("path", StringType),
@@ -50,16 +82,22 @@ final class MarkerStream(app: Application, roots: Seq[String],
     * micro-batch and at `start()` so a restart with no new data files still
     * re-offers completions whose markers landed in between. */
   def recheckPending(): Unit = {
+    // a paused app ignores events — draining the set now would LOSE the
+    // completions; leave everything pending until resume
+    if (app.state == app.AppState.PAUSED) return
     val conf = app.spark.sparkContext.hadoopConfiguration
-    val candidates = pendingDirs.synchronized {
-      val v = pendingDirs.toVector; pendingDirs.clear(); v
-    }
-    val (ready, notYet) = candidates.partition { dir =>
+    val candidates = pendingDirs.synchronized { pendingDirs.toVector }
+    val ready = candidates.filter { dir =>
       val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       marker.getFileSystem(conf).exists(marker)
     }
-    pendingDirs.synchronized { pendingDirs ++= notYet }
-    ready.map(_.toUri.getPath).foreach(app.processPath)
+    // remove a dir only AFTER its completion was actually delivered, so a
+    // mid-loop failure re-offers the remainder next batch
+    ready.foreach { dir =>
+      app.processPath(dir.toUri.getPath)
+      pendingDirs.synchronized { pendingDirs -= dir }
+    }
+    pendingDirs.synchronized { savePending() }
   }
 
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

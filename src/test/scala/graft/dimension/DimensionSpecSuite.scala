@@ -56,6 +56,14 @@ class DimensionSpecSuite extends AnyFunSuite {
     // naive (no tz declared) values keep naive equality semantics
     val naive = DateValue(LocalDateTime.of(2026, 8, 12, 3, 0))
     assert(!naive.matchesValue(pst))
+    // equal wall-clock text in DIFFERENT zones = different instants: must
+    // NOT match (instant equality is authoritative, not a fallback)
+    val pstLocal = DateValue(LocalDateTime.of(2026, 8, 11, 19, 0),
+      params = Map("timezone" -> "PST"))
+    val utcSameText = DateValue(LocalDateTime.of(2026, 8, 11, 19, 0),
+      params = Map("timezone" -> "UTC"))
+    assert(!pstLocal.matchesValue(utcSameText))
+    assert(!utcSameText.matchesValue(pstLocal))
   }
 
   test("IANA zone stepping is DST-aware") {

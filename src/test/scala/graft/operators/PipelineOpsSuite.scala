@@ -225,6 +225,21 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.stratifiedSample(tiny, "g", "id", 5).count() == 2)
   }
 
+  test("shingles yield empty arrays (not errors) for docs shorter than n") {
+    val sp = spark; import sp.implicits._
+    val short = Seq((0L, "single"), (1L, "two words"),
+      (2L, "three word doc here")).toDF("doc_id", "text")
+    val grams = short.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    assert(grams == Map(0L -> 0, 1L -> 0, 2L -> 2))
+    // the crash path: a 1-2 word benchmark text through contamination
+    val bench = Seq((100L, "quick fox")).toDF("doc_id", "text")
+    val hits = Contamination.contaminatedIds(short, "text", "doc_id",
+      bench, "text", n = 3).count()
+    assert(hits == 0L)
+  }
+
   test("contamination: shared n-grams flag docs, disjoint docs pass") {
     val sp = spark; import sp.implicits._
     val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
