@@ -173,6 +173,50 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup for the daily-ingest shape: candidates between a
+    * NEW batch and the EXISTING corpus only — new-vs-new and
+    * existing-vs-existing pairs never form, so a day's ingest costs
+    * O(batch) signatures plus bucket joins, not an all-corpus rescan.
+    * Output: (d1 = new id, d2 = existing id, jaccard) with exact
+    * shingle-Jaccard verify >= minJaccard. */
+  def incrementalJaccardPairs(newDf: DataFrame, existingDf: DataFrame,
+                              textCol: String, idCol: String,
+                              k: Int = 64, bands: Int = 16, shingleN: Int = 2,
+                              minJaccard: Double = 0.9,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def banded(df: DataFrame) = {
+      val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+      sigs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    }
+    val newBanded = banded(newDf)
+      .select(col(idCol).as("d1"), col("band"), col("band_hash"))
+    val oldBanded0 = banded(existingDf)
+    // quadratic guard on the EXISTING side (the side that grows unbounded)
+    val smallBuckets = oldBanded0.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val oldBanded = oldBanded0.join(smallBuckets, Seq("band", "band_hash"))
+      .select(col(idCol).as("d2"), col("band"), col("band_hash"))
+    val pairs = newBanded.join(oldBanded, Seq("band", "band_hash"))
+      .select("d1", "d2").distinct()
+    val newGrams = spread(newDf)
+      .select(col(idCol).as("d1"), shingles(col(textCol), shingleN).as("g1"))
+    val oldGrams = spread(existingDf)
+      .select(col(idCol).as("d2"), shingles(col(textCol), shingleN).as("g2"))
+    pairs.join(newGrams, "d1").join(oldGrams, "d2")
+      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
+      .select(col("d1"), col("d2"),
+        (col("__c").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup pairs: fingerprint per row (narrow), candidates via
     * 4x16-bit band buckets (pigeonhole: hamming<=3 pairs share >=1 exact
     * band), verified by true hamming distance. */

@@ -204,6 +204,19 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- incremental dedup (daily-ingest shape): a 10% "new batch" is
+    // checked against the other 90% "existing corpus" — banding candidates
+    // cross the two sets only, exact-Jaccard verified
+    "p18_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newBatch = d.where(col("doc_id") % 10 === 0)
+      val existing = d.where(col("doc_id") % 10 =!= 0)
+      Dedup.incrementalJaccardPairs(newBatch, existing, "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, minJaccard = 0.9)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- deterministic stratified sampling: exact per-lang quotas picked
     // by hash order (reproducible, engine-agnostic)
     "p16_stratified_sample" -> ((s, dir) => {
@@ -325,6 +338,21 @@ object PipelineOps {
            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
                      WHEN 'fr' THEN '2000' ELSE '0000' END
          GROUP BY lang ORDER BY lang""",
+    "p18_incremental_dedup" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                        FROM documents),
+         pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
+         grams AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS g
+                   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+                    FROM grams a JOIN grams b ON a.g = b.g
+                     AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                    GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
+         FROM common JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.9
+         ORDER BY d1, d2""",
     "p16_stratified_sample" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, ROW_NUMBER() OVER (

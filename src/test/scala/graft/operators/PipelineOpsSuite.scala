@@ -225,6 +225,24 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.stratifiedSample(tiny, "g", "id", 5).count() == 2)
   }
 
+  test("incremental dedup: new batch pairs only against the existing corpus") {
+    val sp = spark; import sp.implicits._
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "completely different content about catalyst optimizer internals"),
+      (2L, "another unrelated doc on shuffle partitioning and skew")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"), // dup of 0
+      (101L, "the quick brown fox jumps over the lazy dog near the river"), // dup of 0 AND 100
+      (102L, "fresh novel text that matches nothing in the corpus at all")).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalJaccardPairs(newBatch, existing, "text", "doc_id",
+      k = 64, bands = 16, shingleN = 2, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both new dups pair with existing doc 0; the new-vs-new pair
+    // (100, 101) must NOT appear — incremental means cross-set only
+    assert(pairs == Set((100L, 0L), (101L, 0L)))
+  }
+
   test("shingles yield empty arrays (not errors) for docs shorter than n") {
     val sp = spark; import sp.implicits._
     val short = Seq((0L, "single"), (1L, "two words"),
