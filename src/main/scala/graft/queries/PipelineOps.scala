@@ -237,6 +237,19 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- int8 embedding quantization: integer surface (extrema + nonzero
+    // count) is engine-exact, so the quantizer's semantics are oracle-able
+    "p19_quantize" -> ((s, dir) => {
+      embs(s, dir)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).getField("q").as("qv"))
+        .select(col("vec_id"),
+          array_max(col("qv")).cast("long").as("max_q"),
+          array_min(col("qv")).cast("long").as("min_q"),
+          size(filter(col("qv"), x => x =!= 0)).cast("long").as("nonzero"))
+        .orderBy("vec_id")
+    }),
+
     // ---- embedding near-dup through the BUCKETED operator (no all-pairs
     // join): planted positive multiples share their source's plane
     // signature by construction and verify at cosine exactly 1; the 0.999
@@ -338,6 +351,17 @@ object PipelineOps {
            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
                      WHEN 'fr' THEN '2000' ELSE '0000' END
          GROUP BY lang ORDER BY lang""",
+    "p19_quantize" ->
+      """WITH e AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+         s AS (SELECT vec_id, v,
+                127.0 / list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+         q AS (SELECT vec_id,
+                list_transform(v, x -> CAST(round(x * sc) AS BIGINT)) AS qv FROM s)
+         SELECT vec_id, list_max(qv) AS max_q, list_min(qv) AS min_q,
+                CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS nonzero
+         FROM q ORDER BY vec_id""",
     "p18_incremental_dedup" ->
       """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                         FROM documents),

@@ -129,6 +129,20 @@ final class MarkerStream(app: Application, roots: Seq[String],
   }
 }
 
+object StreamingDedup {
+  /** Streaming exact dedup for continuous ingest: re-ingested duplicate
+    * documents (same content digest) are dropped within the watermark
+    * horizon — state is bounded by the watermark instead of growing with
+    * the corpus (the streaming face of Dedup.exactDedup; only the 16-byte
+    * digest is kept in state, never the document). */
+  def dropDuplicateContent(stream: DataFrame, textCol: String,
+                           timeCol: String, watermark: String): DataFrame =
+    stream.withColumn("__digest", md5(col(textCol)))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+}
+
 object StreamingMetrics {
   /** Watermarked tumbling-window statistics over a metric stream
     * (name, value, time). Late data beyond the watermark is dropped. */

@@ -142,6 +142,29 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getAs[Long]("sample_count") == 2L)
   }
 
+  test("streaming ingest dedup drops re-ingested duplicate content") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamingDedup.dropDuplicateContent(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, "alpha beta gamma", t("2026-01-01 00:00:01")),
+      (2L, "delta epsilon zeta", t("2026-01-01 00:00:02")))
+    q.processAllAvailable()
+    // re-ingest doc 1's content under a new id within the watermark
+    mem.addData((3L, "alpha beta gamma", t("2026-01-01 00:01:00")),
+      (4L, "fresh content entirely", t("2026-01-01 00:01:30")))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 4L)) // the duplicate (id 3) was dropped
+  }
+
   test("coincidence trigger fires once when all required inputs arrive") {
     val sp = spark
     import sp.implicits._
