@@ -97,6 +97,29 @@ object Dedup {
     * near-universal bucket (boilerplate, tiny shared vocab) turns the join
     * quadratic. Oversized buckets are dropped — they encode "everything
     * looks like everything", not useful near-dup candidates. */
+  /** (id, band, band_hash) rows of a signature table — the ONE banding
+    * expression every LSH variant shares (a drifted copy would silently
+    * produce incompatible buckets between the one-shot and incremental
+    * paths). */
+  private def bandExplode(sigs: DataFrame, idCol: String, bands: Int,
+                          r: Int): DataFrame =
+    sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+  /** Exact shingle-Jaccard verify of (d1, d2) candidate pairs against gram
+    * tables carrying (d1, g1) / (d2, g2). */
+  private def jaccardVerify(pairs: DataFrame, gramsA: DataFrame,
+                            gramsB: DataFrame, minJaccard: Double): DataFrame =
+    pairs.join(gramsA, "d1").join(gramsB, "d2")
+      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
+      .select(col("d1"), col("d2"),
+        (col("__c").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+
   /** Banded candidate generation shared by the LSH variants: signatures →
     * (band, bandHash) buckets → distinct id pairs. Carries ONLY ids (16
     * bytes/row): the bucket join can emit millions of pre-distinct rows, so
@@ -104,10 +127,7 @@ object Dedup {
     * ride along. */
   private def bandCandidates(sigs: DataFrame, idCol: String, bands: Int,
                              r: Int, maxBucketSize: Int): DataFrame = {
-    val banded0 = sigs.select(col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded0 = bandExplode(sigs, idCol, bands, r)
     val smallBuckets = banded0.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("__bsz"))
       .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
@@ -162,40 +182,49 @@ object Dedup {
     // recomputing the narrow shingle projection twice is the cheaper path
     val grams = spread(df)
       .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
-    pairs
-      .join(grams.select(col(idCol).as("d1"), col("__g").as("g1")), "d1")
-      .join(grams.select(col(idCol).as("d2"), col("__g").as("g2")), "d2")
-      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
-      .select(col("d1"), col("d2"),
-        (col("__c").cast("double") /
-          (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
-          .as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    jaccardVerify(pairs,
+      grams.select(col(idCol).as("d1"), col("__g").as("g1")),
+      grams.select(col(idCol).as("d2"), col("__g").as("g2")),
+      minJaccard)
+  }
+
+  /** Precomputed (optionally persisted) signature + gram tables for an
+    * EXISTING corpus — the incremental-dedup analog of
+    * Similarity.AnnIndex: built ONCE, so every subsequent ingest batch
+    * pays O(batch) work plus bucket joins, never an all-corpus rescan. */
+  final case class NearDupIndex private[operators] (
+      sigs: DataFrame, grams: DataFrame,
+      idCol: String, k: Int, bands: Int, shingleN: Int) {
+    def unpersist(): Unit = { sigs.unpersist(); grams.unpersist(); () }
+  }
+
+  def buildNearDupIndex(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, bands: Int = 16, shingleN: Int = 2,
+                        persist: Boolean = true): NearDupIndex = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val grams = spread(df)
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+    def maybe(d: DataFrame) =
+      if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    NearDupIndex(maybe(sigs), maybe(grams), idCol, k, bands, shingleN)
   }
 
   /** Incremental near-dup for the daily-ingest shape: candidates between a
-    * NEW batch and the EXISTING corpus only — new-vs-new and
-    * existing-vs-existing pairs never form, so a day's ingest costs
-    * O(batch) signatures plus bucket joins, not an all-corpus rescan.
-    * Output: (d1 = new id, d2 = existing id, jaccard) with exact
-    * shingle-Jaccard verify >= minJaccard. */
-  def incrementalJaccardPairs(newDf: DataFrame, existingDf: DataFrame,
-                              textCol: String, idCol: String,
-                              k: Int = 64, bands: Int = 16, shingleN: Int = 2,
-                              minJaccard: Double = 0.9,
-                              maxBucketSize: Int = 1000): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    def banded(df: DataFrame) = {
-      val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-      sigs.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    }
-    val newBanded = banded(newDf)
+    * NEW batch and an EXISTING corpus index only — new-vs-new and
+    * existing-vs-existing pairs never form. Output: (d1 = new id, d2 =
+    * existing id, jaccard) with exact shingle-Jaccard verify. */
+  def incrementalJaccardPairs(newDf: DataFrame, index: NearDupIndex,
+                              textCol: String,
+                              minJaccard: Double,
+                              maxBucketSize: Int): DataFrame = {
+    val idCol = index.idCol
+    val r = index.k / index.bands
+    val newSigs = minhashSignatures(newDf, textCol, idCol, index.k, index.shingleN)
+    val newBanded = bandExplode(newSigs, idCol, index.bands, r)
       .select(col(idCol).as("d1"), col("band"), col("band_hash"))
-    val oldBanded0 = banded(existingDf)
+    val oldBanded0 = bandExplode(index.sigs, idCol, index.bands, r)
     // quadratic guard on the EXISTING side (the side that grows unbounded)
     val smallBuckets = oldBanded0.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("__bsz"))
@@ -205,17 +234,22 @@ object Dedup {
     val pairs = newBanded.join(oldBanded, Seq("band", "band_hash"))
       .select("d1", "d2").distinct()
     val newGrams = spread(newDf)
-      .select(col(idCol).as("d1"), shingles(col(textCol), shingleN).as("g1"))
-    val oldGrams = spread(existingDf)
-      .select(col(idCol).as("d2"), shingles(col(textCol), shingleN).as("g2"))
-    pairs.join(newGrams, "d1").join(oldGrams, "d2")
-      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
-      .select(col("d1"), col("d2"),
-        (col("__c").cast("double") /
-          (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
-          .as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+      .select(col(idCol).as("d1"), shingles(col(textCol), index.shingleN).as("g1"))
+    val oldGrams = index.grams.select(col(idCol).as("d2"), col("__g").as("g2"))
+    jaccardVerify(pairs, newGrams, oldGrams, minJaccard)
   }
+
+  /** Convenience form over a transient (un-persisted) index — fine for a
+    * one-off check; repeated daily batches should build the index once. */
+  def incrementalJaccardPairs(newDf: DataFrame, existingDf: DataFrame,
+                              textCol: String, idCol: String,
+                              k: Int = 64, bands: Int = 16, shingleN: Int = 2,
+                              minJaccard: Double = 0.9,
+                              maxBucketSize: Int = 1000): DataFrame =
+    incrementalJaccardPairs(newDf,
+      buildNearDupIndex(existingDf, textCol, idCol, k, bands, shingleN,
+        persist = false),
+      textCol, minJaccard, maxBucketSize)
 
   /** SimHash near-dup pairs: fingerprint per row (narrow), candidates via
     * 4x16-bit band buckets (pigeonhole: hamming<=3 pairs share >=1 exact

@@ -133,11 +133,12 @@ object StreamingDedup {
   /** Streaming exact dedup for continuous ingest: re-ingested duplicate
     * documents (same content digest) are dropped within the watermark
     * horizon — state is bounded by the watermark instead of growing with
-    * the corpus (the streaming face of Dedup.exactDedup; only the 16-byte
-    * digest is kept in state, never the document). */
+    * the corpus (the streaming face of Dedup.exactDedup; only a 16-byte
+    * BINARY digest is kept in state — unhex'd, since md5() returns a
+    * 32-char hex string — never the document). */
   def dropDuplicateContent(stream: DataFrame, textCol: String,
                            timeCol: String, watermark: String): DataFrame =
-    stream.withColumn("__digest", md5(col(textCol)))
+    stream.withColumn("__digest", unhex(md5(col(textCol))))
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")

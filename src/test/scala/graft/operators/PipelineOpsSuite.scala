@@ -241,6 +241,20 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     // both new dups pair with existing doc 0; the new-vs-new pair
     // (100, 101) must NOT appear — incremental means cross-set only
     assert(pairs == Set((100L, 0L), (101L, 0L)))
+    // the persisted-index form: build once, check two batches against it
+    val idx = Dedup.buildNearDupIndex(existing, "text", "doc_id")
+    try {
+      val viaIdx = Dedup.incrementalJaccardPairs(newBatch, idx, "text",
+        minJaccard = 0.9, maxBucketSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIdx == pairs)
+      val batch2 = Seq((200L, "another unrelated doc on shuffle partitioning and skew"))
+        .toDF("doc_id", "text")
+      val viaIdx2 = Dedup.incrementalJaccardPairs(batch2, idx, "text",
+        minJaccard = 0.9, maxBucketSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIdx2 == Set((200L, 2L)))
+    } finally idx.unpersist()
   }
 
   test("shingles yield empty arrays (not errors) for docs shorter than n") {
