@@ -9,21 +9,34 @@ import org.apache.spark.sql.SparkSession
   * zero result-collection cost. Framework queries pre-stage their
   * partitioned inputs in an untimed warmup so the timings measure query
   * execution, not one-time test-harness staging.
+  *
+  * Failure visibility: a query that throws records an `"err"` entry in the
+  * output JSON (`"errors":{name:msg}`) and the process exits nonzero — a
+  * broken query can never ship a plausible-looking bench line. Each query
+  * runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports the MIN,
+  * so one host-noise spike (this box has noisy co-tenants) cannot distort
+  * a reading 4x the way a single-shot run can.
   */
 object Bench {
 
   /** Representative operators: full-scan agg, joins (broadcast star,
     * shuffle join+topk), window, distinct-agg, orchestrated ranged union,
-    * dedup (exact + MinHash LSH), similarity top-k. */
+    * dedup (exact + MinHash LSH + incremental + cluster resolution),
+    * similarity top-k + stored-index ANN. */
   private val headline = List(
     "q01_agg_pricing", "q02_join_agg_topk", "q03_star_join",
     "q07_window_rank", "q21_count_distinct",
     "fw01_range_union", "p01_exact_dedup", "p05_cosine_topk",
-    "p07_minhash_lsh")
+    "p07_minhash_lsh", "p12_ann_lsh", "p14_dup_clusters",
+    "p18_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // comma-separated subset filter for local A/B iterating (driver unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,20 +52,35 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    val results = headline.flatMap { name =>
+    var errors = List.empty[(String, String)]
+    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              if (!errors.exists(_._1 == name)) errors ::= (name -> msg)
+              System.err.println(s"[bench] $name failed: $msg")
+              None
+          }
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

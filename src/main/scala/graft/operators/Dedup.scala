@@ -23,10 +23,20 @@ object Dedup {
     * partition (row-group bound), serializing the whole shingle/hash stage
     * on a single task. No-op when the input is already as parallel as the
     * cluster — the 100TB case, where inputs arrive in thousands of
-    * partitions and an extra shuffle would be a regression. */
+    * partitions and an extra shuffle would be a regression.
+    *
+    * The probe is driver-side plan STATS (logical sizeInBytes /
+    * maxPartitionBytes), not `df.rdd.getNumPartitions`: the RDD conversion
+    * forces full physical planning + file listing per operator call.
+    * Unknown-size relations report Long.Max-ish sizes and therefore skip
+    * the repartition — exactly right at scale, where inputs are large. */
   private[operators] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val estParts = ((sizeInBytes + maxPart - 1) / maxPart).min(Int.MaxValue)
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Exact dedup: one survivor (min id) per content digest. */
@@ -145,12 +155,16 @@ object Dedup {
                       minEstJaccard: Double = 0.5,
                       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // sigs feeds banding AND both verify joins. Deliberately NOT persisted:
-    // a persist here leaks session-lifetime cached storage per call (no
-    // safe unpersist point before the lazy result materializes), and the
-    // one-string-hash signature stage is cheap enough that recomputation
-    // measured faster than the cache barrier (see lshVerifiedJaccardPairs)
+    // sigs feeds banding AND both verify joins: single-compute it via
+    // localCheckpoint (k longs/doc — tiny). Unlike persist(), the
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // DataFrame is GC'd, so repeated calls don't accumulate
+    // session-lifetime cached storage, and the eager materialization
+    // makes the downstream stages deterministic instead of paying the
+    // explode+groupBy three times (r3 bench showed a 4x run-to-run swing
+    // from exactly that recompute amplifying host noise).
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+      .localCheckpoint()
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     // verify: re-join the (numDocs-sized) signature table on each side
     pairs
@@ -174,14 +188,22 @@ object Dedup {
                               minJaccard: Double = 0.9,
                               maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    // Signature table single-computed (localCheckpoint): it feeds banding
+    // AND bucket-size stats, and its explode+groupBy is the expensive,
+    // noise-amplified stage — see minhashLshPairs for the rationale.
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+      .localCheckpoint()
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
-    // NOTE: deliberately NOT persisted — the gram table feeds both verify
-    // joins, but caching here measured 10x SLOWER end-to-end (the cache
-    // materialization barrier defeats the broadcast-join pipelining);
-    // recomputing the narrow shingle projection twice is the cheaper path
+    // Gram table also single-computed. History: r3 measured persist() here
+    // 10x SLOWER (cache barrier defeated broadcast-join pipelining when
+    // the signature stage still rode on the same lineage); the r4 A/B
+    // (BASELINE.md) re-measured AFTER the sigs checkpoint above and
+    // localCheckpoint(grams) won: min-of-5 1.60s vs 1.84s recompute at
+    // sf0.1 — with the heavy explode stage materialized separately, the
+    // narrow projection checkpoint only removes a duplicate scan.
     val grams = spread(df)
       .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+      .localCheckpoint()
     jaccardVerify(pairs,
       grams.select(col(idCol).as("d1"), col("__g").as("g1")),
       grams.select(col(idCol).as("d2"), col("__g").as("g2")),

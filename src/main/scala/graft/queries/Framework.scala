@@ -221,14 +221,14 @@ object Framework {
     "fw10_catalog" -> ((s, dir) => {
       val sfTag = new java.io.File(dir).getName.replace(".", "_")
       val db = "graft_cat"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/graft_cat_wh'")
+      // per-JVM warehouse location: the in-memory catalog is per-JVM, so
+      // the location must be too — a fixed shared /tmp path let two
+      // concurrent runs (separate JVMs, same SF) delete each other's live
+      // table dirs out from under their catalogs
+      val wh = s"${work(dir)}/cat_wh_${ProcessHandle.current().pid()}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
       val tbl = s"$db.orders_$sfTag"
       if (!s.catalog.tableExists(tbl)) {
-        // the in-memory catalog is per-JVM but the location persists: a
-        // stale dir from a previous run must go before re-creating
-        val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_cat_wh/orders_$sfTag")
-        val lfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (lfs.exists(loc)) lfs.delete(loc, true)
         s.read.parquet(s"$dir/orders.parquet")
           .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
           .write.mode("overwrite").partitionBy("day").saveAsTable(tbl)

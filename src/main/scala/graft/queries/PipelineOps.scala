@@ -75,9 +75,13 @@ object PipelineOps {
     // BroadcastNestedLoopJoin — a scale-killer)
     "p06_label_affinity" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val normed = e.select(col("label"),
-        transform(col("embedding"),
-          x => x.cast("double") / Similarity.l2norm(col("embedding"))).as("u"))
+      // bind the O(d) norm ONCE per row — inlining it in the transform
+      // lambda re-evaluates the aggregate per element (O(d²)/row, the
+      // anti-pattern Similarity.quantizeInt8's comment measured 4x slower)
+      val normed = e
+        .withColumn("__nrm", Similarity.l2norm(col("embedding")))
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast("double") / col("__nrm")).as("u"))
       val comps = normed.select(col("label"), posexplode(col("u")))
       val centroid = comps.groupBy(col("label"), col("pos"))
         .agg(sum(col("col")).as("s"))

@@ -91,10 +91,12 @@ final class Route(
   * plain object monitor here.
   */
 final class RoutingTable(probe: PathProbe,
-                         checkpoint: Option[RoutingCheckpoint] = None) {
+                         checkpoint: Option[RoutingCheckpoint] = None,
+                         compactEveryEvents: Int = 10000) {
   private val cachingProbe = new CachingProbe(probe)
   private var routes: List[Route] = Nil
   private var replaying = false
+  private var eventsSinceCompact = 0
 
   def add(route: Route): Unit = synchronized { routes :+= route }
   def all: List[Route] = routes
@@ -104,19 +106,38 @@ final class RoutingTable(probe: PathProbe,
     * across all matching routes. */
   def receive(incoming: Signal, isBlocked: Boolean = false): List[ExecutionContext] =
     synchronized {
-      if (!replaying) {
-        // log the tip resource (reference ONLY_HEAD processing mode) so a
-        // restart can rebuild pending state by replaying the event log.
-        // KNOWN GRANULARITY LIMIT: a multi-partition event signal (e.g.
-        // ground() of a ranged view) replays as its tip partition only —
-        // completion checks still probe the real filesystem, but replayed
-        // pending nodes track the tip path, not the full range.
+      val matching = routes.filter(_.accepts(incoming))
+      // log ONLY events some route accepts (an unmatched event rebuilds
+      // nothing at replay, so logging it would just grow the WAL forever
+      // on a long-lived driver), at tip granularity (reference ONLY_HEAD
+      // processing mode) so a restart can rebuild pending state by
+      // replaying the event log.
+      // KNOWN GRANULARITY LIMIT: a multi-partition event signal (e.g.
+      // ground() of a ranged view) replays as its tip partition only —
+      // completion checks still probe the real filesystem, but replayed
+      // pending nodes track the tip path, not the full range.
+      if (!replaying && matching.nonEmpty) {
         incoming.materializedPaths.headOption.foreach(p =>
           checkpoint.foreach(_.appendEvent(p, isBlocked)))
+        maybeCompact()
       }
-      routes.filter(_.accepts(incoming))
-        .flatMap(_.receive(incoming, cachingProbe, isBlocked = isBlocked))
+      matching.flatMap(_.receive(incoming, cachingProbe, isBlocked = isBlocked))
     }
+
+  /** Periodic live compaction: recovery-time-only compaction let the log
+    * grow unboundedly between restarts of a long-lived driver. Every
+    * `compactEveryEvents` appended events, fold the log to
+    * last-occurrence-per-path + distinct completed set — O(log) work
+    * amortized over N O(1) appends. */
+  private def maybeCompact(): Unit = {
+    eventsSinceCompact += 1
+    if (eventsSinceCompact >= compactEveryEvents) {
+      eventsSinceCompact = 0
+      checkpoint.foreach(cp =>
+        cp.load().foreach { case (events, completed) =>
+          cp.compact(events, completed) })
+    }
+  }
 
   /** Rebuild pending-node state after a restart: replay the persisted event
     * log through the normal receive path (reference RouteRecord reload).

@@ -35,6 +35,8 @@ final class MarkerStream(app: Application, roots: Seq[String],
     scala.collection.mutable.LinkedHashSet.empty[org.apache.hadoop.fs.Path]
   private val pendingFile =
     new org.apache.hadoop.fs.Path(checkpointDir, "_graft_pending_dirs")
+  private val pendingTmp =
+    new org.apache.hadoop.fs.Path(checkpointDir, "_graft_pending_dirs.tmp")
   loadPending()
 
   private def fsOf(p: org.apache.hadoop.fs.Path) =
@@ -42,9 +44,15 @@ final class MarkerStream(app: Application, roots: Seq[String],
 
   private def loadPending(): Unit = {
     val fs = fsOf(pendingFile)
-    if (fs.exists(pendingFile)) {
+    // crash between savePending's delete and rename leaves only the tmp
+    // (complete by construction — it is closed before the swap starts)
+    val src =
+      if (fs.exists(pendingFile)) Some(pendingFile)
+      else if (fs.exists(pendingTmp)) Some(pendingTmp)
+      else None
+    src.foreach { p =>
       val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(pendingFile), "UTF-8"))
+        new java.io.InputStreamReader(fs.open(p), "UTF-8"))
       try {
         var line = in.readLine()
         while (line != null) {
@@ -56,11 +64,20 @@ final class MarkerStream(app: Application, roots: Seq[String],
     }
   }
 
+  /** Atomic replace: write the full set to a temp path, then swap it in.
+    * An in-place `fs.create(overwrite)` truncates before writing, so a
+    * crash mid-write would empty the durable set and silently drop every
+    * carried-over completion on restart. Crash windows here leave either
+    * the old file, or (between delete and rename) only the complete tmp —
+    * [[loadPending]] falls back to the tmp in that case. */
   private def savePending(): Unit = {
     val fs = fsOf(pendingFile)
-    val out = fs.create(pendingFile, true)
+    val out = fs.create(pendingTmp, true)
     try out.write(pendingDirs.map(_.toString).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(pendingFile)) fs.delete(pendingFile, false)
+    if (!fs.rename(pendingTmp, pendingFile))
+      throw new java.io.IOException(s"rename $pendingTmp -> $pendingFile failed")
   }
 
   private val binaryFileSchema = StructType(Seq(
@@ -82,6 +99,11 @@ final class MarkerStream(app: Application, roots: Seq[String],
     * micro-batch and at `start()` so a restart with no new data files still
     * re-offers completions whose markers landed in between. */
   def recheckPending(): Unit = {
+    // newly discovered dirs (foreachBatch adds them before calling here)
+    // must be durable BEFORE the binaryFile source commits its offsets —
+    // including on the paused path below, where skipping the save would
+    // lose not-yet-marked completions if the JVM dies while paused
+    pendingDirs.synchronized { savePending() }
     // a paused app ignores events — draining the set now would LOSE the
     // completions; leave everything pending until resume
     if (app.state == app.AppState.PAUSED) return

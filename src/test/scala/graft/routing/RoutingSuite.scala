@@ -245,6 +245,39 @@ class RoutingSuite extends AnyFunSuite {
     assert(t3.recover().isEmpty)
   }
 
+  test("WAL skips unmatched events and live-compacts every N events") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt3").toString
+    val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
+      new org.apache.hadoop.conf.Configuration())
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val node = SignalLinkNode(List(a)).withAutoLinks
+    val out = outputFor(node, "solo", daySpec)
+    val t = new RoutingTable(allExists, Some(cp), compactEveryEvents = 8)
+    t.add(new Route("solo", node, out, Nil))
+
+    def eventLines(): Int = cp.load().map(_._1.length).getOrElse(0)
+
+    // an event NO route accepts must not grow the log (a long-lived driver
+    // sees a firehose of unrelated bus events)
+    val stranger = chainedSignal("x", "/data/x", daySpec, "2026-08-12")
+    assert(t.receive(stranger).isEmpty)
+    assert(eventLines() == 0, "unmatched event must not be WAL-logged")
+
+    // 20 re-publishes of the same partition: compaction (every 8) folds
+    // them to last-occurrence-per-path, so the log stays bounded instead
+    // of carrying all 20 records until the next restart
+    (1 to 20).foreach(_ => t.receivePath("/data/a/2026-08-12"))
+    assert(eventLines() <= 8, s"live compaction must bound the log, got ${eventLines()}")
+
+    // the compacted log still recovers (replay re-offers per record, as a
+    // live re-publish would; compaction bounds how many records survive)
+    val t2 = new RoutingTable(new MemProbe(), Some(cp))
+    t2.add(new Route("solo", node, out, Nil))
+    val reoffered = t2.recover()
+    assert(reoffered.nonEmpty && reoffered.length <= 8 &&
+      reoffered.forall(_.inputs.head.tip.head.value.toString == "2026-08-12"))
+  }
+
   test("pending node TTL expiry fires hook and drops state") {
     val a = extSignal("a", "/data/a", daySpec, "*")
     val b = extSignal("b", "/data/b", daySpec, "*")

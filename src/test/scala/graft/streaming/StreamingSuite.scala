@@ -115,6 +115,68 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node(d2)).collect().head.getDouble(1) == 5.0)
   }
 
+  test("pending set discovered while PAUSED survives a driver crash") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_paused_src"
+    val day = "2026-08-12"
+    Seq((day, 1.0), (day, 2.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+    val marker = new java.io.File(s"$srcRoot/$day/_SUCCESS")
+    assert(marker.delete()) // data files land before the marker
+
+    val app = new Application("stream_paused", spark, s"$work/app_stream_paused")
+    val src = app.marshalExternalData("src", srcRoot, daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+    app.pause()
+
+    // the paused stream discovers the unmarked dir; the binaryFile source
+    // then commits its offsets — so the dir must already be durable
+    val ckpt = s"$work/ckpt_paused"
+    new MarkerStream(app, Seq(srcRoot), ckpt).start().awaitTermination(60000)
+
+    // driver "crashes" while paused: a NEW MarkerStream on the same
+    // checkpoint will never re-see the committed part rows — only the
+    // persisted pending set can carry the completion over
+    val ms2 = new MarkerStream(app, Seq(srcRoot), ckpt)
+    app.resume()
+    assert(marker.createNewFile())
+    ms2.recheckPending()
+    assert(app.poll(node(day)).isDefined,
+      "pending dir discovered while paused was lost across the restart")
+    assert(app.load(node(day)).collect().head.getDouble(1) == 3.0)
+  }
+
+  test("pending file crash window between delete and rename falls back to tmp") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_tmpfb_src"
+    val day = "2026-08-12"
+    Seq((day, 4.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+
+    val app = new Application("stream_tmpfb", spark, s"$work/app_stream_tmpfb")
+    val src = app.marshalExternalData("src", srcRoot, daySpec)
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+
+    // simulate savePending dying between delete(old) and rename(tmp):
+    // only the tmp file exists, holding the complete set
+    val ckpt = new java.io.File(s"$work/ckpt_tmpfb")
+    assert(ckpt.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ckpt.getPath, "_graft_pending_dirs.tmp"),
+      s"file:$srcRoot/$day\n".getBytes("UTF-8"))
+
+    val ms = new MarkerStream(app, Seq(srcRoot), ckpt.getPath)
+    ms.recheckPending()
+    assert(app.poll(node(day)).isDefined,
+      "tmp-only pending file (mid-swap crash) must still be recovered")
+  }
+
   test("windowed streaming metric aggregation with watermark") {
     val sp = spark
     import sp.implicits._
