@@ -149,12 +149,35 @@ final class Application(val name: String, val spark: SparkSession,
       SignalSource.external(rootPath, attrs, protocol, partitionPrefixes),
       spec, DimFilter.allPassFor(spec)))
 
-  /** Timer node: single DATETIME dimension (reference application.py:1023-1052). */
+  /** Timer node: single DATETIME dimension (reference application.py:1023-1052).
+    * `scheduleExpression` (`cron(...)`/`rate(...)`, see [[Schedule.parse]])
+    * registers the timer for automatic firing through [[scheduler]]; a
+    * schedule-less timer fires only via [[fireTimer]]/execute. */
   def createTimer(id: String, format: String = "%Y-%m-%d",
-                  dimName: String = "time"): NodeRef = {
+                  dimName: String = "time",
+                  scheduleExpression: String = null): NodeRef = {
     val spec = DimSpec.pretty(
       dimName -> (DimType.DATETIME, Map[String, Any]("format" -> format)))
-    NodeRef(this, Signal(id, SignalSource.timer(id), spec, DimFilter.allPassFor(spec)))
+    val ref = NodeRef(this, Signal(id, SignalSource.timer(id), spec,
+      DimFilter.allPassFor(spec)))
+    Option(scheduleExpression).foreach { expr =>
+      require(!timerSchedules.exists(_._1.signal.alias == id),
+        s"timer '$id' already scheduled")
+      timerSchedules :+= ((ref, Schedule.parse(expr)))
+    }
+    ref
+  }
+
+  private var timerSchedules: List[(NodeRef, Schedule)] = Nil
+
+  /** Driver scheduler over every schedule-carrying timer: the in-proc
+    * analog of the reference's scheduled-event rules firing into the
+    * processor (application.py:1023-1052). `startAt` anchors next-fire
+    * computation (and rate() anchors, which the reference pins to rule
+    * creation) — pass a test clock or the current instant. */
+  def scheduler(startAt: java.time.Instant): TimerScheduler = {
+    require(timerSchedules.nonEmpty, "no timers carry a schedule expression")
+    new TimerScheduler(this, timerSchedules, startAt)
   }
 
   /** Alarm node: (state_transition, time) dimensions so alarm state

@@ -245,6 +245,38 @@ object Framework {
       app.load(node(maxDay)).orderBy("o_orderstatus")
     }),
 
+    // ---- T1 scheduled timer: a cron(0 0 * * ? *) midnight schedule,
+    // advanced across two midnights by the driver scheduler with a
+    // manually ticked clock — each fire feeds the routing table like any
+    // other event and triggers the node for that day's partition
+    // (reference application.py:1023-1052: schedule_expression parsed and
+    // fired by the platform's scheduled-event rules)
+    "fw11_scheduled_timer" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 3)
+      val app = new Application("fw11", s, s"$w/app_fw11")
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val timer = app.createTimer("midnight", dimName = "day",
+        scheduleExpression = "cron(0 0 * * ? *)")
+      // the timer is the sole trigger; the day partition is a dependent
+      // (ref) materialized through the day link — no orders event needed
+      val node = app.createData("sched_agg", Seq(timer, src.latest(1).ref), Seq(SqlSlot(
+        """SELECT '{day}' AS day, o_orderpriority, COUNT(*) AS order_cnt
+           FROM orders_daily GROUP BY o_orderpriority""")))
+      app.activate()
+      // clock starts just before the first midnight; advancing to the
+      // second midnight owes the routes BOTH ticks (catch-up semantics)
+      val utc = java.time.ZoneOffset.UTC
+      val sched = app.scheduler(
+        startAt = maxDay.minusDays(1).atStartOfDay.minusMinutes(1).toInstant(utc))
+      val fired = sched.advanceTo(maxDay.atStartOfDay.toInstant(utc))
+      require(fired.map(_._1) == List("midnight", "midnight"),
+        s"expected two cron fires, got $fired")
+      Seq(maxDay.minusDays(1), maxDay)
+        .map(d => app.load(node(fmt(d))))
+        .reduce(_ unionAll _).orderBy("day", "o_orderpriority")
+    }),
+
     // ---- DATETIME timezone: an hour-granularity UTC timer fires at
     // 03:00 UTC; the node's output dimension is declared in PST, linked
     // through DateValue.toTimezone — the materialized partition lands on
@@ -304,6 +336,13 @@ object Framework {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders
          WHERE CAST(o_orderdate AS DATE) = (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)""",
+    "fw11_scheduled_timer" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         o_orderpriority, COUNT(*) AS order_cnt
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >=
+           (SELECT MAX(CAST(o_orderdate AS DATE)) - 1 FROM orders)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "fw03_reference_join" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

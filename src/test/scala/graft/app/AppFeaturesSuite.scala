@@ -276,6 +276,37 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(consumer.load(cNode("2026-08-12")).collect().head.getDouble(1) == 12.0)
   }
 
+  test("scheduler: multi-timer catch-up fires chronologically; poller runs") {
+    val app = new Application("sched", spark, s"$work/app_sched")
+    val hourly = app.createTimer("hourly", format = "%Y-%m-%d %H",
+      dimName = "hour", scheduleExpression = "rate(1 hour)")
+    val daily = app.createTimer("daily", dimName = "day",
+      scheduleExpression = "cron(30 0 * * ? *)")
+    assert(hourly.signal.alias == "hourly" && daily.signal.alias == "daily")
+    app.activate()
+    val utc = java.time.ZoneOffset.UTC
+    val t0 = java.time.LocalDateTime.of(2026, 8, 11, 23, 30).toInstant(utc)
+    val sched = app.scheduler(startAt = t0)
+    // a driver asleep for 2.5 hours owes every missed tick, in time order
+    // across BOTH timers: 00:00 hourly, 00:30 daily cron, 01:00, 02:00
+    val fired = sched.advanceTo(
+      java.time.LocalDateTime.of(2026, 8, 12, 2, 0).toInstant(utc))
+    assert(fired.map(_._1) == List("hourly", "daily", "hourly", "hourly"))
+    assert(fired.map(_._2.toString) == List(
+      "2026-08-12T00:00:00Z", "2026-08-12T00:30:00Z",
+      "2026-08-12T01:00:00Z", "2026-08-12T02:00:00Z"))
+    // nothing more due at the same instant (strictly-after semantics)
+    assert(sched.advanceTo(
+      java.time.LocalDateTime.of(2026, 8, 12, 2, 0).toInstant(utc)).isEmpty)
+    assert(sched.nextFireTimes("hourly").toString == "2026-08-12T03:00:00Z")
+    // wall-clock poller starts and stops cleanly (fires nothing: next
+    // fire times are in 2026 relative to the manual clock already)
+    sched.start(pollMillis = 50); Thread.sleep(120); sched.stop()
+    // duplicate schedule id rejected
+    intercept[IllegalArgumentException](
+      app.createTimer("hourly", scheduleExpression = "rate(1 day)"))
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()
