@@ -211,7 +211,8 @@ final class Application(val name: String, val spark: SparkSession,
                  attrs: DatasetAttrs = DatasetAttrs(),
                  pendingNodeTtlMillis: Long = Long.MaxValue,
                  hooks: RouteHooks = RouteHooks.none,
-                 retry: RetryPolicy = RetryPolicy()): NodeRef = {
+                 retry: RetryPolicy = RetryPolicy(),
+                 outputFilterOverride: DimFilter = null): NodeRef = {
     require(!defs.exists(_.id == id), s"node '$id' already declared")
     val signals = inputs.map(_.signal).toList
     val linkNode0 = SignalLinkNode(signals, inputLinks)
@@ -223,10 +224,41 @@ final class Application(val name: String, val spark: SparkSession,
       s"$rootDir/internal_data/$id", attrs,
       IntegrityProtocol.FileCheck("_SUCCESS"))
     val output = Signal(id, outSource, spec,
-      linkNode.deriveOutputFilter(spec, outputLinks))
+      Option(outputFilterOverride).getOrElse(
+        linkNode.deriveOutputFilter(spec, outputLinks)))
     defs :+= NodeDef(id, linkNode, output, outputLinks, computeTargets,
       pendingNodeTtlMillis, hooks, retry)
     NodeRef(this, output)
+  }
+
+  /** Input fan-out (reference `project`, application.py:4544-4640): a
+    * single event on `input` is projected onto EVERY branch of
+    * `outputFilter` over `outputSpec` — the original input dimensions are
+    * declared `"*"` in the filter and take the trigger's value at runtime;
+    * the new dimensions keep their declared material values. Each branch
+    * becomes a completed pseudo-partition (a `_SUCCESS` marker, no data —
+    * the reference's RAW_CONTENT contract) and is fed back into routing,
+    * so a downstream node consuming the projected node triggers once per
+    * branch (regionalization: one timer tick → N region/marketplace
+    * executions). */
+  def project(id: String, input: NodeRef, outputSpec: DimSpec,
+              outputFilter: DimFilter.RawFilter): NodeRef = {
+    val declared = DimFilter.loadRaw(outputSpec, outputFilter)
+    require(declared.tuples.nonEmpty, s"projection '$id' has no branches")
+    createData(id, Seq(input), Seq(InlinedSlot { ctx =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      // mark every materialized branch complete (original dims filled from
+      // the trigger, projected dims enumerated from the declared filter) —
+      // the do_project loop, application.py:4650-4671; runContexts feeds
+      // the marked branches back into routing afterwards
+      ctx.outputSignal.materializedPaths.foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(p)
+        val fs = dir.getFileSystem(conf)
+        fs.mkdirs(dir)
+        fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+      }
+    }), outputSpec = outputSpec, outputFilterOverride = declared,
+      attrs = DatasetAttrs(rawContent = true))
   }
 
   // ---- activation -------------------------------------------------------
@@ -362,7 +394,14 @@ final class Application(val name: String, val spark: SparkSession,
         } catch {
           case e: Throwable => hooks.onExecFailure(route, ctx, e); throw e
         }
-      written.toList.flatMap { path =>
+      // a RAW_CONTENT (projection) node writes per-branch markers instead
+      // of one data partition: every branch is a completion to propagate
+      val completed = written.toList match {
+        case Nil if ctx.output.source.attrs.rawContent =>
+          ctx.output.materializedPaths.toList
+        case w => w
+      }
+      completed.flatMap { path =>
         table.markComplete(Seq(path))
         path :: processPath(path) // feed-back: downstream routes
       }

@@ -167,12 +167,14 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
   }
 
   private def runOnce(ctx: ExecutionContext, slots: Seq[Slot]): Option[String] = {
-    // timers/metrics/alarms are trigger-only signals, not datasets
-    val datasetInputs = ctx.inputs.filter(s => s.source.kind match {
-      case SignalSourceKind.TIMER | SignalSourceKind.METRIC
-           | SignalSourceKind.ALARM => false
-      case _ => true
-    })
+    // timers/metrics/alarms and RAW_CONTENT pseudo-datasets (projection
+    // fan-out markers) are trigger-only signals, not loadable datasets
+    val datasetInputs = ctx.inputs.filter(s => !s.source.attrs.rawContent &&
+      (s.source.kind match {
+        case SignalSourceKind.TIMER | SignalSourceKind.METRIC
+             | SignalSourceKind.ALARM => false
+        case _ => true
+      }))
     val inputs: Map[String, DataFrame] =
       datasetInputs.map(s => s.alias -> InputLoader.load(spark, s, probe)).toMap
     val inputList = datasetInputs.map(s => inputs(s.alias))

@@ -277,6 +277,35 @@ object Framework {
         .reduce(_ unionAll _).orderBy("day", "o_orderpriority")
     }),
 
+    // ---- input fan-out (reference app.project, application.py:4544-4640):
+    // ONE timer tick projects onto two region branches; each branch is a
+    // completed pseudo-partition that triggers the downstream node — one
+    // event, N regionalized executions
+    "fw12_projection" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      val app = new Application("fw12", s, s"$w/app_fw12")
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val timer = app.createTimer("tick", dimName = "day")
+      val projSpec = DimSpec.pretty(
+        "region" -> (DimType.STRING, Map.empty[String, Any]),
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+      import graft.dimension.DimFilter.RawFilter
+      val projected = app.project("regional_tick", timer, projSpec,
+        RawFilter(List(
+          "EU" -> RawFilter(List("*" -> RawFilter.empty)),
+          "NA" -> RawFilter(List("*" -> RawFilter.empty)))))
+      val node = app.createData("regional_agg",
+        Seq(projected, src.latest(1).ref), Seq(SqlSlot(
+          """SELECT '{region}' AS region, o_orderstatus, COUNT(*) AS order_cnt
+             FROM orders_daily GROUP BY o_orderstatus""")))
+      app.activate()
+      val fired = app.fireTimer(timer, fmt(maxDay))
+      require(fired.nonEmpty, "projection fan-out produced no completions")
+      Seq("EU", "NA").map(r => app.load(node(r, fmt(maxDay))))
+        .reduce(_ unionAll _).orderBy("region", "o_orderstatus")
+    }),
+
     // ---- DATETIME timezone: an hour-granularity UTC timer fires at
     // 03:00 UTC; the node's output dimension is declared in PST, linked
     // through DateValue.toTimezone — the materialized partition lands on
@@ -343,6 +372,12 @@ object Framework {
          WHERE CAST(o_orderdate AS DATE) >=
            (SELECT MAX(CAST(o_orderdate AS DATE)) - 1 FROM orders)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "fw12_projection" ->
+      """SELECT r.region, o_orderstatus, COUNT(*) AS order_cnt
+         FROM orders, (SELECT 'EU' AS region UNION ALL SELECT 'NA') r
+         WHERE CAST(o_orderdate AS DATE) =
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY r.region, o_orderstatus ORDER BY 1, 2""",
     "fw03_reference_join" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

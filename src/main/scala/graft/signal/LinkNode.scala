@@ -147,10 +147,20 @@ final case class SignalLinkNode(
         case DimensionLink(`tgt`, LinkSource.LiteralValue(v), _) =>
           Some(DimValue.resolve(v, d))
       }.flatten
-      // auto-bind: same-named dim on any input
-      val auto: Option[DimValue] = signals.view.flatMap(s =>
-        if (s.dimNames.contains(dimName)) s.tipValue(dimName).orElse(s.filter.values.headOption)
-        else None).headOption
+      // auto-bind: same-named dim on any input. A dim with MULTIPLE
+      // declared material values (a projection fan-out or N-branch filter)
+      // must leave the output dim open like a range does — pinning it to
+      // the tip branch would make every other branch's event materialize
+      // to an empty output filter at runtime.
+      val auto: Option[DimValue] = signals.view.flatMap { s =>
+        val idx = s.dimNames.indexOf(dimName)
+        if (idx < 0) None
+        else {
+          val branchVals = s.filter.tuples.flatMap(_.lift(idx)).distinct
+          if (branchVals.count(_.isMaterial) > 1) None
+          else s.tipValue(dimName).orElse(s.filter.values.headOption)
+        }
+      }.headOption
       // ranged/wildcard sources leave the output dim open ('*') — the
       // concrete value is picked at materialization time (tip semantics)
       linked.orElse(auto).filter(_.isMaterial)

@@ -34,7 +34,11 @@ final case class DatasetAttrs(
     partitionKeys: Seq[String] = Nil,
     primaryKeys: Seq[String] = Nil,
     datasetType: DatasetType = DatasetType.REPLACE,
-    dataFolder: Option[String] = None)
+    dataFolder: Option[String] = None,
+    /** Trigger-only pseudo-dataset (reference DataType.RAW_CONTENT,
+      * application.py:4686): partitions carry a completion marker but no
+      * loadable data — compute must not register it as an input view. */
+    rawContent: Boolean = false)
 
 /** Where a signal's resources live. The path⇄dimension codec lives here:
   * `materializePath` renders `root/dim1/dim2/...` from a value tuple;
