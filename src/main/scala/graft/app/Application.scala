@@ -198,6 +198,38 @@ final class Application(val name: String, val spark: SparkSession,
     process(alarm.signal.copy(
       filter = DimFilter.branchOf(alarm.signal.spec, Seq(state, time))))
 
+  /** Metric-backed alarm (reference create_alarm over a target metric,
+    * application.py:826-1005): declares the alarm signal node AND
+    * registers its evaluation wiring so [[alarmMonitor]] can watch the
+    * metric series and raise state transitions automatically — no manual
+    * [[raiseAlarm]] needed. `series` re-evaluates on every monitor poll;
+    * shape (name, period_start, value) — a [[graft.diagnostics.Metrics]]
+    * statistic or [[graft.diagnostics.MetricMath]] output. */
+  def createMetricAlarm(id: String,
+                        series: () => org.apache.spark.sql.DataFrame,
+                        params: graft.diagnostics.AlarmParams,
+                        periodSecs: Long,
+                        timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
+    require(!metricAlarms.exists(_._2.alarmId == id),
+      s"metric alarm '$id' already declared")
+    val alarm = marshalAlarm(id, timeFormat)
+    metricAlarms :+= ((alarm,
+      graft.diagnostics.MetricAlarmDef(id, series, params, periodSecs)))
+    alarm
+  }
+
+  private var metricAlarms: List[(NodeRef, graft.diagnostics.MetricAlarmDef)] = Nil
+
+  /** Monitor over every metric-backed alarm; poll() (or start() for a
+    * wall-clock daemon) evaluates the series and raises transitions into
+    * routing. */
+  def alarmMonitor(): graft.diagnostics.AlarmMonitor = {
+    require(metricAlarms.nonEmpty, "no metric-backed alarms declared")
+    val byId = metricAlarms.map { case (ref, d) => d.alarmId -> ref }.toMap
+    new graft.diagnostics.AlarmMonitor(metricAlarms.map(_._2),
+      (id, state, time) => raiseAlarm(byId(id), state, time))
+  }
+
   /** Declare a derived data node (reference create_data,
     * application.py:1197-1323). Output spec defaults to the first
     * independent input's spec; same-named dims auto-link. */

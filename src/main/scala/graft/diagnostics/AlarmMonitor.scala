@@ -1,0 +1,75 @@
+package graft.diagnostics
+
+import java.time.LocalDateTime
+
+/** One metric→alarm wiring: a per-period series producer (raw metric
+  * statistic or metric-math output — anything shaped
+  * (name, period_start, value)) evaluated under `params`, raising state
+  * TRANSITIONS into the routing table through `alarm`. */
+final case class MetricAlarmDef(
+    alarmId: String,
+    series: () => org.apache.spark.sql.DataFrame,
+    params: AlarmParams,
+    periodSecs: Long)
+
+/** The metric→alarm→routing automation (reference chain
+  * application.py:826-1005: create_alarm on a metric + the platform's
+  * alarm ingestion raising state changes into the processor). The monitor
+  * re-evaluates each alarm's series on every [[poll]] and raises ONE event
+  * per state transition (CloudWatch semantics: an alarm event fires when
+  * the state CHANGES, including the first evaluated period) — steady
+  * states never re-fire, so downstream nodes trigger exactly once per
+  * OK→ALARM edge.
+  *
+  * `raise` is the routing injection (Application.raiseAlarm partially
+  * applied); the monitor tracks (last period, last state) per alarm so
+  * repeated polls over a growing metric store only scan forward.
+  */
+final class AlarmMonitor(
+    defs: Seq[MetricAlarmDef],
+    raise: (String, String, Any) => List[String]) {
+
+  final case class Transition(alarmId: String, state: String,
+                              period: LocalDateTime,
+                              completions: List[String])
+
+  private val lastPeriod = scala.collection.mutable.Map.empty[String, LocalDateTime]
+  private val lastState = scala.collection.mutable.Map.empty[String, String]
+  @volatile private var poller: Thread = null
+
+  /** Evaluate every alarm over its current series; raise each state
+    * transition (in period order) into routing. Returns the raised
+    * transitions with the downstream completions each one caused. */
+  def poll(): List[Transition] = synchronized {
+    defs.toList.flatMap { d =>
+      val rows = Alarms.evaluate(d.series(), d.params, d.periodSecs)
+        .select("period_start", "state").orderBy("period_start")
+        .collect()
+        .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1)))
+      val fresh = rows.filter { case (t, _) =>
+        lastPeriod.get(d.alarmId).forall(t.isAfter) }
+      fresh.flatMap { case (t, state) =>
+        lastPeriod(d.alarmId) = t
+        val changed = !lastState.get(d.alarmId).contains(state)
+        lastState(d.alarmId) = state
+        if (changed) Some(Transition(d.alarmId, state, t, raise(d.alarmId, state, t)))
+        else None
+      }
+    }
+  }
+
+  /** Background wall-clock poller (daemon). */
+  def start(pollMillis: Long = 1000): Unit = synchronized {
+    if (poller != null) return
+    poller = new Thread(() => {
+      try while (!Thread.interrupted()) { poll(); Thread.sleep(pollMillis) }
+      catch { case _: InterruptedException => }
+    }, "graft-alarm-monitor")
+    poller.setDaemon(true)
+    poller.start()
+  }
+
+  def stop(): Unit = synchronized {
+    if (poller != null) { poller.interrupt(); poller = null }
+  }
+}

@@ -66,6 +66,45 @@ object DiagnosticsQueries {
         .orderBy("day")
     }),
 
+    // ---- metric→alarm→node automation: the monitor watches the daily
+    // error-count series, raises each state TRANSITION into routing, and
+    // every OK/INSUFFICIENT→ALARM edge triggers a downstream node whose
+    // output partitions are the query result — no manual raiseAlarm
+    // (reference chain application.py:826-1005 + platform alarm ingestion)
+    "m05_metric_triggered_alarm" -> ((s, dir) => {
+      import graft.app.Application
+      import graft.compute.SqlSlot
+      val w = s"/tmp/graft_m05_${new java.io.File(dir).getName}"
+      val app = new Application("m05", s, s"$w/app_m05")
+      // scale-invariant series: daily error count normalized by the
+      // overall daily average — the alarm pattern is meaningful at every
+      // SF instead of saturating with corpus size
+      val alarm = app.createMetricAlarm("err_daily",
+        () => {
+          val counts = Metrics.evaluate(
+            events(s, dir).where(col("event_type") === "error"),
+            "event_type", "value", "ts", DaySecs, MetricStatistic.SAMPLE_COUNT)
+          counts.withColumn("value", col("value") /
+            avg("value").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("name")))
+        },
+        AlarmParams(1.01, AlarmComparison.GreaterThanOrEqualToThreshold,
+          evaluationPeriods = 3, datapointsToAlarm = 2), DaySecs,
+        timeFormat = "%Y-%m-%d")
+      val node = app.createData("on_alarm", Seq(alarm("ALARM", "*")),
+        Seq(SqlSlot("SELECT '{time}' AS day")))
+      app.activate()
+      val transitions = app.alarmMonitor().poll()
+      val alarmDays = transitions.filter(_.state == Alarms.ALARM)
+      require(alarmDays.forall(_.completions.nonEmpty),
+        "an ALARM transition did not trigger the downstream node")
+      val sp = s
+      import sp.implicits._
+      alarmDays.map(t => app.load(node("ALARM", t.period.toLocalDate.toString)))
+        .foldLeft(Seq.empty[String].toDF("day"))(_ unionAll _)
+        .orderBy("day")
+    }),
+
     // ---- M4: composite of two alarms: errors & ~purchases
     "m03_composite_alarm" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -132,6 +171,26 @@ object DiagnosticsQueries {
            CASE WHEN dps < 2 THEN 'INSUFFICIENT_DATA'
                 WHEN br >= 1 THEN 'ALARM' ELSE 'OK' END AS state
          FROM ev ORDER BY day""",
+    "m05_metric_triggered_alarm" ->
+      """WITH counts AS (
+           SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  CAST(COUNT(*) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+         series AS (SELECT d, v / AVG(v) OVER () AS value FROM counts),
+         ev AS (
+           SELECT d, value,
+             SUM(CASE WHEN value >= 1.01 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS br,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS dps
+           FROM series),
+         st AS (
+           SELECT d, CASE WHEN dps < 3 THEN 'INSUFFICIENT_DATA'
+                          WHEN br >= 2 THEN 'ALARM' ELSE 'OK' END AS state
+           FROM ev),
+         tr AS (SELECT d, state, LAG(state) OVER (ORDER BY d) AS prev FROM st)
+         SELECT STRFTIME(d, '%Y-%m-%d') AS day
+         FROM tr WHERE state = 'ALARM' AND (prev IS NULL OR prev <> 'ALARM')
+         ORDER BY day""",
     "m03_composite_alarm" ->
       """WITH mk AS (
            SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,

@@ -307,6 +307,46 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       app.createTimer("hourly", scheduleExpression = "rate(1 day)"))
   }
 
+  test("alarm monitor raises transitions only, scans forward, triggers nodes") {
+    val sp = spark
+    import sp.implicits._
+    stageDays(s"$work/src_mon", Seq("2026-08-12"))
+    val app = new Application("mon", spark, s"$work/app_mon")
+    // a growing in-memory metric series the monitor re-reads per poll
+    var rows = Seq(("m", "2026-08-10 00:00:00", 10.0), ("m", "2026-08-11 00:00:00", 9.0))
+    val alarm = app.createMetricAlarm("hot",
+      () => rows.toDF("name", "period_start", "value")
+        .withColumn("period_start", to_timestamp(col("period_start"))),
+      graft.diagnostics.AlarmParams(5.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1),
+      periodSecs = 86400, timeFormat = "%Y-%m-%d")
+    val src = app.marshalExternalData("src", s"$work/src_mon", daySpec)
+    val node = app.createData("on_hot", Seq(alarm("ALARM", "*"), src.latest(1).ref),
+      Seq(SqlSlot("SELECT '{time}' AS day, CAST(SUM(amount) AS DOUBLE) AS total FROM src")),
+      outputLinks = List(graft.signal.DimensionLink.literal(
+        graft.signal.DimRef("src", "day"), "2026-08-12")))
+    app.activate()
+    val mon = app.alarmMonitor()
+
+    // two breaching periods -> ONE transition (into ALARM), node ran
+    val t1 = mon.poll()
+    assert(t1.map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("ALARM", "2026-08-10")))
+    assert(t1.head.completions.nonEmpty, "ALARM edge must trigger the node")
+    assert(app.load(node("ALARM", "2026-08-10")).collect().head.getDouble(1) == 6.0)
+
+    // steady state: nothing new -> no re-fire
+    assert(mon.poll().isEmpty)
+
+    // series recovers -> exactly one OK transition (filtered by the node's
+    // declared ALARM-only filter, so no new execution)
+    rows :+= (("m", "2026-08-12 00:00:00", 1.0))
+    val t2 = mon.poll()
+    assert(t2.map(_.state) == List("OK") && t2.head.completions.isEmpty)
+    assert(mon.poll().isEmpty)
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()
