@@ -97,6 +97,27 @@ final class Application(val name: String, val spark: SparkSession,
     records.synchronized { scala.jdk.CollectionConverters
       .ListHasAsScala(records).asScala.toList }
 
+  /** Full orchestration + execution metrics for one route (reference
+    * get_route_metrics, application.py:429-531): routing counters
+    * (events/pending/expiry/zombie/trigger) from the route itself plus
+    * execution success/failure tallies from the compute records. */
+  final case class RouteMetricsReport(
+      routeId: String, counters: graft.routing.RouteCounters,
+      execSucceeded: Long, execFailed: Long, pendingNow: Int)
+
+  def getRouteMetrics(id: String): Option[RouteMetricsReport] =
+    table.find(id).map { r =>
+      val recs = computeRecords.filter(_.routeId == id)
+      RouteMetricsReport(id, r.counters,
+        recs.count(_.succeeded), recs.count(!_.succeeded),
+        r.pendingNodes.length)
+    }
+
+  /** Metrics for every active route (reference get_platform_metrics'
+    * routing section, application.py:532-599). */
+  def getAllRouteMetrics: Map[String, RouteMetricsReport] =
+    table.all.flatMap(r => getRouteMetrics(r.id).map(r.id -> _)).toMap
+
   /** Output paths with an execution in flight right now (reference
     * get_active_compute_records). */
   def activeComputePaths: Set[String] =
@@ -160,15 +181,19 @@ final class Application(val name: String, val spark: SparkSession,
       dimName -> (DimType.DATETIME, Map[String, Any]("format" -> format)))
     val ref = NodeRef(this, Signal(id, SignalSource.timer(id), spec,
       DimFilter.allPassFor(spec)))
-    Option(scheduleExpression).foreach { expr =>
-      require(!timerSchedules.exists(_._1.signal.alias == id),
-        s"timer '$id' already scheduled")
-      timerSchedules :+= ((ref, Schedule.parse(expr)))
-    }
+    require(!timerDefs.exists(_.signal.alias == id), s"timer '$id' already declared")
+    val schedule = Option(scheduleExpression).map(Schedule.parse(_))
+    timerDefs :+= PersistedTimer(ref.signal, schedule)
+    schedule.foreach(sc => timerSchedules :+= ((ref, sc)))
     ref
   }
 
   private var timerSchedules: List[(NodeRef, Schedule)] = Nil
+  private var timerDefs: List[PersistedTimer] = Nil
+
+  /** Timer lookup (reference get_timer, application.py:1054-1070). */
+  def getTimer(id: String): Option[NodeRef] =
+    timerDefs.find(_.signal.alias == id).map(t => NodeRef(this, t.signal))
 
   /** Driver scheduler over every schedule-carrying timer: the in-proc
     * analog of the reference's scheduled-event rules firing into the
@@ -386,6 +411,34 @@ final class Application(val name: String, val spark: SparkSession,
     * completed output paths. */
   def recover(): List[String] = runContexts(table.recover())
 
+  // ---- dev-context persistence ------------------------------------------
+
+  /** Persist the declared DAG (nodes + timers) to `<rootDir>/dev_state.bin`
+    * so a NEW process can [[Application.attach]] without re-declaring
+    * (reference save_dev_state, application.py:164-180). Hooks and
+    * metric-alarm series closures are runtime-only and excluded — see
+    * [[DevState]]. Returns the written path. */
+  def saveDevState(): String =
+    DevState.save(DevState(name,
+      defs.map(d => PersistedNode(d.id, d.linkNode, d.output, d.outputLinks,
+        d.slots, d.ttlMillis, d.retry)),
+      timerDefs), rootDir, spark.sparkContext.hadoopConfiguration)
+
+  /** Load a persisted dev context into this (fresh) application; returns
+    * false when none exists. Replaces any currently declared defs. */
+  def loadDevState(): Boolean =
+    DevState.load(rootDir, spark.sparkContext.hadoopConfiguration) match {
+      case None => false
+      case Some(st) =>
+        defs = st.nodes.map(n => NodeDef(n.id, n.linkNode, n.output,
+          n.outputLinks, n.slots, n.ttlMillis, RouteHooks.none, n.retry))
+        timerDefs = st.timers
+        timerSchedules = st.timers.collect {
+          case PersistedTimer(sig, Some(sched)) => (NodeRef(this, sig), sched)
+        }
+        true
+    }
+
   private def table: RoutingTable =
     routingTable.getOrElse(throw new IllegalStateException("activate() first"))
 
@@ -435,7 +488,9 @@ final class Application(val name: String, val spark: SparkSession,
       }
       completed.flatMap { path =>
         table.markComplete(Seq(path))
-        path :: processPath(path) // feed-back: downstream routes
+        // feed-back: local downstream routes, then exported-node push to
+        // connected downstream applications
+        path :: (processPath(path) ++ propagateToDownstreams(path))
       }
     }
   }
@@ -537,6 +592,64 @@ final class Application(val name: String, val spark: SparkSession,
         IntegrityProtocol.FileCheck("_SUCCESS")),
       spec, DimFilter.allPassFor(spec)))
 
+  // ---- downstream export (inverse of importUpstream) ---------------------
+
+  /** Grant a downstream application access to a set of this app's nodes
+    * (reference export_to_downstream_application, application.py:3961-3963):
+    * writes a manifest under `<rootDir>/exports/<downstreamId>.bin` carrying
+    * each exported node's id, dimension spec, and dataset attrs — the
+    * downstream side imports via [[importExported]] WITHOUT re-declaring
+    * the spec, and the import is validated against the grant. Returns the
+    * manifest path. */
+  def exportToDownstream(downstreamId: String, nodes: Seq[NodeRef]): String = {
+    val exported = nodes.toList.map { n =>
+      val id = n.signal.alias
+      require(defs.exists(_.id == id),
+        s"cannot export undeclared node '$id'")
+      ExportedNode(id, n.signal.spec, n.signal.source.attrs)
+    }
+    ExportManifest.save(ExportManifest(name, downstreamId, exported),
+      rootDir, spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Downstream side of [[exportToDownstream]]: import an upstream node
+    * THROUGH its export manifest — the dimension spec and dataset attrs
+    * come from the grant, and importing a node the upstream never exported
+    * to this app fails fast. */
+  def importExported(id: String, upstreamRoot: String, nodeId: String): NodeRef = {
+    val manifest = ExportManifest
+      .load(upstreamRoot, name, spark.sparkContext.hadoopConfiguration)
+      .getOrElse(throw new IllegalArgumentException(
+        s"upstream at $upstreamRoot exports nothing to application '$name'"))
+    val node = manifest.nodes.find(_.nodeId == nodeId).getOrElse(
+      throw new IllegalArgumentException(
+        s"upstream '${manifest.upstreamName}' does not export '$nodeId' to '$name' " +
+          s"(exported: ${manifest.nodes.map(_.nodeId).mkString(", ")})"))
+    importUpstream(id, upstreamRoot, nodeId, node.spec, node.attrs)
+  }
+
+  /** Wire a LIVE downstream application for push-based event propagation:
+    * completions of exported nodes feed straight into the downstream's
+    * routing table (the in-proc analog of the reference's cross-account
+    * S3→processor notification path). Only paths under nodes exported to
+    * that app are forwarded. */
+  def connectDownstream(app: Application): Unit = synchronized {
+    require(app ne this, "cannot connect an application to itself")
+    downstreamApps :+= app
+  }
+
+  private var downstreamApps: List[Application] = Nil
+
+  private def propagateToDownstreams(path: String): List[String] =
+    downstreamApps.flatMap { down =>
+      val granted = ExportManifest
+        .load(rootDir, down.name, spark.sparkContext.hadoopConfiguration)
+        .exists(_.nodes.exists(n =>
+          path.startsWith(s"$rootDir/internal_data/${n.nodeId}/") ||
+            path == s"$rootDir/internal_data/${n.nodeId}"))
+      if (granted) down.processPath(path) else Nil
+    }
+
   /** Marshal a catalog table (S2) as an input node; dims = partition keys. */
   def marshalCatalogTable(id: String, database: String, table: String,
                           spec: DimSpec): NodeRef =
@@ -616,4 +729,19 @@ final class Application(val name: String, val spark: SparkSession,
   /** Read a materialized node output back as a DataFrame. */
   def load(target: NodeRef): DataFrame =
     InputLoader.load(spark, target.signal, probe)
+}
+
+object Application {
+  /** Reference `attach` (application.py:164-180): reload the dev context
+    * persisted by [[Application!.saveDevState]] in a NEW process/session
+    * and activate it — node/timer declarations survive the JVM. Combine
+    * with [[Application!.recover]] to also replay runtime routing state. */
+  def attach(name: String, spark: SparkSession, rootDir: String,
+             args: Map[String, Any] = Map.empty): Application = {
+    val app = new Application(name, spark, rootDir, args)
+    require(app.loadDevState(),
+      s"no persisted dev state under $rootDir — call saveDevState() first")
+    app.activate()
+    app
+  }
 }

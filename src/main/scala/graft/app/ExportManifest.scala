@@ -1,0 +1,47 @@
+package graft.app
+
+import org.apache.hadoop.fs.Path
+import graft.dimension.DimSpec
+import graft.signal.DatasetAttrs
+
+/** One node granted to a downstream application: enough for the
+  * downstream to construct the input signal without re-declaring
+  * anything (spec + attrs travel with the grant). */
+final case class ExportedNode(nodeId: String, spec: DimSpec,
+                              attrs: DatasetAttrs)
+
+/** Downstream-app grant manifest (reference
+  * export_to_downstream_application, application.py:3961-3963), persisted
+  * under `<upstreamRoot>/exports/<downstreamId>.bin` so the downstream's
+  * import works across processes — the durable face of the reference's
+  * conf.set_downstream registration. */
+final case class ExportManifest(upstreamName: String, downstreamId: String,
+                                nodes: List[ExportedNode])
+
+object ExportManifest {
+
+  private def fileFor(rootDir: String, downstreamId: String): Path =
+    new Path(s"$rootDir/exports", s"$downstreamId.bin")
+
+  def save(manifest: ExportManifest, rootDir: String,
+           conf: org.apache.hadoop.conf.Configuration): String = {
+    val f = fileFor(rootDir, manifest.downstreamId)
+    val fs = f.getFileSystem(conf)
+    val tmp = new Path(f.getParent, f.getName + ".tmp")
+    val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
+    try out.writeObject(manifest) finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"rename $tmp -> $f failed")
+    f.toString
+  }
+
+  def load(rootDir: String, downstreamId: String,
+           conf: org.apache.hadoop.conf.Configuration): Option[ExportManifest] = {
+    val f = fileFor(rootDir, downstreamId)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) return None
+    val in = new java.io.ObjectInputStream(fs.open(f))
+    try Some(in.readObject().asInstanceOf[ExportManifest]) finally in.close()
+  }
+}

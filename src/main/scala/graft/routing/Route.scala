@@ -20,6 +20,13 @@ final case class ExecutionContext(
     inputs: List[Signal],
     output: Signal)
 
+/** Per-route runtime counters (reference get_route_metrics surface,
+  * application.py:429-531 — orchestration metrics per route). */
+final case class RouteCounters(
+    eventsReceived: Long = 0, pendingCreated: Long = 0,
+    pendingExpired: Long = 0, zombiesEliminated: Long = 0,
+    triggers: Long = 0)
+
 /** A data node at runtime: link-node template + output signal + output dim
   * matrix + pending nodes + TTL. Reference: Route,
   * routing_runtime_constructs.py:1172-1484. */
@@ -34,6 +41,10 @@ final class Route(
   private var pending: List[RuntimeLinkNode] = Nil
   def pendingNodes: List[RuntimeLinkNode] = pending
 
+  private var ctrs = RouteCounters()
+  /** Snapshot of this route's orchestration counters. */
+  def counters: RouteCounters = ctrs
+
   /** Does an incoming concrete signal belong to any of this route's inputs? */
   def accepts(incoming: Signal): Boolean =
     linkNode.signals.exists(s => !s.isReference && s.sameResource(incoming) &&
@@ -47,6 +58,7 @@ final class Route(
               nowMillis: Long = System.currentTimeMillis(),
               isBlocked: Boolean = false): List[ExecutionContext] = {
     expireNodes(nowMillis)
+    ctrs = ctrs.copy(eventsReceived = ctrs.eventsReceived + 1)
     var consumed = false
     pending.foreach { n => if (n.receive(incoming, isBlocked)) consumed = true }
 
@@ -56,6 +68,7 @@ final class Route(
         val n = new RuntimeLinkNode(linkNode, output, outputLinks, nowMillis)
         if (n.receive(incoming, isBlocked)) {
           pending :+= n
+          ctrs = ctrs.copy(pendingCreated = ctrs.pendingCreated + 1)
           hooks.onPendingNodeCreated(this, n)
         }
       }
@@ -65,9 +78,11 @@ final class Route(
     val (zombies, alive) = pending.partition(_.isZombie)
     zombies.foreach(hooks.onPendingNodeExpired(this, _))
     pending = alive
+    ctrs = ctrs.copy(zombiesEliminated = ctrs.zombiesEliminated + zombies.length)
 
     val (ready, waiting) = pending.partition(_.isReady(probe))
     pending = waiting
+    ctrs = ctrs.copy(triggers = ctrs.triggers + ready.length)
     ready.map { n =>
       ExecutionContext(id, n.materializedInputs(probe), n.materializeOutput())
     }
@@ -81,6 +96,7 @@ final class Route(
       nowMillis - n.createdAtMillis > pendingNodeTtlMillis)
     expired.foreach(hooks.onPendingNodeExpired(this, _))
     pending = alive
+    ctrs = ctrs.copy(pendingExpired = ctrs.pendingExpired + expired.length)
   }
 }
 

@@ -347,6 +347,124 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(mon.poll().isEmpty)
   }
 
+  test("dev state round-trips: serialize, attach in a new session, execute") {
+    stageDays(s"$work/src_devstate", Seq("2026-08-11", "2026-08-12"))
+    val root = s"$work/app_devstate"
+    val app1 = new Application("devstate", spark, root)
+    val src = app1.marshalExternalData("src", s"$work/src_devstate", daySpec)
+    app1.createTimer("midnight", dimName = "day",
+      scheduleExpression = "cron(0 0 * * ? *)")
+    val curated = app1.createData("curated", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app1.createData("doubled", Seq(curated), Seq(SqlSlot(
+      "SELECT day, total * 2 AS total2 FROM curated")))
+    val saved = app1.saveDevState()
+    assert(new java.io.File(saved.stripPrefix("file:")).exists())
+
+    // a NEW session (fresh temp-view/catalog space) attaches the persisted
+    // DAG without any re-declaration and both executes and event-triggers
+    val app2 = Application.attach("devstate", spark.newSession(), root)
+    val curated2 = app2.getData("curated").get
+    val doubled2 = app2.getData("doubled").get
+    app2.execute(curated2("2026-08-11"))
+    assert(app2.load(curated2("2026-08-11")).collect().head.getDouble(1) == 6.0)
+    // event path: a src partition completion cascades through BOTH nodes
+    val completed = app2.processPath(s"$work/src_devstate/2026-08-12")
+    assert(completed.exists(_.endsWith("doubled/2026-08-12")))
+    assert(app2.load(doubled2("2026-08-12")).collect().head.getDouble(1) == 12.0)
+    // the scheduled timer's cron survived too
+    val sched = app2.scheduler(java.time.Instant.parse("2026-08-12T01:00:00Z"))
+    assert(sched.nextFireTimes("midnight").toString == "2026-08-13T00:00:00Z")
+
+    // a slot closure capturing a non-serializable runtime object is
+    // rejected WITH the node named, not an opaque serialization failure
+    val handle = new Object // not Serializable
+    val app3 = new Application("devstate_bad", spark, s"$work/app_devstate_bad")
+    val s3 = app3.marshalExternalData("src", s"$work/src_devstate", daySpec)
+    app3.createData("bad", Seq(s3.latest(1)),
+      Seq(graft.compute.ScalaSlot(c => { require(handle != null); c.input("src") })))
+    val err = intercept[IllegalArgumentException](app3.saveDevState())
+    assert(err.getMessage.contains("'bad'"))
+  }
+
+  test("downstream export: two apps share data both directions, push-wired") {
+    stageDays(s"$work/src_export", Seq("2026-08-12"))
+    val appA = new Application("appA", spark, s"$work/app_exp_a")
+    val appB = new Application("appB", spark, s"$work/app_exp_b")
+
+    // A: src -> curated, exported to B
+    val srcA = appA.marshalExternalData("src", s"$work/src_export", daySpec)
+    val curated = appA.createData("curated", Seq(srcA.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    appA.exportToDownstream("appB", Seq(curated))
+
+    // B imports THROUGH the manifest (spec travels with the grant),
+    // derives, and exports its result back to A
+    val curatedIn = appB.importExported("curated_in", appA.rootDir, "curated")
+    val consumer = appB.createData("consumer", Seq(curatedIn), Seq(SqlSlot(
+      "SELECT day, total * 10 AS scaled FROM curated_in")))
+    appB.exportToDownstream("appA", Seq(consumer))
+    val consumerIn = appA.importExported("consumer_in", appB.rootDir, "consumer")
+    val finalA = appA.createData("final", Seq(consumerIn), Seq(SqlSlot(
+      "SELECT day, scaled + 1 AS result FROM consumer_in")))
+
+    appA.activate(); appB.activate()
+    appA.connectDownstream(appB); appB.connectDownstream(appA)
+
+    // ONE source event cascades A.curated -> B.consumer -> A.final
+    val completed = appA.processPath(s"$work/src_export/2026-08-12")
+    assert(completed.exists(_.endsWith("curated/2026-08-12")))
+    assert(completed.exists(_.endsWith("consumer/2026-08-12")))
+    assert(completed.exists(_.endsWith("final/2026-08-12")))
+    assert(appA.load(finalA("2026-08-12")).collect().head.getDouble(1) == 61.0)
+
+    // importing a node that was never exported to this app fails fast
+    val errNode = intercept[IllegalArgumentException](
+      appB.importExported("nope", appA.rootDir, "final"))
+    assert(errNode.getMessage.contains("does not export"))
+    val appC = new Application("appC", spark, s"$work/app_exp_c")
+    val errApp = intercept[IllegalArgumentException](
+      appC.importExported("nope", appA.rootDir, "curated"))
+    assert(errApp.getMessage.contains("exports nothing"))
+  }
+
+  test("route metrics: counters across success, failure, and TTL expiry") {
+    stageDays(s"$work/src_metrics", Seq("2026-08-11", "2026-08-12"))
+    val app = new Application("rm", spark, s"$work/app_rm")
+    val src = app.marshalExternalData("src", s"$work/src_metrics", daySpec)
+    val other = app.marshalExternalData("other", s"$work/never_staged", daySpec)
+    app.createData("good", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.createData("flaky", Seq(src.latest(1).as("srcf")), Seq(SqlSlot(
+      "SELECT * FROM table_that_does_not_exist")))
+    // join whose second input never arrives -> pending node expires by TTL
+    app.createData("join", Seq(src.latest(1).as("srcj"), other),
+      Seq(SqlSlot("SELECT 1 AS one")), pendingNodeTtlMillis = 1)
+    app.activate()
+
+    // `good` and `join` see the event; `flaky` shares the same source so
+    // its failure aborts the cascade — drive it via its own alias instead:
+    // process the same physical path twice (second is a duplicate for
+    // good/join but a fresh trigger attempt for flaky's run)
+    val ex = intercept[Throwable](app.processPath(s"$work/src_metrics/2026-08-11"))
+    assert(ex.getMessage.contains("table_that_does_not_exist") ||
+      ex.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    Thread.sleep(5)
+    // second event: join's stale pending node expires, a new one opens
+    intercept[Throwable](app.processPath(s"$work/src_metrics/2026-08-12"))
+
+    val good = app.getRouteMetrics("good").get
+    assert(good.counters.eventsReceived == 2 && good.counters.triggers >= 1 &&
+      good.execSucceeded >= 1 && good.execFailed == 0)
+    val flaky = app.getRouteMetrics("flaky").get
+    assert(flaky.execFailed >= 1 && flaky.execSucceeded == 0)
+    val join = app.getRouteMetrics("join").get
+    assert(join.counters.pendingExpired >= 1 && join.counters.triggers == 0 &&
+      join.pendingNow == 1)
+    assert(app.getRouteMetrics("nope").isEmpty)
+    assert(app.getAllRouteMetrics.keySet == Set("good", "flaky", "join"))
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()
