@@ -38,9 +38,81 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** ??? DECODE STUB ??? — a real pipeline would decode the codec here
-    * (JPEG→pixels, PCM→samples). Stand-in: the raw bytes themselves. */
+  /** ??? DECODE STUB ??? — non-image modalities (audio PCM, video codecs)
+    * have no decoder in this JRE; stand-in: the raw bytes themselves.
+    * Images go through the REAL `javax.imageio` path in [[decodeImages]]. */
   private def decodeStub(content: Array[Byte]): Array[Byte] = content
+
+  /** Deterministic RGB PNG for a payload: dimensions derived from the
+    * payload length, pixels tiled from the payload bytes — REAL codec
+    * bytes, so the decode path exercises an actual image decoder. */
+  private[operators] def encodePng(seed: Array[Byte]): Array[Byte] = {
+    val w = (seed.length % 31) + 2
+    val h = (seed.length / 31 % 29) + 2
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (seed.isEmpty) 0 else seed((y * w + x) % seed.length) & 0xff
+        img.setRGB(x, y, (v << 16) | (((v * 31) & 0xff) << 8) | ((v * 131) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Pack a text table as REAL PNG media rows (the payload drives the
+    * deterministic image content; `orig_len` keeps the source length). */
+  def packAsPngMedia(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_1"),
+        encode(col(payloadCol), "UTF-8").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        MediaRow(id, "image", encodePng(raw), raw.length.toLong, "image/png")
+      })
+  }
+
+  final case class MediaPixels(media_id: Long, width: Int, height: Int,
+                               channels: Int, pixel_count: Long,
+                               pixel_checksum: Long)
+
+  /** REAL image decode via `javax.imageio` (replaces the stub for
+    * image formats the JRE decodes; other modalities are filtered).
+    * Per-partition batch shape, like every codec stage here. Emits the
+    * decoded geometry + an FNV checksum over the raster samples, so
+    * oracles can assert the dimensions×channels=pixels invariant and
+    * tests can assert lossless round-trips. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[MediaPixels] = {
+    import media.sparkSession.implicits._
+    media.filter(_.format.startsWith("image/")).mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      require(img != null, s"undecodable image payload for media ${r.media_id}")
+      val raster = img.getRaster
+      val (w, hgt, channels) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var h = 0xcbf29ce484222325L
+      var y = 0
+      while (y < hgt) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < channels) {
+            h ^= (raster.getSample(x, y, c) & 0xffL); h *= 0x100000001b3L; c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      MediaPixels(r.media_id, w, hgt, channels, w.toLong * hgt * channels, h)
+    })
+  }
 
   /** Per-partition batch feature extraction: 16-bin byte histogram
     * (normalized) + FNV checksum — the deterministic stand-in for an

@@ -165,9 +165,20 @@ object PipelineOps {
       val frames = Multimodal.sampleFrames(media, 4).toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), sum("frame_len").as("frame_bytes"))
-      feats.join(grp, "checksum").join(frames, "media_id")
+      // REAL codec round-trip: payloads re-encoded as actual PNGs, decoded
+      // with javax.imageio — the oracle recomputes the deterministic
+      // geometry from the payload length, so width/height/pixel_count
+      // match ONLY if a real decoder ran (dims × channels = pixel count)
+      val px = Multimodal.decodeImages(
+          Multimodal.packAsPngMedia(base.unionByName(planted), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("pixel_count"))
+      feats.join(grp, "checksum").join(frames, "media_id").join(px, "media_id")
         .select(col("media_id"), col("byte_len"), col("dup_min"),
-          col("dup_cnt"), col("n_frames"), col("frame_bytes"))
+          col("dup_cnt"), col("n_frames"), col("frame_bytes"),
+          col("width"), col("height"), col("channels"), col("pixel_count"))
         .orderBy("media_id")
     }),
 
@@ -468,7 +479,11 @@ object PipelineOps {
                       md5(text) AS ck FROM corpus),
          g AS (SELECT ck, MIN(media_id) AS dup_min, COUNT(*) AS dup_cnt FROM b GROUP BY ck)
          SELECT media_id, byte_len, dup_min, dup_cnt,
-                CAST(4 AS BIGINT) AS n_frames, byte_len AS frame_bytes
+                CAST(4 AS BIGINT) AS n_frames, byte_len AS frame_bytes,
+                (byte_len % 31) + 2 AS width,
+                ((byte_len // 31) % 29) + 2 AS height,
+                CAST(3 AS BIGINT) AS channels,
+                ((byte_len % 31) + 2) * (((byte_len // 31) % 29) + 2) * 3 AS pixel_count
          FROM b JOIN g USING (ck) ORDER BY media_id""",
     // the ten planted positive multiples of the query vector are the true
     // top-10 at cosine exactly 1 (max real cosine to any vector ≈ 0.51)

@@ -186,6 +186,48 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr0 == fr3)
   }
 
+  test("multimodal: real PNG codec round-trip via javax.imageio") {
+    val png = Multimodal.packAsPngMedia(docsDf, "doc_id", "text")
+    // real codec bytes: PNG magic, not the raw payload
+    val rows = png.collect()
+    assert(rows.forall(r => (r.content(0) & 0xff) == 0x89 &&
+      r.content(1) == 'P' && r.content(2) == 'N' && r.content(3) == 'G'))
+    val px = Multimodal.decodeImages(png).collect()
+    assert(px.length == 5)
+    // decoded geometry matches the deterministic encode rule and the
+    // invariant dims × channels = pixel count holds on decoded rasters
+    rows.foreach { r =>
+      val p = px.find(_.media_id == r.media_id).get
+      val expW = (r.orig_len % 31) + 2
+      val expH = (r.orig_len / 31 % 29) + 2
+      assert(p.width == expW && p.height == expH && p.channels == 3)
+      assert(p.pixel_count == p.width.toLong * p.height * p.channels)
+    }
+    // PNG is lossless: identical payloads decode to identical rasters,
+    // different payloads to different ones
+    val c0 = px.find(_.media_id == 0L).get.pixel_checksum
+    val c3 = px.find(_.media_id == 3L).get.pixel_checksum
+    val c2 = px.find(_.media_id == 2L).get.pixel_checksum
+    assert(c0 == c3 && c0 != c2)
+    // and the decoded raster equals the ORIGINAL pre-encode pattern: the
+    // checksum is over actual decoded samples, not container bytes
+    val seed = docsDf.where(col("doc_id") === 0)
+      .select(col("text")).collect().head.getString(0).getBytes("UTF-8")
+    val expected = {
+      val w = (seed.length % 31) + 2; val h = (seed.length / 31 % 29) + 2
+      var hsh = 0xcbf29ce484222325L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = seed((y * w + x) % seed.length) & 0xff
+        // TYPE_3BYTE_BGR raster band order is R,G,B via getSample
+        for (s <- Seq(v, (v * 31) & 0xff, (v * 131) & 0xff)) {
+          hsh ^= (s & 0xffL); hsh *= 0x100000001b3L
+        }
+      }
+      hsh
+    }
+    assert(c0 == expected)
+  }
+
   test("connected components cluster dup pairs; canonical = min id") {
     val sp = spark; import sp.implicits._
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
