@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scale soak (VERDICT r3 item 10): run the scale-critical dedup ops on a
+  * 10× corpus (sf0.1 documents replicated with perturbed ids/text) PLUS a
+  * planted boilerplate cluster bigger than `maxBucketSize`, so the
+  * quadratic-bucket guards demonstrably engage instead of only ever
+  * seeing toy buckets. Prints one JSON line: per-op wall seconds, result
+  * sizes, and the guard's bucket-drop statistics. Results are recorded in
+  * BASELINE.md; not part of the per-round bench (minutes, not seconds).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Soak"
+  */
+object Soak {
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val boiler = sys.env.getOrElse("SPARK_GRAFT_SOAK_BOILERPLATE", "2500").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // 10x corpus: copy 0 keeps the original text (near-dup structure
+    // preserved); copies 1..9 append a distinct token so they are
+    // NEAR-dups of the original (high Jaccard), multiplying both corpus
+    // size and true-pair density — the realistic 10x-growth shape.
+    val replicated = base.crossJoin(
+        spark.range(copies.toLong).toDF("copy"))
+      .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rev"), col("copy"))).as("text"))
+    // planted boilerplate: one identical doc repeated past maxBucketSize —
+    // every LSH band hashes it into ONE bucket of size `boiler`, which the
+    // guard MUST drop (else the candidate join emits boiler²/2 pairs)
+    val boilerplate = spark.range(boiler.toLong)
+      .select((col("id") + 900000000L).as("doc_id"),
+        lit("standard legal disclaimer text repeated verbatim across the corpus every day").as("text"))
+    val corpus = replicated.unionByName(boilerplate)
+
+    val (nDocs, tStage) = timed(corpus.count())
+
+    // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000
+    val (p07Pairs, tP07) = timed(
+      Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, minJaccard = 0.9,
+        maxBucketSize = 1000).count())
+    val stats = Dedup.lshBucketStats(corpus, "text", "doc_id",
+      k = 64, bands = 16, shingleN = 2, maxBucketSize = 1000)
+      .collect().head
+    val (buckets, maxBucket, dropped, avoided) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+
+    // p13 shape: embedding near-dup on a replicated embedding corpus
+    // (copies get a tiny per-copy scale: same plane signature — sign bits
+    // are scale-invariant — and cosine exactly 1 to the original)
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val embCorpus = embBase.crossJoin(spark.range(copies.toLong).toDF("copy"))
+      .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
+          .as("embedding"))
+    val (p13Pairs, tP13) = timed(
+      Dedup.embeddingNearDupPairs(embCorpus, "embedding", "vec_id",
+        minCosine = 0.999, planes = 8, maxBucketSize = 10000).count())
+
+    // p18 shape: incremental — today's batch (the base corpus) against the
+    // 10x existing index
+    val (index, tIndex) = timed {
+      val ix = Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, persist = true)
+      ix.sigs.count(); ix.grams.count() // materialize the persisted index
+      ix
+    }
+    val (p18Pairs, tP18) = timed(
+      Dedup.incrementalJaccardPairs(base, index, "text",
+        minJaccard = 0.9, maxBucketSize = 1000).count())
+    index.unpersist()
+
+    println(
+      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
+    spark.stop()
+  }
+}

@@ -150,6 +150,27 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Diagnostic face of the quadratic-bucket guard: the LSH bucket-size
+    * distribution and what `maxBucketSize` drops — total buckets, the
+    * largest one, dropped-bucket count, and the candidate pairs those
+    * drops avoided (each m-bucket would emit m(m-1)/2 pairs). Run this in
+    * scale soaks to prove the guard engages before a near-universal
+    * bucket (shared boilerplate) turns the candidate join quadratic. */
+  def lshBucketStats(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 64, bands: Int = 16, shingleN: Int = 2,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    bandExplode(sigs, idCol, bands, k / bands)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") > maxBucketSize, 1).otherwise(0)).as("dropped_buckets"),
+        sum(when(col("sz") > maxBucketSize,
+          (col("sz") * (col("sz") - 1) / 2).cast("long")).otherwise(0L))
+          .as("pairs_avoided"))
+  }
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                       minEstJaccard: Double = 0.5,
