@@ -404,6 +404,29 @@ final class Application(val name: String, val spark: SparkSession,
     }
   }
 
+  /** Patch attributes of an existing node surgically; everything not
+    * passed stays intact (reference patch_data, application.py:1668-1750 —
+    * the compute-localization convenience over update_data, e.g. swapping
+    * a node's slots for a no-op during testing without re-declaring
+    * inputs/links/spec). Slot and retry patches take effect immediately
+    * (compute is resolved per execution); TTL and hook patches apply on
+    * the next [[activate]] (they live on the compiled routes). */
+  def patchData(id: String,
+                computeTargets: Seq[Slot] = null,
+                pendingNodeTtlMillis: java.lang.Long = null,
+                hooks: RouteHooks = null,
+                retry: RetryPolicy = null): NodeRef = {
+    val d = defs.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"cannot patch non-existent node '$id'"))
+    val patched = d.copy(
+      slots = Option(computeTargets).getOrElse(d.slots),
+      ttlMillis = Option(pendingNodeTtlMillis).map(_.longValue).getOrElse(d.ttlMillis),
+      hooks = Option(hooks).getOrElse(d.hooks),
+      retry = Option(retry).getOrElse(d.retry))
+    defs = defs.map(x => if (x.id == id) patched else x)
+    NodeRef(this, patched.output)
+  }
+
   /** Reload routing state persisted by a previous driver (reference
     * RouteRecord reload, constructs.py:3293-3433): replays the event log to
     * rebuild pending nodes and RE-RUNS executions that were mid-flight

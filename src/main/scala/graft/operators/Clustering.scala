@@ -33,8 +33,11 @@ object Clustering {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nmin"))
+      // carry the previous label as `old` through the round so convergence
+      // needs NO extra join: the probe below is a short-circuit scan of
+      // the checkpoint blocks this same round already materialized
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
       // pointer-jump (2-hop min): adopt your label's own label — labels
@@ -43,14 +46,13 @@ object Clustering {
       val updated = propagated.as("a")
         .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
           col("component") === col("cid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("component"), coalesce(col("ccomp"), col("component")))
             .as("component"))
         .localCheckpoint() // cut iterative lineage
-      val changes = updated.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).limit(1).count()
-      converged = changes == 0
-      labels = updated
+      converged = updated.where(col("component") =!= col("old"))
+        .limit(1).count() == 0
+      labels = updated.drop("old")
       iter += 1
     }
     edges.unpersist()

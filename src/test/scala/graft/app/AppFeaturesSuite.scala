@@ -465,6 +465,26 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.getAllRouteMetrics.keySet == Set("good", "flaky", "join"))
   }
 
+  test("patchData swaps compute surgically; inputs/links/spec stay intact") {
+    stageDays(s"$work/src_patch", Seq("2026-08-11", "2026-08-12"))
+    val app = new Application("patch", spark, s"$work/app_patch")
+    val src = app.marshalExternalData("src", s"$work/src_patch", daySpec)
+    val node = app.createData("agg", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS v FROM src GROUP BY day")))
+    app.activate()
+    app.processPath(s"$work/src_patch/2026-08-11")
+    assert(app.load(node("2026-08-11")).collect().head.getDouble(1) == 6.0)
+
+    // swap ONLY the compute — no re-declaration of inputs/spec; takes
+    // effect for the next execution through the already-active routes
+    app.patchData("agg", computeTargets = Seq(SqlSlot(
+      "SELECT day, CAST(MAX(amount) AS DOUBLE) AS v FROM src GROUP BY day")))
+    app.processPath(s"$work/src_patch/2026-08-12")
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
+
+    intercept[IllegalArgumentException](app.patchData("nope"))
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()
