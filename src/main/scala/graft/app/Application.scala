@@ -631,8 +631,10 @@ final class Application(val name: String, val spark: SparkSession,
         s"cannot export undeclared node '$id'")
       ExportedNode(id, n.signal.spec, n.signal.source.attrs)
     }
-    ExportManifest.save(ExportManifest(name, downstreamId, exported),
+    val path = ExportManifest.save(ExportManifest(name, downstreamId, exported),
       rootDir, spark.sparkContext.hadoopConfiguration)
+    synchronized { manifestCache -= downstreamId } // re-read the new grant
+    path
   }
 
   /** Downstream side of [[exportToDownstream]]: import an upstream node
@@ -662,14 +664,27 @@ final class Application(val name: String, val spark: SparkSession,
   }
 
   private var downstreamApps: List[Application] = Nil
+  // grants are immutable once written; cache per downstream id so the
+  // per-completion propagation path does not re-open + re-deserialize the
+  // manifest file (exportToDownstream invalidates on re-grant; a grant
+  // changed by ANOTHER process requires re-connecting the downstream)
+  private var manifestCache = Map.empty[String, Option[ExportManifest]]
+
+  private def manifestFor(downstreamId: String): Option[ExportManifest] =
+    synchronized {
+      manifestCache.getOrElse(downstreamId, {
+        val m = ExportManifest.load(rootDir, downstreamId,
+          spark.sparkContext.hadoopConfiguration)
+        manifestCache += downstreamId -> m
+        m
+      })
+    }
 
   private def propagateToDownstreams(path: String): List[String] =
     downstreamApps.flatMap { down =>
-      val granted = ExportManifest
-        .load(rootDir, down.name, spark.sparkContext.hadoopConfiguration)
-        .exists(_.nodes.exists(n =>
-          path.startsWith(s"$rootDir/internal_data/${n.nodeId}/") ||
-            path == s"$rootDir/internal_data/${n.nodeId}"))
+      val granted = manifestFor(down.name).exists(_.nodes.exists(n =>
+        path.startsWith(s"$rootDir/internal_data/${n.nodeId}/") ||
+          path == s"$rootDir/internal_data/${n.nodeId}"))
       if (granted) down.processPath(path) else Nil
     }
 

@@ -58,12 +58,10 @@ object DevState {
     }
     val f = fileFor(rootDir)
     val fs = f.getFileSystem(conf)
-    val tmp = new Path(rootDir, "dev_state.bin.tmp")
-    val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
-    try out.writeObject(state) finally out.close()
-    if (fs.exists(f)) fs.delete(f, false)
-    if (!fs.rename(tmp, f))
-      throw new java.io.IOException(s"rename $tmp -> $f failed")
+    AtomicFile.replace(fs, f) { raw =>
+      val out = new java.io.ObjectOutputStream(raw)
+      out.writeObject(state); out.flush()
+    }
     f.toString
   }
 
@@ -71,8 +69,9 @@ object DevState {
            conf: org.apache.hadoop.conf.Configuration): Option[DevState] = {
     val f = fileFor(rootDir)
     val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) return None
-    val in = new java.io.ObjectInputStream(fs.open(f))
-    try Some(in.readObject().asInstanceOf[DevState]) finally in.close()
+    AtomicFile.readPath(fs, f).map { p =>
+      val in = new java.io.ObjectInputStream(fs.open(p))
+      try in.readObject().asInstanceOf[DevState] finally in.close()
+    }
   }
 }

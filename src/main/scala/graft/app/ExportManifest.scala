@@ -27,12 +27,10 @@ object ExportManifest {
            conf: org.apache.hadoop.conf.Configuration): String = {
     val f = fileFor(rootDir, manifest.downstreamId)
     val fs = f.getFileSystem(conf)
-    val tmp = new Path(f.getParent, f.getName + ".tmp")
-    val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
-    try out.writeObject(manifest) finally out.close()
-    if (fs.exists(f)) fs.delete(f, false)
-    if (!fs.rename(tmp, f))
-      throw new java.io.IOException(s"rename $tmp -> $f failed")
+    AtomicFile.replace(fs, f) { raw =>
+      val out = new java.io.ObjectOutputStream(raw)
+      out.writeObject(manifest); out.flush()
+    }
     f.toString
   }
 
@@ -40,8 +38,9 @@ object ExportManifest {
            conf: org.apache.hadoop.conf.Configuration): Option[ExportManifest] = {
     val f = fileFor(rootDir, downstreamId)
     val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) return None
-    val in = new java.io.ObjectInputStream(fs.open(f))
-    try Some(in.readObject().asInstanceOf[ExportManifest]) finally in.close()
+    AtomicFile.readPath(fs, f).map { p =>
+      val in = new java.io.ObjectInputStream(fs.open(p))
+      try in.readObject().asInstanceOf[ExportManifest] finally in.close()
+    }
   }
 }

@@ -60,14 +60,19 @@ object Schedule {
       val hoursSorted = hours.toList.sorted
       var t = LocalDateTime.ofInstant(after, ZoneOffset.UTC)
         .truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
-      // years cap the search; otherwise bound at 8 years (covers the
-      // rarest leap-day + dow coincidence, Feb-29-on-a-Monday ≈ 7y gap)
-      val limit = t.plusYears(8).toLocalDate
+      // search horizon: through the last pinned year when one exists
+      // (e.g. `cron(... 2040)` declared years ahead), else 8 years —
+      // covering the rarest leap-day + dow coincidence
+      // (Feb-29-on-a-Monday ≈ 7y gap). Day-walking is cheap: even the
+      // 2199 year cap is only ~63k iterations.
+      val limit = years.map(_.max) match {
+        case Some(y) => LocalDate.of(y, 12, 31)
+        case None => t.plusYears(8).toLocalDate
+      }
       var day = t.toLocalDate
       var first = true
       while (!day.isAfter(limit)) {
-        val yearOk = years.forall(_.contains(day.getYear)) &&
-          day.getYear <= years.map(_.max).getOrElse(Int.MaxValue)
+        val yearOk = years.forall(_.contains(day.getYear))
         if (yearOk && months.contains(day.getMonthValue) && dayMatches(day)) {
           val (h0, m0) = if (first) (t.getHour, t.getMinute) else (0, 0)
           for (h <- hoursSorted if h >= h0; m <- minsSorted) {
@@ -79,7 +84,7 @@ object Schedule {
         first = false
       }
       throw new IllegalStateException(
-        s"no fire time within 8 years after $after for $this")
+        s"no fire time on or before $limit (after $after) for $this")
     }
   }
 
@@ -200,13 +205,23 @@ final class TimerScheduler private[app] (
     fired.toList
   }
 
-  /** Background wall-clock poller (daemon). */
+  /** Background wall-clock poller (daemon). A failed fire (a triggered
+    * node's compute throwing) is logged and the loop CONTINUES — one
+    * transient failure must not silently kill every future scheduled
+    * fire. Note the failed tick is not re-fired: its next-fire time
+    * already advanced; use manual execute/backfill to redeem it. */
   def start(pollMillis: Long = 1000): Unit = synchronized {
     if (poller != null) return
     poller = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        advanceTo(Instant.now()); Thread.sleep(pollMillis)
-      } catch { case _: InterruptedException => }
+      var interrupted = false
+      while (!interrupted) {
+        try { advanceTo(Instant.now()); Thread.sleep(pollMillis) }
+        catch {
+          case _: InterruptedException => interrupted = true
+          case e: Throwable =>
+            System.err.println(s"[graft-timer-scheduler] fire failed: ${e.getMessage}")
+        }
+      }
     }, s"graft-timer-scheduler")
     poller.setDaemon(true)
     poller.start()

@@ -58,12 +58,22 @@ final class AlarmMonitor(
     }
   }
 
-  /** Background wall-clock poller (daemon). */
+  /** Background wall-clock poller (daemon). A failing series() read or a
+    * failing alarm-triggered execution is logged and the loop CONTINUES —
+    * one transient metric-store error must not permanently stop alarm
+    * evaluation for a live app. */
   def start(pollMillis: Long = 1000): Unit = synchronized {
     if (poller != null) return
     poller = new Thread(() => {
-      try while (!Thread.interrupted()) { poll(); Thread.sleep(pollMillis) }
-      catch { case _: InterruptedException => }
+      var interrupted = false
+      while (!interrupted) {
+        try { poll(); Thread.sleep(pollMillis) }
+        catch {
+          case _: InterruptedException => interrupted = true
+          case e: Throwable =>
+            System.err.println(s"[graft-alarm-monitor] poll failed: ${e.getMessage}")
+        }
+      }
     }, "graft-alarm-monitor")
     poller.setDaemon(true)
     poller.start()

@@ -74,7 +74,10 @@ object DiagnosticsQueries {
     "m05_metric_triggered_alarm" -> ((s, dir) => {
       import graft.app.Application
       import graft.compute.SqlSlot
-      val w = s"/tmp/graft_m05_${new java.io.File(dir).getName}"
+      // per-JVM app root: concurrent runs at the same SF must not race on
+      // one another's managed output partitions (same fix as fw10)
+      val w = s"/tmp/graft_m05_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
       val app = new Application("m05", s, s"$w/app_m05")
       // scale-invariant series: daily error count normalized by the
       // overall daily average — the alarm pattern is meaningful at every

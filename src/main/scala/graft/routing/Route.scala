@@ -128,6 +128,11 @@ final class RoutingTable(probe: PathProbe,
       // on a long-lived driver), at tip granularity (reference ONLY_HEAD
       // processing mode) so a restart can rebuild pending state by
       // replaying the event log.
+      // KNOWN TRADE-OFF: if a LATER driver adds a route consuming a
+      // source that fired only before the route existed, replay cannot
+      // seed that pending node (the event was never logged) — matching
+      // the reference, which also persists per-route records only; use
+      // execute/backfill to redeem pre-declaration events.
       // KNOWN GRANULARITY LIMIT: a multi-partition event signal (e.g.
       // ground() of a ranged view) replays as its tip partition only —
       // completion checks still probe the real filesystem, but replayed

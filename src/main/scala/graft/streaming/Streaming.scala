@@ -35,8 +35,6 @@ final class MarkerStream(app: Application, roots: Seq[String],
     scala.collection.mutable.LinkedHashSet.empty[org.apache.hadoop.fs.Path]
   private val pendingFile =
     new org.apache.hadoop.fs.Path(checkpointDir, "_graft_pending_dirs")
-  private val pendingTmp =
-    new org.apache.hadoop.fs.Path(checkpointDir, "_graft_pending_dirs.tmp")
   loadPending()
 
   private def fsOf(p: org.apache.hadoop.fs.Path) =
@@ -46,11 +44,7 @@ final class MarkerStream(app: Application, roots: Seq[String],
     val fs = fsOf(pendingFile)
     // crash between savePending's delete and rename leaves only the tmp
     // (complete by construction — it is closed before the swap starts)
-    val src =
-      if (fs.exists(pendingFile)) Some(pendingFile)
-      else if (fs.exists(pendingTmp)) Some(pendingTmp)
-      else None
-    src.foreach { p =>
+    graft.app.AtomicFile.readPath(fs, pendingFile).foreach { p =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), "UTF-8"))
       try {
@@ -64,21 +58,14 @@ final class MarkerStream(app: Application, roots: Seq[String],
     }
   }
 
-  /** Atomic replace: write the full set to a temp path, then swap it in.
-    * An in-place `fs.create(overwrite)` truncates before writing, so a
-    * crash mid-write would empty the durable set and silently drop every
-    * carried-over completion on restart. Crash windows here leave either
-    * the old file, or (between delete and rename) only the complete tmp —
-    * [[loadPending]] falls back to the tmp in that case. */
-  private def savePending(): Unit = {
-    val fs = fsOf(pendingFile)
-    val out = fs.create(pendingTmp, true)
-    try out.write(pendingDirs.map(_.toString).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(pendingFile)) fs.delete(pendingFile, false)
-    if (!fs.rename(pendingTmp, pendingFile))
-      throw new java.io.IOException(s"rename $pendingTmp -> $pendingFile failed")
-  }
+  /** Atomic replace: an in-place `fs.create(overwrite)` truncates before
+    * writing, so a crash mid-write would empty the durable set and
+    * silently drop every carried-over completion on restart. The shared
+    * [[graft.app.AtomicFile]] swap protocol leaves either the old file or
+    * a complete tmp; [[loadPending]] falls back to the tmp. */
+  private def savePending(): Unit =
+    graft.app.AtomicFile.replace(fsOf(pendingFile), pendingFile)(out =>
+      out.write(pendingDirs.map(_.toString).mkString("\n").getBytes("UTF-8")))
 
   private val binaryFileSchema = StructType(Seq(
     StructField("path", StringType),
