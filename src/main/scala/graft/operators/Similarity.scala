@@ -118,4 +118,101 @@ object Similarity {
       else sigs,
       vecCol, idCol, planes)
   }
+
+  // ---- IVF: the centroid-partitioned ANN scale path ----------------------
+
+  /** Unit-normalized copy of a float-array column (zero vectors pass
+    * through unscaled instead of dividing by zero under ANSI). The norm
+    * binds once in aggregate's finish lambda — see [[quantizeInt8]]. */
+  private def unit(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"),
+      ss => transform(vec, x =>
+        when(ss === 0.0, x.cast("double"))
+          .otherwise(x.cast("double") / sqrt(ss))))
+
+  /** Inverted-file index: `cells` = (id, vec, __cell) with each vector
+    * assigned to its nearest (max-dot) spherical-k-means centroid.
+    * Centroids live driver-side (k×dim doubles — tiny, broadcast into
+    * expressions), so a query prunes to `nProbe` cells WITHOUT scanning
+    * the corpus: at N vectors over k cells, a probe reranks ~nProbe·N/k
+    * rows exactly. Build is deterministic (lowest-md5 seeding, fixed
+    * Lloyd iterations) — identical index on every run/cluster. */
+  final case class IvfIndex private[operators] (
+      cells: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String, idCol: String) {
+
+    private def dotLocal(a: Array[Double], b: Seq[Float]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y.toDouble }.sum
+
+    /** Exact top-k within the `nProbe` cells nearest the query. */
+    def topK(queryVec: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+      val qn = math.sqrt(queryVec.iterator.map(v => v.toDouble * v).sum) match {
+        case 0.0 => queryVec.map(_.toDouble)
+        case n => queryVec.map(_ / n)
+      }
+      val probeCells = centroids.zipWithIndex
+        .map { case (c, i) => (dotLocal(c, qn.map(_.toFloat)), i) }
+        .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
+      val q = array(queryVec.map(v => lit(v)): _*)
+      cells.where(col("__cell").isin(probeCells.toSeq: _*))
+        .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+
+    def unpersist(): Unit = cells.unpersist()
+  }
+
+  /** Build an [[IvfIndex]]: spherical k-means over unit vectors.
+    * Seeds = the `k` rows with the lowest md5(id) (deterministic,
+    * engine-agnostic); `iters` fixed Lloyd rounds; assignment is a pure
+    * Column expression over the broadcast centroid literals (k·dim work
+    * per row, NO shuffle — the only shuffle is the k×dim centroid
+    * re-aggregation, which is map-side combined). */
+  def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 16, iters: Int = 3,
+                    persist: Boolean = true): IvfIndex = {
+    val base = df.select(col(idCol), col(vecCol),
+      unit(col(vecCol)).as("__u"))
+    var centroids: Array[Array[Double]] = base
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+      .select(col("__u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    def cellExpr: Column = {
+      val cArr = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+      val scores = transform(cArr, c =>
+        aggregate(zip_with(c, col("__u"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("__cell", cellExpr)
+      // new centroid = mean of members, re-normalized (spherical step);
+      // k×dim aggregate rows — driver-side collect is trivially small
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__u")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val dim = centroids.head.length
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        next(cell)(pos) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next.map { c =>
+        val n = math.sqrt(c.iterator.map(x => x * x).sum)
+        if (n == 0.0) c else c.map(_ / n)
+      }
+      require(centroids.forall(_.length == dim))
+    }
+
+    val cells = base.withColumn("__cell", cellExpr).drop("__u")
+    IvfIndex(
+      if (persist) cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cells,
+      centroids, vecCol, idCol)
+  }
 }

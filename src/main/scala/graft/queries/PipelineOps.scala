@@ -200,6 +200,28 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    // ---- IVF ANN (the centroid-partitioned scale path, complementing
+    // p12's hyperplane LSH): spherical-k-means cells, query probes its
+    // nearest cells only. Planted positive multiples of the query vector
+    // normalize to (floating-point-close) the SAME unit vector, so they
+    // share the query's cell by construction and out-rank every real
+    // vector with cosine exactly 1 — the probed top-10 must equal the
+    // planted set, independent of how k-means carved the real corpus
+    "p20_ivf_ann" -> ((s, dir) => {
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val planted = (0 until 10).map(n =>
+          (10000L + n, q.map(v => v * (1.0f + 0.1f * (n + 1)))))
+        .toDF("vec_id", "embedding")
+      val corpus = embs(s, dir).where(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").unionByName(planted)
+      val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+        k = 8, iters = 2, persist = false)
+      index.topK(q, 10, nProbe = 2)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id")
+    }),
+
     // ---- duplicate-cluster resolution: connected components over the
     // near-dup pair graph, canonical representative = min id per cluster
     "p14_dup_clusters" -> ((s, dir) => {
@@ -488,6 +510,11 @@ object PipelineOps {
     // the ten planted positive multiples of the query vector are the true
     // top-10 at cosine exactly 1 (max real cosine to any vector ≈ 0.51)
     "p12_ann_lsh" ->
+      """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(10) ORDER BY vec_id""",
+    // the planted colinear set is the provable IVF answer too (same
+    // construction as p12; cells cannot separate parallel vectors)
+    "p20_ivf_ann" ->
       """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(10) ORDER BY vec_id"""
   )

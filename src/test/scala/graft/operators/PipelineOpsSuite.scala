@@ -139,6 +139,39 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.nonEmpty && top.head.getLong(0) == 1L)
   }
 
+  test("ivf ann: cells partition the corpus, probe recalls the neighbor") {
+    val sp = spark; import sp.implicits._
+    // a corpus with clear cluster structure: near-copies of two anchors
+    val a = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val b = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0 until 20).map { i =>
+      val anchor = if (i % 2 == 0) a else b
+      val v = anchor.clone(); v(i % 8) += 0.01f * (i / 2 + 1)
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      k = 2, iters = 3, persist = false)
+    // deterministic build: identical centroids on a rebuild
+    val idx2 = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      k = 2, iters = 3, persist = false)
+    assert(idx.centroids.map(_.toSeq).toSeq == idx2.centroids.map(_.toSeq).toSeq)
+    // every vector is assigned to exactly one of the k cells
+    val cellCounts = idx.cells.groupBy("__cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellCounts.values.sum == 20 && cellCounts.keySet.subsetOf(Set(0, 1)))
+    // probing 1 cell finds the a-cluster's nearest neighbor to a
+    val top = idx.topK(a.toSeq, k = 3, nProbe = 1).collect()
+    assert(top.length == 3)
+    assert(top.forall(_.getLong(0) % 2 == 0), // all from the a-cluster
+      s"probe crossed clusters: ${top.map(_.getLong(0)).toSeq}")
+    // nProbe = k scans everything -> equals exact brute force
+    val brute = Similarity.cosineTopK(corpus, "embedding", "vec_id", a.toSeq, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val full = idx.topK(a.toSeq, k = 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+  }
+
   test("ann stored index: build once, query repeatedly with same results") {
     val idx = Similarity.buildIndex(vecsDf.where(col("vec_id") =!= 0),
       "embedding", "vec_id", planes = 4)
