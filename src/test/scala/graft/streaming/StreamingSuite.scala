@@ -204,6 +204,39 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getAs[Long]("sample_count") == 2L)
   }
 
+  test("text-analysis Column ops run unchanged inside Structured Streaming") {
+    // the payoff of the no-UDF design: tokens/quality/langId/simhash are
+    // pure Catalyst expressions, so the SAME operators run on a stream
+    // with no code changes and produce batch-identical values
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "der schnelle braune fuchs springt und die hunde laufen weg"))
+    def analyzed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("tokens"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.simhash64(col("text")).as("sh"))
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = analyzed(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("txt_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM txt_stream ORDER BY doc_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = analyzed(docs.toDF("doc_id", "text")).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch, "stream/batch divergence in text ops")
+      assert(streamed.map(_.apply(3)) == Seq("en", "de"))
+    } finally q.stop()
+  }
+
   test("streaming ingest dedup drops re-ingested duplicate content") {
     val sp = spark
     import sp.implicits._
