@@ -118,6 +118,38 @@ final class Application(val name: String, val spark: SparkSession,
   def getAllRouteMetrics: Map[String, RouteMetricsReport] =
     table.all.flatMap(r => getRouteMetrics(r.id).map(r.id -> _)).toMap
 
+  /** The platform/orchestration counters as a METRIC SERIES
+    * (name, period_start, value) — the reference's get_platform_metrics
+    * face (application.py:532-599), shaped so orchestration health feeds
+    * [[createMetricAlarm]]/[[graft.diagnostics.Alarms]] like any emitted
+    * metric: e.g. alarm on `route.myNode.execFailed`. Names:
+    * `route.<id>.<eventsReceived|pendingCreated|pendingExpired|
+    * zombiesEliminated|triggers|execSucceeded|execFailed|pendingNow>`
+    * plus app-level `app.<computeRecords|activeExecutions|routes>`. */
+  def platformMetricsDf(
+      at: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()))
+      : DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val routeRows = getAllRouteMetrics.toList.flatMap { case (id, m) =>
+      List(
+        s"route.$id.eventsReceived" -> m.counters.eventsReceived.toDouble,
+        s"route.$id.pendingCreated" -> m.counters.pendingCreated.toDouble,
+        s"route.$id.pendingExpired" -> m.counters.pendingExpired.toDouble,
+        s"route.$id.zombiesEliminated" -> m.counters.zombiesEliminated.toDouble,
+        s"route.$id.triggers" -> m.counters.triggers.toDouble,
+        s"route.$id.execSucceeded" -> m.execSucceeded.toDouble,
+        s"route.$id.execFailed" -> m.execFailed.toDouble,
+        s"route.$id.pendingNow" -> m.pendingNow.toDouble)
+    }
+    val appRows = List(
+      "app.computeRecords" -> computeRecords.length.toDouble,
+      "app.activeExecutions" -> activeComputePaths.size.toDouble,
+      "app.routes" -> table.all.length.toDouble)
+    (routeRows ++ appRows).map { case (n, v) => (n, at, v) }
+      .toDF("name", "period_start", "value")
+  }
+
   /** Output paths with an execution in flight right now (reference
     * get_active_compute_records). */
   def activeComputePaths: Set[String] =

@@ -463,6 +463,23 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       join.pendingNow == 1)
     assert(app.getRouteMetrics("nope").isEmpty)
     assert(app.getAllRouteMetrics.keySet == Set("good", "flaky", "join"))
+
+    // platform metrics are a metric SERIES: orchestration health can feed
+    // the alarm machinery like any emitted metric (self-monitoring)
+    val pm = app.platformMetricsDf()
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pm("route.flaky.execFailed") >= 1.0)
+    assert(pm("route.good.execSucceeded") >= 1.0)
+    assert(pm("route.join.pendingExpired") >= 1.0 && pm("app.routes") == 3.0)
+    val alarm = app.createMetricAlarm("flaky_health",
+      () => app.platformMetricsDf().where(col("name") === "route.flaky.execFailed"),
+      graft.diagnostics.AlarmParams(1.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold, 1, 1),
+      periodSecs = 60)
+    assert(alarm.signal.alias == "flaky_health")
+    val transitions = app.alarmMonitor().poll()
+    assert(transitions.exists(t =>
+      t.alarmId == "flaky_health" && t.state == graft.diagnostics.Alarms.ALARM))
   }
 
   test("patchData swaps compute surgically; inputs/links/spec stay intact") {
