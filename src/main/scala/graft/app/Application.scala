@@ -692,7 +692,10 @@ final class Application(val name: String, val spark: SparkSession,
     * that app are forwarded. */
   def connectDownstream(app: Application): Unit = synchronized {
     require(app ne this, "cannot connect an application to itself")
-    downstreamApps :+= app
+    if (!downstreamApps.exists(_ eq app)) downstreamApps :+= app
+    // (re-)connecting re-reads the grant: a manifest written by ANOTHER
+    // process since the last propagate becomes visible here
+    manifestCache -= app.name
   }
 
   private var downstreamApps: List[Application] = Nil

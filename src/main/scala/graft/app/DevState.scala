@@ -69,7 +69,7 @@ object DevState {
            conf: org.apache.hadoop.conf.Configuration): Option[DevState] = {
     val f = fileFor(rootDir)
     val fs = f.getFileSystem(conf)
-    AtomicFile.readPath(fs, f).map { p =>
+    AtomicFile.read(fs, f) { p =>
       val in = new java.io.ObjectInputStream(fs.open(p))
       try in.readObject().asInstanceOf[DevState] finally in.close()
     }

@@ -38,7 +38,7 @@ object ExportManifest {
            conf: org.apache.hadoop.conf.Configuration): Option[ExportManifest] = {
     val f = fileFor(rootDir, downstreamId)
     val fs = f.getFileSystem(conf)
-    AtomicFile.readPath(fs, f).map { p =>
+    AtomicFile.read(fs, f) { p =>
       val in = new java.io.ObjectInputStream(fs.open(p))
       try in.readObject().asInstanceOf[ExportManifest] finally in.close()
     }

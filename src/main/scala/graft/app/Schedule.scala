@@ -187,7 +187,14 @@ final class TimerScheduler private[app] (
   /** Fire every schedule due at or before `now`; returns (timerId,
     * fireTime) in fire order. The fired dimension value is the scheduled
     * fire time (UTC LocalDateTime), truncated by the timer dimension's
-    * own format at materialization. */
+    * own format at materialization.
+    *
+    * A tick whose downstream compute THROWS still counts as fired — the
+    * timer event was delivered into routing before the compute ran — so
+    * its next-fire time advances and the loop continues with the other
+    * due ticks. Anything else would hot-retry the same failing tick
+    * forever and starve every other timer. Redeem a failed tick's
+    * outputs with manual execute/backfill. */
   def advanceTo(now: Instant): List[(String, Instant)] = synchronized {
     val fired = scala.collection.mutable.ListBuffer.empty[(String, Instant)]
     var due = true
@@ -197,30 +204,35 @@ final class TimerScheduler private[app] (
       else {
         val (i, t) = candidates.minBy(_._2)
         val (timer, schedule) = entries(i)
-        app.fireTimer(timer, LocalDateTime.ofInstant(t, ZoneOffset.UTC))
-        fired += ((timer.signal.alias, t))
-        next(i) = schedule.nextFire(t)
+        next(i) = schedule.nextFire(t) // advance FIRST: a failed compute
+        fired += ((timer.signal.alias, t)) // must not wedge the schedule
+        try app.fireTimer(timer, LocalDateTime.ofInstant(t, ZoneOffset.UTC))
+        catch {
+          case e: Throwable => System.err.println(
+            s"[graft-timer-scheduler] ${timer.signal.alias}@$t compute failed: ${e.getMessage}")
+        }
       }
     }
     fired.toList
   }
 
-  /** Background wall-clock poller (daemon). A failed fire (a triggered
-    * node's compute throwing) is logged and the loop CONTINUES — one
-    * transient failure must not silently kill every future scheduled
-    * fire. Note the failed tick is not re-fired: its next-fire time
-    * already advanced; use manual execute/backfill to redeem it. */
+  /** Background wall-clock poller (daemon). Fire failures are contained
+    * inside [[advanceTo]] (the tick advances, the error is logged); any
+    * unexpected poller-level error is also logged WITHOUT skipping the
+    * sleep, so a persistent failure paces at pollMillis instead of busy-
+    * looping. */
   def start(pollMillis: Long = 1000): Unit = synchronized {
     if (poller != null) return
     poller = new Thread(() => {
       var interrupted = false
       while (!interrupted) {
-        try { advanceTo(Instant.now()); Thread.sleep(pollMillis) }
+        try advanceTo(Instant.now())
         catch {
-          case _: InterruptedException => interrupted = true
           case e: Throwable =>
-            System.err.println(s"[graft-timer-scheduler] fire failed: ${e.getMessage}")
+            System.err.println(s"[graft-timer-scheduler] poll failed: ${e.getMessage}")
         }
+        try Thread.sleep(pollMillis)
+        catch { case _: InterruptedException => interrupted = true }
       }
     }, s"graft-timer-scheduler")
     poller.setDaemon(true)

@@ -39,7 +39,14 @@ final class AlarmMonitor(
 
   /** Evaluate every alarm over its current series; raise each state
     * transition (in period order) into routing. Returns the raised
-    * transitions with the downstream completions each one caused. */
+    * transitions with the downstream completions each one caused.
+    *
+    * The cursor (last period/state) advances only AFTER a transition's
+    * raise succeeds: if the triggered compute throws, this alarm's scan
+    * stops at the failed period and the NEXT poll retries the same
+    * transition — a change-only protocol must never silently drop an
+    * edge (the state would otherwise have to flip away and back before
+    * the downstream ever triggered). */
   def poll(): List[Transition] = synchronized {
     defs.toList.flatMap { d =>
       val rows = Alarms.evaluate(d.series(), d.params, d.periodSecs)
@@ -48,13 +55,28 @@ final class AlarmMonitor(
         .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1)))
       val fresh = rows.filter { case (t, _) =>
         lastPeriod.get(d.alarmId).forall(t.isAfter) }
-      fresh.flatMap { case (t, state) =>
-        lastPeriod(d.alarmId) = t
-        val changed = !lastState.get(d.alarmId).contains(state)
-        lastState(d.alarmId) = state
-        if (changed) Some(Transition(d.alarmId, state, t, raise(d.alarmId, state, t)))
-        else None
+      val out = scala.collection.mutable.ListBuffer.empty[Transition]
+      var halted = false
+      fresh.foreach { case (t, state) =>
+        if (!halted) {
+          val changed = !lastState.get(d.alarmId).contains(state)
+          if (!changed) lastPeriod(d.alarmId) = t
+          else {
+            try {
+              val completions = raise(d.alarmId, state, t)
+              lastPeriod(d.alarmId) = t
+              lastState(d.alarmId) = state
+              out += Transition(d.alarmId, state, t, completions)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[graft-alarm-monitor] raise " +
+                  s"${d.alarmId}→$state@$t failed (will retry): ${e.getMessage}")
+                halted = true // preserve transition order; retry next poll
+            }
+          }
+        }
       }
+      out.toList
     }
   }
 
@@ -67,12 +89,15 @@ final class AlarmMonitor(
     poller = new Thread(() => {
       var interrupted = false
       while (!interrupted) {
-        try { poll(); Thread.sleep(pollMillis) }
+        try poll()
         catch {
-          case _: InterruptedException => interrupted = true
           case e: Throwable =>
             System.err.println(s"[graft-alarm-monitor] poll failed: ${e.getMessage}")
         }
+        // sleep OUTSIDE the try: a persistently failing series read paces
+        // at pollMillis instead of busy-looping Spark jobs
+        try Thread.sleep(pollMillis)
+        catch { case _: InterruptedException => interrupted = true }
       }
     }, "graft-alarm-monitor")
     poller.setDaemon(true)

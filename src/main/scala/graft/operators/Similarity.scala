@@ -172,12 +172,18 @@ object Similarity {
   def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String,
                     k: Int = 16, iters: Int = 3,
                     persist: Boolean = true): IvfIndex = {
+    // the unit-normalized projection feeds the seed collect, every Lloyd
+    // round, and the final assignment — persist it for the build instead
+    // of re-scanning + re-normalizing the corpus iters+2 times
     val base = df.select(col(idCol), col(vecCol),
       unit(col(vecCol)).as("__u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = base
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .select(col("__u")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty,
+      s"cannot build an IVF index over an empty corpus ($vecCol)")
 
     def cellExpr: Column = {
       val cArr = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
@@ -210,9 +216,13 @@ object Similarity {
     }
 
     val cells = base.withColumn("__cell", cellExpr).drop("__u")
-    IvfIndex(
-      if (persist) cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else cells,
-      centroids, vecCol, idCol)
+    val kept =
+      if (persist) {
+        val c = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count() // materialize so the build projection can be released
+        c
+      } else cells.localCheckpoint() // sever from base before unpersisting
+    base.unpersist()
+    IvfIndex(kept, centroids, vecCol, idCol)
   }
 }

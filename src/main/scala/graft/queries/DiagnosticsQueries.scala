@@ -17,6 +17,17 @@ object DiagnosticsQueries {
 
   private val DaySecs = 86400L
 
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupAtExit(dir: String): Unit =
+    if (cleanupRegistered.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M2: daily statistic evaluation of every metric name (values fed
     // as decimals so sum/avg are exact and order-independent)
@@ -75,9 +86,12 @@ object DiagnosticsQueries {
       import graft.app.Application
       import graft.compute.SqlSlot
       // per-JVM app root: concurrent runs at the same SF must not race on
-      // one another's managed output partitions (same fix as fw10)
+      // one another's managed output partitions (same fix as fw10); the
+      // per-pid tree is torn down at JVM exit so repeated runs don't
+      // accumulate /tmp garbage
       val w = s"/tmp/graft_m05_${new java.io.File(dir).getName}" +
         s"_${ProcessHandle.current().pid()}"
+      DiagnosticsQueries.cleanupAtExit(w)
       val app = new Application("m05", s, s"$w/app_m05")
       // scale-invariant series: daily error count normalized by the
       // overall daily average — the alarm pattern is meaningful at every

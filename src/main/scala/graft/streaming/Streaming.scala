@@ -43,19 +43,22 @@ final class MarkerStream(app: Application, roots: Seq[String],
   private def loadPending(): Unit = {
     val fs = fsOf(pendingFile)
     // crash between savePending's delete and rename leaves only the tmp
-    // (complete by construction — it is closed before the swap starts)
-    graft.app.AtomicFile.readPath(fs, pendingFile).foreach { p =>
+    // (complete by construction — it is closed before the swap starts);
+    // AtomicFile.read also skips a torn file instead of crashing restart
+    val dirs = graft.app.AtomicFile.read(fs, pendingFile) { p =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), "UTF-8"))
       try {
+        val out = scala.collection.mutable.ListBuffer.empty[org.apache.hadoop.fs.Path]
         var line = in.readLine()
         while (line != null) {
-          if (line.nonEmpty)
-            pendingDirs += new org.apache.hadoop.fs.Path(line)
+          if (line.nonEmpty) out += new org.apache.hadoop.fs.Path(line)
           line = in.readLine()
         }
+        out.toList
       } finally in.close()
     }
+    dirs.foreach(pendingDirs ++= _)
   }
 
   /** Atomic replace: an in-place `fs.create(overwrite)` truncates before
