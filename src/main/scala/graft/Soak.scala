@@ -82,6 +82,16 @@ object Soak {
       Dedup.embeddingNearDupPairs(embCorpus, "embedding", "vec_id",
         minCosine = 0.999, planes = 8, maxBucketSize = 10000).count())
 
+    // p20 shape: IVF build over the 10x embedding corpus + a probe query
+    val (ivfIdx, tIvfBuild) = timed(
+      Similarity.buildIvfIndex(embCorpus, "embedding", "vec_id",
+        k = 32, iters = 3, persist = true))
+    val queryVec = embBase.limit(1).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    val (ivfTop, tIvfQuery) = timed(
+      ivfIdx.topK(queryVec, k = 10, nProbe = 4).count())
+    ivfIdx.unpersist()
+
     // p18 shape: incremental — today's batch (the base corpus) against the
     // 10x existing index
     val (index, tIndex) = timed {
@@ -96,7 +106,7 @@ object Soak {
     index.unpersist()
 
     println(
-      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
+      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"ivf_build_sec":$tIvfBuild%.1f,"ivf_query_sec":$tIvfQuery%.1f,"ivf_top":$ivfTop,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
     spark.stop()
   }
 }
