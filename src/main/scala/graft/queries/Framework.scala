@@ -306,6 +306,27 @@ object Framework {
         .reduce(_ unionAll _).orderBy("region", "o_orderstatus")
     }),
 
+    // ---- dev-context persistence (reference save/load_dev_state +
+    // attach, application.py:164-180): the DAG is declared once, saved,
+    // and a NEW SparkSession attaches it from disk — zero re-declaration —
+    // then executes through the recovered definitions
+    "fw13_attach" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      val root = s"$w/app_fw13"
+      val app1 = new Application("fw13", s, root)
+      val src = app1.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      app1.createData("day_agg", Seq(src.latest(1)), Seq(SqlSlot(
+        """SELECT o_orderstatus, COUNT(*) AS order_cnt
+           FROM orders_daily GROUP BY o_orderstatus""")))
+      app1.saveDevState()
+      val app2 = Application.attach("fw13", s.newSession(), root)
+      val node = app2.getData("day_agg").getOrElse(
+        sys.error("attached dev state lost node 'day_agg'"))
+      app2.execute(node(fmt(maxDay)))
+      app2.load(node(fmt(maxDay))).orderBy("o_orderstatus")
+    }),
+
     // ---- DATETIME timezone: an hour-granularity UTC timer fires at
     // 03:00 UTC; the node's output dimension is declared in PST, linked
     // through DateValue.toTimezone — the materialized partition lands on
@@ -378,6 +399,12 @@ object Framework {
          WHERE CAST(o_orderdate AS DATE) =
            (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
          GROUP BY r.region, o_orderstatus ORDER BY 1, 2""",
+    "fw13_attach" ->
+      """SELECT o_orderstatus, COUNT(*) AS order_cnt
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) =
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY 1 ORDER BY 1""",
     "fw03_reference_join" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
