@@ -516,6 +516,17 @@ final class Application(val name: String, val spark: SparkSession,
     if (appState == AppState.PAUSED) Nil
     else runContexts(table.receivePath(path))
 
+  /** Re-check every pending node's completion probes without a new event
+    * and run whatever became ready (the reference processor's periodic
+    * `next_cycle` over pending routes): partitions that appeared on
+    * storage WITHOUT an event — written by external systems the marker
+    * stream doesn't watch — complete their waiting joins here. Call
+    * periodically from a driver loop alongside the timer scheduler and
+    * marker stream. */
+  def sweep(): List[String] =
+    if (appState == AppState.PAUSED) Nil
+    else runContexts(table.sweepPending())
+
   /** Fire a timer tick. */
   def fireTimer(timer: NodeRef, value: Any): List[String] =
     process(timer.signal.copy(filter = DimFilter.branchOf(timer.signal.spec, Seq(value))))

@@ -88,6 +88,23 @@ final class Route(
     }
   }
 
+  /** Re-evaluate pending nodes WITHOUT a new event (the reference
+    * orchestration cycle's pending-node checker, processor `next_cycle` +
+    * RoutePendingNodeChecker): a node whose events all arrived but whose
+    * range/nearest completion probes failed becomes ready here once the
+    * missing partitions appear on storage — data written by systems that
+    * emit no events is not lost forever. */
+  def sweep(probe: PathProbe,
+            nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] = {
+    expireNodes(nowMillis)
+    val (ready, waiting) = pending.partition(_.isReady(probe))
+    pending = waiting
+    ctrs = ctrs.copy(triggers = ctrs.triggers + ready.length)
+    ready.map { n =>
+      ExecutionContext(id, n.materializedInputs(probe), n.materializeOutput())
+    }
+  }
+
   /** TTL expiry of stale pending nodes (J4; reference check_expired_nodes,
     * routing_runtime_constructs.py:1446-1459). */
   def expireNodes(nowMillis: Long): Unit = {
@@ -193,6 +210,11 @@ final class RoutingTable(probe: PathProbe,
         .flatMap(s => s.fromEventPath(normalized)).distinct
       decoded.headOption.map(s => receive(s, isBlocked)).getOrElse(Nil)
     }
+
+  /** Re-run every route's pending completion checks without an event
+    * (the orchestration-cycle sweep; see [[Route.sweep]]). */
+  def sweepPending(nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] =
+    synchronized { routes.flatMap(_.sweep(cachingProbe, nowMillis)) }
 
   /** Pre-seed known-complete paths (transfer_ranges analog). */
   def markComplete(paths: Iterable[String]): Unit = synchronized {

@@ -502,6 +502,36 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](app.patchData("nope"))
   }
 
+  test("sweep completes a pending node when data appears without an event") {
+    val sp = spark
+    import sp.implicits._
+    stageDays(s"$work/src_sweep", Seq("2026-08-11", "2026-08-12"))
+    val app = new Application("sweep", spark, s"$work/app_sweep")
+    val src = app.marshalExternalData("src", s"$work/src_sweep", daySpec)
+    // 2-day ranged input with a completion check: the event for day 12
+    // arrives while day 11 is still missing -> node stays pending
+    val late = s"$work/late_sweep"
+    val lateSrc = app.marshalExternalData("late", late, daySpec)
+    val node = app.createData("sum2", Seq(src.latest(1), lateSrc.latest(1).ref.rangeCheck()),
+      Seq(SqlSlot(
+        """SELECT CAST(SUM(s.amount) AS DOUBLE) + CAST(SUM(l.amount) AS DOUBLE) AS total
+           FROM src s, late l""")))
+    app.activate()
+    assert(app.processPath(s"$work/src_sweep/2026-08-12").isEmpty,
+      "must stay pending while the ref range is incomplete")
+    assert(app.pendingNodeCounts.getOrElse("sum2", 0) == 1)
+    // the late partition lands WITHOUT any event (external writer)
+    Seq(("2026-08-12", 10.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$late/2026-08-12")
+    // no event arrives — only the orchestration-cycle sweep can finish it
+    val completed = app.sweep()
+    assert(completed.exists(_.endsWith("sum2/2026-08-12")),
+      s"sweep did not complete the pending join: $completed")
+    // cross join of 3 src rows x 1 late row: sum(s)=6, sum(l)=10*3=30
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(0) == 36.0)
+    assert(app.sweep().isEmpty) // nothing left pending
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()
