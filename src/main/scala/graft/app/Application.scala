@@ -527,6 +527,33 @@ final class Application(val name: String, val spark: SparkSession,
     if (appState == AppState.PAUSED) Nil
     else runContexts(table.sweepPending())
 
+  /** Background wall-clock sweeper (daemon) — the long-lived driver's
+    * orchestration cycle. Same resilience contract as the timer/alarm
+    * pollers: a failing sweep is logged and the loop paces on. */
+  def startSweeper(pollMillis: Long = 1000): Unit = synchronized {
+    if (sweeper != null) return
+    sweeper = new Thread(() => {
+      var interrupted = false
+      while (!interrupted) {
+        try sweep()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[graft-sweeper] sweep failed: ${e.getMessage}")
+        }
+        try Thread.sleep(pollMillis)
+        catch { case _: InterruptedException => interrupted = true }
+      }
+    }, "graft-sweeper")
+    sweeper.setDaemon(true)
+    sweeper.start()
+  }
+
+  def stopSweeper(): Unit = synchronized {
+    if (sweeper != null) { sweeper.interrupt(); sweeper = null }
+  }
+
+  @volatile private var sweeper: Thread = null
+
   /** Fire a timer tick. */
   def fireTimer(timer: NodeRef, value: Any): List[String] =
     process(timer.signal.copy(filter = DimFilter.branchOf(timer.signal.spec, Seq(value))))

@@ -530,6 +530,20 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     // cross join of 3 src rows x 1 late row: sum(s)=6, sum(l)=10*3=30
     assert(app.load(node("2026-08-12")).collect().head.getDouble(0) == 36.0)
     assert(app.sweep().isEmpty) // nothing left pending
+
+    // the background sweeper drives the same cycle: open a second pending
+    // join, land its data with no event, and let the daemon finish it
+    assert(app.processPath(s"$work/src_sweep/2026-08-11").isEmpty)
+    app.startSweeper(pollMillis = 100)
+    try {
+      Seq(("2026-08-11", 5.0)).toDF("day", "amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$late/2026-08-11")
+      val deadline = System.currentTimeMillis() + 30000
+      while (app.poll(node("2026-08-11")).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(app.poll(node("2026-08-11")).isDefined,
+        "background sweeper never completed the pending join")
+    } finally app.stopSweeper()
   }
 
   test("CSV external input honors delimiter/header attrs") {
