@@ -73,8 +73,11 @@ final class Application(val name: String, val spark: SparkSession,
   @volatile private var appState: AppState = AppState.INACTIVE
   def state: AppState = appState
 
-  private var defs: List[NodeDef] = Nil
-  private var routingTable: Option[RoutingTable] = None
+  // volatile: read by the daemon pollers (sweeper/scheduler/monitor
+  // threads) — activation and patchData on the main thread must be
+  // visible to sweep-triggered executions without extra locking
+  @volatile private var defs: List[NodeDef] = Nil
+  @volatile private var routingTable: Option[RoutingTable] = None
   private lazy val probe = new FsProbe(spark)
   private lazy val compute = new LocalSparkCompute(spark, probe, args)
   /** Active executions: output partition path → Spark job group ids
@@ -525,34 +528,30 @@ final class Application(val name: String, val spark: SparkSession,
     * marker stream. */
   def sweep(): List[String] =
     if (appState == AppState.PAUSED) Nil
-    else runContexts(table.sweepPending())
-
-  /** Background wall-clock sweeper (daemon) — the long-lived driver's
-    * orchestration cycle. Same resilience contract as the timer/alarm
-    * pollers: a failing sweep is logged and the loop paces on. */
-  def startSweeper(pollMillis: Long = 1000): Unit = synchronized {
-    if (sweeper != null) return
-    sweeper = new Thread(() => {
-      var interrupted = false
-      while (!interrupted) {
-        try sweep()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[graft-sweeper] sweep failed: ${e.getMessage}")
-        }
-        try Thread.sleep(pollMillis)
-        catch { case _: InterruptedException => interrupted = true }
+    else table.sweepPending().flatMap { ctx =>
+      // per-context isolation: sweep has no caller who could retry a
+      // thrown execution (unlike process/execute), and the ready node
+      // already left the pending list — one failure must not also abort
+      // the other ready nodes. The failed partition is redeemable via
+      // recover() (its events are WAL-logged) or manual backfill.
+      try runContexts(List(ctx))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[graft-sweeper] ${ctx.routeId} -> " +
+            s"${ctx.output.materializedPaths.headOption.getOrElse("?")} " +
+            s"failed: ${e.getMessage} (redeem via recover()/backfill)")
+          Nil
       }
-    }, "graft-sweeper")
-    sweeper.setDaemon(true)
-    sweeper.start()
-  }
+    }
 
-  def stopSweeper(): Unit = synchronized {
-    if (sweeper != null) { sweeper.interrupt(); sweeper = null }
-  }
+  /** Background wall-clock sweeper (daemon; see [[DaemonPoller]] for the
+    * failure/termination contract) — the long-lived driver's
+    * orchestration cycle. */
+  def startSweeper(pollMillis: Long = 1000): Unit = sweeper.start(pollMillis)
 
-  @volatile private var sweeper: Thread = null
+  def stopSweeper(): Unit = sweeper.stop()
+
+  private val sweeper = new DaemonPoller("graft-sweeper", () => { sweep(); () })
 
   /** Fire a timer tick. */
   def fireTimer(timer: NodeRef, value: Any): List[String] =

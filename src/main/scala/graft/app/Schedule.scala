@@ -179,7 +179,8 @@ final class TimerScheduler private[app] (
 
   private val next = scala.collection.mutable.Map[Int, Instant](
     entries.indices.map(i => i -> entries(i)._2.nextFire(startAt)): _*)
-  @volatile private var poller: Thread = null
+  private val poller =
+    new DaemonPoller("graft-timer-scheduler", () => { advanceTo(Instant.now()); () })
 
   def nextFireTimes: Map[String, Instant] =
     synchronized { next.map { case (i, t) => entries(i)._1.signal.alias -> t }.toMap }
@@ -216,30 +217,10 @@ final class TimerScheduler private[app] (
     fired.toList
   }
 
-  /** Background wall-clock poller (daemon). Fire failures are contained
-    * inside [[advanceTo]] (the tick advances, the error is logged); any
-    * unexpected poller-level error is also logged WITHOUT skipping the
-    * sleep, so a persistent failure paces at pollMillis instead of busy-
-    * looping. */
-  def start(pollMillis: Long = 1000): Unit = synchronized {
-    if (poller != null) return
-    poller = new Thread(() => {
-      var interrupted = false
-      while (!interrupted) {
-        try advanceTo(Instant.now())
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[graft-timer-scheduler] poll failed: ${e.getMessage}")
-        }
-        try Thread.sleep(pollMillis)
-        catch { case _: InterruptedException => interrupted = true }
-      }
-    }, s"graft-timer-scheduler")
-    poller.setDaemon(true)
-    poller.start()
-  }
+  /** Background wall-clock poller (daemon; see [[DaemonPoller]] for the
+    * failure/termination contract — fire failures are additionally
+    * contained per tick inside [[advanceTo]]). */
+  def start(pollMillis: Long = 1000): Unit = poller.start(pollMillis)
 
-  def stop(): Unit = synchronized {
-    if (poller != null) { poller.interrupt(); poller = null }
-  }
+  def stop(): Unit = poller.stop()
 }

@@ -16,6 +16,31 @@ final class FsProbe(spark: SparkSession) extends PathProbe {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** For protocol-less resources a BARE directory is not completion
+    * evidence: Spark's FileOutputCommitter creates the destination dir at
+    * job setup with only `_temporary` inside, so a concurrent writer
+    * would look "complete" mid-job to the sweep/range probes. Demand at
+    * least one visible (non-`_`/`.`-prefixed) entry — a data file or a
+    * nested partition dir. Marker protocols are unaffected. */
+  override def isComplete(path: String,
+                          protocol: graft.signal.IntegrityProtocol): Boolean =
+    protocol match {
+      case graft.signal.IntegrityProtocol.None_ =>
+        if (path.startsWith("catalog://")) true
+        else {
+          val p = new Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          try {
+            fs.exists(p) && (fs.getFileStatus(p).isFile ||
+              fs.listStatus(p).exists { st =>
+                val n = st.getPath.getName
+                !n.startsWith("_") && !n.startsWith(".")
+              })
+          } catch { case _: java.io.FileNotFoundException => false }
+        }
+      case other => super.isComplete(path, other)
+    }
 }
 
 /** Loads a materialized input Signal (a *range of partitions*) as ONE

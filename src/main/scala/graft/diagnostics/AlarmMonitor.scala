@@ -35,7 +35,8 @@ final class AlarmMonitor(
 
   private val lastPeriod = scala.collection.mutable.Map.empty[String, LocalDateTime]
   private val lastState = scala.collection.mutable.Map.empty[String, String]
-  @volatile private var poller: Thread = null
+  private val poller =
+    new graft.app.DaemonPoller("graft-alarm-monitor", () => { poll(); () })
 
   /** Evaluate every alarm over its current series; raise each state
     * transition (in period order) into routing. Returns the raised
@@ -80,31 +81,10 @@ final class AlarmMonitor(
     }
   }
 
-  /** Background wall-clock poller (daemon). A failing series() read or a
-    * failing alarm-triggered execution is logged and the loop CONTINUES —
-    * one transient metric-store error must not permanently stop alarm
-    * evaluation for a live app. */
-  def start(pollMillis: Long = 1000): Unit = synchronized {
-    if (poller != null) return
-    poller = new Thread(() => {
-      var interrupted = false
-      while (!interrupted) {
-        try poll()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[graft-alarm-monitor] poll failed: ${e.getMessage}")
-        }
-        // sleep OUTSIDE the try: a persistently failing series read paces
-        // at pollMillis instead of busy-looping Spark jobs
-        try Thread.sleep(pollMillis)
-        catch { case _: InterruptedException => interrupted = true }
-      }
-    }, "graft-alarm-monitor")
-    poller.setDaemon(true)
-    poller.start()
-  }
+  /** Background wall-clock poller (daemon; see [[graft.app.DaemonPoller]]
+    * for the failure/termination contract — a failing series() read or
+    * triggered execution is logged and the loop paces on). */
+  def start(pollMillis: Long = 1000): Unit = poller.start(pollMillis)
 
-  def stop(): Unit = synchronized {
-    if (poller != null) { poller.interrupt(); poller = null }
-  }
+  def stop(): Unit = poller.stop()
 }

@@ -80,6 +80,12 @@ final class Route(
     pending = alive
     ctrs = ctrs.copy(zombiesEliminated = ctrs.zombiesEliminated + zombies.length)
 
+    fireReady(probe)
+  }
+
+  /** The single firing path (event receive AND sweep): ready nodes leave
+    * pending, bump the trigger counter, and materialize their contexts. */
+  private def fireReady(probe: PathProbe): List[ExecutionContext] = {
     val (ready, waiting) = pending.partition(_.isReady(probe))
     pending = waiting
     ctrs = ctrs.copy(triggers = ctrs.triggers + ready.length)
@@ -97,12 +103,7 @@ final class Route(
   def sweep(probe: PathProbe,
             nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] = {
     expireNodes(nowMillis)
-    val (ready, waiting) = pending.partition(_.isReady(probe))
-    pending = waiting
-    ctrs = ctrs.copy(triggers = ctrs.triggers + ready.length)
-    ready.map { n =>
-      ExecutionContext(id, n.materializedInputs(probe), n.materializeOutput())
-    }
+    fireReady(probe)
   }
 
   /** TTL expiry of stale pending nodes (J4; reference check_expired_nodes,
@@ -212,9 +213,16 @@ final class RoutingTable(probe: PathProbe,
     }
 
   /** Re-run every route's pending completion checks without an event
-    * (the orchestration-cycle sweep; see [[Route.sweep]]). */
+    * (the orchestration-cycle sweep; see [[Route.sweep]]). Routes with no
+    * pending nodes are skipped — the periodic tick costs probe I/O only
+    * where something is actually waiting. NOTE: probes run under the
+    * table monitor (pending state demands it); on slow remote storage
+    * with many waiting ranges, size the sweeper's pollMillis so event
+    * ingestion isn't starved behind the probe I/O. */
   def sweepPending(nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] =
-    synchronized { routes.flatMap(_.sweep(cachingProbe, nowMillis)) }
+    synchronized {
+      routes.filter(_.pendingNodes.nonEmpty).flatMap(_.sweep(cachingProbe, nowMillis))
+    }
 
   /** Pre-seed known-complete paths (transfer_ranges analog). */
   def markComplete(paths: Iterable[String]): Unit = synchronized {

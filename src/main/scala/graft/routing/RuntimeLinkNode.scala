@@ -27,6 +27,20 @@ final class CachingProbe(underlying: PathProbe) extends PathProbe {
       if (ok) completed.add(path)
       ok
     }
+  /** Delegate protocol-less completeness to the UNDERLYING probe (which
+    * may be stricter than bare existence — see FsProbe's mid-write
+    * guard), still honoring the pre-seeded completion cache; marker
+    * protocols keep probing the marker through the memoized exists. */
+  override def isComplete(path: String, protocol: IntegrityProtocol): Boolean =
+    protocol match {
+      case IntegrityProtocol.None_ =>
+        completed.contains(path) || {
+          val ok = underlying.isComplete(path, protocol)
+          if (ok) completed.add(path)
+          ok
+        }
+      case IntegrityProtocol.FileCheck(f) => exists(s"$path/$f")
+    }
   /** Cross-node range transfer: pre-seed known-complete resources
     * (reference transfer_ranges, routing_runtime_constructs.py:370-395). */
   def markComplete(paths: Iterable[String]): Unit = paths.foreach(completed.add)
