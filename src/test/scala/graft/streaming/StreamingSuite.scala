@@ -204,6 +204,66 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getAs[Long]("sample_count") == 2L)
   }
 
+  test("composed long-lived driver: markers, timer, alarm, and sweeper together") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/driver_src"
+    val day = "2026-08-12"
+    Seq((day, 2.0), (day, 4.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+
+    val app = new Application("driver", spark, s"$work/app_driver")
+    val src = app.marshalExternalData("src", srcRoot, daySpec)
+    // marker-driven node: triggers when the _SUCCESS event streams in
+    val marked = app.createData("marked", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    // rate-timer node: anchored so the first tick lands ~1s from now
+    val timer = app.createTimer("fast_tick", format = "%Y-%m-%d %H:%M",
+      dimName = "t", scheduleExpression = "rate(1 minutes)")
+    val ticked = app.createData("ticked", Seq(timer, src.latest(1).ref),
+      Seq(SqlSlot("SELECT CAST(COUNT(*) AS BIGINT) AS rows FROM src")),
+      outputLinks = List(graft.signal.DimensionLink.literal(
+        graft.signal.DimRef("src", "day"), day)))
+    // alarm node: fires when the platform metrics show `marked` succeeded
+    val alarm = app.createMetricAlarm("marked_ok",
+      () => app.platformMetricsDf().where(col("name") === "route.marked.execSucceeded"),
+      graft.diagnostics.AlarmParams(1.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold, 1, 1),
+      periodSecs = 60, timeFormat = "%Y-%m-%d %H")
+    val onAlarm = app.createData("on_alarm", Seq(alarm("ALARM", "*")),
+      Seq(SqlSlot("SELECT 'alarmed' AS what")))
+    app.activate()
+
+    val scheduler = app.scheduler(startAt =
+      java.time.Instant.now().minusSeconds(59))
+    val monitor = app.alarmMonitor()
+    val stream = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_driver")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = stream.start(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      scheduler.start(pollMillis = 200)
+      monitor.start(pollMillis = 300)
+      app.startSweeper(pollMillis = 300)
+      val deadline = System.currentTimeMillis() + 90000
+      def done =
+        app.poll(marked(day)).isDefined &&
+          app.pendingNodeCounts.getOrElse("ticked", 0) == 0 &&
+          app.computeRecords.exists(r => r.routeId == "ticked" && r.succeeded) &&
+          app.computeRecords.exists(r => r.routeId == "on_alarm" && r.succeeded)
+      while (!done && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(app.poll(marked(day)).isDefined, "marker-driven node never ran")
+      assert(app.load(marked(day)).collect().head.getDouble(1) == 6.0)
+      assert(app.computeRecords.exists(r => r.routeId == "ticked" && r.succeeded),
+        "rate-timer node never fired through the scheduler poller")
+      assert(app.computeRecords.exists(r => r.routeId == "on_alarm" && r.succeeded),
+        "metric alarm never triggered its node through the monitor poller")
+    } finally {
+      app.stopSweeper(); monitor.stop(); scheduler.stop()
+      if (q != null) scala.util.Try(q.stop())
+    }
+  }
+
   test("text-analysis Column ops run unchanged inside Structured Streaming") {
     // the payoff of the no-UDF design: tokens/quality/langId/simhash are
     // pure Catalyst expressions, so the SAME operators run on a stream
