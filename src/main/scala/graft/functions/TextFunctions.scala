@@ -57,6 +57,46 @@ object TextFunctions {
     greatest(lit(0.0), least(lit(1.0), (swScore + mtScore + prScore) / 3.0))
   }
 
+  /** Word n-grams WITH duplicates (1-based sliding window) — the input to
+    * repetition-quality stats, where multiplicity is the signal. Contrast
+    * Dedup.shingles, which deduplicates for set-Jaccard. Short docs yield
+    * an empty array (same guard as shingles: `sequence(1, 0)` is the
+    * descending [1, 0], not empty). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    if (n == 1) words
+    else when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---- PII detection / redaction ---------------------------------------
+  // Patterns are deliberately RE2-compatible (no backreferences, no
+  // lookaround) so the SAME pattern string runs identically under Java
+  // regex (Spark) and RE2 (DuckDB/the oracle) — engine-portable semantics.
+
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Regex = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRegex = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Occurrence counts of the three PII pattern families (codegen'd
+    * regexp_count — no UDF). */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(EmailRegex))
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(Ipv4Regex))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PhoneRegex))
+
+  /** Redact PII in place: emails first (their local parts contain digits
+    * and dots that the narrower patterns could half-match), then IPv4,
+    * then phone numbers. Pure regexp_replace chain — one projection, no
+    * shuffle, safe to run over 100TB of text. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRegex, "[EMAIL]"),
+        Ipv4Regex, "[IP]"),
+      PhoneRegex, "[PHONE]")
+
   // ---- scalar UDF zone -------------------------------------------------
 
   /** Tiny per-language stopword/particle profiles for the n-gram-free

@@ -341,6 +341,43 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with spherical k-means (the same cells an
+    * IVF ANN index uses — Similarity.buildIvfIndex), then compare cosines
+    * only WITHIN each cell and drop every row that has a lower-id in-cell
+    * neighbor above `minCosine`. Scale shape: the quadratic term is bounded
+    * at (N/k)² per cell instead of N² overall, the pair join is a plain
+    * equi-join on the cell id (shuffle keys = one int), and `maxCellSize`
+    * guards a degenerate clustering the same way maxBucketSize guards LSH
+    * buckets. Semantic near-dups are parallel-ish vectors, which k-means
+    * cannot separate — they normalize to (floating-point-close) the same
+    * unit vector, so same-cell candidacy holds by construction.
+    *
+    * Returns the DROP decisions: (dropped = the higher id, keeper = its
+    * minimum qualifying lower-id neighbor, cosine to that keeper). Rows
+    * absent from the output survive curation. */
+  def semanticDedupDrops(df: DataFrame, vecCol: String, idCol: String,
+                         minCosine: Double = 0.95, k: Int = 16,
+                         iters: Int = 2, maxCellSize: Int = 100000): DataFrame = {
+    val index = Similarity.buildIvfIndex(df, vecCol, idCol, k, iters,
+      persist = false)
+    val cells0 = index.cells
+    val smallCells = cells0.groupBy("__cell").agg(count(lit(1)).as("__csz"))
+      .where(col("__csz") <= maxCellSize && col("__csz") > 1).drop("__csz")
+    val cells = cells0.join(smallCells, "__cell")
+    val a = cells.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("__cell"))
+    val b = cells.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("__cell"))
+    a.join(b, "__cell").where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        Similarity.cosine(col("v1"), col("v2")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      // cell assignment is a function of the vector, so each pair meets in
+      // exactly one cell — no distinct needed before the keeper pick
+      .groupBy(col("d2").as("dropped"))
+      .agg(min(col("d1")).as("keeper"),
+        min_by(col("cosine"), col("d1")).as("cosine"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, candidates bucketed
     * by random-hyperplane LSH signature (see Similarity.planeSignature) so
     * the pair join stays within buckets at scale. Exact cosine verify. */
