@@ -59,9 +59,12 @@ object TextFunctions {
 
   /** Word n-grams WITH duplicates (1-based sliding window) — the input to
     * repetition-quality stats, where multiplicity is the signal. Contrast
-    * Dedup.shingles, which deduplicates for set-Jaccard. Short docs yield
-    * an empty array (same guard as shingles: `sequence(1, 0)` is the
-    * descending [1, 0], not empty). */
+    * Dedup.shingles, which wraps this in array_distinct for set-Jaccard —
+    * this is the ONE sliding-window expression both share (a drifted copy
+    * would silently change bucketing between the dedup paths). Short docs
+    * yield an empty array: `sequence(1, 0)` is the descending [1, 0] (not
+    * empty) and slice at position 0 is a runtime error, so the short case
+    * needs its own branch. */
   def wordNgrams(text: Column, n: Int): Column = {
     val words = tokens(text)
     if (n == 1) words
@@ -71,6 +74,44 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  // ---- repetition-quality stats (Gopher/C4-style filters) ---------------
+  // Raw Measurement Quality signals over REPEATED content: curation
+  // pipelines drop a doc whose duplicate-n-gram or duplicate-line mass is
+  // high BEFORE anything semantic runs (Rae et al. 2021, arXiv:2112.11446
+  // §A1.1 "repetition removal"; C4's three-sentence dedup). All pure
+  // Column expressions — per-row, codegen'd, no shuffle at 100TB.
+
+  /** Fraction of n-gram OCCURRENCES that are repeats of an earlier gram:
+    * 1 − distinct/total. 0.0 for docs too short to form a single gram. */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams).cast("double"))
+  }
+
+  /** Fraction of all n-gram occurrences taken by the single most frequent
+    * gram (Gopher's "top n-gram fraction"). O(distinct·total) per row —
+    * row-local compute, embarrassingly parallel. 0.0 for gram-less docs. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      array_max(counts).cast("double") / size(grams).cast("double"))
+  }
+
+  /** Fraction of non-empty LINES that are exact repeats of an earlier line
+    * (whitespace-trimmed). The paragraph variant is the same expression
+    * over a different separator. 0.0 for line-less docs. */
+  def duplicateLineFraction(text: Column, sep: String = "\n"): Column = {
+    val lines = filter(transform(split(text, java.util.regex.Pattern.quote(sep)),
+      l => trim(l)), l => l =!= "")
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double")
+        / size(lines).cast("double"))
+  }
+
   // ---- PII detection / redaction ---------------------------------------
   // Patterns are deliberately RE2-compatible (no backreferences, no
   // lookaround) so the SAME pattern string runs identically under Java
@@ -78,7 +119,14 @@ object TextFunctions {
 
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Regex = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRegex = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  /** NANP phone numbers in the common written forms: `555-123-4567`,
+    * `(555) 123-4567`, `555.123.4567`, `555 123 4567`, each with an
+    * optional `+1` / `1` country prefix. A separator between the exchange
+    * groups is REQUIRED — bare 10-digit runs are left alone (too many
+    * false positives: ids, timestamps, order keys). `\b` anchors block
+    * half-matches inside longer digit runs on both ends. */
+  val PhoneRegex =
+    "(?:\\+?1[-. ])?\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ]?[0-9]{4}\\b"
 
   /** Occurrence counts of the three PII pattern families (codegen'd
     * regexp_count — no UDF). */

@@ -51,20 +51,11 @@ object Dedup {
       .groupBy(md5(col("__norm")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
 
-  /** Word n-gram (shingle) array, 1-based positions, distinct. Documents
-    * shorter than n tokens yield an EMPTY array — Spark's
-    * `sequence(1, 0)` is descending [1, 0] (not empty) and slice at
-    * position 0 is a runtime error, so the short case needs its own
-    * branch. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = TextFunctions.tokens(text)
-    if (n == 1) array_distinct(words)
-    else array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>")))
-  }
+  /** Word n-gram (shingle) SET for set-Jaccard: the shared sliding window
+    * ([[TextFunctions.wordNgrams]] — one expression, no drifted copies;
+    * same empty-array guard for docs shorter than n) deduplicated. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextFunctions.wordNgrams(text, n))
 
   /** MinHash signatures: explode shingles once, k mins in one partial-agg
     * groupBy (map-side combine keeps the shuffle at k longs per doc).
@@ -341,6 +332,43 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** k for semantic dedup when the caller doesn't pick one: sized so the
+    * EXPECTED cell holds ~maxCellSize/2 rows — cells have headroom under
+    * the cap instead of every cell silently tripping the guard (k=16 over
+    * a 1.6M-row corpus put every cell over a 100k cap and the operator
+    * returned zero drops with no signal — the failure mode this derivation
+    * exists to prevent). Clamped to [16, 65536]; the upper bound tracks
+    * what a broadcast centroid table comfortably carries. */
+  private[operators] def semanticK(n: Long, maxCellSize: Int): Int =
+    math.max(16, math.min(65536,
+      math.ceil(2.0 * n / math.max(1, maxCellSize)).toInt))
+
+  /** One-row cell-size distribution of a spherical-k-means clustering and
+    * what `maxCellSize` would drop — the diagnostic face of the semantic-
+    * dedup quadratic guard, mirroring [[lshBucketStats]]: k, cell count,
+    * the largest cell, multi-row cells, dropped cells, and the cosine
+    * pairs those drops avoided (each m-cell would emit m(m-1)/2). */
+  def semanticCellStats(df: DataFrame, vecCol: String, idCol: String,
+                        k: Int = 0, iters: Int = 2,
+                        maxCellSize: Int = 10000): DataFrame = {
+    val kk = if (k > 0) k else semanticK(df.count(), maxCellSize)
+    val index = Similarity.buildIvfIndex(df, vecCol, idCol, kk, iters,
+      persist = false)
+    cellStats(index.cells, kk, maxCellSize)
+  }
+
+  private def cellStats(cells: DataFrame, k: Int, maxCellSize: Int): DataFrame =
+    cells.groupBy("__cell").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("cells"),
+        max(col("sz")).as("max_cell"),
+        sum(when(col("sz") > 1, 1).otherwise(0)).as("multi_cells"),
+        sum(when(col("sz") > maxCellSize, 1).otherwise(0)).as("dropped_cells"),
+        sum(when(col("sz") > maxCellSize,
+          (col("sz") * (col("sz") - 1) / 2).cast("long")).otherwise(0L))
+          .as("pairs_avoided"))
+      .select(lit(k).as("k"), col("cells"), col("max_cell"),
+        col("multi_cells"), col("dropped_cells"), col("pairs_avoided"))
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with spherical k-means (the same cells an
     * IVF ANN index uses — Similarity.buildIvfIndex), then compare cosines
@@ -353,15 +381,41 @@ object Dedup {
     * cannot separate — they normalize to (floating-point-close) the same
     * unit vector, so same-cell candidacy holds by construction.
     *
+    * `k <= 0` (the default) derives k from the corpus size via
+    * [[semanticK]] so cells sit well under the cap at any scale. The guard
+    * is LOUD: dropped cells are logged with their avoided pair count, and
+    * a clustering where EVERY candidate-bearing cell exceeds the cap
+    * throws (the operator would otherwise return zero drops while
+    * silently comparing nothing) — [[semanticCellStats]] is the
+    * diagnostic to run when that fires.
+    *
     * Returns the DROP decisions: (dropped = the higher id, keeper = its
     * minimum qualifying lower-id neighbor, cosine to that keeper). Rows
     * absent from the output survive curation. */
   def semanticDedupDrops(df: DataFrame, vecCol: String, idCol: String,
-                         minCosine: Double = 0.95, k: Int = 16,
-                         iters: Int = 2, maxCellSize: Int = 100000): DataFrame = {
-    val index = Similarity.buildIvfIndex(df, vecCol, idCol, k, iters,
+                         minCosine: Double = 0.95, k: Int = 0,
+                         iters: Int = 2, maxCellSize: Int = 10000): DataFrame = {
+    val kk = if (k > 0) k else semanticK(df.count(), maxCellSize)
+    val index = Similarity.buildIvfIndex(df, vecCol, idCol, kk, iters,
       persist = false)
     val cells0 = index.cells
+    // guard stats: one k-row aggregate over the checkpointed cell table,
+    // collected driver-side (a single row) so degeneracy FAILS here
+    // instead of surfacing as a plausible-looking empty result
+    val st = cellStats(cells0, kk, maxCellSize).collect().head
+    val (multi, dropped, avoided) =
+      (st.getAs[Long]("multi_cells"), st.getAs[Long]("dropped_cells"),
+        st.getAs[Long]("pairs_avoided"))
+    if (multi > 0 && dropped == multi)
+      throw new IllegalStateException(
+        s"semanticDedupDrops: every candidate-bearing cell ($multi) exceeds " +
+          s"maxCellSize=$maxCellSize (max cell ${st.getAs[Long]("max_cell")}) — " +
+          s"the operator would compare nothing. Raise k (got $kk) or " +
+          s"maxCellSize; see Dedup.semanticCellStats for the distribution.")
+    if (dropped > 0)
+      System.err.println(s"[graft-semantic-dedup] $dropped of $multi " +
+        s"candidate-bearing cells exceed maxCellSize=$maxCellSize; " +
+        s"skipping them avoided $avoided cosine pairs (k=$kk)")
     val smallCells = cells0.groupBy("__cell").agg(count(lit(1)).as("__csz"))
       .where(col("__csz") <= maxCellSize && col("__csz") > 1).drop("__csz")
     val cells = cells0.join(smallCells, "__cell")

@@ -165,13 +165,21 @@ object Similarity {
 
   /** Build an [[IvfIndex]]: spherical k-means over unit vectors.
     * Seeds = the `k` rows with the lowest md5(id) (deterministic,
-    * engine-agnostic); `iters` fixed Lloyd rounds; assignment is a pure
-    * Column expression over the broadcast centroid literals (k·dim work
-    * per row, NO shuffle — the only shuffle is the k×dim centroid
-    * re-aggregation, which is map-side combined). */
+    * engine-agnostic); `iters` fixed Lloyd rounds; assignment joins each
+    * row against a single-row centroid table under a `broadcast()` hint —
+    * the k×dim doubles travel as broadcast DATA, not plan literals, so
+    * the plan stays O(1) and k can reach 10³–10⁵ without blowing up the
+    * task binary (literal centroids hit "broadcasting large task binary"
+    * warnings from k≈32 upward). Per-row work is the inherent O(k·dim)
+    * argmax, NO shuffle — the only shuffle is the k×dim centroid
+    * re-aggregation, which is map-side combined. Beyond k≈10⁵ (broadcast
+    * ≈ k·dim·8 bytes) the next step is a coarse→fine two-level assignment;
+    * not needed for ANN probing or SemDeDup cell sizes below that. */
   def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String,
                     k: Int = 16, iters: Int = 3,
                     persist: Boolean = true): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // the unit-normalized projection feeds the seed collect, every Lloyd
     // round, and the final assignment — persist it for the build instead
     // of re-scanning + re-normalizing the corpus iters+2 times
@@ -185,16 +193,23 @@ object Similarity {
     require(centroids.nonEmpty,
       s"cannot build an IVF index over an empty corpus ($vecCol)")
 
-    def cellExpr: Column = {
-      val cArr = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
-      val scores = transform(cArr, c =>
+    // nearest-centroid assignment for the CURRENT `centroids`: broadcast
+    // the one-row centroid table, argmax the per-cell dot products
+    def assign(b: DataFrame): DataFrame = {
+      val centsDf = Seq(Tuple1(centroids.map(_.toSeq).toSeq))
+        .toDF("__cents").withColumn("__ck", lit(1))
+      val scores = transform(col("__cents"), c =>
         aggregate(zip_with(c, col("__u"), (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x))
-      (array_position(scores, array_max(scores)) - 1).cast("int")
+      b.withColumn("__ck", lit(1))
+        .join(broadcast(centsDf), "__ck")
+        .withColumn("__cell",
+          (array_position(scores, array_max(scores)) - 1).cast("int"))
+        .drop("__ck", "__cents")
     }
 
     for (_ <- 1 to iters) {
-      val assigned = base.withColumn("__cell", cellExpr)
+      val assigned = assign(base)
       // new centroid = mean of members, re-normalized (spherical step);
       // k×dim aggregate rows — driver-side collect is trivially small
       val sums = assigned
@@ -215,7 +230,7 @@ object Similarity {
       require(centroids.forall(_.length == dim))
     }
 
-    val cells = base.withColumn("__cell", cellExpr).drop("__u")
+    val cells = assign(base).drop("__u")
     val kept =
       if (persist) {
         val c = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
