@@ -91,14 +91,32 @@ object TextFunctions {
   }
 
   /** Fraction of all n-gram occurrences taken by the single most frequent
-    * gram (Gopher's "top n-gram fraction"). O(distinct·total) per row —
-    * row-local compute, embarrassingly parallel. 0.0 for gram-less docs. */
+    * gram — an occurrence-fraction APPROXIMATION of Gopher's "top n-gram
+    * fraction" (Rae et al. 2021 define the metric over the fraction of
+    * CHARACTERS covered by the top gram; thresholds tuned against the
+    * paper need re-calibration for this variant). O(n log n) per row:
+    * sort the grams, then ONE `aggregate` pass finds the longest equal
+    * run — equal grams are adjacent after the sort, so the max run length
+    * IS the max multiplicity. (The obvious
+    * `transform(distinct, g => count(grams, ==g))` shape is
+    * O(distinct·total) per row — 10⁸–10¹⁰ string comparisons on the
+    * 10⁴–10⁵-token docs repetition filters exist to catch, a
+    * straggler-task generator.) Row-local, embarrassingly parallel, no
+    * shuffle. 0.0 for gram-less docs. */
   def topNgramFraction(text: Column, n: Int): Column = {
     val grams = wordNgrams(text, n)
-    val counts = transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g)))
+    val best = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(grams) === 0, lit(0.0)).otherwise(
-      array_max(counts).cast("double") / size(grams).cast("double"))
+      best.cast("double") / size(grams).cast("double"))
   }
 
   /** Fraction of non-empty LINES that are exact repeats of an earlier line
@@ -120,13 +138,16 @@ object TextFunctions {
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Regex = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   /** NANP phone numbers in the common written forms: `555-123-4567`,
-    * `(555) 123-4567`, `555.123.4567`, `555 123 4567`, each with an
-    * optional `+1` / `1` country prefix. A separator between the exchange
-    * groups is REQUIRED — bare 10-digit runs are left alone (too many
-    * false positives: ids, timestamps, order keys). `\b` anchors block
-    * half-matches inside longer digit runs on both ends. */
+    * `(555) 123-4567`, `(555)123-4567`, `555.123.4567`, `555 123 4567`,
+    * each with an optional `+1` / `1` country prefix. The area code must
+    * be marked — either parenthesized or followed by a `-`/`.`/space
+    * separator; the separator between exchange and line number is
+    * OPTIONAL once the area code is marked (`555-1234567` matches,
+    * `(555)1234567` matches). Bare 10/11-digit runs are left alone (too
+    * many false positives: ids, timestamps, order keys). `\b` anchors
+    * block half-matches inside longer digit runs on both ends. */
   val PhoneRegex =
-    "(?:\\+?1[-. ])?\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ]?[0-9]{4}\\b"
+    "(?:\\+?1[-. ])?(?:\\(\\b[0-9]{3}\\)[-. ]?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}\\b"
 
   /** Occurrence counts of the three PII pattern families (codegen'd
     * regexp_count — no UDF). */

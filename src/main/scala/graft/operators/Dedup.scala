@@ -413,9 +413,12 @@ object Dedup {
           s"the operator would compare nothing. Raise k (got $kk) or " +
           s"maxCellSize; see Dedup.semanticCellStats for the distribution.")
     if (dropped > 0)
-      System.err.println(s"[graft-semantic-dedup] $dropped of $multi " +
-        s"candidate-bearing cells exceed maxCellSize=$maxCellSize; " +
-        s"skipping them avoided $avoided cosine pairs (k=$kk)")
+      // slf4j (Spark's own logging front), not System.err — stderr prints
+      // vanish into executor/driver log noise on a real cluster
+      org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+        s"semanticDedupDrops: $dropped of $multi candidate-bearing cells " +
+          s"exceed maxCellSize=$maxCellSize; skipping them avoided " +
+          s"$avoided cosine pairs (k=$kk)")
     val smallCells = cells0.groupBy("__cell").agg(count(lit(1)).as("__csz"))
       .where(col("__csz") <= maxCellSize && col("__csz") > 1).drop("__csz")
     val cells = cells0.join(smallCells, "__cell")

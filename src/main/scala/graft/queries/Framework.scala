@@ -215,6 +215,70 @@ object Framework {
       app.load(stats("en")).orderBy("source")
     }),
 
+    // ---- full curation DAG with SEMANTIC dedup composed through the
+    // orchestrator (fw08 + the SemDeDup stage): quality filter → exact
+    // dedup → semanticDedupDrops (ScalaSlot — embedding-space k-means
+    // cells, not SQL-expressible) → per-source stats, materialized by ONE
+    // recursive execute. Oracle-ability uses the p21 construction: planted
+    // 1.5×-scaled copies (text suffixed so exact dedup keeps them) are
+    // colinear with their source, so at minCosine=0.999 the semantic drop
+    // set is EXACTLY "planted rows whose source survived the earlier
+    // stages" (max real-real cosine ≈ 0.51) — a DuckDB CTE replays every
+    // stage including that drop rule. Planted exact copies (2e7+id) check
+    // the dedup stage drops them before semantic dedup ever sees them.
+    "fw14_semantic_curation" -> ((s, dir) => {
+      val w = work(dir)
+      val langSpec = DimSpec.pretty("lang" -> (DimType.STRING, Map.empty[String, Any]))
+      val fs = new org.apache.hadoop.fs.Path(s"$w/fw14_corpus")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .join(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("embedding"))
+      val planted = base.where(col("doc_id") < 30).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" (v2)")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 5).as("n_chars"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val exactDups = base.where(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"), col("embedding"))
+      val corpus = base.unionByName(planted).unionByName(exactDups)
+      corpus.select("lang").distinct().collect().map(_.getString(0)).foreach { l =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$w/fw14_corpus/$l/_SUCCESS")))
+          corpus.where(col("lang") === l).coalesce(1)
+            .write.mode("overwrite").parquet(s"$w/fw14_corpus/$l")
+      }
+      val app = new Application("fw14", s, s"$w/app_fw14")
+      val src = app.marshalExternalData("corpus", s"$w/fw14_corpus", langSpec)
+      val filtered = app.createData("filtered", Seq(src("en")), Seq(SqlSlot(
+        """SELECT doc_id, text, source, n_chars, embedding
+           FROM corpus WHERE n_chars >= 100""")))
+      val deduped = app.createData("deduped", Seq(filtered), Seq(SqlSlot(
+        """SELECT f.doc_id, f.text, f.source, f.n_chars, f.embedding
+           FROM filtered f
+           JOIN (SELECT MD5(text) AS h, MIN(doc_id) AS m
+                 FROM filtered GROUP BY MD5(text)) g
+             ON MD5(f.text) = g.h AND f.doc_id = g.m""")))
+      val curated = app.createData("curated", Seq(deduped),
+        Seq(graft.compute.ScalaSlot { ctx =>
+          val in = ctx.input("deduped")
+          val drops = graft.operators.Dedup.semanticDedupDrops(
+            in, "embedding", "doc_id", minCosine = 0.999, k = 8, iters = 2)
+          in.join(drops.select(col("dropped").as("doc_id")),
+              Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"), col("n_chars"))
+        }))
+      val stats = app.createData("source_stats", Seq(curated), Seq(SqlSlot(
+        """SELECT source, COUNT(*) AS kept_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM curated GROUP BY source""")))
+      app.activate()
+      app.execute(stats("en"), recursive = true)
+      app.load(stats("en")).orderBy("source")
+    }),
+
     // ---- S2 catalog input: day-partitioned table read through
     // spark.table with isin partition pruning (the catalog analog of the
     // fw01 ranged union)
@@ -438,6 +502,33 @@ object Framework {
                   MIN(source) AS source, MIN(n_chars) AS n_chars
            FROM documents WHERE lang = 'en' AND n_chars >= 100
            GROUP BY MD5(text))
+         SELECT source, COUNT(*) AS kept_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM curated GROUP BY source ORDER BY source""",
+    "fw14_semantic_curation" ->
+      """WITH base AS (
+           SELECT d.doc_id, d.text, d.source, d.n_chars
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           WHERE d.lang = 'en'),
+         corpus AS (
+           SELECT doc_id, text, source, n_chars FROM base
+           UNION ALL
+           SELECT doc_id + 10000000, text || ' (v2)', source, n_chars + 5
+           FROM base WHERE doc_id < 30
+           UNION ALL
+           SELECT doc_id + 20000000, text, source, n_chars
+           FROM base WHERE doc_id >= 30 AND doc_id < 60),
+         filtered AS (SELECT * FROM corpus WHERE n_chars >= 100),
+         deduped AS (
+           SELECT f.doc_id, f.text, f.source, f.n_chars FROM filtered f
+           JOIN (SELECT md5(text) AS h, MIN(doc_id) AS m
+                 FROM filtered GROUP BY md5(text)) g
+             ON md5(f.text) = g.h AND f.doc_id = g.m),
+         curated AS (
+           SELECT * FROM deduped dd
+           WHERE NOT (dd.doc_id >= 10000000 AND dd.doc_id < 20000000
+             AND EXISTS (SELECT 1 FROM deduped s
+                         WHERE s.doc_id = dd.doc_id - 10000000)))
          SELECT source, COUNT(*) AS kept_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM curated GROUP BY source ORDER BY source""",

@@ -301,6 +301,71 @@ object PipelineOps {
           "vec_id", minCosine = 0.999, planes = 8)
         .select(col("d1"), col("d2"), round(col("cosine"), 4).as("cosine"))
         .orderBy("d1", "d2")
+    }),
+
+    // ---- SemDeDup-style semantic dedup through the IVF-cell operator:
+    // planted positive multiples (the p13/p20 colinear construction)
+    // normalize to the same unit vector as their source, so k-means cells
+    // cannot separate them — each planted row MUST be dropped with its
+    // source (the only lower id within cosine 0.999; max real-real cosine
+    // ≈ 0.51) as keeper at cosine exactly 1. Ground truth is the planted
+    // list, independent of how the cells carved the real corpus.
+    "p21_semantic_dedup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.where(col("vec_id") < 30)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Dedup.semanticDedupDrops(e.unionByName(planted), "embedding",
+          "vec_id", minCosine = 0.999, k = 8, iters = 2)
+        .select(col("dropped"), col("keeper"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("dropped")
+    }),
+
+    // ---- PII detect + redact: per-doc planted PII (email derived from
+    // doc_id, five NANP phone forms, two IPv4s) PLUS adversarial bare
+    // digit runs that must NOT match, concatenated with the real document
+    // text. The patterns are RE2-compatible by design
+    // (TextFunctions.scala) so the oracle replays the SAME pattern
+    // strings through DuckDB's regexp engine: counts AND the md5 of the
+    // fully redacted text must agree — an engine-portability check of the
+    // exact match spans, not just the match count.
+    "p22_pii" -> ((s, dir) => {
+      val planted = docs(s, dir).where(col("doc_id") < 50).select(
+        col("doc_id"),
+        concat_ws(" ",
+          lit("contact"),
+          concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+          lit("or (555) 123-4567 or 555.123.4567 or +1 555 123 4567" +
+            " or (555)123-4567 or 1-800-555-0199"),
+          lit("host 10.0.0.1 and 192.168.1.1"),
+          lit("order 5551234567 ref 15551234567 ts 555-123-45678"),
+          col("text")).as("text"))
+      planted.select(col("doc_id"),
+        piiEmailCount(col("text")).as("emails"),
+        piiIpCount(col("text")).as("ips"),
+        piiPhoneCount(col("text")).as("phones"),
+        md5(redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- repetition-quality stats (Gopher/C4-style): two planted spam
+    // lines + the real text + a unique tail per doc; the oracle REPLAYS
+    // the dup-bigram / top-bigram / dup-line computations via DuckDB list
+    // aggregation — full-fraction agreement on every doc, not a planted
+    // constant.
+    "p23_repetition" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("buy now buy now buy now click here"),
+          lit("buy now buy now buy now click here"),
+          col("text"),
+          concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
+      t.select(col("doc_id"),
+        round(duplicateNgramFraction(col("text"), 2), 4).as("dup_bigram_frac"),
+        round(topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
+        round(duplicateLineFraction(col("text")), 4).as("dup_line_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -516,6 +581,69 @@ object PipelineOps {
     // construction as p12; cells cannot separate parallel vectors)
     "p20_ivf_ann" ->
       """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
-         FROM range(10) ORDER BY vec_id"""
+         FROM range(10) ORDER BY vec_id""",
+    // planted colinear rows are the only cosine>=0.999 pairs (max real-real
+    // ≈ 0.51), each must be dropped with its source as keeper at cosine 1
+    "p21_semantic_dedup" ->
+      """SELECT vec_id + 10000000 AS dropped, vec_id AS keeper, 1.0 AS cosine
+         FROM embeddings WHERE vec_id < 30 ORDER BY dropped""",
+    // SAME regex pattern strings as TextFunctions (RE2-compatible by
+    // design) replayed through DuckDB: counts + redacted-text md5 agree
+    "p22_pii" ->
+      """WITH t AS (SELECT doc_id,
+           'contact user' || doc_id || '@example.com' ||
+           ' or (555) 123-4567 or 555.123.4567 or +1 555 123 4567' ||
+           ' or (555)123-4567 or 1-800-555-0199' ||
+           ' host 10.0.0.1 and 192.168.1.1' ||
+           ' order 5551234567 ref 15551234567 ts 555-123-45678 ' ||
+           text AS text
+           FROM documents WHERE doc_id < 50)
+         SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+           len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ips,
+           len(regexp_extract_all(text,
+             '(?:\+?1[-. ])?(?:\(\b[0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}\b')) AS phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+             '(?:\+?1[-. ])?(?:\(\b[0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}\b', '[PHONE]', 'g'))
+             AS redacted_md5
+         FROM t ORDER BY doc_id""",
+    // full list-aggregation replay of the three repetition fractions
+    "p23_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           'buy now buy now buy now click here' || chr(10) ||
+           'buy now buy now buy now click here' || chr(10) ||
+           text || chr(10) || 'unique tail ' || doc_id AS tt
+           FROM documents),
+         words AS (SELECT doc_id, regexp_split_to_array(trim(tt), '\s+') AS w
+                   FROM t),
+         pos AS (SELECT doc_id, UNNEST(w) AS word,
+                        generate_subscripts(w, 1) AS i FROM words),
+         grams AS (SELECT a.doc_id, a.word || ' ' || b.word AS g
+                   FROM pos a JOIN pos b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         gstats AS (SELECT doc_id, COUNT(*) AS total,
+                           COUNT(DISTINCT g) AS dst
+                    FROM grams GROUP BY doc_id),
+         gtop AS (SELECT doc_id, MAX(c) AS top FROM (
+                    SELECT doc_id, g, COUNT(*) AS c
+                    FROM grams GROUP BY doc_id, g) GROUP BY doc_id),
+         lines AS (SELECT doc_id, trim(l) AS l FROM (
+                     SELECT doc_id, UNNEST(string_split(tt, chr(10))) AS l
+                     FROM t)
+                   WHERE trim(l) <> ''),
+         lstats AS (SELECT doc_id, COUNT(*) AS ltotal,
+                           COUNT(DISTINCT l) AS ldst
+                    FROM lines GROUP BY doc_id)
+         SELECT t.doc_id,
+           ROUND(1.0 - CAST(dst AS DOUBLE) / total, 4) AS dup_bigram_frac,
+           ROUND(CAST(top AS DOUBLE) / total, 4) AS top_bigram_frac,
+           ROUND(1.0 - CAST(ldst AS DOUBLE) / ltotal, 4) AS dup_line_frac
+         FROM t JOIN gstats USING (doc_id) JOIN gtop USING (doc_id)
+                JOIN lstats USING (doc_id)
+         ORDER BY doc_id"""
   )
 }
