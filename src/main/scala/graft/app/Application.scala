@@ -561,6 +561,20 @@ final class Application(val name: String, val spark: SparkSession,
     ctxs.flatMap { ctx =>
       val hooks = defs.find(_.id == ctx.routeId).map(_.hooks).getOrElse(RouteHooks.none)
       val route = table.find(ctx.routeId).get
+      // an execution already in flight for the same materialized output
+      // (concurrent executeAsync / overlapping event) — skip, don't stack
+      // (reference on_exec_skipped, constructs.py:3475-3486)
+      if (activeGroups.containsKey(ctx.output.materializedPaths.head)) {
+        hooks.onExecSkipped(route, ctx)
+        Nil
+      } else runContext(ctx, hooks, route)
+    }
+  }
+
+  /** One event-driven execution: begin/success/failure hooks around the
+    * cancellable run, then completion feed-back. */
+  private def runContext(ctx: ExecutionContext, hooks: RouteHooks,
+                         route: graft.routing.Route): List[String] = {
       hooks.onExecBegin(route, ctx)
       val retry = defs.find(_.id == ctx.routeId).map(_.retry).getOrElse(RetryPolicy())
       val written =
@@ -584,7 +598,6 @@ final class Application(val name: String, val spark: SparkSession,
         // connected downstream applications
         path :: (processPath(path) ++ propagateToDownstreams(path))
       }
-    }
   }
 
   /** Manual/backfill execution of a materialized target view (reference

@@ -105,6 +105,11 @@ object InputLoader {
     if (attrs.format.equalsIgnoreCase("csv"))
       reader = reader.option("header", attrs.header.toString).option("sep", attrs.delimiter)
         .option("inferSchema", effectiveSchema.isEmpty.toString)
+    // charset of text formats (reference `encoding` attr,
+    // signal_source.py:483-484); Spark's csv/json/text readers share the
+    // `encoding` option name
+    if (Seq("csv", "json", "text").exists(attrs.format.equalsIgnoreCase))
+      attrs.encoding.foreach(e => reader = reader.option("encoding", e))
     effectiveSchema.foreach { js =>
       reader = reader.schema(DataType.fromJson(js).asInstanceOf[StructType])
     }
@@ -143,6 +148,8 @@ object OutputWriter {
     var writer = df.write.format(attrs.format).mode(mode)
     if (attrs.format.equalsIgnoreCase("csv"))
       writer = writer.option("header", attrs.header.toString).option("sep", attrs.delimiter)
+    if (Seq("csv", "json", "text").exists(attrs.format.equalsIgnoreCase))
+      attrs.encoding.foreach(e => writer = writer.option("encoding", e))
     attrs.compression.foreach(c => writer = writer.option("compression", c))
     if (attrs.partitionKeys.nonEmpty) writer = writer.partitionBy(attrs.partitionKeys: _*)
     writer.save(path)

@@ -7,7 +7,21 @@ import graft.signal._
 trait RouteHooks {
   def onPendingNodeCreated(route: Route, node: RuntimeLinkNode): Unit = ()
   def onPendingNodeExpired(route: Route, node: RuntimeLinkNode): Unit = ()
+  /** Periodic pending-node checkpoint marks (seconds since node creation;
+    * reference RoutePendingNodeHook.checkpoints =
+    * [RouteCheckpoint(checkpoint_in_secs, slot)],
+    * routing_runtime_constructs.py:729, 1001-1018). Each mark fires
+    * [[onPendingNodeCheckpoint]] once per pending node, at the first
+    * sweep whose elapsed time passes it — the "this join has been waiting
+    * N minutes" alerting surface. */
+  def pendingNodeCheckpointSecs: List[Long] = Nil
+  def onPendingNodeCheckpoint(route: Route, node: RuntimeLinkNode,
+                              checkpointSecs: Long): Unit = ()
   def onExecBegin(route: Route, ctx: ExecutionContext): Unit = ()
+  /** Fired INSTEAD of onExecBegin when a ready context is dropped because
+    * an execution for the same materialized output is already in flight
+    * (reference on_exec_skipped, constructs.py:3475-3486). */
+  def onExecSkipped(route: Route, ctx: ExecutionContext): Unit = ()
   def onExecSuccess(route: Route, ctx: ExecutionContext): Unit = ()
   def onExecFailure(route: Route, ctx: ExecutionContext, error: Throwable): Unit = ()
 }
@@ -103,7 +117,24 @@ final class Route(
   def sweep(probe: PathProbe,
             nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] = {
     expireNodes(nowMillis)
+    fireCheckpoints(nowMillis)
     fireReady(probe)
+  }
+
+  /** Fire every not-yet-fired checkpoint mark the node's age has passed,
+    * chronologically, recording the last fired mark per node (reference
+    * get_next_pending_node_checkpoint + last_checkpoint_mark,
+    * routing_runtime_constructs.py:1246-1258, constructs.py:4315-4334). */
+  private def fireCheckpoints(nowMillis: Long): Unit = {
+    val marks = hooks.pendingNodeCheckpointSecs.sorted
+    if (marks.nonEmpty) pending.foreach { n =>
+      val elapsedSecs = (nowMillis - n.createdAtMillis) / 1000
+      marks.filter(m => m > n.lastCheckpointMark && m <= elapsedSecs)
+        .foreach { m =>
+          hooks.onPendingNodeCheckpoint(this, n, m)
+          n.lastCheckpointMark = m
+        }
+    }
   }
 
   /** TTL expiry of stale pending nodes (J4; reference check_expired_nodes,

@@ -61,6 +61,9 @@ final class RuntimeLinkNode(
   private val processedPaths = scala.collection.mutable.Set.empty[String]
   private val blockedPaths = scala.collection.mutable.Set.empty[String]
   var isZombie: Boolean = false
+  /** Highest pending-node checkpoint mark (secs) already fired for this
+    * node (reference last_checkpoint_mark, constructs.py:2812-2817). */
+  private[routing] var lastCheckpointMark: Long = 0L
 
   def ready: List[Signal] = readySignals
 

@@ -29,6 +29,10 @@ final case class DatasetAttrs(
     format: String = "parquet",
     delimiter: String = "|",
     header: Boolean = true,
+    /** Charset of text formats (csv/json/text) — reference
+      * DATASET_ENCODING_KEY, signal_source.py:483-484 (default utf-8);
+      * None delegates to Spark's own UTF-8 default. */
+    encoding: Option[String] = None,
     compression: Option[String] = None,
     schemaJson: Option[String] = None,
     partitionKeys: Seq[String] = Nil,

@@ -154,6 +154,41 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.poll(slow("2026-08-12")).isEmpty) // no completed partition
   }
 
+  test("overlapping execution of one output fires onExecSkipped, not a second run (H1)") {
+    val app = new Application("skip", spark, s"$work/app_skip")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hooks = new graft.routing.RouteHooks {
+      override def onExecSkipped(r: graft.routing.Route,
+                                 ctx: graft.routing.ExecutionContext): Unit =
+        skipped.incrementAndGet()
+    }
+    val node = app.createData("slow_skip", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        runs.incrementAndGet(); started.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ctx.input("src")
+      }), hooks = hooks)
+    app.activate()
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = app.executeAsync(node("2026-08-12"))
+    started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    // event-driven trigger resolving to the SAME output partition while
+    // the manual run still holds it: must be skipped, not stacked
+    val completed = app.processPath(s"$work/src/2026-08-12")
+    assert(completed.isEmpty)
+    assert(skipped.get() == 1)
+    release.countDown()
+    Await.result(fut, 120.seconds)
+    assert(runs.get() == 1) // the skipped context never reached the slot
+    // with the execution finished, the same event executes normally
+    val after = app.processPath(s"$work/src/2026-08-12")
+    assert(after.nonEmpty && skipped.get() == 1)
+  }
+
   test("validate reports zombies and trigger-impossibility without executing") {
     val regionDaySpec = DimSpec.pretty(
       "region" -> (DimType.STRING, Map.empty[String, Any]),

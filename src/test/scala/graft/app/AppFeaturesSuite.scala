@@ -546,6 +546,36 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally app.stopSweeper()
   }
 
+  test("CSV encoding attr round-trips non-UTF8 text (reference `encoding`)") {
+    // ISO-8859-1 bytes are NOT valid UTF-8 for accented chars — a reader
+    // ignoring the attr produces replacement garbage, failing the equality
+    val csvRoot = s"$work/src_latin1/2026-08-12"
+    new java.io.File(csvRoot).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$csvRoot/data.csv"),
+      "day|city\n2026-08-12|Zürich\n2026-08-12|München\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val app = new Application("latin1", spark, s"$work/app_latin1")
+    val src = app.marshalExternalData("src", s"$work/src_latin1", daySpec,
+      attrs = DatasetAttrs(format = "csv", delimiter = "|", header = true,
+        encoding = Some("ISO-8859-1")))
+    // managed output ALSO written as latin-1 csv: the writer-side half
+    val node = app.createData("latin1_out", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT city FROM src")),
+      attrs = DatasetAttrs(format = "csv", delimiter = "|", header = true,
+        encoding = Some("ISO-8859-1")))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    val cities = app.load(node("2026-08-12"))
+      .collect().map(_.getString(0)).sorted
+    assert(cities.toSeq == Seq("München", "Zürich"))
+    // the managed partition's raw bytes really are latin-1 (ü = 0xFC)
+    val outDir = new java.io.File(app.poll(node("2026-08-12")).get)
+    val part = outDir.listFiles().find(_.getName.startsWith("part-")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    assert(bytes.contains(0xFC.toByte))
+    assert(!bytes.containsSlice(Array(0xC3.toByte, 0xBC.toByte))) // no UTF-8 ü
+  }
+
   test("CSV external input honors delimiter/header attrs") {
     val csvRoot = s"$work/src_csv/2026-08-12"
     new java.io.File(csvRoot).mkdirs()

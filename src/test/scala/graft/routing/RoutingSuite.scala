@@ -295,6 +295,33 @@ class RoutingSuite extends AnyFunSuite {
     assert(route.pendingNodes.length == 1) // only the fresh node remains
   }
 
+  test("pending-node checkpoints fire once per mark as the node ages") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b)).withAutoLinks
+    var fired = List.empty[Long]
+    val hooks = new RouteHooks {
+      override def pendingNodeCheckpointSecs: List[Long] = List(300, 60)
+      override def onPendingNodeCheckpoint(r: Route, n: RuntimeLinkNode,
+                                           mark: Long): Unit = fired :+= mark
+    }
+    val route = new Route("ckpt", node, outputFor(node, "ckpt", daySpec), Nil,
+      hooks = hooks)
+    // half a coincidence join: the node waits for b, aging in pending
+    route.receive(chainedSignal("a", "/data/a", daySpec, "2026-08-12"),
+      new MemProbe(), nowMillis = 0)
+    assert(route.pendingNodes.length == 1)
+    route.sweep(new MemProbe(), nowMillis = 30 * 1000)
+    assert(fired.isEmpty) // before the first mark
+    route.sweep(new MemProbe(), nowMillis = 90 * 1000)
+    assert(fired == List(60L)) // 60s mark passed once
+    route.sweep(new MemProbe(), nowMillis = 90 * 1000)
+    assert(fired == List(60L)) // no re-fire at the same age
+    route.sweep(new MemProbe(), nowMillis = 400 * 1000)
+    assert(fired == List(60L, 300L)) // later mark fires (chronological)
+    assert(route.pendingNodes.length == 1) // checkpoints never drop state
+  }
+
   test("routing table: path events decode, route, and feed back downstream") {
     val a = extSignal("a", "/data/a", daySpec, "*")
     val nodeA = SignalLinkNode(List(a)).withAutoLinks
