@@ -27,6 +27,14 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
     val boiler = sys.env.getOrElse("SPARK_GRAFT_SOAK_BOILERPLATE", "2500").toInt
+    // IVF cell count for the build soak — the large-k scale claim
+    // (broadcast-DataFrame centroid assignment) is measured by raising
+    // this to 256/1024/4096, far past where literal centroids blew up
+    // the task binary (k≈32)
+    val ivfK = sys.env.getOrElse("SPARK_GRAFT_SOAK_IVF_K", "32").toInt
+    // "ivf" = skip the text-dedup stages (minutes) when only the IVF
+    // build/query numbers are being measured
+    val only = sys.env.getOrElse("SPARK_GRAFT_SOAK_ONLY", "all")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,15 +66,18 @@ object Soak {
     val (nDocs, tStage) = timed(corpus.count())
 
     // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000
-    val (p07Pairs, tP07) = timed(
+    val (p07Pairs, tP07) = if (only == "ivf") (0L, 0.0) else timed(
       Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
         k = 64, bands = 16, shingleN = 2, minJaccard = 0.9,
         maxBucketSize = 1000).count())
-    val stats = Dedup.lshBucketStats(corpus, "text", "doc_id",
-      k = 64, bands = 16, shingleN = 2, maxBucketSize = 1000)
-      .collect().head
     val (buckets, maxBucket, dropped, avoided) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+      if (only == "ivf") (0L, 0L, 0L, 0L)
+      else {
+        val stats = Dedup.lshBucketStats(corpus, "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, maxBucketSize = 1000)
+          .collect().head
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+      }
 
     // p13 shape: embedding near-dup on a replicated embedding corpus
     // (copies get a tiny per-copy scale: same plane signature — sign bits
@@ -78,35 +89,44 @@ object Soak {
         transform(col("embedding"),
           x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
           .as("embedding"))
-    val (p13Pairs, tP13) = timed(
+    val (p13Pairs, tP13) = if (only == "ivf") (0L, 0.0) else timed(
       Dedup.embeddingNearDupPairs(embCorpus, "embedding", "vec_id",
         minCosine = 0.999, planes = 8, maxBucketSize = 10000).count())
 
     // p20 shape: IVF build over the 10x embedding corpus + a probe query
+    val (nVecs, _) = timed(embCorpus.count())
     val (ivfIdx, tIvfBuild) = timed(
       Similarity.buildIvfIndex(embCorpus, "embedding", "vec_id",
-        k = 32, iters = 3, persist = true))
+        k = ivfK, iters = 3, persist = true))
     val queryVec = embBase.limit(1).select(col("embedding"))
       .collect().head.getSeq[Float](0)
     val (ivfTop, tIvfQuery) = timed(
       ivfIdx.topK(queryVec, k = 10, nProbe = 4).count())
+    // cell-occupancy evidence for the semantic-dedup path at this k
+    val occ = ivfIdx.cells.groupBy("__cell").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("cells"), max("sz").as("max_cell"))
+      .collect().head
+    val (nCells, maxCell) = (occ.getLong(0), occ.getLong(1))
     ivfIdx.unpersist()
 
     // p18 shape: incremental — today's batch (the base corpus) against the
     // 10x existing index
-    val (index, tIndex) = timed {
-      val ix = Dedup.buildNearDupIndex(corpus, "text", "doc_id",
-        k = 64, bands = 16, shingleN = 2, persist = true)
-      ix.sigs.count(); ix.grams.count() // materialize the persisted index
-      ix
+    val (p18Pairs, tIndex, tP18) = if (only == "ivf") (0L, 0.0, 0.0) else {
+      val (index, tIx) = timed {
+        val ix = Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, persist = true)
+        ix.sigs.count(); ix.grams.count() // materialize the persisted index
+        ix
+      }
+      val (pairs, tp) = timed(
+        Dedup.incrementalJaccardPairs(base, index, "text",
+          minJaccard = 0.9, maxBucketSize = 1000).count())
+      index.unpersist()
+      (pairs, tIx, tp)
     }
-    val (p18Pairs, tP18) = timed(
-      Dedup.incrementalJaccardPairs(base, index, "text",
-        minJaccard = 0.9, maxBucketSize = 1000).count())
-    index.unpersist()
 
     println(
-      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"ivf_build_sec":$tIvfBuild%.1f,"ivf_query_sec":$tIvfQuery%.1f,"ivf_top":$ivfTop,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
+      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"ivf_k":$ivfK,"ivf_vecs":$nVecs,"ivf_build_sec":$tIvfBuild%.1f,"ivf_query_sec":$tIvfQuery%.1f,"ivf_top":$ivfTop,"ivf_cells":$nCells,"ivf_max_cell":$maxCell,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
     spark.stop()
   }
 }

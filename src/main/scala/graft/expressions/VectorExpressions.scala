@@ -1,0 +1,114 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Native Catalyst expressions for the hot per-row VECTOR kernels.
+  *
+  * Why these exist: Spark's higher-order array functions (`zip_with`,
+  * `aggregate`, `transform`) are CodegenFallback — every element op is an
+  * interpreted lambda call with boxing. For an O(dim) cosine that's
+  * tolerable; for the O(k·dim) IVF centroid-assignment argmax it
+  * dominated the build (measured: k=256 over 20k×64-dim vectors spent
+  * ~25 s per Lloyd pass in lambda evaluation). These expressions emit a
+  * static kernel call inside whole-stage codegen: tight `while` loops
+  * over ArrayData, no boxing, no virtual dispatch.
+  *
+  * Arithmetic is ORDER-IDENTICAL to the Column compositions they replace
+  * (left-to-right per-element accumulation, separate accumulators, first
+  * index wins ties), so results are bit-for-bit equal and the DuckDB
+  * oracles / stored indexes are unaffected.
+  */
+
+/** Exact cosine similarity between two numeric-array columns
+  * (float or double elements; result double). Replaces
+  * `aggregate(zip_with(a,b,*))/(sqrt(aggregate(...))*sqrt(...))` —
+  * ONE pass, three accumulators, same element order → same doubles. */
+final case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorKernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Index (0-based) of the centroid with the max dot product against a
+  * vector: `argmax_i cents[i]·vec` over array<array<double>> ×
+  * array<double>. Replaces
+  * `array_position(scores, array_max(scores)) - 1` over a
+  * `transform(cents, aggregate(zip_with(...)))` score array — the IVF
+  * Lloyd-pass hot loop. First max wins ties, matching array_position. */
+final case class ArgMaxDot(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "argmax_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.argMaxDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorKernels.argMaxDot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels referenced from generated code. */
+object VectorKernels {
+
+  /** Cosine with per-side element-type flags (constant-folded by JIT —
+    * the branches hoist out of the loop). Accumulation order matches the
+    * zip_with/aggregate composition exactly: x·y, x², y² summed
+    * left-to-right in separate accumulators. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** First-max argmax of centroid·vec dot products (strict `>` keeps the
+    * first index on ties, = array_position(scores, array_max(scores))). */
+  def argMaxDot(cents: ArrayData, vec: ArrayData): Int = {
+    val v = vec.toDoubleArray()
+    val k = cents.numElements()
+    var best = Double.NegativeInfinity
+    var bestI = 0
+    var i = 0
+    while (i < k) {
+      val c = cents.getArray(i)
+      val n = math.min(c.numElements(), v.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += c.getDouble(j) * v(j); j += 1 }
+      if (dot > best) { best = dot; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+}

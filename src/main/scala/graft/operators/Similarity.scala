@@ -22,8 +22,16 @@ object Similarity {
   /** L2 norm of a float-array column (double). */
   def l2norm(a: Column): Column = sqrt(dotD(a, a))
 
-  /** Exact cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2norm(a) * l2norm(b))
+  /** Exact cosine similarity between two float-array columns — a native
+    * codegen'd kernel ([[graft.expressions.CosineSim]]): the zip_with/
+    * aggregate composition it replaces is CodegenFallback (interpreted
+    * lambda per element) and dominated the rerank paths. Arithmetic is
+    * order-identical, so results are bit-equal. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CosineSim(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Exact top-k rows most similar to `queryVec`. */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
@@ -194,17 +202,19 @@ object Similarity {
       s"cannot build an IVF index over an empty corpus ($vecCol)")
 
     // nearest-centroid assignment for the CURRENT `centroids`: broadcast
-    // the one-row centroid table, argmax the per-cell dot products
+    // the one-row centroid table, argmax the per-cell dot products via
+    // the codegen'd ArgMaxDot kernel (the transform/aggregate/zip_with
+    // composition is CodegenFallback — measured ~25 s per Lloyd pass at
+    // k=256 over 20k×64-dim in interpreted lambdas; the kernel is a tight
+    // while-loop with identical arithmetic order and first-max-wins ties)
     def assign(b: DataFrame): DataFrame = {
       val centsDf = Seq(Tuple1(centroids.map(_.toSeq).toSeq))
         .toDF("__cents").withColumn("__ck", lit(1))
-      val scores = transform(col("__cents"), c =>
-        aggregate(zip_with(c, col("__u"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+      val bridge = org.apache.spark.sql.GraftColumnBridge
       b.withColumn("__ck", lit(1))
         .join(broadcast(centsDf), "__ck")
-        .withColumn("__cell",
-          (array_position(scores, array_max(scores)) - 1).cast("int"))
+        .withColumn("__cell", bridge.column(graft.expressions.ArgMaxDot(
+          bridge.expression(col("__cents")), bridge.expression(col("__u")))))
         .drop("__ck", "__cents")
     }
 
