@@ -72,8 +72,106 @@ final case class ArgMaxDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane sign signature: `planes` bits packed into a long,
+  * bit p = sign of vec·h_p where h_p's components are ±1 derived from
+  * Spark's xxhash64. Replaces the per-plane
+  * `aggregate(zip_with(vec, sequence, x*planeComponent))` composition —
+  * O(planes·dim) interpreted lambdas per row, THE cost of every LSH
+  * signature build. Hash semantics replicate the Column form exactly
+  * (XXH64.hashInt chained with seed 42, sign-preserving `% 2 == 0`), so
+  * signatures — and therefore buckets — are bit-identical. */
+final case class PlaneSig(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "plane_sig"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.planeSignature(input.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.planeSignature($c, $planes, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unit-normalized (double) copy of a numeric-array column; zero vectors
+  * pass through unscaled. Replaces the `aggregate(...)` + `transform`
+  * finish-lambda composition feeding the IVF build — same arithmetic
+  * (sum of squares left-to-right, per-element x/sqrt(ss)). */
+final case class UnitVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unit_vec"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.unitVec(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.unitVec($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static kernels referenced from generated code. */
 object VectorKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Bit p = (vec · h_p >= 0); h_p component j = +1 iff
+    * xxhash64(p, j) % 2 == 0 — the exact semantics of the Column form
+    * `xxhash64(lit(p), j)` (XXH64.hashInt chained from seed 42, Spark's
+    * sign-preserving remainder). */
+  def planeSignature(vec: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val seedP = XXH64.hashInt(p, 42L)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        dot += (if (XXH64.hashInt(j, seedP) % 2 == 0) x else -x)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** x_i / sqrt(Σx²) with the zero-vector passthrough; accumulation and
+    * division order match the aggregate/transform composition. */
+  def unitVec(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      out(i) = x; ss += x * x; i += 1
+    }
+    if (ss != 0.0) {
+      val nrm = math.sqrt(ss)
+      var j = 0
+      while (j < n) { out(j) = out(j) / nrm; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
 
   /** Cosine with per-side element-type flags (constant-folded by JIT —
     * the branches hoist out of the loop). Accumulation order matches the

@@ -64,25 +64,17 @@ object Similarity {
             .as("q"))
       })
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * ±1 from a 64-bit avalanche hash — no RNG state, identical on every
-    * executor. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    when(xxhash64(lit(plane), dim) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-
   /** Random-hyperplane (sign) signature of a vector: `planes` bits packed
     * into a long — vectors with high cosine land in the same bucket with
-    * high probability. */
-  def planeSignature(vec: Column, planes: Int): Column = {
-    val bits: Seq[Column] = (0 until planes).map { p =>
-      val dotP = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
-  }
+    * high probability. Hyperplane components are ±1 from Spark's xxhash64
+    * (no RNG state, identical on every executor); the codegen'd
+    * [[graft.expressions.PlaneSig]] kernel replicates the hash chain
+    * exactly, so buckets match the original Column composition
+    * bit-for-bit while skipping its O(planes·dim) interpreted lambdas. */
+  def planeSignature(vec: Column, planes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PlaneSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), planes))
 
   /** ANN top-k: restrict the exact rerank to the query's LSH bucket;
     * `probeBits=1` additionally probes all hamming-1 neighbor buckets
@@ -130,13 +122,13 @@ object Similarity {
   // ---- IVF: the centroid-partitioned ANN scale path ----------------------
 
   /** Unit-normalized copy of a float-array column (zero vectors pass
-    * through unscaled instead of dividing by zero under ANSI). The norm
-    * binds once in aggregate's finish lambda — see [[quantizeInt8]]. */
+    * through unscaled instead of dividing by zero under ANSI) — the
+    * codegen'd [[graft.expressions.UnitVec]] kernel (same accumulation
+    * order as the aggregate/transform composition it replaces). */
   private def unit(vec: Column): Column =
-    aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"),
-      ss => transform(vec, x =>
-        when(ss === 0.0, x.cast("double"))
-          .otherwise(x.cast("double") / sqrt(ss))))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.UnitVec(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec)))
 
   /** Inverted-file index: `cells` = (id, vec, __cell) with each vector
     * assigned to its nearest (max-dot) spherical-k-means centroid.
