@@ -62,17 +62,16 @@ object TextFunctions {
     * Dedup.shingles, which wraps this in array_distinct for set-Jaccard —
     * this is the ONE sliding-window expression both share (a drifted copy
     * would silently change bucketing between the dedup paths). Short docs
-    * yield an empty array: `sequence(1, 0)` is the descending [1, 0] (not
-    * empty) and slice at position 0 is a runtime error, so the short case
-    * needs its own branch. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val words = tokens(text)
-    if (n == 1) words
-    else when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * yield an empty array. Backed by the codegen'd
+    * [[graft.expressions.WordNgramsExpr]] kernel: the transform/slice/
+    * concat_ws composition it replaces is CodegenFallback — O(tokens·n)
+    * interpreted lambdas per document on THE path every dedup signature
+    * build explodes; token/gram strings are replicated exactly
+    * (equivalence-pinned in TextVectorExpressionsSuite). */
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordNgramsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
   // ---- repetition-quality stats (Gopher/C4-style filters) ---------------
   // Raw Measurement Quality signals over REPEATED content: curation
