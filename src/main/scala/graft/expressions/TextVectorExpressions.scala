@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -41,8 +42,112 @@ final case class WordNgramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Whole-row MinHash signature: k min-hash draws over the document's
+  * word-n-gram multiset, computed in ONE pass per row. Replaces the
+  * explode(shingles) → xxhash64 → groupBy(id).agg(k mins) pipeline in
+  * Dedup.minhashSignatures — the explode materialized every gram string
+  * as a row and pushed k affine transforms through a two-phase
+  * aggregation; as a scalar expression the signature build is a narrow
+  * projection with NO shuffle at all.
+  *
+  * Signature VALUES are identical to the pipeline form: same gram
+  * strings (WordNgramsExpr tokenization), same
+  * `pmod(xxhash64(gram), P)` base hash (XXH64 over the gram's UTF-8
+  * bytes, seed 42), same splitmix64-derived affine permutations
+  * `(a_i·h + b_i) mod P`, and min over the multiset equals min over the
+  * distinct set (array_distinct dropped duplicates; duplicates cannot
+  * change a min). Documents with no grams return NULL — the pipeline
+  * form simply had no rows for them after the explode, so callers filter
+  * `isNotNull` to keep the row set identical. */
+final case class MinHashSig(child: Expression, k: Int, shingleN: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1 && shingleN >= 1)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.minhashSig(input.asInstanceOf[UTF8String], k, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // kernel returns null for gramless docs — null-guard the result
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expressions.TextVectorKernels.minhashSig(
+            ${c.value}, $k, $shingleN);
+          ${ev.isNull} = (${ev.value} == null);
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextVectorKernels {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** splitmix64 finalizer — MUST stay identical to Dedup.minhashSignatures'
+    * historical a_i/b_i derivation (signatures are bucketing keys). */
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** (a_i, b_i) affine coefficients per k, memoized (k is a literal per
+    * expression — one entry per distinct k in practice). */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, kk => {
+      val a = new Array[Long](kk); val b = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        a(i) = java.lang.Math.floorMod(mix(i.toLong), MersennePrime - 1) + 1
+        b(i) = java.lang.Math.floorMod(mix(i.toLong + 7919), MersennePrime)
+        i += 1
+      }
+      (a, b)
+    })
+
+  /** k-min signature over the doc's n-gram multiset; null when the doc is
+    * too short to form a single gram (the explode form had no rows). */
+  def minhashSig(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val grams = wordNgrams(text, n)
+    val m = grams.numElements()
+    if (m == 0) return null
+    val (a, b) = coeffs(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var g = 0
+    while (g < m) {
+      val gram = grams.getUTF8String(g)
+      // pmod(xxhash64(gram), P): Spark's XxHash64 over the UTF-8 bytes,
+      // seed 42, then sign-safe mod
+      val raw = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
+      val h = java.lang.Math.floorMod(raw, MersennePrime)
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * h + b(i)) % MersennePrime
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(mins)
+  }
 
   /** trim(' ') + Pattern.split(-1) + sliding mkString(" ") — the exact
     * token/gram strings of the Column composition. */

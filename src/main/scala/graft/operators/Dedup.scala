@@ -57,36 +57,31 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     array_distinct(TextFunctions.wordNgrams(text, n))
 
-  /** MinHash signatures: explode shingles once, k mins in one partial-agg
-    * groupBy (map-side combine keeps the shuffle at k longs per doc).
+  /** MinHash signatures as a NARROW projection — no explode, no shuffle:
+    * the codegen'd [[graft.expressions.MinHashSig]] kernel computes the
+    * k min-hash draws in one pass over each document's gram multiset.
+    * (The historical pipeline form — explode(shingles) → xxhash64 →
+    * groupBy(id).agg(k mins) — materialized every gram as a row and paid
+    * a two-phase aggregation; map-side combine kept the shuffle small,
+    * but the kernel removes it entirely.) Signature values are IDENTICAL:
+    * one string hash per shingle (pmod(xxhash64, P)), k affine
+    * permutations h_i = a_i·h + b_i mod P over the Mersenne prime
+    * P = 2^31-1 (a_i·h < 2^62 — no long overflow; mod-prime
+    * multiplication is a true permutation), min over the multiset = min
+    * over the distinct gram set. Docs too short to form one gram had no
+    * rows after the explode; the kernel returns null for them and the
+    * isNotNull filter keeps the row set identical
+    * (equivalence-pinned in TextVectorExpressionsSuite).
     * Output: (idCol, sig: array<bigint> of length k). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 64, shingleN: Int = 3): DataFrame = {
-    // ONE string hash per shingle (string hashing dominates at corpus
-    // scale); the k min-hash draws are affine permutations h_i = a_i·h +
-    // b_i mod P over the Mersenne prime P = 2^31-1. a_i·h < 2^62 so the
-    // arithmetic never overflows a long under ANSI mode, and mod-prime
-    // multiplication is a true permutation (a plain non-wrapping h1 + i·h2
-    // is NOT — the i·h2 term dominates and correlates the positions).
-    val P = 2147483647L
-    def mix(x: Long): Long = { // splitmix64 finalizer for the a_i/b_i draws
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val exploded = spread(df)
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("g"))
-      .select(col(idCol), pmod(xxhash64(col("g")), lit(P)).as("h"))
-    val minCols = (0 until k).map { i =>
-      val a = java.lang.Math.floorMod(mix(i.toLong), P - 1) + 1
-      val b = java.lang.Math.floorMod(mix(i.toLong + 7919), P)
-      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"h$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-  }
+                        k: Int = 64, shingleN: Int = 3): DataFrame =
+    spread(df)
+      .select(col(idCol),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.MinHashSig(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+            k, shingleN)).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** LSH banding: k-length signature → `bands` buckets of r=k/bands rows
     * each; docs sharing any (band, bandHash) bucket become candidates.

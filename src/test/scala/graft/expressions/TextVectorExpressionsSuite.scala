@@ -67,4 +67,44 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
       array_sort(array_distinct(wordNgramsOld(col("t"), 2))).as("o")).collect()
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
+
+  /** The historical explode → xxhash64 → groupBy(k mins) signature
+    * pipeline, inlined as the spec for MinHashSig. */
+  private def minhashSigsOld(df: org.apache.spark.sql.DataFrame, k: Int,
+                             n: Int): Map[Long, Seq[Long]] = {
+    val P = 2147483647L
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val exploded = df
+      .select(col("id"), explode(array_distinct(wordNgramsOld(col("t"), n))).as("g"))
+      .select(col("id"), pmod(xxhash64(col("g")), lit(P)).as("h"))
+    val minCols = (0 until k).map { i =>
+      val a = java.lang.Math.floorMod(mix(i.toLong), P - 1) + 1
+      val b = java.lang.Math.floorMod(mix(i.toLong + 7919), P)
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"h$i")
+    }
+    exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+  }
+
+  test("MinHashSig kernel equals the explode/groupBy signature pipeline") {
+    val sp = spark; import sp.implicits._
+    val docs = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "t")
+    Seq((16, 2), (64, 2), (32, 3)).foreach { case (k, n) =>
+      val old = minhashSigsOld(df, k, n)
+      val kern = graft.operators.Dedup
+        .minhashSignatures(df.select(col("id"), col("t").as("text")), "text", "id", k, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(kern.keySet == old.keySet, s"row sets differ (k=$k n=$n)")
+      old.foreach { case (id, sig) =>
+        assert(kern(id) == sig, s"signature differs for id=$id (k=$k n=$n)")
+      }
+    }
+  }
 }
