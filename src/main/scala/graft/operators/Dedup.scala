@@ -234,9 +234,16 @@ object Dedup {
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     val grams = spread(df)
       .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+    // persist=false still single-computes via localCheckpoint: the index
+    // tables are each consumed 2-3x downstream (banding + bucket-size
+    // guard + verify joins). The historical explode+groupBy signature
+    // build got free re-use through its shuffle files; the narrow
+    // MinHashSig projection has no shuffle, so an un-materialized index
+    // would re-read + re-hash the corpus per consumer. Checkpoint blocks
+    // are reclaimed by the ContextCleaner when the index is GC'd.
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else d
+      else d.localCheckpoint()
     NearDupIndex(maybe(sigs), maybe(grams), idCol, k, bands, shingleN)
   }
 
