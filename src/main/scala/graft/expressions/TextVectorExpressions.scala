@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd kernel for the word-n-gram sliding window — the expression
@@ -91,10 +91,156 @@ final case class MinHashSig(child: Expression, k: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Fraction of whitespace tokens that are stopwords — kernel form of
+  * `size(filter(tokens, isin(stopwords))) / size(tokens)` (the filter
+  * lambda is interpreted per token; quality scoring is the FIRST pass of
+  * a curation pipeline, so the per-token tax runs over the whole
+  * corpus). Same ints divided in double → same result. */
+final case class StopwordRatioExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "stopword_ratio"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.stopwordRatio(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: Janino's generics support is partial
+    val setRef = ctx.addReferenceObj("stopwordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.stopwordRatio($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mean token length in characters — kernel form of
+  * `aggregate(transform(tokens, length), 0, +) / size(tokens)`.
+  * Lengths are UTF8String.numChars summed as Int, divided in double —
+  * matching the composition exactly. */
+final case class MeanTokenLenExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mean_token_len"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.meanTokenLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.meanTokenLen($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Stopword-profile language ID — kernel form of the per-language
+  * `size(filter(tokens, isin(profile)))` scores + (-score, lang)
+  * struct-sort argmax: languages are scored over LOWERCASED tokens,
+  * the best strictly-greater score wins with alphabetical tie-break,
+  * and a zero best yields "und". `profiles` must arrive sorted by
+  * language code (TextFunctions.langId sorts before constructing). */
+final case class LangIdExpr(child: Expression,
+                            profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val compiled: Array[(UTF8String, java.util.HashSet[UTF8String])] =
+    profiles.map { case (lang, words) =>
+      val s = new java.util.HashSet[UTF8String]()
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      (UTF8String.fromString(lang), s)
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.langId(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langProfiles", compiled,
+      "scala.Tuple2[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.langId($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextVectorKernels {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   private val MersennePrime = 2147483647L // 2^31 - 1
+
+  private val Und = UTF8String.fromString("und")
+
+  /** SQL-trim (spaces only) + Java Pattern.split(-1) token array — the
+    * exact tokens of `split(trim(text), "\s+")`. */
+  private def tokenize(text: UTF8String): Array[String] = {
+    val s = text.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    Whitespace.split(s.substring(lo, hi), -1)
+  }
+
+  def stopwordRatio(text: UTF8String, stopwords: java.util.HashSet[UTF8String]): Double = {
+    val toks = tokenize(text)
+    var hits = 0
+    var i = 0
+    while (i < toks.length) {
+      if (stopwords.contains(UTF8String.fromString(toks(i)))) hits += 1
+      i += 1
+    }
+    hits.toDouble / toks.length.toDouble
+  }
+
+  def meanTokenLen(text: UTF8String): Double = {
+    val toks = tokenize(text)
+    var sum = 0 // Int accumulation, matching aggregate's lit(0) seed
+    var i = 0
+    while (i < toks.length) {
+      sum += UTF8String.fromString(toks(i)).numChars()
+      i += 1
+    }
+    sum.toDouble / toks.length.toDouble
+  }
+
+  /** Tokens are lowercased BEFORE splitting (the composition is
+    * `tokens(lower(text))`) — lowercase via UTF8String.toLowerCase to
+    * match Spark's `lower`. */
+  def langId(text: UTF8String,
+             profiles: Array[(UTF8String, java.util.HashSet[UTF8String])]): UTF8String = {
+    val toks = tokenize(text.toLowerCase)
+    var bestLang: UTF8String = null
+    var bestScore = 0
+    var p = 0
+    while (p < profiles.length) {
+      val set = profiles(p)._2
+      var score = 0
+      var i = 0
+      while (i < toks.length) {
+        if (set.contains(UTF8String.fromString(toks(i)))) score += 1
+        i += 1
+      }
+      // strict > keeps the alphabetically-first language on ties
+      // (profiles arrive sorted by code)
+      if (score > bestScore) { bestScore = score; bestLang = profiles(p)._1 }
+      p += 1
+    }
+    if (bestScore == 0) Und else bestLang
+  }
 
   /** splitmix64 finalizer — MUST stay identical to Dedup.minhashSignatures'
     * historical a_i/b_i derivation (signatures are bucketing keys). */

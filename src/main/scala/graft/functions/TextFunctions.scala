@@ -26,19 +26,22 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  /** Fraction of tokens that are stopwords (quality signal). */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val toks = tokens(text)
-    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
-    hits.cast("double") / size(toks).cast("double")
-  }
+  /** Fraction of tokens that are stopwords (quality signal) — codegen'd
+    * kernel ([[graft.expressions.StopwordRatioExpr]]); the
+    * size(filter(isin)) composition it replaces paid an interpreted
+    * lambda per token on the curation pipeline's first pass. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.StopwordRatioExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), stopwords))
 
-  /** Mean token length (quality signal). */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    aggregate(transform(toks, t => length(t)), lit(0),
-      (acc, x) => acc + x).cast("double") / size(toks).cast("double")
-  }
+  /** Mean token length (quality signal) — codegen'd kernel
+    * ([[graft.expressions.MeanTokenLenExpr]]), same Int length sum /
+    * double division as the aggregate/transform composition. */
+  def meanTokenLength(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MeanTokenLenExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
@@ -189,19 +192,18 @@ object TextFunctions {
     else best.toSeq.sortBy { case (l, s) => (-s, l) }.head._1
   }
 
-  /** Column form of [[langIdF]] — pure Catalyst (codegen'd, UDF-free):
-    * per-language token-multiplicity scores via `size(filter(...))`,
-    * argmax with the same (-score, lang) tie-break via a struct sort. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val entries = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        (-size(filter(toks, t => t.isin(words.toSeq.sorted: _*)))).as("neg"),
-        lit(lang).as("lang"))
-    }
-    val best = element_at(sort_array(array(entries: _*)), 1)
-    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
-  }
+  /** Column form of [[langIdF]] — the codegen'd
+    * [[graft.expressions.LangIdExpr]] kernel: per-language
+    * token-multiplicity scores over lowercased tokens, argmax with the
+    * same (-score, lang) tie-break the historical struct-sort
+    * composition used (profiles passed sorted by code; strict-greater
+    * keeps the alphabetically-first language on ties), "und" when
+    * nothing scores. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.LangIdExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        langProfiles.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSeq) }))
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
     * ±1 on each bit; the sign vector is the fingerprint. Near-dup docs

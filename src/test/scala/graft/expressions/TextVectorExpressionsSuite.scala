@@ -92,6 +92,44 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
   }
 
+  test("quality kernels equal their filter/aggregate compositions bit-for-bit") {
+    val sp = spark; import sp.implicits._
+    import graft.functions.TextFunctions
+    val docs = edgeDocs ++ Seq(
+      "the cat sat on the mat with a hat for the win",
+      "der hund und die katze sind nicht zu haus",
+      "le chat est sur le toit et la lune est pour nous",
+      "mixed the der le el words for fun und que")
+    val df = docs.toDF("t")
+    // old compositions inlined as the spec
+    val toks = split(trim(col("t")), "\\s+")
+    val swOld = size(filter(toks, x =>
+        x.isin(TextFunctions.EnglishStopwords: _*))).cast("double") /
+      size(toks).cast("double")
+    val mtOld = aggregate(transform(toks, x => length(x)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(toks).cast("double")
+    val lToks = split(trim(lower(col("t"))), "\\s+")
+    val entries = TextFunctions.langProfiles.toSeq.sortBy(_._1).map {
+      case (lang, words) => struct(
+        (-size(filter(lToks, x => x.isin(words.toSeq.sorted: _*)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val bestOld = element_at(sort_array(array(entries: _*)), 1)
+    val lidOld = when(bestOld.getField("neg") === 0, lit("und"))
+      .otherwise(bestOld.getField("lang"))
+    val rows = df.select(
+      TextFunctions.stopwordRatio(col("t")).as("swK"), swOld.as("swO"),
+      TextFunctions.meanTokenLength(col("t")).as("mtK"), mtOld.as("mtO"),
+      TextFunctions.langId(col("t")).as("liK"), lidOld.as("liO")).collect()
+    rows.zip(docs).foreach { case (r, d) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"stopword: $d")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), s"meanlen: $d")
+      assert(r.getString(4) == r.getString(5), s"langId: $d")
+    }
+  }
+
   test("MinHashSig kernel equals the explode/groupBy signature pipeline") {
     val sp = spark; import sp.implicits._
     val docs = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
