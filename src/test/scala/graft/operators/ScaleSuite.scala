@@ -91,6 +91,29 @@ class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("topNgramFraction completes in bounded time on a 100k-token doc") {
+    val sp = spark
+    import sp.implicits._
+    // worst case for the old O(distinct·total) shape: high distinct count
+    // AND high total (a long doc with a planted heavy gram) — 100k tokens,
+    // ~90k distinct bigrams. The O(n log n) sorted-run pass must stay in
+    // interactive time; the quadratic form was ~10^9 comparisons here.
+    val tokens = (0 until 100000).map { i =>
+      if (i % 10 == 0) "buy now" else s"tok$i"
+    }
+    val doc = tokens.mkString(" ")
+    val t0 = System.nanoTime()
+    val frac = Seq(doc).toDF("t")
+      .select(graft.functions.TextFunctions.topNgramFraction(col("t"), 2).as("f"))
+      .collect().head.getDouble(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // "buy now" contributes ~10k of ~110k bigram occurrences ("buy now"
+    // is itself two tokens, so the doc has 110k tokens → ~110k bigrams;
+    // the exact top gram is "now tok..."-adjacent "buy now" repeats)
+    assert(frac > 0.05 && frac < 0.2, s"implausible fraction $frac")
+    assert(secs < 60.0, s"topNgramFraction took $secs s on 100k tokens")
+  }
+
   test("one-pass MinHash aggregator matches column-based signature semantics") {
     val sp = spark
     import sp.implicits._
