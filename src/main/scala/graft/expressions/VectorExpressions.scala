@@ -126,6 +126,36 @@ final case class UnitVec(child: Expression)
     copy(child = newChild)
 }
 
+/** Symmetric int8 quantization of a numeric-array column — kernel form
+  * of Similarity.quantizeInt8's aggregate/transform composition: one
+  * pass finds max|x|, a second emits round(x·scale) as ints.
+  * scale = 127/max|x| (0.0 for all-zero vectors), rounding replicates
+  * Spark's `round(double)` exactly (BigDecimal.valueOf → HALF_UP).
+  * Returns struct(scale double, q array<int>). */
+final case class QuantizeInt8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorKernels.quantizeInt8($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static kernels referenced from generated code. */
 object VectorKernels {
   import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -188,6 +218,35 @@ object VectorKernels {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark `round(double)` (scale 0): BigDecimal.valueOf → HALF_UP, with
+    * the NaN/Infinity passthrough RoundBase has. */
+  private def round0(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def quantizeInt8(vec: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val a = math.abs(x)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    val out = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      out(j) = round0(x * scale).toInt
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(out)))
   }
 
   /** First-max argmax of centroid·vec dot products (strict `>` keeps the

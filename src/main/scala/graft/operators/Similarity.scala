@@ -45,24 +45,17 @@ object Similarity {
   /** Symmetric int8 quantization of a float-vector column — the standard
     * storage/bandwidth reduction for embedding corpora (4x smaller, dot
     * products on integers): per-vector scale = 127 / max|x|, values round
-    * half-away-from-zero; all-zero vectors quantize to zeros (scale 0)
-    * rather than dividing by zero under ANSI mode. Returns
-    * struct(scale double, q array<int>).
-    *
-    * The max|x| reduction runs inside `aggregate`'s FINISH lambda so the
-    * scalar binds as a lambda variable — embedding it directly in the
-    * per-element transform would re-evaluate the O(d) aggregate for every
-    * element (O(d²) per row, measured 4x slower at 2x dims). */
+    * half-away-from-zero (Spark `round` semantics, replicated exactly);
+    * all-zero vectors quantize to zeros (scale 0) rather than dividing
+    * by zero under ANSI mode. Returns struct(scale double, q array<int>).
+    * Backed by the codegen'd [[graft.expressions.QuantizeInt8Expr]]
+    * kernel — the historical aggregate/transform composition (max|x|
+    * bound in the FINISH lambda to avoid the O(d²) per-row trap) was
+    * CodegenFallback, an interpreted lambda per element. */
   def quantizeInt8(vec: Column): Column =
-    aggregate(vec, lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))),
-      maxAbs => {
-        val scale = when(maxAbs === 0.0, lit(0.0))
-          .otherwise(lit(127.0) / maxAbs)
-        struct(scale.as("scale"),
-          transform(vec, x => round(x.cast("double") * scale).cast("int"))
-            .as("q"))
-      })
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.QuantizeInt8Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec)))
 
   /** Random-hyperplane (sign) signature of a vector: `planes` bits packed
     * into a long — vectors with high cosine land in the same bucket with

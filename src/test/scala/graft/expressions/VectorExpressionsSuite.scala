@@ -97,6 +97,35 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("QuantizeInt8Expr equals the aggregate/transform composition") {
+    // old composition inlined as the spec (max|x| bound in FINISH lambda)
+    def quantOld(vec: Column): Column =
+      aggregate(vec, lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double"))),
+        maxAbs => {
+          val scale = when(maxAbs === 0.0, lit(0.0))
+            .otherwise(lit(127.0) / maxAbs)
+          struct(scale.as("scale"),
+            transform(vec, x => round(x.cast("double") * scale).cast("int"))
+              .as("q"))
+        })
+    val rows = vecs.select(
+      bridge.column(QuantizeInt8Expr(bridge.expression(col("v")))).as("k"),
+      quantOld(col("v")).as("o")).collect()
+    rows.foreach { r =>
+      val (k, o) = (r.getStruct(0), r.getStruct(1))
+      assert(java.lang.Double.doubleToLongBits(k.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(o.getDouble(0)))
+      assert(k.getSeq[Int](1) == o.getSeq[Int](1))
+    }
+    // half-away-from-zero pinned on exact .5 products
+    val sp = spark; import sp.implicits._
+    val half = Seq(Seq(2.0f, 1.0f)).toDF("v") // scale 63.5 → 1*63.5 = 63.5
+      .select(bridge.column(QuantizeInt8Expr(bridge.expression(col("v")))).as("k"))
+      .collect().head.getStruct(0).getSeq[Int](1)
+    assert(half == Seq(127, 64)) // 63.5 rounds HALF_UP to 64
+  }
+
   test("ArgMaxDot matches array_position(argmax) with first-max ties") {
     val sp = spark; import sp.implicits._
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
