@@ -563,11 +563,21 @@ final class Application(val name: String, val spark: SparkSession,
       val route = table.find(ctx.routeId).get
       // an execution already in flight for the same materialized output
       // (concurrent executeAsync / overlapping event) — skip, don't stack
-      // (reference on_exec_skipped, constructs.py:3475-3486)
-      if (activeGroups.containsKey(ctx.output.materializedPaths.head)) {
+      // (reference on_exec_skipped, constructs.py:3475-3486). The check
+      // and the claim are ONE atomic putIfAbsent: an empty group set
+      // reserves the output before the slot is invoked, so two
+      // concurrent events for the same path can't both pass a lookahead
+      // check and stack. runCancellable merges its real job group into
+      // the reservation; the conditional remove below only drops a
+      // reservation that never reached runCancellable (hook threw).
+      val outPath = ctx.output.materializedPaths.head
+      if (activeGroups.putIfAbsent(outPath, Set.empty[String]) != null) {
         hooks.onExecSkipped(route, ctx)
         Nil
-      } else runContext(ctx, hooks, route)
+      } else {
+        try runContext(ctx, hooks, route)
+        finally activeGroups.remove(outPath, Set.empty[String])
+      }
     }
   }
 

@@ -17,6 +17,9 @@ abstract class StringHashExpression extends UnaryExpression with Serializable {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
+
   /** Fully-qualified static kernel, e.g. "graft.expressions.Kernels.fnv". */
   def kernel: String
 

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -30,6 +31,9 @@ final case class WordNgramsExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
 
   override protected def nullSafeEval(input: Any): Any =
     TextVectorKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
@@ -68,6 +72,9 @@ final case class MinHashSig(child: Expression, k: Int, shingleN: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
+
   override protected def nullSafeEval(input: Any): Any =
     TextVectorKernels.minhashSig(input.asInstanceOf[UTF8String], k, shingleN)
 
@@ -102,6 +109,9 @@ final case class StopwordRatioExpr(child: Expression, stopwords: Seq[String])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "stopword_ratio"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
+
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
     stopwords.foreach(w => s.add(UTF8String.fromString(w)))
@@ -132,6 +142,9 @@ final case class MeanTokenLenExpr(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "mean_token_len"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
+
   override protected def nullSafeEval(input: Any): Any =
     TextVectorKernels.meanTokenLen(input.asInstanceOf[UTF8String])
 
@@ -155,6 +168,9 @@ final case class LangIdExpr(child: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
 
   @transient private lazy val compiled: Array[(UTF8String, java.util.HashSet[UTF8String])] =
     profiles.map { case (lang, words) =>

@@ -1,9 +1,38 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Analysis-time input validation shared by the kernel expressions. The
+  * replaced Column compositions cast their inputs; a raw Expression reads
+  * ArrayData bytes directly, so a wrong-typed child (array<int> into a
+  * float/double kernel) would misread 4-byte ints as floats at runtime.
+  * These checks surface that as an AnalysisException instead. */
+private[expressions] object ExprTypeChecks {
+  def numericArray(dt: DataType, expr: String, arg: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$expr requires $arg to be array<float> or array<double>, got ${other.catalogString}")
+  }
+  def doubleArrayArray(dt: DataType, expr: String, arg: String): TypeCheckResult = dt match {
+    case ArrayType(ArrayType(DoubleType, _), _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$expr requires $arg to be array<array<double>>, got ${other.catalogString}")
+  }
+  def doubleArray(dt: DataType, expr: String, arg: String): TypeCheckResult = dt match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$expr requires $arg to be array<double>, got ${other.catalogString}")
+  }
+  def string(dt: DataType, expr: String): TypeCheckResult = dt match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$expr requires a string input, got ${other.catalogString}")
+  }
+}
 
 /** Native Catalyst expressions for the hot per-row VECTOR kernels.
   *
@@ -25,23 +54,45 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 /** Exact cosine similarity between two numeric-array columns
   * (float or double elements; result double). Replaces
   * `aggregate(zip_with(a,b,*))/(sqrt(aggregate(...))*sqrt(...))` —
-  * ONE pass, three accumulators, same element order → same doubles. */
+  * ONE pass, three accumulators, same element order → same doubles.
+  *
+  * Mismatched lengths yield NULL, matching the replaced composition
+  * (zip_with null-pads the shorter side; the null products propagate
+  * through `aggregate` to a null sum). A ragged/malformed embedding is
+  * therefore filtered by similarity thresholds, never scored. */
 final case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ExprTypeChecks.numericArray(left.dataType, prettyName, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.numericArray(right.dataType, prettyName, "right")
+  }
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    if (ad.numElements() != bd.numElements()) null
+    else VectorKernels.cosine(ad, bd, isFloat(left), isFloat(right))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.VectorKernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.VectorKernels.cosine(
+         |    $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -53,12 +104,21 @@ final case class CosineSim(left: Expression, right: Expression)
   * array<double>. Replaces
   * `array_position(scores, array_max(scores)) - 1` over a
   * `transform(cents, aggregate(zip_with(...)))` score array — the IVF
-  * Lloyd-pass hot loop. First max wins ties, matching array_position. */
+  * Lloyd-pass hot loop. First max wins ties, matching array_position.
+  * A NaN dot is treated as greater than any other score (Spark's
+  * `array_max` NaN ordering) with the first NaN winning — pinned by
+  * VectorExpressionsSuite's NaN case. */
 final case class ArgMaxDot(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "argmax_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ExprTypeChecks.doubleArrayArray(left.dataType, prettyName, "centroids")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.doubleArray(right.dataType, prettyName, "vector")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.argMaxDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -87,6 +147,9 @@ final case class PlaneSig(child: Expression, planes: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "plane_sig"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.numericArray(child.dataType, prettyName, "input")
+
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -112,6 +175,9 @@ final case class UnitVec(child: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "unit_vec"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.numericArray(child.dataType, prettyName, "input")
+
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -131,7 +197,14 @@ final case class UnitVec(child: Expression)
   * pass finds max|x|, a second emits round(x·scale) as ints.
   * scale = 127/max|x| (0.0 for all-zero vectors), rounding replicates
   * Spark's `round(double)` exactly (BigDecimal.valueOf → HALF_UP).
-  * Returns struct(scale double, q array<int>). */
+  * Returns struct(scale double, q array<int>).
+  *
+  * NaN components propagate into max|x| (the replaced `greatest` treats
+  * NaN as the largest double) so scale = NaN — a malformed vector is
+  * visibly poisoned, not silently quantized. Documented divergence: the
+  * composition's final `round(NaN).cast("int")` raises under ANSI mode;
+  * the kernel emits 0 for each component instead (Java NaN→int
+  * narrowing), pinned by VectorExpressionsSuite's NaN case. */
 final case class QuantizeInt8Expr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with Serializable {
@@ -141,6 +214,9 @@ final case class QuantizeInt8Expr(child: Expression)
       ArrayType(IntegerType, containsNull = false), nullable = false)))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "quantize_int8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.numericArray(child.dataType, prettyName, "input")
 
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -234,7 +310,9 @@ object VectorKernels {
     while (i < n) {
       val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
       val a = math.abs(x)
-      if (a > maxAbs) maxAbs = a
+      // NaN-as-largest, matching the replaced `greatest`: once maxAbs is
+      // NaN it stays NaN (a > NaN is false, and a non-NaN a never resets)
+      if (a > maxAbs || java.lang.Double.isNaN(a)) maxAbs = a
       i += 1
     }
     val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
@@ -250,7 +328,9 @@ object VectorKernels {
   }
 
   /** First-max argmax of centroid·vec dot products (strict `>` keeps the
-    * first index on ties, = array_position(scores, array_max(scores))). */
+    * first index on ties, = array_position(scores, array_max(scores))).
+    * A NaN dot counts as the largest score (Spark's array_max ordering),
+    * first NaN winning — a valid index is always returned. */
   def argMaxDot(cents: ArrayData, vec: ArrayData): Int = {
     val v = vec.toDoubleArray()
     val k = cents.numElements()
@@ -263,7 +343,10 @@ object VectorKernels {
       var dot = 0.0
       var j = 0
       while (j < n) { dot += c.getDouble(j) * v(j); j += 1 }
-      if (dot > best) { best = dot; bestI = i }
+      if ((dot > best && !java.lang.Double.isNaN(best)) ||
+          (java.lang.Double.isNaN(dot) && !java.lang.Double.isNaN(best))) {
+        best = dot; bestI = i
+      }
       i += 1
     }
     bestI

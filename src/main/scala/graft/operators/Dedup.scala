@@ -241,6 +241,16 @@ object Dedup {
     // MinHashSig projection has no shuffle, so an un-materialized index
     // would re-read + re-hash the corpus per consumer. Checkpoint blocks
     // are reclaimed by the ContextCleaner when the index is GC'd.
+    //
+    // TRADE-OFF (both flags): materialization is EAGER (the corpus is
+    // hashed at build time, not first use), and localCheckpoint blocks
+    // are NOT fault-tolerant — they truncate lineage, so on a real
+    // cluster losing an executor makes later reads of the index FAIL
+    // rather than recompute (persist=true degrades the same way once
+    // lineage ages out, just lazily). A long-lived corpus index on a
+    // preemptible cluster should instead be WRITTEN OUT: save sigs/grams
+    // as parquet and rebuild the case class over spark.read — the build
+    // is deterministic, so a re-read index is identical.
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d.localCheckpoint()

@@ -87,8 +87,13 @@ object Similarity {
 
     def topK(queryVec: Seq[Float], k: Int, probeBits: Int = 1): DataFrame = {
       val q = array(queryVec.map(v => lit(v)): _*)
-      val querySig = sigs.sparkSession.range(1)
-        .select(planeSignature(q, planes).as("s")).collect().head.getLong(0)
+      // the query's own signature is an O(planes·dim) local computation —
+      // call the kernel directly rather than queueing a 1-row Spark job
+      // per query (same XXH64 chain as the corpus column, so the bucket
+      // is identical to what planeSignature(q, planes) would return)
+      val querySig = graft.expressions.VectorKernels.planeSignature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(queryVec.toArray),
+        planes, isFloat = true)
       val buckets: Seq[Long] =
         if (probeBits >= 1)
           querySig +: (0 until planes).map(b => querySig ^ (1L << b))

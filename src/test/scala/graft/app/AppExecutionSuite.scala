@@ -189,6 +189,51 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.nonEmpty && skipped.get() == 1)
   }
 
+  test("racing events for one output claim atomically: exactly one run, rest skip") {
+    val app = new Application("skiprace", spark, s"$work/app_skiprace")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val inSlot = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hooks = new graft.routing.RouteHooks {
+      override def onExecSkipped(r: graft.routing.Route,
+                                 ctx: graft.routing.ExecutionContext): Unit =
+        skipped.incrementAndGet()
+    }
+    app.createData("race_node", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        runs.incrementAndGet(); inSlot.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ctx.input("src")
+      }), hooks = hooks)
+    app.activate()
+    // N threads fire the same completed-source event simultaneously; the
+    // check-and-claim must be one atomic step, so exactly one reaches the
+    // slot no matter how the threads interleave (the pre-fix code did
+    // containsKey here + merge inside the run — two racers could both
+    // pass the check and stack executions)
+    val n = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val futs = (1 to n).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = { barrier.await(); app.processPath(s"$work/src/2026-08-12") }
+      })
+    }
+    inSlot.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    // hold the runner until every other racer has resolved (skipped), so a
+    // late thread can't arrive after the run finished and start a fresh one
+    val deadline = System.currentTimeMillis() + 30000
+    while (skipped.get() < n - 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    release.countDown()
+    futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(runs.get() == 1, s"exactly one racer may execute, got ${runs.get()}")
+    assert(skipped.get() == n - 1, s"the other ${n - 1} must skip, got ${skipped.get()}")
+  }
+
   test("validate reports zombies and trigger-impossibility without executing") {
     val regionDaySpec = DimSpec.pretty(
       "region" -> (DimType.STRING, Map.empty[String, Any]),

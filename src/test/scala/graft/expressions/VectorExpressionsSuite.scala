@@ -126,6 +126,55 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(half == Seq(127, 64)) // 63.5 rounds HALF_UP to 64
   }
 
+  test("CosineSim yields NULL on mismatched lengths, like the composition") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val rows = df.select(
+      bridge.column(CosineSim(
+        bridge.expression(col("a")), bridge.expression(col("b")))).as("k"),
+      cosineOld(col("a"), col("b")).as("o")).collect()
+    assert(rows.head.isNullAt(0), "kernel must return null on ragged input")
+    assert(rows.head.isNullAt(1), "composition spec returns null on ragged input")
+  }
+
+  test("QuantizeInt8Expr propagates NaN into scale (greatest NaN-as-largest)") {
+    val sp = spark; import sp.implicits._
+    val r = Seq(Seq(Float.NaN, 2.0f, -1.0f)).toDF("v")
+      .select(bridge.column(QuantizeInt8Expr(bridge.expression(col("v")))).as("k"))
+      .collect().head.getStruct(0)
+    assert(java.lang.Double.isNaN(r.getDouble(0)),
+      "NaN component must poison the scale, not be ignored")
+    // documented divergence: components emit 0 (NaN→int narrowing) where
+    // the ANSI-mode composition would raise on the cast
+    assert(r.getSeq[Int](1) == Seq(0, 0, 0))
+  }
+
+  test("ArgMaxDot treats a NaN dot as the largest score, first NaN wins") {
+    val sp = spark; import sp.implicits._
+    val cents = Seq(Seq(5.0, 0.0), Seq(Double.NaN, 0.0), Seq(Double.NaN, 1.0))
+    val rows = Seq(Seq(1.0, 1.0)).toDF("u")
+      .withColumn("cents", typedLit(cents))
+      .select(bridge.column(ArgMaxDot(
+        bridge.expression(col("cents")), bridge.expression(col("u")))).as("k"))
+      .collect()
+    assert(rows.head.getInt(0) == 1, "first NaN dot must win over finite scores")
+  }
+
+  test("wrong-typed inputs fail at analysis time, not runtime") {
+    val sp = spark; import sp.implicits._
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(bridge.column(CosineSim(
+        bridge.expression(col("a")), bridge.expression(col("b"))))).collect()
+    }
+    assert(e.getMessage.contains("array<float> or array<double>"))
+    val strs = Seq(Tuple1(42)).toDF("t")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      strs.select(bridge.column(WordNgramsExpr(bridge.expression(col("t")), 2))).collect()
+    }
+    assert(e2.getMessage.contains("string"))
+  }
+
   test("ArgMaxDot matches array_position(argmax) with first-max ties") {
     val sp = spark; import sp.implicits._
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))

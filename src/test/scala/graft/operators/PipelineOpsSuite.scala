@@ -192,6 +192,23 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.unpersist()
   }
 
+  test("driver-side query signature equals the column-path signature") {
+    // AnnIndex.topK computes the query's own bucket with the local kernel
+    // (no 1-row Spark job); the bucket must match what the corpus column
+    // computed, or probes silently miss
+    val qs = vecsDf.select("embedding").collect().map(_.getSeq[Float](0))
+    qs.foreach { q =>
+      val local = graft.expressions.VectorKernels.planeSignature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray),
+        8, isFloat = true)
+      val viaColumn = spark.range(1)
+        .select(Similarity.planeSignature(
+          array(q.map(v => lit(v)): _*), 8).as("s"))
+        .collect().head.getLong(0)
+      assert(local == viaColumn)
+    }
+  }
+
   test("embedding near-dup pairs via plane-signature buckets") {
     val pairs = Dedup.embeddingNearDupPairs(vecsDf, "embedding", "vec_id",
       minCosine = 0.99, planes = 4)
