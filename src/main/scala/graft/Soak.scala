@@ -65,6 +65,27 @@ object Soak {
 
     val (nDocs, tStage) = timed(corpus.count())
 
+    // "p07split" = stage attribution for the p07 shape only: signature
+    // build, banded candidates + est-jaccard (no gram verify), and the
+    // full gram-verified pipeline — the difference isolates the exact-
+    // verify stage the r8 hashed-gram rewrite targets
+    if (only == "p07split") {
+      val (nSigs, tSigs) = timed(
+        Dedup.minhashSignatures(corpus, "text", "doc_id", 64, 2).count())
+      val (nEst, tEst) = timed(
+        Dedup.minhashLshPairs(corpus, "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, minEstJaccard = 0.9,
+          maxBucketSize = 1000).count())
+      val (nFull, tFull) = timed(
+        Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, minJaccard = 0.9,
+          maxBucketSize = 1000).count())
+      println(
+        f"""{"soak":"p07split","docs":$nDocs,"sigs":$nSigs,"sigs_sec":$tSigs%.1f,"est_pairs":$nEst,"est_sec":$tEst%.1f,"full_pairs":$nFull,"full_sec":$tFull%.1f}""")
+      spark.stop()
+      return
+    }
+
     // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000
     val (p07Pairs, tP07) = if (only == "ivf") (0L, 0.0) else timed(
       Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",

@@ -98,6 +98,77 @@ final case class MinHashSig(child: Expression, k: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** SORTED DISTINCT 64-bit gram hashes of a document: the verify-join
+  * representation of its word-n-gram set. Semantics = the Column
+  * composition `array_sort(array_distinct(transform(wordNgrams(text, n),
+  * g => xxhash64(g))))` (XXH64 over each gram's UTF-8 bytes, Spark's
+  * default seed 42), computed in ONE pass per row.
+  *
+  * Why hashes instead of gram strings (VERDICT r7 #1): the exact-Jaccard
+  * verify join ships each candidate doc's full gram array per PAIR — at
+  * soak scale that payload (gram strings, ~doc length each side) and
+  * `array_intersect`'s per-pair hash-set build over UTF8Strings dominated
+  * p07 (~40 s while the kernelized signature build was ~1 s). Hashed sets
+  * are 8 bytes/gram, and sorted arrays intersect by a branchy merge
+  * ([[SortedIntersectCount]]) with zero allocation. Jaccard over the
+  * hashed sets equals Jaccard over the string sets unless two DISTINCT
+  * grams of one document collide in 64 bits (per-pair probability
+  * ~2⁻⁶⁴; a corpus-wide miscount needs a collision within a single
+  * document's ~10³ grams — ~10⁻¹³ per doc). Docs too short to form one
+  * gram yield an EMPTY array, matching wordNgrams. */
+final case class HashedGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.hashedGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.hashedGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection SIZE of two SORTED distinct long arrays — the verify-join
+  * kernel pairing [[HashedGramsExpr]]: a single merge pass, no per-pair
+  * allocation. Equals `size(array_intersect(a, b))` when both inputs are
+  * sorted sets (array_intersect on unsorted/duplicated inputs has
+  * first-occurrence semantics this kernel does not replicate). */
+final case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ExprTypeChecks.longArray(left.dataType, prettyName, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.longArray(right.dataType, prettyName, "right")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextVectorKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fraction of whitespace tokens that are stopwords — kernel form of
   * `size(filter(tokens, isin(stopwords))) / size(tokens)` (the filter
   * lambda is interpreted per token; quality scoring is the FIRST pass of
@@ -309,6 +380,46 @@ object TextVectorKernels {
       g += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Sorted distinct xxhash64 (seed 42, Spark's `xxhash64`) values of the
+    * doc's word n-grams — see [[HashedGramsExpr]]. */
+  def hashedGrams(text: UTF8String, n: Int): ArrayData = {
+    val grams = wordNgrams(text, n)
+    val m = grams.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val g = grams.getUTF8String(i)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Merge-count of two sorted distinct long arrays — see
+    * [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
   }
 
   /** trim(' ') + Pattern.split(-1) + sliding mkString(" ") — the exact

@@ -27,6 +27,11 @@ private[expressions] object ExprTypeChecks {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$expr requires $arg to be array<double>, got ${other.catalogString}")
   }
+  def longArray(dt: DataType, expr: String, arg: String): TypeCheckResult = dt match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$expr requires $arg to be array<bigint>, got ${other.catalogString}")
+  }
   def string(dt: DataType, expr: String): TypeCheckResult = dt match {
     case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

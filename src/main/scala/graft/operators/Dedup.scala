@@ -57,6 +57,25 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     array_distinct(TextFunctions.wordNgrams(text, n))
 
+  /** The shingle set as SORTED DISTINCT 64-bit hashes — what every
+    * exact-Jaccard verify join carries instead of gram strings
+    * ([[graft.expressions.HashedGramsExpr]]): 8 bytes/gram payload and a
+    * sorted-merge intersect kernel in place of `array_intersect`'s
+    * per-pair string hash-set build. Jaccard over the hashed sets equals
+    * Jaccard over [[shingles]] unless two distinct grams of one document
+    * collide in 64 bits (~2⁻⁶⁴ per gram pair) — at soak scale this took
+    * the p07 verify stage from ~40 s to seconds with identical pairs. */
+  def hashedShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.HashedGramsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** MinHash signatures as a NARROW projection — no explode, no shuffle:
     * the codegen'd [[graft.expressions.MinHashSig]] kernel computes the
     * k min-hash draws in one pass over each document's gram multiset.
@@ -104,12 +123,17 @@ object Dedup {
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-  /** Exact shingle-Jaccard verify of (d1, d2) candidate pairs against gram
-    * tables carrying (d1, g1) / (d2, g2). */
+  /** Exact shingle-Jaccard verify of (d1, d2) candidate pairs against
+    * HASHED gram tables carrying (d1, g1) / (d2, g2) as sorted distinct
+    * long arrays ([[hashedShingles]]). The intersection is a codegen'd
+    * sorted-merge count — no per-pair allocation, 8-byte elements — and
+    * |union| = |g1| + |g2| − |∩| over the same hashed sets, so the
+    * jaccard double is IDENTICAL to the string-set computation modulo
+    * ~2⁻⁶⁴ in-document hash collisions. */
   private def jaccardVerify(pairs: DataFrame, gramsA: DataFrame,
                             gramsB: DataFrame, minJaccard: Double): DataFrame =
     pairs.join(gramsA, "d1").join(gramsB, "d2")
-      .withColumn("__c", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("__c", sortedIntersectCount(col("g1"), col("g2")))
       .select(col("d1"), col("d2"),
         (col("__c").cast("double") /
           (size(col("g1")) + size(col("g2")) - col("__c")).cast("double"))
@@ -208,8 +232,11 @@ object Dedup {
     // localCheckpoint(grams) won: min-of-5 1.60s vs 1.84s recompute at
     // sf0.1 — with the heavy explode stage materialized separately, the
     // narrow projection checkpoint only removes a duplicate scan.
+    // r8: grams are now sorted distinct HASHES (8 bytes each) — the
+    // checkpointed table and every verify-join payload shrank ~an order
+    // of magnitude vs gram strings; see hashedShingles.
     val grams = spread(df)
-      .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+      .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__g"))
       .localCheckpoint()
     jaccardVerify(pairs,
       grams.select(col(idCol).as("d1"), col("__g").as("g1")),
@@ -220,7 +247,9 @@ object Dedup {
   /** Precomputed (optionally persisted) signature + gram tables for an
     * EXISTING corpus — the incremental-dedup analog of
     * Similarity.AnnIndex: built ONCE, so every subsequent ingest batch
-    * pays O(batch) work plus bucket joins, never an all-corpus rescan. */
+    * pays O(batch) work plus bucket joins, never an all-corpus rescan.
+    * `grams.__g` holds sorted distinct 64-bit gram hashes
+    * ([[hashedShingles]]), not gram strings. */
   final case class NearDupIndex private[operators] (
       sigs: DataFrame, grams: DataFrame,
       idCol: String, k: Int, bands: Int, shingleN: Int) {
@@ -233,7 +262,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     val grams = spread(df)
-      .select(col(idCol), shingles(col(textCol), shingleN).as("__g"))
+      .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__g"))
     // persist=false still single-computes via localCheckpoint: the index
     // tables are each consumed 2-3x downstream (banding + bucket-size
     // guard + verify joins). The historical explode+groupBy signature
@@ -280,7 +309,8 @@ object Dedup {
     val pairs = newBanded.join(oldBanded, Seq("band", "band_hash"))
       .select("d1", "d2").distinct()
     val newGrams = spread(newDf)
-      .select(col(idCol).as("d1"), shingles(col(textCol), index.shingleN).as("g1"))
+      .select(col(idCol).as("d1"),
+        hashedShingles(col(textCol), index.shingleN).as("g1"))
     val oldGrams = index.grams.select(col(idCol).as("d2"), col("__g").as("g2"))
     jaccardVerify(pairs, newGrams, oldGrams, minJaccard)
   }
@@ -325,11 +355,14 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join: only documents
-    * sharing at least one gram are compared. */
+    * sharing at least one gram are compared. The index carries 64-bit
+    * gram hashes ([[hashedShingles]]) instead of gram strings — the
+    * self-join's shuffle key drops from ~doc-length bytes to 8 bytes per
+    * exploded row, with jaccard identical modulo ~2⁻⁶⁴ collisions. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val grams = spread(df).select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("g"))
+      explode(hashedShingles(col(textCol), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val common = grams.select(col("doc").as("d1"), col("g"))
       .join(grams.select(col("doc").as("d2"), col("g")), Seq("g"))

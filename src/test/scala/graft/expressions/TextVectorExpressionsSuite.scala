@@ -130,6 +130,76 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HashedGramsExpr equals the array_sort/array_distinct/xxhash64 composition") {
+    val sp = spark; import sp.implicits._
+    val df = edgeDocs.toDF("t")
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    (1 to 3).foreach { n =>
+      val rows = df.select(
+        bridge.column(HashedGramsExpr(bridge.expression(col("t")), n)).as("k"),
+        array_sort(array_distinct(
+          transform(wordNgramsOld(col("t"), n), g => xxhash64(g)))).as("o"))
+        .collect()
+      rows.zip(edgeDocs).foreach { case (r, doc) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n doc=${doc.replace("\n", "\\n").replace("\t", "\\t")}")
+      }
+    }
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    val sp = spark; import sp.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 50).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val rows = cases.toDF("a", "b").select(
+      bridge.column(SortedIntersectCount(
+        bridge.expression(col("a")), bridge.expression(col("b")))).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("o")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("hashed-set jaccard equals string-set jaccard on the edge corpus") {
+    val sp = spark; import sp.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    // every doc pair: jaccard over hashedShingles vs over string shingles
+    // must produce the SAME double (same intersect/union counts feeding
+    // the same division) — the verify-join rewrite's core claim
+    val df = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val g = df.select(col("id"),
+      graft.operators.Dedup.shingles(col("t"), 2).as("gs"),
+      bridge.column(HashedGramsExpr(bridge.expression(col("t")), 2)).as("gh"))
+    // both-empty pairs are excluded: union=0 divides by zero under ANSI,
+    // and the production verify paths never form them (gramless docs are
+    // dropped by the isNotNull signature filter / produce no index rows)
+    val pairs = g.as("x").crossJoin(g.as("y"))
+      .where(col("x.id") < col("y.id") &&
+        size(col("x.gs")) + size(col("y.gs")) > 0)
+    val cS = size(array_intersect(col("x.gs"), col("y.gs")))
+    val cH = bridge.column(SortedIntersectCount(
+      bridge.expression(col("x.gh")), bridge.expression(col("y.gh"))))
+    val rows = pairs.select(
+      (cS.cast("double") /
+        (size(col("x.gs")) + size(col("y.gs")) - cS).cast("double")).as("js"),
+      (cH.cast("double") /
+        (size(col("x.gh")) + size(col("y.gh")) - cH).cast("double")).as("jh"))
+      .collect()
+    rows.foreach { r =>
+      val (js, jh) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToLongBits(js) ==
+        java.lang.Double.doubleToLongBits(jh), s"$js vs $jh")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("MinHashSig kernel equals the explode/groupBy signature pipeline") {
     val sp = spark; import sp.implicits._
     val docs = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
