@@ -69,6 +69,7 @@ final class Application(val name: String, val spark: SparkSession,
     case object INACTIVE extends AppState
     case object ACTIVE extends AppState
     case object PAUSED extends AppState
+    case object DELETED extends AppState
   }
   @volatile private var appState: AppState = AppState.INACTIVE
   def state: AppState = appState
@@ -87,18 +88,81 @@ final class Application(val name: String, val spark: SparkSession,
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** One finished execution (reference ComputeRecord,
-    * constructs.py:3949-4360 — the poll/debug surface). */
+    * constructs.py:3949-4360 — the poll/debug surface). `logs` carries the
+    * execution's captured diagnostics: rendered SQL statements, slot
+    * `ctx.log(...)` lines, per-attempt failures with stack top, and Spark
+    * job-group failure reasons (reference get_compute_record_logs,
+    * application.py:2268-2308 — the first thing a user wants when an
+    * execution fails). */
   final case class ComputeRecord(routeId: String, outputPath: String,
                                  startedAtMillis: Long, finishedAtMillis: Long,
-                                 succeeded: Boolean, error: Option[String])
+                                 succeeded: Boolean, error: Option[String],
+                                 logs: List[String] = Nil)
   private val records =
     java.util.Collections.synchronizedList(new java.util.ArrayList[ComputeRecord]())
+
+  /** Live per-execution log buffers, keyed by Spark job group — slots and
+    * the job-failure listener append concurrently. Bounded: a slot looping
+    * on ctx.log cannot grow a record without limit. */
+  private val groupLogBuffers =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+  private val MaxLogLines = 500
+
+  /** Routes Spark job failures into the owning execution's log buffer
+    * (the job-group id is thread-local at submit time, so jobId→group is
+    * tracked from onJobStart properties). Registered once, lazily. */
+  private lazy val jobFailureListener: Unit = {
+    val l = new org.apache.spark.scheduler.SparkListener {
+      private val jobGroup =
+        new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        g.filter(_.startsWith("graft-")).foreach(jobGroup.put(js.jobId, _))
+      }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val g = jobGroup.remove(je.jobId)
+        if (g != null) je.jobResult match {
+          case org.apache.spark.scheduler.JobFailed(e) =>
+            Option(groupLogBuffers.get(g)).foreach(buf =>
+              if (buf.size < MaxLogLines) buf.add(
+                s"spark job ${je.jobId} failed: " +
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+          case _ => ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+  }
 
   /** Execution history, oldest first (reference
     * get_inactive_compute_records, application.py:4083-4098). */
   def computeRecords: List[ComputeRecord] =
     records.synchronized { scala.jdk.CollectionConverters
       .ListHasAsScala(records).asScala.toList }
+
+  /** Log query over a node's execution records (reference
+    * get_compute_record_logs, application.py:2268-2308 — the remote
+    * log-repository query becomes an in-process filter over the captured
+    * record logs). A materialized view narrows to its partition's
+    * executions; an unfiltered node returns every execution of the route.
+    * `errorOnly=true` (the reference default) keeps failed executions
+    * only; `filterPattern` is a regex matched per line. */
+  def getComputeRecordLogs(target: NodeRef, errorOnly: Boolean = true,
+                           filterPattern: Option[String] = None)
+      : List[ComputeRecord] = {
+    val re = filterPattern.map(_.r)
+    val base =
+      if (target.signal.isMaterialized) {
+        val paths = target.signal.materializedPaths.toSet
+        computeRecords.filter(r => paths.contains(r.outputPath))
+      } else computeRecords.filter(_.routeId == target.signal.alias)
+    base.filter(r => !errorOnly || !r.succeeded)
+      .map(r => r.copy(logs = r.logs.filter(l =>
+        re.forall(_.findFirstIn(l).isDefined))))
+  }
 
   /** Full orchestration + execution metrics for one route (reference
     * get_route_metrics, application.py:429-531): routing counters
@@ -168,19 +232,31 @@ final class Application(val name: String, val spark: SparkSession,
     spark.sparkContext.setJobGroup(group,
       s"graft ${ctx.routeId} -> $outPath", interruptOnCancel = true)
     activeGroups.merge(outPath, Set(group), _ ++ _)
+    jobFailureListener // ensure the failure-diagnostics listener is attached
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    groupLogBuffers.put(group, buf)
+    val sink: String => Unit = m => if (buf.size < MaxLogLines) buf.add(m)
+    def snapshot: List[String] = {
+      val l = scala.jdk.CollectionConverters.IterableHasAsScala(buf).asScala.toList
+      if (l.length >= MaxLogLines) l :+ s"... truncated at $MaxLogLines lines" else l
+    }
     val started = System.currentTimeMillis()
     try {
-      val w = compute.run(ctx, slots, retry)
+      val w = compute.run(ctx, slots, retry, sink)
       records.add(ComputeRecord(ctx.routeId, outPath, started,
-        System.currentTimeMillis(), succeeded = true, None))
+        System.currentTimeMillis(), succeeded = true, None, snapshot))
       w
     } catch {
       case e: Throwable =>
+        sink(s"execution failed: ${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse(""))
+        e.getStackTrace.take(5).foreach(f => sink(s"  at $f"))
         records.add(ComputeRecord(ctx.routeId, outPath, started,
           System.currentTimeMillis(), succeeded = false,
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)), snapshot))
         throw e
     } finally {
+      groupLogBuffers.remove(group)
       activeGroups.computeIfPresent(outPath, (_, gs) =>
         if ((gs - group).isEmpty) null else gs - group)
       spark.sparkContext.clearJobGroup()
@@ -361,6 +437,7 @@ final class Application(val name: String, val spark: SparkSession,
     * `<rootDir>/routing_state.json` on every mutation; call [[recover]]
     * after activate to reload a previous driver's pending state. */
   def activate(): Unit = {
+    require(appState != AppState.DELETED, "application is deleted")
     val cp = new RoutingCheckpoint(s"$rootDir/routing_state.json",
       spark.sparkContext.hadoopConfiguration)
     val table = new RoutingTable(probe, Some(cp))
@@ -391,6 +468,49 @@ final class Application(val name: String, val spark: SparkSession,
     appState = AppState.INACTIVE
   }
 
+  /** Delete the remaining MANAGED DATA of an INACTIVE (terminated or
+    * never-activated) app (reference delete(), application.py:357-382):
+    * removes everything under `rootDir` — internal datasets
+    * (`internal_data/`), the routing WAL, persisted dev state, export
+    * manifests. Deliberately separate from [[terminate]]: termination
+    * deallocates runtime state but leaves data that may outlive the app
+    * or be re-attached by a reincarnation with the same id/root — this is
+    * the safeguard against dropping petabytes as a side effect of
+    * tearing down orchestration. After delete this object refuses
+    * further use; construct a new Application on the same root to start
+    * fresh. */
+  def delete(): Unit = {
+    require(appState == AppState.INACTIVE,
+      s"only an INACTIVE (terminated) application can be deleted, state=$appState")
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    defs = Nil
+    appState = AppState.DELETED
+  }
+
+  /** Re-sync this session's dev context from the state persisted under
+    * `rootDir` (reference refresh(), application.py:402-428 — the
+    * collaborative-editing path: another driver's [[saveDevState]]
+    * becomes visible here without re-declaring). Default refresh updates
+    * the declared context only; `fullStack = true` additionally
+    * recompiles the routing table from the refreshed defs when the app
+    * is ACTIVE/PAUSED (the reference's full_stack driver re-init —
+    * without it, execute/process would keep running the OLD slots), with
+    * pending runtime state rebuildable via [[recover]]. Returns false
+    * when no persisted state exists (nothing changes). */
+  def refresh(fullStack: Boolean = false): Boolean = {
+    require(appState != AppState.DELETED, "application is deleted")
+    val prior = appState
+    val loaded = loadDevState()
+    if (loaded && fullStack &&
+        (prior == AppState.ACTIVE || prior == AppState.PAUSED)) {
+      activate()
+      if (prior == AppState.PAUSED) appState = AppState.PAUSED
+    }
+    loaded
+  }
+
   // ---- dev-context introspection (reference list/get/query/search_data,
   // application.py:1745-1843) ------------------------------------------
 
@@ -402,10 +522,36 @@ final class Application(val name: String, val spark: SparkSession,
     defs.find(_.id == id).map(d => NodeRef(this,
       d.output.copy(filter = DimFilter.allPassFor(d.output.spec))))
 
-  /** Nodes whose id contains `term` (case-insensitive). */
-  def searchData(term: String): List[NodeRef] =
-    defs.filter(_.id.toLowerCase.contains(term.toLowerCase))
+  /** Nodes whose id OR source path contains `term` (case-insensitive) —
+    * reference search_data (application.py:1831-1843) matches the access
+    * spec repr too, so a physical location fragment finds its node. */
+  def searchData(term: String): List[NodeRef] = {
+    val t = term.toLowerCase
+    defs.filter(d => d.id.toLowerCase.contains(t) ||
+        d.output.source.rootPath.toLowerCase.contains(t))
       .flatMap(d => getData(d.id))
+  }
+
+  /** Topology query by id pattern (reference query_data,
+    * application.py:1818-1829 + DataNode.QueryVisitor's
+    * exact/substring modes), keyed by node id. */
+  def queryData(pattern: String, exact: Boolean = false): Map[String, NodeRef] =
+    defs.filter(d => if (exact) d.id == pattern else d.id.contains(pattern))
+      .flatMap(d => getData(d.id).map(d.id -> _)).toMap
+
+  /** Topology query by DIMENSION-FILTER COMPATIBILITY: every declared
+    * node whose output spec accepts the given values — "which nodes can
+    * materialize region=NA on 2026-08-12?" on an app with hundreds of
+    * nodes. Values load through each node's own spec (type coercion,
+    * datetime formats, declared-filter intersection via the same
+    * chain/apply path events use), so a DATETIME node matches
+    * "2026-08-12" where a LONG-keyed node does not; a prefix of a
+    * node's dimensions is accepted (partial materialization). */
+  def queryDataByDimensions(values: Any*): Map[String, NodeRef] =
+    defs.flatMap { d =>
+      scala.util.Try(getData(d.id).get.apply(values: _*)).toOption
+        .map(d.id -> _)
+    }.toMap
 
   /** Pending (partially satisfied) runtime nodes per route id — the
     * reference's get_pending_nodes/has_active_routes introspection. */
@@ -510,9 +656,11 @@ final class Application(val name: String, val spark: SparkSession,
     * (reference process(), application.py:1877-1981 + feed-back loop,
     * processor/aws.py:2746-2803). Returns completed output paths in
     * topological completion order. */
-  def process(event: Signal): List[String] =
+  def process(event: Signal): List[String] = {
+    require(appState != AppState.DELETED, "application is deleted")
     if (appState == AppState.PAUSED) Nil
     else runContexts(table.receive(event))
+  }
 
   /** Inject a raw physical partition path as an event. */
   def processPath(path: String): List[String] =
@@ -615,6 +763,7 @@ final class Application(val name: String, val spark: SparkSession,
     * the output partition values; `recursive` walks internal-input
     * ancestors and backfills missing partitions first. */
   def execute(target: NodeRef, recursive: Boolean = false): String = {
+    require(appState != AppState.DELETED, "application is deleted")
     val d = defs.find(_.id == target.signal.alias).getOrElse(
       throw new IllegalArgumentException(s"unknown node '${target.signal.alias}'"))
     require(target.signal.isMaterialized,

@@ -192,13 +192,23 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
                               args: Map[String, Any] = Map.empty) {
 
   /** Execute all slots of a ready context with retry; returns the output
-    * partition path (None when only inlined slots ran). */
+    * partition path (None when only inlined slots ran). `logSink` receives
+    * per-attempt diagnostics (rendered SQL statements, attempt failures)
+    * for the execution's compute-record log. */
   def run(ctx: ExecutionContext, slots: Seq[Slot],
-          retry: RetryPolicy = RetryPolicy()): Option[String] = retry.run {
-    runOnce(ctx, slots)
+          retry: RetryPolicy = RetryPolicy(),
+          logSink: String => Unit = _ => ()): Option[String] = retry.run {
+    try runOnce(ctx, slots, logSink)
+    catch {
+      case e: Throwable =>
+        logSink(s"attempt failed: ${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse(""))
+        throw e
+    }
   }
 
-  private def runOnce(ctx: ExecutionContext, slots: Seq[Slot]): Option[String] = {
+  private def runOnce(ctx: ExecutionContext, slots: Seq[Slot],
+                      logSink: String => Unit): Option[String] = {
     // timers/metrics/alarms and RAW_CONTENT pseudo-datasets (projection
     // fan-out markers) are trigger-only signals, not loadable datasets
     val datasetInputs = ctx.inputs.filter(s => !s.source.attrs.rawContent &&
@@ -220,14 +230,17 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
     val dims: Map[String, Any] = ctx.output.dimNames
       .zip(ctx.output.tip.map(_.transform().value)).toMap
     val slotCtx = SlotContext(spark, inputs, inputList, dims, args,
-      ctx.inputs.map(s => s.alias -> s).toMap, ctx.output)
+      ctx.inputs.map(s => s.alias -> s).toMap, ctx.output, logSink)
 
     var lastDf: Option[DataFrame] = None
     slots.foreach {
       case ScalaSlot(f) => lastDf = Some(f(slotCtx))
       case SqlSlot(sql) =>
         val rendered = SqlSlot.interpolate(sql, dims)
-        SqlSlot.statements(rendered).foreach(st => lastDf = Some(spark.sql(st)))
+        SqlSlot.statements(rendered).foreach { st =>
+          logSink(s"sql> $st")
+          lastDf = Some(spark.sql(st))
+        }
       case InlinedSlot(f) => f(slotCtx)
     }
     lastDf.map(OutputWriter.write(spark, _, ctx.output))

@@ -23,7 +23,11 @@ final case class InlinedSlot(f: SlotContext => Unit) extends Slot
 
 /** What user code receives (reference glueetl_default_ABI.py:41-62 reserved
   * keywords: spark, inputs by alias and positional inputN, output dimensions
-  * map, args). */
+  * map, args). `log` appends to the execution's compute-record log buffer
+  * (reference get_compute_record_logs, application.py:2268-2308 — remote
+  * drivers stream slot output to a log repository; in-process slots write
+  * straight into the record), so a failed run's diagnostics travel WITH
+  * its ComputeRecord instead of vanishing into driver stderr. */
 final case class SlotContext(
     spark: SparkSession,
     inputs: Map[String, DataFrame],
@@ -31,7 +35,8 @@ final case class SlotContext(
     dimensions: Map[String, Any],
     args: Map[String, Any],
     inputSignals: Map[String, Signal],
-    outputSignal: Signal) {
+    outputSignal: Signal,
+    log: String => Unit = _ => ()) {
   def input(alias: String): DataFrame = inputs(alias)
 }
 

@@ -234,6 +234,38 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(skipped.get() == n - 1, s"the other ${n - 1} must skip, got ${skipped.get()}")
   }
 
+  test("compute-record logs carry the failing SQL and exception text") {
+    val app = new Application("logs", spark, s"$work/app_logs")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val bad = app.createData("bad_sql", Seq(src.latest(1)),
+      Seq(SqlSlot("SELECT no_such_col FROM src")))
+    val ok = app.createData("ok_log", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        ctx.log("slot says hello"); ctx.input("src")
+      }))
+    app.activate()
+    intercept[Exception](app.execute(bad("2026-08-12")))
+    app.execute(ok("2026-08-12"))
+    // the failed execution's record carries the statement + the analysis
+    // error text — the reference's get_compute_record_logs debugging flow
+    val failed = app.getComputeRecordLogs(bad, errorOnly = true)
+    assert(failed.nonEmpty && !failed.head.succeeded)
+    val lines = failed.head.logs.mkString("\n")
+    assert(lines.contains("SELECT no_such_col"), s"missing sql in:\n$lines")
+    assert(lines.contains("no_such_col") && lines.contains("AnalysisException"),
+      s"missing exception text in:\n$lines")
+    // regex filter narrows to matching lines only
+    val filtered = app.getComputeRecordLogs(bad, errorOnly = true,
+      filterPattern = Some("^sql>"))
+    assert(filtered.head.logs.forall(_.startsWith("sql>")))
+    assert(filtered.head.logs.nonEmpty)
+    // errorOnly (default) hides the successful run; opting out shows its
+    // slot-emitted line
+    assert(app.getComputeRecordLogs(ok).isEmpty)
+    val okLogs = app.getComputeRecordLogs(ok, errorOnly = false)
+    assert(okLogs.exists(_.logs.contains("slot says hello")))
+  }
+
   test("validate reports zombies and trigger-impossibility without executing") {
     val regionDaySpec = DimSpec.pretty(
       "region" -> (DimType.STRING, Map.empty[String, Any]),

@@ -546,6 +546,101 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally app.stopSweeper()
   }
 
+  test("topology queries: id pattern, path search, dimension compatibility") {
+    val app = new Application("topo", spark, s"$work/app_topo")
+    val regionDaySpec = DimSpec.pretty(
+      "region" -> (DimType.STRING, Map.empty[String, Any]),
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+    val longSpec = DimSpec.pretty(
+      "shard" -> (DimType.LONG, Map.empty[String, Any]))
+    val src = app.marshalExternalData("src", s"$work/src_topo", daySpec)
+    app.createData("daily_agg", Seq(src.latest(1)), Seq(SqlSlot("SELECT 1 AS one FROM src")))
+    app.createData("daily_agg_v2", Seq(src.latest(1).as("s2")), Seq(SqlSlot("SELECT 1 AS one FROM s2")),
+      outputSpec = daySpec)
+    app.createData("regional", Seq(src.latest(1).as("s3")), Seq(SqlSlot("SELECT 1 AS one FROM s3")),
+      outputSpec = regionDaySpec)
+    app.createData("sharded", Seq(src.latest(1).as("s4")), Seq(SqlSlot("SELECT 1 AS one FROM s4")),
+      outputSpec = longSpec)
+    // id pattern: substring vs exact
+    assert(app.queryData("daily_agg").keySet == Set("daily_agg", "daily_agg_v2"))
+    assert(app.queryData("daily_agg", exact = true).keySet == Set("daily_agg"))
+    // path fragment finds the node through its access spec
+    assert(app.searchData("app_topo/internal_data/regional").map(_.signal.alias) == List("regional"))
+    // dimension compatibility: a date matches the DATETIME-keyed nodes
+    // (prefix-match for regional's (region, day) is rejected — "2026-08-12"
+    // is not a region STRING followed by nothing parseable)
+    val byDay = app.queryDataByDimensions("2026-08-12").keySet
+    assert(byDay.contains("daily_agg") && byDay.contains("daily_agg_v2"))
+    assert(!byDay.contains("sharded"), "a LONG shard key must not accept a date")
+    // (region, day) tuple matches only the regional node among the typed ones
+    val byRegionDay = app.queryDataByDimensions("NA", "2026-08-12").keySet
+    assert(byRegionDay.contains("regional") && !byRegionDay.contains("daily_agg"))
+    assert(!byRegionDay.contains("sharded"))
+    // a long value matches the sharded node, not the datetime ones
+    val byShard = app.queryDataByDimensions(42L).keySet
+    assert(byShard.contains("sharded") && !byShard.contains("daily_agg"))
+  }
+
+  test("delete() removes managed data; recreate on the same root starts clean") {
+    val root = s"$work/app_delete"
+    stageDays(s"$work/src_del", Seq("2026-08-12"))
+    val app = new Application("del", spark, root)
+    val src = app.marshalExternalData("src", s"$work/src_del", daySpec)
+    val node = app.createData("sum_del", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM src")))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    app.saveDevState()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/internal_data")))
+    // only an INACTIVE app may delete (the petabyte safeguard)
+    intercept[IllegalArgumentException](app.delete())
+    app.terminate()
+    app.delete()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root)),
+      "delete must remove internal data, WAL, and dev state")
+    // the deleted handle refuses further use
+    intercept[IllegalArgumentException](app.activate())
+    intercept[IllegalArgumentException](app.execute(node("2026-08-12")))
+    // a reincarnation on the same root starts clean and works
+    val app2 = new Application("del", spark, root)
+    assert(!app2.loadDevState(), "dev state must be gone after delete")
+    val src2 = app2.marshalExternalData("src", s"$work/src_del", daySpec)
+    val node2 = app2.createData("sum_del", Seq(src2.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM src")))
+    app2.activate()
+    app2.execute(node2("2026-08-12"))
+    assert(app2.load(node2("2026-08-12")).collect().head.getDouble(0) == 6.0)
+  }
+
+  test("refresh() re-syncs the dev context from persisted state") {
+    val root = s"$work/app_refresh"
+    stageDays(s"$work/src_rf", Seq("2026-08-12"))
+    // session A declares v1 (SUM) and persists
+    val appA = new Application("rf", spark, root)
+    val srcA = appA.marshalExternalData("src", s"$work/src_rf", daySpec)
+    appA.createData("agg_rf", Seq(srcA.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM src")))
+    appA.saveDevState()
+    // session B attaches, sees v1
+    val appB = Application.attach("rf", spark, root)
+    appB.activate()
+    // session A revises to v2 (MAX) and persists again
+    appA.updateData("agg_rf", Seq(srcA.latest(1)), Seq(SqlSlot(
+      "SELECT CAST(MAX(amount) AS DOUBLE) AS total FROM src")))
+    appA.saveDevState()
+    // B's plain refresh re-syncs the declared context; fullStack
+    // recompiles routing so execute uses the NEW slot
+    assert(appB.refresh(fullStack = true))
+    val out = appB.execute(appB.getData("agg_rf").get.apply("2026-08-12"))
+    assert(appB.load(appB.getData("agg_rf").get.apply("2026-08-12"))
+      .collect().head.getDouble(0) == 3.0, s"expected MAX slot after refresh ($out)")
+    // refresh on a root with no persisted state is a no-op returning false
+    val bare = new Application("rf2", spark, s"$work/app_refresh_bare")
+    assert(!bare.refresh())
+  }
+
   test("CSV encoding attr round-trips non-UTF8 text (reference `encoding`)") {
     // ISO-8859-1 bytes are NOT valid UTF-8 for accented chars — a reader
     // ignoring the attr produces replacement garbage, failing the equality
