@@ -100,6 +100,60 @@ object Soak {
         (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
       }
 
+    // "recall" = ANN recall@k ledger (VERDICT r7 #5): measured recall of
+    // lshTopK (multi-probe off/on) and IvfIndex.topK (nProbe 1/2/4)
+    // against brute-force cosineTopK ground truth on the REAL sf
+    // embeddings — the number a user needs before trusting ANN for
+    // curation. Queries = the Q lowest-id corpus vectors (deterministic).
+    if (only == "recall") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val qn = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "50").toInt
+      val kTop = 10
+      val queries = emb.orderBy("vec_id").limit(qn)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.collect().map(_.getLong(0)).toSet
+      val brute = queries.map { case (id, v) =>
+        id -> ids(Similarity.cosineTopK(emb, "embedding", "vec_id", v, kTop))
+      }.toMap
+      val annIdx = Similarity.buildIndex(emb, "embedding", "vec_id", planes = 8)
+      val ivfIdx = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+        k = 16, iters = 3)
+      def recall(f: Seq[Float] => org.apache.spark.sql.DataFrame): Double = {
+        val rs = queries.map { case (id, v) =>
+          ids(f(v)).intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
+      val lsh0 = recall(v => annIdx.topK(v, kTop, probeBits = 0))
+      val lsh1 = recall(v => annIdx.topK(v, kTop, probeBits = 1))
+      val lsh2 = recall(v => annIdx.topK(v, kTop, probeBits = 2))
+      val ivf1 = recall(v => ivfIdx.topK(v, kTop, nProbe = 1))
+      val ivf2 = recall(v => ivfIdx.topK(v, kTop, nProbe = 2))
+      val ivf4 = recall(v => ivfIdx.topK(v, kTop, nProbe = 4))
+      val ivf8 = recall(v => ivfIdx.topK(v, kTop, nProbe = 8))
+
+      // the CURATION metric: recall of planted near-dups (cosine ≈ 0.99 —
+      // what semantic dedup / near-dup mining actually hunts), distinct
+      // from arbitrary top-10 neighbors on this near-unclustered corpus
+      val perturbed = queries.map { case (id, v) =>
+        val rnd = new scala.util.Random(id)
+        (id, v.zipWithIndex.map { case (x, i) =>
+          x * (1.0f + 0.05f * rnd.nextFloat()) })
+      }
+      def nearDupRecall(f: (Seq[Float]) => org.apache.spark.sql.DataFrame): Double =
+        perturbed.count { case (id, pv) => ids(f(pv)).contains(id) }.toDouble /
+          perturbed.length
+      val ndLsh1 = nearDupRecall(v => annIdx.topK(v, kTop, probeBits = 1))
+      val ndIvf1 = nearDupRecall(v => ivfIdx.topK(v, kTop, nProbe = 1))
+      val ndIvf2 = nearDupRecall(v => ivfIdx.topK(v, kTop, nProbe = 2))
+      annIdx.unpersist(); ivfIdx.unpersist()
+      println(
+        f"""{"soak":"recall","queries":$qn,"k":$kTop,"lsh_probe0":$lsh0%.3f,"lsh_probe1":$lsh1%.3f,"lsh_probe2":$lsh2%.3f,"ivf_nprobe1":$ivf1%.3f,"ivf_nprobe2":$ivf2%.3f,"ivf_nprobe4":$ivf4%.3f,"ivf_nprobe8":$ivf8%.3f,"neardup_lsh_probe1":$ndLsh1%.3f,"neardup_ivf_nprobe1":$ndIvf1%.3f,"neardup_ivf_nprobe2":$ndIvf2%.3f}""")
+      spark.stop()
+      return
+    }
+
     // p13 shape: embedding near-dup on a replicated embedding corpus
     // (copies get a tiny per-copy scale: same plane signature — sign bits
     // are scale-invariant — and cosine exactly 1 to the original)

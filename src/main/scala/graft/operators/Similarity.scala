@@ -71,8 +71,16 @@ object Similarity {
 
   /** ANN top-k: restrict the exact rerank to the query's LSH bucket;
     * `probeBits=1` additionally probes all hamming-1 neighbor buckets
-    * (multi-probe) for recall. Signatures are computed per call — for
-    * repeated queries over one corpus, build an [[AnnIndex]] once. */
+    * (multi-probe) for recall, `probeBits=2` the hamming-2 shell too.
+    * Signatures are computed per call — for repeated queries over one
+    * corpus, build an [[AnnIndex]] once.
+    *
+    * Recall expectations (measured ledger in BASELINE.md): near-dup
+    * queries — the curation case, cosine ≳0.95 — recall ≈ 1.0 at the
+    * defaults. Arbitrary top-k on an UNCLUSTERED corpus is
+    * scan-fraction-bound for any bucketing index (≈0.2 at probeBits=1 on
+    * the sf0.1 corpus); for that workload raise IVF nProbe or use exact
+    * [[cosineTopK]]. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               queryVec: Seq[Float], k: Int, planes: Int = 8,
               probeBits: Int = 1): DataFrame =
@@ -94,10 +102,22 @@ object Similarity {
       val querySig = graft.expressions.VectorKernels.planeSignature(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(queryVec.toArray),
         planes, isFloat = true)
-      val buckets: Seq[Long] =
-        if (probeBits >= 1)
-          querySig +: (0 until planes).map(b => querySig ^ (1L << b))
-        else Seq(querySig)
+      // multi-probe: all buckets within hamming distance `probeBits` of
+      // the query's signature (0 = exact bucket; 1 = +planes buckets;
+      // 2 = +planes·(planes−1)/2 — the measured recall ledger in
+      // BASELINE.md quantifies the recall/scan-fraction tradeoff per
+      // depth). Depths beyond 2 approach a full scan on small plane
+      // counts and are better served by the IVF path's nProbe.
+      require(probeBits <= 2, "probeBits > 2 unsupported — raise IVF nProbe instead")
+      val h1 = (0 until planes).map(b => querySig ^ (1L << b))
+      val h2 = for {
+        i <- 0 until planes; j <- (i + 1) until planes
+      } yield querySig ^ (1L << i) ^ (1L << j)
+      val buckets: Seq[Long] = probeBits match {
+        case b if b <= 0 => Seq(querySig)
+        case 1 => querySig +: h1
+        case _ => (querySig +: h1) ++ h2
+      }
       sigs.where(col("__bucket").isin(buckets: _*))
         .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
         .orderBy(col("cosine").desc, col(idCol))

