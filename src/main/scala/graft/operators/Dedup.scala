@@ -142,22 +142,34 @@ object Dedup {
 
   /** Banded candidate generation shared by the LSH variants: signatures →
     * (band, bandHash) buckets → distinct id pairs. Carries ONLY ids (16
-    * bytes/row): the bucket join can emit millions of pre-distinct rows, so
+    * bytes/row): buckets can emit millions of pre-distinct pairs, so
     * neither the k-long signatures (1KB/row) nor any verify compute may
-    * ride along. */
+    * ride along.
+    *
+    * Shape (r8): ONE groupBy collecting each bucket's id list, the
+    * quadratic guard applied to the list size, then in-bucket pairs
+    * emitted from the sorted list (positions i<j of a sorted array give
+    * d1<d2 directly). This replaces the historical [bucket-size groupBy +
+    * semi-join + self-join] — two fewer shuffles of the banded rows; the
+    * pair count is identical (Σ m(m-1)/2 over surviving buckets). The
+    * collected list is bounded by the same skew reality as before: a
+    * bucket over `maxBucketSize` is dropped either way, and collecting
+    * maxBucketSize ids (~8 KB at the 1000 default) per group is far
+    * below the m²/2 rows the join variant shuffled for the same bucket. */
   private def bandCandidates(sigs: DataFrame, idCol: String, bands: Int,
                              r: Int, maxBucketSize: Int): DataFrame = {
     val banded0 = bandExplode(sigs, idCol, bands, r)
-    val smallBuckets = banded0.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
-      .drop("__bsz")
-    val banded = banded0.join(smallBuckets, Seq("band", "band_hash"))
-    val a = banded.select(col(idCol).as("d1"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("d2"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .where(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    banded0.groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .where(size(col("__ids")) <= maxBucketSize && size(col("__ids")) > 1)
+      .select(array_sort(col("__ids")).as("__s"))
+      .select(explode(flatten(transform(col("__s"), (x, i) =>
+        transform(
+          slice(col("__s"), i.cast("int") + lit(2),
+            greatest(size(col("__s")) - i.cast("int") - 1, lit(0))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("__p"))
+      .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"))
+      .distinct()
   }
 
   /** Diagnostic face of the quadratic-bucket guard: the LSH bucket-size
