@@ -350,18 +350,24 @@ object Dedup {
     val banded0 = fp.select(col(idCol), col("sh"),
       posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-    // same quadratic-bucket guard as minhashLshPairs
-    val smallBuckets = banded0.groupBy("band", "band_val")
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
-      .drop("__bsz")
-    val banded = banded0.join(smallBuckets, Seq("band", "band_val"))
-    val a = banded.select(col(idCol).as("d1"), col("sh").as("sh1"), col("band"), col("band_val"))
-    val b = banded.select(col(idCol).as("d2"), col("sh").as("sh2"), col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
-      .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+    // collected-bucket pair generation (same shape as bandCandidates, with
+    // the quadratic guard on the list size) — carrying the fingerprint in
+    // the collected struct means the hamming verify needs NO join at all:
+    // each pair's (sh1, sh2) are adjacent in the bucket list. Structs sort
+    // by (id, sh), so i<j positions give d1<d2 directly.
+    banded0.groupBy("band", "band_val")
+      .agg(collect_list(struct(col(idCol).as("i"), col("sh").as("h"))).as("__m"))
+      .where(size(col("__m")) <= maxBucketSize && size(col("__m")) > 1)
+      .select(array_sort(col("__m")).as("__s"))
+      .select(explode(flatten(transform(col("__s"), (x, i) =>
+        transform(
+          slice(col("__s"), i.cast("int") + lit(2),
+            greatest(size(col("__s")) - i.cast("int") - 1, lit(0))),
+          y => struct(x.getField("i").as("d1"), y.getField("i").as("d2"),
+            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
+              .as("hamming")))))).as("__p"))
+      .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"),
+        col("__p.hamming").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
