@@ -190,7 +190,8 @@ object Soak {
       val (index, tIx) = timed {
         val ix = Dedup.buildNearDupIndex(corpus, "text", "doc_id",
           k = 64, bands = 16, shingleN = 2, persist = true)
-        ix.sigs.count(); ix.grams.count() // materialize the persisted index
+        // materialize the persisted index (incl. the collected buckets)
+        ix.sigs.count(); ix.grams.count(); ix.buckets.count()
         ix
       }
       val (pairs, tp) = timed(

@@ -256,16 +256,21 @@ object Dedup {
       minJaccard)
   }
 
-  /** Precomputed (optionally persisted) signature + gram tables for an
-    * EXISTING corpus — the incremental-dedup analog of
+  /** Precomputed (optionally persisted) signature + gram + BUCKET tables
+    * for an EXISTING corpus — the incremental-dedup analog of
     * Similarity.AnnIndex: built ONCE, so every subsequent ingest batch
     * pays O(batch) work plus bucket joins, never an all-corpus rescan.
     * `grams.__g` holds sorted distinct 64-bit gram hashes
-    * ([[hashedShingles]]), not gram strings. */
+    * ([[hashedShingles]]), not gram strings; `buckets` holds the corpus's
+    * banded LSH buckets COLLECTED — (band, band_hash, __ids) — so a batch
+    * probes buckets by key instead of re-banding and re-sizing the whole
+    * corpus per ingest (the r8 fix that makes the per-batch cost actually
+    * O(batch): band-explode of the corpus was O(corpus) on every call). */
   final case class NearDupIndex private[operators] (
-      sigs: DataFrame, grams: DataFrame,
+      sigs: DataFrame, grams: DataFrame, buckets: DataFrame,
       idCol: String, k: Int, bands: Int, shingleN: Int) {
-    def unpersist(): Unit = { sigs.unpersist(); grams.unpersist(); () }
+    def unpersist(): Unit =
+      { sigs.unpersist(); grams.unpersist(); buckets.unpersist(); () }
   }
 
   def buildNearDupIndex(df: DataFrame, textCol: String, idCol: String,
@@ -295,7 +300,15 @@ object Dedup {
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d.localCheckpoint()
-    NearDupIndex(maybe(sigs), maybe(grams), idCol, k, bands, shingleN)
+    val sigsM = maybe(sigs)
+    // collected corpus buckets, UNGUARDED at build time (maxBucketSize is
+    // a query parameter — the probe filters on list size); the groupBy's
+    // hash partitioning on (band, band_hash) survives materialization, so
+    // a batch probe shuffles only the batch side of the join
+    val buckets = bandExplode(sigsM, idCol, bands, k / bands)
+      .groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("__ids"))
+    NearDupIndex(sigsM, maybe(grams), maybe(buckets), idCol, k, bands, shingleN)
   }
 
   /** Incremental near-dup for the daily-ingest shape: candidates between a
@@ -311,15 +324,15 @@ object Dedup {
     val newSigs = minhashSignatures(newDf, textCol, idCol, index.k, index.shingleN)
     val newBanded = bandExplode(newSigs, idCol, index.bands, r)
       .select(col(idCol).as("d1"), col("band"), col("band_hash"))
-    val oldBanded0 = bandExplode(index.sigs, idCol, index.bands, r)
-    // quadratic guard on the EXISTING side (the side that grows unbounded)
-    val smallBuckets = oldBanded0.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-    val oldBanded = oldBanded0.join(smallBuckets, Seq("band", "band_hash"))
-      .select(col(idCol).as("d2"), col("band"), col("band_hash"))
-    val pairs = newBanded.join(oldBanded, Seq("band", "band_hash"))
-      .select("d1", "d2").distinct()
+    // probe the PRECOMPUTED corpus buckets: O(batch) banded rows join the
+    // stored (band, band_hash, __ids) table — the corpus is never
+    // re-banded per ingest. Quadratic guard on the EXISTING side (the
+    // side that grows unbounded) = list-size filter before the explode.
+    val pairs = newBanded
+      .join(index.buckets.where(size(col("__ids")) <= maxBucketSize),
+        Seq("band", "band_hash"))
+      .select(col("d1"), explode(col("__ids")).as("d2"))
+      .distinct()
     val newGrams = spread(newDf)
       .select(col(idCol).as("d1"),
         hashedShingles(col(textCol), index.shingleN).as("g1"))
