@@ -366,6 +366,111 @@ final class Application(val name: String, val spark: SparkSession,
       (id, state, time) => raiseAlarm(byId(id), state, time))
   }
 
+  // ---- dashboards (reference create_dashboard + widget APIs,
+  // application.py:4461-4525 — CloudWatch JSON there; here a declared
+  // widget list rendered into ONE DataFrame) --------------------------
+
+  private sealed trait DashWidget
+  private final case class TextW(markdown: String) extends DashWidget
+  private final case class MetricW(title: String,
+      series: () => DataFrame) extends DashWidget
+  private final case class AlarmW(title: String,
+      alarmIds: Seq[String]) extends DashWidget
+  private var dashboards: Map[String, Vector[DashWidget]] = Map.empty
+
+  /** Declare an empty dashboard. Like hooks and metric-alarm series,
+    * dashboards hold closures and are runtime-only — excluded from
+    * [[saveDevState]]. */
+  def createDashboard(id: String): Unit = {
+    require(!dashboards.contains(id), s"dashboard '$id' already exists")
+    dashboards += id -> Vector.empty
+  }
+
+  private def addWidget(dashboardId: String, w: DashWidget): Unit = {
+    val ws = dashboards.getOrElse(dashboardId, throw new IllegalArgumentException(
+      s"dashboard '$dashboardId' does not exist — createDashboard first"))
+    dashboards += dashboardId -> (ws :+ w)
+  }
+
+  def createTextWidget(dashboardId: String, markdown: String): Unit =
+    addWidget(dashboardId, TextW(markdown))
+
+  /** Metric widget over any (name, period_start, value) series — a
+    * [[graft.diagnostics.Metrics]] statistic, [[graft.diagnostics
+    * .MetricMath]] output, or [[platformMetricsDf]]. Re-evaluated on
+    * every [[renderDashboard]]. */
+  def createMetricWidget(dashboardId: String, title: String,
+                         series: () => DataFrame): Unit =
+    addWidget(dashboardId, MetricW(title, series))
+
+  /** Alarm-status widget: current state per DECLARED metric-backed alarm
+    * (reference create_alarm_status_widget validates the signals are
+    * alarms; here they must come from [[createMetricAlarm]], whose
+    * series+params are re-evaluated at render time). */
+  def createAlarmStatusWidget(dashboardId: String, title: String,
+                              alarms: Seq[NodeRef]): Unit = {
+    require(alarms.nonEmpty, "provide at least one alarm")
+    val known = metricAlarms.map(_._2.alarmId).toSet
+    val ids = alarms.map(_.signal.alias)
+    val unknown = ids.filterNot(known)
+    require(unknown.isEmpty,
+      s"not metric-backed alarms: ${unknown.mkString(", ")} — declare via createMetricAlarm")
+    addWidget(dashboardId, AlarmW(title, ids))
+  }
+
+  /** Convenience single-alarm wrapper (reference create_alarm_widget). */
+  def createAlarmWidget(dashboardId: String, alarm: NodeRef,
+                        title: String = null): Unit =
+    createAlarmStatusWidget(dashboardId,
+      Option(title).getOrElse(alarm.signal.alias), Seq(alarm))
+
+  def listDashboards: List[String] = dashboards.keys.toList.sorted
+
+  /** Materialize a dashboard: every widget rendered into one DataFrame
+    * (widget index, kind, title, name, time, value, text) — text rows
+    * carry `text`, metric rows carry (name, time, value), alarm rows the
+    * latest evaluated state per alarm in `text`. */
+  def renderDashboard(id: String): DataFrame = {
+    val ws = dashboards.getOrElse(id,
+      throw new IllegalArgumentException(s"dashboard '$id' does not exist"))
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Int, String, String, String,
+      Option[java.sql.Timestamp], Option[Double], Option[String])]
+    val frames: Seq[DataFrame] = ws.zipWithIndex.map {
+      case (TextW(md), i) =>
+        Seq((i, "text", "", "", None: Option[java.sql.Timestamp],
+          None: Option[Double], Some(md): Option[String]))
+          .toDF("widget", "kind", "title", "name", "time", "value", "text")
+      case (MetricW(title, series), i) =>
+        series().select(
+          org.apache.spark.sql.functions.lit(i).as("widget"),
+          org.apache.spark.sql.functions.lit("metric").as("kind"),
+          org.apache.spark.sql.functions.lit(title).as("title"),
+          org.apache.spark.sql.functions.col("name"),
+          org.apache.spark.sql.functions.col("period_start").as("time"),
+          org.apache.spark.sql.functions.col("value").cast("double"),
+          org.apache.spark.sql.functions.lit(null).cast("string").as("text"))
+      case (AlarmW(title, ids), i) =>
+        val states = ids.map { aid =>
+          val d = metricAlarms.map(_._2).find(_.alarmId == aid).get
+          val rows = graft.diagnostics.Alarms
+            .evaluate(d.series(), d.params, d.periodSecs)
+            .select("period_start", "state").orderBy("period_start")
+            .collect()
+          val (t, s) = rows.lastOption
+            .map(r => (Option(r.getTimestamp(0)), r.getString(1)))
+            .getOrElse((None, "INSUFFICIENT_DATA"))
+          (i, "alarm", title, aid, t, None: Option[Double],
+            Some(s): Option[String])
+        }
+        (if (states.isEmpty) empty else states)
+          .toDF("widget", "kind", "title", "name", "time", "value", "text")
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      empty.toDF("widget", "kind", "title", "name", "time", "value", "text"))
+  }
+
   /** Declare a derived data node (reference create_data,
     * application.py:1197-1323). Output spec defaults to the first
     * independent input's spec; same-named dims auto-link. */
@@ -558,6 +663,51 @@ final class Application(val name: String, val spark: SparkSession,
   def pendingNodeCounts: Map[String, Int] =
     table.all.map(r => r.id -> r.pendingNodes.length)
       .filter(_._2 > 0).toMap
+
+  /** The pending nodes themselves, keyed by route (reference
+    * get_pending_nodes, application.py:4107-4115); `routeId = null`
+    * returns every route's. Each node exposes `id` (for
+    * [[deletePendingNode]]), its partially materialized `output`, the
+    * signals already `ready`, and `createdAtMillis`. */
+  def getPendingNodes(routeId: String = null)
+      : Map[String, List[graft.routing.RuntimeLinkNode]] =
+    table.all.filter(r => routeId == null || r.id == routeId)
+      .map(r => r.id -> r.pendingNodes).filter(_._2.nonEmpty).toMap
+
+  /** Manually remove one pending node (reference delete_pending_node,
+    * application.py:4117-4120): the unblock for a coincidence join whose
+    * missing input will never arrive. Returns false when no such node. */
+  def deletePendingNode(routeId: String, pendingNodeId: String): Boolean =
+    table.find(routeId).exists(_.removePending(pendingNodeId))
+
+  /** Route ids with an execution in flight right now (reference
+    * get_active_routes — records with active compute; job-group names
+    * carry the route id). */
+  def getActiveRoutes: List[String] =
+    scala.jdk.CollectionConverters.CollectionHasAsScala(activeGroups.values())
+      .asScala.flatten
+      .map(g => g.stripPrefix("graft-").dropRight(37)) // "-" + UUID(36)
+      .toList.distinct
+
+  def hasActiveRoutes: Boolean = !activeGroups.isEmpty
+
+  /** Does this view (or any partition of the node) have an execution in
+    * flight (reference has_active_record, application.py:2309-2322)? */
+  def hasActiveRecord(target: NodeRef): Boolean = {
+    val active = activeComputePaths
+    if (target.signal.isMaterialized)
+      target.signal.materializedPaths.exists(active.contains)
+    else active.exists(_.startsWith(target.signal.source.rootPath))
+  }
+
+  /** Dump up to `limit` records of a materialized node to the console and
+    * return them (reference preview_data, application.py:4121-4160 —
+    * pandas there, the Spark DataFrame directly here). */
+  def previewData(target: NodeRef, limit: Int = 20): DataFrame = {
+    val df = load(target).limit(limit)
+    df.show(limit, truncate = false)
+    df
+  }
 
   /** Replace a declared node's definition before re-activation (reference
     * update_data, application.py:1544-1667): same construction surface as

@@ -55,6 +55,15 @@ final class Route(
   private var pending: List[RuntimeLinkNode] = Nil
   def pendingNodes: List[RuntimeLinkNode] = pending
 
+  /** Remove one pending node by its [[RuntimeLinkNode.id]] (reference
+    * delete_pending_node, application.py:4117-4120 — the manual unblock
+    * for a node that will never complete). Returns false when absent. */
+  def removePending(nodeId: String): Boolean = {
+    val (gone, keep) = pending.partition(_.id == nodeId)
+    pending = keep
+    gone.nonEmpty
+  }
+
   private var ctrs = RouteCounters()
   /** Snapshot of this route's orchestration counters. */
   def counters: RouteCounters = ctrs

@@ -57,6 +57,11 @@ final class RuntimeLinkNode(
     val outputLinks: List[DimensionLink],
     val createdAtMillis: Long = System.currentTimeMillis()) {
 
+  /** Stable-for-this-process handle for the introspection/delete surface
+    * (reference pending node ids, persisted in DynamoDB RouteRecords;
+    * here regenerated on WAL replay — a restart re-lists before deleting). */
+  val id: String = java.util.UUID.randomUUID().toString.take(8)
+
   private var readySignals: List[Signal] = Nil
   private val processedPaths = scala.collection.mutable.Set.empty[String]
   private val blockedPaths = scala.collection.mutable.Set.empty[String]

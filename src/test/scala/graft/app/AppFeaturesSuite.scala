@@ -1,6 +1,8 @@
 package graft.app
 
 import java.nio.file.Files
+import scala.concurrent.Await
+import scala.concurrent.duration._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -544,6 +546,94 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(app.poll(node("2026-08-11")).isDefined,
         "background sweeper never completed the pending join")
     } finally app.stopSweeper()
+  }
+
+  test("pending-node surface: list, delete unblocks a stuck coincidence join") {
+    val app = new Application("pend", spark, s"$work/app_pend")
+    stageDays(s"$work/src_pa", Seq("2026-08-12"))
+    val a = app.marshalExternalData("pa", s"$work/src_pa", daySpec)
+    val b = app.marshalExternalData("pb", s"$work/src_pb", daySpec)
+    app.createData("join_pend", Seq(a, b), Seq(SqlSlot(
+      "SELECT CAST(SUM(amount) AS DOUBLE) AS total FROM pa")))
+    app.activate()
+    // one of two inputs arrives → a pending node forms
+    app.processPath(s"$work/src_pa/2026-08-12")
+    val pend = app.getPendingNodes()
+    assert(pend.keySet == Set("join_pend") && pend("join_pend").length == 1)
+    val node = pend("join_pend").head
+    assert(node.ready.map(_.alias) == List("pa"))
+    // delete by id → gone; unknown id → false
+    assert(!app.deletePendingNode("join_pend", "nope"))
+    assert(app.deletePendingNode("join_pend", node.id))
+    assert(app.getPendingNodes().isEmpty)
+    // the route still works after the manual unblock
+    stageDays(s"$work/src_pb", Seq("2026-08-12"))
+    app.processPath(s"$work/src_pb/2026-08-12")
+    val pend2 = app.getPendingNodes("join_pend")
+    assert(pend2("join_pend").head.ready.map(_.alias) == List("pb"))
+  }
+
+  test("active-route introspection + previewData") {
+    val app = new Application("act", spark, s"$work/app_act")
+    stageDays(s"$work/src_act", Seq("2026-08-12"))
+    val src = app.marshalExternalData("src", s"$work/src_act", daySpec)
+    val inSlot = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val node = app.createData("slow_act", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        inSlot.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ctx.input("src")
+      }))
+    app.activate()
+    assert(!app.hasActiveRoutes && app.getActiveRoutes.isEmpty)
+    assert(!app.hasActiveRecord(node("2026-08-12")))
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = app.executeAsync(node("2026-08-12"))
+    inSlot.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(app.hasActiveRoutes)
+    assert(app.getActiveRoutes == List("slow_act"))
+    assert(app.hasActiveRecord(node("2026-08-12")))
+    assert(app.hasActiveRecord(node)) // unmaterialized view: any partition
+    release.countDown()
+    Await.result(fut, 60.seconds)
+    assert(!app.hasActiveRoutes && !app.hasActiveRecord(node))
+    val preview = app.previewData(node("2026-08-12"), limit = 2)
+    assert(preview.count() == 2 && preview.columns.contains("amount"))
+  }
+
+  test("dashboards: text + metric + alarm widgets render into one frame") {
+    val sp = spark; import sp.implicits._
+    val app = new Application("dash", spark, s"$work/app_dash")
+    val series = () => Seq(
+      ("lat.p99", java.sql.Timestamp.valueOf("2026-08-12 10:00:00"), 120.0),
+      ("lat.p99", java.sql.Timestamp.valueOf("2026-08-12 11:00:00"), 450.0))
+      .toDF("name", "period_start", "value")
+    val alarm = app.createMetricAlarm("lat_alarm", series,
+      graft.diagnostics.AlarmParams(
+        threshold = 300.0,
+        comparison = graft.diagnostics.AlarmComparison.GreaterThanThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1),
+      periodSecs = 3600)
+    app.createDashboard("ops")
+    intercept[IllegalArgumentException](app.createDashboard("ops"))
+    intercept[IllegalArgumentException](
+      app.createTextWidget("nope", "missing"))
+    app.createTextWidget("ops", "# Service health")
+    app.createMetricWidget("ops", "latency", series)
+    app.createAlarmWidget("ops", alarm)
+    // a non-declared alarm is rejected like the reference's type check
+    intercept[IllegalArgumentException](
+      app.createAlarmWidget("ops", app.marshalAlarm("ghost")))
+    assert(app.listDashboards == List("ops"))
+    val rows = app.renderDashboard("ops").collect()
+    val byKind = rows.groupBy(_.getString(1))
+    assert(byKind("text").head.getString(6) == "# Service health")
+    assert(byKind("metric").length == 2 &&
+      byKind("metric").map(_.getDouble(5)).toSet == Set(120.0, 450.0))
+    // latest period breaches 300 → ALARM state in the status row
+    val alarmRow = byKind("alarm").head
+    assert(alarmRow.getString(3) == "lat_alarm" && alarmRow.getString(6) == "ALARM")
   }
 
   test("topology queries: id pattern, path search, dimension compatibility") {
