@@ -115,14 +115,19 @@ object Sampling {
   * so it scales like the dedup operators. */
 object Contamination {
 
-  /** Ids of `df` documents sharing >= 1 n-gram with `benchmark`. */
+  /** Ids of `df` documents sharing >= 1 n-gram with `benchmark`. The
+    * inverted index joins on 64-bit gram hashes ([[Dedup.hashedShingles]])
+    * — 8-byte shuffle keys instead of gram strings; a false positive
+    * needs a corpus gram colliding with a benchmark gram in 64 bits
+    * (~2⁻⁶⁴ per gram pair — negligible against the harm model, which is
+    * over-EXCLUSION of a training doc, not leakage). */
   def contaminatedIds(df: DataFrame, textCol: String, idCol: String,
                       benchmark: DataFrame, benchTextCol: String,
                       n: Int = 3): DataFrame = {
     val docGrams = df.select(col(idCol),
-      explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      explode(Dedup.hashedShingles(col(textCol), n)).as("__g"))
     val benchGrams = benchmark
-      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
+      .select(explode(Dedup.hashedShingles(col(benchTextCol), n)).as("__g"))
       .distinct()
     docGrams.join(benchGrams, Seq("__g"), "left_semi")
       .select(idCol).distinct()
