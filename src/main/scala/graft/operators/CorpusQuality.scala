@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative quality scoring — the signals that need a pass over
+  * the WHOLE corpus, complementing the per-row ones in
+  * [[graft.functions.TextFunctions]] (stopword ratio, repetition, ...).
+  */
+object CorpusQuality {
+
+  /** Unigram-LM quality score: the CCNet-style perplexity proxy
+    * (arXiv:1911.00359 §3.2 scores documents with a language model and
+    * filters by perplexity; a corpus-trained unigram model with add-one
+    * smoothing is the deterministic, engine-replayable core of that
+    * signal — documents full of rare/out-of-distribution tokens score
+    * low). Tokens are lowercased whitespace tokens; smoothing
+    * `ln((c + 1) / (total + V))` over corpus token count c, corpus size
+    * `total`, vocabulary size `V`; a document's score is its tokens'
+    * MEAN log-probability (0 tokens → null).
+    *
+    * Scale shape: one explode + one groupBy(token) builds the model (the
+    * same inverted-index shuffle every dedup op pays — map-side combined,
+    * 8-byte-ish keys after dictionary compression); scoring re-joins the
+    * exploded tokens against the model on the token key and aggregates
+    * per document. The (total, V) scalars are a 1-row aggregate collected
+    * driver-side and folded in as literals. No sampling, no RNG —
+    * bit-stable across runs and engines.
+    *
+    * Returns (idCol, n_tokens, mean_logprob). */
+  def unigramLogProbScore(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val toks = Dedup.spread(df).select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
+      .where(col("__t") =!= "")
+    val model = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val Array(total, v) = model
+      .agg(sum(col("__c")), count(lit(1))).collect().head match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    toks.join(model, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log((col("__c") + 1).cast("double") /
+          lit((total + v).toDouble))).as("mean_logprob"))
+  }
+}

@@ -408,6 +408,48 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** LINE-level corpus dedup (CCNet's duplicated-paragraph removal /
+    * RefinedWeb's line-wise filter, arXiv:1911.00359 §3.1 +
+    * arXiv:2306.01116 §3.4): a line whose TRIMMED text occurs at least
+    * `minOccurrences` times across the whole corpus (boilerplate —
+    * navigation, disclaimers, "subscribe" prompts) is removed from every
+    * document; blank lines never count and are always kept. Returns
+    * (idCol, clean_text, n_lines, n_removed) — documents whose lines are
+    * all boilerplate come back with empty clean_text, for the caller's
+    * length filter to drop.
+    *
+    * Scale shape: lines shuffle ONCE by 64-bit line hash for the corpus
+    * count (8-byte key regardless of line width), the common-line set
+    * anti-joins the same keyed rows, and documents reassemble with one
+    * groupBy(id) (sort_array on (pos, line) — no window). A hash
+    * collision (~2⁻⁶⁴ per line pair) could drop an innocent line; the
+    * harm model is over-removal of one line, not corruption. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    val lines = spread(df).select(col(idCol),
+      posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+      .withColumn("__k", xxhash64(trim(col("__line"))))
+    val common = lines.where(trim(col("__line")) =!= "")
+      .groupBy("__k").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minOccurrences)
+      .select("__k")
+    lines.join(common, Seq("__k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+      .join(df.select(col(idCol),
+        size(split(col(textCol), "\n")).as("n_lines")), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** k for semantic dedup when the caller doesn't pick one: sized so the
     * EXPECTED cell holds ~maxCellSize/2 rows — cells have headroom under
     * the cap instead of every cell silently tripping the guard (k=16 over

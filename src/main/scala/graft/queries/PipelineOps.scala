@@ -366,6 +366,29 @@ object PipelineOps {
         round(topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
         round(duplicateLineFraction(col("text")), 4).as("dup_line_frac"))
         .orderBy("doc_id")
+    }),
+
+    // ---- LINE-level corpus dedup (CCNet duplicated-paragraph removal):
+    // a boilerplate line planted into every doc must vanish from all of
+    // them; naturally repeated corpus lines are removed by the same rule
+    "p24_line_dedup" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nsubscribe to our newsletter today")).as("text"))
+      graft.operators.Dedup.lineDedup(t, "text", "doc_id", minOccurrences = 2)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- unigram-LM quality score (CCNet perplexity proxy): corpus-
+    // trained add-one-smoothed unigram logprob, mean per document
+    "p25_lm_quality" -> ((s, dir) => {
+      graft.operators.CorpusQuality
+        .unigramLogProbScore(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_logprob"), 4).as("mean_logprob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -644,6 +667,36 @@ object PipelineOps {
            ROUND(1.0 - CAST(ldst AS DOUBLE) / ltotal, 4) AS dup_line_frac
          FROM t JOIN gstats USING (doc_id) JOIN gtop USING (doc_id)
                 JOIN lstats USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "p24_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+           text || chr(10) || 'subscribe to our newsletter today' AS tt
+           FROM documents),
+         ls AS (SELECT doc_id, UNNEST(string_split(tt, chr(10))) AS l,
+                       generate_subscripts(string_split(tt, chr(10)), 1) AS i
+                FROM t),
+         common AS (SELECT trim(l) AS tl FROM ls WHERE trim(l) <> ''
+                    GROUP BY trim(l) HAVING COUNT(*) >= 2),
+         kept AS (SELECT doc_id, l, i FROM ls
+                  WHERE trim(l) = '' OR trim(l) NOT IN (SELECT tl FROM common)),
+         agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS ct,
+                        COUNT(*) AS kc
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, len(string_split(tt, chr(10))) AS n_lines
+                 FROM t)
+         SELECT tot.doc_id, md5(COALESCE(agg.ct, '')) AS clean_md5,
+                n_lines, n_lines - COALESCE(kc, 0) AS n_removed
+         FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "p25_lm_quality" ->
+      """WITH toks AS (SELECT doc_id,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+           FROM documents),
+         nz AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+         model AS (SELECT t, COUNT(*) AS c FROM nz GROUP BY t),
+         scal AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM model)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                ROUND(AVG(LN((c + 1) / (SELECT total + v FROM scal))), 4)
+                  AS mean_logprob
+         FROM nz JOIN model USING (t) GROUP BY doc_id ORDER BY doc_id"""
   )
 }

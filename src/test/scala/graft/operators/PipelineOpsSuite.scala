@@ -349,6 +349,52 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.unpersist()
   }
 
+  test("line dedup removes corpus-common lines, keeps blanks and unique text") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, "unique alpha\nSHARED BOILERPLATE\n\nunique beta"),
+      (1L, "SHARED BOILERPLATE\nunique gamma"),
+      (2L, "  SHARED BOILERPLATE  \nunique delta"), // trimmed match
+      (3L, "all unique here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "text", "doc_id", minOccurrences = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out(0L) == (("unique alpha\n\nunique beta", 4, 1L))) // blank kept
+    assert(out(1L) == (("unique gamma", 2, 1L)))
+    assert(out(2L) == (("unique delta", 2, 1L))) // padded copy still matches
+    assert(out(3L) == (("all unique here", 1, 0L)))
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val allBoiler = Seq((0L, "x\ny"), (1L, "x\ny")).toDF("doc_id", "text")
+    val cleaned = Dedup.lineDedup(allBoiler, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(0L) == "" && cleaned(1L) == "")
+  }
+
+  test("unigram LM score ranks in-distribution text above rare-token text") {
+    val sp = spark; import sp.implicits._
+    // corpus dominated by common tokens; doc 2 is all hapaxes
+    val df = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the mat"),
+      (2L, "zyx qwv jkp")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusQuality
+      .unigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 == 6 && out(2L)._1 == 3)
+    assert(out(0L)._2 > out(2L)._2, "common-token doc must score higher")
+    assert(out(1L)._2 > out(2L)._2)
+    // deterministic: same corpus → bit-identical scores
+    val again = graft.operators.CorpusQuality
+      .unigramLogProbScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (_, s)) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(again(id)))
+    }
+  }
+
   test("shingles yield empty arrays (not errors) for docs shorter than n") {
     val sp = spark; import sp.implicits._
     val short = Seq((0L, "single"), (1L, "two words"),
