@@ -92,6 +92,50 @@ object Sampling {
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < cases)
   }
 
+  /** Deterministic token-budget selection — the training-mix assembly
+    * step: order documents by (orderCol DESC, id) and keep the prefix
+    * whose RUNNING token total (inclusive of the row itself) stays
+    * within `budget`. Returns kept rows plus `cum_tokens`.
+    *
+    * Scale shape: a single global `Window.orderBy` would drag the corpus
+    * onto one partition, so this is the classic distributed prefix sum
+    * instead — range-repartition by the total order, per-partition
+    * running totals under a partition-local window, then one tiny
+    * (numPartitions-row) offset table broadcast back in. The total order
+    * (orderCol DESC, id ASC) is unique, so the kept SET is identical to
+    * the single-window answer and to a SQL `SUM OVER (ORDER BY ...)`
+    * replay, independent of partitioning. */
+  def takeByTokenBudget(df: DataFrame, tokenCol: String, orderCol: String,
+                        idCol: String, budget: Long,
+                        partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    // per-partition running totals under the unique total order; the
+    // checkpoint pins ONE range partitioning for both the offset pass
+    // and the final filter (range boundaries come from sampling — two
+    // independent evaluations must not disagree on pid assignment)
+    val local = df
+      .repartitionByRange(n, col(orderCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", sum(col(tokenCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
+          .orderBy(col(orderCol).desc, col(idCol).asc)))
+      .localCheckpoint()
+    // one row per non-empty partition; range partitions ascend with the
+    // total order, so the exclusive prefix over pid order is the offset
+    val totals = local.groupBy("__pid")
+      .agg(max(col("__local")).as("__ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsetOf: Map[Int, Long] = totals.map { case (p, t) =>
+      val entry = p -> acc; acc += t; entry }.toMap
+    val offsetCol = totals.foldLeft(lit(0L)) { case (c, (p, _)) =>
+      when(col("__pid") === p, lit(offsetOf(p))).otherwise(c) }
+    local.withColumn("cum_tokens", col("__local") + offsetCol)
+      .where(col("cum_tokens") <= budget)
+      .drop("__pid", "__local")
+  }
+
   /** Deterministic stratified sampling: EXACT per-group quotas (unlike
     * threshold sampling, which is only proportional in expectation). Rows
     * rank by md5(key) inside each group — a reproducible, engine-agnostic

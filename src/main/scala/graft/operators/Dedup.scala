@@ -408,6 +408,37 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Pairs of documents sharing at least one EXACT run of `spanTokens`
+    * consecutive words — the fixed-granularity form of the
+    * exact-substring duplication signal (Lee et al. 2021,
+    * arXiv:2107.06499: verbatim spans ≥50 tokens across documents are
+    * the memorization-relevant duplication exact-match dedup misses).
+    * Output: (d1, d2, n_shared_spans) with d1 < d2.
+    *
+    * Scale shape: one pass emits each doc's distinct hashed spans
+    * ([[hashedShingles]] at n = spanTokens — 8 B per span regardless of
+    * span width), `maxSpanDocs` drops spans present in more docs than
+    * that (corpus-wide boilerplate — the same quadratic guard every
+    * bucket join here uses), and pairs emit from each span's collected
+    * doc list. */
+  def sharedSpanPairs(df: DataFrame, textCol: String, idCol: String,
+                      spanTokens: Int = 50,
+                      maxSpanDocs: Int = 1000): DataFrame = {
+    val spans = spread(df).select(col(idCol),
+      explode(hashedShingles(col(textCol), spanTokens)).as("__g"))
+    spans.groupBy("__g")
+      .agg(collect_set(col(idCol)).as("__ids"))
+      .where(size(col("__ids")) <= maxSpanDocs && size(col("__ids")) > 1)
+      .select(array_sort(col("__ids")).as("__s"))
+      .select(explode(flatten(transform(col("__s"), (x, i) =>
+        transform(
+          slice(col("__s"), i.cast("int") + lit(2),
+            greatest(size(col("__s")) - i.cast("int") - 1, lit(0))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("__p"))
+      .groupBy(col("__p.d1").as("d1"), col("__p.d2").as("d2"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** LINE-level corpus dedup (CCNet's duplicated-paragraph removal /
     * RefinedWeb's line-wise filter, arXiv:1911.00359 §3.1 +
     * arXiv:2306.01116 §3.4): a line whose TRIMMED text occurs at least

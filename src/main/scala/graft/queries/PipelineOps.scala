@@ -389,6 +389,32 @@ object PipelineOps {
         .select(col("doc_id"), col("n_tokens"),
           round(col("mean_logprob"), 4).as("mean_logprob"))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact shared-span pairs (Lee et al. exact-substring signal):
+    // an 8-token sentence planted into docs < 30 must pair them all;
+    // naturally shared spans surface by the same rule
+    "p26_shared_spans" -> ((s, dir) => {
+      val t = docs(s, dir).where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" planted shared span of exactly eight tokens")).as("text"))
+      graft.operators.Dedup.sharedSpanPairs(t, "text", "doc_id",
+        spanTokens = 8, maxSpanDocs = 1000)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- deterministic token-budget selection (training-mix assembly):
+    // keep the best-scoring prefix fitting 40% of the corpus tokens
+    "p27_token_budget" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(stopwordRatio(col("text")), 6).as("score"))
+      val total = scored.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+      graft.operators.Sampling.takeByTokenBudget(scored,
+        "n_tokens", "score", "doc_id", budget = (total * 2) / 5)
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -697,6 +723,37 @@ object PipelineOps {
          SELECT doc_id, COUNT(*) AS n_tokens,
                 ROUND(AVG(LN((c + 1) / (SELECT total + v FROM scal))), 4)
                   AS mean_logprob
-         FROM nz JOIN model USING (t) GROUP BY doc_id ORDER BY doc_id"""
+         FROM nz JOIN model USING (t) GROUP BY doc_id ORDER BY doc_id""",
+    "p26_shared_spans" ->
+      """WITH t AS (SELECT doc_id,
+           text || ' planted shared span of exactly eight tokens' AS tt
+           FROM documents WHERE doc_id < 30),
+         words AS (SELECT doc_id,
+                          regexp_split_to_array(trim(tt), '\s+') AS w
+                   FROM t),
+         idx AS (SELECT doc_id, w,
+                        UNNEST(generate_series(1, len(w) - 7)) AS i
+                 FROM words WHERE len(w) >= 8),
+         spans AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[i:i+7], ' ') AS g
+                   FROM idx)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                COUNT(*) AS n_shared_spans
+         FROM spans a JOIN spans b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY d1, d2""",
+    "p27_token_budget" ->
+      """WITH d AS (SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('the','a','an','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS score
+           FROM documents),
+         b AS (SELECT CAST(SUM(n_tokens) * 2 / 5 AS BIGINT) AS budget FROM d),
+         s AS (SELECT doc_id, n_tokens, score,
+                      CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS cum_tokens
+               FROM d)
+         SELECT doc_id, n_tokens, score, cum_tokens FROM s
+         WHERE cum_tokens <= (SELECT budget FROM b) ORDER BY doc_id"""
   )
 }

@@ -395,6 +395,47 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shared spans pair exactly the docs containing a verbatim token run") {
+    val sp = spark; import sp.implicits._
+    val span = "one two three four five"
+    val df = Seq(
+      (0L, s"intro text $span closing words"),
+      (1L, s"different opening $span and more"),
+      (2L, s"no overlap with anything here at all"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSpanPairs(df, "text", "doc_id", spanTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L)))
+    assert(pairs((0L, 1L)) == 1L) // exactly the planted 5-token run
+    // the boilerplate guard drops a span present in too many docs
+    val many = (0L to 5L).map(i => (i, s"shared guard span here now tail$i"))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.sharedSpanPairs(many, "text", "doc_id",
+      spanTokens = 5, maxSpanDocs = 3).collect()
+    assert(guarded.isEmpty, "an over-shared span must be guard-dropped")
+  }
+
+  test("token-budget selection equals the single-window cumulative answer") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map(i =>
+      (i, 10 + rnd.nextInt(90), math.rint(rnd.nextDouble() * 100) / 100))
+    val df = rows.toDF("doc_id", "n_tokens", "score")
+    val budget = rows.map(_._2.toLong).sum * 2 / 5
+    val got = Sampling.takeByTokenBudget(df, "n_tokens", "score", "doc_id",
+      budget, partitions = 7)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the naive global running total in plain Scala
+    var cum = 0L
+    val expected = rows.sortBy { case (id, _, s) => (-s, id) }
+      .flatMap { case (id, t, _) =>
+        cum += t; if (cum <= budget) Some(id -> cum) else None }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < rows.size)
+  }
+
   test("shingles yield empty arrays (not errors) for docs shorter than n") {
     val sp = spark; import sp.implicits._
     val short = Seq((0L, "single"), (1L, "two words"),
