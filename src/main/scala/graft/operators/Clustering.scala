@@ -105,21 +105,27 @@ object Sampling {
     * (orderCol DESC, id ASC) is unique, so the kept SET is identical to
     * the single-window answer and to a SQL `SUM OVER (ORDER BY ...)`
     * replay, independent of partitioning. */
-  def takeByTokenBudget(df: DataFrame, tokenCol: String, orderCol: String,
-                        idCol: String, budget: Long,
-                        partitions: Int = 0): DataFrame = {
+  /** Distributed GLOBAL running total of `tokenCol` under a unique total
+    * order — the scale-safe replacement for `Window.orderBy(...)` (which
+    * drags everything onto one partition): range-repartition by the
+    * order, partition-local running totals, one numPartitions-row offset
+    * table folded back in. Adds `cum_tokens` (inclusive of the row). The
+    * order MUST be total (include a unique tiebreaker) or the result is
+    * partition-dependent. */
+  private[operators] def runningTotal(df: DataFrame, tokenCol: String,
+                                      order: Seq[org.apache.spark.sql.Column],
+                                      partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
-    // per-partition running totals under the unique total order; the
-    // checkpoint pins ONE range partitioning for both the offset pass
-    // and the final filter (range boundaries come from sampling — two
-    // independent evaluations must not disagree on pid assignment)
+    // the checkpoint pins ONE range partitioning for both the offset
+    // pass and the final projection (range boundaries come from
+    // sampling — two independent evaluations must not disagree on pids)
     val local = df
-      .repartitionByRange(n, col(orderCol).desc, col(idCol).asc)
+      .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", sum(col(tokenCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
-          .orderBy(col(orderCol).desc, col(idCol).asc)))
+          .orderBy(order: _*)))
       .localCheckpoint()
     // one row per non-empty partition; range partitions ascend with the
     // total order, so the exclusive prefix over pid order is the offset
@@ -132,9 +138,15 @@ object Sampling {
     val offsetCol = totals.foldLeft(lit(0L)) { case (c, (p, _)) =>
       when(col("__pid") === p, lit(offsetOf(p))).otherwise(c) }
     local.withColumn("cum_tokens", col("__local") + offsetCol)
-      .where(col("cum_tokens") <= budget)
       .drop("__pid", "__local")
   }
+
+  def takeByTokenBudget(df: DataFrame, tokenCol: String, orderCol: String,
+                        idCol: String, budget: Long,
+                        partitions: Int = 0): DataFrame =
+    runningTotal(df, tokenCol,
+      Seq(col(orderCol).desc, col(idCol).asc), partitions)
+      .where(col("cum_tokens") <= budget)
 
   /** Deterministic stratified sampling: EXACT per-group quotas (unlike
     * threshold sampling, which is only proportional in expectation). Rows
@@ -149,6 +161,53 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= quota)
       .drop("__rk")
+  }
+}
+
+/** Training-sequence preparation: per-document chunking and corpus-level
+  * sequence-packing assignment. */
+object Packing {
+
+  /** Sliding-window chunks of `chunkTokens` whitespace tokens with
+    * `overlapTokens` overlap — context-window preparation for training /
+    * embedding. Chunk starts are multiples of (chunkTokens − overlap)
+    * below the token count, so tail chunks may be short; one row per
+    * chunk: (idCol, chunk_idx, chunk_text, n_chunk_tokens). Pure narrow
+    * per-row fan-out — no shuffle at all. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(toks) - 1, lit(stride)),
+          s => concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), "\\s+")).as("n_chunk_tokens"))
+  }
+
+  /** Concat-and-split sequence-packing ASSIGNMENT (the GPT-style
+    * training layout: documents concatenated in id order, cut into
+    * fixed `seqLen`-token sequences): for each document, its global
+    * token offset and the first/last sequence it lands in. The global
+    * offsets are a distributed prefix sum ([[Sampling.runningTotal]] —
+    * no single-partition window), so this assigns sequences for a
+    * corpus of any size; the actual token materialization is a narrow
+    * follow-up join per training shard. Output: (idCol, n_tokens,
+    * start_tok, first_seq, last_seq). */
+  def packSequences(df: DataFrame, tokenCol: String, idCol: String,
+                    seqLen: Int, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0)
+    Sampling.runningTotal(df, tokenCol, Seq(col(idCol).asc), partitions)
+      .where(col(tokenCol) > 0)
+      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"),
+        (col("cum_tokens") - col(tokenCol)).as("start_tok"))
+      .withColumn("first_seq", floor(col("start_tok") / seqLen))
+      .withColumn("last_seq",
+        floor((col("start_tok") + col("n_tokens") - 1) / seqLen))
   }
 }
 

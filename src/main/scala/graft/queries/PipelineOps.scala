@@ -415,6 +415,25 @@ object PipelineOps {
         "n_tokens", "score", "doc_id", budget = (total * 2) / 5)
         .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- sliding-window document chunking (context-window preparation)
+    "p28_chunking" -> ((s, dir) => {
+      graft.operators.Packing.chunkDocuments(
+        docs(s, dir).where(col("doc_id") < 100),
+        "text", "doc_id", chunkTokens = 24, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- concat-and-split sequence-packing assignment (GPT layout)
+    "p29_packing" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.packSequences(scored, "n_tokens", "doc_id",
+        seqLen = 512)
+        .orderBy("doc_id")
     })
   )
 
@@ -754,6 +773,29 @@ object PipelineOps {
                         AS BIGINT) AS cum_tokens
                FROM d)
          SELECT doc_id, n_tokens, score, cum_tokens FROM s
-         WHERE cum_tokens <= (SELECT budget FROM b) ORDER BY doc_id"""
+         WHERE cum_tokens <= (SELECT budget FROM b) ORDER BY doc_id""",
+    "p28_chunking" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id < 100),
+         idx AS (SELECT doc_id, w,
+                        UNNEST(generate_series(0, len(w) - 1, 16)) AS s
+                 FROM t)
+         SELECT doc_id, CAST(s / 16 AS INT) AS chunk_idx,
+                md5(array_to_string(w[s+1 : s+24], ' ')) AS chunk_md5,
+                len(w[s+1 : s+24]) AS n_chunk_tokens
+         FROM idx ORDER BY doc_id, chunk_idx""",
+    "p29_packing" ->
+      """WITH d AS (SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS nt
+           FROM documents),
+         c AS (SELECT doc_id, nt,
+                      CAST(SUM(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+               FROM d)
+         SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                cum - nt AS start_tok,
+                CAST(FLOOR((cum - nt) / 512.0) AS BIGINT) AS first_seq,
+                CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS last_seq
+         FROM c WHERE nt > 0 ORDER BY doc_id"""
   )
 }

@@ -436,6 +436,34 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got.size < rows.size)
   }
 
+  test("chunking: sliding windows with overlap, short tails, no shuffle") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((0L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Packing.chunkDocuments(df, "text", "doc_id",
+      chunkTokens = 4, overlapTokens = 1).orderBy("chunk_idx").collect()
+    // stride 3 over 10 tokens: starts 0,3,6,9 → last is a 1-token tail
+    assert(chunks.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(chunks.map(_.getInt(3)).toSeq == Seq(4, 4, 4, 1))
+    // narrow plan: no exchange anywhere
+    val plan = Packing.chunkDocuments(df, "text", "doc_id", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("sequence packing assigns contiguous global token spans") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((0L, 300), (1L, 300), (2L, 100), (3L, 24)).toDF("doc_id", "n_tokens")
+    val out = Packing.packSequences(df, "n_tokens", "doc_id", seqLen = 512,
+      partitions = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == ((0L, 0L, 0L)))      // tokens 0..299 → seq 0
+    assert(out(1L) == ((300L, 0L, 1L)))    // 300..599 straddles 0/1
+    assert(out(2L) == ((600L, 1L, 1L)))
+    assert(out(3L) == ((700L, 1L, 1L)))
+  }
+
   test("shingles yield empty arrays (not errors) for docs shorter than n") {
     val sp = spark; import sp.implicits._
     val short = Seq((0L, "single"), (1L, "two words"),
