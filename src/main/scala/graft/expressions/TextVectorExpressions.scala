@@ -169,6 +169,41 @@ final case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All ordered pairs (i < j positions) of a SORTED distinct long array,
+  * as array<struct<d1,d2>> — the in-bucket candidate-pair emission of the
+  * collected-bucket dedup shape. Replaces the
+  * `transform(s, (x,i) => transform(slice(s, i+2, ...), y => struct(x,y)))`
+  * + flatten composition, which is CodegenFallback (O(m²) interpreted
+  * lambda calls per bucket); emission order (i asc, then j asc) and the
+  * d1 < d2 invariant are identical. Output length m(m−1)/2 — callers
+  * bound m with their bucket-size guards; the expression itself refuses
+  * arrays whose pair count would overflow. */
+final case class SortedLongPairs(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("d1",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("d2",
+      org.apache.spark.sql.types.LongType, nullable = false))) match {
+    case st => ArrayType(st, containsNull = false)
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_long_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.longArray(child.dataType, prettyName, "input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.sortedLongPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.sortedLongPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fraction of whitespace tokens that are stopwords — kernel form of
   * `size(filter(tokens, isin(stopwords))) / size(tokens)` (the filter
   * lambda is interpreted per token; quality scoring is the FIRST pass of
@@ -404,6 +439,28 @@ object TextVectorKernels {
       r += 1
     }
     new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** i<j position pairs of a sorted long array — see [[SortedLongPairs]]. */
+  def sortedLongPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue, s"pair explosion of $n ids overflows")
+    val out = new Array[AnyRef](m.toInt)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x, a.getLong(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Merge-count of two sorted distinct long arrays — see

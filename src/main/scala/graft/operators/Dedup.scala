@@ -76,6 +76,27 @@ object Dedup {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** All i<j pairs of a sorted id array as struct(d1, d2): the codegen'd
+    * [[graft.expressions.SortedLongPairs]] kernel when ids are longs (the
+    * common case — O(m²) interpreted lambda calls per bucket otherwise),
+    * the generic higher-order-function composition for any other id
+    * type. Emission order and the d1 < d2 invariant are identical. */
+  private[operators] def sortedPairs(sorted: Column, longIds: Boolean): Column =
+    if (longIds)
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.SortedLongPairs(
+          org.apache.spark.sql.GraftColumnBridge.expression(sorted)))
+    else
+      flatten(transform(sorted, (x, i) =>
+        transform(
+          slice(sorted, i.cast("int") + lit(2),
+            greatest(size(sorted) - i.cast("int") - 1, lit(0))),
+          y => struct(x.as("d1"), y.as("d2")))))
+
+  private def isLongCol(df: DataFrame, colName: String): Boolean =
+    df.schema.find(_.name == colName)
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
+
   /** MinHash signatures as a NARROW projection — no explode, no shuffle:
     * the codegen'd [[graft.expressions.MinHashSig]] kernel computes the
     * k min-hash draws in one pass over each document's gram multiset.
@@ -163,11 +184,7 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("__ids"))
       .where(size(col("__ids")) <= maxBucketSize && size(col("__ids")) > 1)
       .select(array_sort(col("__ids")).as("__s"))
-      .select(explode(flatten(transform(col("__s"), (x, i) =>
-        transform(
-          slice(col("__s"), i.cast("int") + lit(2),
-            greatest(size(col("__s")) - i.cast("int") - 1, lit(0))),
-          y => struct(x.as("d1"), y.as("d2")))))).as("__p"))
+      .select(explode(sortedPairs(col("__s"), isLongCol(sigs, idCol))).as("__p"))
       .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"))
       .distinct()
   }
@@ -430,11 +447,7 @@ object Dedup {
       .agg(collect_set(col(idCol)).as("__ids"))
       .where(size(col("__ids")) <= maxSpanDocs && size(col("__ids")) > 1)
       .select(array_sort(col("__ids")).as("__s"))
-      .select(explode(flatten(transform(col("__s"), (x, i) =>
-        transform(
-          slice(col("__s"), i.cast("int") + lit(2),
-            greatest(size(col("__s")) - i.cast("int") - 1, lit(0))),
-          y => struct(x.as("d1"), y.as("d2")))))).as("__p"))
+      .select(explode(sortedPairs(col("__s"), isLongCol(df, idCol))).as("__p"))
       .groupBy(col("__p.d1").as("d1"), col("__p.d2").as("d2"))
       .agg(count(lit(1)).as("n_shared_spans"))
   }

@@ -200,6 +200,31 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
   }
 
+  test("SortedLongPairs equals the transform/slice/flatten composition") {
+    val sp = spark; import sp.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val rnd = new scala.util.Random(99)
+    val cases = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(12))(rnd.nextInt(1000).toLong).distinct.sorted) ++
+      Seq(Seq.empty[Long], Seq(7L), Seq(1L, 2L))
+    def lambdaPairs(s: org.apache.spark.sql.Column) =
+      flatten(transform(s, (x, i) =>
+        transform(
+          slice(s, i.cast("int") + lit(2),
+            greatest(size(s) - i.cast("int") - 1, lit(0))),
+          y => struct(x.as("d1"), y.as("d2")))))
+    val rows = cases.toDF("s").select(
+      bridge.column(SortedLongPairs(bridge.expression(col("s")))).as("k"),
+      lambdaPairs(col("s")).as("o")).collect()
+    rows.foreach { r =>
+      val k = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      val o = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      assert(k == o, "pair emission order/content must be identical")
+    }
+  }
+
   test("MinHashSig kernel equals the explode/groupBy signature pipeline") {
     val sp = spark; import sp.implicits._
     val docs = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
