@@ -425,6 +425,55 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT incremental dedup of an ingest batch against a huge corpus,
+    * Bloom-prefiltered: the corpus's content hashes are summarized once
+    * into a Bloom filter (Spark's own runtime-filter machinery —
+    * BloomFilterAggregate built distributed, the resulting binary folded
+    * into a codegen'd BloomFilterMightContain predicate on the batch
+    * scan). Bloom-NEGATIVE batch rows are definitely new and never touch
+    * a join; only positives — true dups plus the `fpp` false-positive
+    * sliver — reach the exact md5 anti-join, so the join input is
+    * O(dups + fpp·batch) instead of O(batch), and the corpus side of
+    * that join prunes to the digest column only. The RESULT is exact
+    * (the join confirms every positive); the bloom only prunes.
+    *
+    * Returns the batch rows to INGEST: (idCol, text_hash) of docs whose
+    * exact content is absent from the corpus. `expectedItems` sizes the
+    * filter (defaults to a corpus count job); bits ≈ −n·ln(fpp)/ln²2 —
+    * at 10⁹ corpus docs and fpp=0.03, ~0.9 GB of driver/broadcast
+    * filter, the standard runtime-filter trade. */
+  def incrementalExactDedup(newDf: DataFrame, corpus: DataFrame,
+                            textCol: String, idCol: String,
+                            expectedItems: Long = 0L,
+                            fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(1L, corpus.count())
+    val bits = math.max(64L, math.ceil(
+      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        bridge.expression(xxhash64(col(textCol))),
+        bridge.expression(lit(n)),
+        bridge.expression(lit(bits)))
+    val bloomBin = corpus
+      .select(bridge.column(agg.toAggregateExpression()).as("bf"))
+      .collect().head.getAs[Array[Byte]](0)
+    val out = (df: DataFrame) =>
+      df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+    if (bloomBin == null) return out(newDf) // empty corpus: all new
+    val might = bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        bridge.expression(lit(bloomBin)),
+        bridge.expression(xxhash64(col(textCol)))))
+    val definitelyNew = newDf.where(!might)
+    val confirmedNew = newDf.where(might)
+      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
+        md5(col(textCol)) === col("__h"), "left_anti")
+    out(definitelyNew.unionByName(confirmedNew))
+  }
+
   /** Pairs of documents sharing at least one EXACT run of `spanTokens`
     * consecutive words — the fixed-granularity form of the
     * exact-substring duplication signal (Lee et al. 2021,

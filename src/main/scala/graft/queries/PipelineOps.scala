@@ -427,6 +427,19 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- bloom-prefiltered incremental exact dedup: a batch of half
+    // exact-dups / half fresh docs against the whole corpus — only the
+    // fresh half survives; the bloom prunes the confirm join
+    "p30_incremental_exact" -> ((s, dir) => {
+      val batch = docs(s, dir).where(col("doc_id") < 40)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh suffix"))).as("text"))
+      graft.operators.Dedup.incrementalExactDedup(batch, docs(s, dir),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- concat-and-split sequence-packing assignment (GPT layout)
     "p29_packing" -> ((s, dir) => {
       val scored = docs(s, dir).select(col("doc_id"),
@@ -796,6 +809,14 @@ object PipelineOps {
                 cum - nt AS start_tok,
                 CAST(FLOOR((cum - nt) / 512.0) AS BIGINT) AS first_seq,
                 CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS last_seq
-         FROM c WHERE nt > 0 ORDER BY doc_id"""
+         FROM c WHERE nt > 0 ORDER BY doc_id""",
+    "p30_incremental_exact" ->
+      """WITH batch AS (SELECT doc_id + 1000000 AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN text
+                ELSE text || ' fresh suffix' END AS text
+           FROM documents WHERE doc_id < 40)
+         SELECT doc_id, md5(text) AS text_hash FROM batch
+         WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+         ORDER BY doc_id"""
   )
 }
