@@ -862,19 +862,23 @@ final class Application(val name: String, val spark: SparkSession,
       // an execution already in flight for the same materialized output
       // (concurrent executeAsync / overlapping event) — skip, don't stack
       // (reference on_exec_skipped, constructs.py:3475-3486). The check
-      // and the claim are ONE atomic putIfAbsent: an empty group set
-      // reserves the output before the slot is invoked, so two
-      // concurrent events for the same path can't both pass a lookahead
-      // check and stack. runCancellable merges its real job group into
-      // the reservation; the conditional remove below only drops a
-      // reservation that never reached runCancellable (hook threw).
+      // and the claim are ONE atomic putIfAbsent, and the reservation
+      // value is a per-invocation UNIQUE token: a shared sentinel
+      // (Set.empty) made the conditional remove below value-equality
+      // match ANOTHER thread's fresh reservation after runCancellable's
+      // cleanup emptied ours — letting a third event stack. With the
+      // token, this thread's cleanup can only ever drop its own claim.
+      // runCancellable merges its real job group alongside the token
+      // (cancelJobGroup on the token is a harmless no-op for kill()).
       val outPath = ctx.output.materializedPaths.head
-      if (activeGroups.putIfAbsent(outPath, Set.empty[String]) != null) {
+      val token = s"resv-${java.util.UUID.randomUUID()}"
+      if (activeGroups.putIfAbsent(outPath, Set(token)) != null) {
         hooks.onExecSkipped(route, ctx)
         Nil
       } else {
         try runContext(ctx, hooks, route)
-        finally activeGroups.remove(outPath, Set.empty[String])
+        finally activeGroups.computeIfPresent(outPath, (_, gs) =>
+          if ((gs - token).isEmpty) null else gs - token)
       }
     }
   }

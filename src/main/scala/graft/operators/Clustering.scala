@@ -109,9 +109,11 @@ object Sampling {
     * order — the scale-safe replacement for `Window.orderBy(...)` (which
     * drags everything onto one partition): range-repartition by the
     * order, partition-local running totals, one numPartitions-row offset
-    * table folded back in. Adds `cum_tokens` (inclusive of the row). The
-    * order MUST be total (include a unique tiebreaker) or the result is
-    * partition-dependent. */
+    * table folded back in (broadcast-joined on the partition id — O(1)
+    * plan size at any partition count). Adds `cum_tokens` (inclusive of
+    * the row); negative token values are fine (partition totals are true
+    * sums, not running maxima). The order MUST be total (include a
+    * unique tiebreaker) or the result is partition-dependent. */
   private[operators] def runningTotal(df: DataFrame, tokenCol: String,
                                       order: Seq[org.apache.spark.sql.Column],
                                       partitions: Int = 0): DataFrame = {
@@ -128,17 +130,27 @@ object Sampling {
           .orderBy(order: _*)))
       .localCheckpoint()
     // one row per non-empty partition; range partitions ascend with the
-    // total order, so the exclusive prefix over pid order is the offset
+    // total order, so the exclusive prefix over pid order is the offset.
+    // sum(tokenCol) — not max(__local) — is the partition total, which
+    // stays correct for NEGATIVE token values (a running max ≠ the total
+    // when the running sum dips)
     val totals = local.groupBy("__pid")
-      .agg(max(col("__local")).as("__ptotal"))
+      .agg(sum(col(tokenCol)).cast("long").as("__ptotal"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
-    val offsetOf: Map[Int, Long] = totals.map { case (p, t) =>
-      val entry = p -> acc; acc += t; entry }.toMap
-    val offsetCol = totals.foldLeft(lit(0L)) { case (c, (p, _)) =>
-      when(col("__pid") === p, lit(offsetOf(p))).otherwise(c) }
-    local.withColumn("cum_tokens", col("__local") + offsetCol)
-      .drop("__pid", "__local")
+    val offsets = totals.map { case (p, t) =>
+      val entry = (p, acc); acc += t; entry }
+    // fold the offsets back in via a BROADCAST JOIN on __pid, never a
+    // when-chain: an O(numPartitions)-deep when(...).otherwise(...) tree
+    // blows up codegen/analysis once `partitions` reaches the thousands
+    // (the scale this operator exists for)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    local.join(broadcast(offsetDf), Seq("__pid"), "left")
+      .withColumn("cum_tokens",
+        col("__local") + coalesce(col("__offset"), lit(0L)))
+      .drop("__pid", "__local", "__offset")
   }
 
   def takeByTokenBudget(df: DataFrame, tokenCol: String, orderCol: String,
@@ -172,18 +184,25 @@ object Packing {
     * `overlapTokens` overlap — context-window preparation for training /
     * embedding. Chunk starts are multiples of (chunkTokens − overlap)
     * below the token count, so tail chunks may be short; one row per
-    * chunk: (idCol, chunk_idx, chunk_text, n_chunk_tokens). Pure narrow
-    * per-row fan-out — no shuffle at all. */
+    * chunk: (idCol, chunk_idx, chunk_text, n_chunk_tokens). Empty,
+    * whitespace-only, and null documents yield ZERO chunks (split of ""
+    * is [""], which would otherwise fabricate a phantom 1-token chunk).
+    * Pure narrow per-row fan-out — no shuffle at all. */
   def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
                      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
     require(chunkTokens > overlapTokens && overlapTokens >= 0,
       s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
     val stride = chunkTokens - overlapTokens
     val toks = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol),
-        posexplode(transform(
+    // posexplode of an empty array emits no row, dropping degenerate docs;
+    // the guard is "contains any non-whitespace" (SQL trim strips SPACES
+    // only, so a tabs/newlines-only doc would survive a trim = "" check)
+    val chunks = when(coalesce(col(textCol), lit("")).rlike("\\S"),
+        transform(
           sequence(lit(0), size(toks) - 1, lit(stride)),
-          s => concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))))))
+          s => concat_ws(" ", slice(toks, s + 1, lit(chunkTokens)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), posexplode(chunks))
       .select(col(idCol), col("pos").as("chunk_idx"),
         col("col").as("chunk_text"),
         size(split(col("col"), "\\s+")).as("n_chunk_tokens"))

@@ -186,6 +186,11 @@ object Dedup {
       .select(array_sort(col("__ids")).as("__s"))
       .select(explode(sortedPairs(col("__s"), isLongCol(sigs, idCol))).as("__p"))
       .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"))
+      // positional i<j pairs over a sorted list emit self-pairs when the
+      // INPUT carries duplicate ids (two rows, same id, same bucket) —
+      // the historical join shape's strict d1<d2 silently excluded those;
+      // keep that degenerate-input behavior
+      .where(col("d1") =!= col("d2"))
       .distinct()
   }
 
@@ -398,6 +403,9 @@ object Dedup {
               .as("hamming")))))).as("__p"))
       .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"),
         col("__p.hamming").as("hamming"))
+      // duplicate input ids would emit (id, id) self-pairs at hamming 0 —
+      // excluded, matching the historical join shape's strict d1<d2
+      .where(col("d1") =!= col("d2"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -427,21 +435,37 @@ object Dedup {
 
   /** EXACT incremental dedup of an ingest batch against a huge corpus,
     * Bloom-prefiltered: the corpus's content hashes are summarized once
-    * into a Bloom filter (Spark's own runtime-filter machinery —
-    * BloomFilterAggregate built distributed, the resulting binary folded
-    * into a codegen'd BloomFilterMightContain predicate on the batch
-    * scan). Bloom-NEGATIVE batch rows are definitely new and never touch
-    * a join; only positives — true dups plus the `fpp` false-positive
+    * into a Bloom filter — `org.apache.spark.util.sketch.BloomFilter`
+    * built by a distributed treeAggregate over the hashed corpus scan,
+    * then serialized into a codegen'd BloomFilterMightContain predicate
+    * on the batch scan (the sketch class IS what that expression
+    * deserializes, and both sides put/probe with putLong/
+    * mightContainLong, so the formats agree by construction).
+    * Bloom-NEGATIVE batch rows are definitely new and never touch a
+    * join; only positives — true dups plus the `fpp` false-positive
     * sliver — reach the exact md5 anti-join, so the join input is
     * O(dups + fpp·batch) instead of O(batch), and the corpus side of
     * that join prunes to the digest column only. The RESULT is exact
     * (the join confirms every positive); the bloom only prunes.
     *
+    * The build deliberately does NOT go through Spark's
+    * BloomFilterAggregate runtime-filter expression (nor
+    * `stat.bloomFilter`, which in Spark 4 delegates to it): that path
+    * silently clamps n/bits to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (4M) / `.maxNumBits` (~8 MB) via Math.min at eval
+    * time, so beyond ~5M corpus docs the effective fpp balloons toward 1
+    * and the pruning contract voids without any signal. The direct
+    * sketch build has no cap.
+    *
     * Returns the batch rows to INGEST: (idCol, text_hash) of docs whose
     * exact content is absent from the corpus. `expectedItems` sizes the
-    * filter (defaults to a corpus count job); bits ≈ −n·ln(fpp)/ln²2 —
-    * at 10⁹ corpus docs and fpp=0.03, ~0.9 GB of driver/broadcast
-    * filter, the standard runtime-filter trade. */
+    * filter (defaults to a corpus count job — callers that know the
+    * count, or reuse the corpus, should pass it so the default path is a
+    * single corpus pass); bits ≈ −n·ln(fpp)/ln²2 — at 10⁹ corpus docs
+    * and fpp=0.03, ~0.9 GB of driver/broadcast filter, the standard
+    * runtime-filter trade (the aggregate ships one zero-filter per
+    * partition and merges partials up a depth-2 tree — the inherent cost
+    * of any distributed bloom build at that capacity). */
   def incrementalExactDedup(newDf: DataFrame, corpus: DataFrame,
                             textCol: String, idCol: String,
                             expectedItems: Long = 0L,
@@ -450,19 +474,23 @@ object Dedup {
     val bridge = org.apache.spark.sql.GraftColumnBridge
     val n = if (expectedItems > 0) expectedItems
       else math.max(1L, corpus.count())
-    val bits = math.max(64L, math.ceil(
-      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(
-        bridge.expression(xxhash64(col(textCol))),
-        bridge.expression(lit(n)),
-        bridge.expression(lit(bits)))
-    val bloomBin = corpus
-      .select(bridge.column(agg.toAggregateExpression()).as("bf"))
-      .collect().head.getAs[Array[Byte]](0)
+    import org.apache.spark.util.sketch.BloomFilter
+    // toRdd executes the full optimized plan (scan pushdown intact); the
+    // map copies the long out of the reused UnsafeRow before aggregation
+    val hashes = corpus.select(xxhash64(col(textCol)).as("__h"))
+      .queryExecution.toRdd.map(_.getLong(0))
+    val bf = hashes.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, v) => { f.putLong(v); f },
+      (a, b) => a.mergeInPlace(b),
+      depth = 2)
     val out = (df: DataFrame) =>
       df.select(col(idCol), md5(col(textCol)).as("text_hash"))
-    if (bloomBin == null) return out(newDf) // empty corpus: all new
+    // expectedFpp = (setBits/bits)^k — exactly 0.0 iff nothing was ever
+    // put (cardinality() is unimplemented on the sketch impl)
+    if (bf.expectedFpp() == 0.0) return out(newDf) // empty corpus: all new
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomBin = bos.toByteArray
     val might = bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         bridge.expression(lit(bloomBin)),

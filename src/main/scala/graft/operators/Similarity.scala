@@ -107,13 +107,19 @@ object Similarity {
       // 2 = +planes·(planes−1)/2 — the measured recall ledger in
       // BASELINE.md quantifies the recall/scan-fraction tradeoff per
       // depth). Depths beyond 2 approach a full scan on small plane
-      // counts and are better served by the IVF path's nProbe.
-      require(probeBits <= 2, "probeBits > 2 unsupported — raise IVF nProbe instead")
+      // counts and are better served by the IVF path's nProbe — so
+      // larger values CLAMP to the hamming-2 shell (with a warning)
+      // rather than failing callers that historically passed 3+.
+      if (probeBits > 2)
+        org.slf4j.LoggerFactory.getLogger(Similarity.getClass).warn(
+          s"AnnIndex.topK: probeBits=$probeBits clamped to 2 — deeper " +
+            "probing approaches a full scan; use IVF nProbe or exact cosineTopK")
+      val pb = math.min(probeBits, 2)
       val h1 = (0 until planes).map(b => querySig ^ (1L << b))
       val h2 = for {
         i <- 0 until planes; j <- (i + 1) until planes
       } yield querySig ^ (1L << i) ^ (1L << j)
-      val buckets: Seq[Long] = probeBits match {
+      val buckets: Seq[Long] = pb match {
         case b if b <= 0 => Seq(querySig)
         case 1 => querySig +: h1
         case _ => (querySig +: h1) ++ h2

@@ -435,8 +435,12 @@ object PipelineOps {
         .select((col("doc_id") + 1000000).as("doc_id"),
           when(col("doc_id") % 2 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" fresh suffix"))).as("text"))
-      graft.operators.Dedup.incrementalExactDedup(batch, docs(s, dir),
-        "text", "doc_id")
+      // pass the corpus count explicitly (parquet count() is a cheap
+      // metadata-backed job) so the operator itself makes a single
+      // corpus pass — the bloom build
+      val corpus = docs(s, dir)
+      graft.operators.Dedup.incrementalExactDedup(batch, corpus,
+        "text", "doc_id", expectedItems = corpus.count())
         .orderBy("doc_id")
     }),
 

@@ -533,4 +533,61 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(smaller.subsetOf(s1))
   }
+
+  test("duplicate input ids never emit self-pairs from bucketed candidates") {
+    val sp = spark; import sp.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog again and again today"
+    // id 0 appears TWICE: positional i<j pairs over the collected bucket
+    // list would fabricate (0,0) self-pairs the historical d1<d2 join
+    // shape never produced
+    val df = Seq((0L, txt), (0L, txt), (1L, txt + " tonight"))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(df, "text", "doc_id", k = 32, bands = 8,
+      shingleN = 2, minEstJaccard = 0.0)
+    assert(lsh.where(col("d1") === col("d2")).count() == 0)
+    // (the verify join still re-expands over the duplicated sig rows —
+    // inherent to duplicate ids — so assert the DISTINCT pair set)
+    assert(lsh.where(col("d1") === 0L && col("d2") === 1L)
+      .select("d1", "d2").distinct().count() == 1)
+    val sim = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 64)
+    assert(sim.where(col("d1") === col("d2")).count() == 0)
+    assert(sim.where(col("d1") === 0L && col("d2") === 1L).count() == 1)
+  }
+
+  test("chunking: empty, whitespace-only, and null docs yield zero chunks") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((0L, ""), (1L, "   \n\t  "), (2L, "one two three"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val chunks = Packing.chunkDocuments(df, "text", "doc_id", chunkTokens = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // only the real doc chunks; no phantom 1-token chunk for 0/1/3
+    assert(chunks.map(_.getLong(0)).toSet == Set(2L))
+    assert(chunks.map(_.getString(2)).toSeq == Seq("one two", "three"))
+  }
+
+  test("running total supports negative token values (true partition sums)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 300L).map(i => (i, rnd.nextInt(41) - 20))
+    val df = rows.toDF("id", "delta")
+    val got = Sampling.runningTotal(df, "delta", Seq(col("id").asc),
+      partitions = 5)
+      .select("id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val expected = rows.map { case (id, d) => cum += d; id -> cum }.toMap
+    assert(got == expected)
+  }
+
+  test("bloom prefilter stays exact when sized past the runtime-filter caps") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq((0L, "alpha text"), (1L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha text"), (12L, "delta new")).toDF("doc_id", "text")
+    // 10M expected items → ~73M bits, beyond the 67,108,864-bit cap the
+    // BloomFilterAggregate path silently clamps to; the direct sketch
+    // build must honor the size and stay exact
+    val kept = Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id",
+      expectedItems = 10000000L)
+    assert(kept.collect().map(_.getLong(0)).toSeq.sorted == Seq(12L))
+  }
 }

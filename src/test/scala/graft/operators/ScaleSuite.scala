@@ -160,8 +160,10 @@ class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(idx.topK(base.toSeq, 1, probeBits = d).collect().nonEmpty,
         s"self not found at depth $d")
     }
-    intercept[IllegalArgumentException](
-      idx.topK(base.toSeq, 1, probeBits = 3))
+    // depth 3+ CLAMPS to the hamming-2 shell (logged) instead of
+    // throwing — identical result to probeBits = 2
+    assert(idx.topK(base.toSeq, 1, probeBits = 3).collect().map(_.getLong(0))
+      .sameElements(idx.topK(base.toSeq, 1, probeBits = 2).collect().map(_.getLong(0))))
   }
 
   test("one-pass MinHash aggregator matches column-based signature semantics") {
@@ -181,5 +183,26 @@ class ScaleSuite extends AnyFunSuite with BeforeAndAfterAll {
     val again = MinHashAggregator.signatures(docs, "text", "doc_id", k = 32, shingleN = 2)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(again == sigs)
+  }
+
+  test("token budget at partitions=4096 stays analyzable (broadcast offsets)") {
+    val sp = spark; import sp.implicits._
+    // the historical when-chain folded one branch PER PARTITION into a
+    // single expression — 4096-deep trees hit codegen/analysis
+    // pathologies; the broadcast-join offset table is O(1) plan size at
+    // any partition count and must return the identical kept set
+    val rows = (0L until 2000L).map(i => (i, 1 + (i % 50).toInt))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val budget = rows.map(_._2.toLong).sum / 3
+    val got = Sampling.takeByTokenBudget(df, "n_tokens", "n_tokens",
+      "doc_id", budget, partitions = 4096)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val expected = rows.sortBy { case (id, t) => (-t, id) }
+      .flatMap { case (id, t) =>
+        cum += t; if (cum <= budget) Some(id -> cum) else None }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
   }
 }
