@@ -682,14 +682,42 @@ final class Application(val name: String, val spark: SparkSession,
 
   /** Route ids with an execution in flight right now (reference
     * get_active_routes — records with active compute; job-group names
-    * carry the route id). */
+    * AND reservation tokens carry the route id). */
   def getActiveRoutes: List[String] =
     scala.jdk.CollectionConverters.CollectionHasAsScala(activeGroups.values())
       .asScala.flatten
-      .map(g => g.stripPrefix("graft-").dropRight(37)) // "-" + UUID(36)
+      .map(routeOfGroup)
       .toList.distinct
 
+  // "graft-<routeId>-<uuid>" job groups / "resv-<routeId>-<uuid>" tokens
+  private def routeOfGroup(g: String): String =
+    g.stripPrefix("graft-").stripPrefix("resv-").dropRight(37) // "-" + UUID(36)
+
   def hasActiveRoutes: Boolean = !activeGroups.isEmpty
+
+  /** One in-flight execution: its route and the output partition it is
+    * producing (the ACTIVE face of the compute-record split). */
+  final case class ActiveExecution(routeId: String, outputPath: String)
+
+  /** Executions in flight right now, optionally filtered to one route
+    * (reference get_active_compute_records, application.py:4099-4110 —
+    * the RoutingTable active-record scan becomes a read of the live
+    * reservation map). */
+  def getActiveComputeRecords(routeId: Option[String] = None): List[ActiveExecution] =
+    scala.jdk.CollectionConverters.SetHasAsScala(activeGroups.entrySet())
+      .asScala.toList
+      .flatMap(e => e.getValue.map(g => ActiveExecution(routeOfGroup(g), e.getKey)))
+      .distinct
+      .filter(a => routeId.forall(_ == a.routeId))
+
+  /** FINISHED execution history, oldest first (`ascending=false` for
+    * newest first), optionally filtered to one route (reference
+    * get_inactive_compute_records, application.py:4083-4098). */
+  def getInactiveComputeRecords(routeId: Option[String] = None,
+                                ascending: Boolean = true): List[ComputeRecord] = {
+    val base = computeRecords.filter(r => routeId.forall(_ == r.routeId))
+    if (ascending) base else base.reverse
+  }
 
   /** Does this view (or any partition of the node) have an execution in
     * flight (reference has_active_record, application.py:2309-2322)? */
@@ -871,7 +899,9 @@ final class Application(val name: String, val spark: SparkSession,
       // runCancellable merges its real job group alongside the token
       // (cancelJobGroup on the token is a harmless no-op for kill()).
       val outPath = ctx.output.materializedPaths.head
-      val token = s"resv-${java.util.UUID.randomUUID()}"
+      // token carries the route id in the same <prefix>-<id>-<uuid> shape
+      // as real job groups, so the active-route/record parsers read both
+      val token = s"resv-${ctx.routeId}-${java.util.UUID.randomUUID()}"
       if (activeGroups.putIfAbsent(outPath, Set(token)) != null) {
         hooks.onExecSkipped(route, ctx)
         Nil

@@ -204,6 +204,50 @@ final case class SortedLongPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** All i<j position pairs of a SORTED array<struct<id:long, fp:long>> as
+  * array<struct<d1,d2,hamming>> with hamming = bit_count(fp1 XOR fp2) —
+  * the SimHash collected-bucket pair emission ([[SortedLongPairs]]'s
+  * struct sibling). Replaces the nested transform/slice/flatten + struct
+  * getField + bit_count composition, which is CodegenFallback (O(m²)
+  * interpreted lambda calls per bucket). Emission order (i asc, then j
+  * asc over the sorted list), the d1 <= d2 invariant, and the hamming
+  * arithmetic are identical; the caller's self-pair filter and
+  * bucket-size guard are unchanged. */
+final case class SortedIdFpPairs(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = {
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d1",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    ArrayType(st, containsNull = false)
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_id_fp_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 &&
+          fields.forall(_.dataType == org.apache.spark.sql.types.LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint,bigint>>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.sortedIdFpPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.sortedIdFpPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fraction of whitespace tokens that are stopwords — kernel form of
   * `size(filter(tokens, isin(stopwords))) / size(tokens)` (the filter
   * lambda is interpreted per token; quality scoring is the FIRST pass of
@@ -455,6 +499,39 @@ object TextVectorKernels {
       while (j < n) {
         out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](x, a.getLong(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** i<j position pairs of a sorted (id, fp) struct array with inline
+    * hamming — see [[SortedIdFpPairs]]. */
+  def sortedIdFpPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue, s"pair explosion of $n ids overflows")
+    // unpack once: getStruct on every inner-loop probe would re-decode
+    val ids = new Array[Long](n)
+    val fps = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      val r = a.getStruct(t, 2)
+      ids(t) = r.getLong(0)
+      fps(t) = r.getLong(1)
+      t += 1
+    }
+    val out = new Array[AnyRef](m.toInt)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(i), ids(j),
+            java.lang.Long.bitCount(fps(i) ^ fps(j))))
         idx += 1
         j += 1
       }

@@ -316,9 +316,11 @@ object Dedup {
     // cluster losing an executor makes later reads of the index FAIL
     // rather than recompute (persist=true degrades the same way once
     // lineage ages out, just lazily). A long-lived corpus index on a
-    // preemptible cluster should instead be WRITTEN OUT: save sigs/grams
-    // as parquet and rebuild the case class over spark.read — the build
-    // is deterministic, so a re-read index is identical.
+    // preemptible cluster should instead be WRITTEN OUT:
+    // [[saveNearDupIndex]] / [[loadNearDupIndex]] persist the three
+    // tables as parquet — a loaded index recomputes from durable files
+    // on executor loss and produces byte-identical pairs (round-trip
+    // pinned in PipelineOpsSuite).
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d.localCheckpoint()
@@ -331,6 +333,54 @@ object Dedup {
       .groupBy("band", "band_hash")
       .agg(collect_list(col(idCol)).as("__ids"))
     NearDupIndex(sigsM, maybe(grams), maybe(buckets), idCol, k, bands, shingleN)
+  }
+
+  /** Persist a [[NearDupIndex]] as parquet under `path` (sigs/, grams/,
+    * buckets/ plus a tiny index_meta file) — the DURABLE form of the
+    * corpus index for preemptible clusters: unlike the in-memory
+    * persist/localCheckpoint build, a loaded index re-reads from files
+    * on executor loss instead of failing, and the daily-ingest driver
+    * can restart without re-hashing the corpus. The build is
+    * deterministic, so save → load → probe is byte-identical to probing
+    * the original. */
+  def saveNearDupIndex(index: NearDupIndex, path: String): Unit = {
+    index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    index.grams.write.mode("overwrite").parquet(s"$path/grams")
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    val spark = index.sigs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"idCol=${index.idCol}\nk=${index.k}\n" +
+        s"bands=${index.bands}\nshingleN=${index.shingleN}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a [[saveNearDupIndex]]-written corpus index. `persist=true`
+    * additionally caches the tables MEMORY_AND_DISK for repeated probes
+    * — still fault-tolerant, since the cache's lineage is the parquet
+    * scan itself. */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       persist: Boolean = true): NearDupIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      finally in.close()
+    def maybe(d: DataFrame) =
+      if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    NearDupIndex(
+      maybe(spark.read.parquet(s"$path/sigs")),
+      maybe(spark.read.parquet(s"$path/grams")),
+      maybe(spark.read.parquet(s"$path/buckets")),
+      meta("idCol"), meta("k").toInt, meta("bands").toInt,
+      meta("shingleN").toInt)
   }
 
   /** Incremental near-dup for the daily-ingest shape: candidates between a
@@ -389,18 +439,30 @@ object Dedup {
     // the quadratic guard on the list size) — carrying the fingerprint in
     // the collected struct means the hamming verify needs NO join at all:
     // each pair's (sh1, sh2) are adjacent in the bucket list. Structs sort
-    // by (id, sh), so i<j positions give d1<d2 directly.
+    // by (id, sh), so i<j positions give d1<d2 directly. Pair emission +
+    // hamming is the codegen'd [[graft.expressions.SortedIdFpPairs]]
+    // kernel for long ids (the common case — the transform/slice/flatten
+    // + bit_count composition below it is CodegenFallback, O(m²)
+    // interpreted lambda calls per bucket); equivalence is pinned
+    // pair-for-pair in TextVectorExpressionsSuite.
+    val pairsOf: Column => Column =
+      if (isLongCol(df, idCol))
+        s => org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.SortedIdFpPairs(
+            org.apache.spark.sql.GraftColumnBridge.expression(s)))
+      else
+        s => flatten(transform(s, (x, i) =>
+          transform(
+            slice(s, i.cast("int") + lit(2),
+              greatest(size(s) - i.cast("int") - 1, lit(0))),
+            y => struct(x.getField("i").as("d1"), y.getField("i").as("d2"),
+              bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
+                .as("hamming")))))
     banded0.groupBy("band", "band_val")
       .agg(collect_list(struct(col(idCol).as("i"), col("sh").as("h"))).as("__m"))
       .where(size(col("__m")) <= maxBucketSize && size(col("__m")) > 1)
       .select(array_sort(col("__m")).as("__s"))
-      .select(explode(flatten(transform(col("__s"), (x, i) =>
-        transform(
-          slice(col("__s"), i.cast("int") + lit(2),
-            greatest(size(col("__s")) - i.cast("int") - 1, lit(0))),
-          y => struct(x.getField("i").as("d1"), y.getField("i").as("d2"),
-            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
-              .as("hamming")))))).as("__p"))
+      .select(explode(pairsOf(col("__s"))).as("__p"))
       .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"),
         col("__p.hamming").as("hamming"))
       // duplicate input ids would emit (id, id) self-pairs at hamming 0 —

@@ -595,9 +595,22 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.getActiveRoutes == List("slow_act"))
     assert(app.hasActiveRecord(node("2026-08-12")))
     assert(app.hasActiveRecord(node)) // unmaterialized view: any partition
+    // active/inactive compute-record split (reference
+    // get_active_compute_records / get_inactive_compute_records)
+    val active = app.getActiveComputeRecords()
+    assert(active.map(_.routeId) == List("slow_act"))
+    assert(app.getActiveComputeRecords(Some("slow_act")) == active)
+    assert(app.getActiveComputeRecords(Some("other_route")).isEmpty)
+    assert(app.getInactiveComputeRecords(Some("slow_act")).isEmpty) // none finished yet
     release.countDown()
     Await.result(fut, 60.seconds)
     assert(!app.hasActiveRoutes && !app.hasActiveRecord(node))
+    assert(app.getActiveComputeRecords().isEmpty)
+    val done = app.getInactiveComputeRecords(Some("slow_act"))
+    assert(done.nonEmpty && done.forall(_.succeeded))
+    assert(app.getInactiveComputeRecords(Some("slow_act"), ascending = false)
+      == done.reverse)
+    assert(app.getInactiveComputeRecords(Some("other_route")).isEmpty)
     val preview = app.previewData(node("2026-08-12"), limit = 2)
     assert(preview.count() == 2 && preview.columns.contains("amount"))
   }

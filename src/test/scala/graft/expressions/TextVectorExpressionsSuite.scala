@@ -225,6 +225,43 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SortedIdFpPairs equals the struct composition with inline hamming") {
+    val sp = spark; import sp.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val rnd = new scala.util.Random(101)
+    // sorted (id, fp) struct lists, incl. duplicate ids (self-pair case),
+    // empty, singleton, identical fingerprints (hamming 0), and full-flip
+    val cases: Seq[Seq[(Long, Long)]] = (0 until 30).map(_ =>
+      Seq.fill(rnd.nextInt(12))((rnd.nextInt(50).toLong, rnd.nextLong()))
+        .sorted) ++ Seq(
+      Seq.empty[(Long, Long)],
+      Seq((7L, 0xdeadbeefL)),
+      Seq((1L, 0L), (1L, 0L), (2L, -1L)),
+      Seq((3L, Long.MinValue), (4L, Long.MaxValue)))
+    def lambdaPairs(s: org.apache.spark.sql.Column) =
+      flatten(transform(s, (x, i) =>
+        transform(
+          slice(s, i.cast("int") + lit(2),
+            greatest(size(s) - i.cast("int") - 1, lit(0))),
+          y => struct(x.getField("i").as("d1"), y.getField("i").as("d2"),
+            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
+              .as("hamming")))))
+    val rows = cases.map(c => Tuple1(c)).toDF("raw")
+      .select(transform(col("raw"),
+        x => struct(x.getField("_1").as("i"), x.getField("_2").as("h")))
+        .as("s"))
+      .select(
+        bridge.column(SortedIdFpPairs(bridge.expression(col("s")))).as("k"),
+        lambdaPairs(col("s")).as("o")).collect()
+    rows.foreach { r =>
+      val k = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(p => (p.getLong(0), p.getLong(1), p.getInt(2)))
+      val o = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1), p.getInt(2)))
+      assert(k == o, "pair emission order/content/hamming must be identical")
+    }
+  }
+
   test("MinHashSig kernel equals the explode/groupBy signature pipeline") {
     val sp = spark; import sp.implicits._
     val docs = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -349,6 +349,37 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.unpersist()
   }
 
+  test("near-dup index parquet round-trip: loaded index probes byte-identically") {
+    val sp = spark; import sp.implicits._
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "completely different content about catalyst optimizer internals"),
+      (2L, "another unrelated doc on shuffle partitioning and skew")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (102L, "fresh novel text that matches nothing in the corpus at all")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    val built = Dedup.buildNearDupIndex(existing, "text", "doc_id")
+    try {
+      val before = Dedup.incrementalJaccardPairs(newBatch, built, "text",
+        minJaccard = 0.9, maxBucketSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Dedup.saveNearDupIndex(built, dir)
+      val loaded = Dedup.loadNearDupIndex(spark, dir)
+      try {
+        // byte-identical probe incl. the exact jaccard doubles, and the
+        // metadata (k/bands/shingleN/idCol) survived the round trip
+        assert(loaded.k == built.k && loaded.bands == built.bands &&
+          loaded.shingleN == built.shingleN && loaded.idCol == built.idCol)
+        val after = Dedup.incrementalJaccardPairs(newBatch, loaded, "text",
+          minJaccard = 0.9, maxBucketSize = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(after == before)
+        assert(after.map(p => (p._1, p._2)) == Set((100L, 0L)))
+      } finally loaded.unpersist()
+    } finally built.unpersist()
+  }
+
   test("line dedup removes corpus-common lines, keeps blanks and unique text") {
     val sp = spark; import sp.implicits._
     val df = Seq(
