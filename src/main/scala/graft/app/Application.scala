@@ -356,6 +356,84 @@ final class Application(val name: String, val spark: SparkSession,
 
   private var metricAlarms: List[(NodeRef, graft.diagnostics.MetricAlarmDef)] = Nil
 
+  /** An EXTERNALLY-produced metric store declaration: raw metric rows
+    * (nameCol, timeCol, valueCol) under `rootPath` in `format`,
+    * optionally narrowed to constant sub-dimension column values —
+    * the file-backed analog of a CloudWatch metric's sub-dimension map. */
+  final case class ExternalMetricDef(
+      id: String, rootPath: String, format: String,
+      nameCol: String, timeCol: String, valueCol: String,
+      options: Map[String, String], subDimensions: Map[String, String])
+
+  private var externalMetrics: Map[String, ExternalMetricDef] = Map.empty
+
+  /** Import an EXTERNALLY-produced metric series — a parquet/csv/json
+    * directory of raw metric rows some other system emits — as a
+    * marshaled input signal (reference marshal_external_metric,
+    * application.py:600-670: the CloudWatch-metric import). The signal
+    * carries the reference's four fixed metric dimensions
+    * (name, statistic, period, time — MetricDimension,
+    * metric_alarm_defs.py); the declaration records how to READ the
+    * store, and [[externalMetricSeries]] evaluates any statistic over it
+    * so [[createMetricAlarm]] / [[alarmMonitor]] can drive alarms and
+    * downstream nodes from metrics the app itself never emitted. */
+  def marshalExternalMetric(id: String, rootPath: String,
+                            format: String = "parquet",
+                            nameCol: String = "name",
+                            timeCol: String = "ts",
+                            valueCol: String = "value",
+                            options: Map[String, String] = Map.empty,
+                            subDimensions: Map[String, String] = Map.empty,
+                            timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
+    require(!externalMetrics.contains(id),
+      s"external metric '$id' already declared")
+    externalMetrics += id -> ExternalMetricDef(id, rootPath.stripSuffix("/"),
+      format, nameCol, timeCol, valueCol, options, subDimensions)
+    val spec = DimSpec.pretty(
+      "name" -> (DimType.STRING, Map.empty[String, Any]),
+      "statistic" -> (DimType.STRING, Map.empty[String, Any]),
+      "period" -> (DimType.LONG, Map.empty[String, Any]),
+      "time" -> (DimType.DATETIME, Map[String, Any]("format" -> timeFormat)))
+    NodeRef(this, Signal(id, SignalSource.external(rootPath),
+      spec, DimFilter.allPassFor(spec)))
+  }
+
+  /** Statistic series over a marshaled external metric — shape
+    * (name, period_start, value), the [[createMetricAlarm]] input
+    * contract. Evaluation is lazy and re-reads the store on every call,
+    * so a monitor poll always sees rows the external producer appended
+    * since the last poll. */
+  def externalMetricSeries(metric: NodeRef,
+                           statistic: graft.diagnostics.MetricStatistic,
+                           periodSecs: Long): () => DataFrame = {
+    val d = externalMetrics.getOrElse(metric.signal.alias,
+      throw new IllegalArgumentException(
+        s"'${metric.signal.alias}' is not a marshaled external metric"))
+    () => {
+      val raw = spark.read.format(d.format).options(d.options).load(d.rootPath)
+      val narrowed = d.subDimensions.foldLeft(raw) { case (df, (c, v)) =>
+        df.where(org.apache.spark.sql.functions.col(c) === v) }
+      graft.diagnostics.Metrics.evaluate(narrowed,
+        d.nameCol, d.valueCol, d.timeCol, periodSecs, statistic)
+    }
+  }
+
+  /** Alarm directly on an external metric (marshal + statistic + alarm in
+    * one declaration — the reference's create_alarm over an imported
+    * metric signal). `transform` optionally reshapes the statistic
+    * series (e.g. normalization) before alarm evaluation. */
+  def createExternalMetricAlarm(alarmId: String, metric: NodeRef,
+                                statistic: graft.diagnostics.MetricStatistic,
+                                params: graft.diagnostics.AlarmParams,
+                                periodSecs: Long,
+                                timeFormat: String = "%Y-%m-%d %H",
+                                transform: DataFrame => DataFrame = identity)
+      : NodeRef = {
+    val series = externalMetricSeries(metric, statistic, periodSecs)
+    createMetricAlarm(alarmId, () => transform(series()), params,
+      periodSecs, timeFormat)
+  }
+
   /** Monitor over every metric-backed alarm; poll() (or start() for a
     * wall-clock daemon) evaluates the series and raises transitions into
     * routing. */

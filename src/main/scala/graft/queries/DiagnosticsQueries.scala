@@ -122,6 +122,50 @@ object DiagnosticsQueries {
         .orderBy("day")
     }),
 
+    // ---- EXTERNAL metric import → alarm → node: the metric rows live in
+    // a parquet store some OTHER system produced (staged here from the
+    // events table); marshalExternalMetric declares it, the monitor
+    // evaluates the daily purchase count over the FILES (normalized by
+    // the overall daily average so the pattern is scale-invariant, same
+    // as m05) and every OK/INSUFFICIENT→ALARM edge triggers the node
+    // (reference marshal_external_metric, application.py:600-670)
+    "m06_external_metric_alarm" -> ((s, dir) => {
+      import graft.app.Application
+      import graft.compute.SqlSlot
+      val w = s"/tmp/graft_m06_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
+      DiagnosticsQueries.cleanupAtExit(w)
+      // stage the external store: raw metric rows as a monitoring system
+      // would drop them — (name, ts, value), one row per purchase event
+      val store = s"$w/metric_store"
+      events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_type").as("name"), col("ts"), col("value"))
+        .write.mode("overwrite").parquet(store)
+      val app = new Application("m06", s, s"$w/app_m06")
+      val metric = app.marshalExternalMetric("purchase_count", store)
+      val alarm = app.createExternalMetricAlarm("purchase_daily", metric,
+        MetricStatistic.SAMPLE_COUNT,
+        AlarmParams(1.01, AlarmComparison.GreaterThanOrEqualToThreshold,
+          evaluationPeriods = 3, datapointsToAlarm = 2), DaySecs,
+        timeFormat = "%Y-%m-%d",
+        transform = df => df.withColumn("value", col("value") /
+          avg("value").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("name"))))
+      val node = app.createData("on_purchase_alarm", Seq(alarm("ALARM", "*")),
+        Seq(SqlSlot("SELECT '{time}' AS day")))
+      app.activate()
+      val transitions = app.alarmMonitor().poll()
+      val alarmDays = transitions.filter(_.state == Alarms.ALARM)
+      require(alarmDays.forall(_.completions.nonEmpty),
+        "an ALARM transition did not trigger the downstream node")
+      val sp = s
+      import sp.implicits._
+      alarmDays.map(t =>
+          app.load(node("ALARM", t.period.toLocalDate.toString)))
+        .foldLeft(Seq.empty[String].toDF("day"))(_ unionAll _)
+        .orderBy("day")
+    }),
+
     // ---- M4: composite of two alarms: errors & ~purchases
     "m03_composite_alarm" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -193,6 +237,26 @@ object DiagnosticsQueries {
            SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
                   CAST(COUNT(*) AS DOUBLE) AS v
            FROM events WHERE event_type = 'error' GROUP BY 1),
+         series AS (SELECT d, v / AVG(v) OVER () AS value FROM counts),
+         ev AS (
+           SELECT d, value,
+             SUM(CASE WHEN value >= 1.01 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS br,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS dps
+           FROM series),
+         st AS (
+           SELECT d, CASE WHEN dps < 3 THEN 'INSUFFICIENT_DATA'
+                          WHEN br >= 2 THEN 'ALARM' ELSE 'OK' END AS state
+           FROM ev),
+         tr AS (SELECT d, state, LAG(state) OVER (ORDER BY d) AS prev FROM st)
+         SELECT STRFTIME(d, '%Y-%m-%d') AS day
+         FROM tr WHERE state = 'ALARM' AND (prev IS NULL OR prev <> 'ALARM')
+         ORDER BY day""",
+    "m06_external_metric_alarm" ->
+      """WITH counts AS (
+           SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  CAST(COUNT(*) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
          series AS (SELECT d, v / AVG(v) OVER () AS value FROM counts),
          ev AS (
            SELECT d, value,

@@ -615,6 +615,55 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(preview.count() == 2 && preview.columns.contains("amount"))
   }
 
+  test("external metric: file-backed series drives statistics and alarms") {
+    val sp = spark; import sp.implicits._
+    val app = new Application("extm", spark, s"$work/app_extm")
+    // external store: raw rows with a sub-dimension column (host), as a
+    // foreign monitoring system would emit them
+    val store = s"$work/extm_store"
+    Seq(
+      ("latency", java.sql.Timestamp.valueOf("2026-08-10 10:00:00"), 100.0, "h1"),
+      ("latency", java.sql.Timestamp.valueOf("2026-08-10 11:00:00"), 300.0, "h2"),
+      ("latency", java.sql.Timestamp.valueOf("2026-08-11 10:00:00"), 500.0, "h1"))
+      .toDF("name", "ts", "value", "host")
+      .write.mode("overwrite").parquet(store)
+    val metric = app.marshalExternalMetric("lat", store, timeFormat = "%Y-%m-%d")
+    // the marshaled signal carries the four fixed metric dimensions
+    assert(metric.signal.spec.flatten.flatMap(_.name) ==
+      List("name", "statistic", "period", "time"))
+    intercept[IllegalArgumentException](app.marshalExternalMetric("lat", store))
+    // unfiltered: both hosts aggregate per day; sub-dimensioned: h1 only
+    val all = app.externalMetricSeries(metric,
+      graft.diagnostics.MetricStatistic.SUM, 86400L)()
+      .orderBy("period_start").collect().map(_.getDouble(2)).toSeq
+    assert(all == Seq(400.0, 500.0))
+    val h1 = app.marshalExternalMetric("lat_h1", store,
+      subDimensions = Map("host" -> "h1"))
+    val h1Sum = app.externalMetricSeries(h1,
+      graft.diagnostics.MetricStatistic.SUM, 86400L)()
+      .orderBy("period_start").collect().map(_.getDouble(2)).toSeq
+    assert(h1Sum == Seq(100.0, 500.0))
+    // series from a non-metric node is rejected
+    val plain = app.marshalExternalData("plain", s"$work/extm_store", daySpec)
+    intercept[IllegalArgumentException](app.externalMetricSeries(plain,
+      graft.diagnostics.MetricStatistic.SUM, 86400L))
+    // alarm sugar: day 1 sums to 400 (OK), day 2 to 500 (>= 450 → ALARM)
+    val alarm = app.createExternalMetricAlarm("lat_alarm", metric,
+      graft.diagnostics.MetricStatistic.SUM,
+      graft.diagnostics.AlarmParams(450.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1), 86400L,
+      timeFormat = "%Y-%m-%d")
+    val node = app.createData("on_lat", Seq(alarm("ALARM", "*")),
+      Seq(graft.compute.SqlSlot("SELECT '{time}' AS day")))
+    app.activate()
+    val transitions = app.alarmMonitor().poll()
+    assert(transitions.map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("OK", "2026-08-10"), ("ALARM", "2026-08-11")))
+    assert(app.load(node("ALARM", "2026-08-11")).collect()
+      .map(_.getString(0)).toSeq == Seq("2026-08-11"))
+  }
+
   test("dashboards: text + metric + alarm widgets render into one frame") {
     val sp = spark; import sp.implicits._
     val app = new Application("dash", spark, s"$work/app_dash")
