@@ -22,30 +22,64 @@ import org.apache.hadoop.fs.{FSDataOutputStream, Path}
   * locally. Replay order = (segment name, line order); segment names are
   * timestamped so restarts sort after their predecessors.
   */
-final class RoutingCheckpoint(path: String, conf: Configuration) {
+/** The write-ahead-log surface [[RoutingTable]] persists through — the
+  * single-driver [[RoutingCheckpoint]] and the multi-driver
+  * [[EpochWal]] (per-shard, fencing-epoch-named segments) both fold the
+  * same record stream. */
+trait RoutingWal {
+  def appendEvent(p: String, blocked: Boolean): Unit
+  def appendCompleted(p: String): Unit
+  def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit
+  def load(): Option[(List[(String, Boolean)], List[String])]
+  def close(): Unit
+}
 
-  private val dir = new Path(path + ".d")
-  private lazy val fs = {
-    // a PRIVATE (uncached) FileSystem instance: setWriteChecksum below
-    // would otherwise mutate the JVM-shared cached instance and silently
-    // disable CRC writing for every other component in the process
+/** Shared WAL line codec + filesystem plumbing. */
+private[routing] object WalCodec {
+  def esc(s: String): String =
+    s.replace("%", "%25").replace("\t", "%09").replace("\n", "%0A")
+  def unesc(s: String): String =
+    s.replace("%0A", "\n").replace("%09", "\t").replace("%25", "%")
+
+  /** A PRIVATE (uncached) FileSystem instance with write checksums off:
+    * setWriteChecksum on the JVM-shared cached instance would silently
+    * disable CRC writing for every other component in the process, and
+    * the checksummed local FS buffers flushes until a full 512B chunk —
+    * a restart would lose the tail of the log; raw streams flush
+    * through. */
+  def uncachedFs(dir: Path, conf: Configuration): org.apache.hadoop.fs.FileSystem = {
     val privateConf = new org.apache.hadoop.conf.Configuration(conf)
     val scheme = Option(dir.toUri.getScheme).getOrElse(
       org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme)
     privateConf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
     val f = dir.getFileSystem(privateConf)
-    // the checksummed local FS buffers flushes until a full 512B chunk —
-    // a restart would lose the tail of the log; raw streams flush through
     f.setWriteChecksum(false)
     f
   }
 
+  /** Parse one WAL line into the (kind, payload) fold `load()` applies.
+    * Unknown/torn records are ignored (forward compatibility). */
+  def foldLine(line: String,
+               events: scala.collection.mutable.ListBuffer[(String, Boolean)],
+               completed: scala.collection.mutable.ListBuffer[String]): Unit =
+    line.split('\t') match {
+      case Array("e", p) => events += ((unesc(p), false))
+      case Array("eb", p) => events += ((unesc(p), true))
+      case Array("c", p) => completed += unesc(p)
+      case _ => ()
+    }
+}
+
+final class RoutingCheckpoint(path: String, conf: Configuration)
+    extends RoutingWal {
+
+  private val dir = new Path(path + ".d")
+  private lazy val fs = WalCodec.uncachedFs(dir, conf)
+
   private var wal: FSDataOutputStream = _
 
-  private def esc(s: String): String =
-    s.replace("%", "%25").replace("\t", "%09").replace("\n", "%0A")
-  private def unesc(s: String): String =
-    s.replace("%0A", "\n").replace("%09", "\t").replace("%25", "%")
+  private def esc(s: String): String = WalCodec.esc(s)
+  private def unesc(s: String): String = WalCodec.unesc(s)
 
   /** kinds: "e" event, "eb" blocked event, "c" completed path */
   private def record(kind: String, payload: String): Unit = synchronized {
@@ -110,12 +144,7 @@ final class RoutingCheckpoint(path: String, conf: Configuration) {
       try {
         var line = in.readLine()
         while (line != null) {
-          line.split('\t') match {
-            case Array("e", p) => events += ((unesc(p), false))
-            case Array("eb", p) => events += ((unesc(p), true))
-            case Array("c", p) => completed += unesc(p)
-            case _ => // unknown/torn record: ignore (forward compatibility)
-          }
+          WalCodec.foldLine(line, events, completed)
           line = in.readLine()
         }
       } finally in.close()

@@ -165,7 +165,7 @@ final class Route(
   * plain object monitor here.
   */
 final class RoutingTable(probe: PathProbe,
-                         checkpoint: Option[RoutingCheckpoint] = None,
+                         checkpoint: Option[RoutingWal] = None,
                          compactEveryEvents: Int = 10000) {
   private val cachingProbe = new CachingProbe(probe)
   private var routes: List[Route] = Nil

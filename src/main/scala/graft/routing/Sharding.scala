@@ -1,0 +1,439 @@
+package graft.routing
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataOutputStream, Path}
+
+/** Multi-driver RoutingTable sharding (SURVEY §7.5; reference analog:
+  * per-RouteRecord DynamoDB conditional-write locking,
+  * constructs.py:3293-3433 + drivers/routing/aws.py).
+  *
+  * - **Shard key = route id.** Route state is a deterministic fold of its
+  *   event stream (the invariant WAL-replay recovery already relies on),
+  *   so a route is owned by exactly one driver at a time with no
+  *   cross-route coordination. Every driver holds the full (tiny,
+  *   dev-time) route DEFINITIONS; only runtime state is sharded.
+  * - **Ownership = leases with fencing epochs** ([[ShardLease]]): the
+  *   per-record DynamoDB conditional write becomes an atomic
+  *   create-if-absent of `epoch-<k>` files in the shared store; the
+  *   highest epoch file is the lease, renewed through a heartbeat file.
+  *   Epochs only grow — every ownership change increments.
+  * - **Per-shard WAL segments** ([[EpochWal]]): segment names embed the
+  *   owner's epoch. On takeover the new owner replays and COMPACTS into
+  *   a snapshot named with its epoch — from then on, segments from
+  *   older epochs can only be zombie leftovers (their history is inside
+  *   the snapshot) and are rejected at replay and deleted at compaction,
+  *   which also unlinks a zombie's still-open stream on POSIX stores.
+  *   Per-event cost stays O(1) append + hflush; the shared store carries
+  *   only lease renewals (per shard, seconds cadence) — nothing
+  *   per-event, unlike the reference's per-event DynamoDB writes.
+  * - **Feed-back = at-least-once inbox**: a completing driver appends the
+  *   completion to the consuming shard's `inbox/` (tmp-write + atomic
+  *   rename); the owner folds it on its next poll and deletes the
+  *   message AFTER folding — re-folding after a crash is safe because
+  *   event folding is idempotent per tip path and completion probes
+  *   re-verify against the filesystem, which is shared truth.
+  * - **Failure model**: driver loss → lease expiry → new owner replays
+  *   the shard's WAL (pending nodes rebuilt, mid-flight executions
+  *   re-surfaced by the existing recover() contract); split brain →
+  *   fenced at the snapshot-epoch check; inbox duplication → idempotent
+  *   fold. Cross-shard feed-back is asynchronous, so topological
+  *   completion order is no longer globally serialized — matching the
+  *   reference, whose Lambda-driven feed-back is async too.
+  */
+object Sharding {
+  /** Consistent route→shard mapping — identical on every driver. */
+  def shardOf(routeId: String, numShards: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(routeId), numShards)
+}
+
+/** Lease + fencing-epoch ownership of ONE shard over a shared filesystem.
+  *
+  * Layout under `<root>/leases/shard-<n>/`:
+  * - `epoch-<k>` — created with overwrite=false (atomic claim on
+  *   HDFS/local); content = owner id. The HIGHEST k is the current
+  *   lease; creation races lose with FileAlreadyExists and re-read.
+  * - `hb-<k>` — heartbeat, rewritten by the owner with the clock value;
+  *   a lease whose heartbeat is older than `leaseTimeoutMillis` is
+  *   expired and the next claimant may create `epoch-<k+1>`.
+  *
+  * `clock` is injectable so expiry/failover is deterministically testable.
+  */
+final class ShardLease(root: String, val shard: Int, val ownerId: String,
+                       conf: Configuration,
+                       leaseTimeoutMillis: Long = 10000L,
+                       clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val dir = new Path(s"$root/leases/shard-$shard")
+  private val fs = WalCodec.uncachedFs(dir, conf)
+  @volatile private var held: Long = -1L
+
+  private def epochPath(k: Long) = new Path(dir, f"epoch-$k%09d")
+  private def hbPath(k: Long) = new Path(dir, f"hb-$k%09d")
+
+  private def write(p: Path, content: String, overwrite: Boolean): Boolean =
+    try {
+      val out = fs.create(p, overwrite)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def read(p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** (epoch, owner) of the current lease — the highest epoch file. */
+  def current(): Option[(Long, String)] = {
+    if (!fs.exists(dir)) return None
+    val ks = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("epoch-")).map(_.stripPrefix("epoch-").toLong)
+    if (ks.isEmpty) None
+    else {
+      val k = ks.max
+      Some((k, read(epochPath(k)).getOrElse("")))
+    }
+  }
+
+  /** The epoch this instance holds, or -1. */
+  def heldEpoch: Long = held
+
+  /** Is the held epoch still the shard's highest (not fenced out)? */
+  def isCurrent: Boolean =
+    held > 0 && current().exists { case (k, o) => k == held && o == ownerId }
+
+  /** Claim the shard: succeeds when no lease exists, when this owner
+    * already holds the current epoch, or when the current lease's
+    * heartbeat has expired. Returns the (new) held epoch. */
+  def tryAcquire(): Option[Long] = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    current() match {
+      case None =>
+        claim(1L)
+      case Some((k, o)) if o == ownerId && k == held =>
+        Some(k) // already held
+      case Some((k, _)) =>
+        val hb = read(hbPath(k)).map(_.trim).getOrElse("")
+        val expired = hb == "released" ||
+          clock() - hb.toLongOption.getOrElse(0L) > leaseTimeoutMillis
+        if (!expired) None // live owner
+        else claim(k + 1)
+    }
+  }
+
+  private def claim(k: Long): Option[Long] =
+    if (write(epochPath(k), ownerId, overwrite = false)) {
+      write(hbPath(k), clock().toString, overwrite = true)
+      held = k
+      Some(k)
+    } else None // lost the race; caller re-reads on its next cycle
+
+  /** Heartbeat renewal — the ONLY recurring shared-store write. */
+  def renew(): Unit =
+    if (held > 0) { write(hbPath(held), clock().toString, overwrite = true); () }
+
+  /** Drop ownership: tombstone the heartbeat so a successor claims
+    * immediately instead of waiting out the timeout. */
+  def release(): Unit = if (held > 0) {
+    write(hbPath(held), "released", overwrite = true)
+    held = -1L
+  }
+}
+
+/** Per-shard WAL with fencing-epoch segment names
+  * (`<shardDir>/wal-<epoch>-<ts>-<uuid>.log`) and epoch-named compaction
+  * snapshots (`snap-<epoch>-<ts>.log`). Same line format and O(1)
+  * append + hflush mechanics as [[RoutingCheckpoint]].
+  *
+  * Fencing rule: let E = the highest snapshot epoch present. History
+  * from epochs < E lives INSIDE that snapshot (the epoch-E owner
+  * replayed it before compacting), so wal segments with epoch < E can
+  * only be zombie leftovers — [[load]] ignores them (loudly) and
+  * [[compact]] deletes them, unlinking a zombie's still-open stream.
+  * A compaction attempt by a FENCED owner (a snapshot with a higher
+  * epoch exists) aborts without touching the log. */
+final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
+    extends RoutingWal {
+
+  private val dir = new Path(shardDir)
+  private lazy val fs = WalCodec.uncachedFs(dir, conf)
+  private var wal: FSDataOutputStream = _
+
+  private def log = org.slf4j.LoggerFactory.getLogger(classOf[EpochWal])
+
+  private def epochOf(name: String): Long =
+    name.split('-')(1).toLong
+
+  private def record(kind: String, payload: String): Unit = synchronized {
+    if (wal == null) {
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val name = f"wal-$epoch%09d-${System.currentTimeMillis()}%013d-${
+        java.util.UUID.randomUUID().toString.take(8)}.log"
+      wal = fs.create(new Path(dir, name), true)
+    }
+    wal.write(s"$kind\t${WalCodec.esc(payload)}\n".getBytes("UTF-8"))
+    wal.hflush()
+  }
+
+  def appendEvent(p: String, blocked: Boolean): Unit =
+    record(if (blocked) "eb" else "e", p)
+
+  def appendCompleted(p: String): Unit = record("c", p)
+
+  def close(): Unit = synchronized {
+    if (wal != null) { wal.close(); wal = null }
+  }
+
+  private def listNames(prefix: String): Array[String] =
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith(prefix))
+
+  /** Replay-ordered state under the fencing rule. */
+  def load(): Option[(List[(String, Boolean)], List[String])] = {
+    if (!fs.exists(dir)) return None
+    val snaps = listNames("snap-")
+    val snapEpoch = if (snaps.isEmpty) -1L else snaps.map(epochOf).max
+    val snapName = snaps.filter(epochOf(_) == snapEpoch).sorted.lastOption
+    val (live, zombie) = listNames("wal-").partition(epochOf(_) >= snapEpoch)
+    if (zombie.nonEmpty)
+      log.warn(s"shard WAL $dir: ignoring ${zombie.length} segment(s) from " +
+        s"epochs older than snapshot epoch $snapEpoch (zombie writers): " +
+        zombie.sorted.mkString(", "))
+    val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val completed = scala.collection.mutable.ListBuffer.empty[String]
+    val ordered = snapName.toSeq ++ live.sorted // epoch asc, then ts asc
+    if (ordered.isEmpty) return None
+    ordered.foreach { name =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(new Path(dir, name)), "UTF-8"))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          WalCodec.foldLine(line, events, completed)
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+    Some((events.toList, completed.toList))
+  }
+
+  /** Snapshot the folded state at THIS owner's epoch and delete every
+    * segment/snapshot from epochs <= it — the takeover fencing barrier.
+    * Aborts (loudly) when a higher-epoch snapshot exists: this owner has
+    * been fenced out and must not touch the successor's log. */
+  def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit =
+    synchronized {
+      if (!fs.exists(dir)) return
+      val newerSnap = listNames("snap-").exists(epochOf(_) > epoch)
+      if (newerSnap) {
+        log.warn(s"shard WAL $dir: compaction at epoch $epoch aborted — a " +
+          "higher-epoch snapshot exists (this owner is fenced out)")
+        return
+      }
+      val lastPerPath = events.zipWithIndex
+        .groupBy(_._1._1).map { case (_, occ) => occ.last }
+        .toSeq.sortBy(_._2).map(_._1)
+      val old = (listNames("wal-") ++ listNames("snap-"))
+        .filter(epochOf(_) <= epoch)
+      close() // own open segment is among the deletions below
+      val name = f"snap-$epoch%09d-${System.currentTimeMillis()}%013d.log"
+      val out = fs.create(new Path(dir, name), true)
+      try {
+        lastPerPath.foreach { case (p, b) =>
+          out.write(s"${if (b) "eb" else "e"}\t${WalCodec.esc(p)}\n".getBytes("UTF-8")) }
+        completed.distinct.foreach(p =>
+          out.write(s"c\t${WalCodec.esc(p)}\n".getBytes("UTF-8")))
+      } finally out.close()
+      old.foreach(n => fs.delete(new Path(dir, n), false))
+    }
+}
+
+/** One driver instance in a multi-driver deployment: owns the shards
+  * whose leases it holds, folds their WALs and inboxes, and routes
+  * cross-shard feed-back through the consuming shard's inbox.
+  *
+  * Route definitions are registered as FACTORIES ([[add]]) on every
+  * driver — [[Route]] carries runtime state, so each owned shard gets
+  * fresh instances; one canonical instance per route serves stateless
+  * decode/accept checks for inbox routing. */
+final class ShardedDriver(root: String, val driverId: String,
+                          val numShards: Int, probe: PathProbe,
+                          conf: Configuration,
+                          leaseTimeoutMillis: Long = 10000L,
+                          clock: () => Long = () => System.currentTimeMillis()) {
+
+  private case class RouteDef(id: String, mk: () => Route, canonical: Route)
+  private case class Owned(shard: Int, lease: ShardLease, wal: EpochWal,
+                           table: RoutingTable)
+
+  private var defs: List[RouteDef] = Nil
+  private var owned: Map[Int, Owned] = Map.empty
+  private val leases = scala.collection.mutable.Map.empty[Int, ShardLease]
+
+  def shardOf(routeId: String): Int = Sharding.shardOf(routeId, numShards)
+
+  /** Register a route definition (every driver registers ALL routes). */
+  def add(mk: () => Route): Unit = synchronized {
+    val c = mk()
+    require(!defs.exists(_.id == c.id), s"route '${c.id}' already added")
+    defs :+= RouteDef(c.id, mk, c)
+  }
+
+  def ownedShards: Set[Int] = owned.keySet
+
+  private def shardDir(shard: Int) = s"$root/shards/shard-$shard"
+
+  private def leaseFor(shard: Int): ShardLease =
+    leases.getOrElseUpdate(shard,
+      new ShardLease(root, shard, driverId, conf, leaseTimeoutMillis, clock))
+
+  /** Try to take ownership of `shard`: acquire (or take over) the lease,
+    * replay the shard WAL through fresh route instances (pending nodes
+    * rebuilt by the normal receive path), compact at the new epoch (the
+    * fencing barrier), then drain the inbox backlog. Returns the
+    * recovered mid-flight contexts plus any contexts the inbox backlog
+    * readied; None when the lease is held by a live owner or lost to a
+    * race. */
+  def tryAcquireShard(shard: Int): Option[List[ExecutionContext]] = synchronized {
+    if (owned.contains(shard)) return Some(Nil)
+    val shardDefs = defs.filter(d => shardOf(d.id) == shard)
+    val lease = leaseFor(shard)
+    lease.tryAcquire().map { epoch =>
+      val wal = new EpochWal(s"${shardDir(shard)}/wal", conf, epoch)
+      val table = new RoutingTable(probe, Some(wal))
+      shardDefs.foreach(d => table.add(d.mk()))
+      val recovered = table.recover() // replay + compact(epoch) inside
+      owned += shard -> Owned(shard, lease, wal, table)
+      recovered ++ drainInbox(shard)
+    }
+  }
+
+  /** Acquire every shard that has routes and a free/expired lease. */
+  def acquireShards(): List[ExecutionContext] =
+    (0 until numShards).toList
+      .filter(s => defs.exists(d => shardOf(d.id) == s))
+      .flatMap(s => tryAcquireShard(s).getOrElse(Nil))
+
+  /** Heartbeat every held lease — call on the driver's poll cadence. */
+  def renewLeases(): Unit = synchronized { owned.values.foreach(_.lease.renew()) }
+
+  /** Shards whose lease this driver LOST (fenced by a successor) — the
+    * driver should drop them and stop executing their work. */
+  def fencedShards(): Set[Int] = synchronized {
+    owned.values.filterNot(_.lease.isCurrent).map(_.shard).toSet
+  }
+
+  /** Drop a shard (fenced or draining): close its WAL stream, forget its
+    * runtime state. The shared store keeps the WAL for the successor. */
+  def dropShard(shard: Int): Unit = synchronized {
+    owned.get(shard).foreach { o => o.wal.close(); owned -= shard }
+  }
+
+  /** Ingest a raw path event: fold into every OWNED shard whose routes
+    * accept it; forward to the inbox of every UNOWNED shard with an
+    * accepting route (at-least-once). Returns ready contexts from the
+    * owned folds. */
+  def receivePath(path: String, isBlocked: Boolean = false): List[ExecutionContext] =
+    synchronized {
+      val accepting = acceptingShards(path)
+      val local = accepting.intersect(owned.keySet).toList
+        .flatMap(s => owned(s).table.receivePath(path, isBlocked))
+      accepting.diff(owned.keySet).foreach(s =>
+        sendToInbox(s, List(s"${if (isBlocked) "eb" else "e"}\t${WalCodec.esc(path)}")))
+      local
+    }
+
+  /** Completion feed-back for an output path `p`: mark complete + offer
+    * as an event on owned shards; append ("c" + "e") to the inbox of
+    * every other shard whose routes consume it. */
+  def complete(path: String): List[ExecutionContext] = synchronized {
+    val accepting = acceptingShards(path)
+    val local = accepting.intersect(owned.keySet).toList.flatMap { s =>
+      owned(s).table.markComplete(Seq(path))
+      owned(s).table.receivePath(path)
+    }
+    accepting.diff(owned.keySet).foreach(s =>
+      sendToInbox(s, List(s"c\t${WalCodec.esc(path)}",
+        s"e\t${WalCodec.esc(path)}")))
+    local
+  }
+
+  /** Fold pending inbox messages of every owned shard. */
+  def pollInboxes(): List[ExecutionContext] = synchronized {
+    owned.keySet.toList.flatMap(drainInbox)
+  }
+
+  /** Pending nodes of a shard's route (test/ops introspection). */
+  def tableOf(shard: Int): Option[RoutingTable] = owned.get(shard).map(_.table)
+
+  def close(): Unit = synchronized {
+    owned.values.foreach(_.wal.close())
+  }
+
+  /** Release every lease (clean shutdown — successors claim immediately). */
+  def releaseAll(): Unit = synchronized {
+    owned.values.foreach(_.lease.release())
+    owned.values.foreach(_.wal.close())
+    owned = Map.empty
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  /** Shards containing at least one route that accepts `path` — decoded
+    * against the canonical (stateless) definition instances. */
+  private def acceptingShards(path: String): Set[Int] = {
+    val p = new Path(path)
+    val normalized =
+      if (p.getName.startsWith("part-")) p.getParent.toUri.getPath else path
+    defs.filter(d => d.canonical.linkNode.signals
+        .exists(s => !s.isReference && s.fromEventPath(normalized).isDefined))
+      .map(d => shardOf(d.id)).toSet
+  }
+
+  private def inboxDir(shard: Int) = new Path(s"${shardDir(shard)}/inbox")
+
+  private lazy val fs = WalCodec.uncachedFs(new Path(root), conf)
+
+  /** Tmp-write + atomic rename so a reader never sees a torn message. */
+  private def sendToInbox(shard: Int, lines: List[String]): Unit = {
+    val dir = inboxDir(shard)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val name = f"msg-${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+    fs.rename(tmp, new Path(dir, name))
+    ()
+  }
+
+  /** Fold + delete each inbox message of an owned shard, oldest first.
+    * Delete happens AFTER the fold (at-least-once: a crash in between
+    * re-folds on the next owner — idempotent per the replay contract). */
+  private def drainInbox(shard: Int): List[ExecutionContext] = {
+    val dir = inboxDir(shard)
+    if (!fs.exists(dir)) return Nil
+    val table = owned(shard).table
+    val msgs = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("msg-")).sortBy(_.getName)
+    msgs.toList.flatMap { m =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+      val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+      val completed = scala.collection.mutable.ListBuffer.empty[String]
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          WalCodec.foldLine(line, events, completed)
+          line = in.readLine()
+        }
+      } finally in.close()
+      table.markComplete(completed.toList)
+      val ctxs = events.toList.flatMap { case (p, b) => table.receivePath(p, b) }
+      fs.delete(m, false)
+      ctxs
+    }
+  }
+}

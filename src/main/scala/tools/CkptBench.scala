@@ -7,9 +7,12 @@ object CkptBench extends App {
   def sig(alias: String, root: String) = Signal(alias, SignalSource.external(root), daySpec, DimFilter.allPassFor(daySpec))
   val node = SignalLinkNode(List(sig("a", "/data/a"), sig("b", "/data/b"))).withAutoLinks
   val out = Signal("joined", SignalSource.internal("/app", "joined"), daySpec, node.deriveOutputFilter(daySpec, Nil))
-  def run(label: String, compactEvery: Int): Unit = {
+  def run(label: String, compactEvery: Int,
+          mkWal: String => RoutingWal = tmp =>
+            new RoutingCheckpoint(s"$tmp/state.json",
+              new org.apache.hadoop.conf.Configuration())): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("ckpt_bench").toString
-    val cp = new RoutingCheckpoint(s"$tmp/state.json", new org.apache.hadoop.conf.Configuration())
+    val cp = mkWal(tmp)
     val table = new RoutingTable(new PathProbe { def exists(p: String) = true },
       Some(cp), compactEveryEvents = compactEvery)
     table.add(new Route("joined", node, out, Nil))
@@ -22,11 +25,20 @@ object CkptBench extends App {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"$label: ${n / secs}%.0f events/s over $n events")
   }
+  def epochWal(tmp: String): RoutingWal =
+    new EpochWal(s"$tmp/shard-0/wal", new org.apache.hadoop.conf.Configuration(), 1)
   // interleaved double runs: the first lap is JIT warmup for both modes
   run("warmup no-compact", 1000000)
   run("warmup compact@1000", 1000)
+  run("warmup sharded", 1000000, epochWal)
   run("checkpointed (no compaction window hit)", 1000000)
   // live compaction engaged every 1000 events: load() + snapshot rewrite
   // amortized over the window — the long-lived-driver steady state
   run("checkpointed + live compaction @1000", 1000)
+  // the multi-driver per-shard WAL (epoch-named segments, same O(1)
+  // append + hflush): per-driver throughput must stay within ~20% of
+  // the single-driver checkpoint — leases renew per seconds, not per
+  // event, so nothing else touches the shared store on this path
+  run("sharded epoch WAL (per-driver)", 1000000, epochWal)
+  run("sharded epoch WAL + live compaction @1000", 1000, epochWal)
 }

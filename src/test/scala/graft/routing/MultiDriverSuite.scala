@@ -1,0 +1,172 @@
+package graft.routing
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dimension._
+import graft.signal._
+
+/** The §7.5 multi-driver sharding proof on one box: two driver instances
+  * over a shared filesystem splitting a route set — lease-expiry
+  * failover with WAL replay, fencing-epoch rejection of stale writers,
+  * and cross-shard feed-back through the at-least-once inbox. */
+class MultiDriverSuite extends AnyFunSuite {
+
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  private def extSignal(alias: String, root: String): Signal =
+    Signal(alias, SignalSource.external(root), daySpec,
+      DimFilter.loadRaw(daySpec, DimFilter.RawFilter(
+        List(("*": Any) -> DimFilter.RawFilter.empty))))
+
+  private val allExists = new PathProbe { def exists(p: String) = true }
+
+  private def outputFor(node: SignalLinkNode, id: String): Signal =
+    Signal(id, SignalSource.internal("/app", id), daySpec,
+      node.deriveOutputFilter(daySpec, Nil))
+
+  // ids placed on OPPOSITE shards of a 2-shard ring, found against the
+  // same consistent hash every driver uses
+  private val upId = (0 to 50).map(i => s"stage_up_$i")
+    .find(c => Sharding.shardOf(c, 2) == 0).get
+  private val downId = (0 to 50).map(i => s"stage_down_$i")
+    .find(c => Sharding.shardOf(c, 2) == 1).get
+
+  /** upstream: /data/a → internal output; downstream consumes it. */
+  private def mkUp(): Route = {
+    val node = SignalLinkNode(List(extSignal("a", "/data/a"))).withAutoLinks
+    new Route(upId, node, outputFor(node, upId), Nil)
+  }
+  private def mkDown(): Route = {
+    val upOut = Signal(upId, SignalSource.internal("/app", upId), daySpec,
+      DimFilter.allPassFor(daySpec))
+    val node = SignalLinkNode(List(upOut)).withAutoLinks
+    new Route(downId, node, outputFor(node, downId), Nil)
+  }
+  /** two-input coincidence join, pinned to shard 1. */
+  private def mkJoin(id: String): Route = {
+    val node = SignalLinkNode(List(
+      extSignal("ja", "/data/ja"), extSignal("jb", "/data/jb"))).withAutoLinks
+    new Route(id, node, outputFor(node, id), Nil)
+  }
+
+  private def conf = new org.apache.hadoop.conf.Configuration()
+
+  test("two drivers split the route set; feed-back crosses shards via the inbox") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md1").toString
+    var now = 0L
+    val clock = () => now
+    def mkDriver(id: String) = {
+      val d = new ShardedDriver(root, id, 2, allExists, conf,
+        leaseTimeoutMillis = 1000, clock = clock)
+      d.add(() => mkUp()); d.add(() => mkDown()); d
+    }
+    val dx = mkDriver("X")
+    val dy = mkDriver("Y")
+    assert(dx.tryAcquireShard(0).contains(Nil))
+    assert(dy.tryAcquireShard(1).contains(Nil))
+    // a held, heartbeating lease cannot be stolen
+    assert(dy.tryAcquireShard(0).isEmpty)
+    assert(dx.ownedShards == Set(0) && dy.ownedShards == Set(1))
+
+    // event lands on X (owner of the upstream shard) and triggers
+    val ctxs = dx.receivePath("/data/a/2026-08-12")
+    assert(ctxs.map(_.routeId) == List(upId))
+    val outPath = ctxs.head.output.materializedPaths.head
+    // completion on X: downstream's shard is unowned here → inbox message
+    assert(dx.complete(outPath).isEmpty)
+    // Y folds its inbox and the downstream route fires with the right day
+    val downCtxs = dy.pollInboxes()
+    assert(downCtxs.map(_.routeId) == List(downId))
+    assert(downCtxs.head.output.tip.map(_.value) == List("2026-08-12"))
+    // the message was consumed — a second poll folds nothing
+    assert(dy.pollInboxes().isEmpty)
+
+    // an event received by the WRONG driver still reaches the owner
+    assert(dy.receivePath("/data/a/2026-08-13").isEmpty)
+    assert(dx.pollInboxes().map(_.routeId) == List(upId))
+    dx.releaseAll(); dy.releaseAll()
+  }
+
+  test("lease-expiry failover: successor replays the WAL, rebuilds pending joins") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md2").toString
+    var now = 0L
+    val clock = () => now
+    val joinId = (0 to 50).map(i => s"join_$i")
+      .find(c => Sharding.shardOf(c, 2) == 1).get
+    def mkDriver(id: String) = {
+      val d = new ShardedDriver(root, id, 2, allExists, conf,
+        leaseTimeoutMillis = 1000, clock = clock)
+      d.add(() => mkJoin(joinId)); d
+    }
+    val dy = mkDriver("Y")
+    assert(dy.tryAcquireShard(1).isDefined)
+    // half-join arrives on Y: pending node opens, event hits Y's WAL
+    assert(dy.receivePath("/data/ja/2026-08-12").isEmpty)
+    assert(dy.tableOf(1).get.find(joinId).get.pendingNodes.length == 1)
+
+    // Y dies (stops renewing); X cannot take over before expiry...
+    val dx = mkDriver("X")
+    now = 500
+    assert(dx.tryAcquireShard(1).isEmpty)
+    // ...and takes over after: WAL replay rebuilds the half-joined node
+    now = 2000
+    val recovered = dx.tryAcquireShard(1)
+    assert(recovered.isDefined)
+    assert(recovered.get.isEmpty) // half-join was not mid-flight
+    assert(dx.tableOf(1).get.find(joinId).get.pendingNodes.length == 1)
+    // Y is fenced out now; X completes the join with the second half
+    assert(dy.fencedShards() == Set(1))
+    val ctxs = dx.receivePath("/data/jb/2026-08-12")
+    assert(ctxs.map(_.routeId) == List(joinId))
+    assert(ctxs.head.inputs.map(_.alias).toSet == Set("ja", "jb"))
+    dx.releaseAll()
+  }
+
+  test("fencing: stale-epoch segments are rejected at replay, swept at compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md3").toString
+    val shardDir = s"$root/wal"
+    // epoch-1 owner logs one event, then is superseded: the epoch-2
+    // owner replays and compacts (snapshot at epoch 2)
+    val w1 = new EpochWal(shardDir, conf, 1)
+    w1.appendEvent("/data/a/2026-08-10", blocked = false)
+    val w2 = new EpochWal(shardDir, conf, 2)
+    val st = w2.load().get
+    assert(st._1 == List(("/data/a/2026-08-10", false)))
+    w2.compact(st._1, st._2)
+    // the ZOMBIE (epoch 1) keeps writing — its original segment was
+    // deleted by the compaction, and a rolled NEW segment carries the
+    // stale epoch
+    w1.close() // roll a fresh segment on next append
+    w1.appendEvent("/data/a/2026-08-99", blocked = false)
+    // replay ignores the stale segment: the zombie's event never surfaces
+    val replayed = w2.load().get
+    assert(replayed._1 == List(("/data/a/2026-08-10", false)))
+    assert(!replayed._1.exists(_._1.contains("2026-08-99")))
+    // a zombie compaction attempt aborts (higher-epoch snapshot exists)
+    w1.compact(List(("/data/a/2026-08-99", false)), Nil)
+    assert(w2.load().get._1 == List(("/data/a/2026-08-10", false)))
+    // the next legitimate compaction sweeps the stale segment away
+    w2.compact(replayed._1, replayed._2)
+    val w3 = new EpochWal(shardDir, conf, 3)
+    assert(w3.load().get._1 == List(("/data/a/2026-08-10", false)))
+  }
+
+  test("lease release hands the shard over immediately") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md4").toString
+    var now = 0L
+    val lx = new ShardLease(root, 0, "X", conf, 1000, () => now)
+    val ly = new ShardLease(root, 0, "Y", conf, 1000, () => now)
+    assert(lx.tryAcquire().contains(1L))
+    assert(ly.tryAcquire().isEmpty)
+    assert(lx.isCurrent)
+    lx.release()
+    assert(ly.tryAcquire().contains(2L))
+    assert(!lx.isCurrent && ly.isCurrent)
+    // renewal keeps the successor alive across the timeout horizon
+    now = 900; ly.renew()
+    now = 1800
+    assert(lx.tryAcquire().isEmpty) // hb at 900, within timeout
+    now = 2000
+    assert(lx.tryAcquire().contains(3L))
+  }
+}
