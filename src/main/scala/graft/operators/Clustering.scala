@@ -134,8 +134,11 @@ object Sampling {
     // sum(tokenCol) — not max(__local) — is the partition total, which
     // stays correct for NEGATIVE token values (a running max ≠ the total
     // when the running sum dips)
+    // coalesce: a partition whose token values are ALL null sums to null
+    // — it contributes nothing to the running total (matching the window
+    // sum's null-skipping), so fold it as 0 instead of NPE-ing on getLong
     val totals = local.groupBy("__pid")
-      .agg(sum(col(tokenCol)).cast("long").as("__ptotal"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("__ptotal"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (p, t) =>

@@ -114,7 +114,7 @@ object Similarity {
         org.slf4j.LoggerFactory.getLogger(Similarity.getClass).warn(
           s"AnnIndex.topK: probeBits=$probeBits clamped to 2 — deeper " +
             "probing approaches a full scan; use IVF nProbe or exact cosineTopK")
-      val pb = math.min(probeBits, 2)
+      val pb = AnnIndex.effectiveProbeBits(probeBits)
       val h1 = (0 until planes).map(b => querySig ^ (1L << b))
       val h2 = for {
         i <- 0 until planes; j <- (i + 1) until planes
@@ -131,6 +131,17 @@ object Similarity {
     }
 
     def unpersist(): Unit = sigs.unpersist()
+  }
+
+  object AnnIndex {
+    /** The probe depth [[AnnIndex.topK]] will actually use for a
+      * requested `probeBits` — depths beyond the hamming-2 shell clamp
+      * (they approach a full scan; use IVF nProbe or exact cosineTopK
+      * instead). Callers that need a programmatic signal of the clamp —
+      * rather than the log warning — compare
+      * `effectiveProbeBits(requested) != requested` before querying. */
+    def effectiveProbeBits(requested: Int): Int =
+      math.min(math.max(requested, 0), 2)
   }
 
   def buildIndex(df: DataFrame, vecCol: String, idCol: String,

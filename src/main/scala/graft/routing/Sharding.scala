@@ -49,12 +49,39 @@ object Sharding {
 /** Lease + fencing-epoch ownership of ONE shard over a shared filesystem.
   *
   * Layout under `<root>/leases/shard-<n>/`:
-  * - `epoch-<k>` — created with overwrite=false (atomic claim on
-  *   HDFS/local); content = owner id. The HIGHEST k is the current
-  *   lease; creation races lose with FileAlreadyExists and re-read.
+  * - `epoch-<k>` — created with overwrite=false; content = owner id. The
+  *   HIGHEST k is the current lease; creation races lose with
+  *   FileAlreadyExists and re-read.
   * - `hb-<k>` — heartbeat, rewritten by the owner with the clock value;
   *   a lease whose heartbeat is older than `leaseTimeoutMillis` is
   *   expired and the next claimant may create `epoch-<k+1>`.
+  *
+  * **Claim atomicity.** `create(overwrite=false)` is an atomic
+  * create-if-absent only on stores that provide one (HDFS; S3 with
+  * conditional writes). On `RawLocalFileSystem` (and NFS-backed local)
+  * it is exists-then-create, so two PROCESSES racing an expired lease
+  * can both "create" `epoch-<k+1>`. The claim therefore read-back
+  * verifies: after writing, it re-reads the epoch file and only takes
+  * ownership when the content equals this claimant's `ownerId` —
+  * last-writer-wins makes the read-back decisive on local filesystems
+  * (both racers re-read AFTER both writes settle because the heartbeat
+  * write sequences between them; see [[claim]]). Multi-host deployments
+  * should still use a store with atomic create-if-absent.
+  *
+  * **Clock model.** Expiry compares the CLAIMANT's `clock()` against a
+  * heartbeat written by the OWNER's clock, so cross-host clock skew
+  * directly stretches or shrinks the effective lease — size
+  * `leaseTimeoutMillis` to cover the deployment's worst-case skew plus
+  * heartbeat cadence (skew > leaseTimeoutMillis could steal a live
+  * lease). A missing heartbeat file (owner crashed between the epoch and
+  * hb writes) folds to "expired immediately": safe, because the fencing
+  * epoch — not the lease — is what protects the log.
+  *
+  * **Same-owner reclaim.** A driver that restarts with the same
+  * `ownerId` finds its previous (possibly still-live) lease and takes
+  * over at epoch k+1 immediately instead of waiting out the timeout —
+  * its own old incarnation can only be a zombie, and the new epoch
+  * fences it.
   *
   * `clock` is injectable so expiry/failover is deterministically testable.
   */
@@ -104,8 +131,11 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     held > 0 && current().exists { case (k, o) => k == held && o == ownerId }
 
   /** Claim the shard: succeeds when no lease exists, when this owner
-    * already holds the current epoch, or when the current lease's
-    * heartbeat has expired. Returns the (new) held epoch. */
+    * already holds the current epoch, when this owner finds its OWN
+    * previous lease (restart — immediate takeover at k+1, no timeout
+    * wait: the old incarnation is this driver's zombie and the new
+    * epoch fences it), or when the current lease's heartbeat has
+    * expired. Returns the (new) held epoch. */
   def tryAcquire(): Option[Long] = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     current() match {
@@ -113,6 +143,8 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
         claim(1L)
       case Some((k, o)) if o == ownerId && k == held =>
         Some(k) // already held
+      case Some((k, o)) if o == ownerId =>
+        claim(k + 1) // same-owner fast reclaim after restart
       case Some((k, _)) =>
         val hb = read(hbPath(k)).map(_.trim).getOrElse("")
         val expired = hb == "released" ||
@@ -122,11 +154,36 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     }
   }
 
+  /** Atomic create-if-absent of `p` with `content`. HDFS-like stores
+    * provide this through create(overwrite=false); RawLocalFileSystem's
+    * version is a non-atomic exists-then-create, so `file:` paths go
+    * through POSIX O_CREAT|O_EXCL (nio CREATE_NEW) instead, which IS
+    * atomic across processes on a local disk. NFS-mounted "local" paths
+    * may still not honor O_EXCL — the read-back in [[claim]] covers
+    * that. */
+  private def atomicCreateWrite(p: Path, content: String): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.io.IOException => false }
+    else write(p, content, overwrite = false)
+
   private def claim(k: Long): Option[Long] =
-    if (write(epochPath(k), ownerId, overwrite = false)) {
+    if (atomicCreateWrite(epochPath(k), ownerId)) {
       write(hbPath(k), clock().toString, overwrite = true)
-      held = k
-      Some(k)
+      // Read-back verify: on stores whose create-if-absent is not truly
+      // atomic (NFS O_EXCL, object stores without conditional writes)
+      // two racers can both reach this point; last-writer-wins on the
+      // content makes the re-read decisive — take ownership only when
+      // the file still carries THIS claimant's id.
+      if (read(epochPath(k)).map(_.trim).contains(ownerId)) {
+        held = k
+        Some(k)
+      } else None // lost a non-atomic create race — k belongs to the other
     } else None // lost the race; caller re-reads on its next cycle
 
   /** Heartbeat renewal — the ONLY recurring shared-store write. */
@@ -162,8 +219,21 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
 
   private def log = org.slf4j.LoggerFactory.getLogger(classOf[EpochWal])
 
-  private def epochOf(name: String): Long =
-    name.split('-')(1).toLong
+  /** Epoch embedded in a `wal-<epoch>-…` / `snap-<epoch>-…` name, or
+    * None for a stray file that doesn't match the shape — a single
+    * malformed name must degrade to a warning, not make the shard
+    * unrecoverable with a NumberFormatException mid-replay. */
+  private def epochOf(name: String): Option[Long] =
+    name.split('-').lift(1).flatMap(_.toLongOption)
+
+  /** (name, epoch) for every parseable name; warns about the rest. */
+  private def parsed(names: Array[String]): Array[(String, Long)] = {
+    val (ok, bad) = names.map(n => n -> epochOf(n)).partition(_._2.isDefined)
+    if (bad.nonEmpty)
+      log.warn(s"shard WAL $dir: ignoring ${bad.length} file(s) with " +
+        s"unparseable epoch: ${bad.map(_._1).sorted.mkString(", ")}")
+    ok.map { case (n, e) => (n, e.get) }
+  }
 
   private def record(kind: String, payload: String): Unit = synchronized {
     if (wal == null) {
@@ -192,10 +262,11 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
   /** Replay-ordered state under the fencing rule. */
   def load(): Option[(List[(String, Boolean)], List[String])] = {
     if (!fs.exists(dir)) return None
-    val snaps = listNames("snap-")
-    val snapEpoch = if (snaps.isEmpty) -1L else snaps.map(epochOf).max
-    val snapName = snaps.filter(epochOf(_) == snapEpoch).sorted.lastOption
-    val (live, zombie) = listNames("wal-").partition(epochOf(_) >= snapEpoch)
+    val snaps = parsed(listNames("snap-"))
+    val snapEpoch = if (snaps.isEmpty) -1L else snaps.map(_._2).max
+    val snapName = snaps.filter(_._2 == snapEpoch).map(_._1).sorted.lastOption
+    val (liveP, zombieP) = parsed(listNames("wal-")).partition(_._2 >= snapEpoch)
+    val (live, zombie) = (liveP.map(_._1), zombieP.map(_._1))
     if (zombie.nonEmpty)
       log.warn(s"shard WAL $dir: ignoring ${zombie.length} segment(s) from " +
         s"epochs older than snapshot epoch $snapEpoch (zombie writers): " +
@@ -225,7 +296,7 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
   def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit =
     synchronized {
       if (!fs.exists(dir)) return
-      val newerSnap = listNames("snap-").exists(epochOf(_) > epoch)
+      val newerSnap = parsed(listNames("snap-")).exists(_._2 > epoch)
       if (newerSnap) {
         log.warn(s"shard WAL $dir: compaction at epoch $epoch aborted — a " +
           "higher-epoch snapshot exists (this owner is fenced out)")
@@ -234,8 +305,8 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
       val lastPerPath = events.zipWithIndex
         .groupBy(_._1._1).map { case (_, occ) => occ.last }
         .toSeq.sortBy(_._2).map(_._1)
-      val old = (listNames("wal-") ++ listNames("snap-"))
-        .filter(epochOf(_) <= epoch)
+      val old = parsed(listNames("wal-") ++ listNames("snap-"))
+        .filter(_._2 <= epoch).map(_._1)
       close() // own open segment is among the deletions below
       val name = f"snap-$epoch%09d-${System.currentTimeMillis()}%013d.log"
       val out = fs.create(new Path(dir, name), true)

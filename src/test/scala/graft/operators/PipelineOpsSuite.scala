@@ -610,6 +610,25 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("running total folds all-null token partitions as zero") {
+    val sp = spark; import sp.implicits._
+    // ids 0..99 range-partition into 4 → a leading partition whose
+    // tokens are ALL null used to sum to null and NPE the offset fold
+    val df = (0L until 100L).map(i =>
+      (i, if (i < 30) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(i))).toDF("id", "tok")
+    val got = Sampling.runningTotal(df, "tok", Seq(col("id").asc),
+      partitions = 4)
+      .select("id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    var cum = 0L
+    (0L until 100L).foreach { i =>
+      if (i < 30) assert(got(i).forall(_ == cum)) // window sum over no rows: null or cum
+      else { cum += i; assert(got(i).contains(cum)) }
+    }
+  }
+
   test("bloom prefilter stays exact when sized past the runtime-filter caps") {
     val sp = spark; import sp.implicits._
     val corpus = Seq((0L, "alpha text"), (1L, "beta text")).toDF("doc_id", "text")
