@@ -97,7 +97,8 @@ final class Application(val name: String, val spark: SparkSession,
   final case class ComputeRecord(routeId: String, outputPath: String,
                                  startedAtMillis: Long, finishedAtMillis: Long,
                                  succeeded: Boolean, error: Option[String],
-                                 logs: List[String] = Nil)
+                                 logs: List[String] = Nil,
+                                 slotKinds: List[String] = Nil)
   private val records =
     java.util.Collections.synchronizedList(new java.util.ArrayList[ComputeRecord]())
 
@@ -244,7 +245,8 @@ final class Application(val name: String, val spark: SparkSession,
     try {
       val w = compute.run(ctx, slots, retry, sink)
       records.add(ComputeRecord(ctx.routeId, outPath, started,
-        System.currentTimeMillis(), succeeded = true, None, snapshot))
+        System.currentTimeMillis(), succeeded = true, None, snapshot,
+        slots.map(_.getClass.getSimpleName).toList))
       w
     } catch {
       case e: Throwable =>
@@ -253,7 +255,8 @@ final class Application(val name: String, val spark: SparkSession,
         e.getStackTrace.take(5).foreach(f => sink(s"  at $f"))
         records.add(ComputeRecord(ctx.routeId, outPath, started,
           System.currentTimeMillis(), succeeded = false,
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)), snapshot))
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)), snapshot,
+          slots.map(_.getClass.getSimpleName).toList))
         throw e
     } finally {
       groupLogBuffers.remove(group)
@@ -363,7 +366,9 @@ final class Application(val name: String, val spark: SparkSession,
   final case class ExternalMetricDef(
       id: String, rootPath: String, format: String,
       nameCol: String, timeCol: String, valueCol: String,
-      options: Map[String, String], subDimensions: Map[String, String])
+      options: Map[String, String], subDimensions: Map[String, String],
+      partitionCol: Option[String] = None,
+      partitionFormat: String = "%Y-%m-%d")
 
   private var externalMetrics: Map[String, ExternalMetricDef] = Map.empty
 
@@ -384,11 +389,14 @@ final class Application(val name: String, val spark: SparkSession,
                             valueCol: String = "value",
                             options: Map[String, String] = Map.empty,
                             subDimensions: Map[String, String] = Map.empty,
-                            timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
+                            timeFormat: String = "%Y-%m-%d %H",
+                            partitionCol: Option[String] = None,
+                            partitionFormat: String = "%Y-%m-%d"): NodeRef = {
     require(!externalMetrics.contains(id),
       s"external metric '$id' already declared")
     externalMetrics += id -> ExternalMetricDef(id, rootPath.stripSuffix("/"),
-      format, nameCol, timeCol, valueCol, options, subDimensions)
+      format, nameCol, timeCol, valueCol, options, subDimensions,
+      partitionCol, partitionFormat)
     val spec = DimSpec.pretty(
       "name" -> (DimType.STRING, Map.empty[String, Any]),
       "statistic" -> (DimType.STRING, Map.empty[String, Any]),
@@ -402,19 +410,78 @@ final class Application(val name: String, val spark: SparkSession,
     * (name, period_start, value), the [[createMetricAlarm]] input
     * contract. Evaluation is lazy and re-reads the store on every call,
     * so a monitor poll always sees rows the external producer appended
-    * since the last poll. */
+    * since the last poll.
+    *
+    * For a metric declared WITHOUT `partitionCol`, every call re-reads
+    * the whole store — fine for metric-sized data but unbounded for a
+    * long-lived deployment polling a growing history. Declaring
+    * `partitionCol` (a `<col>=<value>` time-partitioned store, values in
+    * `partitionFormat`) switches the closure to a CURSOR: each call
+    * lists the partition directories (one cheap metadata listing),
+    * reads only those at or after the cursor frontier minus
+    * `lookbackPeriods` × period (the N-of-M alarm window still needs its
+    * trailing datapoints), and advances the frontier to the newest
+    * partition seen. The newest partition is always re-read — producers
+    * append into the open partition — but closed history is never
+    * scanned again. Contract: producers only append to partitions at or
+    * after the newest one (the standard time-partitioned metric store
+    * shape); a backfill into old partitions needs a fresh series. */
   def externalMetricSeries(metric: NodeRef,
                            statistic: graft.diagnostics.MetricStatistic,
-                           periodSecs: Long): () => DataFrame = {
+                           periodSecs: Long,
+                           lookbackPeriods: Int = 0): () => DataFrame = {
     val d = externalMetrics.getOrElse(metric.signal.alias,
       throw new IllegalArgumentException(
         s"'${metric.signal.alias}' is not a marshaled external metric"))
-    () => {
-      val raw = spark.read.format(d.format).options(d.options).load(d.rootPath)
+    def evaluate(raw: DataFrame): DataFrame = {
       val narrowed = d.subDimensions.foldLeft(raw) { case (df, (c, v)) =>
         df.where(org.apache.spark.sql.functions.col(c) === v) }
       graft.diagnostics.Metrics.evaluate(narrowed,
         d.nameCol, d.valueCol, d.timeCol, periodSecs, statistic)
+    }
+    d.partitionCol match {
+      case None =>
+        () => evaluate(
+          spark.read.format(d.format).options(d.options).load(d.rootPath))
+      case Some(pc) =>
+        // epoch-second frontier of the newest partition value read so far
+        var frontier: Option[Long] = None
+        () => {
+          val root = new org.apache.hadoop.fs.Path(d.rootPath)
+          val fs = root.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val parts = fs.listStatus(root).filter(_.isDirectory)
+            .map(_.getPath).flatMap { p =>
+              val n = p.getName
+              if (!n.startsWith(s"$pc=")) None
+              else graft.dimension.DimValue.parseDateTime(
+                  n.stripPrefix(s"$pc="), Some(d.partitionFormat))
+                .map(v => (v.toEpochSecond(java.time.ZoneOffset.UTC), p))
+            }.sortBy(_._1)
+          if (parts.isEmpty)
+            // not (or not yet) a partitioned layout — fall through to a
+            // plain load so the error/empty behavior matches the
+            // unpartitioned path
+            evaluate(spark.read.format(d.format).options(d.options)
+              .load(d.rootPath))
+          else {
+            val selected = frontier match {
+              case None => parts
+              case Some(f) =>
+                // keep partitions at/after the frontier's lookback target;
+                // the last partition STARTING at or before the target can
+                // still contain in-window periods, so include it too
+                val target = f - lookbackPeriods * periodSecs
+                val cutoff = parts.map(_._1).filter(_ <= target)
+                  .maxOption.getOrElse(Long.MinValue)
+                parts.filter(_._1 >= cutoff)
+            }
+            frontier = Some(parts.last._1)
+            evaluate(spark.read.format(d.format).options(d.options)
+              .option("basePath", d.rootPath)
+              .load(selected.map(_._2.toString).toIndexedSeq: _*))
+          }
+        }
     }
   }
 
@@ -429,7 +496,10 @@ final class Application(val name: String, val spark: SparkSession,
                                 timeFormat: String = "%Y-%m-%d %H",
                                 transform: DataFrame => DataFrame = identity)
       : NodeRef = {
-    val series = externalMetricSeries(metric, statistic, periodSecs)
+    // cursor lookback = the alarm's N-of-M window: a new period's state
+    // needs exactly its trailing evaluationPeriods of datapoints
+    val series = externalMetricSeries(metric, statistic, periodSecs,
+      lookbackPeriods = params.evaluationPeriods)
     createMetricAlarm(alarmId, () => transform(series()), params,
       periodSecs, timeFormat)
   }
@@ -789,12 +859,33 @@ final class Application(val name: String, val spark: SparkSession,
       .filter(a => routeId.forall(_ == a.routeId))
 
   /** FINISHED execution history, oldest first (`ascending=false` for
-    * newest first), optionally filtered to one route (reference
-    * get_inactive_compute_records, application.py:4083-4098). */
+    * newest first), with the reference's full filter surface
+    * (get_inactive_compute_records, application.py:4083-4098):
+    * `triggerRange`/`deactivatedRange` are inclusive [from, to] millis
+    * windows on the trigger (start) and deactivation (finish) times;
+    * `slotType` keeps records whose execution ran a slot of that kind
+    * (simple class name — "SqlSlot", "ScalaSlot", "InlinedSlot");
+    * `succeeded` is the session-state filter (the reference's
+    * COMPLETED/FAILED ComputeSessionStateType); `limit` truncates AFTER
+    * ordering, so `ascending=false, limit=N` is "the N most recent". */
   def getInactiveComputeRecords(routeId: Option[String] = None,
-                                ascending: Boolean = true): List[ComputeRecord] = {
-    val base = computeRecords.filter(r => routeId.forall(_ == r.routeId))
-    if (ascending) base else base.reverse
+                                ascending: Boolean = true,
+                                triggerRange: Option[(Long, Long)] = None,
+                                deactivatedRange: Option[(Long, Long)] = None,
+                                slotType: Option[String] = None,
+                                succeeded: Option[Boolean] = None,
+                                limit: Option[Int] = None): List[ComputeRecord] = {
+    val base = computeRecords.filter { r =>
+      routeId.forall(_ == r.routeId) &&
+      triggerRange.forall { case (from, to) =>
+        r.startedAtMillis >= from && r.startedAtMillis <= to } &&
+      deactivatedRange.forall { case (from, to) =>
+        r.finishedAtMillis >= from && r.finishedAtMillis <= to } &&
+      slotType.forall(r.slotKinds.contains) &&
+      succeeded.forall(_ == r.succeeded)
+    }
+    val ordered = if (ascending) base else base.reverse
+    limit.fold(ordered)(ordered.take)
   }
 
   /** Does this view (or any partition of the node) have an execution in
@@ -1155,6 +1246,48 @@ final class Application(val name: String, val spark: SparkSession,
           s"(exported: ${manifest.nodes.map(_.nodeId).mkString(", ")})"))
     importUpstream(id, upstreamRoot, nodeId, node.spec, node.attrs)
   }
+
+  // ---- upstream-context topology queries (reference
+  // import_upstream_application + get_upstream_data/list over the
+  // EXTERNAL_APPS_ONLY scope, application.py:1767,4090) ------------------
+
+  // attached upstream contexts: (upstreamRoot, grant manifest)
+  private var upstreamApps: List[(String, ExportManifest)] = Nil
+
+  /** Attach an upstream application's whole export grant as a queryable
+    * context (reference import_upstream_application): after this,
+    * [[listUpstreamData]] / [[getUpstreamData]] answer topology queries
+    * over everything the upstream exports to this app, without importing
+    * nodes one at a time. Idempotent per root (re-attaching re-reads the
+    * manifest — a re-grant becomes visible). */
+  def importUpstreamApplication(upstreamRoot: String): ExportManifest = {
+    val root = upstreamRoot.stripSuffix("/")
+    val manifest = ExportManifest
+      .load(root, name, spark.sparkContext.hadoopConfiguration)
+      .getOrElse(throw new IllegalArgumentException(
+        s"upstream at $root exports nothing to application '$name'"))
+    synchronized {
+      upstreamApps = upstreamApps.filterNot(_._1 == root) :+ (root -> manifest)
+    }
+    manifest
+  }
+
+  /** Exported node ids per attached upstream app, attach order —
+    * reference list_data over the EXTERNAL_APPS_ONLY scope. */
+  def listUpstreamData: List[(String, List[String])] =
+    upstreamApps.map { case (_, m) => m.upstreamName -> m.nodes.map(_.nodeId) }
+
+  /** Query a node inside the attached upstream contexts by exact id
+    * (reference get_upstream_data, application.py:1767 — get_data scoped
+    * to EXTERNAL_APPS_ONLY): every match becomes an input NodeRef built
+    * from the grant's spec/attrs (same construction as
+    * [[importExported]]), ready to use as a dependency or [[load]]
+    * target. Empty when no attached upstream exports the id. */
+  def getUpstreamData(nodeId: String): List[NodeRef] =
+    upstreamApps.flatMap { case (root, m) =>
+      m.nodes.find(_.nodeId == nodeId)
+        .map(n => importUpstream(nodeId, root, nodeId, n.spec, n.attrs))
+    }
 
   /** Wire a LIVE downstream application for push-based event propagation:
     * completions of exported nodes feed straight into the downstream's

@@ -428,6 +428,23 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     val errApp = intercept[IllegalArgumentException](
       appC.importExported("nope", appA.rootDir, "curated"))
     assert(errApp.getMessage.contains("exports nothing"))
+
+    // upstream topology queries (reference import_upstream_application +
+    // get_upstream_data, application.py:1767): B attaches A's whole grant
+    // and queries it without importing nodes one at a time
+    val manifest = appB.importUpstreamApplication(appA.rootDir)
+    assert(manifest.upstreamName == "appA")
+    assert(appB.listUpstreamData == List("appA" -> List("curated")))
+    val ups = appB.getUpstreamData("curated")
+    assert(ups.map(_.signal.alias) == List("curated"))
+    // the grant-built ref is immediately usable: load the partition A's
+    // cascade materialized above
+    assert(appB.load(ups.head("2026-08-12"))
+      .collect().head.getDouble(1) == 6.0)
+    assert(appB.getUpstreamData("final").isEmpty) // A never exported it
+    // an app with no grant cannot attach the upstream context
+    intercept[IllegalArgumentException](
+      appC.importUpstreamApplication(appA.rootDir))
   }
 
   test("route metrics: counters across success, failure, and TTL expiry") {
@@ -611,6 +628,24 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.getInactiveComputeRecords(Some("slow_act"), ascending = false)
       == done.reverse)
     assert(app.getInactiveComputeRecords(Some("other_route")).isEmpty)
+    // reference filter surface: trigger/deactivated windows, slot type,
+    // session state, limit (application.py:4083-4098)
+    val rec = done.head
+    assert(app.getInactiveComputeRecords(
+      triggerRange = Some((rec.startedAtMillis, rec.startedAtMillis))) == done)
+    assert(app.getInactiveComputeRecords(
+      triggerRange = Some((0L, rec.startedAtMillis - 1))).isEmpty)
+    assert(app.getInactiveComputeRecords(
+      deactivatedRange = Some((rec.finishedAtMillis, Long.MaxValue))) == done)
+    assert(app.getInactiveComputeRecords(
+      deactivatedRange = Some((rec.finishedAtMillis + 1, Long.MaxValue))).isEmpty)
+    assert(rec.slotKinds == List("ScalaSlot"))
+    assert(app.getInactiveComputeRecords(slotType = Some("ScalaSlot")) == done)
+    assert(app.getInactiveComputeRecords(slotType = Some("SqlSlot")).isEmpty)
+    assert(app.getInactiveComputeRecords(succeeded = Some(true)) == done)
+    assert(app.getInactiveComputeRecords(succeeded = Some(false)).isEmpty)
+    assert(app.getInactiveComputeRecords(ascending = false, limit = Some(1))
+      == List(done.last))
     val preview = app.previewData(node("2026-08-12"), limit = 2)
     assert(preview.count() == 2 && preview.columns.contains("amount"))
   }
@@ -662,6 +697,51 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       List(("OK", "2026-08-10"), ("ALARM", "2026-08-11")))
     assert(app.load(node("ALARM", "2026-08-11")).collect()
       .map(_.getString(0)).toSeq == Seq("2026-08-11"))
+  }
+
+  test("partitioned external metric: a poll reads only partitions past the cursor") {
+    val sp = spark; import sp.implicits._
+    val app = new Application("extc", spark, s"$work/app_extc")
+    val store = s"$work/extc_store"
+    def writeDay(day: String, v: Double): Unit =
+      Seq(("m", java.sql.Timestamp.valueOf(s"$day 10:00:00"), v))
+        .toDF("name", "ts", "value")
+        .write.mode("overwrite").parquet(s"$store/day=$day")
+    writeDay("2026-08-01", 1.0); writeDay("2026-08-02", 2.0)
+    writeDay("2026-08-03", 3.0)
+    val metric = app.marshalExternalMetric("m", store,
+      partitionCol = Some("day"), partitionFormat = "%Y-%m-%d")
+    val series = app.externalMetricSeries(metric,
+      graft.diagnostics.MetricStatistic.SUM, 86400L)
+    // first poll establishes the frontier over the full history
+    val first = series()
+    assert(first.orderBy("period_start").collect()
+      .map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(first.inputFiles.exists(_.contains("day=2026-08-01")))
+    // the producer appends two partitions; the next poll must list but
+    // NOT scan the closed history — only the open frontier partition
+    // (producers may still append into it) and the new ones
+    writeDay("2026-08-04", 4.0); writeDay("2026-08-05", 5.0)
+    val second = series()
+    val files = second.inputFiles
+    assert(!files.exists(f =>
+      f.contains("day=2026-08-01") || f.contains("day=2026-08-02")))
+    assert(files.exists(_.contains("day=2026-08-03")))
+    assert(files.exists(_.contains("day=2026-08-04")))
+    assert(files.exists(_.contains("day=2026-08-05")))
+    assert(second.orderBy("period_start").collect()
+      .map(_.getDouble(2)).toSeq == Seq(3.0, 4.0, 5.0))
+    // lookback keeps the alarm's N-of-M trailing window readable: with
+    // lookbackPeriods=2 (daily periods) the poll also retains 08-02
+    val look = app.externalMetricSeries(metric,
+      graft.diagnostics.MetricStatistic.SUM, 86400L, lookbackPeriods = 2)
+    look() // establish frontier at 08-05
+    writeDay("2026-08-06", 6.0)
+    val third = look()
+    assert(!third.inputFiles.exists(_.contains("day=2026-08-01")))
+    assert(third.inputFiles.exists(_.contains("day=2026-08-03")))
+    assert(third.orderBy("period_start").collect()
+      .map(_.getDouble(2)).toSeq == Seq(3.0, 4.0, 5.0, 6.0))
   }
 
   test("dashboards: text + metric + alarm widgets render into one frame") {
