@@ -174,7 +174,7 @@ final class Application(val name: String, val spark: SparkSession,
       execSucceeded: Long, execFailed: Long, pendingNow: Int)
 
   def getRouteMetrics(id: String): Option[RouteMetricsReport] =
-    table.find(id).map { r =>
+    findRoute(id).map { r =>
       val recs = computeRecords.filter(_.routeId == id)
       RouteMetricsReport(id, r.counters,
         recs.count(_.succeeded), recs.count(!_.succeeded),
@@ -184,7 +184,8 @@ final class Application(val name: String, val spark: SparkSession,
   /** Metrics for every active route (reference get_platform_metrics'
     * routing section, application.py:532-599). */
   def getAllRouteMetrics: Map[String, RouteMetricsReport] =
-    table.all.flatMap(r => getRouteMetrics(r.id).map(r.id -> _)).toMap
+    runtimeTables.flatMap(_.all)
+      .flatMap(r => getRouteMetrics(r.id).map(r.id -> _)).toMap
 
   /** The platform/orchestration counters as a METRIC SERIES
     * (name, period_start, value) — the reference's get_platform_metrics
@@ -213,7 +214,7 @@ final class Application(val name: String, val spark: SparkSession,
     val appRows = List(
       "app.computeRecords" -> computeRecords.length.toDouble,
       "app.activeExecutions" -> activeComputePaths.size.toDouble,
-      "app.routes" -> table.all.length.toDouble)
+      "app.routes" -> runtimeTables.flatMap(_.all).length.toDouble)
     (routeRows ++ appRows).map { case (n, v) => (n, at, v) }
       .toDF("name", "period_start", "value")
   }
@@ -697,8 +698,83 @@ final class Application(val name: String, val spark: SparkSession,
     defs.foreach(d => table.add(
       new Route(d.id, d.linkNode, d.output, d.outputLinks, d.ttlMillis, d.hooks)))
     routingTable = Some(table)
+    sharded.foreach(_.releaseAll()) // switching back to single-driver mode
+    sharded = None
+    shardedTargets = None
     appState = AppState.ACTIVE
   }
+
+  // ---- multi-driver (sharded) activation --------------------------------
+
+  private var sharded: Option[graft.routing.ShardedDriver] = None
+  private var shardedTargets: Option[Set[Int]] = None
+
+  /** Compile the dev context into a SHARDED runtime: this instance
+    * becomes ONE driver of the app's multi-driver deployment over
+    * `<rootDir>/sharding/` (reference analog: the Lambda processor +
+    * DynamoDB routing + Glue compute composition,
+    * constructs.py:3293-3433 + processor/aws.py:2746-2803 — many
+    * drivers, one routing store). Route runtime state is split across
+    * `numShards` lease-owned shards ([[graft.routing.ShardedDriver]]);
+    * every driver declares the SAME dev context (route definitions are
+    * factories), and each executes only the routes whose shard lease it
+    * holds. Cross-shard feed-back travels through the at-least-once
+    * inbox, carried by completed output paths with real `_SUCCESS`
+    * markers — exactly the single-driver completion protocol, so a DAG
+    * split across drivers computes the same answer.
+    *
+    * `shards` pins this driver to a subset (deployment policy); None
+    * lets it grab every free shard that has routes. Call
+    * [[shardedCycle]] on the driver's poll cadence for lease renewal,
+    * failover takeover, and inbox folding. Returns completions from any
+    * WAL-recovered mid-flight executions that re-ran during takeover. */
+  def activateSharded(driverId: String, numShards: Int,
+                      shards: Option[Set[Int]] = None,
+                      leaseTimeoutMillis: Long = 10000L,
+                      clock: () => Long = () => System.currentTimeMillis())
+      : List[String] = {
+    require(appState != AppState.DELETED, "application is deleted")
+    val d = new graft.routing.ShardedDriver(s"$rootDir/sharding", driverId,
+      numShards, probe, spark.sparkContext.hadoopConfiguration,
+      leaseTimeoutMillis, clock)
+    defs.foreach(df => d.add(() =>
+      new Route(df.id, df.linkNode, df.output, df.outputLinks,
+        df.ttlMillis, df.hooks)))
+    sharded = Some(d)
+    shardedTargets = shards
+    routingTable = None
+    appState = AppState.ACTIVE
+    shardedCycle()
+  }
+
+  /** One sharded-driver poll cycle: heartbeat held leases, drop shards a
+    * successor fenced away, try to take over free/expired target shards
+    * (failover — the shard WAL replay rebuilds pending nodes and
+    * re-surfaces mid-flight executions, which re-run here), then fold
+    * cross-shard inbox feed-back. Returns completed output paths. */
+  def shardedCycle(): List[String] = {
+    val d = sharded.getOrElse(
+      throw new IllegalStateException("activateSharded() first"))
+    // a PAUSED driver keeps heartbeating (it still holds its shards) but
+    // does not take new ones or fold feed-back until resumed
+    d.renewLeases()
+    d.fencedShards().foreach(d.dropShard)
+    if (appState == AppState.PAUSED) return Nil
+    val targets = shardedTargets.getOrElse(
+      (0 until d.numShards).filter(s =>
+        defs.exists(df => d.shardOf(df.id) == s)).toSet)
+    val recovered = targets.toList.sorted
+      .filterNot(d.ownedShards.contains)
+      .flatMap(s => d.tryAcquireShard(s).getOrElse(Nil))
+    runContexts(recovered) ++ runContexts(d.pollInboxes())
+  }
+
+  /** Shards this driver currently owns (empty when not sharded). */
+  def ownedShards: Set[Int] = sharded.map(_.ownedShards).getOrElse(Set.empty)
+
+  /** The shard a route id lives on under this app's sharded deployment. */
+  def shardOf(routeId: String, numShards: Int): Int =
+    graft.routing.Sharding.shardOf(routeId, numShards)
 
   /** Stop reacting to events; manual execute stays available (reference
     * pause(), application.py:383-391). */
@@ -718,6 +794,9 @@ final class Application(val name: String, val spark: SparkSession,
     * application.py:295-356 — infra removal there, table drop here). */
   def terminate(): Unit = {
     routingTable = None
+    sharded.foreach(_.releaseAll()) // successors claim immediately
+    sharded = None
+    shardedTargets = None
     appState = AppState.INACTIVE
   }
 
@@ -809,7 +888,7 @@ final class Application(val name: String, val spark: SparkSession,
   /** Pending (partially satisfied) runtime nodes per route id — the
     * reference's get_pending_nodes/has_active_routes introspection. */
   def pendingNodeCounts: Map[String, Int] =
-    table.all.map(r => r.id -> r.pendingNodes.length)
+    runtimeTables.flatMap(_.all).map(r => r.id -> r.pendingNodes.length)
       .filter(_._2 > 0).toMap
 
   /** The pending nodes themselves, keyed by route (reference
@@ -819,14 +898,14 @@ final class Application(val name: String, val spark: SparkSession,
     * signals already `ready`, and `createdAtMillis`. */
   def getPendingNodes(routeId: String = null)
       : Map[String, List[graft.routing.RuntimeLinkNode]] =
-    table.all.filter(r => routeId == null || r.id == routeId)
+    runtimeTables.flatMap(_.all).filter(r => routeId == null || r.id == routeId)
       .map(r => r.id -> r.pendingNodes).filter(_._2.nonEmpty).toMap
 
   /** Manually remove one pending node (reference delete_pending_node,
     * application.py:4117-4120): the unblock for a coincidence join whose
     * missing input will never arrive. Returns false when no such node. */
   def deletePendingNode(routeId: String, pendingNodeId: String): Boolean =
-    table.find(routeId).exists(_.removePending(pendingNodeId))
+    findRoute(routeId).exists(_.removePending(pendingNodeId))
 
   /** Route ids with an execution in flight right now (reference
     * get_active_routes — records with active compute; job-group names
@@ -960,7 +1039,12 @@ final class Application(val name: String, val spark: SparkSession,
     * rebuild pending nodes and RE-RUNS executions that were mid-flight
     * (ready but never completed) when the driver died. Returns their
     * completed output paths. */
-  def recover(): List[String] = runContexts(table.recover())
+  def recover(): List[String] = sharded match {
+    // sharded recovery happens per shard at lease takeover (the WAL
+    // replay inside tryAcquireShard) — a cycle drives it
+    case Some(_) => shardedCycle()
+    case None => runContexts(table.recover())
+  }
 
   // ---- dev-context persistence ------------------------------------------
 
@@ -993,6 +1077,17 @@ final class Application(val name: String, val spark: SparkSession,
   private def table: RoutingTable =
     routingTable.getOrElse(throw new IllegalStateException("activate() first"))
 
+  /** Every runtime table this driver holds: the single-driver table, or
+    * the tables of the owned shards in sharded mode. */
+  private def runtimeTables: List[RoutingTable] = sharded match {
+    case Some(d) => d.ownedShards.toList.sorted.flatMap(d.tableOf)
+    case None => List(table)
+  }
+
+  /** Runtime route lookup across the owned tables. */
+  private def findRoute(id: String): Option[graft.routing.Route] =
+    runtimeTables.flatMap(_.find(id)).headOption
+
   private def slotsOf(routeId: String): Seq[Slot] =
     defs.find(_.id == routeId).map(_.slots).getOrElse(Nil)
 
@@ -1006,13 +1101,25 @@ final class Application(val name: String, val spark: SparkSession,
   def process(event: Signal): List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
     if (appState == AppState.PAUSED) Nil
+    // sharded mode: a SIGNAL event folds into the shards this driver
+    // owns (timers fire on the owning driver); the cross-driver
+    // transport is path-based — processPath/complete forward to other
+    // drivers' inboxes, matching the reference's S3-event Lambda feed
+    else if (sharded.isDefined)
+      runContexts(runtimeTables.flatMap(_.receive(event)))
     else runContexts(table.receive(event))
   }
 
-  /** Inject a raw physical partition path as an event. */
+  /** Inject a raw physical partition path as an event. In sharded mode
+    * the path folds into owned shards AND forwards to the inbox of every
+    * other shard with an accepting route — any driver can ingest any
+    * event. */
   def processPath(path: String): List[String] =
     if (appState == AppState.PAUSED) Nil
-    else runContexts(table.receivePath(path))
+    else sharded match {
+      case Some(d) => runContexts(d.receivePath(path))
+      case None => runContexts(table.receivePath(path))
+    }
 
   /** Re-check every pending node's completion probes without a new event
     * and run whatever became ready (the reference processor's periodic
@@ -1023,7 +1130,7 @@ final class Application(val name: String, val spark: SparkSession,
     * marker stream. */
   def sweep(): List[String] =
     if (appState == AppState.PAUSED) Nil
-    else table.sweepPending().flatMap { ctx =>
+    else runtimeTables.flatMap(_.sweepPending()).flatMap { ctx =>
       // per-context isolation: sweep has no caller who could retry a
       // thrown execution (unlike process/execute), and the ready node
       // already left the pending list — one failure must not also abort
@@ -1055,7 +1162,7 @@ final class Application(val name: String, val spark: SparkSession,
   private def runContexts(ctxs: List[ExecutionContext]): List[String] = {
     ctxs.flatMap { ctx =>
       val hooks = defs.find(_.id == ctx.routeId).map(_.hooks).getOrElse(RouteHooks.none)
-      val route = table.find(ctx.routeId).get
+      val route = findRoute(ctx.routeId).get
       // an execution already in flight for the same materialized output
       // (concurrent executeAsync / overlapping event) — skip, don't stack
       // (reference on_exec_skipped, constructs.py:3475-3486). The check
@@ -1104,10 +1211,19 @@ final class Application(val name: String, val spark: SparkSession,
         case w => w
       }
       completed.flatMap { path =>
-        table.markComplete(Seq(path))
-        // feed-back: local downstream routes, then exported-node push to
-        // connected downstream applications
-        path :: (processPath(path) ++ propagateToDownstreams(path))
+        sharded match {
+          case Some(d) =>
+            // mark + re-offer on owned shards; consuming shards owned by
+            // OTHER drivers get ("c","e") inbox messages and fold the
+            // completion on their next shardedCycle
+            path :: (runContexts(d.complete(path)) ++
+              propagateToDownstreams(path))
+          case None =>
+            table.markComplete(Seq(path))
+            // feed-back: local downstream routes, then exported-node push
+            // to connected downstream applications
+            path :: (processPath(path) ++ propagateToDownstreams(path))
+        }
       }
   }
 
@@ -1148,8 +1264,12 @@ final class Application(val name: String, val spark: SparkSession,
     * target path plus every downstream completion. */
   def executeWithDependents(target: NodeRef, recursive: Boolean = false): List[String] = {
     val path = execute(target, recursive)
-    table.markComplete(Seq(path))
-    path :: processPath(path)
+    sharded match {
+      case Some(d) => path :: runContexts(d.complete(path))
+      case None =>
+        table.markComplete(Seq(path))
+        path :: processPath(path)
+    }
   }
 
   /** E4 async execution: the ComputeSessionState analog — a Future handle;

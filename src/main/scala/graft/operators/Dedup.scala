@@ -383,6 +383,56 @@ object Dedup {
       meta("shingleN").toInt)
   }
 
+  /** Fold an ingested batch INTO a saved parquet index in place — the
+    * maintenance step that keeps the daily loop O(batch) end to end:
+    * without it a loaded index is read-only and absorbing yesterday's
+    * batch means re-hashing the whole corpus into a fresh build. The
+    * batch's signatures/gram-hashes APPEND to `sigs/`/`grams/` (row-level
+    * tables — parquet append is exactly the right merge), and its banded
+    * buckets MERGE list-wise into `buckets/` (flatten per (band,
+    * band_hash) key, written aside and swapped in, so the scan of the old
+    * table never races its own overwrite). A probe of the updated index
+    * produces the same verified pairs as probing a from-scratch rebuild
+    * of corpus+batch (suite-pinned): bucket-list order differs, but pair
+    * emission explodes + distincts, and the maxBucketSize guard sees the
+    * same TOTAL list sizes because lists merge before any probe filters.
+    *
+    * NOT crash-atomic across the three sub-tables: a failure mid-update
+    * can leave sigs appended but grams/buckets stale. The daily driver
+    * should snapshot `path` (cheap rename) before updating, or rebuild
+    * from the raw corpus on a failed update — both restore a consistent
+    * index; re-running a PARTIALLY applied update would duplicate rows.
+    * Batch ids must be disjoint from corpus ids (the usual ingest
+    * contract; duplicate ids would double-count in bucket lists). */
+  def updateNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newDf: DataFrame,
+                         textCol: String): Unit = {
+    val idx = loadNearDupIndex(spark, path, persist = false)
+    val idCol = idx.idCol
+    // checkpoint: the batch signatures feed both the append and the
+    // banding below — hash the batch once
+    val newSigs = minhashSignatures(newDf, textCol, idCol, idx.k, idx.shingleN)
+      .localCheckpoint()
+    val newGrams = spread(newDf)
+      .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
+    val newBuckets = bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands)
+      .groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("__ids"))
+    // merged bucket table lands beside the live one, then swaps in
+    idx.buckets.unionByName(newBuckets)
+      .groupBy("band", "band_hash")
+      .agg(flatten(collect_list(col("__ids"))).as("__ids"))
+      .write.mode("overwrite").parquet(s"$path/buckets_next")
+    newSigs.write.mode("append").parquet(s"$path/sigs")
+    newGrams.write.mode("append").parquet(s"$path/grams")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/buckets"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/buckets_next"),
+      new org.apache.hadoop.fs.Path(s"$path/buckets"))
+    ()
+  }
+
   /** Incremental near-dup for the daily-ingest shape: candidates between a
     * NEW batch and an EXISTING corpus index only — new-vs-new and
     * existing-vs-existing pairs never form. Output: (d1 = new id, d2 =

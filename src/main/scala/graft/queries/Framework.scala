@@ -423,6 +423,53 @@ object Framework {
       app.load(node("2026-08-11")).orderBy("o_orderstatus")
     }),
 
+    // ---- J8/B2 multi-driver END-TO-END: the DAG splits across two
+    // driver INSTANCES over a shared store — the upstream SqlSlot
+    // executes on driver A (managed write + _SUCCESS), its completion
+    // crosses shards through the at-least-once inbox, and driver B runs
+    // the downstream over the real managed output on its poll cycle
+    // (reference composition: Lambda processor + DynamoDB routing +
+    // Glue compute, constructs.py:3293-3433 + processor/aws.py:2746-2803)
+    "fw15_multi_driver" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      val root = s"$w/app_fw15"
+      // fresh multi-driver state per run: leases/WALs/inboxes from an
+      // earlier run must not leak into this one
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      // route ids pinned to opposite shards of a 2-shard ring
+      val upId = (0 to 99).map(i => s"up_agg_$i")
+        .find(id => graft.routing.Sharding.shardOf(id, 2) == 0).get
+      val downId = (0 to 99).map(i => s"down_sum_$i")
+        .find(id => graft.routing.Sharding.shardOf(id, 2) == 1).get
+      // every driver declares the SAME dev context (the ShardedDriver
+      // contract); only runtime shard ownership differs
+      def mkDriver(): Application = {
+        val app = new Application("fw15", s, root)
+        val src = app.marshalExternalData("orders_daily",
+          s"$w/orders_daily", daySpec)
+        val up = app.createData(upId, Seq(src.latest(1)), Seq(SqlSlot(
+          """SELECT o_orderpriority, COUNT(*) AS order_cnt
+             FROM orders_daily GROUP BY o_orderpriority""")))
+        app.createData(downId, Seq(up), Seq(SqlSlot(
+          s"""SELECT CAST(SUM(order_cnt) AS BIGINT) AS total_orders,
+                     COUNT(*) AS n_priorities FROM $upId""")))
+        app
+      }
+      val dA = mkDriver(); val dB = mkDriver()
+      dA.activateSharded("A", 2, shards = Some(Set(0)))
+      dB.activateSharded("B", 2, shards = Some(Set(1)))
+      // the source event lands on A → upstream executes there; B folds
+      // the cross-shard completion on its cycle → downstream executes
+      dA.processPath(s"$w/orders_daily/${fmt(maxDay)}")
+      dB.shardedCycle()
+      val out = dB.load(dB.getData(downId).get(fmt(maxDay)))
+      dA.terminate(); dB.terminate()
+      out
+    }),
+
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
     "fw06_range_expansion" -> ((s, dir) => {
@@ -542,6 +589,16 @@ object Framework {
     "fw09_timezone" ->
       """SELECT '2026-08-11' AS pst_day, o_orderstatus, COUNT(*) AS order_cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "fw15_multi_driver" ->
+      """WITH up AS (
+           SELECT o_orderpriority, COUNT(*) AS order_cnt
+           FROM orders
+           WHERE CAST(o_orderdate AS DATE) =
+             (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+           GROUP BY o_orderpriority)
+         SELECT CAST(SUM(order_cnt) AS BIGINT) AS total_orders,
+                COUNT(*) AS n_priorities
+         FROM up""",
     "fw06_range_expansion" ->
       """SELECT STRFTIME(d, '%Y-%m-%d') AS day
          FROM (SELECT UNNEST(GENERATE_SERIES(

@@ -71,6 +71,78 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sharded multi-driver: real DAG split, cross-shard feed-back, kill-one failover") {
+    // route ids pinned to opposite shards of a 2-shard ring (same
+    // consistent hash every driver computes)
+    val upId = (0 to 99).map(i => s"ms_up_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 0).get
+    val downId = (0 to 99).map(i => s"ms_down_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 1).get
+    val root = s"$work/app_msd"
+    var now = 0L
+    val clock = () => now
+    @volatile var failUpstream = false
+    // every driver declares the SAME dev context; only shard ownership
+    // differs at runtime
+    def mkDriver(): Application = {
+      val app = new Application("msd", spark, root)
+      val src = app.marshalExternalData("src", s"$work/src", daySpec)
+      val up = app.createData(upId, Seq(src.latest(1)),
+        Seq(graft.compute.ScalaSlot { c =>
+          if (failUpstream)
+            throw new RuntimeException("injected upstream failure")
+          c.input("src").groupBy("day").agg(
+            org.apache.spark.sql.functions.sum("amount")
+              .cast("double").as("total"))
+        }))
+      app.createData(downId, Seq(up), Seq(SqlSlot(
+        s"SELECT day, total * 10 AS scaled FROM $upId")))
+      app
+    }
+    val dA = mkDriver(); val dB = mkDriver()
+    dA.activateSharded("A", 2, shards = Some(Set(0)),
+      leaseTimeoutMillis = 1000, clock = clock)
+    dB.activateSharded("B", 2, leaseTimeoutMillis = 1000, clock = clock)
+    assert(dA.ownedShards == Set(0) && dB.ownedShards == Set(1))
+
+    // day 1: the event lands on A; the upstream SqlSlot executes there
+    // (managed parquet + _SUCCESS); the downstream belongs to B's shard,
+    // so its trigger crosses drivers through the inbox
+    val cA = dA.processPath(s"$work/src/2026-08-12")
+    assert(cA.exists(_.endsWith(s"$upId/2026-08-12")))
+    assert(!cA.exists(_.contains(downId)))
+    val cB = dB.shardedCycle()
+    assert(cB.exists(_.endsWith(s"$downId/2026-08-12")))
+    val down = dB.getData(downId).get
+    assert(dB.load(down("2026-08-12")).collect().head.getDouble(1) == 30.0)
+
+    // day 2: A ingests the event (WAL-logged) but dies mid-flight —
+    // the execution fails before any completion
+    val sp = spark; import sp.implicits._
+    Seq(("2026-08-13", 5.0), ("2026-08-13", 6.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/src/2026-08-13")
+    failUpstream = true
+    intercept[RuntimeException](dA.processPath(s"$work/src/2026-08-13"))
+    failUpstream = false
+    // A stops heartbeating; past the timeout B's cycle takes over the
+    // expired shard, replays its WAL, re-executes the mid-flight
+    // upstream, and — owning both shards now — feeds the downstream
+    // locally
+    now = 2000
+    val cB2 = dB.shardedCycle()
+    assert(dB.ownedShards == Set(0, 1))
+    assert(cB2.exists(_.endsWith(s"$upId/2026-08-13")))
+    assert(cB2.exists(_.endsWith(s"$downId/2026-08-13")))
+    assert(dB.load(down("2026-08-13")).collect().head.getDouble(1) == 110.0)
+    // the COMPLETED day-1 execution did not re-run at takeover: its
+    // _SUCCESS marker filtered it from the replay's mid-flight set
+    assert(!cB2.exists(_.endsWith(s"$upId/2026-08-12")))
+    // the dead driver discovers it was fenced and drops the shard
+    dA.shardedCycle()
+    assert(dA.ownedShards.isEmpty)
+    dA.terminate(); dB.terminate()
+  }
+
   test("avro round-trips through the generic format path (S1/S6)") {
     // spark-avro is an external module (built-in since 2.4 but deployed
     // separately); this container ships only avro-core, so the test cancels

@@ -380,6 +380,46 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally built.unpersist()
   }
 
+  test("updateNearDupIndex folds a batch in place == from-scratch rebuild") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "completely different content about catalyst optimizer internals"),
+      (2L, "another unrelated doc on shuffle partitioning and skew"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "fresh novel text that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    // day-2 batch has near-dups against BOTH the original corpus and the
+    // folded-in day-1 batch — the probe must see the merged buckets
+    val day2 = Seq(
+      (200L, "completely different content about catalyst optimizer internals"),
+      (201L, "fresh novel text that matches nothing in the corpus at all"),
+      (202L, "totally singular content unlike anything else anywhere"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndupd").toString
+    val built = Dedup.buildNearDupIndex(corpus, "text", "doc_id")
+    try {
+      Dedup.saveNearDupIndex(built, dir)
+      Dedup.updateNearDupIndex(spark, dir, day1, "text")
+      val updated = Dedup.loadNearDupIndex(spark, dir)
+      val rebuilt = Dedup.buildNearDupIndex(corpus.unionByName(day1),
+        "text", "doc_id")
+      try {
+        def probe(idx: Dedup.NearDupIndex) =
+          Dedup.incrementalJaccardPairs(day2, idx, "text",
+            minJaccard = 0.9, maxBucketSize = 1000)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .toSet
+        val viaUpdated = probe(updated)
+        assert(viaUpdated == probe(rebuilt))
+        assert(viaUpdated.map(p => (p._1, p._2)) ==
+          Set((200L, 1L), (201L, 101L)))
+      } finally { updated.unpersist(); rebuilt.unpersist() }
+    } finally built.unpersist()
+  }
+
   test("line dedup removes corpus-common lines, keeps blanks and unique text") {
     val sp = spark; import sp.implicits._
     val df = Seq(
