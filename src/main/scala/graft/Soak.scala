@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Clustering, Dedup, Similarity}
 
 /** Scale soak (VERDICT r3 item 10): run the scale-critical dedup ops on a
   * 10× corpus (sf0.1 documents replicated with perturbed ids/text) PLUS a
@@ -86,11 +86,28 @@ object Soak {
       return
     }
 
-    // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000
-    val (p07Pairs, tP07) = if (only == "ivf") (0L, 0.0) else timed(
-      Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
-        k = 64, bands = 16, shingleN = 2, minJaccard = 0.9,
-        maxBucketSize = 1000).count())
+    // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000.
+    // The verified pairs are checkpointed and REUSED as the p14 input —
+    // the soak's duplicate graph is the true one (copy-chains collapse
+    // into one component per base doc), not a synthetic edge list.
+    val (p07Pairs, tP07, p14Comps, tP14) =
+      if (only == "ivf") (0L, 0.0, 0L, 0.0)
+      else {
+        val (pairsDf, tPairs) = timed( // localCheckpoint is eager
+          Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
+            k = 64, bands = 16, shingleN = 2, minJaccard = 0.9,
+            maxBucketSize = 1000).localCheckpoint())
+        val nPairs = pairsDf.count()
+        // p14 shape: connected components over EVERY corpus id with the
+        // verified near-dup pairs as edges — at copies=100 this is the
+        // first soak of the O(log d) pointer-jumping loop on a graph with
+        // ~copies-sized cliques per base doc
+        val (comps, tCc) = timed(
+          Clustering.connectedComponents(corpus.select("doc_id"), "doc_id",
+            pairsDf)
+            .agg(countDistinct("component")).collect().head.getLong(0))
+        (nPairs, tPairs, comps, tCc)
+      }
     val (buckets, maxBucket, dropped, avoided) =
       if (only == "ivf") (0L, 0L, 0L, 0L)
       else {
@@ -202,7 +219,7 @@ object Soak {
     }
 
     println(
-      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"ivf_k":$ivfK,"ivf_vecs":$nVecs,"ivf_build_sec":$tIvfBuild%.1f,"ivf_query_sec":$tIvfQuery%.1f,"ivf_top":$ivfTop,"ivf_cells":$nCells,"ivf_max_cell":$maxCell,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
+      f"""{"soak":"10x","docs":$nDocs,"copies":$copies,"boilerplate":$boiler,"stage_sec":$tStage%.1f,"p07_sec":$tP07%.1f,"p07_pairs":$p07Pairs,"p14_sec":$tP14%.1f,"p14_components":$p14Comps,"lsh_buckets":$buckets,"lsh_max_bucket":$maxBucket,"lsh_dropped_buckets":$dropped,"lsh_pairs_avoided":$avoided,"p13_sec":$tP13%.1f,"p13_pairs":$p13Pairs,"ivf_k":$ivfK,"ivf_vecs":$nVecs,"ivf_build_sec":$tIvfBuild%.1f,"ivf_query_sec":$tIvfQuery%.1f,"ivf_top":$ivfTop,"ivf_cells":$nCells,"ivf_max_cell":$maxCell,"index_sec":$tIndex%.1f,"p18_sec":$tP18%.1f,"p18_pairs":$p18Pairs}""")
     spark.stop()
   }
 }

@@ -169,6 +169,40 @@ final case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two EQUAL-LENGTH long arrays agree — the
+  * MinHash estimated-Jaccard kernel: est J = eqCount / k. Replaces the
+  * `size(filter(zip_with(a, b, eq), identity))` composition, which
+  * allocates two intermediate 64-element arrays per compared pair —
+  * at 10⁷+ candidate pairs the allocation churn made the ESTIMATE-only
+  * path slower than the exact gram verify (100× soak: 121 s vs 47 s).
+  * One fused loop, zero allocation. Arrays of unequal length compare
+  * over the common prefix (callers always pass same-k signatures). */
+final case class PositionalEqCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_eq_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ExprTypeChecks.longArray(left.dataType, prettyName, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.longArray(right.dataType, prettyName, "right")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.positionalEqCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextVectorKernels.positionalEqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All ordered pairs (i < j positions) of a SORTED distinct long array,
   * as array<struct<d1,d2>> — the in-bucket candidate-pair emission of the
   * collected-bucket dedup shape. Replaces the
@@ -538,6 +572,18 @@ object TextVectorKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Position-wise equality count over the common prefix — see
+    * [[PositionalEqCount]]. */
+  def positionalEqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 
   /** Merge-count of two sorted distinct long arrays — see

@@ -70,6 +70,12 @@ object Dedup {
       graft.expressions.HashedGramsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  private def positionalEqCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PositionalEqCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   private def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.SortedIntersectCount(
@@ -232,12 +238,16 @@ object Dedup {
       .localCheckpoint()
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     // verify: re-join the (numDocs-sized) signature table on each side
+    // est J = positional agreement / k via the zero-allocation codegen
+    // kernel — the zip_with→filter→size composition allocated two
+    // 64-element arrays per pair, which at 10⁷+ candidates made the
+    // estimate-only path SLOWER than the exact gram verify (100× soak:
+    // 121 s vs 47 s; post-kernel reading in BASELINE.md)
     pairs
       .join(sigs.select(col(idCol).as("d1"), col("sig").as("sig1")), "d1")
       .join(sigs.select(col(idCol).as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1"), col("d2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / k)
+        (positionalEqCount(col("sig1"), col("sig2")).cast("double") / k)
           .as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
   }

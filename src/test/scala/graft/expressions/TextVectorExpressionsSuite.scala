@@ -166,6 +166,26 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("PositionalEqCount equals the zip_with/filter/size composition") {
+    val sp = spark; import sp.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val rnd = new scala.util.Random(7)
+    // same-length pairs (the MinHash shape: both sigs have k elements),
+    // with heavy value collisions so agreement counts are non-trivial
+    val cases = (0 until 60).map { _ =>
+      val k = 1 + rnd.nextInt(64)
+      (Seq.fill(k)(rnd.nextInt(5).toLong), Seq.fill(k)(rnd.nextInt(5).toLong))
+    } ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(Long.MinValue, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val rows = cases.toDF("a", "b").select(
+      bridge.column(PositionalEqCount(
+        bridge.expression(col("a")), bridge.expression(col("b")))).as("k"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) =>
+        when(x === y, 1).otherwise(0)), v => v === 1)).as("o")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("hashed-set jaccard equals string-set jaccard on the edge corpus") {
     val sp = spark; import sp.implicits._
     val bridge = org.apache.spark.sql.GraftColumnBridge
