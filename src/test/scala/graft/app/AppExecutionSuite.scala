@@ -143,6 +143,64 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     dA.terminate(); dB.terminate()
   }
 
+  test("cross-process multi-driver: a forked JVM runs the downstream over the shared store") {
+    // The in-process sharded test above shares one SparkSession; this one
+    // forks a REAL second driver process (own JVM, own SparkSession) that
+    // attaches the saved dev context, owns the downstream shard, and
+    // executes its SqlSlot — the only shared medium is the filesystem,
+    // which is exactly the production multi-driver contract.
+    val upId = (0 to 99).map(i => s"xp_up_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 0).get
+    val downId = (0 to 99).map(i => s"xp_down_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 1).get
+    val root = s"$work/app_xpd"
+    val appA = new Application("xpd", spark, root)
+    val src = appA.marshalExternalData("src", s"$work/src", daySpec)
+    val up = appA.createData(upId, Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    appA.createData(downId, Seq(up), Seq(SqlSlot(
+      s"SELECT day, total * 10 AS scaled FROM $upId")))
+    appA.saveDevState()
+    appA.activateSharded("A", 2, shards = Some(Set(0)))
+
+    // fork driver B: same classpath and module opens as this test JVM
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments).asScala.toList.filterNot(_.startsWith("-Xmx"))
+    val cmd = List(javaBin) ++ jvmArgs ++ List("-Xmx3g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.app.ShardedDriverMain", "xpd", root, "1", "B", "120000")
+    val procB = new ProcessBuilder(cmd: _*).inheritIO().start()
+    try {
+      val ready = java.nio.file.Paths.get(root, "driver-ready-B")
+      val bootDeadline = System.currentTimeMillis() + 120000
+      while (!java.nio.file.Files.exists(ready) &&
+          System.currentTimeMillis() < bootDeadline) Thread.sleep(200)
+      assert(java.nio.file.Files.exists(ready), "driver B never came up")
+
+      // the event lands on A; the upstream executes HERE; the downstream
+      // completion crosses the process boundary through the inbox
+      val cA = appA.processPath(s"$work/src/2026-08-12")
+      assert(cA.exists(_.endsWith(s"$upId/2026-08-12")))
+      assert(!cA.exists(_.contains(downId)))
+      val downSuccess = new org.apache.hadoop.fs.Path(
+        s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+      val fs = downSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val execDeadline = System.currentTimeMillis() + 90000
+      while (!fs.exists(downSuccess) &&
+          System.currentTimeMillis() < execDeadline) Thread.sleep(300)
+      assert(fs.exists(downSuccess),
+        "driver B never completed the downstream partition")
+      val out = spark.read.parquet(s"$root/internal_data/$downId/2026-08-12")
+      assert(out.collect().head.getAs[Double]("scaled") == 30.0)
+    } finally {
+      procB.destroy()
+      procB.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      appA.terminate()
+    }
+  }
+
   test("avro round-trips through the generic format path (S1/S6)") {
     // spark-avro is an external module (built-in since 2.4 but deployed
     // separately); this container ships only avro-core, so the test cancels
