@@ -360,6 +360,26 @@ final class Application(val name: String, val spark: SparkSession,
 
   private var metricAlarms: List[(NodeRef, graft.diagnostics.MetricAlarmDef)] = Nil
 
+  /** Declared metric-backed alarm lookup (reference get_alarm,
+    * application.py — query over alarm nodes; plain [[marshalAlarm]]
+    * refs are unregistered pass-throughs and not returned here). */
+  def getAlarm(id: String): Option[NodeRef] =
+    metricAlarms.find(_._2.alarmId == id).map(_._1)
+
+  /** Declared external-metric lookup (reference get_metric): a fresh
+    * all-pass ref carrying the four fixed metric dimensions (same
+    * construction as the original [[marshalExternalMetric]] return). */
+  def getMetric(id: String): Option[NodeRef] =
+    externalMetrics.get(id).map { d =>
+      val spec = DimSpec.pretty(
+        "name" -> (DimType.STRING, Map.empty[String, Any]),
+        "statistic" -> (DimType.STRING, Map.empty[String, Any]),
+        "period" -> (DimType.LONG, Map.empty[String, Any]),
+        "time" -> (DimType.DATETIME, Map[String, Any]("format" -> d.timeFormat)))
+      NodeRef(this, Signal(d.id, SignalSource.external(d.rootPath),
+        spec, DimFilter.allPassFor(spec)))
+    }
+
   /** An EXTERNALLY-produced metric store declaration: raw metric rows
     * (nameCol, timeCol, valueCol) under `rootPath` in `format`,
     * optionally narrowed to constant sub-dimension column values —
@@ -369,7 +389,8 @@ final class Application(val name: String, val spark: SparkSession,
       nameCol: String, timeCol: String, valueCol: String,
       options: Map[String, String], subDimensions: Map[String, String],
       partitionCol: Option[String] = None,
-      partitionFormat: String = "%Y-%m-%d")
+      partitionFormat: String = "%Y-%m-%d",
+      timeFormat: String = "%Y-%m-%d %H")
 
   private var externalMetrics: Map[String, ExternalMetricDef] = Map.empty
 
@@ -397,7 +418,7 @@ final class Application(val name: String, val spark: SparkSession,
       s"external metric '$id' already declared")
     externalMetrics += id -> ExternalMetricDef(id, rootPath.stripSuffix("/"),
       format, nameCol, timeCol, valueCol, options, subDimensions,
-      partitionCol, partitionFormat)
+      partitionCol, partitionFormat, timeFormat)
     val spec = DimSpec.pretty(
       "name" -> (DimType.STRING, Map.empty[String, Any]),
       "statistic" -> (DimType.STRING, Map.empty[String, Any]),
@@ -1130,12 +1151,23 @@ final class Application(val name: String, val spark: SparkSession,
     * marker stream. */
   def sweep(): List[String] =
     if (appState == AppState.PAUSED) Nil
-    else runtimeTables.flatMap(_.sweepPending()).flatMap { ctx =>
-      // per-context isolation: sweep has no caller who could retry a
-      // thrown execution (unlike process/execute), and the ready node
-      // already left the pending list — one failure must not also abort
-      // the other ready nodes. The failed partition is redeemable via
-      // recover() (its events are WAL-logged) or manual backfill.
+    else runIsolated(runtimeTables.flatMap(_.sweepPending()))
+
+  /** [[sweep]] narrowed to ONE route (reference
+    * update_active_route_status, application.py:2016-2018; [[sweep]] is
+    * the update_active_routes_status form): re-check only this route's
+    * pending completion probes and run whatever became ready. */
+  def sweepRoute(routeId: String): List[String] =
+    if (appState == AppState.PAUSED) Nil
+    else runIsolated(runtimeTables.flatMap(_.sweepPendingRoute(routeId)))
+
+  /** Per-context isolation for sweeps: no caller could retry a thrown
+    * execution (unlike process/execute), and the ready node already left
+    * the pending list — one failure must not also abort the other ready
+    * nodes. The failed partition is redeemable via recover() (its events
+    * are WAL-logged) or manual backfill. */
+  private def runIsolated(ctxs: List[ExecutionContext]): List[String] =
+    ctxs.flatMap { ctx =>
       try runContexts(List(ctx))
       catch {
         case e: Throwable =>
@@ -1396,6 +1428,11 @@ final class Application(val name: String, val spark: SparkSession,
     * reference list_data over the EXTERNAL_APPS_ONLY scope. */
   def listUpstreamData: List[(String, List[String])] =
     upstreamApps.map { case (_, m) => m.upstreamName -> m.nodes.map(_.nodeId) }
+
+  /** (upstream app name, root) of every attached upstream context —
+    * reference get_upstream_applications. */
+  def getUpstreamApplications: List[(String, String)] =
+    upstreamApps.map { case (root, m) => (m.upstreamName, root) }
 
   /** Query a node inside the attached upstream contexts by exact id
     * (reference get_upstream_data, application.py:1767 — get_data scoped

@@ -264,6 +264,16 @@ final class RoutingTable(probe: PathProbe,
       routes.filter(_.pendingNodes.nonEmpty).flatMap(_.sweep(cachingProbe, nowMillis))
     }
 
+  /** [[sweepPending]] narrowed to ONE route (reference
+    * update_active_route_status → check_active_route). */
+  def sweepPendingRoute(id: String,
+                        nowMillis: Long = System.currentTimeMillis())
+      : List[ExecutionContext] =
+    synchronized {
+      routes.filter(r => r.id == id && r.pendingNodes.nonEmpty)
+        .flatMap(_.sweep(cachingProbe, nowMillis))
+    }
+
   /** Pre-seed known-complete paths (transfer_ranges analog). */
   def markComplete(paths: Iterable[String]): Unit = synchronized {
     cachingProbe.markComplete(paths)

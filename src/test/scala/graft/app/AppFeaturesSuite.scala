@@ -434,6 +434,7 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     // and queries it without importing nodes one at a time
     val manifest = appB.importUpstreamApplication(appA.rootDir)
     assert(manifest.upstreamName == "appA")
+    assert(appB.getUpstreamApplications == List(("appA", appA.rootDir)))
     assert(appB.listUpstreamData == List("appA" -> List("curated")))
     val ups = appB.getUpstreamData("curated")
     assert(ups.map(_.signal.alias) == List("curated"))
@@ -542,8 +543,12 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     // the late partition lands WITHOUT any event (external writer)
     Seq(("2026-08-12", 10.0)).toDF("day", "amount")
       .coalesce(1).write.mode("overwrite").parquet(s"$late/2026-08-12")
+    // per-route form (reference update_active_route_status): a sweep of
+    // some OTHER route must not complete this one's pending node
+    assert(app.sweepRoute("no_such_route").isEmpty)
+    assert(app.pendingNodeCounts.getOrElse("sum2", 0) == 1)
     // no event arrives — only the orchestration-cycle sweep can finish it
-    val completed = app.sweep()
+    val completed = app.sweepRoute("sum2")
     assert(completed.exists(_.endsWith("sum2/2026-08-12")),
       s"sweep did not complete the pending join: $completed")
     // cross join of 3 src rows x 1 late row: sum(s)=6, sum(l)=10*3=30
@@ -697,6 +702,13 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       List(("OK", "2026-08-10"), ("ALARM", "2026-08-11")))
     assert(app.load(node("ALARM", "2026-08-11")).collect()
       .map(_.getString(0)).toSeq == Seq("2026-08-11"))
+    // typed lookups (reference get_metric / get_alarm)
+    assert(app.getMetric("lat").map(_.signal.alias).contains("lat"))
+    assert(app.getMetric("lat").get.signal.spec.flatten.flatMap(_.name) ==
+      List("name", "statistic", "period", "time"))
+    assert(app.getMetric("nope").isEmpty)
+    assert(app.getAlarm("lat_alarm").map(_.signal.alias).contains("lat_alarm"))
+    assert(app.getAlarm("nope").isEmpty)
   }
 
   test("partitioned external metric: a poll reads only partitions past the cursor") {

@@ -51,6 +51,40 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
   }
 
+  test("marker stream feeds a sharded deployment across drivers") {
+    val sp = spark
+    import sp.implicits._
+    // the consuming route lives on shard 1, owned by driver B; the
+    // marker stream watches on driver A — stream-observed completions
+    // must cross drivers through the inbox like any other path event
+    val nodeId = (0 to 99).map(i => s"st_daily_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 1).get
+    val srcRoot = s"$work/shstream_src"
+    Seq(("2026-08-12", 1.0), ("2026-08-12", 2.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/2026-08-12")
+    val root = s"$work/app_shstream"
+    def mkDriver(): Application = {
+      val app = new Application("shstream", spark, root)
+      val src = app.marshalExternalData("src", srcRoot, daySpec)
+      app.createData(nodeId, Seq(src.latest(1)), Seq(SqlSlot(
+        "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+      app
+    }
+    val dA = mkDriver(); val dB = mkDriver()
+    dA.activateSharded("A", 2, shards = Some(Set(0)))
+    dB.activateSharded("B", 2, shards = Some(Set(1)))
+    new MarkerStream(dA, Seq(srcRoot), s"$work/ckpt_sharded").start()
+      .awaitTermination(60000)
+    // A owns no consuming shard — the stream forwarded, nothing ran here
+    assert(dA.getInactiveComputeRecords().isEmpty)
+    val done = dB.shardedCycle()
+    assert(done.exists(_.endsWith(s"$nodeId/2026-08-12")),
+      s"stream event did not cross drivers: $done")
+    val node = dB.getData(nodeId).get
+    assert(dB.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
+    dA.terminate(); dB.terminate()
+  }
+
   test("late _SUCCESS marker still fires the completion (pending re-check)") {
     val sp = spark
     import sp.implicits._
