@@ -366,19 +366,91 @@ final class Application(val name: String, val spark: SparkSession,
   def getAlarm(id: String): Option[NodeRef] =
     metricAlarms.find(_._2.alarmId == id).map(_._1)
 
-  /** Declared external-metric lookup (reference get_metric): a fresh
-    * all-pass ref carrying the four fixed metric dimensions (same
-    * construction as the original [[marshalExternalMetric]] return). */
+  /** The four fixed metric dimensions every metric node carries
+    * (reference MetricDimension, metric_alarm_defs.py). */
+  private def metricNodeRef(id: String, rootPath: String,
+                            timeFormat: String): NodeRef = {
+    val spec = DimSpec.pretty(
+      "name" -> (DimType.STRING, Map.empty[String, Any]),
+      "statistic" -> (DimType.STRING, Map.empty[String, Any]),
+      "period" -> (DimType.LONG, Map.empty[String, Any]),
+      "time" -> (DimType.DATETIME, Map[String, Any]("format" -> timeFormat)))
+    NodeRef(this, Signal(id, SignalSource.external(rootPath),
+      spec, DimFilter.allPassFor(spec)))
+  }
+
+  /** Declared metric lookup, internal or external (reference get_metric):
+    * a fresh all-pass ref carrying the four fixed metric dimensions (same
+    * construction as the original create/marshal return). */
   def getMetric(id: String): Option[NodeRef] =
-    externalMetrics.get(id).map { d =>
-      val spec = DimSpec.pretty(
-        "name" -> (DimType.STRING, Map.empty[String, Any]),
-        "statistic" -> (DimType.STRING, Map.empty[String, Any]),
-        "period" -> (DimType.LONG, Map.empty[String, Any]),
-        "time" -> (DimType.DATETIME, Map[String, Any]("format" -> d.timeFormat)))
-      NodeRef(this, Signal(d.id, SignalSource.external(d.rootPath),
-        spec, DimFilter.allPassFor(spec)))
+    internalMetrics.get(id)
+      .map(d => metricNodeRef(d.id, s"graft-metric://$name/${d.id}", d.timeFormat))
+      .orElse(externalMetrics.get(id)
+        .map(d => metricNodeRef(d.id, d.rootPath, d.timeFormat)))
+
+  /** App-owned runtime metric store — the reference's
+    * `runtime_platform.diagnostics` (application.py:697-707): compute
+    * code emits into groups declared by [[createMetric]], e.g.
+    * `app.diagnostics("metric_group1")("Error").emit(1.0, ts)`. */
+  lazy val diagnostics: graft.diagnostics.Diagnostics =
+    new graft.diagnostics.Diagnostics(spark)
+
+  private final case class InternalMetricDef(id: String,
+      subDimensions: Map[String, String], timeFormat: String)
+  private var internalMetrics: Map[String, InternalMetricDef] = Map.empty
+
+  /** Internal metric-group declaration (reference create_metric,
+    * application.py:671-750). The group id is the metric-instance
+    * discriminator — the reference adds it as an implicit sub-dimension,
+    * so the same Name emitted under two different groups never
+    * contributes to the same metric instance; here every emission record
+    * carries its group and [[internalMetricSeries]] filters on it. Emit
+    * at runtime through [[diagnostics]]; alarm via
+    * [[createInternalMetricAlarm]]. */
+  def createMetric(id: String,
+                   subDimensions: Map[String, String] = Map.empty,
+                   timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
+    require(!internalMetrics.contains(id) && !externalMetrics.contains(id),
+      s"metric '$id' already declared")
+    internalMetrics += id -> InternalMetricDef(id, subDimensions, timeFormat)
+    metricNodeRef(id, s"graft-metric://$name/$id", timeFormat)
+  }
+
+  /** Statistic series over one Name of an internal metric group — shape
+    * (name, period_start, value), the [[createMetricAlarm]] input
+    * contract (the reference's metric["Name"][stat][period] selection,
+    * application.py:714-721). `name = None` evaluates every Name in the
+    * group. Lazy: each call re-reads the store, so a monitor poll sees
+    * everything emitted since the last poll. */
+  def internalMetricSeries(metric: NodeRef,
+                           statistic: graft.diagnostics.MetricStatistic,
+                           periodSecs: Long,
+                           name: Option[String] = None): () => DataFrame = {
+    val id = metric.signal.alias
+    require(internalMetrics.contains(id),
+      s"'$id' is not an internal metric (declare via createMetric)")
+    () => {
+      import org.apache.spark.sql.functions.col
+      val raw = diagnostics.df.where(col("group") === id)
+      val narrowed = name.fold(raw)(n => raw.where(col("name") === n))
+      graft.diagnostics.Metrics.evaluate(narrowed,
+        "name", "value", "time", periodSecs, statistic)
     }
+  }
+
+  /** Alarm on one Name of an internal metric group (the reference's
+    * create_alarm over a create_metric node, application.py:826-1005):
+    * [[createMetric]] + emission + this = declare → emit → alarm →
+    * trigger, all in-app. */
+  def createInternalMetricAlarm(alarmId: String, metric: NodeRef,
+                                metricName: String,
+                                statistic: graft.diagnostics.MetricStatistic,
+                                params: graft.diagnostics.AlarmParams,
+                                periodSecs: Long,
+                                timeFormat: String = "%Y-%m-%d %H"): NodeRef =
+    createMetricAlarm(alarmId,
+      internalMetricSeries(metric, statistic, periodSecs, Some(metricName)),
+      params, periodSecs, timeFormat)
 
   /** An EXTERNALLY-produced metric store declaration: raw metric rows
     * (nameCol, timeCol, valueCol) under `rootPath` in `format`,
@@ -414,18 +486,12 @@ final class Application(val name: String, val spark: SparkSession,
                             timeFormat: String = "%Y-%m-%d %H",
                             partitionCol: Option[String] = None,
                             partitionFormat: String = "%Y-%m-%d"): NodeRef = {
-    require(!externalMetrics.contains(id),
-      s"external metric '$id' already declared")
+    require(!externalMetrics.contains(id) && !internalMetrics.contains(id),
+      s"metric '$id' already declared")
     externalMetrics += id -> ExternalMetricDef(id, rootPath.stripSuffix("/"),
       format, nameCol, timeCol, valueCol, options, subDimensions,
       partitionCol, partitionFormat, timeFormat)
-    val spec = DimSpec.pretty(
-      "name" -> (DimType.STRING, Map.empty[String, Any]),
-      "statistic" -> (DimType.STRING, Map.empty[String, Any]),
-      "period" -> (DimType.LONG, Map.empty[String, Any]),
-      "time" -> (DimType.DATETIME, Map[String, Any]("format" -> timeFormat)))
-    NodeRef(this, Signal(id, SignalSource.external(rootPath),
-      spec, DimFilter.allPassFor(spec)))
+    metricNodeRef(id, rootPath, timeFormat)
   }
 
   /** Statistic series over a marshaled external metric — shape

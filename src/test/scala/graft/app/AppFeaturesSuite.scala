@@ -711,6 +711,56 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.getAlarm("nope").isEmpty)
   }
 
+  test("internal metric: declare, emit, alarm, and trigger downstream") {
+    val app = new Application("intm", spark, s"$work/app_intm")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two groups — the reference's create_metric docstring semantics: the
+    // same Name emitted under different groups never contributes to the
+    // same metric instance
+    val g1 = app.createMetric("metric_group1", timeFormat = "%Y-%m-%d")
+    val g2 = app.createMetric("metric_group2", timeFormat = "%Y-%m-%d")
+    assert(g1.signal.spec.flatten.flatMap(_.name) ==
+      List("name", "statistic", "period", "time"))
+    intercept[IllegalArgumentException](app.createMetric("metric_group1"))
+    // id namespace is shared with external metrics both ways
+    intercept[IllegalArgumentException](
+      app.marshalExternalMetric("metric_group1", s"$work/nowhere"))
+    assert(app.getMetric("metric_group1").map(_.signal.alias)
+      .contains("metric_group1"))
+    val alarm = app.createInternalMetricAlarm("g1_err", g1, "Error",
+      graft.diagnostics.MetricStatistic.SUM,
+      graft.diagnostics.AlarmParams(2.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1), 86400L,
+      timeFormat = "%Y-%m-%d")
+    val node = app.createData("on_g1_err", Seq(alarm("ALARM", "*")),
+      Seq(graft.compute.SqlSlot("SELECT '{time}' AS day")))
+    app.activate()
+    // emissions into group2 must NOT alarm group1 even under the same Name
+    app.diagnostics("metric_group2")("Error").emit(5.0, ts("2026-08-10 10:00:00"))
+    val monitor = app.alarmMonitor()
+    assert(monitor.poll().isEmpty)
+    // group1 breach: 1.0 + 2.0 on the 11th sums past the threshold
+    app.diagnostics("metric_group1")("Error").emit(1.0, ts("2026-08-11 09:00:00"))
+    app.diagnostics("metric_group1")("Error").emit(2.0, ts("2026-08-11 15:00:00"))
+    // an emission under a DIFFERENT Name in group1 stays out of the series
+    app.diagnostics("metric_group1")("Success").emit(100.0, ts("2026-08-11 16:00:00"))
+    val transitions = app.alarmMonitor().poll()
+    assert(transitions.map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("ALARM", "2026-08-11")))
+    assert(app.load(node("ALARM", "2026-08-11")).collect()
+      .map(_.getString(0)).toSeq == Seq("2026-08-11"))
+    // the full-group series (name = None) sees both Names
+    val all = app.internalMetricSeries(g1,
+      graft.diagnostics.MetricStatistic.SUM, 86400L)()
+      .orderBy("name").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(all == Seq(("Error", 3.0), ("Success", 100.0)))
+    // a series over an undeclared group is rejected
+    intercept[IllegalArgumentException](app.internalMetricSeries(
+      app.marshalExternalData("plainx", s"$work/nowhere", daySpec),
+      graft.diagnostics.MetricStatistic.SUM, 86400L))
+  }
+
   test("partitioned external metric: a poll reads only partitions past the cursor") {
     val sp = spark; import sp.implicits._
     val app = new Application("extc", spark, s"$work/app_extc")
