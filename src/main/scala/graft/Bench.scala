@@ -25,7 +25,13 @@ import org.apache.spark.sql.SparkSession
   *   rep-to-rep spread; the detail shows it);
   * - `"loadavg"` records the 1-min /proc/loadavg read at the START of
   *   each rep sweep plus a final read — a reading taken at load 8 on a
-  *   32-cpu box explains itself.
+  *   32-cpu box explains itself;
+  * - `"window"` states the adjudication outright: "calm" when at least
+  *   one sweep started below load 2 (interleaving then guarantees every
+  *   query got a calm rep for its min to land in), "loaded" when none
+  *   did — in a loaded artifact even the mins are inflated and the
+  *   honest comparison is a calm re-run, not the prior round's number
+  *   (the r9 artifact, all sweeps at load ≥ 3.9, read 2-8x high).
   * Headline `"queries"` values remain the per-query MIN across reps
   * (default SPARK_GRAFT_BENCH_REPS=3), comparable with every prior round.
   */
@@ -107,7 +113,12 @@ object Bench {
       else errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson$errJson,"sf":"$sfDir"}""")
+    // sweep-START readings only (the final read reflects the bench's own
+    // load); unavailable /proc/loadavg (-1) never counts as calm
+    val sweepStarts = loads.dropRight(1)
+    val window =
+      if (sweepStarts.exists(l => l >= 0 && l < 2.0)) "calm" else "loaded"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"window":"$window"$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

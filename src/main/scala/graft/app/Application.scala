@@ -433,8 +433,10 @@ final class Application(val name: String, val spark: SparkSession,
       import org.apache.spark.sql.functions.col
       val raw = diagnostics.df.where(col("group") === id)
       val narrowed = name.fold(raw)(n => raw.where(col("name") === n))
+      // count-weighted: value-count pair emissions carry count > 1
       graft.diagnostics.Metrics.evaluate(narrowed,
-        "name", "value", "time", periodSecs, statistic)
+        "name", "value", "time", periodSecs, statistic,
+        countCol = Some("count"))
     }
   }
 

@@ -49,30 +49,62 @@ final class Diagnostics(spark: SparkSession) {
 }
 
 /** Supported statistics (reference metric_alarm_defs.py:14-133). */
-sealed trait MetricStatistic { def agg(valueCol: String): Column }
+sealed trait MetricStatistic {
+  def agg(valueCol: String): Column
+  /** Count-weighted form (CloudWatch value-count semantics: a pair
+    * (v, c) is the value v observed c times — reference
+    * MetricValueCountPairData, metric_alarm_defs.py:184-194, which
+    * "adapts AWS CW default behaviour"). Row-wise `agg` is the
+    * countCol-of-all-ones special case. */
+  def weightedAgg(valueCol: String, countCol: String): Column
+}
 object MetricStatistic {
-  case object SUM extends MetricStatistic { def agg(c: String) = sum(col(c)) }
-  case object AVG extends MetricStatistic { def agg(c: String) = avg(col(c)) }
-  case object MIN extends MetricStatistic { def agg(c: String) = min(col(c)) }
-  case object MAX extends MetricStatistic { def agg(c: String) = max(col(c)) }
-  case object SAMPLE_COUNT extends MetricStatistic { def agg(c: String) = count(col(c)) }
-  /** Exact interpolated percentile (matches DuckDB quantile_cont). */
+  case object SUM extends MetricStatistic {
+    def agg(c: String) = sum(col(c))
+    def weightedAgg(c: String, n: String) = sum(col(c) * col(n))
+  }
+  case object AVG extends MetricStatistic {
+    def agg(c: String) = avg(col(c))
+    def weightedAgg(c: String, n: String) = sum(col(c) * col(n)) / sum(col(n))
+  }
+  case object MIN extends MetricStatistic {
+    def agg(c: String) = min(col(c))
+    def weightedAgg(c: String, n: String) = min(col(c))
+  }
+  case object MAX extends MetricStatistic {
+    def agg(c: String) = max(col(c))
+    def weightedAgg(c: String, n: String) = max(col(c))
+  }
+  case object SAMPLE_COUNT extends MetricStatistic {
+    def agg(c: String) = count(col(c))
+    def weightedAgg(c: String, n: String) = sum(col(n))
+  }
+  /** Exact interpolated percentile (matches DuckDB quantile_cont);
+    * weighted via the built-in percentile's frequency argument. */
   final case class Percentile(p: Double) extends MetricStatistic {
     def agg(c: String) = expr(s"percentile($c, $p)")
+    def weightedAgg(c: String, n: String) =
+      expr(s"percentile($c, $p, cast($n as bigint))")
   }
 }
 
 object Metrics {
 
   /** M2: one statistic per (name, tumbling period). Output:
-    * (name, period_start timestamp, value double). */
+    * (name, period_start timestamp, value double). `countCol` switches
+    * to count-weighted statistics (value-count pair emissions — see
+    * [[MetricStatistic.weightedAgg]]); without it each row is one
+    * observation. */
   def evaluate(metrics: DataFrame, nameCol: String, valueCol: String,
                timeCol: String, periodSecs: Long,
-               statistic: MetricStatistic): DataFrame =
+               statistic: MetricStatistic,
+               countCol: Option[String] = None): DataFrame =
     metrics
       .groupBy(col(nameCol).as("name"),
         window(col(timeCol), s"$periodSecs seconds").as("w"))
-      .agg(statistic.agg(valueCol).cast("double").as("value"))
+      .agg(countCol.fold(statistic.agg(valueCol))(
+          statistic.weightedAgg(valueCol, _))
+        .cast("double").as("value"))
       .select(col("name"), col("w.start").as("period_start"), col("value"))
 
   /** All standard statistics at once (the reference's metric spec surface). */

@@ -36,6 +36,16 @@ class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val avg = Metrics.evaluate(diag.df, "name", "value", "time", 300,
       MetricStatistic.AVG).orderBy("period_start").collect()
     assert(avg.head.getDouble(2) == 2.0)
+    // count-weighted (CW value-count semantics): the (2.0, 3) pair is the
+    // value 2.0 observed three times
+    def weighted(st: MetricStatistic) =
+      Metrics.evaluate(diag.df, "name", "value", "time", 300, st,
+        countCol = Some("count")).orderBy("period_start").collect()
+        .map(_.getDouble(2)).toSeq
+    assert(weighted(MetricStatistic.SUM) == Seq(4.0, 5.0, 6.0))
+    assert(weighted(MetricStatistic.SAMPLE_COUNT) == Seq(2.0, 1.0, 3.0))
+    assert(weighted(MetricStatistic.AVG) == Seq(2.0, 5.0, 2.0))
+    assert(weighted(MetricStatistic.Percentile(0.5)) == Seq(2.0, 5.0, 2.0))
   }
 
   test("metric math: expression over aliased series feeds an alarm") {
