@@ -166,6 +166,34 @@ object DiagnosticsQueries {
         .orderBy("day")
     }),
 
+    // ---- M2 weighted: count-weighted statistics (CloudWatch value-count
+    // pair semantics — (v, c) is v observed c times). The count column is
+    // synthesized deterministically from row content; the oracle replays
+    // the SEMANTIC rule by expanding the multiset (one row per count unit)
+    // and computing plain statistics over it — so the weighted aggregates
+    // are verified against an implementation-independent ground truth.
+    "m07_weighted_stats" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("value",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .withColumn("cnt",
+          (length(col("event_type")) + dayofmonth(col("ts"))) % 3 + 1)
+      def stat(st: MetricStatistic, alias: String) =
+        Metrics.evaluate(ev, "event_type", "value", "ts", DaySecs, st,
+          countCol = Some("cnt")).withColumnRenamed("value", alias)
+      stat(MetricStatistic.SUM, "wsum")
+        .join(stat(MetricStatistic.SAMPLE_COUNT, "wcount"),
+          Seq("name", "period_start"))
+        .join(stat(MetricStatistic.Percentile(0.5), "wp50"),
+          Seq("name", "period_start"))
+        .select(col("name"),
+          date_format(col("period_start"), "yyyy-MM-dd").as("day"),
+          round(col("wsum"), 4).as("wsum"),
+          col("wcount").cast("long").as("wcount"),
+          round(col("wp50"), 4).as("wp50"))
+        .orderBy("name", "day")
+    }),
+
     // ---- M4: composite of two alarms: errors & ~purchases
     "m03_composite_alarm" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -272,6 +300,22 @@ object DiagnosticsQueries {
          SELECT STRFTIME(d, '%Y-%m-%d') AS day
          FROM tr WHERE state = 'ALARM' AND (prev IS NULL OR prev <> 'ALARM')
          ORDER BY day""",
+    "m07_weighted_stats" ->
+      """WITH base AS (
+           SELECT event_type AS name,
+             DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(value AS DECIMAL(18,4)) AS v,
+             (LENGTH(event_type)
+               + EXTRACT(DAY FROM CAST(ts AS TIMESTAMP))) % 3 + 1 AS cnt
+           FROM events),
+         nums AS (SELECT UNNEST([1, 2, 3]) AS n),
+         expanded AS (
+           SELECT name, d, v FROM base JOIN nums ON nums.n <= base.cnt)
+         SELECT name, STRFTIME(d, '%Y-%m-%d') AS day,
+           ROUND(CAST(SUM(v) AS DOUBLE), 4) AS wsum,
+           CAST(COUNT(*) AS BIGINT) AS wcount,
+           ROUND(QUANTILE_CONT(CAST(v AS DOUBLE), 0.5), 4) AS wp50
+         FROM expanded GROUP BY 1, 2 ORDER BY name, day""",
     "m03_composite_alarm" ->
       """WITH mk AS (
            SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
