@@ -171,6 +171,43 @@ object Soak {
       return
     }
 
+    // "update" = durable-index lifecycle at scale: build over the
+    // replicated corpus, save to parquet, fold an ingested batch in place
+    // (updateNearDupIndex — the daily-loop path that must NOT re-hash the
+    // corpus), then probe the updated index. The scale claim under test:
+    // update cost tracks the BATCH size, not the corpus size, so
+    // update_sec must stay far below index build+save even at copies=100.
+    if (only == "update") {
+      val ixPath = s"/tmp/graft_soak_index_${ProcessHandle.current().pid()}"
+      val (_, tBuild) = timed {
+        val ix = Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+          k = 64, bands = 16, shingleN = 2, persist = false)
+        Dedup.saveNearDupIndex(ix, ixPath)
+      }
+      // the ingested batch: base-corpus sized (1/copies of the index),
+      // disjoint ids, near-dup text so probes hit real buckets
+      val batch = base.select((col("doc_id") + 950000000L).as("doc_id"),
+        concat(col("text"), lit(" upd")).as("text"))
+      val (nBatch, _) = timed(batch.count())
+      val (_, tUpdate) = timed(
+        Dedup.updateNearDupIndex(spark, ixPath, batch, "text"))
+      val (updated, tLoad) = timed {
+        val ix = Dedup.loadNearDupIndex(spark, ixPath, persist = true)
+        ix.sigs.count(); ix.grams.count(); ix.buckets.count()
+        ix
+      }
+      val probe = base.select((col("doc_id") + 970000000L).as("doc_id"),
+        concat(col("text"), lit(" probe")).as("text"))
+      val (nProbePairs, tProbe) = timed(
+        Dedup.incrementalJaccardPairs(probe, updated, "text",
+          minJaccard = 0.9, maxBucketSize = 1000).count())
+      updated.unpersist()
+      println(
+        f"""{"soak":"update","docs":$nDocs,"batch":$nBatch,"build_save_sec":$tBuild%.1f,"update_sec":$tUpdate%.1f,"reload_sec":$tLoad%.1f,"probe_sec":$tProbe%.1f,"probe_pairs":$nProbePairs}""")
+      spark.stop()
+      return
+    }
+
     // p13 shape: embedding near-dup on a replicated embedding corpus
     // (copies get a tiny per-copy scale: same plane signature — sign bits
     // are scale-invariant — and cosine exactly 1 to the original)

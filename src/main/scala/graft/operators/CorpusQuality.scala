@@ -44,4 +44,35 @@ object CorpusQuality {
         avg(log((col("__c") + 1).cast("double") /
           lit((total + v).toDouble))).as("mean_logprob"))
   }
+
+  /** Domain/source-level filtering (Gopher arXiv:2112.11446 App. A and
+    * RefinedWeb arXiv:2306.01116 §3.1 curate at the SOURCE level on top
+    * of per-document filters — a spammy domain poisons all its pages,
+    * including the individually-plausible ones): aggregate a
+    * per-document quality `score` (any Column, e.g.
+    * [[graft.functions.TextFunctions.qualityScore]]) by source and keep
+    * documents whose source's MEAN score clears `minSourceScore`.
+    *
+    * Scale shape: one map-side-combined groupBy(source) over the
+    * codegen'd score — the aggregate output is |sources| rows (domains,
+    * not documents) — broadcast back onto the document table, which
+    * therefore never shuffles. The mean is summed in DECIMAL of the
+    * 4-dp-rounded score, so it is exact and order-independent at any
+    * parallelism (a double sum's value would depend on partitioning).
+    *
+    * Returns the surviving documents with their source's
+    * `source_quality` appended. */
+  def filterBySourceQuality(df: DataFrame,
+                            score: org.apache.spark.sql.Column,
+                            sourceCol: String,
+                            minSourceScore: Double): DataFrame = {
+    val scored = df.withColumn("__q",
+      round(score, 4).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+    val perSource = scored.groupBy(col(sourceCol)).agg(
+      round(sum(col("__q")).cast("double") / count(lit(1)), 4)
+        .as("source_quality"))
+    scored.drop("__q").join(
+      broadcast(perSource.where(col("source_quality") >= minSourceScore)),
+      Seq(sourceCol))
+  }
 }

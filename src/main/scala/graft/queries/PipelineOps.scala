@@ -451,6 +451,18 @@ object PipelineOps {
       graft.operators.Packing.packSequences(scored, "n_tokens", "doc_id",
         seqLen = 512)
         .orderBy("doc_id")
+    }),
+
+    // ---- source/domain-level filtering (Gopher / RefinedWeb): drop every
+    // document of a source whose MEAN composite quality misses the floor —
+    // the per-source mean is a decimal sum of 4-dp scores so it is exact
+    // at any parallelism, and the threshold splits the sf sources
+    "p31_source_filter" -> ((s, dir) => {
+      graft.operators.CorpusQuality.filterBySourceQuality(
+          docs(s, dir), qualityScore(col("text")), "source",
+          minSourceScore = 0.8750)
+        .select(col("doc_id"), col("source"), col("source_quality"))
+        .orderBy("doc_id")
     })
   )
 
@@ -821,6 +833,29 @@ object PipelineOps {
            FROM documents WHERE doc_id < 40)
          SELECT doc_id, md5(text) AS text_hash FROM batch
          WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+         ORDER BY doc_id""",
+    "p31_source_filter" ->
+      """WITH scored AS (
+           SELECT doc_id, source,
+             CAST(ROUND(
+               GREATEST(0.0, LEAST(1.0, (
+                 (1.0 - ABS(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x IN ('the','a','an','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\s+')) - 0.2) * 2.0)
+                 + (1.0 - ABS(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     x -> LENGTH(x))) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\s+')) - 5.0) / 5.0)
+                 + (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                     / CAST(LENGTH(text) AS DOUBLE) * 5.0)) / 3.0)), 4)
+               AS DECIMAL(18,4)) AS q
+           FROM documents),
+         per_source AS (
+           SELECT source,
+             ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS source_quality
+           FROM scored GROUP BY source)
+         SELECT s.doc_id, s.source, p.source_quality
+         FROM scored s JOIN per_source p USING (source)
+         WHERE p.source_quality >= 0.8750
          ORDER BY doc_id"""
   )
 }

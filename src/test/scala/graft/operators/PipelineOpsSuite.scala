@@ -466,6 +466,35 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("source filter drops every doc of a low-quality source, broadcast plan") {
+    val sp = spark; import sp.implicits._
+    val natural = "the quick brown fox jumps over the lazy dog and runs on for a while today"
+    val spam = "$$$ !!! buy now ### @@@ win %%% &&& *** ((( ))) ___ +++ === ~~~"
+    val df = Seq(
+      (0L, natural, "good.example"), (1L, natural + " again", "good.example"),
+      // one natural-looking page on the spam domain — per-doc filters keep
+      // it; the SOURCE-level mean drops it with its domain
+      (2L, natural + " tonight", "spam.example"),
+      (3L, spam, "spam.example"), (4L, spam + " !!!", "spam.example")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusQuality.filterBySourceQuality(df,
+      TextFunctions.qualityScore(col("text")), "source", minSourceScore = 0.5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L))
+    assert(out.columns.contains("source_quality"))
+    // every good.example doc keeps its source's (identical) mean score
+    assert(out.select("source_quality").distinct().count() == 1)
+    // the document table must not shuffle: the per-source aggregate comes
+    // back via a broadcast hash join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // threshold at the exact source mean keeps the source (>= semantics)
+    val mean = out.select("source_quality").head().getDouble(0)
+    assert(CorpusQuality.filterBySourceQuality(df,
+      TextFunctions.qualityScore(col("text")), "source", mean)
+      .count() == 2)
+  }
+
   test("shared spans pair exactly the docs containing a verbatim token run") {
     val sp = spark; import sp.implicits._
     val span = "one two three four five"
