@@ -87,6 +87,83 @@ object Similarity {
     buildIndex(df, vecCol, idCol, planes, persist = false)
       .topK(queryVec, k, probeBits)
 
+  /** Batched brute-force top-k JOIN: every row of `queries` gets its k
+    * nearest `corpus` rows by exact cosine. O(|Q|·|N|) pairs — the
+    * correctness baseline and the small-Q path; use [[lshTopKJoin]] when
+    * both sides are large. Output (query_id, idCol, cosine, rank). */
+  def cosineTopKJoin(queries: DataFrame, corpus: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Batched ANN top-k JOIN via hyperplane LSH — the distributed form of
+    * [[AnnIndex.topK]] for a whole DataFrame of queries at once
+    * (contamination probes, hard-negative mining, batch retrieval):
+    * both sides hash to `planes`-bit signatures, each query probes its
+    * own bucket plus every bucket within hamming `probeBits` (same
+    * multi-probe recall story as the single-query path — measured
+    * ledger in BASELINE.md), candidates meet on a signature EQUI-join,
+    * and exact cosine reranks per query.
+    *
+    * Scale shape: the probe table explodes only (query_id, signature) —
+    * 16 bytes × (1 + planes + planes·(planes−1)/2) per query, never the
+    * vector — so the fan-out is narrow; query vectors re-attach by
+    * query_id once per surviving candidate. With `broadcastQueries`
+    * (default) both query-side joins broadcast — zero shuffle of the
+    * corpus; set it false for corpus-scale query sets, where the
+    * signature join shuffles both sides on the 8-byte key instead. A
+    * corpus row in a probed bucket meets each query exactly once (one
+    * signature per corpus row, distinct probe signatures), so no
+    * dedup pass is needed. Self-pairs are kept deliberately: a query
+    * that exists in the corpus ranks itself first (what the
+    * contamination use-case wants) — filter `query_id != idCol`
+    * downstream if not. */
+  def lshTopKJoin(queries: DataFrame, corpus: DataFrame,
+                  vecCol: String, idCol: String, k: Int,
+                  planes: Int = 8, probeBits: Int = 1,
+                  broadcastQueries: Boolean = true): DataFrame = {
+    val pb = AnnIndex.effectiveProbeBits(probeBits)
+    val csig = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      planeSignature(col(vecCol), planes).as("__sig"))
+    val qsig = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      planeSignature(col(vecCol), planes).as("__qsig"))
+    val probes: Seq[Column] = {
+      val self = Seq(col("__qsig"))
+      val ones =
+        if (pb >= 1) (0 until planes).map(i => col("__qsig").bitwiseXOR(lit(1L << i)))
+        else Nil
+      val twos =
+        if (pb >= 2)
+          for { i <- 0 until planes; j <- (i + 1) until planes }
+            yield col("__qsig").bitwiseXOR(lit((1L << i) | (1L << j)))
+        else Nil
+      self ++ ones ++ twos
+    }
+    val probeTable = qsig.select(col("query_id"),
+      explode(array(probes: _*)).as("__sig"))
+    val qvecs = qsig.select(col("query_id"), col("__qv"))
+    val (probeSide, vecSide) =
+      if (broadcastQueries) (broadcast(probeTable), broadcast(qvecs))
+      else (probeTable, qvecs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    csig.join(probeSide, "__sig")
+      .join(vecSide, "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Precomputed, optionally persisted signature table: the stored-index
     * path for repeated ANN queries — the corpus scan + signature compute
     * happens once, every query is a bucket-pruned rerank. */

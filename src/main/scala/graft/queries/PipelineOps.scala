@@ -453,6 +453,25 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- batched ANN join: one planted colinear query per corpus vector
+    // 1..8 — positive scaling preserves the sign signature (same bucket by
+    // construction) and cosine exactly 1, so each query's top-1 must be
+    // its source (max real-real cosine ≈ 0.51 can never outrank it)
+    "p32_ann_join" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = embs(s, dir).select("vec_id", "embedding")
+      val queries = corpus.where(col("vec_id").between(1, 8))
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.5f) + col("vec_id").cast("float") / lit(10f)))
+            .as("embedding"))
+      Similarity.lshTopKJoin(queries, corpus, "embedding", "vec_id",
+          k = 1, planes = 6, probeBits = 1)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id")
+    }),
+
     // ---- source/domain-level filtering (Gopher / RefinedWeb): drop every
     // document of a source whose MEAN composite quality misses the floor —
     // the per-source mean is a decimal sum of 4-dp scores so it is exact
@@ -834,6 +853,10 @@ object PipelineOps {
          SELECT doc_id, md5(text) AS text_hash FROM batch
          WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
          ORDER BY doc_id""",
+    "p32_ann_join" ->
+      """SELECT CAST(20001 + range AS BIGINT) AS query_id,
+         CAST(1 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(8) ORDER BY query_id""",
     "p31_source_filter" ->
       """WITH scored AS (
            SELECT doc_id, source,

@@ -466,6 +466,38 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batched ANN join retrieves planted neighbors; paths agree") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    // queries: scaled copies of vectors 3 and 17 — same signature bucket,
+    // cosine exactly 1 to their source
+    val queries = corpus.where(col("vec_id").isin(3L, 17L))
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val ann = Similarity.lshTopKJoin(queries, corpus, "embedding", "vec_id",
+      k = 3, planes = 4, probeBits = 2)
+    val top1 = ann.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(103L -> 3L, 117L -> 17L))
+    // brute-force baseline finds the same top-1
+    val brute = Similarity.cosineTopKJoin(queries, corpus, "embedding",
+      "vec_id", k = 3)
+    val bruteTop1 = brute.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bruteTop1 == top1)
+    // the shuffle path (broadcastQueries = false) returns identical rows
+    val shuffled = Similarity.lshTopKJoin(queries, corpus, "embedding",
+      "vec_id", k = 3, planes = 4, probeBits = 2, broadcastQueries = false)
+    assert(shuffled.orderBy("query_id", "rank").collect().toSeq ==
+      ann.orderBy("query_id", "rank").collect().toSeq)
+    // candidates meet on an equi-join: no cartesian/BNLJ in the ANN plan
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("source filter drops every doc of a low-quality source, broadcast plan") {
     val sp = spark; import sp.implicits._
     val natural = "the quick brown fox jumps over the lazy dog and runs on for a while today"
