@@ -154,6 +154,40 @@ object StreamingDedup {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming NEAR-dup ingest over a durable parquet
+    * [[graft.operators.Dedup]] index: each micro-batch is (1) probed
+    * against the index — flagged (new id, corpus id, jaccard) pairs
+    * append to `pairsOut` — and (2) folded into the index in place
+    * ([[graft.operators.Dedup.updateNearDupIndex]]), so a later batch is
+    * checked against every earlier one AND the original corpus without
+    * re-hashing history: the O(batch) incremental contract inside
+    * Structured Streaming. State lives in the index files, not the
+    * stream — nothing here grows with the corpus in executor memory.
+    *
+    * Delivery caveat: foreachBatch is at-least-once — a replayed batch
+    * re-appends its rows to the index and re-flags the same pairs
+    * (probe correctness is unaffected; dedupe `pairsOut` downstream on
+    * (d1, d2) if exact-once pairs matter, and compact the index for
+    * storage hygiene after a crash replay). Start the returned writer
+    * with `.option("checkpointLocation", ...).start()`. */
+  def nearDupIngest(stream: DataFrame, indexPath: String, textCol: String,
+                    pairsOut: String, minJaccard: Double = 0.9,
+                    maxBucketSize: Int = 1000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.localCheckpoint() // probe + update hash it once
+          val idx = graft.operators.Dedup.loadNearDupIndex(spark, indexPath,
+            persist = false)
+          graft.operators.Dedup.incrementalJaccardPairs(b, idx, textCol,
+              minJaccard, maxBucketSize)
+            .write.mode("append").parquet(pairsOut)
+          graft.operators.Dedup.updateNearDupIndex(spark, indexPath, b, textCol)
+        }
+    }
 }
 
 object StreamingMetrics {

@@ -354,6 +354,42 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Set(1L, 2L, 4L)) // the duplicate (id 3) was dropped
   }
 
+  test("streaming near-dup ingest probes and maintains the durable index") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val long =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val other =
+      "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq((1L, long),
+      (2L, "completely different corpus content about catalyst codegen"))
+      .toDF("doc_id", "text")
+    val ixPath = s"$work/stream_ndix"
+    graft.operators.Dedup.saveNearDupIndex(
+      graft.operators.Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, persist = false), ixPath)
+    val pairsOut = s"$work/stream_ndpairs"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        ixPath, "text", pairsOut)
+      .option("checkpointLocation", s"$work/stream_ndckpt").start()
+    // batch 1: a near-dup of corpus doc 1 + a fresh doc
+    mem.addData((10L, long + " extra"), (11L, other))
+    q.processAllAvailable()
+    // batch 2: a near-dup of BATCH 1's fresh doc — only flagged if the
+    // index was folded forward between batches
+    mem.addData((20L, other + " tail"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(pairsOut)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (20L, 11L)),
+      s"streamed near-dup pairs wrong: $pairs")
+  }
+
   test("coincidence trigger fires once when all required inputs arrive") {
     val sp = spark
     import sp.implicits._
