@@ -208,6 +208,41 @@ object Soak {
       return
     }
 
+    // "annjoin" = batched ANN join at scale: Q planted queries (scaled
+    // copies of distinct corpus vectors — same signature bucket, cosine 1
+    // to their source) against the replicated embedding corpus via ONE
+    // lshTopKJoin call. Reports wall seconds and planted top-1 recall —
+    // the throughput/recall pair a batch-retrieval user needs.
+    if (only == "annjoin") {
+      val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(spark.range(copies.toLong).toDF("copy"))
+        .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
+            .as("embedding")).localCheckpoint()
+      val nCorpus = embAll.count()
+      val qn = sys.env.getOrElse("SPARK_GRAFT_ANNJOIN_QUERIES", "1000").toLong
+      val queries = embAll.where(col("vec_id") < qn)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val (top, tJoin) = timed(
+        Similarity.lshTopKJoin(queries, embAll, "embedding", "vec_id",
+            k = 10, planes = 8, probeBits = 1)
+          .localCheckpoint())
+      // every copy of a base vector is colinear (cosine 1.0 ties), so the
+      // provable claim is FAMILY recall: the top-1 must share the query's
+      // source's base id (ties break to the lowest id in the family)
+      val hits = top.where(col("rank") === 1 &&
+        floor(col("vec_id") / lit(copies)) ===
+          floor((col("query_id") - 10000000L) / lit(copies))).count()
+      val nPairs = top.count()
+      println(
+        f"""{"soak":"annjoin","corpus":$nCorpus,"queries":$qn,"join_sec":$tJoin%.1f,"result_rows":$nPairs,"planted_top1_recall":${hits.toDouble / qn}%.3f}""")
+      spark.stop()
+      return
+    }
+
     // p13 shape: embedding near-dup on a replicated embedding corpus
     // (copies get a tiny per-copy scale: same plane signature — sign bits
     // are scale-invariant — and cosine exactly 1 to the original)
