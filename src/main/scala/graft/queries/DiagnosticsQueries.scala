@@ -166,6 +166,49 @@ object DiagnosticsQueries {
         .orderBy("day")
     }),
 
+    // ---- INTERNAL metric declaration → runtime emission → alarm → node:
+    // the createMetric path end-to-end (reference create_metric,
+    // application.py:671-750) — the metric group is declared in-app, the
+    // events table is replayed through the runtime diagnostics store (the
+    // emission face compute code uses), and the monitor evaluates the
+    // SAME scale-invariant daily series as m05, so the oracle replays
+    // identical ground truth while the Spark side exercises a disjoint
+    // code path (in-memory store + internalMetricSeries, not file reads)
+    "m08_internal_metric_alarm" -> ((s, dir) => {
+      import graft.app.Application
+      import graft.compute.SqlSlot
+      val w = s"/tmp/graft_m08_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
+      DiagnosticsQueries.cleanupAtExit(w)
+      val app = new Application("m08", s, s"$w/app_m08")
+      val g = app.createMetric("ops", timeFormat = "%Y-%m-%d")
+      events(s, dir).where(col("event_type") === "error")
+        .select(col("value").cast("double"), col("ts")).collect()
+        .foreach(r => app.diagnostics("ops")("error")
+          .emit(r.getDouble(0), r.getTimestamp(1)))
+      val series = app.internalMetricSeries(g,
+        MetricStatistic.SAMPLE_COUNT, DaySecs, name = Some("error"))
+      val alarm = app.createMetricAlarm("ops_daily",
+        () => series().withColumn("value", col("value") /
+          avg("value").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("name"))),
+        AlarmParams(1.01, AlarmComparison.GreaterThanOrEqualToThreshold,
+          evaluationPeriods = 3, datapointsToAlarm = 2), DaySecs,
+        timeFormat = "%Y-%m-%d")
+      val node = app.createData("on_ops_alarm", Seq(alarm("ALARM", "*")),
+        Seq(SqlSlot("SELECT '{time}' AS day")))
+      app.activate()
+      val transitions = app.alarmMonitor().poll()
+      val alarmDays = transitions.filter(_.state == Alarms.ALARM)
+      require(alarmDays.forall(_.completions.nonEmpty),
+        "an ALARM transition did not trigger the downstream node")
+      val sp = s
+      import sp.implicits._
+      alarmDays.map(t => app.load(node("ALARM", t.period.toLocalDate.toString)))
+        .foldLeft(Seq.empty[String].toDF("day"))(_ unionAll _)
+        .orderBy("day")
+    }),
+
     // ---- M2 weighted: count-weighted statistics (CloudWatch value-count
     // pair semantics — (v, c) is v observed c times). The count column is
     // synthesized deterministically from row content; the oracle replays
@@ -285,6 +328,28 @@ object DiagnosticsQueries {
            SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
                   CAST(COUNT(*) AS DOUBLE) AS v
            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         series AS (SELECT d, v / AVG(v) OVER () AS value FROM counts),
+         ev AS (
+           SELECT d, value,
+             SUM(CASE WHEN value >= 1.01 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS br,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS dps
+           FROM series),
+         st AS (
+           SELECT d, CASE WHEN dps < 3 THEN 'INSUFFICIENT_DATA'
+                          WHEN br >= 2 THEN 'ALARM' ELSE 'OK' END AS state
+           FROM ev),
+         tr AS (SELECT d, state, LAG(state) OVER (ORDER BY d) AS prev FROM st)
+         SELECT STRFTIME(d, '%Y-%m-%d') AS day
+         FROM tr WHERE state = 'ALARM' AND (prev IS NULL OR prev <> 'ALARM')
+         ORDER BY day""",
+    // identical ground truth to m05 by construction: one emission per
+    // error event, SAMPLE_COUNT per day, same normalization and N-of-M
+    "m08_internal_metric_alarm" ->
+      """WITH counts AS (
+           SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  CAST(COUNT(*) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'error' GROUP BY 1),
          series AS (SELECT d, v / AVG(v) OVER () AS value FROM counts),
          ev AS (
            SELECT d, value,
