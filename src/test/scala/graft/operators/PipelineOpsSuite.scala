@@ -498,6 +498,41 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ANN join and source filter invariants: subset/agreement/monotonicity") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(12)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+    // every LSH candidate's cosine must agree BIT-WISE with brute force
+    // for the same (query, corpus) pair — the kernel is deterministic,
+    // so any divergence is a joined-wrong-vector bug
+    val ann = Similarity.lshTopKJoin(queries, corpus, "embedding", "vec_id",
+      k = 5, planes = 4, probeBits = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.cosineTopKJoin(queries, corpus, "embedding",
+      "vec_id", k = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    ann.foreach { case (pair, c) =>
+      assert(brute.contains(pair), s"LSH pair $pair not in brute force")
+      assert(java.lang.Double.doubleToLongBits(brute(pair)) ==
+        java.lang.Double.doubleToLongBits(c), s"cosine drift at $pair")
+    }
+    // source-filter monotonicity: raising the floor only shrinks the
+    // survivor set; a floor above every mean empties it
+    val texts = (0L until 30L).map(i =>
+      (i, s"document $i with the usual words and a tail of ${"x" * (i % 7).toInt}",
+        s"src${i % 3}")).toDF("doc_id", "text", "source")
+    def survivors(t: Double): Set[Long] =
+      CorpusQuality.filterBySourceQuality(texts,
+        TextFunctions.qualityScore(col("text")), "source", t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = survivors(0.0); val mid = survivors(0.6); val hi = survivors(2.0)
+    assert(mid.subsetOf(lo) && hi.isEmpty && lo.nonEmpty)
+  }
+
   test("source filter drops every doc of a low-quality source, broadcast plan") {
     val sp = spark; import sp.implicits._
     val natural = "the quick brown fox jumps over the lazy dog and runs on for a while today"
