@@ -442,6 +442,11 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     // cascade materialized above
     assert(appB.load(ups.head("2026-08-12"))
       .collect().head.getDouble(1) == 6.0)
+    // poll on upstream data (reference test_application_poll_on_upstream
+    // _data): completion probes work across the app boundary — the
+    // materialized day exists, an unmaterialized one does not
+    assert(appB.poll(ups.head("2026-08-12")).nonEmpty)
+    assert(appB.poll(ups.head("2030-01-01")).isEmpty)
     assert(appB.getUpstreamData("final").isEmpty) // A never exported it
     // an app with no grant cannot attach the upstream context
     intercept[IllegalArgumentException](
