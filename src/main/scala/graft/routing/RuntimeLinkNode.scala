@@ -78,14 +78,17 @@ final class RuntimeLinkNode(
   private def checkLinks(candidate: Signal): Boolean = {
     readySignals.forall { rs =>
       node.linksBetween(rs.alias, candidate.alias).forall { link =>
-        val srcDim = link.source match {
-          case LinkSource.FromDim(r) => r.dim
+        val tgtDim = link.target.dim
+        val mappedOpt: Option[DimValue] = link.source match {
+          case LinkSource.FromDim(r) => rs.tipValue(r.dim).map(link.func)
+          case LinkSource.FromDims(refs, f) =>
+            // N->1: every source dim's tip must be present to evaluate
+            val vs = refs.map(r => rs.tipValue(r.dim))
+            if (vs.forall(_.isDefined)) Some(f(vs.map(_.get))) else None
           case _ => return true
         }
-        val tgtDim = link.target.dim
-        (rs.tipValue(srcDim), candidate.tipValue(tgtDim)) match {
-          case (Some(sv), Some(cv)) =>
-            val mapped = link.func(sv)
+        (mappedOpt, candidate.tipValue(tgtDim)) match {
+          case (Some(mapped), Some(cv)) =>
             cv.matchesValue(mapped) || mapped.matchesValue(cv)
           case (_, None) =>
             throw new IllegalStateException(

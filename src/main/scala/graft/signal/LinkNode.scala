@@ -13,6 +13,15 @@ final case class DimRef(alias: String, dim: String)
 sealed trait LinkSource
 object LinkSource {
   final case class FromDim(ref: DimRef) extends LinkSource
+  /** N→1 mapping: ALL of one signal's `refs` dims (in declared order)
+    * feed `f` to produce the target value — the reference's
+    * multi-dimension mapper lambda, whose arity follows the source dim
+    * tuple (dimension_constructs.py:704-780; the N→1 cases in
+    * test_aws_application_advanced_dimension_linking.py). The mapper
+    * lives here, not on [[DimensionLink.func]], so the 1→1 field and
+    * every existing pattern match stay untouched. */
+  final case class FromDims(refs: Seq[DimRef],
+                            f: Seq[DimValue] => DimValue) extends LinkSource
   final case class LiteralValue(value: Any) extends LinkSource
 }
 
@@ -21,6 +30,12 @@ final case class DimensionLink(
     source: LinkSource,
     func: DimValue => DimValue = identity) {
   def isIdentity: Boolean = func eq DimensionLink.Identity
+  /** The alias every source dim comes from (None for literals). */
+  def sourceAlias: Option[String] = source match {
+    case LinkSource.FromDim(r) => Some(r.alias)
+    case LinkSource.FromDims(rs, _) => rs.headOption.map(_.alias)
+    case _ => None
+  }
 }
 
 object DimensionLink {
@@ -32,6 +47,14 @@ object DimensionLink {
     DimensionLink(target, LinkSource.LiteralValue(value))
   def mapped(target: DimRef, source: DimRef, f: DimValue => DimValue): DimensionLink =
     DimensionLink(target, LinkSource.FromDim(source), f)
+  /** N→1 mapping: `sources` (dims of ONE signal, in the order `f` expects
+    * them) compute the target dim. */
+  def mappedN(target: DimRef, sources: Seq[DimRef],
+              f: Seq[DimValue] => DimValue): DimensionLink = {
+    require(sources.nonEmpty && sources.map(_.alias).distinct.length == 1,
+      "N->1 link sources must be one or more dims of a single signal")
+    DimensionLink(target, LinkSource.FromDims(sources, f))
+  }
 }
 
 /** Dev-time group of input signals + link matrix. Validates aliases, rejects
@@ -58,8 +81,7 @@ final case class SignalLinkNode(
       a <- signals; b <- signals if a.alias != b.alias
       dim <- a.dimNames if b.dimNames.contains(dim)
       tgt = DimRef(b.alias, dim)
-      if !links.exists(l => l.target == tgt &&
-        (l.source match { case LinkSource.FromDim(r) => r.alias == a.alias; case _ => false }))
+      if !links.exists(l => l.target == tgt && l.sourceAlias.contains(a.alias))
     } yield DimensionLink.equals(tgt, DimRef(a.alias, dim))
     copy(links = links ++ extra)
   }
@@ -69,6 +91,8 @@ final case class SignalLinkNode(
   def linksBetween(srcAlias: String, dstAlias: String): List[DimensionLink] = {
     val direct = links.collect {
       case l @ DimensionLink(DimRef(`dstAlias`, _), LinkSource.FromDim(DimRef(`srcAlias`, _)), _) => l
+      case l @ DimensionLink(DimRef(`dstAlias`, _), LinkSource.FromDims(rs, _), _)
+        if rs.forall(_.alias == srcAlias) => l
     }
     val reversed = links.collect {
       case l @ DimensionLink(DimRef(`srcAlias`, td), LinkSource.FromDim(DimRef(`dstAlias`, sd)), _)
@@ -76,6 +100,15 @@ final case class SignalLinkNode(
         DimensionLink.equals(DimRef(dstAlias, sd), DimRef(srcAlias, td))
     }
     direct ++ reversed
+  }
+
+  /** N→1 application: every source dim's tip value must be material;
+    * otherwise the link yields nothing (the dim stays open, same as an
+    * unmaterialized 1→1 source). */
+  private def applyN(rs: Seq[DimRef], f: Seq[DimValue] => DimValue,
+                     tip: String => Option[DimValue]): Option[Any] = {
+    val vs = rs.map(r => tip(r.dim))
+    if (vs.forall(_.isDefined)) Some(f(vs.map(_.get)).rawValue) else None
   }
 
   /** Reverse-materialize every input from a concrete output (+ already
@@ -101,6 +134,9 @@ final case class SignalLinkNode(
             val fromOutput: Option[Any] = outputLinks.collectFirst {
               case DimensionLink(`tgt`, LinkSource.FromDim(DimRef("output", od)), f) =>
                 output.tipValue(od).map(v => f(v).rawValue)
+              case DimensionLink(`tgt`, LinkSource.FromDims(rs, f), _)
+                if rs.forall(_.alias == "output") =>
+                applyN(rs, f, output.tipValue)
               case l @ DimensionLink(DimRef("output", od), LinkSource.FromDim(`tgt`), _)
                 if l.isIdentity => output.tipValue(od).map(_.rawValue)
             }.flatten
@@ -112,6 +148,10 @@ final case class SignalLinkNode(
             val fromOther: Option[Any] = links.collectFirst {
               case DimensionLink(`tgt`, LinkSource.FromDim(DimRef(oa, od)), f)
                 if done.contains(oa) => done(oa).tipValue(od).map(v => f(v).rawValue)
+              case DimensionLink(`tgt`, LinkSource.FromDims(rs, f), _)
+                if rs.headOption.exists(r => done.contains(r.alias)) &&
+                  rs.forall(_.alias == rs.head.alias) =>
+                applyN(rs, f, done(rs.head.alias).tipValue)
             }.flatten
             // 4. auto-bind by name equality with output dims
             val autoBound: Option[Any] = output.tipValue(dim).map(_.rawValue)
@@ -144,6 +184,14 @@ final case class SignalLinkNode(
             case Some(v) => Some(v) // special variants pass through un-mapped
             case None => None
           })
+        case DimensionLink(`tgt`, LinkSource.FromDims(rs, f), _) if rs.nonEmpty =>
+          // N->1 toward the output: map only when every source tip is
+          // material; otherwise leave the output dim open (tip semantics)
+          signal(rs.head.alias).flatMap { s =>
+            val vs = rs.map(r => s.tipValue(r.dim))
+            if (vs.forall(_.exists(_.isMaterial))) Some(f(vs.map(_.get)))
+            else None
+          }
         case DimensionLink(`tgt`, LinkSource.LiteralValue(v), _) =>
           Some(DimValue.resolve(v, d))
       }.flatten

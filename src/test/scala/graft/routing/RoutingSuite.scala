@@ -173,6 +173,76 @@ class RoutingSuite extends AnyFunSuite {
     assert(ctxs.head.output.tip.map(_.value) == List("2026-08-11"))
   }
 
+  test("N->1 link: two dims of the trigger resolve a reference input") {
+    // the reference's multiple_dimensions_to_single_input_dimension case 1
+    // (test_aws_application_advanced_dimension_linking.py): ext_1(day, hour)
+    // -> ext_2(timestamp) via a 2-ary mapper on a ref input
+    val dhSpec = DimSpec.pretty(
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")),
+      "hour" -> (DimType.LONG, Map.empty[String, Any]))
+    val tsSpec = DimSpec.pretty(
+      "timestamp" -> (DimType.DATETIME,
+        Map[String, Any]("format" -> "%Y-%m-%d-%H")))
+    val a = Signal("a", SignalSource.external("/data/a"), dhSpec,
+      DimFilter.allPassFor(dhSpec))
+    val b = Signal("b", SignalSource.external("/data/b"), tsSpec,
+      DimFilter.allPassFor(tsSpec)).copy(isReference = true)
+    val links = List(DimensionLink.mappedN(DimRef("b", "timestamp"),
+      Seq(DimRef("a", "day"), DimRef("a", "hour")),
+      { case Seq(day: DateValue, hour) =>
+        day.copy(date = day.date.plusHours(hour.rawValue.toString.toLong),
+          params = day.params + ("format" -> "%Y-%m-%d-%H"))
+        case vs => vs.head
+      }))
+    val node = SignalLinkNode(List(a, b), links)
+    val out = outputFor(node, "n_to_1", dhSpec)
+    val route = new Route("n_to_1", node, out, Nil)
+    val ctxs = route.receive(
+      chainedSignal("a", "/data/a", dhSpec, "2026-08-12", 7L), allExists)
+    assert(ctxs.length == 1)
+    val bIn = ctxs.head.inputs.find(_.alias == "b").get
+    assert(bIn.tip.map(_.value.toString) == List("2026-08-12-07"),
+      s"N->1 mapper did not resolve the reference: ${bIn.tip}")
+    // an N->1 link declared over two different aliases is rejected
+    intercept[IllegalArgumentException](DimensionLink.mappedN(
+      DimRef("b", "timestamp"),
+      Seq(DimRef("a", "day"), DimRef("b", "hour")), vs => vs.head))
+  }
+
+  test("N->1 link gates a coincidence join at runtime") {
+    val dhSpec = DimSpec.pretty(
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")),
+      "hour" -> (DimType.LONG, Map.empty[String, Any]))
+    val tsSpec = DimSpec.pretty(
+      "timestamp" -> (DimType.DATETIME,
+        Map[String, Any]("format" -> "%Y-%m-%d-%H")))
+    val a = Signal("a", SignalSource.external("/data/a"), dhSpec,
+      DimFilter.allPassFor(dhSpec))
+    val c = Signal("c", SignalSource.external("/data/c"), tsSpec,
+      DimFilter.allPassFor(tsSpec))
+    val links = List(DimensionLink.mappedN(DimRef("c", "timestamp"),
+      Seq(DimRef("a", "day"), DimRef("a", "hour")),
+      { case Seq(day: DateValue, hour) =>
+        day.copy(date = day.date.plusHours(hour.rawValue.toString.toLong),
+          params = day.params + ("format" -> "%Y-%m-%d-%H"))
+        case vs => vs.head
+      }))
+    val node = SignalLinkNode(List(a, c), links)
+    val out = outputFor(node, "n_to_1_join", dhSpec)
+    val route = new Route("n_to_1_join", node, out, Nil)
+    // trigger half arrives; the matching c completes the join
+    assert(route.receive(
+      chainedSignal("a", "/data/a", dhSpec, "2026-08-12", 7L), allExists).isEmpty)
+    val joined = route.receive(
+      chainedSignal("c", "/data/c", tsSpec, "2026-08-12-07"), allExists)
+    assert(joined.length == 1)
+    // a mismatching c (wrong hour) must NOT join the next pending node
+    assert(route.receive(
+      chainedSignal("a", "/data/a", dhSpec, "2026-08-13", 5L), allExists).isEmpty)
+    assert(route.receive(
+      chainedSignal("c", "/data/c", tsSpec, "2026-08-13-06"), allExists).isEmpty)
+  }
+
   test("route locking (J8): concurrent half-join events never lose or double a day") {
     val a = extSignal("a", "/data/a", daySpec, "*")
     val b = extSignal("b", "/data/b", daySpec, "*")
