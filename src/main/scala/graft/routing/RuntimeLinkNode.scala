@@ -210,6 +210,12 @@ final class RuntimeLinkNode(
       val linked: Option[Any] = outputLinks.collectFirst {
         case DimensionLink(`tgt`, LinkSource.FromDim(DimRef(a, sd)), f) =>
           readySignals.find(_.alias == a).flatMap(_.tipValue(sd)).map(v => f(v).rawValue)
+        case DimensionLink(`tgt`, LinkSource.FromDims(rs, f), _) if rs.nonEmpty =>
+          // N->1 toward the output: all source tips of the one signal
+          readySignals.find(_.alias == rs.head.alias).flatMap { s =>
+            val vs = rs.map(r => s.tipValue(r.dim))
+            if (vs.forall(_.isDefined)) Some(f(vs.map(_.get)).rawValue) else None
+          }
         case DimensionLink(`tgt`, LinkSource.LiteralValue(v), _) => Some(v)
       }.flatten
       // auto-bind by dim-name equality against any ready signal

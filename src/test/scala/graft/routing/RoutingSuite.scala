@@ -209,6 +209,32 @@ class RoutingSuite extends AnyFunSuite {
       Seq(DimRef("a", "day"), DimRef("b", "hour")), vs => vs.head))
   }
 
+  test("N->1 OUTPUT link: the output partition derives from two input dims") {
+    val dhSpec = DimSpec.pretty(
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")),
+      "hour" -> (DimType.LONG, Map.empty[String, Any]))
+    val tsSpec = DimSpec.pretty(
+      "stamp" -> (DimType.DATETIME,
+        Map[String, Any]("format" -> "%Y-%m-%d-%H")))
+    val a = Signal("a", SignalSource.external("/data/a"), dhSpec,
+      DimFilter.allPassFor(dhSpec))
+    val node = SignalLinkNode(List(a))
+    val outLinks = List(DimensionLink.mappedN(DimRef("output", "stamp"),
+      Seq(DimRef("a", "day"), DimRef("a", "hour")),
+      { case Seq(day: DateValue, hour) =>
+        day.copy(date = day.date.plusHours(hour.rawValue.toString.toLong),
+          params = day.params + ("format" -> "%Y-%m-%d-%H"))
+        case vs => vs.head
+      }))
+    val out = Signal("n1out", SignalSource.internal("/app", "n1out"), tsSpec,
+      node.deriveOutputFilter(tsSpec, outLinks))
+    val route = new Route("n1out", node, out, outLinks)
+    val ctxs = route.receive(
+      chainedSignal("a", "/data/a", dhSpec, "2026-08-12", 7L), allExists)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.output.tip.map(_.value.toString) == List("2026-08-12-07"))
+  }
+
   test("N->1 link gates a coincidence join at runtime") {
     val dhSpec = DimSpec.pretty(
       "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")),
