@@ -731,6 +731,30 @@ final class Application(val name: String, val spark: SparkSession,
     val spec = Option(outputSpec).getOrElse(
       signals.find(s => !s.isReference && !s.nearestTheTip)
         .getOrElse(signals.head).spec)
+    // fail fast on dangling link declarations (reference
+    // output_linking_pitfalls: bad links must error HERE, not surface as
+    // cryptic never-applied links at runtime)
+    val outputDims = spec.flatten.flatMap(_.name)
+    def checkRef(r: DimRef, where: String, allowOutput: Boolean): Unit =
+      if (r.alias == "output") {
+        require(allowOutput, s"$where of '$id': 'output' refs belong in outputLinks")
+        require(outputDims.contains(r.dim),
+          s"$where of '$id': output has no dimension '${r.dim}'")
+      } else {
+        val s = signals.find(_.alias == r.alias).getOrElse(throw new
+          IllegalArgumentException(s"$where of '$id': no input named '${r.alias}'"))
+        require(s.dimNames.contains(r.dim),
+          s"$where of '$id': input '${r.alias}' has no dimension '${r.dim}'")
+      }
+    def refsOf(l: DimensionLink): Seq[DimRef] = l.target +: (l.source match {
+      case LinkSource.FromDim(r) => Seq(r)
+      case LinkSource.FromDims(rs, _) => rs
+      case _ => Nil
+    })
+    inputLinks.foreach(l => refsOf(l).foreach(
+      checkRef(_, "inputLinks", allowOutput = false)))
+    outputLinks.foreach(l => refsOf(l).foreach(
+      checkRef(_, "outputLinks", allowOutput = true)))
     val outSource = SignalSource(SignalSourceKind.INTERNAL,
       s"$rootDir/internal_data/$id", attrs,
       IntegrityProtocol.FileCheck("_SUCCESS"))

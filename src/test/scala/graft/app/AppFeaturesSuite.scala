@@ -716,6 +716,39 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.getAlarm("nope").isEmpty)
   }
 
+  test("dangling dimension links fail fast at createData") {
+    // reference output_linking_pitfalls: bad link declarations must error
+    // at declaration, not surface as cryptic never-applied links later
+    val app = new Application("linkval", spark, s"$work/app_linkval")
+    val src = app.marshalExternalData("src", s"$work/linkval_src", daySpec)
+    def slot = Seq(graft.compute.SqlSlot("SELECT 1 AS one"))
+    // unknown output dimension in an output link
+    val e1 = intercept[IllegalArgumentException](app.createData("c1", Seq(src),
+      slot, outputLinks = List(graft.signal.DimensionLink.equals(
+        graft.signal.DimRef("output", "NOT_A_DIM"),
+        graft.signal.DimRef("src", "day")))))
+    assert(e1.getMessage.contains("NOT_A_DIM"))
+    // unknown input alias in an input link
+    val e2 = intercept[IllegalArgumentException](app.createData("c2", Seq(src),
+      slot, inputLinks = List(graft.signal.DimensionLink.equals(
+        graft.signal.DimRef("nope", "day"), graft.signal.DimRef("src", "day")))))
+    assert(e2.getMessage.contains("nope"))
+    // unknown dim on a real input
+    val e3 = intercept[IllegalArgumentException](app.createData("c3", Seq(src),
+      slot, inputLinks = List(graft.signal.DimensionLink.equals(
+        graft.signal.DimRef("src", "hour"), graft.signal.DimRef("src", "day")))))
+    assert(e3.getMessage.contains("hour"))
+    // 'output' refs are rejected inside inputLinks
+    val e4 = intercept[IllegalArgumentException](app.createData("c4", Seq(src),
+      slot, inputLinks = List(graft.signal.DimensionLink.equals(
+        graft.signal.DimRef("output", "day"), graft.signal.DimRef("src", "day")))))
+    assert(e4.getMessage.contains("outputLinks"))
+    // a correct declaration still goes through
+    app.createData("ok", Seq(src), slot,
+      outputLinks = List(graft.signal.DimensionLink.equals(
+        graft.signal.DimRef("output", "day"), graft.signal.DimRef("src", "day"))))
+  }
+
   test("internal metric: declare, emit, alarm, and trigger downstream") {
     val app = new Application("intm", spark, s"$work/app_intm")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
