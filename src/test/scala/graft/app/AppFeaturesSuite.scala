@@ -716,6 +716,40 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.getAlarm("nope").isEmpty)
   }
 
+  test("bidirectional non-trivial output links: execute by output partition") {
+    // reference test_application_output_bidirectional_nontrivial_linking:
+    // output cutoff_date = timer time - 7d, plus the DECLARED reverse link
+    // (time = cutoff_date + 7d) that makes `execute(node(cutoff))` able to
+    // reverse-materialize the timer input
+    import graft.signal.{DimensionLink, DimRef}
+    val app = new Application("bidi", spark, s"$work/app_bidi")
+    val timer = app.createTimer("tick", format = "%Y-%m-%d", dimName = "time")
+    val cutoffSpec = DimSpec.pretty("cutoff_date" ->
+      (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+    def shift(days: Long): graft.dimension.DimValue => graft.dimension.DimValue = {
+      case d: graft.dimension.DateValue => d.copy(date = d.date.plusDays(days))
+      case v => v
+    }
+    val node = app.createData("kick", Seq(timer),
+      Seq(graft.compute.SqlSlot("SELECT '{cutoff_date}' AS cd")),
+      outputSpec = cutoffSpec,
+      outputLinks = List(
+        DimensionLink.mapped(DimRef("output", "cutoff_date"),
+          DimRef("tick", "time"), shift(-7)),
+        DimensionLink.mapped(DimRef("tick", "time"),
+          DimRef("output", "cutoff_date"), shift(7))))
+    app.activate()
+    // forward: a timer tick at the 12th materializes the output at the 5th
+    val fired = app.fireTimer(timer, "2026-08-12")
+    assert(fired.exists(_.endsWith("kick/2026-08-05")), s"forward: $fired")
+    // reverse: execute by OUTPUT partition alone — the timer input derives
+    // as cutoff + 7d and the slot sees the output's own dimension value
+    val out = app.execute(node("2026-08-01"))
+    assert(out.endsWith("kick/2026-08-01"))
+    assert(app.load(node("2026-08-01")).collect()
+      .map(_.getString(0)).toSeq == Seq("2026-08-01"))
+  }
+
   test("dangling dimension links fail fast at createData") {
     // reference output_linking_pitfalls: bad link declarations must error
     // at declaration, not surface as cryptic never-applied links later
