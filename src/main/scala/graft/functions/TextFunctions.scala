@@ -60,6 +60,38 @@ object TextFunctions {
     greatest(lit(0.0), least(lit(1.0), (swScore + mtScore + prScore) / 3.0))
   }
 
+  /** Gopher-style document-quality rule bundle (arXiv:2112.11446
+    * Table A1 — the heuristic filters corpus curation applies before any
+    * model-based scoring): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio (`#`/`...`), bullet-start and ellipsis-end
+    * line ratios. Composed from the codegen'd token kernels plus
+    * `regexp_count` — no per-token lambdas, no UDFs, one projection over
+    * the corpus. Returns a struct of the metrics and an overall
+    * `passes` flag (1/0; INT so the value stringifies identically across
+    * engines). Patterns are RE2-compatible so the oracle replays them
+    * verbatim. */
+  def gopherRules(text: Column): Column = {
+    val wc = tokenCount(text)
+    val mwl = meanTokenLength(text)
+    val lines = regexp_count(text, lit("\n")) + lit(1)
+    val sym = (regexp_count(text, lit("#")) +
+        regexp_count(text, lit("\\.\\.\\."))).cast("double") /
+      when(wc === 0, lit(null)).otherwise(wc).cast("double")
+    val bullet = regexp_count(text, lit("(?m)^\\s*[-*•]")).cast("double") /
+      lines.cast("double")
+    val ellip = regexp_count(text, lit("(?m)\\.\\.\\.$")).cast("double") /
+      lines.cast("double")
+    val passes = wc.between(50, 100000) && mwl.between(3.0, 10.0) &&
+      sym < 0.1 && bullet < 0.9 && ellip < 0.3
+    struct(
+      wc.as("word_count"),
+      round(mwl, 4).as("mean_word_len"),
+      round(sym, 4).as("symbol_word_ratio"),
+      round(bullet, 4).as("bullet_line_ratio"),
+      round(ellip, 4).as("ellipsis_line_ratio"),
+      passes.cast("int").as("passes"))
+  }
+
   /** Word n-grams WITH duplicates (1-based sliding window) — the input to
     * repetition-quality stats, where multiplicity is the signal. Contrast
     * Dedup.shingles, which wraps this in array_distinct for set-Jaccard —

@@ -472,6 +472,16 @@ object PipelineOps {
         .orderBy("query_id")
     }),
 
+    // ---- Gopher rule bundle: the standard heuristic pre-filters, each
+    // metric + the overall pass flag replayed rule-for-rule in DuckDB
+    "p33_gopher_rules" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.word_count"), col("g.mean_word_len"),
+          col("g.symbol_word_ratio"), col("g.bullet_line_ratio"),
+          col("g.ellipsis_line_ratio"), col("g.passes"))
+        .orderBy("doc_id")
+    }),
+
     // ---- source/domain-level filtering (Gopher / RefinedWeb): drop every
     // document of a source whose MEAN composite quality misses the floor —
     // the per-source mean is a decimal sum of 4-dp scores so it is exact
@@ -857,6 +867,30 @@ object PipelineOps {
       """SELECT CAST(20001 + range AS BIGINT) AS query_id,
          CAST(1 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(8) ORDER BY query_id""",
+    "p33_gopher_rules" ->
+      """WITH m AS (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
+             CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+               x -> LENGTH(x))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS mwl,
+             (len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.'))) * 1.0
+               / len(regexp_split_to_array(trim(text), '\s+')) AS sym,
+             len(regexp_extract_all(text, '(?m)^\s*[-*•]')) * 1.0
+               / (len(regexp_extract_all(text, '\n')) + 1) AS bullet,
+             len(regexp_extract_all(text, '(?m)\.\.\.$')) * 1.0
+               / (len(regexp_extract_all(text, '\n')) + 1) AS ellip
+           FROM documents)
+         SELECT doc_id, word_count,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(sym, 4) AS symbol_word_ratio,
+           ROUND(bullet, 4) AS bullet_line_ratio,
+           ROUND(ellip, 4) AS ellipsis_line_ratio,
+           CAST(word_count BETWEEN 50 AND 100000
+             AND mwl BETWEEN 3.0 AND 10.0
+             AND sym < 0.1 AND bullet < 0.9 AND ellip < 0.3 AS INT) AS passes
+         FROM m ORDER BY doc_id""",
     "p31_source_filter" ->
       """WITH scored AS (
            SELECT doc_id, source,

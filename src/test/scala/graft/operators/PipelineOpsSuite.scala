@@ -498,6 +498,28 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("gopher rules flag bullet-heavy, ellipsis-heavy, and short docs") {
+    val sp = spark; import sp.implicits._
+    val prose = (1 to 60).map(i => s"word$i").mkString(" ")
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val ellipses = (1 to 10).map(i => s"trailing thought $i ...").mkString("\n")
+    val df = Seq(
+      (0L, prose),            // passes
+      (1L, "too short"),      // fails word-count floor
+      (2L, prose + "\n" + bullets),  // 10/11 bullet lines -> fails
+      (3L, ellipses)          // every line ellipsis-ended -> fails
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.passes"), col("g.bullet_line_ratio"),
+        col("g.ellipsis_line_ratio"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0))
+    assert(out(2).getDouble(2) > 0.9)  // bullet ratio on doc 2
+    assert(out(3).getDouble(3) == 1.0) // ellipsis ratio on doc 3
+  }
+
   test("ANN join and source filter invariants: subset/agreement/monotonicity") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(23)
