@@ -45,6 +45,20 @@ object CorpusQuality {
           lit((total + v).toDouble))).as("mean_logprob"))
   }
 
+  /** Corpus vocabulary: the top-k most frequent word tokens with counts —
+    * tokenizer-training corpus prep (BPE seeds from exactly this table)
+    * and boilerplate/contamination analysis. One explode over the
+    * codegen'd alnum tokenizer + one map-side-combined groupBy on the
+    * token string; the global top-k rides orderBy+limit (TakeOrdered —
+    * no full-sort shuffle). Ties break on the token text, so the cut at
+    * `topK` is deterministic at any parallelism. */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(
+        graft.functions.TextFunctions.wordTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+
   /** Domain/source-level filtering (Gopher arXiv:2112.11446 App. A and
     * RefinedWeb arXiv:2306.01116 §3.1 curate at the SOURCE level on top
     * of per-document filters — a spammy domain poisons all its pages,

@@ -472,6 +472,12 @@ object PipelineOps {
         .orderBy("query_id")
     }),
 
+    // ---- corpus vocabulary: top-50 tokens by frequency (tokenizer prep)
+    "p34_vocabulary" -> ((s, dir) => {
+      graft.operators.CorpusQuality.vocabulary(docs(s, dir), "text", topK = 50)
+        .select(col("token"), col("cnt").cast("long").as("cnt"))
+    }),
+
     // ---- Gopher rule bundle: the standard heuristic pre-filters, each
     // metric + the overall pass flag replayed rule-for-rule in DuckDB
     "p33_gopher_rules" -> ((s, dir) => {
@@ -867,6 +873,11 @@ object PipelineOps {
       """SELECT CAST(20001 + range AS BIGINT) AS query_id,
          CAST(1 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(8) ORDER BY query_id""",
+    "p34_vocabulary" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
     "p33_gopher_rules" ->
       """WITH m AS (
            SELECT doc_id,
