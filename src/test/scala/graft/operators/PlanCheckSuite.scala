@@ -57,6 +57,23 @@ class PlanCheckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("In(n_name"), "IN-list not pushed to the nation scan")
   }
 
+  private def pipelinePlanOf(name: String): String =
+    graft.queries.PipelineOps.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("p34: vocabulary combines map-side and takes top-k without a full sort") {
+    val plan = pipelinePlanOf("p34_vocabulary")
+    assert(plan.contains("partial_count"), "map-side combine missing")
+    assert(plan.contains("TakeOrdered"), "top-k should avoid a full sort")
+  }
+
+  test("p31: the source aggregate broadcasts back onto the documents") {
+    val plan = pipelinePlanOf("p31_source_filter")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source means should broadcast, not shuffle the documents")
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("no p-/q-query plans an all-pairs join") {
     val queries = (graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
