@@ -406,7 +406,10 @@ final class Application(val name: String, val spark: SparkSession,
     * contributes to the same metric instance; here every emission record
     * carries its group and [[internalMetricSeries]] filters on it. Emit
     * at runtime through [[diagnostics]]; alarm via
-    * [[createInternalMetricAlarm]]. */
+    * [[createInternalMetricAlarm]]. Like hooks, dashboards, and alarm
+    * series (whose evaluation closures cannot round-trip), metric
+    * declarations are runtime-only — excluded from [[saveDevState]];
+    * re-declare them in code after [[loadDevState]]. */
   def createMetric(id: String,
                    subDimensions: Map[String, String] = Map.empty,
                    timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
