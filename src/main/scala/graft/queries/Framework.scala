@@ -470,6 +470,66 @@ object Framework {
       out
     }),
 
+    // ---- F4 N->1 dimension link, end-to-end: the trigger's (day, hour)
+    // resolve a REFERENCE input partitioned by a combined "%Y-%m-%d-%H"
+    // stamp through a 2-ary mapper (reference advanced-dimension-linking).
+    // The error stream stages as day/hour partitions, the view stream as
+    // stamp partitions; the pick (max error day, its max hour) is
+    // recomputed identically by the oracle.
+    "fw16_n_to_1_link" -> ((s, dir) => {
+      val w = work(dir)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("__d", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("__h", hour(col("ts")))
+      val pick = ev.where(col("event_type") === "error")
+        .select("__d", "__h").distinct()
+        .orderBy(col("__d").desc, col("__h").desc).limit(1)
+        .collect().head
+      val (day, hr) = (pick.getString(0), pick.getInt(1))
+      val stamp = f"$day-$hr%02d"
+      val fs = new org.apache.hadoop.fs.Path(w)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$w/n1_err/$day/$hr/_SUCCESS")))
+        ev.where(col("event_type") === "error" &&
+            col("__d") === day && col("__h") === hr)
+          .select("event_type", "value", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$w/n1_err/$day/$hr")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$w/n1_view/$stamp/_SUCCESS")))
+        ev.where(col("event_type") === "view" &&
+            col("__d") === day && col("__h") === hr)
+          .select("event_type", "value", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$w/n1_view/$stamp")
+      val dayHourSpec = DimSpec.pretty(
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")),
+        "hour" -> (DimType.LONG, Map.empty[String, Any]))
+      val stampSpec = DimSpec.pretty(
+        "stamp" -> (DimType.DATETIME,
+          Map[String, Any]("format" -> "%Y-%m-%d-%H")))
+      val app = new Application("fw16", s, s"$w/app_fw16")
+      val errs = app.marshalExternalData("errs", s"$w/n1_err", dayHourSpec)
+      val views = app.marshalExternalData("views", s"$w/n1_view", stampSpec)
+      val node = app.createData("hourly_join",
+        Seq(errs, views.ref),
+        Seq(SqlSlot(
+          """SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS err_sum,
+                    (SELECT COUNT(*) FROM views) AS view_cnt
+             FROM errs""")),
+        inputLinks = List(DimensionLink.mappedN(DimRef("views", "stamp"),
+          Seq(DimRef("errs", "day"), DimRef("errs", "hour")),
+          { case Seq(d: DateValue, h) =>
+            d.copy(date = d.date.plusHours(h.rawValue.toString.toLong),
+              params = d.params + ("format" -> "%Y-%m-%d-%H"))
+            case vs => vs.head
+          })))
+      app.activate()
+      val done = app.processPath(s"$w/n1_err/$day/$hr")
+      require(done.exists(_.endsWith(s"hourly_join/$day/$hr")),
+        s"N->1 join did not trigger: $done")
+      app.load(node(day, hr.toLong))
+    }),
+
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
     "fw06_range_expansion" -> ((s, dir) => {
@@ -605,6 +665,23 @@ object Framework {
                  (SELECT MAX(CAST(o_orderdate AS DATE)) - 29 FROM orders),
                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
                  INTERVAL 1 DAY)) AS d)
-         ORDER BY day"""
+         ORDER BY day""",
+    "fw16_n_to_1_link" ->
+      """WITH pick AS (
+           SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                  EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS h
+           FROM events WHERE event_type = 'error'
+           ORDER BY d DESC, h DESC LIMIT 1)
+         SELECT
+           (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            FROM events, pick
+            WHERE event_type = 'error'
+              AND DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) = pick.d
+              AND EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) = pick.h) AS err_sum,
+           (SELECT COUNT(*)
+            FROM events, pick
+            WHERE event_type = 'view'
+              AND DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) = pick.d
+              AND EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) = pick.h) AS view_cnt"""
   )
 }
