@@ -850,6 +850,10 @@ final class Application(val name: String, val spark: SparkSession,
                       clock: () => Long = () => System.currentTimeMillis())
       : List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
+    // re-activation: surrender the previous incarnation's leases (so
+    // successors claim released shards immediately, not after timeout)
+    // and close its open WAL streams before replacing it
+    sharded.foreach(_.releaseAll())
     val d = new graft.routing.ShardedDriver(s"$rootDir/sharding", driverId,
       numShards, probe, spark.sparkContext.hadoopConfiguration,
       leaseTimeoutMillis, clock)
@@ -1218,11 +1222,16 @@ final class Application(val name: String, val spark: SparkSession,
     require(appState != AppState.DELETED, "application is deleted")
     if (appState == AppState.PAUSED) Nil
     // sharded mode: a SIGNAL event folds into the shards this driver
-    // owns (timers fire on the owning driver); the cross-driver
-    // transport is path-based — processPath/complete forward to other
-    // drivers' inboxes, matching the reference's S3-event Lambda feed
-    else if (sharded.isDefined)
+    // owns, AND (when materialized — the process/fireTimer/raiseAlarm
+    // shape) forwards as its physical path(s) to every unowned
+    // accepting shard's inbox, so any driver can ingest any event —
+    // same at-least-once transport as processPath. Un-materialized
+    // signals have no path form and stay local to the owned shards.
+    else if (sharded.isDefined) {
+      val d = sharded.get
+      if (event.isMaterialized) event.materializedPaths.foreach(d.forwardPath)
       runContexts(runtimeTables.flatMap(_.receive(event)))
+    }
     else runContexts(table.receive(event))
   }
 

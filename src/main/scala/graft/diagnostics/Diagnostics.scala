@@ -69,11 +69,13 @@ object MetricStatistic {
   }
   case object MIN extends MetricStatistic {
     def agg(c: String) = min(col(c))
-    def weightedAgg(c: String, n: String) = min(col(c))
+    // a zero-count pair is a value observed ZERO times — it must not
+    // produce an extremum (SUM/SampleCount already ignore it)
+    def weightedAgg(c: String, n: String) = min(when(col(n) > 0, col(c)))
   }
   case object MAX extends MetricStatistic {
     def agg(c: String) = max(col(c))
-    def weightedAgg(c: String, n: String) = max(col(c))
+    def weightedAgg(c: String, n: String) = max(when(col(n) > 0, col(c)))
   }
   case object SAMPLE_COUNT extends MetricStatistic {
     def agg(c: String) = count(col(c))

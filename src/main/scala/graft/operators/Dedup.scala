@@ -385,10 +385,20 @@ object Dedup {
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
+    // buckets resolution tolerates a crash mid-[[updateNearDupIndex]]
+    // swap: `buckets_next` is always fully written before the swap
+    // begins, so if the live dir is missing prefer it (the newer table),
+    // then the moved-aside old one — a crashed update degrades to a
+    // stale-or-new index, never a missing one
+    val bucketsDir = Seq("buckets", "buckets_next", "buckets_old")
+      .map(d => new org.apache.hadoop.fs.Path(s"$path/$d"))
+      .find(fs.exists)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$path/buckets (no live, next, or old table)"))
     NearDupIndex(
       maybe(spark.read.parquet(s"$path/sigs")),
       maybe(spark.read.parquet(s"$path/grams")),
-      maybe(spark.read.parquet(s"$path/buckets")),
+      maybe(spark.read.parquet(bucketsDir.toString)),
       meta("idCol"), meta("k").toInt, meta("bands").toInt,
       meta("shingleN").toInt)
   }
@@ -416,13 +426,24 @@ object Dedup {
     * contract; duplicate ids would double-count in bucket lists). */
   def updateNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, newDf: DataFrame,
-                         textCol: String): Unit = {
-    val idx = loadNearDupIndex(spark, path, persist = false)
+                         textCol: String): Unit =
+    updateNearDupIndex(loadNearDupIndex(spark, path, persist = false),
+      path, newDf, textCol, precomputedSigs = None)
+
+  /** [[updateNearDupIndex]] with an already-loaded index (skips the
+    * per-call load — the streaming ingest loop's shape) and optionally
+    * the batch's precomputed signature table (skips re-hashing a batch
+    * the caller already hashed for its probe). */
+  def updateNearDupIndex(idx: NearDupIndex, path: String, newDf: DataFrame,
+                         textCol: String,
+                         precomputedSigs: Option[DataFrame]): Unit = {
+    val spark = newDf.sparkSession
     val idCol = idx.idCol
     // checkpoint: the batch signatures feed both the append and the
     // banding below — hash the batch once
-    val newSigs = minhashSignatures(newDf, textCol, idCol, idx.k, idx.shingleN)
-      .localCheckpoint()
+    val newSigs = precomputedSigs.getOrElse(
+      minhashSignatures(newDf, textCol, idCol, idx.k, idx.shingleN)
+        .localCheckpoint())
     val newGrams = spread(newDf)
       .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
     val newBuckets = bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands)
@@ -437,9 +458,22 @@ object Dedup {
     newGrams.write.mode("append").parquet(s"$path/grams")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/buckets"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/buckets_next"),
-      new org.apache.hadoop.fs.Path(s"$path/buckets"))
+    // swap: move the LIVE table aside first, then the new one into
+    // place, then drop the old — a crash at any boundary leaves either
+    // the old or the new buckets loadable (delete-then-rename would
+    // leave a window with NO buckets table, turning a crash into a
+    // hard-down index instead of a stale one)
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
+    val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
+    fs.delete(old, true)
+    fs.rename(live, old)
+    if (!fs.rename(next, live)) {
+      fs.rename(old, live) // restore the live table, surface the failure
+      throw new java.io.IOException(
+        s"updateNearDupIndex: could not swap $next into place")
+    }
+    fs.delete(old, true)
     ()
   }
 
@@ -450,10 +484,22 @@ object Dedup {
   def incrementalJaccardPairs(newDf: DataFrame, index: NearDupIndex,
                               textCol: String,
                               minJaccard: Double,
-                              maxBucketSize: Int): DataFrame = {
+                              maxBucketSize: Int): DataFrame =
+    incrementalJaccardPairs(newDf, index, textCol, minJaccard,
+      maxBucketSize, None)
+
+  /** [[incrementalJaccardPairs]] with the batch's signature table already
+    * computed — the streaming ingest loop hashes each batch ONCE and
+    * shares the table between its probe and its index update. */
+  def incrementalJaccardPairs(newDf: DataFrame, index: NearDupIndex,
+                              textCol: String,
+                              minJaccard: Double,
+                              maxBucketSize: Int,
+                              precomputedSigs: Option[DataFrame]): DataFrame = {
     val idCol = index.idCol
     val r = index.k / index.bands
-    val newSigs = minhashSignatures(newDf, textCol, idCol, index.k, index.shingleN)
+    val newSigs = precomputedSigs.getOrElse(
+      minhashSignatures(newDf, textCol, idCol, index.k, index.shingleN))
     val newBanded = bandExplode(newSigs, idCol, index.bands, r)
       .select(col(idCol).as("d1"), col("band"), col("band_hash"))
     // probe the PRECOMPUTED corpus buckets: O(batch) banded rows join the

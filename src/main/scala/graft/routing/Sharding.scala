@@ -177,18 +177,32 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
       write(hbPath(k), clock().toString, overwrite = true)
       // Read-back verify: on stores whose create-if-absent is not truly
       // atomic (NFS O_EXCL, object stores without conditional writes)
-      // two racers can both reach this point; last-writer-wins on the
-      // content makes the re-read decisive — take ownership only when
-      // the file still carries THIS claimant's id.
+      // two racers can both reach this point. The re-read is BEST-EFFORT,
+      // not a total order: it catches the racer whose read lands after
+      // the other's write, but an unlucky interleaving (this claimant's
+      // read-back completing before the other's overwrite) can still
+      // leave both holding k briefly. [[renew]] re-verifies ownership on
+      // every heartbeat, so any such double-hold converges to a single
+      // owner within one renewal period; stores with a real atomic
+      // create (HDFS, POSIX O_EXCL, S3 conditional writes) never enter
+      // this window at all.
       if (read(epochPath(k)).map(_.trim).contains(ownerId)) {
         held = k
         Some(k)
       } else None // lost a non-atomic create race — k belongs to the other
     } else None // lost the race; caller re-reads on its next cycle
 
-  /** Heartbeat renewal — the ONLY recurring shared-store write. */
+  /** Heartbeat renewal — the ONLY recurring shared-store write. Before
+    * renewing, re-verifies the epoch file still carries this owner's id
+    * and abdicates if not: on a store without atomic create-if-absent,
+    * a double-hold that slipped past the claim read-back is surrendered
+    * here, bounding split-brain to at most one renewal period. */
   def renew(): Unit =
-    if (held > 0) { write(hbPath(held), clock().toString, overwrite = true); () }
+    if (held > 0) {
+      if (read(epochPath(held)).map(_.trim).contains(ownerId))
+        { write(hbPath(held), clock().toString, overwrite = true); () }
+      else held = -1L // epoch file carries another owner — abdicate
+    }
 
   /** Drop ownership: tombstone the heartbeat so a successor claims
     * immediately instead of waiting out the timeout. */
@@ -428,6 +442,15 @@ final class ShardedDriver(root: String, val driverId: String,
       sendToInbox(s, List(s"c\t${WalCodec.esc(path)}",
         s"e\t${WalCodec.esc(path)}")))
     local
+  }
+
+  /** Forward a path event to the inbox of every UNOWNED accepting shard
+    * WITHOUT folding locally — for events this driver already folded in
+    * richer (signal) form, where a receivePath would double-deliver to
+    * the owned tables. */
+  def forwardPath(path: String): Unit = synchronized {
+    acceptingShards(path).diff(owned.keySet).foreach(s =>
+      sendToInbox(s, List(s"e\t${WalCodec.esc(path)}")))
   }
 
   /** Fold pending inbox messages of every owned shard. */

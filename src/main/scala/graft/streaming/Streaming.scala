@@ -179,13 +179,19 @@ object StreamingDedup {
       (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val b = batch.localCheckpoint() // probe + update hash it once
+          val b = batch.localCheckpoint()
+          // ONE index load and ONE batch hashing per micro-batch: the
+          // checkpointed signature table is shared between the probe and
+          // the index fold
           val idx = graft.operators.Dedup.loadNearDupIndex(spark, indexPath,
             persist = false)
+          val sigs = graft.operators.Dedup.minhashSignatures(
+            b, textCol, idx.idCol, idx.k, idx.shingleN).localCheckpoint()
           graft.operators.Dedup.incrementalJaccardPairs(b, idx, textCol,
-              minJaccard, maxBucketSize)
+              minJaccard, maxBucketSize, Some(sigs))
             .write.mode("append").parquet(pairsOut)
-          graft.operators.Dedup.updateNearDupIndex(spark, indexPath, b, textCol)
+          graft.operators.Dedup.updateNearDupIndex(idx, indexPath, b, textCol,
+            Some(sigs))
         }
     }
 }

@@ -143,6 +143,58 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     dA.terminate(); dB.terminate()
   }
 
+  test("process(signal) forwards a materialized event to the owning driver") {
+    // a SIGNAL-form event (fireTimer) ingested on the WRONG driver must
+    // cross to the owning shard through the inbox, same as processPath —
+    // any driver can ingest any event
+    val nodeId = (0 to 99).map(i => s"tmr_node_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 1).get
+    val root = s"$work/app_sigfwd"
+    def mkDriver(): Application = {
+      val app = new Application("sigfwd", spark, root)
+      val timer = app.createTimer("tk", format = "%Y-%m-%d")
+      app.createData(nodeId, Seq(timer),
+        Seq(SqlSlot("SELECT '{time}' AS day")))
+      app
+    }
+    val dA = mkDriver(); val dB = mkDriver()
+    dA.activateSharded("A", 2, shards = Some(Set(0)))
+    dB.activateSharded("B", 2, shards = Some(Set(1)))
+    // A owns no accepting shard: nothing runs locally, the event forwards
+    val local = dA.fireTimer(dA.getTimer("tk").get, "2026-08-12")
+    assert(local.isEmpty)
+    val done = dB.shardedCycle()
+    assert(done.exists(_.endsWith(s"$nodeId/2026-08-12")),
+      s"timer event did not cross drivers: $done")
+    assert(dB.load(dB.getData(nodeId).get("2026-08-12")).collect()
+      .map(_.getString(0)).toSeq == Seq("2026-08-12"))
+    dA.terminate(); dB.terminate()
+  }
+
+  test("re-activating a sharded driver releases its previous leases") {
+    def mkApp(): Application = {
+      val app = new Application("reshard", spark, s"$work/app_reshard")
+      val src = app.marshalExternalData("src", s"$work/src", daySpec)
+      app.createData("n_reshard", Seq(src.latest(1)),
+        Seq(SqlSlot("SELECT day FROM src")))
+      app
+    }
+    val app = mkApp()
+    val shard = graft.routing.Sharding.shardOf("n_reshard", 2)
+    app.activateSharded("A", 2, shards = Some(Set(shard)))
+    assert(app.ownedShards == Set(shard))
+    // reconfigure to own NOTHING: the old incarnation's lease must be
+    // RELEASED (tombstoned), not abandoned — a successor claims the
+    // shard immediately instead of waiting out the lease timeout
+    app.activateSharded("A", 2, shards = Some(Set.empty[Int]))
+    assert(app.ownedShards.isEmpty)
+    val other = mkApp()
+    other.activateSharded("B", 2, shards = Some(Set(shard)))
+    assert(other.ownedShards == Set(shard),
+      "released shard was not immediately claimable")
+    app.terminate(); other.terminate()
+  }
+
   test("cross-process multi-driver: a forked JVM runs the downstream over the shared store") {
     // The in-process sharded test above shares one SparkSession; this one
     // forks a REAL second driver process (own JVM, own SparkSession) that

@@ -46,6 +46,13 @@ class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(weighted(MetricStatistic.SAMPLE_COUNT) == Seq(2.0, 1.0, 3.0))
     assert(weighted(MetricStatistic.AVG) == Seq(2.0, 5.0, 2.0))
     assert(weighted(MetricStatistic.Percentile(0.5)) == Seq(2.0, 5.0, 2.0))
+    // a zero-count pair (a value observed zero times) contributes to NO
+    // weighted statistic — notably not to MIN/MAX extrema
+    m.emit(Seq((99.0, 0L)), ts(11))
+    assert(weighted(MetricStatistic.MAX) == Seq(3.0, 5.0, 2.0))
+    assert(weighted(MetricStatistic.MIN) == Seq(1.0, 5.0, 2.0))
+    assert(weighted(MetricStatistic.SUM) == Seq(4.0, 5.0, 6.0))
+    assert(weighted(MetricStatistic.SAMPLE_COUNT) == Seq(2.0, 1.0, 3.0))
   }
 
   test("metric math: expression over aliased series feeds an alarm") {

@@ -380,6 +380,42 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally built.unpersist()
   }
 
+  test("a crash mid bucket-swap leaves the index loadable from next/old") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "completely different content about catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndswap").toString
+    val built = Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+      persist = false)
+    Dedup.saveNearDupIndex(built, dir)
+    val probe = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    def pairs(): Set[(Long, Long)] = {
+      val ix = Dedup.loadNearDupIndex(spark, dir, persist = false)
+      Dedup.incrementalJaccardPairs(probe, ix, "text",
+        minJaccard = 0.9, maxBucketSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val healthy = pairs()
+    assert(healthy == Set((100L, 0L)))
+    val fsDir = java.nio.file.Paths.get(dir)
+    // crash window 1: live table moved aside, next not yet in place
+    java.nio.file.Files.move(fsDir.resolve("buckets"),
+      fsDir.resolve("buckets_next"))
+    assert(pairs() == healthy, "loader must fall back to buckets_next")
+    // crash window 2: only the moved-aside old table remains
+    java.nio.file.Files.move(fsDir.resolve("buckets_next"),
+      fsDir.resolve("buckets_old"))
+    assert(pairs() == healthy, "loader must fall back to buckets_old")
+    // no table at all is a loud, named failure
+    java.nio.file.Files.move(fsDir.resolve("buckets_old"),
+      fsDir.resolve("buckets_gone"))
+    intercept[java.io.FileNotFoundException](pairs())
+  }
+
   test("updateNearDupIndex folds a batch in place == from-scratch rebuild") {
     val sp = spark; import sp.implicits._
     val corpus = Seq(

@@ -170,6 +170,29 @@ class MultiDriverSuite extends AnyFunSuite {
     assert(lx.tryAcquire().contains(3L))
   }
 
+  test("renew abdicates when the epoch file carries another owner") {
+    // a non-atomic store can let two claimants slip past the claim
+    // read-back holding the SAME epoch; the heartbeat re-verify is the
+    // convergence path — whoever's id is NOT in the file surrenders
+    val root = java.nio.file.Files.createTempDirectory("graft_md_rv").toString
+    var now = 0L
+    val lx = new ShardLease(root, 0, "X", conf, 1000, () => now)
+    assert(lx.tryAcquire().contains(1L))
+    // simulate the other racer's last-write winning the epoch file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/leases/shard-0/epoch-000000001"),
+      "Y".getBytes("UTF-8"))
+    now = 100
+    lx.renew()
+    assert(lx.heldEpoch == -1L, "X must abdicate a lease it no longer owns")
+    assert(!lx.isCurrent)
+    // the surviving owner's renewal still works
+    val ly = new ShardLease(root, 0, "Y", conf, 1000, () => now)
+    // Y finds its own id in epoch-1 → same-owner reclaim at epoch 2
+    assert(ly.tryAcquire().contains(2L))
+    assert(ly.isCurrent)
+  }
+
   test("same-owner restart reclaims its own still-live lease at epoch k+1") {
     val root = java.nio.file.Files.createTempDirectory("graft_md5").toString
     var now = 0L
