@@ -359,12 +359,45 @@ final class Application(val name: String, val spark: SparkSession,
   }
 
   private var metricAlarms: List[(NodeRef, graft.diagnostics.MetricAlarmDef)] = Nil
+  private var compositeAlarms: List[(NodeRef, graft.diagnostics.CompositeAlarmDef)] = Nil
 
-  /** Declared metric-backed alarm lookup (reference get_alarm,
-    * application.py — query over alarm nodes; plain [[marshalAlarm]]
-    * refs are unregistered pass-throughs and not returned here). */
+  /** Composite alarm (reference create_composite_alarm,
+    * application.py:937-1005): [[graft.diagnostics.AlarmRule]] boolean
+    * algebra over alarms already declared via [[createMetricAlarm]] (or
+    * its internal/external sugar), referenced by alarm id — e.g.
+    * `Ref("err_daily") & ~Ref("deploy_freeze")`. The composite is itself
+    * an alarm node: each monitor poll evaluates the members, joins their
+    * per-period states, applies the rule, and raises the composite's OWN
+    * transitions into routing, so downstream nodes trigger on it like
+    * any alarm. Members must share one evaluation period (state rows
+    * join on period_start). */
+  def createCompositeAlarm(id: String, rule: graft.diagnostics.AlarmRule,
+                           timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
+    require(!metricAlarms.exists(_._2.alarmId == id) &&
+      !compositeAlarms.exists(_._2.alarmId == id),
+      s"alarm '$id' already declared")
+    val memberIds = graft.diagnostics.AlarmRule.refs(rule)
+    require(memberIds.nonEmpty, s"composite '$id' references no alarms")
+    val members = memberIds.toList.sorted.map(mid =>
+      metricAlarms.find(_._2.alarmId == mid).getOrElse(
+        throw new IllegalArgumentException(
+          s"composite '$id' references undeclared alarm '$mid'"))._2)
+    require(members.map(_.periodSecs).distinct.length == 1,
+      s"composite '$id' members must share one evaluation period, " +
+        s"got ${members.map(_.periodSecs).distinct.mkString(", ")}")
+    val alarm = marshalAlarm(id, timeFormat)
+    compositeAlarms :+= ((alarm,
+      graft.diagnostics.CompositeAlarmDef(id, members, rule)))
+    alarm
+  }
+
+  /** Declared metric-backed or composite alarm lookup (reference
+    * get_alarm, application.py — query over alarm nodes; plain
+    * [[marshalAlarm]] refs are unregistered pass-throughs and not
+    * returned here). */
   def getAlarm(id: String): Option[NodeRef] =
     metricAlarms.find(_._2.alarmId == id).map(_._1)
+      .orElse(compositeAlarms.find(_._2.alarmId == id).map(_._1))
 
   /** The four fixed metric dimensions every metric node carries
     * (reference MetricDimension, metric_alarm_defs.py). */
@@ -602,9 +635,11 @@ final class Application(val name: String, val spark: SparkSession,
     * routing. */
   def alarmMonitor(): graft.diagnostics.AlarmMonitor = {
     require(metricAlarms.nonEmpty, "no metric-backed alarms declared")
-    val byId = metricAlarms.map { case (ref, d) => d.alarmId -> ref }.toMap
+    val byId = metricAlarms.map { case (r, d) => d.alarmId -> r }.toMap ++
+      compositeAlarms.map { case (r, d) => d.alarmId -> r }.toMap
     new graft.diagnostics.AlarmMonitor(metricAlarms.map(_._2),
-      (id, state, time) => raiseAlarm(byId(id), state, time))
+      (id, state, time) => raiseAlarm(byId(id), state, time),
+      composites = compositeAlarms.map(_._2))
   }
 
   // ---- dashboards (reference create_dashboard + widget APIs,

@@ -12,6 +12,16 @@ final case class MetricAlarmDef(
     params: AlarmParams,
     periodSecs: Long)
 
+/** One composite wiring (reference create_composite_alarm,
+  * application.py:937-1005): the member alarms' per-period states join on
+  * period_start (inner join — a period a member hasn't evaluated yet is
+  * absent, the metric-math gap semantics) and the [[AlarmRule]] algebra
+  * decides the composite state; its TRANSITIONS raise like any alarm's. */
+final case class CompositeAlarmDef(
+    alarmId: String,
+    members: Seq[MetricAlarmDef],
+    rule: AlarmRule)
+
 /** The metric→alarm→routing automation (reference chain
   * application.py:826-1005: create_alarm on a metric + the platform's
   * alarm ingestion raising state changes into the processor). The monitor
@@ -27,7 +37,8 @@ final case class MetricAlarmDef(
   */
 final class AlarmMonitor(
     defs: Seq[MetricAlarmDef],
-    raise: (String, String, Any) => List[String]) {
+    raise: (String, String, Any) => List[String],
+    composites: Seq[CompositeAlarmDef] = Nil) {
 
   final case class Transition(alarmId: String, state: String,
                               period: LocalDateTime,
@@ -38,9 +49,7 @@ final class AlarmMonitor(
   private val poller =
     new graft.app.DaemonPoller("graft-alarm-monitor", () => { poll(); () })
 
-  /** Evaluate every alarm over its current series; raise each state
-    * transition (in period order) into routing. Returns the raised
-    * transitions with the downstream completions each one caused.
+  /** Advance one alarm's transition cursor over its (period, state) rows.
     *
     * The cursor (last period/state) advances only AFTER a transition's
     * raise succeeds: if the triggered compute throws, this alarm's scan
@@ -48,37 +57,61 @@ final class AlarmMonitor(
     * transition — a change-only protocol must never silently drop an
     * edge (the state would otherwise have to flip away and back before
     * the downstream ever triggered). */
-  def poll(): List[Transition] = synchronized {
-    defs.toList.flatMap { d =>
-      val rows = Alarms.evaluate(d.series(), d.params, d.periodSecs)
-        .select("period_start", "state").orderBy("period_start")
-        .collect()
-        .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1)))
-      val fresh = rows.filter { case (t, _) =>
-        lastPeriod.get(d.alarmId).forall(t.isAfter) }
-      val out = scala.collection.mutable.ListBuffer.empty[Transition]
-      var halted = false
-      fresh.foreach { case (t, state) =>
-        if (!halted) {
-          val changed = !lastState.get(d.alarmId).contains(state)
-          if (!changed) lastPeriod(d.alarmId) = t
-          else {
-            try {
-              val completions = raise(d.alarmId, state, t)
-              lastPeriod(d.alarmId) = t
-              lastState(d.alarmId) = state
-              out += Transition(d.alarmId, state, t, completions)
-            } catch {
-              case e: Throwable =>
-                System.err.println(s"[graft-alarm-monitor] raise " +
-                  s"${d.alarmId}→$state@$t failed (will retry): ${e.getMessage}")
-                halted = true // preserve transition order; retry next poll
-            }
+  private def advance(alarmId: String,
+                      rows: Seq[(LocalDateTime, String)]): List[Transition] = {
+    val fresh = rows.filter { case (t, _) =>
+      lastPeriod.get(alarmId).forall(t.isAfter) }
+    val out = scala.collection.mutable.ListBuffer.empty[Transition]
+    var halted = false
+    fresh.foreach { case (t, state) =>
+      if (!halted) {
+        val changed = !lastState.get(alarmId).contains(state)
+        if (!changed) lastPeriod(alarmId) = t
+        else {
+          try {
+            val completions = raise(alarmId, state, t)
+            lastPeriod(alarmId) = t
+            lastState(alarmId) = state
+            out += Transition(alarmId, state, t, completions)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[graft-alarm-monitor] raise " +
+                s"$alarmId→$state@$t failed (will retry): ${e.getMessage}")
+              halted = true // preserve transition order; retry next poll
           }
         }
       }
-      out.toList
     }
+    out.toList
+  }
+
+  private def stateRows(d: MetricAlarmDef): Seq[(LocalDateTime, String)] =
+    Alarms.evaluate(d.series(), d.params, d.periodSecs)
+      .select("period_start", "state").orderBy("period_start")
+      .collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1))).toSeq
+
+  /** Evaluate every alarm over its current series; raise each state
+    * transition (in period order) into routing. Returns the raised
+    * transitions with the downstream completions each one caused.
+    * Composites evaluate AFTER their members in the same poll, so a
+    * member edge and the composite edge it causes raise together. */
+  def poll(): List[Transition] = synchronized {
+    val simple = defs.toList.flatMap(d => advance(d.alarmId, stateRows(d)))
+    val composite = composites.toList.flatMap { c =>
+      import org.apache.spark.sql.functions.col
+      val joined = c.members.map { m =>
+        Alarms.evaluate(m.series(), m.params, m.periodSecs)
+          .select(col("period_start"), col("state").as(s"__st_${m.alarmId}"))
+      }.reduce(_.join(_, "period_start"))
+      val rows = AlarmRule.evaluate(joined, c.rule,
+          c.members.map(m => m.alarmId -> s"__st_${m.alarmId}").toMap)
+        .select("period_start", "composite_state").orderBy("period_start")
+        .collect()
+        .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1))).toSeq
+      advance(c.alarmId, rows)
+    }
+    simple ++ composite
   }
 
   /** Background wall-clock poller (daemon; see [[graft.app.DaemonPoller]]

@@ -268,4 +268,12 @@ object AlarmRule {
     df.withColumn("composite_state",
       when(rule.toColumn(id => col(states(id))), Alarms.ALARM)
         .otherwise(Alarms.OK))
+
+  /** Every alarm id the rule references. */
+  def refs(rule: AlarmRule): Set[String] = rule match {
+    case Ref(id, _) => Set(id)
+    case And(l, r) => refs(l) ++ refs(r)
+    case Or(l, r) => refs(l) ++ refs(r)
+    case Not(r) => refs(r)
+  }
 }

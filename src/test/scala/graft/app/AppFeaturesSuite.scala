@@ -833,6 +833,46 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       graft.diagnostics.MetricStatistic.SUM, 86400L))
   }
 
+  test("composite alarm: rule over member alarms raises and triggers downstream") {
+    import graft.diagnostics._
+    val app = new Application("compa", spark, s"$work/app_compa")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val errs = app.createMetric("errs", timeFormat = "%Y-%m-%d")
+    val deploys = app.createMetric("deploys", timeFormat = "%Y-%m-%d")
+    def alarmOn(id: String, g: NodeRef) = app.createInternalMetricAlarm(
+      id, g, "n", MetricStatistic.SUM,
+      AlarmParams(1.0, AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1), 86400L,
+      timeFormat = "%Y-%m-%d")
+    alarmOn("err_alarm", errs)
+    alarmOn("deploy_alarm", deploys)
+    // page only when errors fire OUTSIDE a deploy window
+    import AlarmRule._
+    val page = app.createCompositeAlarm("page",
+      Ref("err_alarm") & ~Ref("deploy_alarm"), timeFormat = "%Y-%m-%d")
+    assert(app.getAlarm("page").map(_.signal.alias).contains("page"))
+    // an undeclared member or duplicate id fails fast
+    intercept[IllegalArgumentException](
+      app.createCompositeAlarm("bad", Ref("nope")))
+    intercept[IllegalArgumentException](
+      app.createCompositeAlarm("page", Ref("err_alarm")))
+    val node = app.createData("on_page", Seq(page("ALARM", "*")),
+      Seq(graft.compute.SqlSlot("SELECT '{time}' AS day")))
+    app.activate()
+    // day 1: errors during a deploy — members alarm, composite stays OK
+    app.diagnostics("errs")("n").emit(5.0, ts("2026-08-10 10:00:00"))
+    app.diagnostics("deploys")("n").emit(1.0, ts("2026-08-10 11:00:00"))
+    // day 2: errors with NO deploy — the composite pages
+    app.diagnostics("errs")("n").emit(3.0, ts("2026-08-11 09:00:00"))
+    app.diagnostics("deploys")("n").emit(0.0, ts("2026-08-11 09:00:00"))
+    val transitions = app.alarmMonitor().poll()
+    val pageTs = transitions.filter(_.alarmId == "page")
+    assert(pageTs.map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("OK", "2026-08-10"), ("ALARM", "2026-08-11")))
+    assert(app.load(node("ALARM", "2026-08-11")).collect()
+      .map(_.getString(0)).toSeq == Seq("2026-08-11"))
+  }
+
   test("partitioned external metric: a poll reads only partitions past the cursor") {
     val sp = spark; import sp.implicits._
     val app = new Application("extc", spark, s"$work/app_extc")
