@@ -209,6 +209,50 @@ object DiagnosticsQueries {
         .orderBy("day")
     }),
 
+    // ---- composite alarm end-to-end (reference create_composite_alarm):
+    // two member alarms over the daily error/view counts (normalized, the
+    // m05 scale-invariant shape), composite = errors & NOT views; every
+    // composite ALARM onset triggers the downstream node. The oracle
+    // replays member states, the rule, and the edge detection in SQL.
+    "m09_composite_alarm_trigger" -> ((s, dir) => {
+      import graft.app.Application
+      import graft.compute.SqlSlot
+      val w = s"/tmp/graft_m09_${new java.io.File(dir).getName}" +
+        s"_${ProcessHandle.current().pid()}"
+      DiagnosticsQueries.cleanupAtExit(w)
+      val app = new Application("m09", s, s"$w/app_m09")
+      def dailyNorm(typ: String): () => org.apache.spark.sql.DataFrame =
+        () => Metrics.evaluate(
+            events(s, dir).where(col("event_type") === typ),
+            "event_type", "value", "ts", DaySecs, MetricStatistic.SAMPLE_COUNT)
+          .withColumn("value", col("value") /
+            avg("value").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("name")))
+      val params = AlarmParams(1.01,
+        AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 3, datapointsToAlarm = 2)
+      app.createMetricAlarm("m09_err", dailyNorm("error"), params, DaySecs,
+        timeFormat = "%Y-%m-%d")
+      app.createMetricAlarm("m09_view", dailyNorm("view"), params, DaySecs,
+        timeFormat = "%Y-%m-%d")
+      import AlarmRule._
+      val page = app.createCompositeAlarm("m09_page",
+        Ref("m09_err") & ~Ref("m09_view"), timeFormat = "%Y-%m-%d")
+      val node = app.createData("on_m09_page", Seq(page("ALARM", "*")),
+        Seq(SqlSlot("SELECT '{time}' AS day")))
+      app.activate()
+      val transitions = app.alarmMonitor().poll()
+      val alarmDays = transitions.filter(t =>
+        t.alarmId == "m09_page" && t.state == Alarms.ALARM)
+      require(alarmDays.forall(_.completions.nonEmpty),
+        "a composite ALARM transition did not trigger the downstream node")
+      val sp = s
+      import sp.implicits._
+      alarmDays.map(t => app.load(node("ALARM", t.period.toLocalDate.toString)))
+        .foldLeft(Seq.empty[String].toDF("day"))(_ unionAll _)
+        .orderBy("day")
+    }),
+
     // ---- M2 weighted: count-weighted statistics (CloudWatch value-count
     // pair semantics — (v, c) is v observed c times). The count column is
     // synthesized deterministically from row content; the oracle replays
@@ -340,6 +384,31 @@ object DiagnosticsQueries {
                           WHEN br >= 2 THEN 'ALARM' ELSE 'OK' END AS state
            FROM ev),
          tr AS (SELECT d, state, LAG(state) OVER (ORDER BY d) AS prev FROM st)
+         SELECT STRFTIME(d, '%Y-%m-%d') AS day
+         FROM tr WHERE state = 'ALARM' AND (prev IS NULL OR prev <> 'ALARM')
+         ORDER BY day""",
+    "m09_composite_alarm_trigger" ->
+      """WITH st AS (
+           SELECT event_type, d,
+             CASE WHEN COUNT(*) OVER w < 3 THEN 'INSUFFICIENT_DATA'
+                  WHEN SUM(CASE WHEN value >= 1.01 THEN 1 ELSE 0 END)
+                    OVER w >= 2 THEN 'ALARM' ELSE 'OK' END AS state
+           FROM (
+             SELECT event_type, d, v / AVG(v) OVER (PARTITION BY event_type) AS value
+             FROM (SELECT event_type,
+                     DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+                   FROM events WHERE event_type IN ('error', 'view')
+                   GROUP BY 1, 2))
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+         comp AS (
+           SELECT e.d,
+             CASE WHEN e.state = 'ALARM' AND NOT (v.state = 'ALARM')
+                  THEN 'ALARM' ELSE 'OK' END AS state
+           FROM st e JOIN st v ON e.d = v.d
+           WHERE e.event_type = 'error' AND v.event_type = 'view'),
+         tr AS (SELECT d, state, LAG(state) OVER (ORDER BY d) AS prev FROM comp)
          SELECT STRFTIME(d, '%Y-%m-%d') AS day
          FROM tr WHERE state = 'ALARM' AND (prev IS NULL OR prev <> 'ALARM')
          ORDER BY day""",
