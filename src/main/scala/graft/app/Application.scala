@@ -350,8 +350,9 @@ final class Application(val name: String, val spark: SparkSession,
                         params: graft.diagnostics.AlarmParams,
                         periodSecs: Long,
                         timeFormat: String = "%Y-%m-%d %H"): NodeRef = {
-    require(!metricAlarms.exists(_._2.alarmId == id),
-      s"metric alarm '$id' already declared")
+    require(!metricAlarms.exists(_._2.alarmId == id) &&
+      !compositeAlarms.exists(_._2.alarmId == id),
+      s"alarm '$id' already declared")
     val alarm = marshalAlarm(id, timeFormat)
     metricAlarms :+= ((alarm,
       graft.diagnostics.MetricAlarmDef(id, series, params, periodSecs)))
@@ -378,16 +379,21 @@ final class Application(val name: String, val spark: SparkSession,
       s"alarm '$id' already declared")
     val memberIds = graft.diagnostics.AlarmRule.refs(rule)
     require(memberIds.nonEmpty, s"composite '$id' references no alarms")
-    val members = memberIds.toList.sorted.map(mid =>
-      metricAlarms.find(_._2.alarmId == mid).getOrElse(
-        throw new IllegalArgumentException(
-          s"composite '$id' references undeclared alarm '$mid'"))._2)
-    require(members.map(_.periodSecs).distinct.length == 1,
+    // transitive evaluation periods of a member: its own for a metric
+    // alarm, its members' for an (earlier-declared) composite
+    def periodsOf(mid: String): Set[Long] =
+      metricAlarms.find(_._2.alarmId == mid).map(m => Set(m._2.periodSecs))
+        .orElse(compositeAlarms.find(_._2.alarmId == mid)
+          .map(_._2.memberIds.flatMap(periodsOf).toSet))
+        .getOrElse(throw new IllegalArgumentException(
+          s"composite '$id' references undeclared alarm '$mid'"))
+    val periods = memberIds.toList.sorted.flatMap(periodsOf).distinct
+    require(periods.length == 1,
       s"composite '$id' members must share one evaluation period, " +
-        s"got ${members.map(_.periodSecs).distinct.mkString(", ")}")
+        s"got ${periods.mkString(", ")}")
     val alarm = marshalAlarm(id, timeFormat)
     compositeAlarms :+= ((alarm,
-      graft.diagnostics.CompositeAlarmDef(id, members, rule)))
+      graft.diagnostics.CompositeAlarmDef(id, memberIds.toList.sorted, rule)))
     alarm
   }
 
@@ -679,18 +685,31 @@ final class Application(val name: String, val spark: SparkSession,
                          series: () => DataFrame): Unit =
     addWidget(dashboardId, MetricW(title, series))
 
-  /** Alarm-status widget: current state per DECLARED metric-backed alarm
-    * (reference create_alarm_status_widget validates the signals are
-    * alarms; here they must come from [[createMetricAlarm]], whose
-    * series+params are re-evaluated at render time). */
+  /** (period, state) rows of any DECLARED alarm: a metric alarm's N-of-M
+    * evaluation, or a composite derived from its members' rows. */
+  private def alarmStateRows(id: String): Seq[(java.time.LocalDateTime, String)] =
+    metricAlarms.find(_._2.alarmId == id).map { case (_, d) =>
+      graft.diagnostics.Alarms.evaluate(d.series(), d.params, d.periodSecs)
+        .select("period_start", "state").orderBy("period_start").collect()
+        .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1))).toSeq
+    }.orElse(compositeAlarms.find(_._2.alarmId == id).map { case (_, c) =>
+      graft.diagnostics.CompositeAlarmDef.deriveRows(c,
+        c.memberIds.map(m => m -> alarmStateRows(m)).toMap)
+    }).getOrElse(throw new IllegalArgumentException(s"unknown alarm '$id'"))
+
+  /** Alarm-status widget: current state per DECLARED alarm — metric-backed
+    * or composite (reference create_alarm_status_widget validates the
+    * signals are alarms; series+params re-evaluate at render time). */
   def createAlarmStatusWidget(dashboardId: String, title: String,
                               alarms: Seq[NodeRef]): Unit = {
     require(alarms.nonEmpty, "provide at least one alarm")
-    val known = metricAlarms.map(_._2.alarmId).toSet
+    val known = (metricAlarms.map(_._2.alarmId) ++
+      compositeAlarms.map(_._2.alarmId)).toSet
     val ids = alarms.map(_.signal.alias)
     val unknown = ids.filterNot(known)
     require(unknown.isEmpty,
-      s"not metric-backed alarms: ${unknown.mkString(", ")} — declare via createMetricAlarm")
+      s"not declared alarms: ${unknown.mkString(", ")} — declare via " +
+        "createMetricAlarm or createCompositeAlarm")
     addWidget(dashboardId, AlarmW(title, ids))
   }
 
@@ -729,13 +748,9 @@ final class Application(val name: String, val spark: SparkSession,
           org.apache.spark.sql.functions.lit(null).cast("string").as("text"))
       case (AlarmW(title, ids), i) =>
         val states = ids.map { aid =>
-          val d = metricAlarms.map(_._2).find(_.alarmId == aid).get
-          val rows = graft.diagnostics.Alarms
-            .evaluate(d.series(), d.params, d.periodSecs)
-            .select("period_start", "state").orderBy("period_start")
-            .collect()
-          val (t, s) = rows.lastOption
-            .map(r => (Option(r.getTimestamp(0)), r.getString(1)))
+          val (t, s) = alarmStateRows(aid).lastOption
+            .map { case (p, st) =>
+              (Option(java.sql.Timestamp.valueOf(p)), st) }
             .getOrElse((None, "INSUFFICIENT_DATA"))
           (i, "alarm", title, aid, t, None: Option[Double],
             Some(s): Option[String])

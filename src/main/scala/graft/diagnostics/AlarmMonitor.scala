@@ -14,13 +14,33 @@ final case class MetricAlarmDef(
 
 /** One composite wiring (reference create_composite_alarm,
   * application.py:937-1005): the member alarms' per-period states join on
-  * period_start (inner join — a period a member hasn't evaluated yet is
+  * period (inner join — a period a member hasn't evaluated yet is
   * absent, the metric-math gap semantics) and the [[AlarmRule]] algebra
-  * decides the composite state; its TRANSITIONS raise like any alarm's. */
+  * decides the composite state; its TRANSITIONS raise like any alarm's.
+  * Members are referenced by alarm id and may themselves be composites
+  * declared EARLIER (declaration order is the evaluation order). */
 final case class CompositeAlarmDef(
     alarmId: String,
-    members: Seq[MetricAlarmDef],
+    memberIds: Seq[String],
     rule: AlarmRule)
+
+object CompositeAlarmDef {
+  /** Derive the composite's (period, state) rows from its members'
+    * ALREADY-EVALUATED rows — pure driver-side arithmetic, no second
+    * series() read (a member's series may be cursor-backed, so
+    * re-invoking it mid-poll would see advanced state). */
+  def deriveRows(c: CompositeAlarmDef,
+                 memberRows: Map[String, Seq[(LocalDateTime, String)]])
+      : Seq[(LocalDateTime, String)] = {
+    val maps = c.memberIds.map(id => id -> memberRows(id).toMap).toMap
+    val common = c.memberIds.map(id => memberRows(id).map(_._1).toSet)
+      .reduce(_ intersect _)
+    common.toSeq.sortWith(_.compareTo(_) < 0).map { t =>
+      (t, if (AlarmRule.holds(c.rule, id => maps(id)(t))) Alarms.ALARM
+          else Alarms.OK)
+    }
+  }
+}
 
 /** The metric→alarm→routing automation (reference chain
   * application.py:826-1005: create_alarm on a metric + the platform's
@@ -94,21 +114,21 @@ final class AlarmMonitor(
   /** Evaluate every alarm over its current series; raise each state
     * transition (in period order) into routing. Returns the raised
     * transitions with the downstream completions each one caused.
-    * Composites evaluate AFTER their members in the same poll, so a
-    * member edge and the composite edge it causes raise together. */
+    *
+    * Each member series is read ONCE per poll: composites derive from
+    * the same rows their members were judged on (one snapshot — a
+    * member edge and the composite edge it causes raise together, and
+    * cursor-backed series are not advanced twice). Composites evaluate
+    * in declaration order, so an earlier composite can be a member of a
+    * later one. */
   def poll(): List[Transition] = synchronized {
-    val simple = defs.toList.flatMap(d => advance(d.alarmId, stateRows(d)))
+    val rowsById = scala.collection.mutable.Map.empty[
+      String, Seq[(LocalDateTime, String)]]
+    defs.foreach(d => rowsById(d.alarmId) = stateRows(d))
+    val simple = defs.toList.flatMap(d => advance(d.alarmId, rowsById(d.alarmId)))
     val composite = composites.toList.flatMap { c =>
-      import org.apache.spark.sql.functions.col
-      val joined = c.members.map { m =>
-        Alarms.evaluate(m.series(), m.params, m.periodSecs)
-          .select(col("period_start"), col("state").as(s"__st_${m.alarmId}"))
-      }.reduce(_.join(_, "period_start"))
-      val rows = AlarmRule.evaluate(joined, c.rule,
-          c.members.map(m => m.alarmId -> s"__st_${m.alarmId}").toMap)
-        .select("period_start", "composite_state").orderBy("period_start")
-        .collect()
-        .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1))).toSeq
+      val rows = CompositeAlarmDef.deriveRows(c, rowsById.toMap)
+      rowsById(c.alarmId) = rows // visible to later composites
       advance(c.alarmId, rows)
     }
     simple ++ composite

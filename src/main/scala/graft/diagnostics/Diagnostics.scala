@@ -276,4 +276,13 @@ object AlarmRule {
     case Or(l, r) => refs(l) ++ refs(r)
     case Not(r) => refs(r)
   }
+
+  /** Driver-side rule evaluation over one period's member states — the
+    * scalar twin of [[evaluate]] (same semantics, no DataFrame). */
+  def holds(rule: AlarmRule, stateOf: String => String): Boolean = rule match {
+    case Ref(id, target) => stateOf(id) == target
+    case And(l, r) => holds(l, stateOf) && holds(r, stateOf)
+    case Or(l, r) => holds(l, stateOf) || holds(r, stateOf)
+    case Not(r) => !holds(r, stateOf)
+  }
 }

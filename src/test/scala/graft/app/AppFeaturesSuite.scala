@@ -851,11 +851,15 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     val page = app.createCompositeAlarm("page",
       Ref("err_alarm") & ~Ref("deploy_alarm"), timeFormat = "%Y-%m-%d")
     assert(app.getAlarm("page").map(_.signal.alias).contains("page"))
-    // an undeclared member or duplicate id fails fast
+    // composite-of-composite: an earlier composite is a valid member
+    app.createCompositeAlarm("meta_page",
+      Ref("page") & Ref("err_alarm"), timeFormat = "%Y-%m-%d")
+    // an undeclared member or duplicate id fails fast, in BOTH directions
     intercept[IllegalArgumentException](
       app.createCompositeAlarm("bad", Ref("nope")))
     intercept[IllegalArgumentException](
       app.createCompositeAlarm("page", Ref("err_alarm")))
+    intercept[IllegalArgumentException](alarmOn("page", errs))
     val node = app.createData("on_page", Seq(page("ALARM", "*")),
       Seq(graft.compute.SqlSlot("SELECT '{time}' AS day")))
     app.activate()
@@ -869,8 +873,18 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     val pageTs = transitions.filter(_.alarmId == "page")
     assert(pageTs.map(t => (t.state, t.period.toLocalDate.toString)) ==
       List(("OK", "2026-08-10"), ("ALARM", "2026-08-11")))
+    // the nested composite follows its member composite's day-2 edge
+    assert(transitions.filter(_.alarmId == "meta_page")
+      .map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("OK", "2026-08-10"), ("ALARM", "2026-08-11")))
     assert(app.load(node("ALARM", "2026-08-11")).collect()
       .map(_.getString(0)).toSeq == Seq("2026-08-11"))
+    // the dashboard renders composite state like any declared alarm
+    app.createDashboard("ops")
+    app.createAlarmWidget("ops", page)
+    val rendered = app.renderDashboard("ops").collect()
+    assert(rendered.exists(r => r.getAs[String]("name") == "page" &&
+      r.getAs[String]("text") == "ALARM"), rendered.mkString("; "))
   }
 
   test("partitioned external metric: a poll reads only partitions past the cursor") {
