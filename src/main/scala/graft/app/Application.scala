@@ -557,11 +557,24 @@ final class Application(val name: String, val spark: SparkSession,
     * append into the open partition — but closed history is never
     * scanned again. Contract: producers only append to partitions at or
     * after the newest one (the standard time-partitioned metric store
-    * shape); a backfill into old partitions needs a fresh series. */
+    * shape); a backfill into old partitions needs a fresh series.
+    *
+    * `consumedCursor` (when supplied — [[createExternalMetricAlarm]]
+    * wires it to the monitor's per-alarm cursor) replaces the
+    * advance-on-read frontier with the CONSUMER's position: the window
+    * anchors at the last period the monitor actually consumed, so a
+    * dashboard render or a raise-failure streak can never advance the
+    * window past unconsumed rows. Until the first consumption it reads
+    * everything. WITHOUT it, the frontier advances on every invocation
+    * and the retry window is bounded: a pending transition survives
+    * only while its period stays within `lookbackPeriods` of the newest
+    * partition read — share such a closure with exactly one consumer. */
   def externalMetricSeries(metric: NodeRef,
                            statistic: graft.diagnostics.MetricStatistic,
                            periodSecs: Long,
-                           lookbackPeriods: Int = 0): () => DataFrame = {
+                           lookbackPeriods: Int = 0,
+                           consumedCursor: Option[() => Option[Long]] = None)
+      : () => DataFrame = {
     val d = externalMetrics.getOrElse(metric.signal.alias,
       throw new IllegalArgumentException(
         s"'${metric.signal.alias}' is not a marshaled external metric"))
@@ -597,10 +610,14 @@ final class Application(val name: String, val spark: SparkSession,
             evaluate(spark.read.format(d.format).options(d.options)
               .load(d.rootPath))
           else {
-            val selected = frontier match {
+            // window anchor: the consumer's consumed cursor when wired
+            // (never outruns consumption), else this closure's own
+            // advance-on-read frontier (documented bounded-retry window)
+            val anchor = consumedCursor.fold(frontier)(f => f())
+            val selected = anchor match {
               case None => parts
               case Some(f) =>
-                // keep partitions at/after the frontier's lookback target;
+                // keep partitions at/after the anchor's lookback target;
                 // the last partition STARTING at or before the target can
                 // still contain in-window periods, so include it too
                 val target = f - lookbackPeriods * periodSecs
@@ -629,9 +646,12 @@ final class Application(val name: String, val spark: SparkSession,
                                 transform: DataFrame => DataFrame = identity)
       : NodeRef = {
     // cursor lookback = the alarm's N-of-M window: a new period's state
-    // needs exactly its trailing evaluationPeriods of datapoints
+    // needs exactly its trailing evaluationPeriods of datapoints; the
+    // window anchors at the MONITOR's consumed cursor so dashboard
+    // renders and raise-failure retries never starve the alarm's scan
     val series = externalMetricSeries(metric, statistic, periodSecs,
-      lookbackPeriods = params.evaluationPeriods)
+      lookbackPeriods = params.evaluationPeriods,
+      consumedCursor = Some(() => alarmCursors.get(alarmId)))
     createMetricAlarm(alarmId, () => transform(series()), params,
       periodSecs, timeFormat)
   }
@@ -645,8 +665,18 @@ final class Application(val name: String, val spark: SparkSession,
       compositeAlarms.map { case (r, d) => d.alarmId -> r }.toMap
     new graft.diagnostics.AlarmMonitor(metricAlarms.map(_._2),
       (id, state, time) => raiseAlarm(byId(id), state, time),
-      composites = compositeAlarms.map(_._2))
+      composites = compositeAlarms.map(_._2),
+      onCursor = (id, t) => alarmCursors.put(
+        id, t.toEpochSecond(java.time.ZoneOffset.UTC)))
   }
+
+  /** Per-alarm consumed-period cursor (epoch seconds, UTC), advanced by
+    * the monitor only after it has consumed a row (raise succeeded or
+    * state unchanged). Cursor-backed series anchor their partition
+    * window here, so a raise-failure streak can never push the pending
+    * period out of the lookback window — see [[externalMetricSeries]]. */
+  private val alarmCursors =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   // ---- dashboards (reference create_dashboard + widget APIs,
   // application.py:4461-4525 — CloudWatch JSON there; here a declared

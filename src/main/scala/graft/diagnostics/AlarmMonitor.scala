@@ -58,7 +58,8 @@ object CompositeAlarmDef {
 final class AlarmMonitor(
     defs: Seq[MetricAlarmDef],
     raise: (String, String, Any) => List[String],
-    composites: Seq[CompositeAlarmDef] = Nil) {
+    composites: Seq[CompositeAlarmDef] = Nil,
+    onCursor: (String, LocalDateTime) => Unit = (_, _) => ()) {
 
   final case class Transition(alarmId: String, state: String,
                               period: LocalDateTime,
@@ -76,21 +77,32 @@ final class AlarmMonitor(
     * stops at the failed period and the NEXT poll retries the same
     * transition — a change-only protocol must never silently drop an
     * edge (the state would otherwise have to flip away and back before
-    * the downstream ever triggered). */
+    * the downstream ever triggered). The retry contract requires the
+    * failed period's row to REAPPEAR on the next poll, so every cursor
+    * advance is reported through `onCursor`: a cursor-backed series
+    * (externalMetricSeries with a partition frontier) anchors its read
+    * window to this consumed position rather than its own last read —
+    * otherwise a long raise-failure streak while new partitions land
+    * would push the failed period out of the lookback window and
+    * silently drop the pending transition. */
   private def advance(alarmId: String,
                       rows: Seq[(LocalDateTime, String)]): List[Transition] = {
     val fresh = rows.filter { case (t, _) =>
       lastPeriod.get(alarmId).forall(t.isAfter) }
     val out = scala.collection.mutable.ListBuffer.empty[Transition]
     var halted = false
+    def consume(t: LocalDateTime): Unit = {
+      lastPeriod(alarmId) = t
+      onCursor(alarmId, t)
+    }
     fresh.foreach { case (t, state) =>
       if (!halted) {
         val changed = !lastState.get(alarmId).contains(state)
-        if (!changed) lastPeriod(alarmId) = t
+        if (!changed) consume(t)
         else {
           try {
             val completions = raise(alarmId, state, t)
-            lastPeriod(alarmId) = t
+            consume(t)
             lastState(alarmId) = state
             out += Transition(alarmId, state, t, completions)
           } catch {

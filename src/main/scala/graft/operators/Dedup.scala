@@ -387,11 +387,19 @@ object Dedup {
       else d
     // buckets resolution tolerates a crash mid-[[updateNearDupIndex]]
     // swap: `buckets_next` is always fully written before the swap
-    // begins, so if the live dir is missing prefer it (the newer table),
-    // then the moved-aside old one — a crashed update degrades to a
-    // stale-or-new index, never a missing one
-    val bucketsDir = Seq("buckets", "buckets_next", "buckets_old")
-      .map(d => new org.apache.hadoop.fs.Path(s"$path/$d"))
+    // begins, so if the live dir is missing COMPLETE the interrupted
+    // swap (rename next->live, drop old) rather than merely reading
+    // next in place — a retried update would otherwise overwrite the
+    // very directory its merge is lazily scanning. Healing makes the
+    // on-disk state identical to a successful swap; if the rename is
+    // refused (read-only mount) fall back to reading next/old directly.
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
+    val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
+    if (!fs.exists(live) && fs.exists(next) &&
+        (try fs.rename(next, live) catch { case _: java.io.IOException => false }))
+      fs.delete(old, true)
+    val bucketsDir = Seq(live, next, old)
       .find(fs.exists)
       .getOrElse(throw new java.io.FileNotFoundException(
         s"$path/buckets (no live, next, or old table)"))
@@ -449,15 +457,32 @@ object Dedup {
     val newBuckets = bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands)
       .groupBy("band", "band_hash")
       .agg(collect_list(col(idCol)).as("__ids"))
-    // merged bucket table lands beside the live one, then swaps in
-    idx.buckets.unionByName(newBuckets)
-      .groupBy("band", "band_hash")
-      .agg(flatten(collect_list(col("__ids"))).as("__ids"))
-      .write.mode("overwrite").parquet(s"$path/buckets_next")
-    newSigs.write.mode("append").parquet(s"$path/sigs")
-    newGrams.write.mode("append").parquet(s"$path/grams")
+    // merged bucket table lands in a UNIQUE temp dir first: idx.buckets
+    // may be a lazy scan of buckets_next itself (a load that fell back
+    // after an interrupted swap), and writing the merge straight to
+    // buckets_next would delete the scan's source before reading it.
+    // The materialized temp table then renames into buckets_next.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/buckets_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    // array_distinct: a doc id appears at most once per bucket by
+    // construction (one bandExplode row per doc per band), so distinct
+    // is a no-op on clean folds and makes a crash-REPLAYED fold
+    // idempotent on the bucket lists — a re-appended batch can neither
+    // double-emit pairs from doubled lists nor push a list across the
+    // maxBucketSize guard (which would silently drop future pairs)
+    idx.buckets.unionByName(newBuckets)
+      .groupBy("band", "band_hash")
+      .agg(array_distinct(flatten(collect_list(col("__ids")))).as("__ids"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val nextPre = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
+    fs.delete(nextPre, true)
+    if (!fs.rename(tmp, nextPre))
+      throw new java.io.IOException(
+        s"updateNearDupIndex: could not stage merged buckets at $nextPre")
+    newSigs.write.mode("append").parquet(s"$path/sigs")
+    newGrams.write.mode("append").parquet(s"$path/grams")
     // swap: move the LIVE table aside first, then the new one into
     // place, then drop the old — a crash at any boundary leaves either
     // the old or the new buckets loadable (delete-then-rename would

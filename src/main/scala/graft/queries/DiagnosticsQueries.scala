@@ -9,11 +9,8 @@ import graft.diagnostics._
   * oracles replay the identical windowed semantics in DuckDB SQL. */
 object DiagnosticsQueries {
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    EventTables.events(s, dir)
 
   private val DaySecs = 86400L
 

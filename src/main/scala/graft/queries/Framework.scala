@@ -478,9 +478,7 @@ object Framework {
     // recomputed identically by the oracle.
     "fw16_n_to_1_link" -> ((s, dir) => {
       val w = work(dir)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val ev = EventTables.events(s, dir)
         .withColumn("__d", date_format(col("ts"), "yyyy-MM-dd"))
         .withColumn("__h", hour(col("ts")))
       val pick = ev.where(col("event_type") === "error")

@@ -243,11 +243,9 @@ object Relational {
     }),
 
     // ---- event-stream time bucketing (date_trunc agg over events)
-    // events.ts is parquet TIMESTAMP(NANOS): read nanos as long, convert.
+    // events.ts parquet resolution varies by generation — see EventTables.
     "q20_event_buckets" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      EventTables.events(s, dir)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
                  col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 4).as("total_value"))

@@ -108,8 +108,7 @@ object Relational2 {
 
     // ---- JSON extraction from the events.props payload
     "q29_json" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
+      EventTables.events(s, dir)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))

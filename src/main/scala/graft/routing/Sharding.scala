@@ -44,6 +44,13 @@ object Sharding {
   /** Consistent route→shard mapping — identical on every driver. */
   def shardOf(routeId: String, numShards: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(routeId), numShards)
+
+  /** Fixed-width (8 hex chars) owner token embedded in WAL segment names
+    * — ownerIds may contain '-' (the name separator), so names carry the
+    * hash, not the id. Used to fence same-epoch dual writers: see
+    * [[EpochWal.load]]. */
+  def ownerToken(ownerId: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(ownerId)}%08x"
 }
 
 /** Lease + fencing-epoch ownership of ONE shard over a shared filesystem.
@@ -210,12 +217,19 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     write(hbPath(held), "released", overwrite = true)
     held = -1L
   }
+
+  /** The SETTLED owner of epoch `k` (the epoch file's content). On a
+    * store without atomic create-if-absent, same-epoch double-holders
+    * converge to this owner at renewal time ([[renew]] abdicates the
+    * other), so it is the authority for which writer's same-epoch WAL
+    * segments are live — see [[EpochWal.load]]. */
+  def ownerOf(k: Long): Option[String] = read(epochPath(k)).map(_.trim)
 }
 
 /** Per-shard WAL with fencing-epoch segment names
-  * (`<shardDir>/wal-<epoch>-<ts>-<uuid>.log`) and epoch-named compaction
-  * snapshots (`snap-<epoch>-<ts>.log`). Same line format and O(1)
-  * append + hflush mechanics as [[RoutingCheckpoint]].
+  * (`<shardDir>/wal-<epoch>-<ownerToken>-<ts>-<uuid>.log`) and
+  * epoch-named compaction snapshots (`snap-<epoch>-<ts>.log`). Same line
+  * format and O(1) append + hflush mechanics as [[RoutingCheckpoint]].
   *
   * Fencing rule: let E = the highest snapshot epoch present. History
   * from epochs < E lives INSIDE that snapshot (the epoch-E owner
@@ -223,8 +237,20 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
   * only be zombie leftovers — [[load]] ignores them (loudly) and
   * [[compact]] deletes them, unlinking a zombie's still-open stream.
   * A compaction attempt by a FENCED owner (a snapshot with a higher
-  * epoch exists) aborts without touching the log. */
-final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
+  * epoch exists) aborts without touching the log.
+  *
+  * SAME-epoch fencing: on stores without atomic create-if-absent, two
+  * claim racers can briefly both hold epoch k (ShardLease's acknowledged
+  * double-hold window) and both append wal-k-* segments. Segment names
+  * therefore embed [[Sharding.ownerToken]], and [[load]] filters each
+  * epoch's segments to the SETTLED owner of that epoch
+  * (`winnerTokenOf`, backed by [[ShardLease.ownerOf]]) — the same owner
+  * the renewal-time convergence keeps. The loser's in-window appends are
+  * dropped loudly; their effects re-surface through the at-least-once
+  * contract (filesystem completion probes + inbox redelivery). */
+final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
+                     ownerToken: Option[String] = None,
+                     winnerTokenOf: Long => Option[String] = _ => None)
     extends RoutingWal {
 
   private val dir = new Path(shardDir)
@@ -249,10 +275,18 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
     ok.map { case (n, e) => (n, e.get) }
   }
 
+  /** Owner token embedded at position 2 of a new-format segment name, or
+    * None for legacy names (whose position 2 is the 13-digit timestamp —
+    * token is always exactly 8 hex chars, so width disambiguates). */
+  private def tokenOf(name: String): Option[String] =
+    name.split('-').lift(2).filter(s =>
+      s.length == 8 && s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+
   private def record(kind: String, payload: String): Unit = synchronized {
     if (wal == null) {
       if (!fs.exists(dir)) fs.mkdirs(dir)
-      val name = f"wal-$epoch%09d-${System.currentTimeMillis()}%013d-${
+      val tok = ownerToken.map(t => s"$t-").getOrElse("")
+      val name = f"wal-$epoch%09d-$tok${System.currentTimeMillis()}%013d-${
         java.util.UUID.randomUUID().toString.take(8)}.log"
       wal = fs.create(new Path(dir, name), true)
     }
@@ -279,8 +313,22 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long)
     val snaps = parsed(listNames("snap-"))
     val snapEpoch = if (snaps.isEmpty) -1L else snaps.map(_._2).max
     val snapName = snaps.filter(_._2 == snapEpoch).map(_._1).sorted.lastOption
-    val (liveP, zombieP) = parsed(listNames("wal-")).partition(_._2 >= snapEpoch)
+    val (liveP0, zombieP) = parsed(listNames("wal-")).partition(_._2 >= snapEpoch)
+    // same-epoch fencing: of segments attributed to an owner (new-format
+    // names), keep only those of each epoch's SETTLED owner — a claim
+    // race's loser may have appended under the same epoch before
+    // abdicating at renewal. Legacy names and unresolvable epochs pass.
+    val (liveP, losers) = liveP0.partition { case (n, e) =>
+      (tokenOf(n), winnerTokenOf(e)) match {
+        case (Some(t), Some(w)) => t == w
+        case _ => true
+      }
+    }
     val (live, zombie) = (liveP.map(_._1), zombieP.map(_._1))
+    if (losers.nonEmpty)
+      log.warn(s"shard WAL $dir: ignoring ${losers.length} segment(s) from " +
+        "same-epoch claim-race losers (owner token differs from the " +
+        s"settled epoch owner): ${losers.map(_._1).sorted.mkString(", ")}")
     if (zombie.nonEmpty)
       log.warn(s"shard WAL $dir: ignoring ${zombie.length} segment(s) from " +
         s"epochs older than snapshot epoch $snapEpoch (zombie writers): " +
@@ -385,7 +433,9 @@ final class ShardedDriver(root: String, val driverId: String,
     val shardDefs = defs.filter(d => shardOf(d.id) == shard)
     val lease = leaseFor(shard)
     lease.tryAcquire().map { epoch =>
-      val wal = new EpochWal(s"${shardDir(shard)}/wal", conf, epoch)
+      val wal = new EpochWal(s"${shardDir(shard)}/wal", conf, epoch,
+        ownerToken = Some(Sharding.ownerToken(driverId)),
+        winnerTokenOf = k => lease.ownerOf(k).map(Sharding.ownerToken))
       val table = new RoutingTable(probe, Some(wal))
       shardDefs.foreach(d => table.add(d.mk()))
       val recovered = table.recover() // replay + compact(epoch) inside

@@ -165,33 +165,45 @@ object StreamingDedup {
     * Structured Streaming. State lives in the index files, not the
     * stream — nothing here grows with the corpus in executor memory.
     *
-    * Delivery caveat: foreachBatch is at-least-once — a replayed batch
-    * re-appends its rows to the index and re-flags the same pairs
-    * (probe correctness is unaffected; dedupe `pairsOut` downstream on
-    * (d1, d2) if exact-once pairs matter, and compact the index for
-    * storage hygiene after a crash replay). Start the returned writer
-    * with `.option("checkpointLocation", ...).start()`. */
+    * Delivery: foreachBatch is at-least-once, so the fold is made
+    * idempotent per batch — an `applied/<batchId>` marker under the
+    * index path is written after a batch's fold completes, and a
+    * replayed batch that finds its marker is skipped outright (no
+    * re-appended index rows, no re-flagged pairs). The residual window
+    * is a crash BETWEEN the fold and its marker write: that one replay
+    * re-appends sigs/grams rows (storage hygiene — compact the index)
+    * and re-flags the same pairs (dedupe `pairsOut` on (d1, d2) if
+    * exact-once matters), but the bucket lists stay correct — the
+    * update's merge is array_distinct, so a replayed fold cannot double
+    * a list or push it across `maxBucketSize`. Start the returned
+    * writer with `.option("checkpointLocation", ...).start()`. */
   def nearDupIngest(stream: DataFrame, indexPath: String, textCol: String,
                     pairsOut: String, minJaccard: Double = 0.9,
                     maxBucketSize: Int = 1000)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val b = batch.localCheckpoint()
-          // ONE index load and ONE batch hashing per micro-batch: the
-          // checkpointed signature table is shared between the probe and
-          // the index fold
-          val idx = graft.operators.Dedup.loadNearDupIndex(spark, indexPath,
-            persist = false)
-          val sigs = graft.operators.Dedup.minhashSignatures(
-            b, textCol, idx.idCol, idx.k, idx.shingleN).localCheckpoint()
-          graft.operators.Dedup.incrementalJaccardPairs(b, idx, textCol,
-              minJaccard, maxBucketSize, Some(sigs))
-            .write.mode("append").parquet(pairsOut)
-          graft.operators.Dedup.updateNearDupIndex(idx, indexPath, b, textCol,
-            Some(sigs))
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$indexPath/applied/batch-$batchId")
+          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            val b = batch.localCheckpoint()
+            // ONE index load and ONE batch hashing per micro-batch: the
+            // checkpointed signature table is shared between the probe and
+            // the index fold
+            val idx = graft.operators.Dedup.loadNearDupIndex(spark, indexPath,
+              persist = false)
+            val sigs = graft.operators.Dedup.minhashSignatures(
+              b, textCol, idx.idCol, idx.k, idx.shingleN).localCheckpoint()
+            graft.operators.Dedup.incrementalJaccardPairs(b, idx, textCol,
+                minJaccard, maxBucketSize, Some(sigs))
+              .write.mode("append").parquet(pairsOut)
+            graft.operators.Dedup.updateNearDupIndex(idx, indexPath, b, textCol,
+              Some(sigs))
+            fs.create(marker, true).close()
+          }
         }
     }
 }

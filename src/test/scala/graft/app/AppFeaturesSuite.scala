@@ -932,6 +932,54 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getDouble(2)).toSeq == Seq(3.0, 4.0, 5.0, 6.0))
   }
 
+  test("alarm window anchors at the monitor's cursor under raise failures") {
+    val sp = spark; import sp.implicits._
+    val app = new Application("extrf", spark, s"$work/app_extrf")
+    val store = s"$work/extrf_store"
+    def writeDay(day: String, v: Double): Unit =
+      Seq(("m", java.sql.Timestamp.valueOf(s"$day 10:00:00"), v))
+        .toDF("name", "ts", "value")
+        .write.mode("overwrite").parquet(s"$store/day=$day")
+    writeDay("2026-08-01", 1.0) // OK
+    writeDay("2026-08-02", 9.0) // ALARM edge — its raise will fail below
+    val metric = app.marshalExternalMetric("m", store,
+      partitionCol = Some("day"), partitionFormat = "%Y-%m-%d")
+    val alarm = app.createExternalMetricAlarm("m_alarm", metric,
+      graft.diagnostics.MetricStatistic.SUM,
+      graft.diagnostics.AlarmParams(5.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1), 86400L,
+      timeFormat = "%Y-%m-%d")
+    @volatile var fail = true
+    val node = app.createData("on_alarm", Seq(alarm("ALARM", "*")),
+      Seq(graft.compute.ScalaSlot { c =>
+        if (fail) sys.error("downstream outage")
+        Seq(1).toDF("one")
+      }))
+    app.activate()
+    val mon = app.alarmMonitor()
+    // poll 1: OK@08-01 consumes; ALARM@08-02's raise throws → pending
+    assert(mon.poll().map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("OK", "2026-08-01")))
+    // the producer races ahead by MORE than the lookback window (1
+    // period) while raises keep failing; a dashboard render also reads
+    // the same series — neither may advance the window past the
+    // unconsumed 08-02 row
+    writeDay("2026-08-03", 9.0); writeDay("2026-08-04", 9.0)
+    writeDay("2026-08-05", 9.0)
+    app.createDashboard("ops"); app.createAlarmWidget("ops", alarm)
+    app.renderDashboard("ops").collect()
+    assert(mon.poll().isEmpty) // still failing, still pending
+    // outage over: the pending 08-02 edge must raise NOW — pre-fix the
+    // advanced frontier had pushed 08-02 out of the read window and the
+    // transition silently vanished
+    fail = false
+    assert(mon.poll().map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("ALARM", "2026-08-02")))
+    assert(app.load(node("ALARM", "2026-08-02")).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("dashboards: text + metric + alarm widgets render into one frame") {
     val sp = spark; import sp.implicits._
     val app = new Application("dash", spark, s"$work/app_dash")

@@ -402,18 +402,91 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val healthy = pairs()
     assert(healthy == Set((100L, 0L)))
     val fsDir = java.nio.file.Paths.get(dir)
-    // crash window 1: live table moved aside, next not yet in place
+    // crash window 1: live table moved aside, next not yet in place —
+    // the loader HEALS (completes the swap: next renamed to live) so a
+    // retried update can never overwrite the table it is scanning
     java.nio.file.Files.move(fsDir.resolve("buckets"),
       fsDir.resolve("buckets_next"))
-    assert(pairs() == healthy, "loader must fall back to buckets_next")
+    assert(pairs() == healthy, "loader must heal buckets_next into place")
+    assert(java.nio.file.Files.exists(fsDir.resolve("buckets")) &&
+      !java.nio.file.Files.exists(fsDir.resolve("buckets_next")),
+      "healing must leave the on-disk state identical to a completed swap")
     // crash window 2: only the moved-aside old table remains
-    java.nio.file.Files.move(fsDir.resolve("buckets_next"),
+    java.nio.file.Files.move(fsDir.resolve("buckets"),
       fsDir.resolve("buckets_old"))
     assert(pairs() == healthy, "loader must fall back to buckets_old")
     // no table at all is a loud, named failure
     java.nio.file.Files.move(fsDir.resolve("buckets_old"),
       fsDir.resolve("buckets_gone"))
     intercept[java.io.FileNotFoundException](pairs())
+  }
+
+  test("retried update after an interrupted swap keeps all bucket rows") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "completely different content about catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (100L, "fresh novel text that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndretry").toString
+    val built = Dedup.buildNearDupIndex(corpus, "text", "doc_id", persist = false)
+    Dedup.saveNearDupIndex(built, dir)
+    // simulate the crash between the two swap renames: live renamed away,
+    // merged table sitting at buckets_next (here: the pre-update table —
+    // the retried update re-merges the batch, which is the retry contract)
+    val fsDir = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(fsDir.resolve("buckets"),
+      fsDir.resolve("buckets_next"))
+    // the retried update must NOT feed buckets_next into an overwrite of
+    // itself (pre-fix: Spark deletes the write target before the lazy
+    // scan runs — all prior bucket rows lost or the merge fails)
+    Dedup.updateNearDupIndex(spark, dir, day1, "text")
+    val updated = Dedup.loadNearDupIndex(spark, dir, persist = false)
+    val rebuilt = Dedup.buildNearDupIndex(corpus.unionByName(day1),
+      "text", "doc_id", persist = false)
+    val probe = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river"),
+      (201L, "fresh novel text that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    def pairsOf(idx: Dedup.NearDupIndex) =
+      Dedup.incrementalJaccardPairs(probe, idx, "text",
+        minJaccard = 0.9, maxBucketSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(updated) == pairsOf(rebuilt))
+    assert(pairsOf(updated) == Set((200L, 0L), (201L, 100L)))
+    // no leftover staging dirs
+    assert(!java.nio.file.Files.exists(fsDir.resolve("buckets_next")))
+  }
+
+  test("a crash-replayed fold is idempotent on bucket lists (no guard blowout)") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndreplay").toString
+    val built = Dedup.buildNearDupIndex(corpus, "text", "doc_id", persist = false)
+    Dedup.saveNearDupIndex(built, dir)
+    // the same batch folds TWICE (at-least-once replay): bucket lists
+    // must stay {0, 100} per bucket, not {0, 100, 100} — a doubled list
+    // would cross maxBucketSize=2 below and silently drop the pair
+    Dedup.updateNearDupIndex(spark, dir, batch, "text")
+    Dedup.updateNearDupIndex(spark, dir, batch, "text")
+    val idx = Dedup.loadNearDupIndex(spark, dir, persist = false)
+    import org.apache.spark.sql.functions.{col, size => sz}
+    assert(idx.buckets.where(sz(col("__ids")) > 2).count() == 0,
+      "replayed fold must not grow bucket lists past the distinct ids")
+    val probe = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val found = Dedup.incrementalJaccardPairs(probe, idx, "text",
+      minJaccard = 0.9, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((200L, 0L), (200L, 100L)))
   }
 
   test("updateNearDupIndex folds a batch in place == from-scratch rebuild") {

@@ -151,6 +151,36 @@ class MultiDriverSuite extends AnyFunSuite {
     assert(w3.load().get._1 == List(("/data/a/2026-08-10", false)))
   }
 
+  test("same-epoch fencing: the claim-race loser's segments are filtered at replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md_se").toString
+    val shardDir = s"$root/wal"
+    // the acknowledged double-hold window on a non-atomic store: X and Y
+    // both hold epoch 1 and both append wal-1-* segments; the epoch file
+    // settled to X (the renewal-time winner)
+    val winner: Long => Option[String] =
+      k => if (k == 1L) Some(Sharding.ownerToken("X")) else None
+    val wx = new EpochWal(shardDir, conf, 1,
+      ownerToken = Some(Sharding.ownerToken("X")), winnerTokenOf = winner)
+    val wy = new EpochWal(shardDir, conf, 1,
+      ownerToken = Some(Sharding.ownerToken("Y")), winnerTokenOf = winner)
+    wx.appendEvent("/data/a/2026-08-10", blocked = false)
+    wy.appendEvent("/data/a/2026-08-99", blocked = false) // loser's write
+    wx.close(); wy.close()
+    // the epoch-2 successor replays: only the settled owner's history
+    val w2 = new EpochWal(shardDir, conf, 2,
+      ownerToken = Some(Sharding.ownerToken("Z")), winnerTokenOf = winner)
+    val st = w2.load().get
+    assert(st._1 == List(("/data/a/2026-08-10", false)),
+      "the same-epoch loser's segments must not replay")
+    // legacy (token-less) segments from older deployments still replay
+    val legacy = new EpochWal(shardDir, conf, 1) // no ownerToken
+    legacy.appendEvent("/data/b/2026-08-11", blocked = false)
+    legacy.close()
+    val st2 = w2.load().get
+    assert(st2._1.map(_._1).toSet ==
+      Set("/data/a/2026-08-10", "/data/b/2026-08-11"))
+  }
+
   test("lease release hands the shard over immediately") {
     val root = java.nio.file.Files.createTempDirectory("graft_md4").toString
     var now = 0L
