@@ -88,12 +88,28 @@ object Similarity {
       .topK(queryVec, k, probeBits)
 
   /** Batched brute-force top-k JOIN: every row of `queries` gets its k
-    * nearest `corpus` rows by exact cosine. O(|Q|·|N|) pairs — the
-    * correctness baseline and the small-Q path; use [[lshTopKJoin]] when
-    * both sides are large. Output (query_id, idCol, cosine, rank). */
+    * nearest `corpus` rows by exact cosine.
+    *
+    * TEST-ONLY BASELINE AT SCALE: this is an intentional
+    * `crossJoin` — O(|Q|·|corpus|) pairs — kept as the exact-recall
+    * oracle for the ANN paths and the small-|Q| convenience. It is the
+    * one deliberate all-pairs plan in the library, which is why the
+    * suite's no-BNLJ sweep covers every OTHER Similarity entry point
+    * but not this one. `maxQueries` (one cheap count of the narrow,
+    * broadcast query side; the corpus is never counted) refuses
+    * query sets big enough to make the cross product a scale-killer —
+    * raise it knowingly, or use [[lshTopKJoin]], which answers the
+    * same question through bucketed candidates.
+    * Output (query_id, idCol, cosine, rank). */
   def cosineTopKJoin(queries: DataFrame, corpus: DataFrame,
-                     vecCol: String, idCol: String, k: Int): DataFrame = {
+                     vecCol: String, idCol: String, k: Int,
+                     maxQueries: Int = 10000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val nq = q.count()
+    require(nq <= maxQueries,
+      s"cosineTopKJoin is the brute-force O(|Q|*|corpus|) baseline; " +
+        s"|Q|=$nq exceeds maxQueries=$maxQueries - use lshTopKJoin for " +
+        "large query sets, or raise maxQueries explicitly")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
     corpus.select(col(idCol), col(vecCol).as("__cv"))
@@ -129,10 +145,44 @@ object Similarity {
   def lshTopKJoin(queries: DataFrame, corpus: DataFrame,
                   vecCol: String, idCol: String, k: Int,
                   planes: Int = 8, probeBits: Int = 1,
-                  broadcastQueries: Boolean = true): DataFrame = {
+                  broadcastQueries: Boolean = true): DataFrame =
+    lshJoinTail(
+      corpus.select(col(idCol), col(vecCol).as("__cv"),
+        planeSignature(col(vecCol), planes).as("__sig")),
+      queries, vecCol, idCol, k, planes, probeBits, broadcastQueries)
+
+  /** Index-backed [[lshTopKJoin]]: probe a prebuilt [[AnnIndex]] (built
+    * once via [[buildIndex]] or loaded from a [[saveAnnIndex]] parquet
+    * layout) instead of re-hashing the corpus on every call. The
+    * repeated-retrieval shape — daily contamination probes, batched
+    * hard-negative mining against a fixed corpus — pays the corpus scan +
+    * signature compute ONCE at build/save time; each call hashes only
+    * the batch of queries (O(|Q|·planes·dim)) and joins the stored
+    * (id, vec, bucket) table on the 8-byte signature key. Results are
+    * identical to the recompute path at the same `planes` (same XXH64
+    * hash chain, shared join tail — equality pinned in the suite and
+    * gated as p35). */
+  def lshTopKJoin(queries: DataFrame, index: AnnIndex,
+                  k: Int, probeBits: Int,
+                  broadcastQueries: Boolean): DataFrame =
+    lshJoinTail(
+      index.sigs.select(col(index.idCol), col(index.vecCol).as("__cv"),
+        col("__bucket").as("__sig")),
+      queries, index.vecCol, index.idCol, k, index.planes, probeBits,
+      broadcastQueries)
+
+  def lshTopKJoin(queries: DataFrame, index: AnnIndex, k: Int): DataFrame =
+    lshTopKJoin(queries, index, k, probeBits = 1, broadcastQueries = true)
+
+  /** The shared probe/rerank tail of both [[lshTopKJoin]] forms: explode
+    * each query into its multi-probe signature set, equi-join the corpus
+    * signature table, re-attach query vectors by id, exact-cosine rerank
+    * per query. `csig` must be (idCol, __cv: vector, __sig: long). */
+  private def lshJoinTail(csig: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String, k: Int,
+                          planes: Int, probeBits: Int,
+                          broadcastQueries: Boolean): DataFrame = {
     val pb = AnnIndex.effectiveProbeBits(probeBits)
-    val csig = corpus.select(col(idCol), col(vecCol).as("__cv"),
-      planeSignature(col(vecCol), planes).as("__sig"))
     val qsig = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"),
       planeSignature(col(vecCol), planes).as("__qsig"))
@@ -229,6 +279,82 @@ object Similarity {
       if (persist) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs,
       vecCol, idCol, planes)
+  }
+
+  /** Plane count sized to the corpus, so the expected candidates per
+    * probed bucket stay ~targetBucketSize as the corpus grows: at `p`
+    * planes a uniform corpus spreads over 2^p buckets, so occupancy
+    * N/2^p stays at the target when p = ceil(log2(N / target)). The
+    * probeBits=1 scan fraction is then (1+p)·target/N — ~flat in N up to
+    * the log factor (measured ledger in BASELINE.md: scan fraction and
+    * recall across 200k/400k/1M at auto planes). More planes buy a
+    * smaller scan at the cost of per-bucket recall; the near-dup regime
+    * (cosine ≳0.95, per-bit flip probability θ/π ≲ 0.05) keeps
+    * hamming≤1 recall high through p≈20, which is why the clamp tops
+    * out there — past that, recall decay outpaces the scan savings and
+    * IVF nProbe is the right tool. Floor 4 keeps tiny corpora from
+    * degenerating to 1-2 buckets (no pruning at all). */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 256): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val raw = math.ceil(
+      math.log(math.max(corpusSize, 1L).toDouble / targetBucketSize)
+        / math.log(2.0)).toInt
+    math.min(math.max(raw, 4), 20)
+  }
+
+  /** Persist an [[AnnIndex]] as parquet under `path` (sigs/ +
+    * index_meta) — the durable form for repeated batched retrieval:
+    * unlike the in-memory persist, a loaded index re-reads from files on
+    * executor loss, and a restarted driver probes without re-hashing the
+    * corpus. Signatures are deterministic (hash-derived hyperplanes), so
+    * save → load → probe is result-identical to probing the original. */
+  def saveAnnIndex(index: AnnIndex, path: String): Unit = {
+    index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val spark = index.sigs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"idCol=${index.idCol}\nvecCol=${index.vecCol}\n" +
+        s"planes=${index.planes}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a [[saveAnnIndex]]-written index. `persist=true` additionally
+    * caches the signature table MEMORY_AND_DISK for repeated probes —
+    * still fault-tolerant: the cache's lineage is the parquet scan. */
+  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   persist: Boolean = true): AnnIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      finally in.close()
+    val sigs = spark.read.parquet(s"$path/sigs")
+    AnnIndex(
+      if (persist) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs,
+      meta("vecCol"), meta("idCol"), meta("planes").toInt)
+  }
+
+  /** Fold a batch of new vectors into a saved parquet ANN index in
+    * place — O(batch): hash only the batch at the stored plane count and
+    * parquet-APPEND its (id, vec, bucket) rows (a row-level table, so
+    * append IS the merge; no bucket-list compaction exists to swap, in
+    * contrast to the near-dup index). Batch ids must be disjoint from
+    * stored ids — the ingest contract shared with
+    * [[Dedup.updateNearDupIndex]]; a replayed batch duplicates rows,
+    * which dedup-by-id downstream or a fresh save clears. */
+  def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newDf: DataFrame): Unit = {
+    val idx = loadAnnIndex(spark, path, persist = false)
+    newDf.select(col(idx.idCol), col(idx.vecCol),
+        planeSignature(col(idx.vecCol), idx.planes).as("__bucket"))
+      .write.mode("append").parquet(s"$path/sigs")
   }
 
   // ---- IVF: the centroid-partitioned ANN scale path ----------------------

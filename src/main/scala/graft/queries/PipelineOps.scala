@@ -472,6 +472,49 @@ object PipelineOps {
         .orderBy("query_id")
     }),
 
+    // ---- index-backed batched ANN join: same planted construction as
+    // p32, but the corpus is hashed ONCE into a durable parquet index
+    // (save -> load) and the join probes the stored signature table —
+    // the repeated-retrieval path. The recompute path runs alongside and
+    // the row sets are asserted equal before returning, so the gate pins
+    // BOTH index/recompute agreement and the planted answer.
+    "p35_ann_index_join" -> ((s, dir) => {
+      val corpus = embs(s, dir).select("vec_id", "embedding")
+      val queries = corpus.where(col("vec_id").between(1, 8))
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.5f) + col("vec_id").cast("float") / lit(10f)))
+            .as("embedding"))
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 4).as("cosine")).orderBy("query_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      try {
+        Similarity.saveAnnIndex(
+          Similarity.buildIndex(corpus, "embedding", "vec_id",
+            planes = 6, persist = false), tmp)
+        val loaded = Similarity.loadAnnIndex(s, tmp, persist = false)
+        val viaIndex = shaped(Similarity.lshTopKJoin(queries, loaded,
+          k = 1, probeBits = 1, broadcastQueries = true)).collect()
+        val recompute = shaped(Similarity.lshTopKJoin(queries, corpus,
+          "embedding", "vec_id", k = 1, planes = 6, probeBits = 1)).collect()
+        require(viaIndex.toSeq == recompute.toSeq,
+          "index-backed ANN join diverged from the recompute path")
+        // 8 verified rows — re-materialize driver-side so the returned
+        // frame no longer depends on the deleted temp index
+        s.createDataFrame(java.util.Arrays.asList(viaIndex: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cosine",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }),
+
     // ---- corpus vocabulary: top-50 tokens by frequency (tokenizer prep)
     "p34_vocabulary" -> ((s, dir) => {
       graft.operators.CorpusQuality.vocabulary(docs(s, dir), "text", topK = 50)
@@ -870,6 +913,10 @@ object PipelineOps {
          WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
          ORDER BY doc_id""",
     "p32_ann_join" ->
+      """SELECT CAST(20001 + range AS BIGINT) AS query_id,
+         CAST(1 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(8) ORDER BY query_id""",
+    "p35_ann_index_join" ->
       """SELECT CAST(20001 + range AS BIGINT) AS query_id,
          CAST(1 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(8) ORDER BY query_id""",

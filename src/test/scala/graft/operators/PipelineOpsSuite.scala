@@ -607,6 +607,77 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("index-backed ANN join: recompute/index/durable paths identical; O(batch) update") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id").isin(4L, 21L, 33L))
+      .select((col("vec_id") + 200L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val recompute = rows(Similarity.lshTopKJoin(queries, corpus,
+      "embedding", "vec_id", k = 3, planes = 4, probeBits = 2))
+    // in-memory index path
+    val idx = Similarity.buildIndex(corpus, "embedding", "vec_id",
+      planes = 4, persist = false)
+    assert(rows(Similarity.lshTopKJoin(queries, idx, k = 3, probeBits = 2,
+      broadcastQueries = true)) == recompute)
+    // durable path: save -> load -> probe is identical
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    try {
+      Similarity.saveAnnIndex(idx, dir)
+      val loaded = Similarity.loadAnnIndex(sp, dir, persist = false)
+      assert(loaded.planes == 4 && loaded.idCol == "vec_id" &&
+        loaded.vecCol == "embedding")
+      assert(rows(Similarity.lshTopKJoin(queries, loaded, k = 3,
+        probeBits = 2, broadcastQueries = true)) == recompute)
+      // the index probe plan never re-hashes the corpus: no PlaneSig over
+      // the stored side (only the 3 query rows hash), and no all-pairs join
+      val plan = Similarity.lshTopKJoin(queries, loaded, k = 3,
+        probeBits = 2, broadcastQueries = true)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      // O(batch) update: append 10 new vectors, probe matches a fresh
+      // rebuild over corpus+batch
+      val batch = (100L until 110L).map(i =>
+        (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+      Similarity.updateAnnIndex(sp, dir, batch)
+      val updated = Similarity.loadAnnIndex(sp, dir, persist = false)
+      val rebuilt = Similarity.buildIndex(corpus.unionByName(batch),
+        "embedding", "vec_id", planes = 4, persist = false)
+      assert(rows(Similarity.lshTopKJoin(queries, updated, k = 5,
+          probeBits = 2, broadcastQueries = true)) ==
+        rows(Similarity.lshTopKJoin(queries, rebuilt, k = 5,
+          probeBits = 2, broadcastQueries = true)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("planesFor sizes buckets to the corpus; cosineTopKJoin refuses big query sets") {
+    val sp = spark; import sp.implicits._
+    // occupancy target: N/2^p <= target < N/2^(p-1) inside the clamp band
+    assert(Similarity.planesFor(200000L, 256) == 10)
+    assert(Similarity.planesFor(400000L, 256) == 11)
+    assert(Similarity.planesFor(1000000L, 256) == 12)
+    assert(Similarity.planesFor(100L) == 4, "floor")
+    assert(Similarity.planesFor(100000000000L) == 20, "cap")
+    // monotone non-decreasing in corpus size
+    val sizes = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+    assert(sizes.map(Similarity.planesFor(_)) ==
+      sizes.map(Similarity.planesFor(_)).sorted)
+    val corpus = (0L until 8L).map(i =>
+      (i, Seq.fill(4)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineTopKJoin(corpus, corpus, "embedding", "vec_id",
+        k = 1, maxQueries = 4)
+    }
+    assert(err.getMessage.contains("lshTopKJoin"))
+  }
+
   test("gopher rules flag bullet-heavy, ellipsis-heavy, and short docs") {
     val sp = spark; import sp.implicits._
     val prose = (1 to 60).map(i => s"word$i").mkString(" ")
