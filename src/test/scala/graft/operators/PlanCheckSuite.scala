@@ -74,6 +74,49 @@ class PlanCheckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("public Similarity ANN surface never plans an all-pairs join") {
+    // sweep the entry points a user reaches for at scale: every lshTopKJoin
+    // form (recompute / in-memory index / durable index, broadcast and
+    // shuffle variants) and the single-query index probes. cosineTopKJoin
+    // is deliberately absent — it is the documented brute-force baseline
+    // (an intentional crossJoin, capped by maxQueries).
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val idx = graft.operators.Similarity.buildIndex(corpus, "embedding",
+      "vec_id", planes = 4, persist = false)
+    val ivf = graft.operators.Similarity.buildIvfIndex(corpus, "embedding",
+      "vec_id", k = 4, iters = 1, persist = false)
+    val qv = Seq.fill(8)(0.5f)
+    val surface: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "lshTopKJoin/recompute/broadcast" -> graft.operators.Similarity
+        .lshTopKJoin(queries, corpus, "embedding", "vec_id", k = 2,
+          planes = 4, probeBits = 2),
+      "lshTopKJoin/recompute/shuffle" -> graft.operators.Similarity
+        .lshTopKJoin(queries, corpus, "embedding", "vec_id", k = 2,
+          planes = 4, probeBits = 2, broadcastQueries = false),
+      "lshTopKJoin/index/broadcast" -> graft.operators.Similarity
+        .lshTopKJoin(queries, idx, k = 2, probeBits = 2,
+          broadcastQueries = true),
+      "lshTopKJoin/index/shuffle" -> graft.operators.Similarity
+        .lshTopKJoin(queries, idx, k = 2, probeBits = 2,
+          broadcastQueries = false),
+      "AnnIndex.topK" -> idx.topK(qv, k = 2, probeBits = 1),
+      "IvfIndex.topK" -> ivf.topK(qv, k = 2, nProbe = 2),
+      "lshTopK" -> graft.operators.Similarity.lshTopK(corpus, "embedding",
+        "vec_id", qv, k = 2, planes = 4))
+    val offenders = surface.flatMap { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"all-pairs join planned in Similarity surface: ${offenders.mkString(", ")}")
+  }
+
   test("no p-/q-query plans an all-pairs join") {
     val queries = (graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
