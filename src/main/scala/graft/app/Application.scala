@@ -927,7 +927,8 @@ final class Application(val name: String, val spark: SparkSession,
   def activateSharded(driverId: String, numShards: Int,
                       shards: Option[Set[Int]] = None,
                       leaseTimeoutMillis: Long = 10000L,
-                      clock: () => Long = () => System.currentTimeMillis())
+                      clock: () => Long = () => System.currentTimeMillis(),
+                      leaseStoreFor: Option[Int => graft.routing.LeaseStore] = None)
       : List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
     // re-activation: surrender the previous incarnation's leases (so
@@ -936,7 +937,7 @@ final class Application(val name: String, val spark: SparkSession,
     sharded.foreach(_.releaseAll())
     val d = new graft.routing.ShardedDriver(s"$rootDir/sharding", driverId,
       numShards, probe, spark.sparkContext.hadoopConfiguration,
-      leaseTimeoutMillis, clock)
+      leaseTimeoutMillis, clock, leaseStoreFor)
     defs.foreach(df => d.add(() =>
       new Route(df.id, df.linkNode, df.output, df.outputLinks,
         df.ttlMillis, df.hooks)))

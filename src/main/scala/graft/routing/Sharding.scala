@@ -53,6 +53,132 @@ object Sharding {
     f"${scala.util.hashing.MurmurHash3.stringHash(ownerId)}%08x"
 }
 
+/** Storage primitive behind [[ShardLease]] — a tiny flat namespace of
+  * `epoch-*`/`hb-*` entries with one crucial operation: `putIfAbsent`.
+  * `atomicCreate = true` promises that putIfAbsent is STRICTLY atomic
+  * across processes/hosts (exactly one of N concurrent creators
+  * succeeds); the lease then trusts its result outright. When false
+  * (exists-then-create stores), [[ShardLease.claim]] falls back to
+  * read-back verification + renewal-time convergence. */
+trait LeaseStore {
+  /** Atomic create-if-absent. True = this caller created the entry. */
+  def putIfAbsent(name: String, content: String): Boolean
+  /** Unconditional overwrite (heartbeats). */
+  def put(name: String, content: String): Unit
+  def get(name: String): Option[String]
+  /** All entry names present. */
+  def list(): Seq[String]
+  /** Whether [[putIfAbsent]] is strictly atomic on this store. */
+  def atomicCreate: Boolean
+}
+
+/** The conditional-write KV primitive of an object store — the shape of
+  * an S3 `PutObject` with `If-None-Match: *` (GA on S3 since 2024; same
+  * contract on GCS `x-goog-if-generation-match: 0` and Azure
+  * `If-None-Match: *`): the PUT succeeds iff no object exists at the
+  * key, decided atomically by the store. This is the same primitive the
+  * reference gets from DynamoDB conditional writes
+  * (constructs.py:3389-3394, drivers/routing/aws.py) — an adapter over
+  * any of those clients makes multi-HOST sharding safe on object
+  * storage, where Hadoop `create(overwrite=false)` is exists-then-create
+  * and only best-effort. */
+trait ConditionalKv {
+  /** Atomic create-if-absent at `key`. True = created by this caller. */
+  def putIfNoneMatch(key: String, value: String): Boolean
+  def put(key: String, value: String): Unit
+  def get(key: String): Option[String]
+  /** Keys starting with `prefix`. */
+  def list(prefix: String): Seq[String]
+}
+
+/** Strictly-atomic in-memory [[ConditionalKv]] (ConcurrentHashMap
+  * putIfAbsent) — the in-sandbox stand-in for an object-store client in
+  * tests; also a correct single-JVM backend. */
+final class InMemoryConditionalKv extends ConditionalKv {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def putIfNoneMatch(key: String, value: String): Boolean =
+    m.putIfAbsent(key, value) == null
+  def put(key: String, value: String): Unit = { m.put(key, value); () }
+  def get(key: String): Option[String] = Option(m.get(key))
+  def list(prefix: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    m.keySet.asScala.filter(_.startsWith(prefix)).toSeq
+  }
+}
+
+/** [[LeaseStore]] over a [[ConditionalKv]] — the object-store-safe lease
+  * backend: every claim is a conditional PUT decided by the store, so
+  * the acknowledged double-hold window of the filesystem backend never
+  * opens. Keys live under `prefix` (e.g. `bucket-key/leases/shard-3/`). */
+final class ConditionalLeaseStore(kv: ConditionalKv, prefix: String)
+    extends LeaseStore {
+  private def key(name: String) = s"$prefix/$name"
+  def putIfAbsent(name: String, content: String): Boolean =
+    kv.putIfNoneMatch(key(name), content)
+  def put(name: String, content: String): Unit = kv.put(key(name), content)
+  def get(name: String): Option[String] = kv.get(key(name))
+  def list(): Seq[String] =
+    kv.list(s"$prefix/").map(_.stripPrefix(s"$prefix/"))
+  def atomicCreate: Boolean = true
+}
+
+/** [[LeaseStore]] over a Hadoop filesystem directory — the original
+  * backend. Strictly atomic on `file:` (POSIX O_CREAT|O_EXCL) and HDFS
+  * (`create(overwrite=false)` is a namenode-atomic create); best-effort
+  * on NFS-backed "local" paths and object-store connectors without
+  * conditional writes, where [[ShardLease.claim]]'s read-back +
+  * renewal-time convergence bound the double-hold window instead. */
+final class HadoopLeaseStore(dir: Path, conf: Configuration)
+    extends LeaseStore {
+  private val fs = WalCodec.uncachedFs(dir, conf)
+
+  def atomicCreate: Boolean =
+    fs.getScheme == "file" || fs.getScheme == "hdfs"
+
+  private def write(p: Path, content: String, overwrite: Boolean): Boolean =
+    try {
+      val out = fs.create(p, overwrite)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  def putIfAbsent(name: String, content: String): Boolean = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val p = new Path(dir, name)
+    if (fs.getScheme == "file")
+      // RawLocalFileSystem's create(overwrite=false) is a non-atomic
+      // exists-then-create; go through POSIX O_CREAT|O_EXCL (nio
+      // CREATE_NEW), which IS atomic across processes on a local disk.
+      // NFS-mounted "local" paths may still not honor O_EXCL — the
+      // read-back in [[ShardLease.claim]] covers that.
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.io.IOException => false }
+    else write(p, content, overwrite = false)
+  }
+
+  def put(name: String, content: String): Unit = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    write(new Path(dir, name), content, overwrite = true)
+    ()
+  }
+
+  def get(name: String): Option[String] =
+    try {
+      val in = fs.open(new Path(dir, name))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  def list(): Seq[String] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+}
+
 /** Lease + fencing-epoch ownership of ONE shard over a shared filesystem.
   *
   * Layout under `<root>/leases/shard-<n>/`:
@@ -63,17 +189,18 @@ object Sharding {
   *   a lease whose heartbeat is older than `leaseTimeoutMillis` is
   *   expired and the next claimant may create `epoch-<k+1>`.
   *
-  * **Claim atomicity.** `create(overwrite=false)` is an atomic
-  * create-if-absent only on stores that provide one (HDFS; S3 with
-  * conditional writes). On `RawLocalFileSystem` (and NFS-backed local)
-  * it is exists-then-create, so two PROCESSES racing an expired lease
-  * can both "create" `epoch-<k+1>`. The claim therefore read-back
-  * verifies: after writing, it re-reads the epoch file and only takes
-  * ownership when the content equals this claimant's `ownerId` —
-  * last-writer-wins makes the read-back decisive on local filesystems
-  * (both racers re-read AFTER both writes settle because the heartbeat
-  * write sequences between them; see [[claim]]). Multi-host deployments
-  * should still use a store with atomic create-if-absent.
+  * **Claim atomicity** is delegated to the [[LeaseStore]] backend. With
+  * `atomicCreate = true` — [[HadoopLeaseStore]] on `file:` (POSIX
+  * O_EXCL) or HDFS, and [[ConditionalLeaseStore]] over any object
+  * store's conditional PUT (S3 `If-None-Match`, the analog of the
+  * reference's DynamoDB conditional write) — the store decides the race
+  * and exactly one claimant wins `epoch-<k+1>`. On best-effort stores
+  * (NFS-backed local, object-store connectors without conditional
+  * writes) the claim read-back verifies: after writing, it re-reads the
+  * epoch file and only takes ownership when the content equals this
+  * claimant's `ownerId`; [[renew]] re-verifies every heartbeat, bounding
+  * any residual double-hold to one renewal period. Multi-HOST
+  * deployments on object storage should use [[ConditionalLeaseStore]].
   *
   * **Clock model.** Expiry compares the CLAIMANT's `clock()` against a
   * heartbeat written by the OWNER's clock, so cross-host clock skew
@@ -92,41 +219,33 @@ object Sharding {
   *
   * `clock` is injectable so expiry/failover is deterministically testable.
   */
-final class ShardLease(root: String, val shard: Int, val ownerId: String,
-                       conf: Configuration,
-                       leaseTimeoutMillis: Long = 10000L,
-                       clock: () => Long = () => System.currentTimeMillis()) {
+final class ShardLease(val shard: Int, val ownerId: String,
+                       store: LeaseStore,
+                       leaseTimeoutMillis: Long,
+                       clock: () => Long) {
 
-  private val dir = new Path(s"$root/leases/shard-$shard")
-  private val fs = WalCodec.uncachedFs(dir, conf)
+  /** Filesystem-backed lease (the original form): entries live under
+    * `<root>/leases/shard-<n>/` on `conf`'s filesystem. */
+  def this(root: String, shard: Int, ownerId: String, conf: Configuration,
+           leaseTimeoutMillis: Long = 10000L,
+           clock: () => Long = () => System.currentTimeMillis()) =
+    this(shard, ownerId,
+      new HadoopLeaseStore(new Path(s"$root/leases/shard-$shard"), conf),
+      leaseTimeoutMillis, clock)
+
   @volatile private var held: Long = -1L
 
-  private def epochPath(k: Long) = new Path(dir, f"epoch-$k%09d")
-  private def hbPath(k: Long) = new Path(dir, f"hb-$k%09d")
-
-  private def write(p: Path, content: String, overwrite: Boolean): Boolean =
-    try {
-      val out = fs.create(p, overwrite)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
-
-  private def read(p: Path): Option[String] =
-    try {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
+  private def epochName(k: Long) = f"epoch-$k%09d"
+  private def hbName(k: Long) = f"hb-$k%09d"
 
   /** (epoch, owner) of the current lease — the highest epoch file. */
   def current(): Option[(Long, String)] = {
-    if (!fs.exists(dir)) return None
-    val ks = fs.listStatus(dir).map(_.getPath.getName)
+    val ks = store.list()
       .filter(_.startsWith("epoch-")).map(_.stripPrefix("epoch-").toLong)
     if (ks.isEmpty) None
     else {
       val k = ks.max
-      Some((k, read(epochPath(k)).getOrElse("")))
+      Some((k, store.get(epochName(k)).getOrElse("")))
     }
   }
 
@@ -144,7 +263,6 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     * epoch fences it), or when the current lease's heartbeat has
     * expired. Returns the (new) held epoch. */
   def tryAcquire(): Option[Long] = {
-    if (!fs.exists(dir)) fs.mkdirs(dir)
     current() match {
       case None =>
         claim(1L)
@@ -153,7 +271,7 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
       case Some((k, o)) if o == ownerId =>
         claim(k + 1) // same-owner fast reclaim after restart
       case Some((k, _)) =>
-        val hb = read(hbPath(k)).map(_.trim).getOrElse("")
+        val hb = store.get(hbName(k)).map(_.trim).getOrElse("")
         val expired = hb == "released" ||
           clock() - hb.toLongOption.getOrElse(0L) > leaseTimeoutMillis
         if (!expired) None // live owner
@@ -161,39 +279,26 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     }
   }
 
-  /** Atomic create-if-absent of `p` with `content`. HDFS-like stores
-    * provide this through create(overwrite=false); RawLocalFileSystem's
-    * version is a non-atomic exists-then-create, so `file:` paths go
-    * through POSIX O_CREAT|O_EXCL (nio CREATE_NEW) instead, which IS
-    * atomic across processes on a local disk. NFS-mounted "local" paths
-    * may still not honor O_EXCL — the read-back in [[claim]] covers
-    * that. */
-  private def atomicCreateWrite(p: Path, content: String): Boolean =
-    if (fs.getScheme == "file")
-      try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p.toUri.getPath),
-          content.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.io.IOException => false }
-    else write(p, content, overwrite = false)
-
   private def claim(k: Long): Option[Long] =
-    if (atomicCreateWrite(epochPath(k), ownerId)) {
-      write(hbPath(k), clock().toString, overwrite = true)
-      // Read-back verify: on stores whose create-if-absent is not truly
-      // atomic (NFS O_EXCL, object stores without conditional writes)
-      // two racers can both reach this point. The re-read is BEST-EFFORT,
-      // not a total order: it catches the racer whose read lands after
-      // the other's write, but an unlucky interleaving (this claimant's
-      // read-back completing before the other's overwrite) can still
-      // leave both holding k briefly. [[renew]] re-verifies ownership on
-      // every heartbeat, so any such double-hold converges to a single
-      // owner within one renewal period; stores with a real atomic
-      // create (HDFS, POSIX O_EXCL, S3 conditional writes) never enter
-      // this window at all.
-      if (read(epochPath(k)).map(_.trim).contains(ownerId)) {
+    if (store.putIfAbsent(epochName(k), ownerId)) {
+      store.put(hbName(k), clock().toString)
+      if (store.atomicCreate) {
+        // The store decided the race atomically (POSIX O_EXCL, HDFS
+        // namenode create, an object store's If-None-Match conditional
+        // PUT) — this caller IS the epoch-k owner, no read-back needed.
+        held = k
+        Some(k)
+      } else if (store.get(epochName(k)).map(_.trim).contains(ownerId)) {
+        // Read-back verify: on stores whose create-if-absent is not truly
+        // atomic (NFS O_EXCL, object-store connectors without conditional
+        // writes) two racers can both reach this point. The re-read is
+        // BEST-EFFORT, not a total order: it catches the racer whose read
+        // lands after the other's write, but an unlucky interleaving
+        // (this claimant's read-back completing before the other's
+        // overwrite) can still leave both holding k briefly. [[renew]]
+        // re-verifies ownership on every heartbeat, so any such
+        // double-hold converges to a single owner within one renewal
+        // period.
         held = k
         Some(k)
       } else None // lost a non-atomic create race — k belongs to the other
@@ -206,15 +311,15 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     * here, bounding split-brain to at most one renewal period. */
   def renew(): Unit =
     if (held > 0) {
-      if (read(epochPath(held)).map(_.trim).contains(ownerId))
-        { write(hbPath(held), clock().toString, overwrite = true); () }
+      if (store.get(epochName(held)).map(_.trim).contains(ownerId))
+        { store.put(hbName(held), clock().toString); () }
       else held = -1L // epoch file carries another owner — abdicate
     }
 
   /** Drop ownership: tombstone the heartbeat so a successor claims
     * immediately instead of waiting out the timeout. */
   def release(): Unit = if (held > 0) {
-    write(hbPath(held), "released", overwrite = true)
+    store.put(hbName(held), "released")
     held = -1L
   }
 
@@ -223,7 +328,7 @@ final class ShardLease(root: String, val shard: Int, val ownerId: String,
     * converge to this owner at renewal time ([[renew]] abdicates the
     * other), so it is the authority for which writer's same-epoch WAL
     * segments are live — see [[EpochWal.load]]. */
-  def ownerOf(k: Long): Option[String] = read(epochPath(k)).map(_.trim)
+  def ownerOf(k: Long): Option[String] = store.get(epochName(k)).map(_.trim)
 }
 
 /** Per-shard WAL with fencing-epoch segment names
@@ -394,7 +499,8 @@ final class ShardedDriver(root: String, val driverId: String,
                           val numShards: Int, probe: PathProbe,
                           conf: Configuration,
                           leaseTimeoutMillis: Long = 10000L,
-                          clock: () => Long = () => System.currentTimeMillis()) {
+                          clock: () => Long = () => System.currentTimeMillis(),
+                          leaseStoreFor: Option[Int => LeaseStore] = None) {
 
   private case class RouteDef(id: String, mk: () => Route, canonical: Route)
   private case class Owned(shard: Int, lease: ShardLease, wal: EpochWal,
@@ -418,8 +524,12 @@ final class ShardedDriver(root: String, val driverId: String,
   private def shardDir(shard: Int) = s"$root/shards/shard-$shard"
 
   private def leaseFor(shard: Int): ShardLease =
-    leases.getOrElseUpdate(shard,
-      new ShardLease(root, shard, driverId, conf, leaseTimeoutMillis, clock))
+    leases.getOrElseUpdate(shard, leaseStoreFor match {
+      case Some(mk) =>
+        new ShardLease(shard, driverId, mk(shard), leaseTimeoutMillis, clock)
+      case None =>
+        new ShardLease(root, shard, driverId, conf, leaseTimeoutMillis, clock)
+    })
 
   /** Try to take ownership of `shard`: acquire (or take over) the lease,
     * replay the shard WAL through fresh route instances (pending nodes

@@ -244,6 +244,87 @@ class MultiDriverSuite extends AnyFunSuite {
     assert(ly.tryAcquire().contains(3L))
   }
 
+  test("conditional-write lease: no epoch ever held by two owners under contention") {
+    // the object-store backend: every claim is a conditional PUT decided
+    // atomically by the store — 8 threads hammer fresh lease instances
+    // (held state lost each attempt, expiry forced) against ONE shared
+    // KV; each epoch must be won by exactly one owner, with no read-back
+    // or renewal-time convergence needed
+    val kv = new InMemoryConditionalKv
+    def mkLease(owner: String) = new ShardLease(0, owner,
+      new ConditionalLeaseStore(kv, "app/leases/shard-0"),
+      leaseTimeoutMillis = -1L, clock = () => 0L)
+    val claims =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        val owner = s"driver-$i"
+        val deadline = System.nanoTime() + 300000000L // 300 ms of hammering
+        while (System.nanoTime() < deadline)
+          mkLease(owner).tryAcquire().foreach(k => { claims.add((k, owner)); () })
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val byEpoch = claims.asScala.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap
+    val doubled = byEpoch.filter(_._2.size > 1)
+    assert(doubled.isEmpty, s"epochs claimed by two owners: $doubled")
+    assert(claims.asScala.map(_._2).toSet.size >= 2,
+      s"only ${claims.asScala.map(_._2).toSet} ever won — no contention exercised")
+  }
+
+  test("conditional-write lease: live-lease protection, expiry, release handover") {
+    val kv = new InMemoryConditionalKv
+    var now = 0L
+    def mk(owner: String) = new ShardLease(0, owner,
+      new ConditionalLeaseStore(kv, "leases/shard-0"), 1000, () => now)
+    val lx = mk("X"); val ly = mk("Y")
+    assert(lx.tryAcquire().contains(1L))
+    assert(ly.tryAcquire().isEmpty, "live lease must not be stealable")
+    now = 900; lx.renew()
+    now = 1800
+    assert(ly.tryAcquire().isEmpty) // hb at 900, within timeout
+    now = 2000
+    assert(ly.tryAcquire().contains(2L)) // expired — takeover
+    assert(!lx.isCurrent && ly.isCurrent)
+    ly.release()
+    assert(mk("Z").tryAcquire().contains(3L), "release hands over immediately")
+  }
+
+  test("sharded driver failover runs end-to-end on the conditional-write backend") {
+    // same failover story as the filesystem-lease test, but leases live
+    // in a shared conditional KV (WAL/inbox stay on the filesystem) —
+    // the composition a multi-host object-store deployment would run
+    val root = java.nio.file.Files.createTempDirectory("graft_md_cw").toString
+    val kv = new InMemoryConditionalKv
+    var now = 0L
+    val clock = () => now
+    val joinId = (0 to 50).map(i => s"join_$i")
+      .find(c => Sharding.shardOf(c, 2) == 1).get
+    def mkDriver(id: String) = {
+      val d = new ShardedDriver(root, id, 2, allExists, conf,
+        leaseTimeoutMillis = 1000, clock = clock,
+        leaseStoreFor = Some(sh =>
+          new ConditionalLeaseStore(kv, s"app/leases/shard-$sh")))
+      d.add(() => mkJoin(joinId)); d
+    }
+    val dy = mkDriver("Y")
+    assert(dy.tryAcquireShard(1).isDefined)
+    assert(dy.receivePath("/data/ja/2026-08-12").isEmpty)
+    val dx = mkDriver("X")
+    now = 500
+    assert(dx.tryAcquireShard(1).isEmpty, "live lease must block takeover")
+    now = 2000
+    assert(dx.tryAcquireShard(1).isDefined)
+    assert(dx.tableOf(1).get.find(joinId).get.pendingNodes.length == 1,
+      "WAL replay must rebuild the half-joined pending node")
+    assert(dy.fencedShards() == Set(1))
+    val ctxs = dx.receivePath("/data/jb/2026-08-12")
+    assert(ctxs.map(_.routeId) == List(joinId))
+    dx.releaseAll()
+  }
+
   test("stray files in the shard WAL dir degrade to a warning, not a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft_md6").toString
     val shardDir = s"$root/wal"
