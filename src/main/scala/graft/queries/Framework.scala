@@ -528,6 +528,36 @@ object Framework {
       app.load(node(day, hr.toLong))
     }),
 
+    // ---- §2.c gated end-to-end: a Structured Streaming micro-batch
+    // ingest — the binaryFile marker stream observes the staged partition
+    // backlog, gates on _SUCCESS, and drives the routing table (markers →
+    // coincidence trigger → SQL slot → managed write); the node's managed
+    // output is replayed against the batch oracle. AvailableNow drains
+    // the backlog then stops, so the row is deterministic per SF.
+    "fw17_streaming_ingest" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      val root = s"$w/app_fw17"
+      // fresh app + stream checkpoint per run: the staged backlog must be
+      // re-observed as THIS run's micro-batches
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val app = new Application("fw17", s, root)
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val node = app.createData("stream_agg", Seq(src.latest(1)), Seq(SqlSlot(
+        """SELECT o_orderpriority, COUNT(*) AS order_cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_daily GROUP BY o_orderpriority""")))
+      app.activate()
+      val q = new graft.streaming.MarkerStream(app, Seq(s"$w/orders_daily"),
+        s"$root/stream_ckpt").start()
+      q.awaitTermination(120000)
+      require(app.poll(node(fmt(maxDay))).isDefined,
+        "streamed completion marker did not trigger the node")
+      app.load(node(fmt(maxDay))).orderBy("o_orderpriority")
+    }),
+
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
     "fw06_range_expansion" -> ((s, dir) => {
@@ -550,6 +580,13 @@ object Framework {
          WHERE CAST(o_orderdate AS DATE) >=
            (SELECT MAX(CAST(o_orderdate AS DATE)) - 2 FROM orders)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "fw17_streaming_ingest" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) =
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "fw02_nearest" ->
       """SELECT COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
