@@ -149,4 +149,59 @@ class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
       MetricStatistic.Percentile(0.5)).collect().head.getDouble(2)
     assert(p50 == 2.5) // linear interpolation between 2 and 3
   }
+
+  /** DuckDB quantile_cont over the expanded multiset (each value
+    * replicated `count` times): sort, pos = p·(N−1), linear interpolate —
+    * the reference law the weighted Percentile statistic must satisfy. */
+  private def quantileCont(pairs: Seq[(Double, Long)], p: Double): Double = {
+    val xs = pairs.flatMap { case (v, n) => Seq.fill(n.toInt)(v) }.sorted
+    val pos = p * (xs.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    xs(lo) + (pos - lo) * (xs(hi) - xs(lo))
+  }
+
+  private def weightedPnn(pairs: Seq[(Double, Long)], p: Double): Double = {
+    val sp = spark
+    import sp.implicits._
+    val df = pairs.zipWithIndex
+      .map { case ((v, n), i) => ("m", ts(i % 59), v, n) }
+      .toDF("name", "time", "value", "n")
+    Metrics.evaluate(df, "name", "value", "time", 3600,
+      MetricStatistic.Percentile(p), countCol = Some("n"))
+      .collect().head.getDouble(2)
+  }
+
+  test("weighted percentile edges: single pair, zero-count mixed, p0/p100") {
+    // single pair: every p collapses to the value, regardless of count
+    for (p <- Seq(0.0, 0.25, 0.5, 0.99, 1.0); n <- Seq(1L, 7L))
+      assert(weightedPnn(Seq((42.5, n)), p) == 42.5, s"single pair p=$p n=$n")
+    // zero-count pairs are values observed ZERO times — they must not
+    // move any percentile, including the p0/p100 extremes
+    val base = Seq((2.0, 3L), (5.0, 1L), (9.0, 2L))
+    val withZeros = Seq((-100.0, 0L)) ++ base ++ Seq((100.0, 0L))
+    for (p <- Seq(0.0, 0.1, 0.5, 0.9, 1.0))
+      assert(weightedPnn(withZeros, p) == weightedPnn(base, p),
+        s"zero-count pair moved p=$p")
+    // p0/p100 = weighted min/max (the n>0 extrema)
+    assert(weightedPnn(withZeros, 0.0) == 2.0)
+    assert(weightedPnn(withZeros, 1.0) == 9.0)
+  }
+
+  test("weighted percentile law: equals quantile_cont over the expanded multiset") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 25) {
+      val pairs = Seq.fill(1 + rnd.nextInt(6))(
+        (math.floor(rnd.nextDouble() * 200 - 100) / 2.0, // half-integer values
+          1L + rnd.nextInt(4)))
+      val p = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)(rnd.nextInt(6))
+      val got = weightedPnn(pairs, p)
+      val want = quantileCont(pairs, p)
+      assert(math.abs(got - want) < 1e-9,
+        s"trial $trial: pairs=$pairs p=$p got=$got want=$want")
+    }
+    // duplicate VALUES across pairs fold like repeated observations
+    assert(weightedPnn(Seq((3.0, 2L), (3.0, 1L), (7.0, 1L)), 0.5) ==
+      quantileCont(Seq((3.0, 3L), (7.0, 1L)), 0.5))
+  }
 }
