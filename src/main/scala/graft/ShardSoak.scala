@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.app._
+import graft.compute._
+import graft.dimension._
+
+/** Two-OS-process sharded-driver soak (VERDICT r10 item 4): a real DAG —
+  * an 8-hop chain of SqlSlots over a `copies`× replicated documents
+  * corpus, each hop folding its corpus slice's stats into the running
+  * totals from the previous hop's MANAGED output — split across two
+  * driver PROCESSES that each own half of a 4-shard ring. Every hop's
+  * route id is pinned to a shard owned by the OTHER driver, so all eight
+  * completions cross the process boundary through the at-least-once
+  * inbox. The harness (scripts/shard_soak.sh or MultiDriverSuite) kills
+  * one driver with SIGKILL mid-chain; the survivor widens to full-ring
+  * duty ([[graft.app.Application.retargetShards]]), steals the expired
+  * leases, replays the shard WALs, and finishes the chain. Because each
+  * hop ADDS its slice to the previous cumulative row, any duplicated or
+  * lost execution after failover breaks the final totals — the verify
+  * mode recomputes them directly from the corpus, so "no duplicate
+  * output" is proven arithmetically, not by file counting alone.
+  *
+  * Reference semantics: one RoutingTable/DynamoDB shared by many
+  * Lambda-driven processors (constructs.py:3293-3433,
+  * processor/aws.py:2746-2803); here the shared store is the sharded
+  * WAL + lease + inbox directory tree.
+  *
+  * Modes (args):
+  *   stage  <root> <sfDir> <copies>      — write the replicated corpus
+  *   drive  <root> <driverId> <shardsCsv> — run ONE driver process
+  *   verify <root>                        — oracle check, prints JSON
+  */
+object ShardSoak {
+
+  private val NumShards = 4
+  private val Hops = 8
+  // every hop lands on the shard ring so consecutive hops alternate
+  // between driver A's home shards {0,1} and driver B's {2,3}
+  private val hopShards = Seq(0, 2, 1, 3, 0, 2, 1, 3)
+
+  private val runSpec = DimSpec.pretty(
+    "run" -> (DimType.LONG, Map.empty[String, Any]))
+
+  /** Deterministic route id for hop `i`, chosen so it hashes to the
+    * planned shard (both drivers must derive the identical id). */
+  private[graft] def hopId(i: Int): String =
+    (0 to 9999).iterator.map(n => s"chain${i}_$n")
+      .find(id => graft.routing.Sharding.shardOf(id, NumShards) == hopShards(i))
+      .get
+
+  private def sliceSql(i: Int): String =
+    s"""SELECT COUNT(*) AS docs,
+       |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+       |       CAST(SUM(SIZE(SPLIT(text, ' '))) AS BIGINT) AS words
+       |FROM corpus WHERE doc_id % $Hops = $i""".stripMargin
+
+  /** Declare the identical dev context on a driver (the ShardedDriver
+    * contract: every process declares ALL routes; leases decide who runs
+    * what). */
+  private def buildApp(spark: SparkSession, root: String): Application = {
+    val app = new Application("shardsoak", spark, s"$root/app")
+    val corpus = app.marshalExternalData("corpus", s"$root/staged", runSpec)
+    var prev: NodeRef = null
+    for (i <- 0 until Hops) {
+      val id = hopId(i)
+      val sql =
+        if (i == 0)
+          s"""SELECT s.docs AS acc_docs, s.chars AS acc_chars,
+             |       s.words AS acc_words
+             |FROM (${sliceSql(i)}) s""".stripMargin
+        else
+          s"""SELECT p.acc_docs + s.docs AS acc_docs,
+             |       p.acc_chars + s.chars AS acc_chars,
+             |       p.acc_words + s.words AS acc_words
+             |FROM (${sliceSql(i)}) s CROSS JOIN ${hopId(i - 1)} p""".stripMargin
+      val inputs = if (i == 0) Seq(corpus) else Seq(prev, corpus.ref)
+      prev = app.createData(id, inputs, Seq(SqlSlot(sql)))
+    }
+    app
+  }
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def log(root: String, driverId: String, msg: String): Unit = {
+    val out = new java.io.FileWriter(
+      new java.io.File(root, s"events-$driverId.log"), true)
+    try out.write(s"${System.currentTimeMillis()}\t$msg\n")
+    finally out.close()
+  }
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "stage" =>
+      val Array(_, root, sfDir, copiesS) = args
+      val copies = copiesS.toInt
+      val spark = session(16)
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = base.crossJoin(spark.range(copies.toLong).toDF("copy"))
+        .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rev"), col("copy")))
+            .as("text"))
+      corpus.repartition(16).write.mode("overwrite").parquet(s"$root/staged/0")
+      println(s"""{"mode":"stage","docs":${spark.read.parquet(s"$root/staged/0").count()}}""")
+      spark.stop()
+
+    case "drive" =>
+      val Array(_, root, driverId, shardsCsv) = args
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_SOAK_CPUS", "12").toInt
+      val timeoutMs =
+        sys.env.getOrElse("SPARK_GRAFT_SHARD_SOAK_TIMEOUT", "600").toLong * 1000
+      val spark = session(cpus)
+      val app = buildApp(spark, root)
+      val home = shardsCsv.split(",").filter(_.nonEmpty).map(_.toInt).toSet
+      // start barrier FIRST: leases are heartbeat by shardedCycle, so a
+      // driver must not claim shards and then sit idle waiting for its
+      // peer's JVM to boot — the leases would expire mid-wait and the
+      // peer would steal them, collapsing the split topology
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"ready-$driverId"), Array.emptyByteArray)
+      val go = java.nio.file.Paths.get(root, "go")
+      while (!java.nio.file.Files.exists(go)) Thread.sleep(20)
+      app.activateSharded(driverId, NumShards,
+        shards = if (home.isEmpty) None else Some(home),
+        leaseTimeoutMillis = 5000L)
+      log(root, driverId, s"activated owned=${app.ownedShards.toSeq.sorted.mkString("+")}")
+      // decoupled lease heartbeat: a hop's Spark job runs inside
+      // shardedCycle for seconds — far past the 5 s lease timeout — and
+      // must not let the live peer steal the executing shard
+      val heartbeat = new DaemonPoller(s"lease-heartbeat-$driverId",
+        () => app.heartbeatShardLeases())
+      heartbeat.start(1000)
+      // settle: both drivers hold their HOME shards (heartbeating) before
+      // any event flows, so the chain demonstrably splits across processes
+      for (_ <- 1 to 4) { app.shardedCycle(); Thread.sleep(250) }
+      if (driverId == "A") {
+        val done0 = app.processPath(s"$root/staged/0")
+        log(root, driverId, "injected corpus event")
+        done0.foreach(p => log(root, driverId, s"completed $p"))
+      }
+      // past the settle phase every driver is on failover duty: grab any
+      // free/expired shard of the ring on each cycle
+      app.retargetShards(None)
+      val finalOut = s"${root}/app/internal_data/${hopId(Hops - 1)}/0/_SUCCESS"
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var owned = app.ownedShards
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        val completed = app.shardedCycle()
+        completed.foreach(p => log(root, driverId, s"completed $p"))
+        if (app.ownedShards != owned) {
+          owned = app.ownedShards
+          log(root, driverId, s"owned=${owned.toSeq.sorted.mkString("+")}")
+        }
+        done = new java.io.File(finalOut).exists()
+        if (!done) Thread.sleep(250)
+      }
+      log(root, driverId, if (done) "final output observed" else "TIMEOUT")
+      heartbeat.stop()
+      app.terminate()
+      spark.stop()
+      if (!done) sys.exit(2)
+
+    case "verify" =>
+      val Array(_, root) = args
+      val spark = session(16)
+      val corpus = spark.read.parquet(s"$root/staged/0")
+      val exp = corpus.agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("text"))).cast("long").as("chars"),
+        sum(size(split(col("text"), " "))).cast("long").as("words"))
+        .collect().head
+      val fin = spark.read
+        .parquet(s"$root/app/internal_data/${hopId(Hops - 1)}/0")
+        .collect()
+      val rowsOk = (0 until Hops).forall { i =>
+        val d = new java.io.File(s"$root/app/internal_data/${hopId(i)}")
+        val df = spark.read.parquet(s"$root/app/internal_data/${hopId(i)}/0")
+        d.exists() && df.count() == 1
+      }
+      val got = fin.head
+      val ok = fin.length == 1 && rowsOk &&
+        got.getLong(got.fieldIndex("acc_docs")) == exp.getLong(0) &&
+        got.getLong(got.fieldIndex("acc_chars")) == exp.getLong(1) &&
+        got.getLong(got.fieldIndex("acc_words")) == exp.getLong(2)
+      println(s"""{"mode":"verify","match":$ok,"docs":${exp.getLong(0)},""" +
+        s""""acc_docs":${got.getLong(got.fieldIndex("acc_docs"))},""" +
+        s""""acc_chars":${got.getLong(got.fieldIndex("acc_chars"))},""" +
+        s""""acc_words":${got.getLong(got.fieldIndex("acc_words"))}}""")
+      spark.stop()
+      if (!ok) sys.exit(3)
+
+    case other => sys.error(s"unknown mode '$other'")
+  }
+}

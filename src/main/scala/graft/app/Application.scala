@@ -967,8 +967,46 @@ final class Application(val name: String, val spark: SparkSession,
     val recovered = targets.toList.sorted
       .filterNot(d.ownedShards.contains)
       .flatMap(s => d.tryAcquireShard(s).getOrElse(Nil))
-    runContexts(recovered) ++ runContexts(d.pollInboxes())
+    runContextsIsolated(recovered) ++ runContextsIsolated(d.pollInboxes())
   }
+
+  /** Run each context in failure isolation: one route's execution error
+    * must not abort the driver's poll loop (a fenced-out peer re-running
+    * an upstream can yank this driver's input files mid-scan — observed
+    * in the two-process soak). The failure hook has already fired inside
+    * [[runContext]]; the at-least-once inbox/WAL re-offers the event, so
+    * the failed hop re-triggers when its input settles. Manual
+    * [[execute]] keeps throw-on-failure semantics. */
+  private def runContextsIsolated(ctxs: List[ExecutionContext]): List[String] =
+    ctxs.flatMap { ctx =>
+      try runContexts(List(ctx))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[${name}] sharded execution of route " +
+            s"'${ctx.routeId}' failed (driver continues): ${e.getMessage}")
+          Nil
+      }
+    }
+
+  /** Re-pin this sharded driver's target shard set at runtime — a
+    * deployment-policy change, e.g. widening a driver that was pinned to
+    * its home shards into full-ring failover duty once the fleet is up.
+    * Shards already owned are kept (they drop only when fenced); the new
+    * targets take effect on the next [[shardedCycle]]. `None` targets
+    * every shard that has routes. */
+  def retargetShards(shards: Option[Set[Int]]): Unit = {
+    require(sharded.isDefined, "activateSharded() first")
+    shardedTargets = shards
+  }
+
+  /** Heartbeat every held shard lease WITHOUT executing anything — safe
+    * from a background poller ([[DaemonPoller]]), so a long Spark job
+    * inside [[shardedCycle]] cannot starve renewals past the lease
+    * timeout and let a live peer steal the shard mid-execution. (The
+    * reference's processor heartbeats on its own cadence while Glue jobs
+    * run remotely, processor/aws.py; local compute executes in-process,
+    * so the renewal cadence must be decoupled explicitly.) */
+  def heartbeatShardLeases(): Unit = sharded.foreach(_.renewLeases())
 
   /** Shards this driver currently owns (empty when not sharded). */
   def ownedShards: Set[Int] = sharded.map(_.ownedShards).getOrElse(Set.empty)

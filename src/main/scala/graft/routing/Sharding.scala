@@ -235,6 +235,11 @@ final class ShardLease(val shard: Int, val ownerId: String,
 
   @volatile private var held: Long = -1L
 
+  // first time this CLAIMANT saw epoch k's heartbeat unreadable — a
+  // missing/garbled hb is only "owner dead" after a full lease timeout
+  // of continuous unreadability (see tryAcquire)
+  private val hbMissingSince = scala.collection.mutable.Map.empty[Long, Long]
+
   private def epochName(k: Long) = f"epoch-$k%09d"
   private def hbName(k: Long) = f"hb-$k%09d"
 
@@ -271,9 +276,26 @@ final class ShardLease(val shard: Int, val ownerId: String,
       case Some((k, o)) if o == ownerId =>
         claim(k + 1) // same-owner fast reclaim after restart
       case Some((k, _)) =>
-        val hb = store.get(hbName(k)).map(_.trim).getOrElse("")
-        val expired = hb == "released" ||
-          clock() - hb.toLongOption.getOrElse(0L) > leaseTimeoutMillis
+        val hb = store.get(hbName(k)).map(_.trim)
+        val expired =
+          if (hb.contains("released")) true
+          else hb.flatMap(_.toLongOption) match {
+            case Some(t) =>
+              hbMissingSince.remove(k)
+              clock() - t > leaseTimeoutMillis
+            case None =>
+              // hb missing or garbled: either the owner crashed between
+              // the epoch and hb writes, or this read raced a NON-ATOMIC
+              // hb overwrite (RawLocalFileSystem renew is delete+create —
+              // a reader in that window sees no file / empty content).
+              // Folding that instantly to "expired" steals LIVE leases
+              // (observed: two-process soak, dual execution + overwrite
+              // crash), so the owner is dead only after a full lease
+              // timeout of CONTINUOUS unreadability — a live owner's next
+              // renewal (well inside the timeout) clears the strike.
+              val first = hbMissingSince.getOrElseUpdate(k, clock())
+              clock() - first > leaseTimeoutMillis
+          }
         if (!expired) None // live owner
         else claim(k + 1)
     }

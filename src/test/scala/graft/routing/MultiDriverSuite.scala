@@ -223,6 +223,37 @@ class MultiDriverSuite extends AnyFunSuite {
     assert(ly.isCurrent)
   }
 
+  test("unreadable heartbeat is graced a full timeout, not stolen instantly") {
+    // RawLocalFileSystem's hb renewal is delete+create: a claimant whose
+    // read lands in that window sees NO hb file. That must not fold to
+    // "expired" — the live owner's next renewal clears the strike; only
+    // CONTINUOUS unreadability for a full lease timeout means dead owner
+    // (crashed between the epoch and hb writes).
+    val root = java.nio.file.Files.createTempDirectory("graft_md_hb").toString
+    var now = 0L
+    val lx = new ShardLease(root, 0, "X", conf, 1000, () => now)
+    val ly = new ShardLease(root, 0, "Y", conf, 1000, () => now)
+    assert(lx.tryAcquire().contains(1L))
+    val hb = java.nio.file.Paths.get(s"$root/leases/shard-0/hb-000000001")
+    // simulate Y reading mid-renewal: hb file momentarily absent
+    val saved = java.nio.file.Files.readAllBytes(hb)
+    java.nio.file.Files.delete(hb)
+    now = 100
+    assert(ly.tryAcquire().isEmpty, "missing hb must be graced, not stolen")
+    // owner's renewal lands again — strike cleared even 900ms later
+    java.nio.file.Files.write(hb, saved)
+    now = 150; lx.renew()
+    now = 950
+    assert(ly.tryAcquire().isEmpty, "hb readable again — owner is live")
+    // true crash: hb stays unreadable past a full timeout from first strike
+    java.nio.file.Files.delete(hb)
+    now = 1000
+    assert(ly.tryAcquire().isEmpty) // strike restarts at 1000
+    now = 2100
+    assert(ly.tryAcquire().contains(2L),
+      "continuously unreadable past the timeout = dead owner")
+  }
+
   test("same-owner restart reclaims its own still-live lease at epoch k+1") {
     val root = java.nio.file.Files.createTempDirectory("graft_md5").toString
     var now = 0L
@@ -384,6 +415,70 @@ class MultiDriverSuite extends AnyFunSuite {
     // real contention happened: multiple owners won at least one epoch
     assert(claims.map(_._2).distinct.size >= 2,
       s"only ${claims.map(_._2).distinct} ever won — no contention exercised")
+  }
+
+  test("two OS processes split a real-slot chain; SIGKILL failover finishes it") {
+    // The ShardSoak shape at suite scale: two full driver JVMs (each its
+    // own SparkSession) split an 8-hop SqlSlot chain over a shared
+    // store, one is SIGKILLed mid-chain, the survivor steals the expired
+    // leases and completes the remainder; the verify step recomputes the
+    // cumulative totals directly from the corpus, so duplicated or lost
+    // hop executions after failover fail arithmetically.
+    val root = java.nio.file.Files.createTempDirectory("graft_md8").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def proc(args: String*): ProcessBuilder = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.ShardSoak") ++ args)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SOAK_CPUS", "4")
+      val tag = args.filterNot(_.contains("/")).mkString("-").replace(',', '_')
+      pb.redirectOutput(new java.io.File(root, s"out-$tag.log"))
+      pb.redirectErrorStream(true)
+      pb
+    }
+    val stage = proc("stage", root, "/root/testdata/sf0.001", "2").start()
+    assert(stage.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      stage.exitValue() == 0, "staging failed")
+    val pa = proc("drive", root, "A", "0,1").start()
+    val pb2 = proc("drive", root, "B", "2,3").start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (Seq("A", "B").exists(o => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, s"ready-$o"))) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "go"), Array.emptyByteArray)
+    // kill A once the chain is demonstrably executing split (>=3 hops)
+    def completions(): Int = Seq("A", "B").map { o =>
+      val f = java.nio.file.Paths.get(root, s"events-$o.log")
+      if (!java.nio.file.Files.exists(f)) 0
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala
+        .count(_.contains("completed "))
+    }.sum
+    val killBy = System.currentTimeMillis() + 240000
+    while (completions() < 3 && System.currentTimeMillis() < killBy &&
+        pb2.isAlive)
+      Thread.sleep(200)
+    assert(completions() >= 3, "chain never reached 3 completions")
+    pa.destroyForcibly()
+    assert(pb2.waitFor(420, java.util.concurrent.TimeUnit.SECONDS),
+      "survivor did not finish after the kill")
+    assert(pb2.exitValue() == 0, s"survivor exited ${pb2.exitValue()}")
+    val ver = proc("verify", root).start()
+    assert(ver.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      ver.exitValue() == 0, "verify failed: totals wrong or outputs missing")
   }
 }
 
