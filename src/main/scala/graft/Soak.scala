@@ -243,6 +243,117 @@ object Soak {
       return
     }
 
+    // "retention" = applyRetention at partition scale (VERDICT r10 #10):
+    // a managed output with RETENTION_PARTS day-partitions (4 part-files
+    // + _SUCCESS each, fabricated directly — retention cost is pure
+    // filesystem metadata work, independent of row content), evict all
+    // but keepLatest=100, and measure the no-op relist separately. The
+    // scale claim: cost is O(listing + evicted dirs) driver-side fs ops,
+    // bounded by partition COUNT (never data size), and an empty sweep
+    // costs only the listing.
+    if (only == "retention") {
+      import graft.app._
+      import graft.dimension._
+      val nParts = sys.env.getOrElse("SPARK_GRAFT_RETENTION_PARTS", "1000").toInt
+      val root = s"/tmp/graft_soak_retention_${ProcessHandle.current().pid()}"
+      val daySpec = DimSpec.pretty(
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+      val app = new Application("retsoak", spark, root)
+      val src = app.marshalExternalData("ret_src", s"$root/ext", daySpec)
+      val node = app.createData("evt_daily", Seq(src),
+        Seq(graft.compute.SqlSlot("SELECT * FROM ret_src")))
+      val d0 = java.time.LocalDate.parse("2020-01-01")
+      val payload = Array.fill[Byte](1024)(7)
+      for (i <- 0 until nParts) {
+        val dir = java.nio.file.Paths.get(
+          s"$root/internal_data/evt_daily/${d0.plusDays(i.toLong)}")
+        java.nio.file.Files.createDirectories(dir)
+        for (f <- 0 until 4)
+          java.nio.file.Files.write(dir.resolve(f"part-$f%05d.parquet"), payload)
+        java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+      }
+      val (evicted, tEvict) = timed(app.applyRetention(node, keepLatest = 100))
+      val (evicted2, tNoop) = timed(app.applyRetention(node, keepLatest = 100))
+      val kept = new java.io.File(s"$root/internal_data/evt_daily").list().length
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      println(
+        f"""{"soak":"retention","parts":$nParts,"evicted":${evicted.length},"evict_sec":$tEvict%.2f,"noop_evicted":${evicted2.length},"noop_sec":$tNoop%.2f,"kept":$kept}""")
+      spark.stop()
+      return
+    }
+
+    // "annjoin_auto" = the planesFor scaling ledger (VERDICT r10 #2):
+    // index-backed lshTopKJoin at several corpus scales with the plane
+    // count auto-sized to the corpus. Measured per scale: plane count,
+    // index build+save and load cost, per-call join wall, planted
+    // family-top-1 recall, and the BUCKET SCAN FRACTION — candidates
+    // actually scanned / (|Q|·|corpus|), the number that must stay ~flat
+    // as the corpus grows if planesFor is doing its job (fixed planes
+    // make it linear in corpus size). Corpora are staged to parquet once
+    // (no giant localCheckpoint lineage — the r10 annjoin soak's 64g
+    // heap requirement was exactly that) and the index path re-hashes
+    // nothing at query time.
+    if (only == "annjoin_auto") {
+      import graft.operators.Similarity
+      val scales = sys.env.getOrElse("SPARK_GRAFT_ANNJOIN_SCALES", "40,80,200")
+        .split(",").map(_.trim.toInt).toSeq
+      val qn = sys.env.getOrElse("SPARK_GRAFT_ANNJOIN_QUERIES", "1000").toLong
+      val embBase0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val entries = scales.map { c =>
+        val embPath = s"/tmp/graft_annauto_emb_$c"
+        val fs = new org.apache.hadoop.fs.Path(embPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$embPath/_SUCCESS")))
+          embBase0.crossJoin(spark.range(c.toLong).toDF("copy"))
+            .select((col("vec_id") * c + col("copy")).as("vec_id"),
+              transform(col("embedding"),
+                x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
+                .as("embedding"))
+            .repartition(32).write.mode("overwrite").parquet(embPath)
+        val emb = spark.read.parquet(embPath)
+        val n = emb.count()
+        val planes = Similarity.planesFor(n)
+        val ixPath = s"/tmp/graft_annauto_ix_$c"
+        val (_, tBuild) = timed {
+          Similarity.saveAnnIndex(
+            Similarity.buildIndex(emb, "embedding", "vec_id",
+              planes = planes, persist = false), ixPath)
+        }
+        val (ix, tLoad) = timed {
+          val i = Similarity.loadAnnIndex(spark, ixPath, persist = true)
+          i.sigs.count(); i
+        }
+        val queries = emb.where(col("vec_id") < qn)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+          .localCheckpoint() // qn rows only — pin the query batch
+        val (top, tJoin) = timed(
+          Similarity.lshTopKJoin(queries, ix, k = 10, probeBits = 1,
+            broadcastQueries = true).localCheckpoint())
+        val hits = top.where(col("rank") === 1 &&
+          floor(col("vec_id") / lit(c)) ===
+            floor((col("query_id") - 10000000L) / lit(c))).count()
+        // exact candidate volume: per-query probe signatures (distinct by
+        // construction) joined against stored bucket sizes
+        val bucketSizes = ix.sigs.groupBy("__bucket").agg(count(lit(1)).as("sz"))
+        val qsig = queries.select(col("vec_id").as("query_id"),
+          Similarity.planeSignature(col("embedding"), planes).as("__qsig"))
+        val probeCols = col("__qsig") +: (0 until planes)
+          .map(i => col("__qsig").bitwiseXOR(lit(1L << i)))
+        val candidates = qsig
+          .select(explode(array(probeCols: _*)).as("__bucket"))
+          .join(bucketSizes, "__bucket")
+          .agg(sum("sz")).collect().head.getLong(0)
+        ix.unpersist()
+        val scanFrac = candidates.toDouble / (qn.toDouble * n)
+        f"""{"corpus":$n,"planes":$planes,"build_save_sec":$tBuild%.1f,"load_sec":$tLoad%.1f,"join_sec":$tJoin%.1f,"recall_top1":${hits.toDouble / qn}%.3f,"candidates":$candidates,"scan_fraction":$scanFrac%.5f}"""
+      }
+      println(s"""{"soak":"annjoin_auto","queries":$qn,"scales":[${entries.mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
     // p13 shape: embedding near-dup on a replicated embedding corpus
     // (copies get a tiny per-copy scale: same plane signature — sign bits
     // are scale-invariant — and cosine exactly 1 to the original)

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/ordered joins Spark's relational core does not ship as
+  * operators: as-of (latest-state-at-time) and interval range joins.
+  * Both are built to the library's scale contract — no candidate
+  * explosion, no BroadcastNestedLoopJoin/CartesianProduct anywhere
+  * (swept by PlanCheckSuite), costs bounded by a single key shuffle.
+  *
+  * The reference delegates point-in-time lookups to its warehouse
+  * engines; these are the Spark-native equivalents a training-data
+  * pipeline needs for feature/state attachment (e.g. "the model version
+  * live when this example was logged").
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the single right row with
+    * the LARGEST `tsCol` ≤ the left row's (direction="backward"; the
+    * SMALLEST ≥ for "forward"), matching on `keyCol`. Ties on the
+    * timestamp itself are inclusive; among equal right timestamps the
+    * highest `tieCol` wins (deterministic output).
+    *
+    * Implementation is a union + running `last` over a (key, ts)
+    * window, NOT a join: both sides shuffle ONCE on the key, sort by
+    * (ts, side), and the right payload propagates forward as a single
+    * packed struct (one `last(ignoreNulls)` — per-column lasts could
+    * mix fields from different right rows when payloads contain nulls).
+    * Cost is exactly a SortMergeJoin's shuffle+sort without any
+    * candidate pairs, so it scales to corpus-sized both sides; a hot
+    * key concentrates on one partition (same bound as any windowed
+    * aggregation — pre-split hot keys upstream if that matters).
+    *
+    * `rightCols` are the right-side columns to attach (prefixed
+    * `asof_`); `tolerance` (in the unit of `unix_micros`) drops matches
+    * further back/ahead than the bound. Unmatched (or out-of-tolerance)
+    * left rows keep null `asof_*` columns — filter `asof_<tie>` IS NOT
+    * NULL for inner semantics (DuckDB's ASOF JOIN default). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String,
+               rightCols: Seq[String], tieCol: String,
+               direction: String = "backward",
+               toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    val leftCols = left.columns.toSeq
+    // one packed payload struct per right row: ts + tie + user columns
+    val pay = struct(
+      (Seq(col(tsCol).as("__rts"), col(tieCol).as("__rtie")) ++
+        rightCols.map(c => col(c).as(c))): _*)
+    val r = right
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__rtie"),
+        pay.as("__rpay"))
+      .withColumn("__side", lit(0))
+    val l = left
+      .withColumn("__rtie", lit(null).cast(r.schema("__rtie").dataType))
+      .withColumn("__rpay", lit(null).cast(r.schema("__rpay").dataType))
+      .withColumn("__side", lit(1))
+    val unioned = l.select((Seq(col(keyCol), col(tsCol), col("__rtie"),
+        col("__rpay"), col("__side")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // backward: ascending ts, right rows (side 0) sort before left at
+    // equal ts so the running last is INCLUSIVE of ties; among equal
+    // right ts the larger tie sorts later and wins. forward mirrors.
+    val ord: Seq[Column] =
+      if (direction == "backward")
+        Seq(col(tsCol).asc, col("__side").asc, col("__rtie").asc_nulls_first)
+      else
+        Seq(col(tsCol).desc, col("__side").asc, col("__rtie").asc_nulls_first)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPay = unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        // tolerance unit follows the ts type: micros for timestamps, the
+        // column's own unit for numeric timelines
+        def asLong(c: Column): Column = left.schema(tsCol).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+          case _ => c.cast("long")
+        }
+        val gap =
+          if (direction == "backward")
+            asLong(col(tsCol)) - asLong(col("__match.__rts"))
+          else asLong(col("__match.__rts")) - asLong(col(tsCol))
+        withPay.withColumn("__match",
+          when(col("__match").isNotNull && gap <= tol, col("__match")))
+      case None => withPay
+    }
+    bounded.select(
+      (leftCols.map(c => col(c)) :+
+        col("__match.__rts").as(s"asof_$tsCol") :+
+        col("__match.__rtie").as(s"asof_$tieCol")) ++
+        rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Range (interval-containment) join: pairs every point row with every
+    * interval row of the same `keyCol` whose `[startCol, endCol]` range
+    * contains the point's `ptCol` (inclusive both ends; all three are
+    * LONG — epoch micros for time semantics).
+    *
+    * Implementation: intervals replicate to the fixed-width buckets they
+    * span (`sequence` + explode — bounded by `maxBucketsPerInterval`),
+    * points land in exactly ONE bucket, and the sides meet on an
+    * EQUI-join of (key, bucket) followed by the exact containment
+    * filter. Each qualifying (interval, point) pair meets exactly once
+    * (the point's single bucket), so there is no dedup pass; the plan
+    * is shuffle-on-(key,bucket) + filter — no inequality-join fallback
+    * to BroadcastNestedLoopJoin. Choose `bucketWidth` near the typical
+    * interval span: too small replicates intervals, too large degrades
+    * the bucket filter toward per-key all-pairs. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                keyCol: String, ptCol: String,
+                startCol: String, endCol: String,
+                bucketWidth: Long,
+                maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val startB = floor(col(startCol) / bucketWidth).cast("long")
+    val endB = floor(col(endCol) / bucketWidth).cast("long")
+    // the guard lives INSIDE the sequence bound (an over-wide interval
+    // fails loudly instead of exploding) — a separate guard column would
+    // be pruned away by the optimizer and never evaluate; a malformed
+    // interval (end < start) yields an empty sequence and drops out
+    val endGuarded = when(endB - startB < maxBucketsPerInterval, endB)
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval " +
+          s"buckets at width $bucketWidth — raise bucketWidth ("),
+        endB - startB + 1, lit(" buckets needed)"))))
+    val guarded = intervals
+      .withColumn("__bucket", explode(sequence(startB, endGuarded)))
+    val pt = points.withColumn("__bucket",
+      floor(col(ptCol) / bucketWidth).cast("long"))
+    pt.join(guarded, Seq(keyCol, "__bucket"))
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

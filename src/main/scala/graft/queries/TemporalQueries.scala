@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Gate rows for the temporal join operators ([[graft.operators.Temporal]])
+  * against DuckDB: the as-of join replays as DuckDB's native ASOF JOIN,
+  * the bucketized range join as a plain inequality join (DuckDB runs it
+  * as an IEJoin — same rows, different plan, which is exactly the
+  * point: our side must produce identical pairs WITHOUT an
+  * inequality-join plan). */
+object TemporalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- as-of join: each click attaches the latest view (same user,
+    // view.ts <= click.ts); inner semantics to match DuckDB's default
+    "q36_asof_join" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      Temporal.asofJoin(clicks, views, "user_id", "ts",
+          rightCols = Seq("value"), tieCol = "event_id")
+        .where(col("asof_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"),
+          col("asof_value").as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- range join: clicks within the hour after an error by the same
+    // user — intervals bucketized at 10 min (each interval spans ~7
+    // buckets, so replication + single-bucket point matching are both
+    // exercised), then exact containment
+    "q37_range_join" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 3600000000L).as("end_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("pt_us"))
+      Temporal.rangeJoin(clicks, errors, "user_id", "pt_us",
+          "start_us", "end_us", bucketWidth = 600000000L)
+        .select(col("error_id"), col("click_id"),
+          (col("pt_us") - col("start_us")).as("gap_us"))
+        .orderBy("error_id", "click_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_asof_join" ->
+      """SELECT l.event_id AS event_id, l.user_id AS user_id,
+                r.event_id AS view_id,
+                epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+                r.value AS view_value
+         FROM (SELECT * FROM events WHERE event_type='click') l
+         ASOF JOIN (SELECT * FROM events WHERE event_type='view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
+    "q37_range_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+                epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type='click') c
+         JOIN (SELECT * FROM events WHERE event_type='error') e
+           ON e.user_id = c.user_id
+          AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
+                                 AND epoch_us(e.ts) + 3600000000
+         ORDER BY error_id, click_id""",
+  )
+}

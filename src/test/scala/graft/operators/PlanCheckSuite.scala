@@ -120,7 +120,8 @@ class PlanCheckSuite extends AnyFunSuite with BeforeAndAfterAll {
   test("no p-/q-query plans an all-pairs join") {
     val queries = (graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
-      graft.queries.PipelineOps.queries)
+      graft.queries.PipelineOps.queries ++
+      graft.queries.TemporalQueries.queries)
     val offenders = queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val plan = q(spark, sfDir).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))

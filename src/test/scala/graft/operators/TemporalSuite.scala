@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** As-of and range joins verified against brute-force references on
+  * randomized data (the gate rows q36/q37 add the DuckDB oracle; this
+  * suite pins the semantics the oracle can't reach — forward direction,
+  * tolerance, unmatched rows, bucket-boundary cases). */
+class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("temporal-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // randomized (key, ts) tables with planted ties and gaps
+  private def randTables(seed: Int, nl: Int, nr: Int) = {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(seed)
+    val left = (0 until nl).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+    val right = (0 until nr).map(i =>
+      (1000L + i, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextDouble()))
+    (left, right,
+      left.toDF("lid", "k", "t"),
+      right.toDF("rid", "k", "t", "v"))
+  }
+
+  private def bruteAsof(left: Seq[(Long, Long, Long)],
+                        right: Seq[(Long, Long, Long, Double)],
+                        backward: Boolean,
+                        tol: Option[Long]): Map[Long, Option[Long]] =
+    left.map { case (lid, k, t) =>
+      val cands = right.filter(r => r._2 == k &&
+        (if (backward) r._3 <= t else r._3 >= t) &&
+        tol.forall(b => math.abs(t - r._3) <= b))
+      val best =
+        if (cands.isEmpty) None
+        else {
+          val bestTs =
+            if (backward) cands.map(_._3).max else cands.map(_._3).min
+          Some(cands.filter(_._3 == bestTs).map(_._1).max) // tie: max rid
+        }
+      lid -> best
+    }.toMap
+
+  test("asofJoin backward matches brute force (ties inclusive, max-tie wins)") {
+    val (l, r, ldf, rdf) = randTables(7, 120, 120)
+    val got = Temporal.asofJoin(ldf, rdf, "k", "t",
+        rightCols = Seq("v"), tieCol = "rid")
+      .select("lid", "asof_rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toMap
+    assert(got == bruteAsof(l, r, backward = true, None))
+  }
+
+  test("asofJoin forward matches brute force") {
+    val (l, r, ldf, rdf) = randTables(11, 100, 90)
+    val got = Temporal.asofJoin(ldf, rdf, "k", "t",
+        rightCols = Seq("v"), tieCol = "rid", direction = "forward")
+      .select("lid", "asof_rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toMap
+    assert(got == bruteAsof(l, r, backward = false, None))
+  }
+
+  test("asofJoin tolerance drops matches beyond the bound, keeps the row") {
+    val (l, r, ldf, rdf) = randTables(13, 100, 40)
+    val out = Temporal.asofJoin(ldf, rdf, "k", "t",
+        rightCols = Seq("v"), tieCol = "rid", toleranceMicros = Some(50L))
+      .select("lid", "asof_rid").collect()
+    val got = out
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toMap
+    assert(got == bruteAsof(l, r, backward = true, Some(50L)))
+    assert(out.length == 100, "left rows must survive with null matches")
+    assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty),
+      "tolerance case must exercise both matched and dropped rows")
+  }
+
+  test("asofJoin attaches the payload of exactly the matched row") {
+    val sp = spark; import sp.implicits._
+    val ldf = Seq((1L, 0L, 100L)).toDF("lid", "k", "t")
+    val rdf = Seq(
+      (10L, 0L, 40L, "old"), (11L, 0L, 90L, "latest"), (12L, 0L, 150L, "future"))
+      .toDF("rid", "k", "t", "v")
+    val row = Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"), "rid")
+      .select("asof_rid", "asof_v", "asof_t").collect().head
+    assert(row.getLong(0) == 11L && row.getString(1) == "latest" &&
+      row.getLong(2) == 90L)
+  }
+
+  test("rangeJoin matches brute force incl. boundary points") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(500).toLong))
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(450).toLong
+      (1000L + i, rnd.nextInt(3).toLong, s, s + rnd.nextInt(120).toLong)
+    }
+    // plant exact boundary hits: a point AT a start and AT an end
+    val pts2 = pts ++ Seq((900L, ivs.head._2, ivs.head._3),
+      (901L, ivs.head._2, ivs.head._4))
+    val got = Temporal.rangeJoin(
+        pts2.toDF("pid", "k", "p"), ivs.toDF("iid", "k", "s", "e"),
+        "k", "p", "s", "e", bucketWidth = 37L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = (for {
+      (pid, pk, p) <- pts2; (iid, ik, s, e) <- ivs
+      if pk == ik && p >= s && p <= e
+    } yield (iid, pid)).toSet
+    assert(got == exp)
+    assert(got.contains((1000L, 900L)) && got.contains((1000L, 901L)),
+      "inclusive boundaries")
+  }
+
+  test("rangeJoin emits each qualifying pair exactly once") {
+    val sp = spark; import sp.implicits._
+    // interval spanning many buckets; several points inside one interval
+    val pts = Seq((1L, 0L, 5L), (2L, 0L, 250L), (3L, 0L, 499L))
+      .toDF("pid", "k", "p")
+    val ivs = Seq((10L, 0L, 0L, 500L)).toDF("iid", "k", "s", "e")
+    val rows = Temporal.rangeJoin(pts, ivs, "k", "p", "s", "e",
+      bucketWidth = 10L).collect()
+    assert(rows.length == 3, s"expected 3 unique pairs, got ${rows.length}")
+  }
+
+  test("rangeJoin rejects intervals wider than the bucket guard") {
+    val sp = spark; import sp.implicits._
+    val pts = Seq((1L, 0L, 5L)).toDF("pid", "k", "p")
+    val ivs = Seq((10L, 0L, 0L, 1000000L)).toDF("iid", "k", "s", "e")
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(pts, ivs, "k", "p", "s", "e", bucketWidth = 10L,
+        maxBucketsPerInterval = 100).collect()
+    }
+    assert(e.getMessage.contains("rangeJoin") ||
+      e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
+  }
+
+  test("temporal plans stay free of nested-loop joins") {
+    val sp = spark; import sp.implicits._
+    val ldf = (0 until 50).map(i => (i.toLong, i % 3L, i.toLong * 7))
+      .toDF("lid", "k", "t")
+    val rdf = (0 until 50).map(i => (100L + i, i % 3L, i.toLong * 5, 0.5))
+      .toDF("rid", "k", "t", "v")
+    val plans = Seq(
+      Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"), "rid"),
+      Temporal.rangeJoin(ldf.select(col("lid"), col("k"), col("t").as("p")),
+        rdf.select(col("rid"), col("k"), col("t").as("s"),
+          (col("t") + 40L).as("e")),
+        "k", "p", "s", "e", bucketWidth = 16L))
+    plans.foreach { df =>
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"),
+        s"nested-loop join leaked into a temporal plan:\n$phys")
+    }
+  }
+}
