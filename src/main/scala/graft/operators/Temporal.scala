@@ -102,6 +102,37 @@ object Temporal {
         rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
   }
 
+  /** Sessionize: tag every row with a per-key session ordinal
+    * (`session_seq`, 1-based in time order) — a new session starts when
+    * the gap to the key's previous event exceeds `gapMicros` (timestamp
+    * columns compare in micros; plain numeric timelines in their own
+    * unit). The row-tagging form a training pipeline needs to attach
+    * session context to examples; aggregate on (key, session_seq) for
+    * per-session stats (the q38 gate row does exactly that).
+    *
+    * One shuffle on the key; the lag and the running sum share the same
+    * (key, ts) sort, so the second window reuses the first's order. Ties
+    * on ts are gap-0 by definition and always co-session, so the output
+    * is deterministic even with duplicate timestamps. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val tsAsLong = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => col(tsCol).cast("long")
+    }
+    val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(tsAsLong, 1).over(byTime))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          tsAsLong - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(running))
+      .drop("__prev", "__new")
+  }
+
   /** Range (interval-containment) join: pairs every point row with every
     * interval row of the same `keyCol` whose `[startCol, endCol]` range
     * contains the point's `ptCol` (inclusive both ends; all three are

@@ -50,6 +50,22 @@ object TemporalQueries {
           (col("pt_us") - col("start_us")).as("gap_us"))
         .orderBy("error_id", "click_id")
     }),
+    // ---- sessionization: per-user sessions at a 6-hour inactivity gap,
+    // aggregated per session (events, value sum, start/end) — the
+    // row-tagging sessionize underneath is what a pipeline uses to
+    // attach session context to training examples
+    "q38_sessionize" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.sessionize(ev, "user_id", "ts", gapMicros = 21600000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -71,5 +87,28 @@ object TemporalQueries {
           AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
                                  AND epoch_us(e.ts) + 3600000000
          ORDER BY error_id, click_id""",
+    "q38_sessionize" ->
+      """WITH d AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, value,
+                  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_seq
+           FROM d)
+         SELECT user_id, session_seq,
+                COUNT(*) AS n_events,
+                MIN(epoch_us(ts)) AS start_us,
+                MAX(epoch_us(ts)) AS end_us,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total_value
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
   )
 }

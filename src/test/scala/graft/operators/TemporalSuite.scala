@@ -148,6 +148,29 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
   }
 
+  test("sessionize matches brute force and tags every row") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(2000).toLong))
+    val got = Temporal.sessionize(rows.toDF("id", "k", "t"), "k", "t", 50L)
+      .select("id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      var seq = 0L; var prev = Long.MinValue
+      sorted.map { case (id, _, t) =>
+        if (prev == Long.MinValue || t - prev > 50L) seq += 1
+        prev = t
+        id -> seq
+      }
+    }
+    assert(got.size == 300)
+    // session BOUNDARIES must agree (ordinals are order-dependent only
+    // through the boundary rule, so they agree too given unique (k,t))
+    assert(got == exp)
+  }
+
   test("temporal plans stay free of nested-loop joins") {
     val sp = spark; import sp.implicits._
     val ldf = (0 until 50).map(i => (i.toLong, i % 3L, i.toLong * 7))
