@@ -46,6 +46,11 @@ object Temporal {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(!rightCols.contains(tsCol) && !rightCols.contains(tieCol),
+      s"rightCols must not repeat '$tsCol'/'$tieCol' — they are attached " +
+        s"as asof_$tsCol/asof_$tieCol already")
+    require(!left.columns.exists(_.startsWith("__")),
+      "left columns starting with __ collide with asofJoin internals")
     val leftCols = left.columns.toSeq
     // one packed payload struct per right row: ts + tie + user columns
     val pay = struct(
@@ -133,6 +138,45 @@ object Temporal {
       .drop("__prev", "__new")
   }
 
+  /** Interval OVERLAP join: pairs every `a` interval with every `b`
+    * interval of the same key whose `[bStart, bEnd]` overlaps
+    * `[aStart, aEnd]` (inclusive ends; LONG timelines). Same bucketized
+    * shape as [[rangeJoin]], replicating BOTH sides; the dedup rule is
+    * positional, not a distinct pass: a qualifying pair coexists in
+    * every bucket of the overlap region, so it is emitted only from the
+    * FIRST such bucket — max(firstBucket(a), firstBucket(b)) — which
+    * each pair has exactly one of. Malformed intervals (end < start)
+    * drop before the fan-out (Spark's sequence descends rather than
+    * emptying), and over-wide intervals fail loudly via the same
+    * sequence-bound guard as rangeJoin. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          bucketWidth: Long,
+                          maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(Set(aStart, aEnd).intersect(Set(bStart, bEnd)).isEmpty,
+      "a and b interval column names must differ — alias one side")
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val sb = floor(col(s) / bucketWidth).cast("long")
+      val eb = floor(col(e) / bucketWidth).cast("long")
+      val ebGuarded = when(eb - sb < maxBucketsPerInterval, eb)
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlapJoin: interval spans more than " +
+            s"$maxBucketsPerInterval buckets at width $bucketWidth — " +
+            "raise bucketWidth ("), eb - sb + 1, lit(" buckets needed)"))))
+      df.where(col(e) >= col(s))
+        .withColumn("__bucket", explode(sequence(sb, ebGuarded)))
+    }
+    explodeBuckets(a, aStart, aEnd)
+      .join(explodeBuckets(b, bStart, bEnd), Seq(keyCol, "__bucket"))
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bucket") === greatest(
+          floor(col(aStart) / bucketWidth).cast("long"),
+          floor(col(bStart) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
+
   /** Range (interval-containment) join: pairs every point row with every
     * interval row of the same `keyCol` whose `[startCol, endCol]` range
     * contains the point's `ptCol` (inclusive both ends; all three are
@@ -158,14 +202,19 @@ object Temporal {
     val endB = floor(col(endCol) / bucketWidth).cast("long")
     // the guard lives INSIDE the sequence bound (an over-wide interval
     // fails loudly instead of exploding) — a separate guard column would
-    // be pruned away by the optimizer and never evaluate; a malformed
-    // interval (end < start) yields an empty sequence and drops out
+    // be pruned away by the optimizer and never evaluate. Malformed
+    // intervals (end < start) are dropped BEFORE the explode: Spark's
+    // sequence(a, b) with a > b DESCENDS rather than yielding empty, so
+    // without the filter they would replicate to phantom buckets (the
+    // containment filter still rejects them, but only after paying the
+    // fan-out).
     val endGuarded = when(endB - startB < maxBucketsPerInterval, endB)
       .otherwise(raise_error(concat(
         lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval " +
           s"buckets at width $bucketWidth — raise bucketWidth ("),
         endB - startB + 1, lit(" buckets needed)"))))
     val guarded = intervals
+      .where(col(endCol) >= col(startCol))
       .withColumn("__bucket", explode(sequence(startB, endGuarded)))
     val pt = points.withColumn("__bucket",
       floor(col(ptCol) / bucketWidth).cast("long"))

@@ -50,6 +50,26 @@ object TemporalQueries {
           (col("pt_us") - col("start_us")).as("gap_us"))
         .orderBy("error_id", "click_id")
     }),
+    // ---- interval overlap join: 1-hour error spans × 1-hour purchase
+    // spans per user — both sides bucket-replicated, pairs deduped
+    // positionally (emitted only from the first shared bucket)
+    "q39_interval_overlap" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+      def spans(t: String, idAs: String, s0: String, e0: String) =
+        ev.where(col("event_type") === t)
+          .select(col("event_id").as(idAs), col("user_id"),
+            unix_micros(col("ts")).as(s0),
+            (unix_micros(col("ts")) + 3600000000L).as(e0))
+      Temporal.intervalOverlapJoin(
+          spans("error", "error_id", "err_start", "err_end"),
+          spans("purchase", "purchase_id", "pur_start", "pur_end"),
+          "user_id", "err_start", "err_end", "pur_start", "pur_end",
+          bucketWidth = 1800000000L)
+        .select(col("error_id"), col("purchase_id"),
+          (col("pur_start") - col("err_start")).as("offset_us"))
+        .orderBy("error_id", "purchase_id")
+    }),
+
     // ---- sessionization: per-user sessions at a 6-hour inactivity gap,
     // aggregated per session (events, value sum, start/end) — the
     // row-tagging sessionize underneath is what a pipeline uses to
@@ -87,6 +107,15 @@ object TemporalQueries {
           AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
                                  AND epoch_us(e.ts) + 3600000000
          ORDER BY error_id, click_id""",
+    "q39_interval_overlap" ->
+      """SELECT a.event_id AS error_id, b.event_id AS purchase_id,
+                epoch_us(b.ts) - epoch_us(a.ts) AS offset_us
+         FROM (SELECT * FROM events WHERE event_type='error') a
+         JOIN (SELECT * FROM events WHERE event_type='purchase') b
+           ON a.user_id = b.user_id
+          AND epoch_us(a.ts) <= epoch_us(b.ts) + 3600000000
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+         ORDER BY error_id, purchase_id""",
     "q38_sessionize" ->
       """WITH d AS (
            SELECT user_id, ts, value,

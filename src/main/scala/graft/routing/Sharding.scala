@@ -304,6 +304,7 @@ final class ShardLease(val shard: Int, val ownerId: String,
   private def claim(k: Long): Option[Long] =
     if (store.putIfAbsent(epochName(k), ownerId)) {
       store.put(hbName(k), clock().toString)
+      hbMissingSince.filterInPlace((e, _) => e >= k) // strikes for dead epochs
       if (store.atomicCreate) {
         // The store decided the race atomically (POSIX O_EXCL, HDFS
         // namenode create, an object store's If-None-Match conditional

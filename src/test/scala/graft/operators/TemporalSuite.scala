@@ -136,6 +136,28 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 3, s"expected 3 unique pairs, got ${rows.length}")
   }
 
+  test("rangeJoin drops malformed intervals before the bucket fan-out") {
+    val sp = spark; import sp.implicits._
+    // sequence(a, b) with a > b DESCENDS in Spark — a malformed interval
+    // must be filtered out, not exploded into phantom buckets
+    val pts = Seq((1L, 0L, 50L)).toDF("pid", "k", "p")
+    val ivs = Seq((10L, 0L, 100L, 0L), (11L, 0L, 40L, 60L))
+      .toDF("iid", "k", "s", "e")
+    val got = Temporal.rangeJoin(pts, ivs, "k", "p", "s", "e",
+      bucketWidth = 10L).select("iid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L), s"only the well-formed interval matches: $got")
+  }
+
+  test("asofJoin rejects rightCols repeating the ts/tie columns") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, 0L, 1L)).toDF("rid", "k", "t")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(df.toDF("lid", "k", "t"), df, "k", "t",
+        rightCols = Seq("t"), tieCol = "rid")
+    }
+    assert(e.getMessage.contains("rightCols"))
+  }
+
   test("rangeJoin rejects intervals wider than the bucket guard") {
     val sp = spark; import sp.implicits._
     val pts = Seq((1L, 0L, 5L)).toDF("pid", "k", "p")
@@ -146,6 +168,30 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("rangeJoin") ||
       e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
+  }
+
+  test("intervalOverlapJoin matches brute force, one row per pair") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(29)
+    val as = (0 until 80).map { i =>
+      val s = rnd.nextInt(400).toLong
+      (i.toLong, rnd.nextInt(3).toLong, s, s + rnd.nextInt(100).toLong)
+    }
+    val bs = (0 until 80).map { i =>
+      val s = rnd.nextInt(400).toLong
+      (500L + i, rnd.nextInt(3).toLong, s, s + rnd.nextInt(100).toLong)
+    }
+    val got = Temporal.intervalOverlapJoin(
+        as.toDF("aid", "k", "as0", "ae0"), bs.toDF("bid", "k", "bs0", "be0"),
+        "k", "as0", "ae0", "bs0", "be0", bucketWidth = 33L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = (for {
+      (aid, ak, s1, e1) <- as; (bid, bk, s2, e2) <- bs
+      if ak == bk && s1 <= e2 && s2 <= e1
+    } yield (aid, bid)).toSet
+    assert(got.toSet == exp)
+    assert(got.length == got.toSet.size, "each pair must appear exactly once")
+    assert(exp.nonEmpty)
   }
 
   test("sessionize matches brute force and tags every row") {
