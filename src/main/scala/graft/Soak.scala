@@ -243,6 +243,55 @@ object Soak {
       return
     }
 
+    // "temporal" = the Temporal operator family at events scale: the
+    // sf events table replicated `copies`× with DISTINCT user keyspaces
+    // per copy (per-user time structure preserved exactly; key count
+    // scales with the corpus — the realistic growth shape for
+    // session/as-of workloads). Each op's wall is one shuffle-bound
+    // pass; the claim under soak is linear scaling with rows, no
+    // candidate explosion, no driver involvement.
+    if (only == "temporal") {
+      import graft.operators.Temporal
+      import graft.queries.EventTables
+      val ev0 = EventTables.events(spark, sfDir)
+      val evAll = ev0.crossJoin(spark.range(copies.toLong).toDF("copy"))
+        .select((col("user_id") + col("copy") * 100000L).as("user_id"),
+          (col("event_id") * copies + col("copy")).as("event_id"),
+          col("event_type"), col("ts"), col("value"))
+        .repartition(32).localCheckpoint()
+      val nEv = evAll.count()
+      val clicks = evAll.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = evAll.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val (nAsof, tAsof) = timed(
+        Temporal.asofJoin(clicks, views, "user_id", "ts",
+          rightCols = Seq("value"), tieCol = "event_id")
+          .where(col("asof_event_id").isNotNull).count())
+      val (nSess, tSess) = timed(
+        Temporal.sessionize(evAll, "user_id", "ts", gapMicros = 21600000000L)
+          .groupBy("user_id", "session_seq").count().count())
+      def spans(t: String) = evAll.where(col("event_type") === t)
+        .select(col("event_id").as(s"${t}_id"), col("user_id"),
+          unix_micros(col("ts")).as(s"${t}_s"),
+          (unix_micros(col("ts")) + 3600000000L).as(s"${t}_e"))
+      val (nRange, tRange) = timed(
+        Temporal.rangeJoin(
+          evAll.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              unix_micros(col("ts")).as("pt")),
+          spans("error"), "user_id", "pt", "error_s", "error_e",
+          bucketWidth = 600000000L).count())
+      val (nOv, tOv) = timed(
+        Temporal.intervalOverlapJoin(spans("error"), spans("purchase"),
+          "user_id", "error_s", "error_e", "purchase_s", "purchase_e",
+          bucketWidth = 1800000000L).count())
+      println(
+        f"""{"soak":"temporal","events":$nEv,"copies":$copies,"asof_sec":$tAsof%.1f,"asof_rows":$nAsof,"sessionize_sec":$tSess%.1f,"sessions":$nSess,"range_sec":$tRange%.1f,"range_rows":$nRange,"overlap_sec":$tOv%.1f,"overlap_rows":$nOv}""")
+      spark.stop()
+      return
+    }
+
     // "retention" = applyRetention at partition scale (VERDICT r10 #10):
     // a managed output with RETENTION_PARTS day-partitions (4 part-files
     // + _SUCCESS each, fabricated directly — retention cost is pure
