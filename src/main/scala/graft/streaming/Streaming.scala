@@ -224,6 +224,29 @@ object StreamingMetrics {
         max(col(valueCol)).cast("double").as("max"))
       .select(col("w.start").as("period_start"), col("name"),
         col("sum"), col("sample_count"), col("min"), col("max"))
+
+  /** Streaming sessionization — the live form of the q38 batch
+    * sessionize: Spark's native `session_window` merges events whose
+    * gaps stay under `gapSecs` into one growing window per key; the
+    * watermark closes a session `watermarkSecs` after its last event,
+    * so per-session rows emit exactly once (append mode) with no
+    * unbounded state. Session identity is (key, session_start) here —
+    * the batch side's per-key ordinal needs total order, which a
+    * stream cannot have; join on the start timestamp to correlate. */
+  def sessionStats(stream: DataFrame, keyCol: String, valueCol: String,
+                   timeCol: String, gapSecs: Long,
+                   watermarkSecs: Long): DataFrame =
+    stream
+      .withWatermark(timeCol, s"$watermarkSecs seconds")
+      .groupBy(session_window(col(timeCol), s"$gapSecs seconds").as("w"),
+        col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).cast("double").as("total_value"),
+        min(col(timeCol)).as("first_event"),
+        max(col(timeCol)).as("last_event"))
+      .select(col("w.start").as("session_start"), col("key"),
+        col("n_events"), col("total_value"),
+        col("first_event"), col("last_event"))
 }
 
 /** One input-arrival event for a keyed coincidence group. */

@@ -238,6 +238,43 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getAs[Long]("sample_count") == 2L)
   }
 
+  test("streaming sessionization: gaps split sessions, watermark closes them") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Long, Double, Timestamp)]
+    val sess = StreamingMetrics.sessionStats(
+      mem.toDF().toDF("user", "value", "time"),
+      "user", "value", "time", gapSecs = 60, watermarkSecs = 30)
+    val q = sess.writeStream.format("memory").queryName("sess_stats")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 40s apart (one session), then a 5-min silence,
+    // then a second session; user 2: one singleton session
+    mem.addData((1L, 1.0, t("2026-01-01 00:00:10")),
+      (1L, 2.0, t("2026-01-01 00:00:50")),
+      (2L, 7.0, t("2026-01-01 00:00:20")))
+    q.processAllAvailable()
+    mem.addData((1L, 5.0, t("2026-01-01 00:06:00")))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every session
+    mem.addData((1L, 0.0, t("2026-01-01 01:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_stats")
+      .orderBy("key", "session_start").collect()
+    q.stop()
+    val u1 = rows.filter(_.getAs[Long]("key") == 1L)
+    assert(u1.length >= 2, s"user 1 must have 2 closed sessions: ${rows.toSeq}")
+    assert(u1.head.getAs[Long]("n_events") == 2L &&
+      u1.head.getAs[Double]("total_value") == 3.0,
+      "the 40s-gap events merge into one session")
+    assert(u1(1).getAs[Long]("n_events") == 1L &&
+      u1(1).getAs[Double]("total_value") == 5.0,
+      "the 5-minute silence splits the second session")
+    val u2 = rows.filter(_.getAs[Long]("key") == 2L)
+    assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 1L)
+  }
+
   test("composed long-lived driver: markers, timer, alarm, and sweeper together") {
     val sp = spark
     import sp.implicits._
