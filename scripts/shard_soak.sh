@@ -46,6 +46,9 @@ echo "== event timeline =="
 sort -n "$ROOT"/events-*.log | awk -v t0="$T0" -v tk="$T_KILL" '{printf "%+8.1fs %s %s\n", ($1-t0)/1000.0, ($1>tk?"[post-kill]":"          "), substr($0, index($0,"\t")+1)}'
 
 echo "== verify =="
-java $JOPTS -cp "$CP" graft.ShardSoak verify "$ROOT" 2>"$ROOT/verify.err" | tail -1
+# capture the JVM's exit code, not tail's — a failed verification must
+# fail the soak
+VOUT=$(java $JOPTS -cp "$CP" graft.ShardSoak verify "$ROOT" 2>"$ROOT/verify.err")
 RC_V=$?
+echo "$VOUT" | tail -1
 exit $RC_V

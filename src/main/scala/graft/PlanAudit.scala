@@ -43,7 +43,9 @@ object PlanAudit {
         println(s"""{"q":"$name","exchanges":$ex,"sorts":$so,"wholestage":$wsc,"all_pairs":$bnlj}""")
       } catch {
         case e: Exception =>
-          println(s"""{"q":"$name","err":"${e.getMessage.takeWhile(_ != '\n')}"}""")
+          val msg = e.getMessage.takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          println(s"""{"q":"$name","err":"$msg"}""")
       }
     }
     spark.stop()

@@ -51,6 +51,10 @@ object Temporal {
         s"as asof_$tsCol/asof_$tieCol already")
     require(!left.columns.exists(_.startsWith("__")),
       "left columns starting with __ collide with asofJoin internals")
+    require(!rightCols.exists(_.startsWith("__")) &&
+      !tieCol.startsWith("__") && !tsCol.startsWith("__"),
+      "rightCols/ts/tie starting with __ collide with asofJoin internals " +
+        "(a rightCol named __rts would silently shadow the match timestamp)")
     val leftCols = left.columns.toSeq
     // one packed payload struct per right row: ts + tie + user columns
     val pay = struct(

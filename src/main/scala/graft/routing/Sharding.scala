@@ -132,8 +132,12 @@ final class HadoopLeaseStore(dir: Path, conf: Configuration)
     extends LeaseStore {
   private val fs = WalCodec.uncachedFs(dir, conf)
 
-  def atomicCreate: Boolean =
-    fs.getScheme == "file" || fs.getScheme == "hdfs"
+  // Only HDFS gets the no-read-back fast path: its create(overwrite=
+  // false) is namenode-atomic by contract. `file:` uses O_EXCL below —
+  // atomic on a real local disk — but an NFS-mounted "local" path may
+  // not honor O_EXCL, so file: claims keep the claim-time read-back
+  // verify (a cheap local read) that catches one racer immediately.
+  def atomicCreate: Boolean = fs.getScheme == "hdfs"
 
   private def write(p: Path, content: String, overwrite: Boolean): Boolean =
     try {
@@ -446,8 +450,11 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     // names), keep only those of each epoch's SETTLED owner — a claim
     // race's loser may have appended under the same epoch before
     // abdicating at renewal. Legacy names and unresolvable epochs pass.
+    // memoized per epoch: winnerTokenOf is a lease-store read (fs open /
+    // remote GET on a conditional KV) and segments cluster in 1-2 epochs
+    val winnerOf = scala.collection.mutable.Map.empty[Long, Option[String]]
     val (liveP, losers) = liveP0.partition { case (n, e) =>
-      (tokenOf(n), winnerTokenOf(e)) match {
+      (tokenOf(n), winnerOf.getOrElseUpdate(e, winnerTokenOf(e))) match {
         case (Some(t), Some(w)) => t == w
         case _ => true
       }

@@ -281,7 +281,9 @@ final class AvroFileFormat extends FileFormat with DataSourceRegister
     val confSer = new SerializableHadoopConf(hadoopConf)
     val required = requiredSchema // serializable
     (file: PartitionedFile) => {
-      val path = new Path(file.urlEncodedPath)
+      // file.toPath URL-decodes; Path(urlEncodedPath) would keep %20
+      // etc. literal and fail to open paths with spaces
+      val path = file.toPath
       val reader = DataFileReader.openReader(
         new FsInput(path, confSer.value),
         new GenericDatumReader[GenericRecord]())
