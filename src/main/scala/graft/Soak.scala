@@ -383,6 +383,21 @@ object Soak {
         val hits = top.where(col("rank") === 1 &&
           floor(col("vec_id") / lit(c)) ===
             floor((col("query_id") - 10000000L) / lit(c))).count()
+        // the HONEST recall case: queries perturbed with per-coordinate
+        // noise (cosine ≈ 0.999 to their source — the near-dup regime the
+        // planesFor scaladoc claims stays high-recall through p≈20), not
+        // the colinear softball above
+        val noisy = emb.where(col("vec_id") < qn)
+          .select((col("vec_id") + 20000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * (lit(1.0f) + lit(0.05f) *
+                sin(col("vec_id").cast("double") * lit(7.0) +
+                  i.cast("double")).cast("float"))).as("embedding"))
+        val topN = Similarity.lshTopKJoin(noisy, ix, k = 10, probeBits = 1,
+          broadcastQueries = true).localCheckpoint()
+        val noisyHits = topN.where(col("rank") === 1 &&
+          floor(col("vec_id") / lit(c)) ===
+            floor((col("query_id") - 20000000L) / lit(c))).count()
         // exact candidate volume: per-query probe signatures (distinct by
         // construction) joined against stored bucket sizes
         val bucketSizes = ix.sigs.groupBy("__bucket").agg(count(lit(1)).as("sz"))
@@ -396,7 +411,7 @@ object Soak {
           .agg(sum("sz")).collect().head.getLong(0)
         ix.unpersist()
         val scanFrac = candidates.toDouble / (qn.toDouble * n)
-        f"""{"corpus":$n,"planes":$planes,"build_save_sec":$tBuild%.1f,"load_sec":$tLoad%.1f,"join_sec":$tJoin%.1f,"recall_top1":${hits.toDouble / qn}%.3f,"candidates":$candidates,"scan_fraction":$scanFrac%.5f}"""
+        f"""{"corpus":$n,"planes":$planes,"build_save_sec":$tBuild%.1f,"load_sec":$tLoad%.1f,"join_sec":$tJoin%.1f,"recall_top1":${hits.toDouble / qn}%.3f,"noisy_recall_top1":${noisyHits.toDouble / qn}%.3f,"candidates":$candidates,"scan_fraction":$scanFrac%.5f}"""
       }
       println(s"""{"soak":"annjoin_auto","queries":$qn,"scales":[${entries.mkString(",")}]}""")
       spark.stop()
