@@ -34,11 +34,17 @@ import graft.dimension._
   */
 object ShardSoak {
 
-  private val NumShards = 4
+  // ring size is env-tunable (2 home shards per driver): 4 = the
+  // two-driver A/B topology, 6 = three drivers A/B/C, etc. Consecutive
+  // hops always land on DIFFERENT drivers' home shards, so every hop's
+  // completion crosses a process boundary.
+  private val NumShards =
+    sys.env.getOrElse("SPARK_GRAFT_SHARD_RING", "4").toInt
   private val Hops = 8
-  // every hop lands on the shard ring so consecutive hops alternate
-  // between driver A's home shards {0,1} and driver B's {2,3}
-  private val hopShards = Seq(0, 2, 1, 3, 0, 2, 1, 3)
+  private def hopShard(i: Int): Int = {
+    val drivers = NumShards / 2
+    2 * (i % drivers) + ((i / drivers) % 2)
+  }
 
   private val runSpec = DimSpec.pretty(
     "run" -> (DimType.LONG, Map.empty[String, Any]))
@@ -47,7 +53,7 @@ object ShardSoak {
     * planned shard (both drivers must derive the identical id). */
   private[graft] def hopId(i: Int): String =
     (0 to 9999).iterator.map(n => s"chain${i}_$n")
-      .find(id => graft.routing.Sharding.shardOf(id, NumShards) == hopShards(i))
+      .find(id => graft.routing.Sharding.shardOf(id, NumShards) == hopShard(i))
       .get
 
   private def sliceSql(i: Int): String =
