@@ -111,6 +111,83 @@ object Temporal {
         rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
   }
 
+  /** Broadcast as-of join — the zero-shuffle fast path of [[asofJoin]]
+    * for the common "attach state history" shape: the right side is a
+    * dimension-scale table (model-version history, price changes,
+    * config rollouts), so it packs into one time-sorted array per key,
+    * broadcasts, and the LEFT SIDE NEVER SHUFFLES — at corpus scale
+    * that is the whole cost of the operator. Match selection is pure
+    * codegen'd Column ops (array filter + element_at), no UDF, no
+    * window, no sort of the left.
+    *
+    * Semantics are identical to [[asofJoin]] (inclusive ties, max-tie
+    * among equal timestamps, backward/forward, tolerance) — pinned by
+    * the suite on random data and by the q40 gate row against the same
+    * DuckDB ASOF JOIN oracle as q36. The right side must fit a
+    * broadcast (each key's full history lives in one array cell);
+    * past that, use the shuffle-based [[asofJoin]]. */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame,
+                        keyCol: String, tsCol: String,
+                        rightCols: Seq[String], tieCol: String,
+                        direction: String = "backward",
+                        toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(!rightCols.contains(tsCol) && !rightCols.contains(tieCol),
+      s"rightCols must not repeat '$tsCol'/'$tieCol'")
+    require(!(rightCols :+ tsCol :+ tieCol).exists(_.startsWith("__")),
+      "column names starting with __ collide with asofJoin internals")
+    def asLong(c: Column): Column = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c.cast("long")
+    }
+    // __rts leads the struct so sort_array orders by (ts, tie) ascending
+    val pay = struct(
+      (Seq(col(tsCol).as("__rts"), col(tieCol).as("__rtie")) ++
+        rightCols.map(c => col(c).as(c))): _*)
+    val packed = right.groupBy(keyCol)
+      .agg(sort_array(collect_list(pay)).as("__hist"))
+    val lts = asLong(col(tsCol))
+    def cts(x: Column): Column = left.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(x.getField("__rts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => x.getField("__rts").cast("long")
+    }
+    val inDir: Column => Column =
+      if (direction == "backward") x => cts(x) <= lts else x => cts(x) >= lts
+    val inTol: Column => Column = toleranceMicros match {
+      case Some(tol) =>
+        if (direction == "backward") x => lts - cts(x) <= tol
+        else x => cts(x) - lts <= tol
+      case None => _ => lit(true)
+    }
+    val joined = left.join(broadcast(packed), Seq(keyCol), "left")
+      .withColumn("__cand", filter(col("__hist"), x => inDir(x) && inTol(x)))
+    // backward: greatest (ts, tie) = last candidate. forward: smallest
+    // ts but max tie among its equals = last element sharing the first
+    // candidate's ts.
+    // try_element_at: an empty candidate array means "no match" (null),
+    // not an ANSI index error
+    val matched =
+      if (direction == "backward")
+        joined.withColumn("__match", try_element_at(col("__cand"), lit(-1)))
+      else
+        joined.withColumn("__match", try_element_at(
+          filter(col("__cand"), x =>
+            x.getField("__rts") <=> try_element_at(col("__cand"), lit(1))
+              .getField("__rts")), lit(-1)))
+    matched.select(
+      (left.columns.toSeq.map(c => col(c)) :+
+        col("__match.__rts").as(s"asof_$tsCol") :+
+        col("__match.__rtie").as(s"asof_$tieCol")) ++
+        rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+  }
+
   /** Sessionize: tag every row with a per-key session ordinal
     * (`session_seq`, 1-based in time order) — a new session starts when
     * the gap to the key's previous event exceeds `gapMicros` (timestamp

@@ -50,6 +50,25 @@ object TemporalQueries {
           (col("pt_us") - col("start_us")).as("gap_us"))
         .orderBy("error_id", "click_id")
     }),
+    // ---- broadcast as-of (state attach): SAME semantics and oracle as
+    // q36 through the zero-shuffle physical path — the views side packs
+    // into per-user sorted arrays and broadcasts; clicks never shuffle
+    "q40_asof_state_attach" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      Temporal.asofJoinBroadcast(clicks, views, "user_id", "ts",
+          rightCols = Seq("value"), tieCol = "event_id")
+        .where(col("asof_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"),
+          col("asof_value").as("view_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- interval overlap join: 1-hour error spans × 1-hour purchase
     // spans per user — both sides bucket-replicated, pairs deduped
     // positionally (emitted only from the first shared bucket)
@@ -107,6 +126,15 @@ object TemporalQueries {
           AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
                                  AND epoch_us(e.ts) + 3600000000
          ORDER BY error_id, click_id""",
+    "q40_asof_state_attach" ->
+      """SELECT l.event_id AS event_id, l.user_id AS user_id,
+                r.event_id AS view_id,
+                epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+                r.value AS view_value
+         FROM (SELECT * FROM events WHERE event_type='click') l
+         ASOF JOIN (SELECT * FROM events WHERE event_type='view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
     "q39_interval_overlap" ->
       """SELECT a.event_id AS error_id, b.event_id AS purchase_id,
                 epoch_us(b.ts) - epoch_us(a.ts) AS offset_us

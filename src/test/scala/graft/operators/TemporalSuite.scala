@@ -170,6 +170,44 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("rangeJoin"))
   }
 
+  test("asofJoinBroadcast equals the shuffle path in every mode") {
+    val (_, _, ldf, rdf) = randTables(31, 120, 120)
+    for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+        ("backward", Some(60L)), ("forward", Some(40L)))) {
+      val a = Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"), "rid",
+          direction = dir, toleranceMicros = tol)
+        .select("lid", "asof_rid", "asof_t", "asof_v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      val b = Temporal.asofJoinBroadcast(ldf, rdf, "k", "t", Seq("v"), "rid",
+          direction = dir, toleranceMicros = tol)
+        .select("lid", "asof_rid", "asof_t", "asof_v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      assert(a == b, s"paths diverge for direction=$dir tol=$tol")
+    }
+  }
+
+  test("asofJoinBroadcast never shuffles the left side") {
+    val sp = spark; import sp.implicits._
+    val ldf = (0 until 50).map(i => (i.toLong, i % 3L, i.toLong * 7))
+      .toDF("lid", "k", "t")
+    val rdf = (0 until 50).map(i => (100L + i, i % 3L, i.toLong * 5, 0.5))
+      .toDF("rid", "k", "t", "v")
+    val phys = Temporal.asofJoinBroadcast(ldf, rdf, "k", "t", Seq("v"), "rid")
+      .queryExecution.executedPlan.toString
+    // the join must be broadcast — a sort-merge or shuffled-hash join
+    // would shuffle the (corpus-scale) left side; the only permitted
+    // hash exchange is the RIGHT side's dimension-size history packing
+    assert(phys.contains("BroadcastHashJoin"),
+      s"broadcast as-of must plan a BroadcastHashJoin:\n$phys")
+    assert(!phys.contains("SortMergeJoin") &&
+      !phys.contains("ShuffledHashJoin"),
+      s"left side shuffled in the broadcast as-of path:\n$phys")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(phys).length
+    assert(hashEx <= 1, s"unexpected extra shuffles ($hashEx):\n$phys")
+  }
+
   test("intervalOverlapJoin matches brute force, one row per pair") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(29)
