@@ -268,6 +268,12 @@ object Soak {
         Temporal.asofJoin(clicks, views, "user_id", "ts",
           rightCols = Seq("value"), tieCol = "event_id")
           .where(col("asof_event_id").isNotNull).count())
+      // broadcast path on the same data: the views side packs per-user
+      // and broadcasts, clicks never shuffle — row counts must agree
+      val (nAsofB, tAsofB) = timed(
+        Temporal.asofJoinBroadcast(clicks, views, "user_id", "ts",
+          rightCols = Seq("value"), tieCol = "event_id")
+          .where(col("asof_event_id").isNotNull).count())
       val (nSess, tSess) = timed(
         Temporal.sessionize(evAll, "user_id", "ts", gapMicros = 21600000000L)
           .groupBy("user_id", "session_seq").count().count())
@@ -287,7 +293,7 @@ object Soak {
           "user_id", "error_s", "error_e", "purchase_s", "purchase_e",
           bucketWidth = 1800000000L).count())
       println(
-        f"""{"soak":"temporal","events":$nEv,"copies":$copies,"asof_sec":$tAsof%.1f,"asof_rows":$nAsof,"sessionize_sec":$tSess%.1f,"sessions":$nSess,"range_sec":$tRange%.1f,"range_rows":$nRange,"overlap_sec":$tOv%.1f,"overlap_rows":$nOv}""")
+        f"""{"soak":"temporal","events":$nEv,"copies":$copies,"asof_sec":$tAsof%.1f,"asof_rows":$nAsof,"asof_bcast_sec":$tAsofB%.1f,"asof_bcast_rows":$nAsofB,"sessionize_sec":$tSess%.1f,"sessions":$nSess,"range_sec":$tRange%.1f,"range_rows":$nRange,"overlap_sec":$tOv%.1f,"overlap_rows":$nOv}""")
       spark.stop()
       return
     }
