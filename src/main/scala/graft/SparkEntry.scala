@@ -14,12 +14,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
       graft.queries.Framework.queries ++ graft.queries.PipelineOps.queries ++
       graft.queries.DiagnosticsQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.DialectQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
       graft.queries.Framework.oracles ++ graft.queries.PipelineOps.oracles ++
       graft.queries.DiagnosticsQueries.oracles ++
-      graft.queries.TemporalQueries.oracles
+      graft.queries.TemporalQueries.oracles ++
+      graft.queries.DialectQueries.oracles
 }

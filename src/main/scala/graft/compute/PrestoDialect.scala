@@ -1,0 +1,91 @@
+package graft.compute
+
+/** Best-effort PrestoSQL → Spark SQL rewrite for migrating the
+  * reference's Athena/Presto slots (aws_athena.py passes user PrestoSQL
+  * through verbatim; its own examples are plain ANSI that Spark runs
+  * unchanged — this shim covers the common Athena idioms beyond that).
+  * Rewrites happen OUTSIDE single-quoted string literals ('' escaping
+  * honored), so literal text like 'a "quoted" varchar' survives:
+  *
+  *  - `date_add('unit', n, x)` → `timestampadd(unit, n, x)`
+  *  - `date_diff('unit', a, b)` → `timestampdiff(unit, a, b)`
+  *  - `approx_distinct` → `approx_count_distinct`
+  *  - `arbitrary` → `any_value`
+  *  - `json_extract_scalar` → `get_json_object`
+  *  - `to_unixtime` → `unix_timestamp`
+  *  - `from_iso8601_timestamp` → `to_timestamp`
+  *  - `strpos` → `instr` (same 1-based/0-absent contract)
+  *  - `varchar(n)`/`varchar` type names → `string`
+  *  - `"ident"` double-quoted identifiers → backticks
+  *
+  * Anything it does not recognize passes through untouched — the result
+  * is always handed to Spark SQL, whose analyzer reports what remains.
+  * Use [[PrestoSqlSlot]] to drop a Presto slot into a node unchanged.
+  */
+object PrestoSqlSlot {
+  /** Drop-in for a reference PrestoSQL compute target: translate the
+    * dialect, then behave exactly like [[SqlSlot]] ({dim} interpolation,
+    * temp views, multi-statement). */
+  def apply(prestoSql: String): SqlSlot =
+    SqlSlot(PrestoDialect.translate(prestoSql))
+}
+
+object PrestoDialect {
+
+  private val fnRenames: Seq[(String, String)] = Seq(
+    "approx_distinct" -> "approx_count_distinct",
+    "arbitrary" -> "any_value",
+    "json_extract_scalar" -> "get_json_object",
+    "to_unixtime" -> "unix_timestamp",
+    "from_iso8601_timestamp" -> "to_timestamp",
+    "strpos" -> "instr",
+  )
+
+  /** Split into alternating (outside, literal) chunks; literals keep
+    * their quotes and are never rewritten. */
+  private def segments(sql: String): List[(String, Boolean)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '\'') {
+        if (cur.nonEmpty) { out += ((cur.toString, false)); cur.clear() }
+        inStr = true; cur += c
+      } else if (inStr && c == '\'') {
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          cur += c; cur += c; i += 1 // '' escape stays inside
+        } else {
+          cur += c; out += ((cur.toString, true)); cur.clear(); inStr = false
+        }
+      } else cur += c
+      i += 1
+    }
+    if (cur.nonEmpty) out += ((cur.toString, inStr))
+    out.toList
+  }
+
+  private def rewriteOutside(chunk: String): String = {
+    var s = chunk
+    for ((from, to) <- fnRenames)
+      s = s.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+    s = s.replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
+    s = s.replaceAll("(?i)\\bvarchar\\b", "string")
+    // Presto double-quoted identifiers → Spark backticks
+    s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
+    s
+  }
+
+  def translate(sql: String): String = {
+    // unit-bearing calls first: the unit is itself a literal, so this
+    // rewrite must see function name and unit together
+    val unitFixed = sql
+      .replaceAll("(?i)\\bdate_add\\s*\\(\\s*'(\\w+)'\\s*,", "timestampadd($1,")
+      .replaceAll("(?i)\\bdate_diff\\s*\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
+    segments(unitFixed).map {
+      case (chunk, true) => chunk
+      case (chunk, false) => rewriteOutside(chunk)
+    }.mkString
+  }
+}
