@@ -68,6 +68,30 @@ private[routing] object WalCodec {
       case Array("c", p) => completed += unesc(p)
       case _ => ()
     }
+
+  /** Fold every line of one log/inbox file — the ONE read loop shared by
+    * checkpoint load, shard-WAL replay, and inbox draining. */
+  def foldFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+               events: scala.collection.mutable.ListBuffer[(String, Boolean)],
+               completed: scala.collection.mutable.ListBuffer[String]): Unit = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        foldLine(line, events, completed)
+        line = in.readLine()
+      }
+    } finally in.close()
+  }
+
+  /** The compaction law, in ONE place: replay needs only the LAST
+    * occurrence per event path (duplicates are node-level deduped; the
+    * last blocked flag wins), original order otherwise preserved. */
+  def lastPerPath(events: Seq[(String, Boolean)]): Seq[(String, Boolean)] =
+    events.zipWithIndex
+      .groupBy(_._1._1).map { case (_, occ) => occ.last }
+      .toSeq.sortBy(_._2).map(_._1)
 }
 
 final class RoutingCheckpoint(path: String, conf: Configuration)
@@ -79,7 +103,6 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
   private var wal: FSDataOutputStream = _
 
   private def esc(s: String): String = WalCodec.esc(s)
-  private def unesc(s: String): String = WalCodec.unesc(s)
 
   /** kinds: "e" event, "eb" blocked event, "c" completed path */
   private def record(kind: String, payload: String): Unit = synchronized {
@@ -110,9 +133,7 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
   def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit =
     synchronized {
       if (!fs.exists(dir)) return
-      val lastPerPath = events.zipWithIndex
-        .groupBy(_._1._1).map { case (_, occ) => occ.last }
-        .toSeq.sortBy(_._2).map(_._1)
+      val lastPerPath = WalCodec.lastPerPath(events)
       val old = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("wal-"))
       close() // the snapshot becomes the new open segment's predecessor
@@ -138,17 +159,7 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
       .filter(_.getName.startsWith("wal-")).sortBy(_.getName)
     val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val completed = scala.collection.mutable.ListBuffer.empty[String]
-    segments.foreach { f =>
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(f), "UTF-8"))
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          WalCodec.foldLine(line, events, completed)
-          line = in.readLine()
-        }
-      } finally in.close()
-    }
+    segments.foreach(f => WalCodec.foldFile(fs, f, events, completed))
     Some((events.toList, completed.toList))
   }
 }

@@ -231,8 +231,12 @@ final class RoutingTable(probe: PathProbe,
           try events.flatMap { case (p, blocked) => receivePath(p, blocked) }
           finally { replaying = false }
         cp.compact(events, completed) // bound the log across restarts
-        ctxs.filterNot(c => c.output.materializedPaths.headOption.exists(p =>
-          cachingProbe.isComplete(p, c.output.source.protocol)))
+        // a context is only "already done" when EVERY materialized path
+        // completed — a crash after the first partition of a ranged
+        // output must re-surface the execution, not strand the rest
+        ctxs.filterNot(c => c.output.materializedPaths.nonEmpty &&
+          c.output.materializedPaths.forall(p =>
+            cachingProbe.isComplete(p, c.output.source.protocol)))
     }.getOrElse(Nil)
   }
 
@@ -245,11 +249,21 @@ final class RoutingTable(probe: PathProbe,
   def receivePath(path: String, isBlocked: Boolean = false): List[ExecutionContext] =
     synchronized {
       val p = new org.apache.hadoop.fs.Path(path)
+      // getParent.toString keeps the scheme/authority — toUri.getPath
+      // stripped them, so scheme-qualified part-file events could never
+      // match their route's rootPath
       val normalized =
-        if (p.getName.startsWith("part-")) p.getParent.toUri.getPath else path
+        if (p.getName.startsWith("part-")) p.getParent.toString else path
       val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
         .flatMap(s => s.fromEventPath(normalized)).distinct
-      decoded.headOption.map(s => receive(s, isBlocked)).getOrElse(Nil)
+      // nested source roots are legal (boundary-aware prefix decode), so
+      // one path can decode against SEVERAL resources — dispatch every
+      // DISTINCT RESOURCE, not just the first. Dedup by resource, not by
+      // Signal: routes aliasing the same source each contribute a decode,
+      // but receive() already fans one resource's event out to every
+      // matching route — per-alias dispatch would multiply deliveries.
+      decoded.distinctBy(s => (s.source.kind, s.source.rootPath))
+        .flatMap(s => receive(s, isBlocked))
     }
 
   /** Re-run every route's pending completion checks without an event

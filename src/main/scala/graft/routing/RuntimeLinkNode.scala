@@ -85,7 +85,10 @@ final class RuntimeLinkNode(
             // N->1: every source dim's tip must be present to evaluate
             val vs = refs.map(r => rs.tipValue(r.dim))
             if (vs.forall(_.isDefined)) Some(f(vs.map(_.get))) else None
-          case _ => return true
+          // unknown/literal link sources impose no tip constraint; None
+          // falls through to the pass case below — a non-local `return`
+          // here would skip validating every REMAINING link and signal
+          case _ => None
         }
         (mappedOpt, candidate.tipValue(tgtDim)) match {
           case (Some(mapped), Some(cv)) =>
@@ -173,7 +176,13 @@ final class RuntimeLinkNode(
             readySignals :+= m
         }
       }
-    } catch { case _: IllegalStateException => isZombie = true }
+    } catch {
+      // any failure here (missing linked dim, but also a user-supplied
+      // link mapper throwing on an unexpected tip value) marks the node
+      // zombie instead of escaping into — and killing — the driver's
+      // event-ingestion loop; predictZombie uses the same breadth
+      case scala.util.control.NonFatal(_) => isZombie = true
+    }
   }
 
   /** All non-reference inputs ready (references resolved transitively)? */

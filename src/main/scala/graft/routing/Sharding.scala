@@ -247,10 +247,17 @@ final class ShardLease(val shard: Int, val ownerId: String,
   private def epochName(k: Long) = f"epoch-$k%09d"
   private def hbName(k: Long) = f"hb-$k%09d"
 
-  /** (epoch, owner) of the current lease — the highest epoch file. */
+  /** (epoch, owner) of the current lease — the highest epoch file.
+    * Non-numeric `epoch-*` entries (operator artifacts, backups) degrade
+    * to a warning instead of bricking every claim attempt for the shard
+    * — the same hardening EpochWal got for stray segment names. */
   def current(): Option[(Long, String)] = {
-    val ks = store.list()
-      .filter(_.startsWith("epoch-")).map(_.stripPrefix("epoch-").toLong)
+    val (junk, ks) = store.list().filter(_.startsWith("epoch-"))
+      .partitionMap(n => n.stripPrefix("epoch-").toLongOption.toRight(n))
+    if (junk.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(classOf[ShardLease]).warn(
+        s"shard $shard lease store: ignoring non-numeric epoch entries: " +
+          junk.sorted.mkString(", "))
     if (ks.isEmpty) None
     else {
       val k = ks.max
@@ -472,17 +479,8 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     val completed = scala.collection.mutable.ListBuffer.empty[String]
     val ordered = snapName.toSeq ++ live.sorted // epoch asc, then ts asc
     if (ordered.isEmpty) return None
-    ordered.foreach { name =>
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(new Path(dir, name)), "UTF-8"))
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          WalCodec.foldLine(line, events, completed)
-          line = in.readLine()
-        }
-      } finally in.close()
-    }
+    ordered.foreach(name =>
+      WalCodec.foldFile(fs, new Path(dir, name), events, completed))
     Some((events.toList, completed.toList))
   }
 
@@ -499,9 +497,7 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
           "higher-epoch snapshot exists (this owner is fenced out)")
         return
       }
-      val lastPerPath = events.zipWithIndex
-        .groupBy(_._1._1).map { case (_, occ) => occ.last }
-        .toSeq.sortBy(_._2).map(_._1)
+      val lastPerPath = WalCodec.lastPerPath(events)
       val old = parsed(listNames("wal-") ++ listNames("snap-"))
         .filter(_._2 <= epoch).map(_._1)
       close() // own open segment is among the deletions below
@@ -668,8 +664,10 @@ final class ShardedDriver(root: String, val driverId: String,
     * against the canonical (stateless) definition instances. */
   private def acceptingShards(path: String): Set[Int] = {
     val p = new Path(path)
+    // getParent.toString keeps scheme/authority (same fix as
+    // RoutingTable.receivePath — toUri.getPath stripped them)
     val normalized =
-      if (p.getName.startsWith("part-")) p.getParent.toUri.getPath else path
+      if (p.getName.startsWith("part-")) p.getParent.toString else path
     defs.filter(d => d.canonical.linkNode.signals
         .exists(s => !s.isReference && s.fromEventPath(normalized).isDefined))
       .map(d => shardOf(d.id)).toSet
@@ -689,8 +687,18 @@ final class ShardedDriver(root: String, val driverId: String,
     val out = fs.create(tmp, true)
     try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
     finally out.close()
-    fs.rename(tmp, new Path(dir, name))
-    ()
+    // Hadoop rename signals failure by RETURNING FALSE — ignoring it
+    // silently drops a cross-shard message and breaks the at-least-once
+    // feed-back contract. Unique names make dest-exists collisions
+    // practically impossible, so a false here is a real store fault:
+    // retry once under a fresh name, then fail loudly to the caller
+    // (whose own event is still in ITS wal — replay redelivers).
+    if (!fs.rename(tmp, new Path(dir, name))) {
+      val name2 = s"$name-r${java.util.UUID.randomUUID().toString.take(4)}"
+      if (!fs.rename(tmp, new Path(dir, name2)))
+        throw new java.io.IOException(
+          s"inbox publish failed twice for shard $shard: rename of $tmp")
+    }
   }
 
   /** Fold + delete each inbox message of an owned shard, oldest first.
@@ -703,17 +711,9 @@ final class ShardedDriver(root: String, val driverId: String,
     val msgs = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith("msg-")).sortBy(_.getName)
     msgs.toList.flatMap { m =>
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
       val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
       val completed = scala.collection.mutable.ListBuffer.empty[String]
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          WalCodec.foldLine(line, events, completed)
-          line = in.readLine()
-        }
-      } finally in.close()
+      WalCodec.foldFile(fs, m, events, completed)
       table.markComplete(completed.toList)
       val ctxs = events.toList.flatMap { case (p, b) => table.receivePath(p, b) }
       fs.delete(m, false)

@@ -473,4 +473,77 @@ class RoutingSuite extends AnyFunSuite {
     assert(ctxs.length == 1)
     assert(ctxs.head.inputs.map(_.alias).toSet == Set("a", "b"))
   }
+
+  test("nested source roots: one event dispatches to EVERY decoding route") {
+    // /data/n (2 dims) and /data/n/x (1 dim) are both legal sources; an
+    // event at /data/n/x/2026-08-12 decodes against BOTH — a head-only
+    // dispatch starved the inner route's join forever
+    val outer = Signal("outer", SignalSource.external("/data/n"),
+      regionDaySpec, DimFilter.allPassFor(regionDaySpec))
+    val inner = extSignal("inner", "/data/n/x", daySpec, "*")
+    val t = new RoutingTable(allExists)
+    val no = SignalLinkNode(List(outer)).withAutoLinks
+    val ni = SignalLinkNode(List(inner)).withAutoLinks
+    t.add(new Route("r_outer", no, outputFor(no, "r_outer", regionDaySpec), Nil))
+    t.add(new Route("r_inner", ni, outputFor(ni, "r_inner", daySpec), Nil))
+    val ctxs = t.receivePath("/data/n/x/2026-08-12")
+    assert(ctxs.map(_.routeId).toSet == Set("r_outer", "r_inner"),
+      s"both routes must fire, got ${ctxs.map(_.routeId)}")
+  }
+
+  test("scheme-qualified part-file events normalize without losing the scheme") {
+    val a = extSignal("a", "s3a://bucket/tbl", daySpec, "*")
+    val node = SignalLinkNode(List(a)).withAutoLinks
+    val t = new RoutingTable(allExists)
+    t.add(new Route("s3r", node, outputFor(node, "s3r", daySpec), Nil))
+    val ctxs = t.receivePath(
+      "s3a://bucket/tbl/2026-08-12/part-00000-abc.snappy.parquet")
+    assert(ctxs.length == 1,
+      "part-file completion on a scheme-qualified root must reach the route")
+    assert(ctxs.head.output.tip.map(_.value) == List("2026-08-12"))
+  }
+
+  test("recover re-offers an execution whose RANGED output is only partially complete") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_rng").toString
+    val probe = new MemProbe()
+    def mkTable(): RoutingTable = {
+      val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
+        new org.apache.hadoop.conf.Configuration())
+      val a = extSignal("a", "/data/a", daySpec, "*")
+      val node = SignalLinkNode(List(a)).withAutoLinks
+      // output spans the trigger day AND the prior day (ranged filter)
+      val out = Signal("rng", SignalSource.internal("/app", "rng"), daySpec,
+        DimFilter.loadRaw(daySpec, DimFilter.RawFilter(
+          List(("_:-2": Any) -> DimFilter.RawFilter.empty))))
+      val t = new RoutingTable(probe, Some(cp))
+      t.add(new Route("rng", node, out, Nil))
+      t
+    }
+    val t1 = mkTable()
+    val started = t1.receivePath("/data/a/2026-08-12")
+    assert(started.length == 1)
+    val paths = started.head.output.materializedPaths
+    assert(paths.length == 2, s"ranged output must span 2 partitions: $paths")
+    // crash after ONLY the head partition completed
+    probe.existing += s"${paths.head}/_SUCCESS"
+    val again = mkTable().recover()
+    assert(again.length == 1,
+      "partially-complete ranged output must be re-offered, not dropped")
+    // every partition complete -> no longer re-offered
+    paths.foreach(p => probe.existing += s"$p/_SUCCESS")
+    assert(mkTable().recover().isEmpty)
+  }
+
+  test("a link mapper that throws marks the node zombie instead of killing ingestion") {
+    val a = extSignal("a", "/data/a", daySpec, "*")
+    val b = extSignal("b", "/data/b", daySpec, "*")
+    val node = SignalLinkNode(List(a, b), List(
+      DimensionLink.mapped(DimRef("b", "day"), DimRef("a", "day"),
+        _ => throw new IllegalArgumentException("bad tip"))))
+    val route = new Route("boom", node, outputFor(node, "boom", daySpec), Nil)
+    // must not propagate out of receive()
+    val ctxs = route.receive(
+      chainedSignal("a", "/data/a", daySpec, "2026-08-12"), allExists)
+    assert(ctxs.isEmpty)
+  }
 }
