@@ -101,6 +101,19 @@ final class Application(val name: String, val spark: SparkSession,
                                  slotKinds: List[String] = Nil)
   private val records =
     java.util.Collections.synchronizedList(new java.util.ArrayList[ComputeRecord]())
+  /** In-memory compute-record retention: a long-lived driver (sweeper +
+    * timers for months) must not grow the record list — and its captured
+    * log lines — without bound. Oldest records evict first; the durable
+    * history is the managed outputs themselves. Override via
+    * -Dgraft.maxComputeRecords. */
+  private val MaxComputeRecords =
+    java.lang.Integer.getInteger("graft.maxComputeRecords", 10000).intValue()
+  private def recordCompute(r: ComputeRecord): Unit = {
+    records.add(r)
+    records.synchronized {
+      while (records.size > MaxComputeRecords) records.remove(0)
+    }
+  }
 
   /** Live per-execution log buffers, keyed by Spark job group — slots and
     * the job-failure listener append concurrently. Bounded: a slot looping
@@ -245,7 +258,7 @@ final class Application(val name: String, val spark: SparkSession,
     val started = System.currentTimeMillis()
     try {
       val w = compute.run(ctx, slots, retry, sink)
-      records.add(ComputeRecord(ctx.routeId, outPath, started,
+      recordCompute(ComputeRecord(ctx.routeId, outPath, started,
         System.currentTimeMillis(), succeeded = true, None, snapshot,
         slots.map(_.getClass.getSimpleName).toList))
       w
@@ -254,7 +267,7 @@ final class Application(val name: String, val spark: SparkSession,
         sink(s"execution failed: ${e.getClass.getName}: " +
           Option(e.getMessage).getOrElse(""))
         e.getStackTrace.take(5).foreach(f => sink(s"  at $f"))
-        records.add(ComputeRecord(ctx.routeId, outPath, started,
+        recordCompute(ComputeRecord(ctx.routeId, outPath, started,
           System.currentTimeMillis(), succeeded = false,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)), snapshot,
           slots.map(_.getClass.getSimpleName).toList))
@@ -289,15 +302,21 @@ final class Application(val name: String, val spark: SparkSession,
     * `scheduleExpression` (`cron(...)`/`rate(...)`, see [[Schedule.parse]])
     * registers the timer for automatic firing through [[scheduler]]; a
     * schedule-less timer fires only via [[fireTimer]]/execute. */
+  /** `rateAnchor` pins rate() schedules to an instant (the reference
+    * anchors rates at rule-creation time — pass `Some(Instant.now())`
+    * at declaration for that behavior); None keeps the epoch-aligned
+    * default, which is stable across restarts without persisted state. */
   def createTimer(id: String, format: String = "%Y-%m-%d",
                   dimName: String = "time",
-                  scheduleExpression: String = null): NodeRef = {
+                  scheduleExpression: String = null,
+                  rateAnchor: Option[java.time.Instant] = None): NodeRef = {
     val spec = DimSpec.pretty(
       dimName -> (DimType.DATETIME, Map[String, Any]("format" -> format)))
     val ref = NodeRef(this, Signal(id, SignalSource.timer(id), spec,
       DimFilter.allPassFor(spec)))
     require(!timerDefs.exists(_.signal.alias == id), s"timer '$id' already declared")
-    val schedule = Option(scheduleExpression).map(Schedule.parse(_))
+    val schedule = Option(scheduleExpression).map(
+      Schedule.parse(_, rateAnchor.getOrElse(java.time.Instant.EPOCH)))
     timerDefs :+= PersistedTimer(ref.signal, schedule)
     schedule.foreach(sc => timerSchedules :+= ((ref, sc)))
     ref
@@ -333,10 +352,19 @@ final class Application(val name: String, val spark: SparkSession,
   }
 
   /** Raise an alarm state transition into the routing table (the analog of
-    * a CloudWatch alarm event arriving at the processor). */
-  def raiseAlarm(alarm: NodeRef, state: String, time: Any): List[String] =
+    * a CloudWatch alarm event arriving at the processor). Throws while
+    * PAUSED instead of silently returning: process() drops events during
+    * a pause by contract, but the AlarmMonitor treats a non-throwing
+    * raise as delivered and advances its cursor — a silent drop here
+    * would consume the edge forever. The throw makes the monitor hold
+    * the transition and retry after resume(). */
+  def raiseAlarm(alarm: NodeRef, state: String, time: Any): List[String] = {
+    if (appState == AppState.PAUSED)
+      throw new IllegalStateException(
+        "application is paused — alarm edge held for retry after resume()")
     process(alarm.signal.copy(
       filter = DimFilter.branchOf(alarm.signal.spec, Seq(state, time))))
+  }
 
   /** Metric-backed alarm (reference create_alarm over a target metric,
     * application.py:826-1005): declares the alarm signal node AND
@@ -902,8 +930,17 @@ final class Application(val name: String, val spark: SparkSession,
 
   // ---- multi-driver (sharded) activation --------------------------------
 
-  private var sharded: Option[graft.routing.ShardedDriver] = None
-  private var shardedTargets: Option[Set[Int]] = None
+  // volatile: written by control threads (retargetShards, re-activation)
+  // and read by the driver loop / heartbeat poller — same reasoning as
+  // defs/routingTable
+  @volatile private var sharded: Option[graft.routing.ShardedDriver] = None
+  @volatile private var shardedTargets: Option[Set[Int]] = None
+  // last activateSharded parameters, so refresh() can REBUILD the sharded
+  // runtime instead of silently demoting this driver to an unleased
+  // single-driver table over every route
+  @volatile private var shardedParams:
+    Option[(String, Int, Long, () => Long,
+      Option[Int => graft.routing.LeaseStore])] = None
 
   /** Compile the dev context into a SHARDED runtime: this instance
     * becomes ONE driver of the app's multi-driver deployment over
@@ -943,6 +980,8 @@ final class Application(val name: String, val spark: SparkSession,
         df.ttlMillis, df.hooks)))
     sharded = Some(d)
     shardedTargets = shards
+    shardedParams = Some((driverId, numShards, leaseTimeoutMillis, clock,
+      leaseStoreFor))
     routingTable = None
     appState = AppState.ACTIVE
     shardedCycle()
@@ -1076,7 +1115,15 @@ final class Application(val name: String, val spark: SparkSession,
     val loaded = loadDevState()
     if (loaded && fullStack &&
         (prior == AppState.ACTIVE || prior == AppState.PAUSED)) {
-      activate()
+      // a SHARDED driver must refresh back into its sharded incarnation
+      // — plain activate() would release its leases and run EVERY route
+      // lease-free alongside peers that still own their shards
+      (sharded, shardedParams) match {
+        case (Some(d), Some((drv, n, lt, clk, mk))) =>
+          val targets = shardedTargets
+          activateSharded(drv, n, targets, lt, clk, mk); ()
+        case _ => activate()
+      }
       if (prior == AppState.PAUSED) appState = AppState.PAUSED
     }
     loaded
@@ -1155,9 +1202,16 @@ final class Application(val name: String, val spark: SparkSession,
       .map(routeOfGroup)
       .toList.distinct
 
-  // "graft-<routeId>-<uuid>" job groups / "resv-<routeId>-<uuid>" tokens
-  private def routeOfGroup(g: String): String =
-    g.stripPrefix("graft-").stripPrefix("resv-").dropRight(37) // "-" + UUID(36)
+  // "graft-<routeId>-<uuid>" job groups / "resv-<routeId>-<uuid>" tokens.
+  // Strip exactly ONE marker prefix — chaining stripPrefix would also eat
+  // a route id that itself begins with "resv-".
+  private def routeOfGroup(g: String): String = {
+    val base =
+      if (g.startsWith("graft-")) g.drop(6)
+      else if (g.startsWith("resv-")) g.drop(5)
+      else g
+    base.dropRight(37) // "-" + UUID(36)
+  }
 
   def hasActiveRoutes: Boolean = !activeGroups.isEmpty
 
@@ -1212,7 +1266,9 @@ final class Application(val name: String, val spark: SparkSession,
     val active = activeComputePaths
     if (target.signal.isMaterialized)
       target.signal.materializedPaths.exists(active.contains)
-    else active.exists(_.startsWith(target.signal.source.rootPath))
+    else // boundary-aware: node id "ab" must not match "abc"'s paths
+      active.exists(p => p == target.signal.source.rootPath ||
+        p.startsWith(target.signal.source.rootPath + "/"))
   }
 
   /** Dump up to `limit` records of a materialized node to the console and
@@ -1519,12 +1575,16 @@ final class Application(val name: String, val spark: SparkSession,
     * target path plus every downstream completion. */
   def executeWithDependents(target: NodeRef, recursive: Boolean = false): List[String] = {
     val path = execute(target, recursive)
-    sharded match {
+    // connected downstream APPLICATIONS get the completion too — the
+    // event-driven path propagates through runContext's feed-back, and a
+    // manual "update the dependency tree" execution must not diverge
+    val downstream = propagateToDownstreams(path)
+    (sharded match {
       case Some(d) => path :: runContexts(d.complete(path))
       case None =>
         table.markComplete(Seq(path))
         path :: processPath(path)
-    }
+    }) ++ downstream
   }
 
   /** E4 async execution: the ComputeSessionState analog — a Future handle;
@@ -1682,7 +1742,9 @@ final class Application(val name: String, val spark: SparkSession,
     manifestCache -= app.name
   }
 
-  private var downstreamApps: List[Application] = Nil
+  // volatile: connectDownstream writes under synchronized, but sweeper/
+  // completion threads read without it
+  @volatile private var downstreamApps: List[Application] = Nil
   // grants are immutable once written; cache per downstream id so the
   // per-completion propagation path does not re-open + re-deserialize the
   // manifest file (exportToDownstream invalidates on re-grant; a grant

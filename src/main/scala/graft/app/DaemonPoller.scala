@@ -19,7 +19,12 @@ final class DaemonPoller(name: String, body: () => Unit) {
     if (running) return
     running = true
     thread = new Thread(() => {
-      while (running) {
+      val self = Thread.currentThread()
+      // `thread eq self` ties the loop to the CURRENT generation: a
+      // stop() that timed out mid-tick followed by start() must not
+      // leave the superseded thread looping alongside the new one
+      // (running is true again, but `thread` now names the successor)
+      while (running && (thread eq self)) {
         try body()
         catch {
           case e: Throwable =>

@@ -177,8 +177,21 @@ final class TimerScheduler private[app] (
     entries: Seq[(NodeRef, Schedule)],
     startAt: Instant) {
 
+  // an EXHAUSTED schedule (pinned-year cron fully in the past) maps to
+  // Instant.MAX — never selected as due — instead of throwing here or
+  // in advanceTo, where it would wedge the poll loop and starve every
+  // other timer
+  private def nextOrNever(s: Schedule, from: Instant): Instant =
+    try s.nextFire(from)
+    catch {
+      case e: IllegalStateException =>
+        System.err.println(s"[graft-timer-scheduler] schedule exhausted " +
+          s"(${e.getMessage}) — timer disabled")
+        Instant.MAX
+    }
+
   private val next = scala.collection.mutable.Map[Int, Instant](
-    entries.indices.map(i => i -> entries(i)._2.nextFire(startAt)): _*)
+    entries.indices.map(i => i -> nextOrNever(entries(i)._2, startAt)): _*)
   private val poller =
     new DaemonPoller("graft-timer-scheduler", () => { advanceTo(Instant.now()); () })
 
@@ -205,7 +218,7 @@ final class TimerScheduler private[app] (
       else {
         val (i, t) = candidates.minBy(_._2)
         val (timer, schedule) = entries(i)
-        next(i) = schedule.nextFire(t) // advance FIRST: a failed compute
+        next(i) = nextOrNever(schedule, t) // advance FIRST: a failed compute
         fired += ((timer.signal.alias, t)) // must not wedge the schedule
         try app.fireTimer(timer, LocalDateTime.ofInstant(t, ZoneOffset.UTC))
         catch {

@@ -507,6 +507,32 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       t.alarmId == "flaky_health" && t.state == graft.diagnostics.Alarms.ALARM))
   }
 
+  test("alarm edge raised while PAUSED is retried after resume, not dropped") {
+    val sp = spark; import sp.implicits._
+    val app = new Application("pausedalarm", spark, s"$work/app_pausedalarm")
+    val series = Seq(("m", "2026-08-11 09:00:00", 9.0))
+      .toDF("name", "period_start", "value")
+      .withColumn("period_start", to_timestamp(col("period_start")))
+    app.createMetricAlarm("pa",
+      () => series,
+      graft.diagnostics.AlarmParams(5.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold, 1, 1),
+      periodSecs = 3600)
+    app.activate()
+    app.pause()
+    val mon = app.alarmMonitor()
+    // the OK->ALARM edge occurs during the pause: raise must NOT be
+    // silently consumed (the pre-fix process() returned Nil and the
+    // monitor advanced its cursor — the edge was gone forever)
+    val paused = mon.poll()
+    assert(paused.isEmpty, s"no transition may be DELIVERED while paused: $paused")
+    app.resume()
+    val resumed = mon.poll()
+    assert(resumed.exists(t => t.alarmId == "pa" &&
+      t.state == graft.diagnostics.Alarms.ALARM),
+      s"the held edge must deliver after resume: $resumed")
+  }
+
   test("patchData swaps compute surgically; inputs/links/spec stay intact") {
     stageDays(s"$work/src_patch", Seq("2026-08-11", "2026-08-12"))
     val app = new Application("patch", spark, s"$work/app_patch")

@@ -70,6 +70,31 @@ class ScheduleSuite extends AnyFunSuite {
     assert(c.nextFire(at("2026-08-12T05:00:00Z")) == at("2026-08-13T00:00:00Z"))
   }
 
+  test("exhausted pinned-year cron disables the timer, never wedges the loop") {
+    // a cron pinned to a past year throws from nextFire; the scheduler
+    // must disable that ONE timer and keep serving the others — both at
+    // construction (already exhausted) and when it exhausts mid-flight
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val work = java.nio.file.Files.createTempDirectory("graft_sched_ex").toString
+      val app = new Application("schedex", spark, work)
+      app.createTimer("dead", scheduleExpression = "cron(0 12 * * ? 2020)")
+      app.createTimer("alive", scheduleExpression = "cron(0 0 * * ? *)")
+      val hook = new java.util.concurrent.atomic.AtomicInteger()
+      app.createData("tick", Seq(app.getTimer("alive").get),
+        Seq(graft.compute.InlinedSlot(_ => { hook.incrementAndGet(); () })))
+      app.activate()
+      // construction at 2026: "dead" is already exhausted — no throw
+      val sched = app.scheduler(at("2026-08-12T23:00:00Z"))
+      val fired = sched.advanceTo(at("2026-08-14T00:30:00Z"))
+      assert(fired.map(_._1).distinct == List("alive"),
+        s"only the live timer fires: $fired")
+      assert(fired.length == 2) // two midnights owed
+      assert(sched.nextFireTimes("dead") == Instant.MAX)
+    } finally spark.stop()
+  }
+
   test("invalid expressions throw") {
     intercept[IllegalArgumentException](Schedule.parse("every 5 minutes"))
     intercept[IllegalArgumentException](Schedule.parse("cron(0 0)"))
