@@ -35,7 +35,10 @@ final class FsProbe(spark: SparkSession) extends PathProbe {
             fs.exists(p) && (fs.getFileStatus(p).isFile ||
               fs.listStatus(p).exists { st =>
                 val n = st.getPath.getName
-                !n.startsWith("_") && !n.startsWith(".")
+                // a committer-written _SUCCESS also counts: a partition
+                // that legitimately produced ZERO rows (marker + no data
+                // files) is complete, not forever-pending
+                (!n.startsWith("_") && !n.startsWith(".")) || n == "_SUCCESS"
               })
           } catch { case _: java.io.FileNotFoundException => false }
         }
@@ -62,18 +65,27 @@ object InputLoader {
   def load(spark: SparkSession, signal: Signal, probe: PathProbe): DataFrame = {
     if (signal.source.kind == SignalSourceKind.CATALOG) return loadCatalog(spark, signal)
     val attrs = signal.source.attrs
-    val allPaths: Seq[String] = signal.materializedPaths
-      .map(p => attrs.dataFolder.map(d => s"$p/$d").getOrElse(p))
+    // completeness gates run on the PARTITION path (where markers live);
+    // the data itself may sit one level down under attrs.dataFolder
+    def dataPath(p: String) =
+      attrs.dataFolder.map(d => s"$p/$d").getOrElse(p)
+    val partPaths: Seq[String] = signal.materializedPaths
+    // isComplete, not exists: a bare dir a concurrent writer just
+    // created (only _temporary inside) or a marker-protocol partition
+    // whose marker hasn't landed must not be READ either — the same
+    // mid-write hazard the readiness probes already guard
+    def complete(p: String) = probe.isComplete(p, signal.source.protocol)
 
-    val paths: Seq[String] =
+    val chosen: Seq[String] =
       if (signal.nearestTheTip)
-        allPaths.find(probe.exists).toSeq
+        partPaths.find(complete).toSeq
       else if (signal.rangeCheckRequired) {
-        val missing = allPaths.filterNot(probe.exists)
+        val missing = partPaths.filterNot(complete)
         require(missing.isEmpty,
           s"range check failed for '${signal.alias}': missing ${missing.take(3).mkString(", ")}")
-        allPaths
-      } else allPaths.filter(probe.exists)
+        partPaths
+      } else partPaths.filter(complete)
+    val paths: Seq[String] = chosen.map(dataPath)
 
     require(paths.nonEmpty,
       s"no existing partitions for input '${signal.alias}' under ${signal.source.rootPath}")
@@ -84,7 +96,9 @@ object InputLoader {
     val persistedSchema: Option[String] =
       if (attrs.schemaJson.isDefined ||
           signal.source.kind != SignalSourceKind.INTERNAL) None
-      else paths.headOption.flatMap { p =>
+      else chosen.headOption.flatMap { p =>
+        // the schema marker lives at the PARTITION root (OutputWriter),
+        // not under dataFolder
         val f = new Path(p, "_SCHEMA.spark.json")
         val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(f)) None
@@ -116,19 +130,27 @@ object InputLoader {
     reader.load(paths: _*)
   }
 
-  /** S2: catalog scan with partition pushdown — one `isin` predicate per
-    * materialized dimension (partition key); Catalyst turns these into
-    * partition pruning, mirroring the reference's catalog
-    * `WHERE pk IN (...)` path (glueetl_default_ABI.py:196-241). */
+  /** S2: catalog scan with partition pushdown — the EXACT materialized
+    * tuple set as OR'd per-tuple conjunctions (Catalyst prunes each
+    * equality conjunct). Independent per-dimension `isin` predicates
+    * would read the CROSS PRODUCT: the filter is a tree, so tuple sets
+    * like [(us, d1), (eu, d2)] are non-rectangular, and `region IN
+    * (us,eu) AND day IN (d1,d2)` also reads (us,d2)/(eu,d1) — partitions
+    * the signal never selected (the FS path reads exactly the tuples;
+    * the catalog path must too). Reference catalog `WHERE pk IN (...)`
+    * path: glueetl_default_ABI.py:196-241. */
   private def loadCatalog(spark: SparkSession, signal: Signal): DataFrame = {
     val base = spark.table(CatalogSource.tableName(signal.source))
     val dims = signal.dimNames
-    dims.zipWithIndex.foldLeft(base) { case (df, (dim, idx)) =>
-      val values = signal.filter.tuples.flatMap(_.lift(idx))
-        .filter(_.isMaterial).map(_.transform().value.toString).distinct
-      if (values.isEmpty) df
-      else df.where(col(dim).cast("string").isin(values: _*))
-    }
+    val tuples = signal.filter.tuples
+      .map(_.takeWhile(_.isMaterial).map(_.transform().value.toString))
+      .filter(_.nonEmpty).distinct
+    if (tuples.isEmpty || dims.isEmpty) base
+    else base.where(
+      tuples.map(t =>
+        dims.zip(t).map { case (d, v) => col(d).cast("string") === v }
+          .reduce(_ && _))
+        .reduce(_ || _))
   }
 }
 
@@ -141,6 +163,10 @@ object OutputWriter {
   def write(spark: SparkSession, df: DataFrame, output: Signal): String = {
     val attrs = output.source.attrs
     val path = output.materializedPaths.head
+    // data may live one level under the partition (attrs.dataFolder) —
+    // mirror InputLoader, which appends it on read; markers stay at the
+    // PARTITION root, where completion probes and feed-back look
+    val dataPath = attrs.dataFolder.map(d => s"$path/$d").getOrElse(path)
     val mode = attrs.datasetType match {
       case DatasetType.REPLACE => SaveMode.Overwrite
       case DatasetType.APPEND => SaveMode.Append
@@ -152,7 +178,7 @@ object OutputWriter {
       attrs.encoding.foreach(e => writer = writer.option("encoding", e))
     attrs.compression.foreach(c => writer = writer.option("compression", c))
     if (attrs.partitionKeys.nonEmpty) writer = writer.partitionBy(attrs.partitionKeys: _*)
-    writer.save(path)
+    writer.save(dataPath)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -160,7 +186,8 @@ object OutputWriter {
     // schema file (SPARK_SCHEMA_JSON, signal_source.py:507-510)
     val schemaOut = fs.create(new Path(dir, "_SCHEMA.spark.json"), true)
     try schemaOut.write(df.schema.json.getBytes("UTF-8")) finally schemaOut.close()
-    // _SUCCESS: Spark's committer usually writes it; guarantee it
+    // _SUCCESS: Spark's committer usually writes it; guarantee it at the
+    // partition root (with dataFolder the committer's copy lands below)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) fs.create(new Path(dir, "_SUCCESS"), true).close()
     path
   }
@@ -174,13 +201,36 @@ final case class RetryPolicy(maxRetries: Int = 0, backoffMs: Long = 1000,
   def run[T](body: => T): T = {
     var attempt = 0
     while (true) {
+      // NonFatal only, and never a cancellation: kill() cancels the job
+      // group and expects the execution DEAD — retrying a cancelled
+      // attempt (or an interrupt during driver shutdown) would resurrect
+      // it for up to maxRetries × backoff
       try return body
       catch {
-        case e: Throwable if attempt < maxRetries =>
+        case e: Throwable
+            if attempt < maxRetries && scala.util.control.NonFatal(e) &&
+              !RetryPolicy.isCancellation(e) =>
           sleeper(backoffMs << math.min(attempt, 16)); attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+}
+
+object RetryPolicy {
+  /** A Spark job-group cancellation (kill(), shutdown) anywhere in the
+    * cause chain — non-retryable by contract. */
+  private[compute] def isCancellation(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 10) {
+      if (c.isInstanceOf[InterruptedException]) return true
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("cancelled") || m.contains("SparkContext was shut down"))
+        return true
+      c = c.getCause; depth += 1
+    }
+    false
   }
 }
 
@@ -217,8 +267,16 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
              | SignalSourceKind.ALARM => false
         case _ => true
       }))
+    // EVERY execution gets its own isolated session (shared SparkContext,
+    // fresh temp-view catalog): on the shared session, concurrent
+    // executeAsync runs raced createOrReplaceTempView — node B's input0
+    // silently replaced node A's mid-flight — and views leaked across
+    // executions, resolving stale data instead of failing. Persistent
+    // catalog tables (saveAsTable) remain visible; session-level conf
+    // set at builder time is carried by the shared SparkConf.
+    val session = spark.newSession()
     val inputs: Map[String, DataFrame] =
-      datasetInputs.map(s => s.alias -> InputLoader.load(spark, s, probe)).toMap
+      datasetInputs.map(s => s.alias -> InputLoader.load(session, s, probe)).toMap
     val inputList = datasetInputs.map(s => inputs(s.alias))
 
     // temp views: alias + positional inputN (glueetl_default_ABI.py:303-322)
@@ -229,7 +287,7 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
 
     val dims: Map[String, Any] = ctx.output.dimNames
       .zip(ctx.output.tip.map(_.transform().value)).toMap
-    val slotCtx = SlotContext(spark, inputs, inputList, dims, args,
+    val slotCtx = SlotContext(session, inputs, inputList, dims, args,
       ctx.inputs.map(s => s.alias -> s).toMap, ctx.output, logSink)
 
     var lastDf: Option[DataFrame] = None
@@ -239,10 +297,10 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
         val rendered = SqlSlot.interpolate(sql, dims)
         SqlSlot.statements(rendered).foreach { st =>
           logSink(s"sql> $st")
-          lastDf = Some(spark.sql(st))
+          lastDf = Some(session.sql(st))
         }
       case InlinedSlot(f) => f(slotCtx)
     }
-    lastDf.map(OutputWriter.write(spark, _, ctx.output))
+    lastDf.map(OutputWriter.write(session, _, ctx.output))
   }
 }

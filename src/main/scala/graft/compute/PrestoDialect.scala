@@ -66,15 +66,32 @@ object PrestoDialect {
     out.toList
   }
 
-  private def rewriteOutside(chunk: String): String = {
-    var s = chunk
+  private def rewriteFns(s0: String): String = {
+    var s = s0
     for ((from, to) <- fnRenames)
       s = s.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
     s = s.replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
     s = s.replaceAll("(?i)\\bvarchar\\b", "string")
-    // Presto double-quoted identifiers → Spark backticks
-    s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
     s
+  }
+
+  private def rewriteOutside(chunk: String): String = {
+    // EVERY double-quoted token is a Presto IDENTIFIER (Presto never
+    // treats "…" as a string) — convert verbatim to a backticked Spark
+    // identifier, whatever the content ("user id", "varchar", leading
+    // digits…), and keep identifier text OUT of the function/type
+    // rewrites. Left as-is, non-identifier-shaped tokens would parse as
+    // Spark STRING LITERALS and silently yield constants.
+    val quoted = "\"([^\"]*)\"".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- quoted.findAllMatchIn(chunk)) {
+      sb ++= rewriteFns(chunk.substring(last, m.start))
+      sb ++= "`" + m.group(1).replace("`", "``") + "`"
+      last = m.end
+    }
+    sb ++= rewriteFns(chunk.substring(last))
+    sb.toString
   }
 
   def translate(sql: String): String = {

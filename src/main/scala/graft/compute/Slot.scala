@@ -46,16 +46,42 @@ object SqlSlot {
   def interpolate(sql: String, dims: Map[String, Any]): String =
     dims.foldLeft(sql) { case (acc, (k, v)) => acc.replace(s"{$k}", v.toString) }
 
-  /** Split a multi-statement body on top-level ';' (quote-aware). */
+  /** Split a multi-statement body on top-level ';'. Aware of the dialect
+    * it feeds: quotes ('' and "") with backslash escapes (Spark's default
+    * non-ANSI parser supports `\'` inside literals), `--` line comments,
+    * and C-style block comments — a ';' inside any of those is content,
+    * not a statement boundary. */
   def statements(sql: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    sql.foreach { c =>
-      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
-      else if (c == ';') { out += cur.toString; cur.clear() }
-      else cur.append(c)
+    var lineComment = false
+    var blockComment = false
+    var i = 0
+    def next: Option[Char] =
+      if (i + 1 < sql.length) Some(sql.charAt(i + 1)) else None
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (lineComment) {
+        cur.append(c); if (c == '\n') lineComment = false
+      } else if (blockComment) {
+        cur.append(c)
+        if (c == '*' && next.contains('/')) {
+          cur.append('/'); i += 1; blockComment = false
+        }
+      } else if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && next.isDefined) { cur.append(next.get); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '-' if next.contains('-') => lineComment = true; cur.append(c)
+        case '/' if next.contains('*') =>
+          blockComment = true; cur.append(c); cur.append('*'); i += 1
+        case ';' => out += cur.toString; cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString
     out.toList.map(_.trim).filter(_.nonEmpty)

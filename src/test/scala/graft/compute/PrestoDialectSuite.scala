@@ -47,4 +47,26 @@ class PrestoDialectSuite extends AnyFunSuite {
     assert(PrestoSqlSlot("SELECT strpos(a, b) FROM t").sql ==
       "SELECT instr(a, b) FROM t")
   }
+
+  test("non-identifier-shaped quoted identifiers still become backticks") {
+    // Presto NEVER treats "…" as a string — every double-quoted token is
+    // an identifier, whatever its content; left as-is Spark would parse
+    // them as string LITERALS and silently return constants
+    assert(translate("""SELECT "user id", "2col" FROM t""") ==
+      "SELECT `user id`, `2col` FROM t")
+    // a column literally NAMED varchar is an identifier, not a type
+    assert(translate("""SELECT "varchar" FROM t""") == "SELECT `varchar` FROM t")
+    assert(translate("""SELECT "a`b" FROM t""") == "SELECT `a``b` FROM t")
+  }
+
+  test("statement splitter: escapes and comments hide semicolons") {
+    import graft.compute.SqlSlot.statements
+    assert(statements("""SELECT 'don\'t; stop' AS s""") ==
+      List("""SELECT 'don\'t; stop' AS s"""))
+    assert(statements("SELECT 1 -- trailing; comment\n; SELECT 2") ==
+      List("SELECT 1 -- trailing; comment", "SELECT 2"))
+    assert(statements("SELECT /* a; b */ 1; SELECT 2") ==
+      List("SELECT /* a; b */ 1", "SELECT 2"))
+    assert(statements("SELECT 1; SELECT 2;") == List("SELECT 1", "SELECT 2"))
+  }
 }
