@@ -36,10 +36,15 @@ object Clustering {
       // carry the previous label as `old` through the round so convergence
       // needs NO extra join: the probe below is a short-circuit scan of
       // the checkpoint blocks this same round already materialized
+      // checkpoint BEFORE the self-join: both sides of the pointer-jump
+      // read `propagated`, and without materialization each re-executed
+      // the heavy edges-join + min aggregation above — double the
+      // dominant per-round cost on a large pair graph
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
+        .localCheckpoint()
       // pointer-jump (2-hop min): adopt your label's own label — labels
       // always point at in-component ids, so this halves chain depth each
       // round and makes convergence O(log diameter), not O(diameter)
@@ -77,15 +82,24 @@ object Clustering {
   * ~threshold/2^16 of rows uniformly). */
 object Sampling {
 
+  /** md5 hex is lowercase; an uppercase threshold would compare against
+    * the wrong code points and silently sample at the wrong rate. */
+  private def requireHex4(thr: String): Unit =
+    require(thr.matches("[0-9a-f]{4}"),
+      s"threshold must be 4 LOWERCASE hex chars (md5 output is lowercase), got '$thr'")
+
   /** Keep rows whose md5(key) falls under `hexThreshold` (4 hex chars:
     * "2000" ≈ 12.5%). Uniform, deterministic, join-stable. */
-  def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame =
+  def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame = {
+    requireHex4(hexThreshold)
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < hexThreshold)
+  }
 
   /** Mix sources at different deterministic rates: (sourceValue →
     * 4-hex-char threshold); rows of unlisted sources are dropped. */
   def mixByWeight(df: DataFrame, sourceCol: String, keyCol: String,
                   thresholds: Map[String, String]): DataFrame = {
+    thresholds.values.foreach(requireHex4)
     val cases = thresholds.foldLeft(lit("0000")) { case (acc, (src, thr)) =>
       when(col(sourceCol) === src, lit(thr)).otherwise(acc)
     }
@@ -137,19 +151,39 @@ object Sampling {
     // coalesce: a partition whose token values are ALL null sums to null
     // — it contributes nothing to the running total (matching the window
     // sum's null-skipping), so fold it as 0 instead of NPE-ing on getLong
-    val totals = local.groupBy("__pid")
-      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("__ptotal"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (p, t) =>
-      val entry = (p, acc); acc += t; entry }
+    // per-partition totals fold in the COLUMN'S OWN numeric family: the
+    // old unconditional cast-to-long truncated fractional token columns
+    // at every partition boundary, drifting cum_tokens from the single-
+    // window answer (and varying with partition count)
+    val integral = df.schema(tokenCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val totalRows = local.groupBy("__pid")
+      .agg(coalesce(sum(col(tokenCol)),
+        lit(0)).cast(if (integral) "long" else "double").as("__ptotal"))
+      .collect().sortBy(_.getInt(0))
     // fold the offsets back in via a BROADCAST JOIN on __pid, never a
     // when-chain: an O(numPartitions)-deep when(...).otherwise(...) tree
     // blows up codegen/analysis once `partitions` reaches the thousands
     // (the scale this operator exists for)
     val spark = df.sparkSession
     import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    val offsetDf =
+      if (integral) {
+        var acc = 0L
+        totalRows.toSeq.map { r =>
+          val e = (r.getInt(0), acc); acc += r.getLong(1); e
+        }.toDF("__pid", "__offset")
+      } else {
+        var acc = 0.0
+        totalRows.toSeq.map { r =>
+          val e = (r.getInt(0), acc); acc += r.getDouble(1); e
+        }.toDF("__pid", "__offset")
+      }
     local.join(broadcast(offsetDf), Seq("__pid"), "left")
       .withColumn("cum_tokens",
         col("__local") + coalesce(col("__offset"), lit(0L)))

@@ -30,14 +30,27 @@ object CorpusQuality {
     * Returns (idCol, n_tokens, mean_logprob). */
   def unigramLogProbScore(df: DataFrame, textCol: String,
                           idCol: String): DataFrame = {
+    // checkpoint: the exploded token table feeds the model groupBy, the
+    // totals agg, AND the scoring join — without it the corpus is
+    // re-scanned and re-exploded three times per call
     val toks = Dedup.spread(df).select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .where(col("__t") =!= "")
+      .localCheckpoint()
     val model = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
-    val Array(total, v) = model
-      .agg(sum(col("__c")), count(lit(1))).collect().head match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+    // empty/whitespace-only corpus: sum() is null — return the empty
+    // result instead of NPE-ing on getLong
+    val statsRow = model.agg(sum(col("__c")), count(lit(1))).collect().head
+    if (statsRow.isNullAt(0))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          df.schema(idCol),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mean_logprob",
+            org.apache.spark.sql.types.DoubleType))))
+    val (total, v) = (statsRow.getLong(0), statsRow.getLong(1))
     toks.join(model, "__t")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

@@ -103,6 +103,25 @@ object Dedup {
     df.schema.find(_.name == colName)
       .exists(_.dataType == org.apache.spark.sql.types.LongType)
 
+  /** Hard memory ceiling for STORED index bucket lists (~8 MB of ids):
+    * far above any probe's maxBucketSize guard — an overflowed stored
+    * bucket (size ceiling+1) can never pass one — and far below the
+    * corpus-sized buffer a truly universal bucket would otherwise
+    * accumulate in a single aggregation task. */
+  private val MaxStoredBucket = 1 << 20
+
+  /** Bucket id lists with a bounded aggregation buffer (long ids — the
+    * scale path); string ids keep plain collect_list. */
+  private def boundedIdCollect(banded: DataFrame, idCol: String): DataFrame = {
+    val grouped = banded.groupBy("band", "band_hash")
+    if (isLongCol(banded, idCol)) {
+      val bc = org.apache.spark.sql.functions.udaf(
+        new BoundedCollectLong(MaxStoredBucket),
+        org.apache.spark.sql.Encoders.scalaLong)
+      grouped.agg(bc(col(idCol)).as("__ids"))
+    } else grouped.agg(collect_list(col(idCol)).as("__ids"))
+  }
+
   /** MinHash signatures as a NARROW projection — no explode, no shuffle:
     * the codegen'd [[graft.expressions.MinHashSig]] kernel computes the
     * k min-hash draws in one pass over each document's gram multiset.
@@ -186,8 +205,22 @@ object Dedup {
   private def bandCandidates(sigs: DataFrame, idCol: String, bands: Int,
                              r: Int, maxBucketSize: Int): DataFrame = {
     val banded0 = bandExplode(sigs, idCol, bands, r)
-    banded0.groupBy("band", "band_hash")
-      .agg(collect_list(col(idCol)).as("__ids"))
+    // BOUNDED collect for long ids (the scale path): plain collect_list
+    // materializes the WHOLE bucket in one aggregation buffer before the
+    // size filter runs — a near-universal bucket (1e8 boilerplate docs)
+    // is a multi-GB single-task buffer. The bounded aggregator stops at
+    // maxBucketSize+1 elements, so overflowing buckets surface to the
+    // same size guard at ~8 KB instead of gigabytes.
+    val grouped = banded0.groupBy("band", "band_hash")
+    val collected =
+      if (isLongCol(sigs, idCol)) {
+        val bc = org.apache.spark.sql.functions.udaf(
+          new BoundedCollectLong(maxBucketSize),
+          org.apache.spark.sql.Encoders.scalaLong)
+        grouped.agg(bc(col(idCol)).as("__ids"))
+      } else
+        grouped.agg(collect_list(col(idCol)).as("__ids"))
+    collected
       .where(size(col("__ids")) <= maxBucketSize && size(col("__ids")) > 1)
       .select(array_sort(col("__ids")).as("__s"))
       .select(explode(sortedPairs(col("__s"), isLongCol(sigs, idCol))).as("__p"))
@@ -335,13 +368,17 @@ object Dedup {
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d.localCheckpoint()
     val sigsM = maybe(sigs)
-    // collected corpus buckets, UNGUARDED at build time (maxBucketSize is
-    // a query parameter — the probe filters on list size); the groupBy's
-    // hash partitioning on (band, band_hash) survives materialization, so
-    // a batch probe shuffles only the batch side of the join
-    val buckets = bandExplode(sigsM, idCol, bands, k / bands)
-      .groupBy("band", "band_hash")
-      .agg(collect_list(col(idCol)).as("__ids"))
+    // collected corpus buckets, query-guard-free at build time
+    // (maxBucketSize is a query parameter — the probe filters on list
+    // size) but MEMORY-bounded: a pathological universal bucket stops
+    // accumulating at MaxStoredBucket+1 ids (~8 MB) instead of one
+    // corpus-sized buffer, and since every probe's maxBucketSize guard
+    // sits far below that ceiling, an overflowed stored bucket can never
+    // pass a probe anyway. The groupBy's hash partitioning on
+    // (band, band_hash) survives materialization, so a batch probe
+    // shuffles only the batch side of the join.
+    val buckets = boundedIdCollect(
+      bandExplode(sigsM, idCol, bands, k / bands), idCol)
     NearDupIndex(sigsM, maybe(grams), maybe(buckets), idCol, k, bands, shingleN)
   }
 
@@ -454,9 +491,8 @@ object Dedup {
         .localCheckpoint())
     val newGrams = spread(newDf)
       .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
-    val newBuckets = bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands)
-      .groupBy("band", "band_hash")
-      .agg(collect_list(col(idCol)).as("__ids"))
+    val newBuckets = boundedIdCollect(
+      bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands), idCol)
     // merged bucket table lands in a UNIQUE temp dir first: idx.buckets
     // may be a lazy scan of buckets_next itself (a load that fell back
     // after an interrupted swap), and writing the merge straight to
@@ -474,7 +510,10 @@ object Dedup {
     // maxBucketSize guard (which would silently drop future pairs)
     idx.buckets.unionByName(newBuckets)
       .groupBy("band", "band_hash")
-      .agg(array_distinct(flatten(collect_list(col("__ids")))).as("__ids"))
+      // both sides are <= MaxStoredBucket+1 by construction; re-cap the
+      // merged list so repeated folds cannot creep past the ceiling
+      .agg(slice(array_distinct(flatten(collect_list(col("__ids")))),
+        1, MaxStoredBucket + 1).as("__ids"))
       .write.mode("overwrite").parquet(tmp.toString)
     val nextPre = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
     fs.delete(nextPre, true)
@@ -589,8 +628,24 @@ object Dedup {
             y => struct(x.getField("i").as("d1"), y.getField("i").as("d2"),
               bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
                 .as("hamming")))))
-    banded0.groupBy("band", "band_val")
-      .agg(collect_list(struct(col(idCol).as("i"), col("sh").as("h"))).as("__m"))
+    // same bounded-buffer story as bandCandidates, for (id, hash) pairs
+    val bucketed =
+      if (isLongCol(df, idCol)) {
+        val bc = org.apache.spark.sql.functions.udaf(
+          new BoundedCollectPair(maxBucketSize),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        banded0.groupBy("band", "band_val")
+          .agg(bc(col(idCol), col("sh")).as("__m0"))
+          .withColumn("__m", transform(col("__m0"), x =>
+            struct(x.getField("_1").as("i"), x.getField("_2").as("h"))))
+          .drop("__m0")
+      } else
+        banded0.groupBy("band", "band_val")
+          .agg(collect_list(struct(col(idCol).as("i"), col("sh").as("h")))
+            .as("__m"))
+    bucketed
       .where(size(col("__m")) <= maxBucketSize && size(col("__m")) > 1)
       .select(array_sort(col("__m")).as("__s"))
       .select(explode(pairsOf(col("__s"))).as("__p"))

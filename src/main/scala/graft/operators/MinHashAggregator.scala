@@ -47,6 +47,97 @@ final class MinHashAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** `collect_list` with a hard cap on the AGGREGATION BUFFER: keeps at
+  * most `cap + 1` elements, so a group that overflows surfaces with
+  * size `cap + 1` and the standard `size <= cap` guard drops it —
+  * WITHOUT ever materializing the full list. Plain collect_list builds
+  * the whole group in one buffer before any size filter runs: a
+  * near-universal LSH bucket (10^8 boilerplate copies at corpus scale)
+  * is a multi-GB single-task ArrayBuffer → executor OOM, in exactly the
+  * skew case the bucket guard exists for. Element order is not
+  * preserved (callers array_sort anyway). */
+final class BoundedCollectLong(cap: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val lim = cap + 1
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(b: Array[Long], v: Long): Array[Long] =
+    if (b.length >= lim) b else b :+ v
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.length >= lim) b1
+    else if (b2.length >= lim) b2
+    else { val c = b1 ++ b2; if (c.length > lim) c.take(lim) else c }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** String-id variant of [[BoundedCollectLong]]. */
+final class BoundedCollectString(cap: Int)
+    extends Aggregator[String, List[String], Seq[String]] {
+  private val lim = cap + 1
+  override def zero: List[String] = Nil
+  override def reduce(b: List[String], v: String): List[String] =
+    if (b.length >= lim) b else v :: b
+  override def merge(b1: List[String], b2: List[String]): List[String] =
+    if (b1.length >= lim) b1
+    else if (b2.length >= lim) b2
+    else { val c = b2 ::: b1; if (c.length > lim) c.take(lim) else c }
+  override def finish(b: List[String]): Seq[String] = b
+  override def bufferEncoder: Encoder[List[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[String]]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
+/** (id, hash) pair variant for the SimHash bucket aggregation. */
+final class BoundedCollectPair(cap: Int)
+    extends Aggregator[(Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+  private val lim = cap + 1
+  override def zero: Array[(Long, Long)] = Array.empty
+  override def reduce(b: Array[(Long, Long)], v: (Long, Long)): Array[(Long, Long)] =
+    if (b.length >= lim) b else b :+ v
+  override def merge(b1: Array[(Long, Long)], b2: Array[(Long, Long)]): Array[(Long, Long)] =
+    if (b1.length >= lim) b1
+    else if (b2.length >= lim) b2
+    else { val c = b1 ++ b2; if (c.length > lim) c.take(lim) else c }
+  override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
+  override def bufferEncoder: Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+  override def outputEncoder: Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+}
+
+/** Element-wise vector sum + member count in ONE buffer
+  * (`[sums(0..dim-1), count]`, sized lazily on first input) — the Lloyd
+  * centroid step's aggregation: one packed row per cell instead of
+  * k×dim individual (cell, pos, sum, count) rows. */
+final class VecSumCount
+    extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+    val bb = if (b.isEmpty) new Array[Double](v.length + 1) else b
+    var i = 0
+    while (i < v.length) { bb(i) += v(i); i += 1 }
+    bb(bb.length - 1) += 1
+    bb
+  }
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object MinHashAggregator {
   /** Aggregator-based variant of Dedup.minhashSignatures: same output
     * shape (idCol, sig array<bigint>), one buffer instead of k columns. */

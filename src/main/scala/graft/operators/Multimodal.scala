@@ -137,6 +137,8 @@ object Multimodal {
     * `nFrames` equal chunks, emit per-frame checksums (stand-in for frame
     * decode + thumbnail). One row in, nFrames rows out — flatMap shape. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[FrameSample] = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames " +
+      "(0 divides by zero inside executor tasks; negatives silently emit nothing)")
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val chunk = math.max(r.content.length / nFrames, 1)

@@ -448,20 +448,29 @@ object Similarity {
         .drop("__ck", "__cents")
     }
 
+    val dim = centroids.head.length
+    // one vector-sum aggregator per cell: the collect is k rows of a
+    // (dim+1)-double array — NOT the k×dim individual Rows the old
+    // posexplode + groupBy(cell, pos) shape pulled to the driver (at the
+    // semanticK clamp of 65536 cells × 768 dims that was 5e7 boxed Rows,
+    // a driver OOM; the packed arrays are ~two orders of magnitude less)
+    val vs = org.apache.spark.sql.functions.udaf(new VecSumCount,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
     for (_ <- 1 to iters) {
       val assigned = assign(base)
-      // new centroid = mean of members, re-normalized (spherical step);
-      // k×dim aggregate rows — driver-side collect is trivially small
-      val sums = assigned
-        .select(col("__cell"), posexplode(col("__u")))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      // new centroid = mean of members, re-normalized (spherical step)
+      val sums = assigned.groupBy(col("__cell"))
+        .agg(vs(col("__u")).as("__sc"))
         .collect()
-      val dim = centroids.head.length
       val next = centroids.map(_.clone())
       sums.foreach { r =>
-        val (cell, pos) = (r.getInt(0), r.getInt(1))
-        next(cell)(pos) = r.getDouble(2) / r.getLong(3)
+        val cell = r.getInt(0)
+        val arr = r.getSeq[Double](1)
+        val n = arr(dim)
+        if (n > 0) {
+          var pos = 0
+          while (pos < dim) { next(cell)(pos) = arr(pos) / n; pos += 1 }
+        }
       }
       centroids = next.map { c =>
         val n = math.sqrt(c.iterator.map(x => x * x).sum)

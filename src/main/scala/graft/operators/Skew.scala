@@ -29,11 +29,16 @@ object Skew {
     require(safe.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left/semi/anti join types, not '$joinType' " +
         "(replicated small side would duplicate its unmatched rows)")
-    // row-deterministic-enough salt: partition id + row position hash; the
-    // result set is identical for ANY salt assignment
+    // DETERMINISTIC salt — a hash of the row's own columns. The previous
+    // spark_partition_id()+monotonically_increasing_id() salt changed
+    // under partial stage recompute (fetch-failure retry re-orders rows),
+    // so a row's shuffle bucket could differ between attempts and rows
+    // were duplicated or lost (the SPARK-23207 class of corruption) on
+    // exactly the hot-key path this operator serves. Fully identical
+    // rows share a salt — acceptable: they are interchangeable, and
+    // salting targets KEY-level hotness, which payload variety spreads.
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
-        lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val expandedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(expandedSmall, keys :+ "__salt", joinType).drop("__salt")

@@ -61,6 +61,12 @@ object Temporal {
       (Seq(col(tsCol).as("__rts"), col(tieCol).as("__rtie")) ++
         rightCols.map(c => col(c).as(c))): _*)
     val r = right
+      // a null-ts right row would sort nulls-first and its NON-null
+      // payload struct would propagate as a phantom match (asof_ts null
+      // but payload populated — surviving the documented IS NOT NULL
+      // inner filter); the broadcast path drops such rows via its null
+      // comparison, so drop them here too for identical semantics
+      .where(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(tieCol).as("__rtie"),
         pay.as("__rpay"))
       .withColumn("__side", lit(0))
@@ -138,6 +144,9 @@ object Temporal {
       s"rightCols must not repeat '$tsCol'/'$tieCol'")
     require(!(rightCols :+ tsCol :+ tieCol).exists(_.startsWith("__")),
       "column names starting with __ collide with asofJoin internals")
+    require(!left.columns.exists(_.startsWith("__")),
+      "left columns starting with __ collide with asofJoinBroadcast " +
+        "internals (__hist/__cand/__match)")
     def asLong(c: Column): Column = left.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType =>
@@ -148,7 +157,7 @@ object Temporal {
     val pay = struct(
       (Seq(col(tsCol).as("__rts"), col(tieCol).as("__rtie")) ++
         rightCols.map(c => col(c).as(c))): _*)
-    val packed = right.groupBy(keyCol)
+    val packed = right.where(col(tsCol).isNotNull).groupBy(keyCol)
       .agg(sort_array(collect_list(pay)).as("__hist"))
     val lts = asLong(col(tsCol))
     def cts(x: Column): Column = left.schema(tsCol).dataType match {
