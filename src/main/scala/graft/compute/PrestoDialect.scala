@@ -94,15 +94,49 @@ object PrestoDialect {
     sb.toString
   }
 
+  // an outside chunk ending in a unit-bearing call, right before the
+  // unit's literal segment; DOTALL so multi-line SQL matches
+  private val UnitCallTail =
+    "(?is)^(.*?)\\b(date_add|date_diff)(\\s*\\(\\s*)$".r
+  private val UnitLiteral = "^'(\\w+)'$".r
+  private val CommaHead = "(?s)^\\s*,.*$".r
+
   def translate(sql: String): String = {
-    // unit-bearing calls first: the unit is itself a literal, so this
-    // rewrite must see function name and unit together
-    val unitFixed = sql
-      .replaceAll("(?i)\\bdate_add\\s*\\(\\s*'(\\w+)'\\s*,", "timestampadd($1,")
-      .replaceAll("(?i)\\bdate_diff\\s*\\(\\s*'(\\w+)'\\s*,", "timestampdiff($1,")
-    segments(unitFixed).map {
-      case (chunk, true) => chunk
-      case (chunk, false) => rewriteOutside(chunk)
-    }.mkString
+    // The unit-bearing rewrite needs function name AND unit together,
+    // but must never fire inside a string literal — so segment FIRST
+    // and match the call at an outside-chunk end adjacent to the unit's
+    // own literal segment ('unit' is a literal, so a real call always
+    // splits exactly this way).
+    val segs = segments(sql).toIndexedSeq
+    val out = new StringBuilder
+    var i = 0
+    while (i < segs.length) {
+      val (chunk, isLit) = segs(i)
+      if (isLit) { out ++= chunk; i += 1 }
+      else {
+        val unitRewrite = chunk match {
+          case UnitCallTail(prefix, fn, paren) if i + 2 < segs.length =>
+            (segs(i + 1), segs(i + 2)) match {
+              case ((UnitLiteral(unit), true), (CommaHead(), false)) =>
+                val newFn =
+                  if (fn.equalsIgnoreCase("date_add")) "timestampadd"
+                  else "timestampdiff"
+                Some((prefix + newFn + paren, unit))
+              case _ => None
+            }
+          case _ => None
+        }
+        unitRewrite match {
+          case Some((rewritten, unit)) =>
+            out ++= rewriteOutside(rewritten)
+            out ++= unit // bare unit keyword replaces the quoted literal
+            i += 2       // consumed this chunk + the unit literal
+          case None =>
+            out ++= rewriteOutside(chunk)
+            i += 1
+        }
+      }
+    }
+    out.toString
   }
 }

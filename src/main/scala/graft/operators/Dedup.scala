@@ -110,8 +110,9 @@ object Dedup {
     * accumulate in a single aggregation task. */
   private val MaxStoredBucket = 1 << 20
 
-  /** Bucket id lists with a bounded aggregation buffer (long ids — the
-    * scale path); string ids keep plain collect_list. */
+  /** Bucket id lists with a bounded aggregation buffer — both id types:
+    * a near-universal bucket must overflow AT THE BUFFER (size
+    * ceiling+1), never materialize in full, whatever the id column. */
   private def boundedIdCollect(banded: DataFrame, idCol: String): DataFrame = {
     val grouped = banded.groupBy("band", "band_hash")
     if (isLongCol(banded, idCol)) {
@@ -119,7 +120,12 @@ object Dedup {
         new BoundedCollectLong(MaxStoredBucket),
         org.apache.spark.sql.Encoders.scalaLong)
       grouped.agg(bc(col(idCol)).as("__ids"))
-    } else grouped.agg(collect_list(col(idCol)).as("__ids"))
+    } else {
+      val bc = org.apache.spark.sql.functions.udaf(
+        new BoundedCollectString(MaxStoredBucket),
+        org.apache.spark.sql.Encoders.STRING)
+      grouped.agg(bc(col(idCol)).as("__ids"))
+    }
   }
 
   /** MinHash signatures as a NARROW projection — no explode, no shuffle:
@@ -560,6 +566,15 @@ object Dedup {
                               minJaccard: Double,
                               maxBucketSize: Int,
                               precomputedSigs: Option[DataFrame]): DataFrame = {
+    // Stored buckets are truncated at MaxStoredBucket+1 ids; the probe's
+    // size filter can only distinguish "over the cap" from "complete"
+    // while maxBucketSize < MaxStoredBucket. A larger probe bound would
+    // ACCEPT a truncated bucket and silently miss its dropped pairs —
+    // the exact failure the merge-path re-cap guards against.
+    require(maxBucketSize < MaxStoredBucket,
+      s"maxBucketSize=$maxBucketSize must be < $MaxStoredBucket " +
+        "(stored-bucket truncation ceiling); larger bounds would accept " +
+        "truncated buckets and silently drop near-dup pairs")
     val idCol = index.idCol
     val r = index.k / index.bands
     val newSigs = precomputedSigs.getOrElse(

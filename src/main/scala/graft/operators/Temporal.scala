@@ -82,11 +82,18 @@ object Temporal {
     // backward: ascending ts, right rows (side 0) sort before left at
     // equal ts so the running last is INCLUSIVE of ties; among equal
     // right ts the larger tie sorts later and wins. forward mirrors.
+    // Null-ts LEFT rows must sort FIRST in both directions: desc's
+    // default nulls-LAST would place them after every right row and the
+    // running last would attach the smallest right-ts payload as a
+    // phantom match (asofJoinBroadcast's null comparison yields no
+    // candidates — both paths must agree: null ts ⇒ no match).
     val ord: Seq[Column] =
       if (direction == "backward")
-        Seq(col(tsCol).asc, col("__side").asc, col("__rtie").asc_nulls_first)
+        Seq(col(tsCol).asc_nulls_first, col("__side").asc,
+          col("__rtie").asc_nulls_first)
       else
-        Seq(col(tsCol).desc, col("__side").asc, col("__rtie").asc_nulls_first)
+        Seq(col(tsCol).desc_nulls_first, col("__side").asc,
+          col("__rtie").asc_nulls_first)
     val w = Window.partitionBy(keyCol).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withPay = unioned

@@ -35,6 +35,22 @@ class PrestoDialectSuite extends AnyFunSuite {
       "SELECT 'it''s varchar' AS s")
   }
 
+  test("date_add/date_diff text inside string literals is never rewritten") {
+    // the unit rewrite must honor the same literal contract as every
+    // other rule: matching function-name text inside a '…' literal is
+    // data, not a call
+    assert(translate("SELECT 'date_add(''day'', 1, x)' AS s") ==
+      "SELECT 'date_add(''day'', 1, x)' AS s")
+    assert(translate("SELECT 'use date_diff(' AS hint, date_add('hour', 2, ts)") ==
+      "SELECT 'use date_diff(' AS hint, timestampadd(hour, 2, ts)")
+    // nested unit-bearing calls both rewrite
+    assert(translate("date_diff('day', date_add('hour', 2, x), y)") ==
+      "timestampdiff(day, timestampadd(hour, 2, x), y)")
+    // a unit that is not a plain word (or no comma after) is left alone
+    assert(translate("date_add('not a unit', 1, x)") ==
+      "date_add('not a unit', 1, x)")
+  }
+
   test("plain ANSI (the reference's own Presto examples) passes through") {
     val sql = """SELECT * FROM offline_training_data
                  UNION ALL SELECT *, '1' as region FROM offline_data"""

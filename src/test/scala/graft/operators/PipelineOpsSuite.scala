@@ -346,6 +346,13 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
         minJaccard = 0.9, maxBucketSize = 1000)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(viaIdx2 == Set((200L, 2L)))
+      // probes past the stored-bucket truncation ceiling would accept a
+      // truncated bucket and silently miss pairs — rejected loudly
+      val tooWide = intercept[IllegalArgumentException] {
+        Dedup.incrementalJaccardPairs(newBatch, idx, "text",
+          minJaccard = 0.9, maxBucketSize = (1 << 20) + 1)
+      }
+      assert(tooWide.getMessage.contains("truncation ceiling"))
     } finally idx.unpersist()
   }
 

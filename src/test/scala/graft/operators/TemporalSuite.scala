@@ -188,6 +188,40 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("null-ts rows never match — shuffle and broadcast paths agree") {
+    val sp = spark; import sp.implicits._
+    // null LEFT ts: forward's desc ordering must not let the row trail
+    // every right row and pick up a phantom payload (desc default is
+    // nulls LAST); null RIGHT ts rows are dropped on both paths.
+    val ldf = Seq[(Long, Long, java.lang.Long)](
+      (1L, 0L, 100L), (2L, 0L, null), (3L, 1L, null), (4L, 1L, 500L))
+      .toDF("lid", "k", "t")
+    val rdf = Seq[(Long, Long, java.lang.Long, Double)](
+      (10L, 0L, 50L, 1.0), (11L, 0L, 150L, 2.0),
+      (12L, 1L, 400L, 3.0), (13L, 1L, null, 9.0))
+      .toDF("rid", "k", "t", "v")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("lid", "asof_rid", "asof_t", "asof_v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    for (dir <- Seq("backward", "forward")) {
+      val a = run(Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"), "rid",
+        direction = dir))
+      val b = run(Temporal.asofJoinBroadcast(ldf, rdf, "k", "t", Seq("v"),
+        "rid", direction = dir))
+      assert(a == b, s"paths diverge for direction=$dir:\n a=$a\n b=$b")
+      // every null-ts left row survives with NO payload at all — a
+      // phantom match would populate asof_v while asof_t stays null,
+      // slipping past the documented IS NOT NULL inner filter
+      for (t <- a if t._1 == 2L || t._1 == 3L)
+        assert(t._2.isEmpty && t._3.isEmpty && t._4.isEmpty,
+          s"null-ts left row got a phantom match in direction=$dir: $t")
+      assert(a.map(_._1) == Set(1L, 2L, 3L, 4L), s"left rows lost: $a")
+    }
+  }
+
   test("asofJoinBroadcast never shuffles the left side") {
     val sp = spark; import sp.implicits._
     val ldf = (0 until 50).map(i => (i.toLong, i % 3L, i.toLong * 7))
