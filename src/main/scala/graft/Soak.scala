@@ -298,6 +298,68 @@ object Soak {
       return
     }
 
+    // "temporal_skew" = the hot-key scale claim for asofJoinSkew /
+    // sessionizeSkew: ONE bot key holds 10% of SKEW_ROWS left rows (the
+    // remaining 90% spread over 10k keys), so the unsalted operators
+    // serialize that key's sort onto a single task while the skew
+    // variants spread it over time chunks. Equality of the two paths is
+    // REQUIRED on the full output (count + checksums), so the ledger
+    // numbers are also an at-scale correctness proof.
+    if (only == "temporal_skew") {
+      import graft.operators.Temporal
+      val n = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "10000000").toLong
+      val hotPct = sys.env.getOrElse("SPARK_GRAFT_SKEW_HOT_PCT", "10").toInt
+      val span = 1000000000L // timeline [0, 1e9)
+      val keys = 10000L
+      val hot = n * hotPct / 100
+      val left = spark.range(n).select(
+          col("id").as("lid"),
+          when(col("id") < hot, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(keys - 1)) + 1L).as("k"),
+          pmod(xxhash64(col("id"), lit(7)), lit(span)).as("t"))
+        .repartition(32).localCheckpoint()
+      val rn = n / 50
+      val right = spark.range(rn).select(
+          (col("id") + 5000000000L).as("rid"),
+          when(col("id") < rn / 10, 0L)
+            .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(keys - 1)) + 1L)
+            .as("k"),
+          pmod(xxhash64(col("id"), lit(2)), lit(span)).as("t"),
+          (col("id") % 97).cast("double").as("v"))
+        .repartition(32).localCheckpoint()
+      val nL = left.count(); val nR = right.count()
+      val width = span / 256
+      def chk(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum("asof_rid"), sum("asof_t"))
+          .collect().head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (baseChk, tBase) = timed(chk(
+        Temporal.asofJoin(left, right, "k", "t", Seq("v"), "rid")))
+      val (skewChk, tSkew) = timed(chk(
+        Temporal.asofJoinSkew(left, right, "k", "t", Seq("v"), "rid",
+          chunkWidth = width)))
+      require(baseChk == skewChk,
+        s"asofJoinSkew diverged from asofJoin at scale: $baseChk vs $skewChk")
+      def schk(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum("session_seq"), max("session_seq"))
+          .collect().head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val gap = 500000L
+      val (sBase, tSBase) = timed(schk(
+        Temporal.sessionize(left, "k", "t", gapMicros = gap)))
+      val (sSkew, tSSkew) = timed(schk(
+        Temporal.sessionizeSkew(left, "k", "t", gapMicros = gap,
+          chunkWidth = width)))
+      require(sBase == sSkew,
+        s"sessionizeSkew diverged from sessionize at scale: $sBase vs $sSkew")
+      println(
+        f"""{"soak":"temporal_skew","left_rows":$nL,"right_rows":$nR,"hot_pct":$hotPct,"chunk_width":$width,"asof_sec":$tBase%.1f,"asof_skew_sec":$tSkew%.1f,"asof_matched":${baseChk._1},"sessionize_sec":$tSBase%.1f,"sessionize_skew_sec":$tSSkew%.1f,"max_session":${sBase._3}}""")
+      spark.stop()
+      return
+    }
+
     // "retention" = applyRetention at partition scale (VERDICT r10 #10):
     // a managed output with RETENTION_PARTS day-partitions (4 part-files
     // + _SUCCESS each, fabricated directly — retention cost is pure

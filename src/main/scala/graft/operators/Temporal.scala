@@ -204,6 +204,172 @@ object Temporal {
         rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
   }
 
+  private def tsToLong(dt: org.apache.spark.sql.types.DataType)(c: Column): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c.cast("long")
+    }
+
+  /** Floor division of a LONG column: `c - pmod(c, w)` is an exact
+    * multiple of `w` (pmod is non-negative), so the quotient is the
+    * floor at any sign. Exact while |c| < 2^53 (double-lossless —
+    * epoch micros stay below that until year 2255). */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Pick a chunk width for the skew variants: the key's time span split
+    * into `targetChunks` pieces (one cheap global min/max aggregation).
+    * Width is in the unit of [[asofJoin]]'s timeline (micros for
+    * timestamp columns, the column's own unit otherwise). */
+  def chunkWidthFor(df: DataFrame, tsCol: String,
+                    targetChunks: Int = 256): Long = {
+    require(targetChunks > 0, "targetChunks must be positive")
+    val t = tsToLong(df.schema(tsCol).dataType)(col(tsCol))
+    val row = df.agg(min(t).as("mn"), max(t).as("mx")).collect()(0)
+    if (row.isNullAt(0)) 1L
+    else math.max(1L, (row.getLong(1) - row.getLong(0)) / targetChunks + 1)
+  }
+
+  /** Skew-robust [[asofJoin]]: identical semantics (inclusive ties,
+    * max-tie, backward/forward, tolerance — equality suite-pinned on
+    * random data), but each key's timeline is PRE-SPLIT into fixed-width
+    * time chunks so a hot key (one bot account holding 10% of a
+    * clickstream) spreads over `span/chunkWidth` window partitions
+    * instead of stalling a whole stage on one straggler task.
+    *
+    * Boundary state rides a tiny side table, never a replicated row set:
+    * per (key, chunk) the winning right row is pre-aggregated
+    * (map-side combinable `max_by` — the hot key combines inside every
+    * task), then — because chunks partition time — the state entering a
+    * chunk is exactly the nearest prior (for forward: later) non-empty
+    * chunk's winner, computed with one window over the per-chunk
+    * summary (|keys × non-empty chunks| rows) and injected as a
+    * null-ts carry row that sorts first inside its chunk. The main
+    * window then partitions by (key, chunk).
+    *
+    * Cost: one extra aggregation + one small-window pass over the
+    * summary vs [[asofJoin]]'s single window; same one shuffle of each
+    * side (now on (key, chunk)). Use when key skew is real; for
+    * uniform keys [[asofJoin]] is marginally cheaper. Pick `chunkWidth`
+    * (timeline units — micros for timestamps) so a hot key's span
+    * yields 100–10000 chunks; [[chunkWidthFor]] derives one from the
+    * data's global span. */
+  def asofJoinSkew(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   rightCols: Seq[String], tieCol: String,
+                   chunkWidth: Long,
+                   direction: String = "backward",
+                   toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(!rightCols.contains(tsCol) && !rightCols.contains(tieCol),
+      s"rightCols must not repeat '$tsCol'/'$tieCol'")
+    require(!left.columns.exists(_.startsWith("__")),
+      "left columns starting with __ collide with asofJoinSkew internals")
+    require(!(rightCols :+ tsCol :+ tieCol).exists(_.startsWith("__")),
+      "column names starting with __ collide with asofJoinSkew internals")
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    val leftCols = left.columns.toSeq
+    val tsType = left.schema(tsCol).dataType
+    val toL = tsToLong(tsType) _
+    def chunkOf(c: Column): Column = floorDiv(toL(c), chunkWidth)
+    // null-ts left rows never match on either base path — bypass the
+    // machinery entirely (inside it they would sort with the carry rows
+    // and pick up a phantom payload)
+    val lNull = left.where(col(tsCol).isNull)
+    val lOk = left.where(col(tsCol).isNotNull)
+    val pay = struct(
+      (Seq(col(tsCol).as("__rts"), col(tieCol).as("__rtie")) ++
+        rightCols.map(c => col(c).as(c))): _*)
+    val r = right.where(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__rtie"),
+        pay.as("__rpay"))
+      .withColumn("__chunk", chunkOf(col(tsCol)))
+      .withColumn("__side", lit(0))
+    // per-(key, chunk) winner: backward = max (ts, tie); forward = min
+    // ts with max tie among its equals — encoded as max (-ts, tie)
+    val ordKey =
+      if (direction == "backward") struct(toL(col(tsCol)), col("__rtie"))
+      else struct(-toL(col(tsCol)), col("__rtie"))
+    val perChunkBest = r.groupBy(col(keyCol), col("__chunk"))
+      .agg(max_by(col("__rpay"), ordKey).as("__best"))
+    // chunk axis = every (key, chunk) on either side, so carry-in
+    // reaches chunks holding only left rows
+    val axis = lOk
+      .select(col(keyCol), chunkOf(col(tsCol)).as("__chunk")).distinct()
+      .unionByName(perChunkBest.select(col(keyCol), col("__chunk")))
+      .distinct()
+    // chunks partition time ⇒ the best over ALL prior (later) chunks is
+    // the nearest prior (later) non-empty chunk's winner
+    val byChunkAsc = Window.partitionBy(keyCol).orderBy(col("__chunk").asc)
+    val (carryW, carryFn) =
+      if (direction == "backward")
+        (byChunkAsc.rowsBetween(Window.unboundedPreceding, -1),
+          last(col("__best"), ignoreNulls = true))
+      else
+        (byChunkAsc.rowsBetween(1, Window.unboundedFollowing),
+          first(col("__best"), ignoreNulls = true))
+    val carry = axis.join(perChunkBest, Seq(keyCol, "__chunk"), "left")
+      .withColumn("__carry", carryFn.over(carryW))
+      .where(col("__carry").isNotNull)
+      .select(col(keyCol),
+        lit(null).cast(tsType).as(tsCol),
+        lit(null).cast(r.schema("__rtie").dataType).as("__rtie"),
+        col("__carry").as("__rpay"),
+        col("__chunk"), lit(0).as("__side"))
+    val l = lOk
+      .withColumn("__rtie", lit(null).cast(r.schema("__rtie").dataType))
+      .withColumn("__rpay", lit(null).cast(r.schema("__rpay").dataType))
+      .withColumn("__chunk", chunkOf(col(tsCol)))
+      .withColumn("__side", lit(1))
+    val unioned = l.select((Seq(col(keyCol), col(tsCol), col("__rtie"),
+        col("__rpay"), col("__chunk"), col("__side")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+      .unionByName(carry, allowMissingColumns = true)
+    // same per-chunk ordering as asofJoin's per-key one; the carry row's
+    // null ts sorts FIRST in both directions (incoming state precedes
+    // every in-chunk row)
+    val ord: Seq[Column] =
+      if (direction == "backward")
+        Seq(col(tsCol).asc_nulls_first, col("__side").asc,
+          col("__rtie").asc_nulls_first)
+      else
+        Seq(col(tsCol).desc_nulls_first, col("__side").asc,
+          col("__rtie").asc_nulls_first)
+    val w = Window.partitionBy(col(keyCol), col("__chunk")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPay = unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            toL(col(tsCol)) - toL(col("__match.__rts"))
+          else toL(col("__match.__rts")) - toL(col(tsCol))
+        withPay.withColumn("__match",
+          when(col("__match").isNotNull && gap <= tol, col("__match")))
+      case None => withPay
+    }
+    val matchedOut = bounded.select(
+      (leftCols.map(c => col(c)) :+
+        col("__match.__rts").as(s"asof_$tsCol") :+
+        col("__match.__rtie").as(s"asof_$tieCol")) ++
+        rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+    val nullOut = lNull.select(
+      (leftCols.map(c => col(c)) :+
+        lit(null).cast(tsType).as(s"asof_$tsCol") :+
+        lit(null).cast(right.schema(tieCol).dataType).as(s"asof_$tieCol")) ++
+        rightCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    matchedOut.unionByName(nullOut)
+  }
+
   /** Sessionize: tag every row with a per-key session ordinal
     * (`session_seq`, 1-based in time order) — a new session starts when
     * the gap to the key's previous event exceeds `gapMicros` (timestamp
@@ -233,6 +399,66 @@ object Temporal {
           tsAsLong - col("__prev") > gapMicros, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("__new")).over(running))
       .drop("__prev", "__new")
+  }
+
+  /** Skew-robust [[sessionize]]: identical output (equality
+    * suite-pinned), but the per-key sort is split into fixed-width time
+    * chunks so one hot key never serializes on a single task.
+    *
+    * Two phases: (1) rows sessionize WITHIN their (key, chunk) window —
+    * the hot key's sort spreads over its chunks; (2) a per-chunk
+    * summary (first/last event, local session count — |keys ×
+    * non-empty chunks| rows) is walked once per key in chunk order:
+    * a chunk whose first event is within `gapMicros` of the previous
+    * non-empty chunk's last event MERGES its first session into that
+    * chunk's last, and each chunk's session-ordinal offset is the
+    * running sum of prior chunks' (local sessions − merge). The final
+    * ordinal is `offset + local − merge`. The join back to the rows is
+    * on (key, chunk) — the same partitioning the phase-1 window
+    * produced, so no extra row-scale shuffle.
+    *
+    * Rows with a null `tsCol` are dropped (a null timeline position has
+    * no session; [[sessionize]] gives such rows arbitrary ordinals).
+    * Pick `chunkWidth` as for [[asofJoinSkew]]. */
+  def sessionizeSkew(df: DataFrame, keyCol: String, tsCol: String,
+                     gapMicros: Long, chunkWidth: Long): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    require(!df.columns.exists(_.startsWith("__")),
+      "columns starting with __ collide with sessionizeSkew internals")
+    val toL = tsToLong(df.schema(tsCol).dataType) _
+    val base = df.where(col(tsCol).isNotNull)
+      .withColumn("__tsl", toL(col(tsCol)))
+      .withColumn("__chunk", floorDiv(col("__tsl"), chunkWidth))
+    val byChunk = Window.partitionBy(col(keyCol), col("__chunk"))
+      .orderBy(col(tsCol))
+    val runningC = byChunk.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tagged = base
+      .withColumn("__prev", lag(col("__tsl"), 1).over(byChunk))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__tsl") - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("__lseq", sum(col("__new")).over(runningC))
+    val summary = tagged.groupBy(col(keyCol), col("__chunk"))
+      .agg(min(col("__tsl")).as("__first"), max(col("__tsl")).as("__last"),
+        max(col("__lseq")).as("__nloc"))
+    val byKey = Window.partitionBy(keyCol).orderBy(col("__chunk").asc)
+    val offsets = summary
+      .withColumn("__prevLast", lag(col("__last"), 1).over(byKey))
+      .withColumn("__merge",
+        when(col("__prevLast").isNotNull &&
+          col("__first") - col("__prevLast") <= gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__off", coalesce(
+        sum(col("__nloc") - col("__merge"))
+          .over(byKey.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(keyCol), col("__chunk"), col("__merge"), col("__off"))
+    tagged.join(offsets, Seq(keyCol, "__chunk"))
+      .withColumn("session_seq",
+        col("__off") + col("__lseq") - col("__merge"))
+      .select(df.columns.map(col).toSeq :+ col("session_seq"): _*)
   }
 
   /** Interval OVERLAP join: pairs every `a` interval with every `b`

@@ -105,6 +105,43 @@ object TemporalQueries {
             .as("total_value"))
         .orderBy("user_id", "session_seq")
     }),
+    // ---- skew-robust as-of: SAME semantics and oracle as q36 through
+    // the hot-key pre-split path (per-(key, time-chunk) windows +
+    // carried boundary state) — the gate pins the chunked plan to the
+    // identical row set
+    "q42_asof_skew" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      Temporal.asofJoinSkew(clicks, views, "user_id", "ts",
+          rightCols = Seq("value"), tieCol = "event_id",
+          chunkWidth = 86400000000L) // 1-day chunks
+        .where(col("asof_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"),
+          col("asof_value").as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- skew-robust sessionize: SAME semantics and oracle as q38
+    // through the chunked two-phase path (local sessions + boundary
+    // merge over the per-chunk summary)
+    "q43_sessionize_skew" -> ((s, dir) => {
+      val ev = EventTables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.sessionizeSkew(ev, "user_id", "ts",
+          gapMicros = 21600000000L, chunkWidth = 86400000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,6 +181,38 @@ object TemporalQueries {
           AND epoch_us(a.ts) <= epoch_us(b.ts) + 3600000000
           AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
          ORDER BY error_id, purchase_id""",
+    "q42_asof_skew" ->
+      """SELECT l.event_id AS event_id, l.user_id AS user_id,
+                r.event_id AS view_id,
+                epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+                r.value AS view_value
+         FROM (SELECT * FROM events WHERE event_type='click') l
+         ASOF JOIN (SELECT * FROM events WHERE event_type='view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
+    "q43_sessionize_skew" ->
+      """WITH d AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, value,
+                  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_seq
+           FROM d)
+         SELECT user_id, session_seq,
+                COUNT(*) AS n_events,
+                MIN(epoch_us(ts)) AS start_us,
+                MAX(epoch_us(ts)) AS end_us,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total_value
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "q38_sessionize" ->
       """WITH d AS (
            SELECT user_id, ts, value,

@@ -222,6 +222,98 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asofJoinSkew equals asofJoin in every mode at several widths") {
+    val (_, _, ldf, rdf) = randTables(41, 150, 130)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid", "asof_t", "asof_v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+           ("backward", Some(60L)), ("forward", Some(40L)));
+         width <- Seq(1L, 7L, 100L, 1000000L)) {
+      val base = shape(Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"),
+        "rid", direction = dir, toleranceMicros = tol))
+      val skew = shape(Temporal.asofJoinSkew(ldf, rdf, "k", "t", Seq("v"),
+        "rid", chunkWidth = width, direction = dir, toleranceMicros = tol))
+      assert(skew == base,
+        s"skew path diverges at dir=$dir tol=$tol width=$width")
+    }
+  }
+
+  test("asofJoinSkew null-ts rows behave like the base paths") {
+    val sp = spark; import sp.implicits._
+    val ldf = Seq[(Long, Long, java.lang.Long)](
+      (1L, 0L, 100L), (2L, 0L, null), (3L, 1L, null), (4L, 1L, 500L))
+      .toDF("lid", "k", "t")
+    val rdf = Seq[(Long, Long, java.lang.Long, Double)](
+      (10L, 0L, 50L, 1.0), (11L, 0L, 150L, 2.0),
+      (12L, 1L, 400L, 3.0), (13L, 1L, null, 9.0))
+      .toDF("rid", "k", "t", "v")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("lid", "asof_rid", "asof_v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    for (dir <- Seq("backward", "forward")) {
+      val base = run(Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"), "rid",
+        direction = dir))
+      val skew = run(Temporal.asofJoinSkew(ldf, rdf, "k", "t", Seq("v"),
+        "rid", chunkWidth = 64L, direction = dir))
+      assert(skew == base, s"null-ts handling diverges for $dir")
+    }
+  }
+
+  test("asofJoinSkew handles a hot key identically (many chunks)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(47)
+    // one key holds 90% of left events on a long timeline
+    val left = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) rnd.nextInt(5).toLong + 1 else 0L
+      (i.toLong, k, rnd.nextInt(100000).toLong)
+    }
+    val right = (0 until 300).map(i =>
+      (9000L + i, rnd.nextInt(6).toLong, rnd.nextInt(100000).toLong,
+        rnd.nextDouble()))
+    val ldf = left.toDF("lid", "k", "t")
+    val rdf = right.toDF("rid", "k", "t", "v")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid", "asof_t").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    for (dir <- Seq("backward", "forward")) {
+      val base = shape(Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"),
+        "rid", direction = dir))
+      val skew = shape(Temporal.asofJoinSkew(ldf, rdf, "k", "t", Seq("v"),
+        "rid", chunkWidth = 1000L, direction = dir))
+      assert(skew == base, s"hot-key skew path diverges for $dir")
+    }
+    assert(Temporal.chunkWidthFor(ldf, "t", targetChunks = 100) >= 1L)
+  }
+
+  test("sessionizeSkew equals sessionize incl. boundary ties") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(53)
+    // clustered timestamps with planted duplicates, one hot key
+    val rows = (0 until 3000).map { i =>
+      val k = if (i % 5 == 0) rnd.nextInt(4).toLong + 1 else 0L
+      val t = rnd.nextInt(300) * 100L + (if (rnd.nextBoolean()) 0L else 7L)
+      (i.toLong, k, t)
+    }
+    val df = rows.toDF("eid", "k", "t")
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.select("eid", "session_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(1L, 50L, 100L, 999L, 100000L)) {
+      val base = shape(Temporal.sessionize(df, "k", "t", gapMicros = 150L))
+      val skew = shape(Temporal.sessionizeSkew(df, "k", "t",
+        gapMicros = 150L, chunkWidth = width))
+      assert(skew == base, s"sessionizeSkew diverges at width=$width")
+    }
+  }
+
   test("asofJoinBroadcast never shuffles the left side") {
     val sp = spark; import sp.implicits._
     val ldf = (0 until 50).map(i => (i.toLong, i % 3L, i.toLong * 7))
