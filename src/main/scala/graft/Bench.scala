@@ -57,6 +57,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // WAIT FOR CALM before the first sweep: a bench launched while a
+    // soak's load is still draining self-labels "loaded" and needs a
+    // re-run to adjudicate (it happened two rounds straight). Waiting
+    // out the residual load — up to SPARK_GRAFT_BENCH_CALM_WAIT_SECS
+    // (default 360 s, 0 disables) in 15 s steps until 1-min load < 2 —
+    // makes the artifact of record calm by construction; if the host
+    // never calms, the run proceeds and honestly labels itself loaded.
+    val calmWait =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALM_WAIT_SECS", "360").toInt
+    var waited = 0
+    while (waited < calmWait && loadavg1m() >= 2.0) {
+      System.err.println(
+        f"[bench] load ${loadavg1m()}%.2f >= 2.0 — waiting for calm " +
+          s"($waited/${calmWait}s)")
+      Thread.sleep(15000)
+      waited += 15
+    }
     // comma-separated subset filter for local A/B iterating (driver unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
