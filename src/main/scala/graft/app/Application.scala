@@ -836,6 +836,13 @@ final class Application(val name: String, val spark: SparkSession,
                  retry: RetryPolicy = RetryPolicy(),
                  outputFilterOverride: DimFilter = null): NodeRef = {
     require(!defs.exists(_.id == id), s"node '$id' already declared")
+    // probe ClassSlot resolution NOW: a missing/mistyped compute class
+    // must fail the declaration, not the first execution (reference
+    // external-module descriptors resolve at bind time too)
+    computeTargets.foreach {
+      case graft.compute.ClassSlot(cn) => graft.compute.ClassSlot.resolve(cn)
+      case _ => ()
+    }
     val signals = inputs.map(_.signal).toList
     val linkNode0 = SignalLinkNode(signals, inputLinks)
     val linkNode = if (autoInputDimLinking) linkNode0.withAutoLinks else linkNode0

@@ -300,6 +300,9 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
           lastDf = Some(session.sql(st))
         }
       case InlinedSlot(f) => f(slotCtx)
+      case ClassSlot(cn) =>
+        logSink(s"class> $cn")
+        lastDf = Some(ClassSlot.resolve(cn)(slotCtx))
     }
     lastDf.map(OutputWriter.write(session, _, ctx.output))
   }

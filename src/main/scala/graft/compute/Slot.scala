@@ -21,6 +21,55 @@ final case class ScalaSlot(f: SlotContext => DataFrame) extends Slot
 final case class SqlSlot(sql: String) extends Slot
 final case class InlinedSlot(f: SlotContext => Unit) extends Slot
 
+/** Compute resolved by CLASS NAME at run time — the reference's
+  * external-module compute descriptors (`scala_module` api_ext.py:1197,
+  * `python_module` :1168, `sql_module` :1214): the DAG stores only the
+  * name, so a persisted app ([[graft.app.Application!.saveDevState]])
+  * round-trips Scala compute — unlike a [[ScalaSlot]] closure, which
+  * cannot travel across JVMs — and a fresh process re-resolves the
+  * implementation from its own classpath. The named class must
+  * implement [[SlotFunction]] and have a no-arg constructor, or be a
+  * Scala `object` extending it. Resolution is probed at declaration
+  * time (`createData` fails fast on a missing/mistyped class) and
+  * happens again in the executing JVM. */
+final case class ClassSlot(className: String) extends Slot
+
+/** Implemented by user compute classes named in a [[ClassSlot]]. */
+trait SlotFunction extends Serializable {
+  def apply(ctx: SlotContext): DataFrame
+}
+
+object ClassSlot {
+  /** Load + instantiate the named [[SlotFunction]]: a plain class via
+    * its no-arg constructor, or a Scala `object` via its singleton
+    * (both `my.Obj` and `my.Obj$` spellings accepted). */
+  def resolve(className: String): SlotFunction = {
+    def load(n: String): Option[Class[_]] =
+      try Some(Class.forName(n))
+      catch { case _: ClassNotFoundException => None }
+    def instantiate(cls: Class[_]): Option[Any] =
+      if (cls.getName.endsWith("$"))
+        try Some(cls.getField("MODULE$").get(null))
+        catch { case _: NoSuchFieldException => None }
+      else
+        try Some(cls.getDeclaredConstructor().newInstance())
+        catch { case _: NoSuchMethodException => None }
+    // a Scala `object Foo` compiles to BOTH a static-forwarder class
+    // `Foo` (no usable constructor) and the `Foo$` singleton — try the
+    // given spelling first, then the singleton
+    val classes = Seq(className, className + "$").flatMap(load(_))
+    if (classes.isEmpty)
+      throw new IllegalArgumentException(
+        s"ClassSlot: class '$className' not found on the classpath")
+    classes.flatMap(instantiate(_))
+      .collectFirst { case f: SlotFunction => f }
+      .getOrElse(throw new IllegalArgumentException(
+        s"ClassSlot: '${classes.map(_.getName).mkString("' / '")}' does " +
+          "not implement graft.compute.SlotFunction (with a no-arg " +
+          "constructor or as a Scala object)"))
+  }
+}
+
 /** What user code receives (reference glueetl_default_ABI.py:41-62 reserved
   * keywords: spark, inputs by alias and positional inputN, output dimensions
   * map, args). `log` appends to the execution's compute-record log buffer

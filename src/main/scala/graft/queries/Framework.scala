@@ -373,21 +373,30 @@ object Framework {
     // ---- dev-context persistence (reference save/load_dev_state +
     // attach, application.py:164-180): the DAG is declared once, saved,
     // and a NEW SparkSession attaches it from disk — zero re-declaration —
-    // then executes through the recovered definitions
+    // then executes through the recovered definitions. The downstream
+    // node's compute is a ClassSlot (reference scala_module external
+    // compute, api_ext.py:1197-1213): only the class NAME persists, the
+    // attached process re-resolves the implementation from its
+    // classpath and EXECUTES it — the round-trip a ScalaSlot closure
+    // cannot make.
     "fw13_attach" -> ((s, dir) => {
       val w = work(dir)
       val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
       val root = s"$w/app_fw13"
       val app1 = new Application("fw13", s, root)
       val src = app1.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
-      app1.createData("day_agg", Seq(src.latest(1)), Seq(SqlSlot(
+      val agg = app1.createData("day_agg", Seq(src.latest(1)), Seq(SqlSlot(
         """SELECT o_orderstatus, COUNT(*) AS order_cnt
            FROM orders_daily GROUP BY o_orderstatus""")))
+      app1.createData("status_share", Seq(agg),
+        Seq(graft.compute.ClassSlot("graft.queries.Fw13StatusShare")))
       app1.saveDevState()
       val app2 = Application.attach("fw13", s.newSession(), root)
-      val node = app2.getData("day_agg").getOrElse(
-        sys.error("attached dev state lost node 'day_agg'"))
-      app2.execute(node(fmt(maxDay)))
+      val node = app2.getData("status_share").getOrElse(
+        sys.error("attached dev state lost node 'status_share'"))
+      // recursive: the upstream day_agg partition is materialized first,
+      // then the reflectively-resolved ClassSlot computes the share
+      app2.execute(node(fmt(maxDay)), recursive = true)
       app2.load(node(fmt(maxDay))).orderBy("o_orderstatus")
     }),
 
@@ -606,11 +615,16 @@ object Framework {
            (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
          GROUP BY r.region, o_orderstatus ORDER BY 1, 2""",
     "fw13_attach" ->
-      """SELECT o_orderstatus, COUNT(*) AS order_cnt
-         FROM orders
-         WHERE CAST(o_orderdate AS DATE) =
-           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
-         GROUP BY 1 ORDER BY 1""",
+      """WITH agg AS (
+           SELECT o_orderstatus, COUNT(*) AS order_cnt
+           FROM orders
+           WHERE CAST(o_orderdate AS DATE) =
+             (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+           GROUP BY 1)
+         SELECT o_orderstatus, order_cnt,
+                CAST(order_cnt AS DOUBLE)
+                  / CAST(SUM(order_cnt) OVER () AS DOUBLE) AS share
+         FROM agg ORDER BY o_orderstatus""",
     "fw03_reference_join" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -719,4 +733,20 @@ object Framework {
               AND DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) = pick.d
               AND EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) = pick.h) AS view_cnt"""
   )
+}
+
+/** External-module compute for the fw13 gate row — the [[graft.compute.ClassSlot]]
+  * analog of the reference's `scala_module` descriptor (api_ext.py:1197-1213):
+  * the persisted DAG stores only this class's NAME; the attaching process
+  * resolves it reflectively and executes it. Input `day_agg` =
+  * (o_orderstatus, order_cnt); output adds each status's share of the day's
+  * orders. */
+final class Fw13StatusShare extends SlotFunction {
+  override def apply(ctx: SlotContext): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ctx.input("day_agg")
+      .withColumn("share", col("order_cnt").cast("double") /
+        sum(col("order_cnt")).over(
+          Window.partitionBy()).cast("double"))
+  }
 }

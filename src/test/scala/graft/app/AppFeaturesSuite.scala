@@ -389,6 +389,34 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("'bad'"))
   }
 
+  test("ClassSlot: compute persists by NAME and executes after attach") {
+    stageDays(s"$work/src_classslot", Seq("2026-08-11"))
+    val root = s"$work/app_classslot"
+    val app1 = new Application("classslot", spark, root)
+    val src = app1.marshalExternalData("src", s"$work/src_classslot", daySpec)
+    app1.createData("tripled", Seq(src.latest(1)),
+      Seq(ClassSlot("graft.app.TestTriplerSlot")))
+    app1.saveDevState() // no closure — persists where ScalaSlot cannot
+    val app2 = Application.attach("classslot", spark.newSession(), root)
+    val n = app2.getData("tripled").get
+    app2.execute(n("2026-08-11"))
+    assert(app2.load(n("2026-08-11")).collect().head.getDouble(1) == 18.0)
+    // Scala-object compute resolves under both name spellings
+    assert(ClassSlot.resolve("graft.app.TestObjectSlot") ne null)
+    assert(ClassSlot.resolve("graft.app.TestObjectSlot$") ne null)
+    // unknown class fails at DECLARATION, with the class named
+    val app3 = new Application("classslot_bad", spark,
+      s"$work/app_classslot_bad")
+    val s3 = app3.marshalExternalData("src", s"$work/src_classslot", daySpec)
+    val e = intercept[IllegalArgumentException](app3.createData("bad",
+      Seq(s3.latest(1)), Seq(ClassSlot("graft.app.NoSuchCompute"))))
+    assert(e.getMessage.contains("not found"))
+    // a resolvable class that is not a SlotFunction names the type
+    val e2 = intercept[IllegalArgumentException](
+      ClassSlot.resolve("java.lang.String"))
+    assert(e2.getMessage.contains("SlotFunction"))
+  }
+
   test("downstream export: two apps share data both directions, push-wired") {
     stageDays(s"$work/src_export", Seq("2026-08-12"))
     val appA = new Application("appA", spark, s"$work/app_exp_a")
@@ -1179,4 +1207,17 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     app.execute(node("2026-08-12"))
     assert(app.load(node("2026-08-12")).collect().head.getDouble(0) == 12.0)
   }
+}
+
+/** ClassSlot test compute: triple the day's total (plain class form). */
+final class TestTriplerSlot extends SlotFunction {
+  override def apply(ctx: SlotContext): org.apache.spark.sql.DataFrame =
+    ctx.input("src").groupBy("day")
+      .agg((sum("amount") * 3).cast("double").as("total3"))
+}
+
+/** ClassSlot test compute: Scala `object` form. */
+object TestObjectSlot extends SlotFunction {
+  override def apply(ctx: SlotContext): org.apache.spark.sql.DataFrame =
+    ctx.input("src")
 }
