@@ -298,6 +298,32 @@ final class Application(val name: String, val spark: SparkSession,
       SignalSource.external(rootPath, attrs, protocol, partitionPrefixes),
       spec, DimFilter.allPassFor(spec)))
 
+  /** Model-artifact signal (reference `marshal_external_model`,
+    * api_ext.py:1127-1166; `marshal_external_sagemaker_model` :1091 is
+    * the same surface with pre-filled metadata): a NON-DATASET artifact
+    * tree — trained model directories, version/date partitioned per
+    * `spec`, each partition completed by `_SUCCESS` (or a manifest name
+    * via `protocol`). The node is referenceable like any dataset
+    * (`.ref`, `.nearest`, range semantics all apply — "the model
+    * version live when this example was logged" is `.latest(n).nearest`
+    * beside a data trigger, the q40 state-attach shape), but compute
+    * NEVER receives it as a DataFrame: the artifact is opaque bytes, so
+    * slots take the materialized artifact path from
+    * `ctx.inputSignals(alias).materializedPaths` and the declared
+    * `modelMetadata`/`modelFormat` from the signal's source attrs. */
+  def marshalExternalModel(id: String, rootPath: String, spec: DimSpec,
+                           modelMetadata: Map[String, String] = Map.empty,
+                           modelFormat: String = "generic",
+                           protocol: IntegrityProtocol =
+                             IntegrityProtocol.FileCheck("_SUCCESS"),
+                           partitionPrefixes: Seq[String] = Nil): NodeRef =
+    NodeRef(this, Signal(id,
+      SignalSource.external(rootPath,
+        DatasetAttrs(rawContent = true, modelMetadata = modelMetadata,
+          modelFormat = Some(modelFormat)),
+        protocol, partitionPrefixes),
+      spec, DimFilter.allPassFor(spec)))
+
   /** Timer node: single DATETIME dimension (reference application.py:1023-1052).
     * `scheduleExpression` (`cron(...)`/`rate(...)`, see [[Schedule.parse]])
     * registers the timer for automatic firing through [[scheduler]]; a
@@ -1556,10 +1582,10 @@ final class Application(val name: String, val spark: SparkSession,
     require(target.signal.isMaterialized,
       s"execute target must be materialized, got ${target.signal.filter.pretty}")
     val out = target.signal
-    val inputs = d.linkNode.materializedInputsForOutput(out, d.outputLinks).getOrElse(
+    val inputs0 = d.linkNode.materializedInputsForOutput(out, d.outputLinks).getOrElse(
       throw new IllegalStateException(s"cannot materialize inputs for '${d.id}'"))
 
-    if (recursive) inputs.foreach { in =>
+    if (recursive) inputs0.foreach { in =>
       defs.find(nd => in.source.rootPath == nd.output.source.rootPath).foreach { parent =>
         in.filter.tuples.foreach { tuple =>
           val partPath = in.source.materializePath(tuple)
@@ -1572,6 +1598,18 @@ final class Application(val name: String, val spark: SparkSession,
       }
     }
 
+    // narrow nearest inputs to their first EXISTING partition — the
+    // event path does this in RuntimeLinkNode.materializedInputs, and
+    // the signal handed to slots must not depend on how the execution
+    // was triggered (a rawContent artifact consumer reads the signal's
+    // path directly; before this, manual execute gave it the unprobed
+    // range tip)
+    val inputs = inputs0.map { s =>
+      if (s.nearestTheTip)
+        s.materializedPaths.find(p => probe.isComplete(p, s.source.protocol))
+          .flatMap(s.fromEventPath).getOrElse(s)
+      else s
+    }
     val ctx = ExecutionContext(d.id, inputs, out)
     runCancellable(ctx, d.slots, d.retry).getOrElse(out.materializedPaths.head)
   }

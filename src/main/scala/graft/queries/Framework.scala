@@ -400,6 +400,54 @@ object Framework {
       app2.load(node(fmt(maxDay))).orderBy("o_orderstatus")
     }),
 
+    // ---- model-artifact signal (reference marshal_external_model,
+    // api_ext.py:1127-1166): a version-partitioned NON-dataset artifact
+    // tree rides a nearest-reference input through the orchestrator —
+    // the trigger day has no artifact, so the probe resolves the newest
+    // EXISTING version (the "model live when this data was logged"
+    // shape); the slot reads the artifact PATH + declared metadata from
+    // its SlotContext (never a DataFrame) and stamps the aggregation
+    // with the resolved version and the artifact's true byte size
+    "fw18_model_attach" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      val mRoot = s"$w/models_fw18"
+      val mDay = fmt(maxDay.minusDays(1))
+      val fs = new org.apache.hadoop.fs.Path(mRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mDir = new org.apache.hadoop.fs.Path(s"$mRoot/$mDay")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(mDir, "_SUCCESS"))) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(mDir, "model.bin"), true)
+        out.write(Array.fill[Byte](16)(0x5A)); out.close()
+        fs.create(new org.apache.hadoop.fs.Path(mDir, "_SUCCESS"), true).close()
+      }
+      val app = new Application("fw18", s, s"$w/app_fw18")
+      val orders = app.marshalExternalData("orders_daily", s"$w/orders_daily", daySpec)
+      val models = app.marshalExternalModel("models", mRoot, daySpec,
+        modelMetadata = Map("algorithm" -> "xgboost"),
+        modelFormat = "sagemaker_training_job")
+      val node = app.createData("scored_agg",
+        Seq(orders.latest(1), models.latest(5).nearest),
+        Seq(ScalaSlot { ctx =>
+          val ms = ctx.inputSignals("models")
+          val mPath = ms.materializedPaths.head
+          val ver = ms.tip.head.transform().value.toString
+          val bin = new org.apache.hadoop.fs.Path(mPath, "model.bin")
+          val nBytes = bin.getFileSystem(
+            ctx.spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(bin).getLen
+          ctx.input("orders_daily").groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("order_cnt"))
+            .withColumn("model_version", lit(ver))
+            .withColumn("model_algo",
+              lit(ms.source.attrs.modelMetadata("algorithm")))
+            .withColumn("model_bytes", lit(nBytes))
+        }))
+      app.activate()
+      app.execute(node(fmt(maxDay)))
+      app.load(node(fmt(maxDay))).orderBy("o_orderstatus")
+    }),
+
     // ---- DATETIME timezone: an hour-granularity UTC timer fires at
     // 03:00 UTC; the node's output dimension is declared in PST, linked
     // through DateValue.toTimezone — the materialized partition lands on
@@ -625,6 +673,16 @@ object Framework {
                 CAST(order_cnt AS DOUBLE)
                   / CAST(SUM(order_cnt) OVER () AS DOUBLE) AS share
          FROM agg ORDER BY o_orderstatus""",
+    "fw18_model_attach" ->
+      """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+                CAST((SELECT MAX(CAST(o_orderdate AS DATE)) - 1 FROM orders)
+                  AS VARCHAR) AS model_version,
+                'xgboost' AS model_algo,
+                CAST(16 AS BIGINT) AS model_bytes
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) =
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY 1 ORDER BY 1""",
     "fw03_reference_join" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -42,7 +42,15 @@ final case class DatasetAttrs(
     /** Trigger-only pseudo-dataset (reference DataType.RAW_CONTENT,
       * application.py:4686): partitions carry a completion marker but no
       * loadable data — compute must not register it as an input view. */
-    rawContent: Boolean = false)
+    rawContent: Boolean = false,
+    /** Model-artifact attributes (reference DataType.MODEL_ARTIFACT +
+      * MODEL_METADATA/model_format, signal_source.py:107,148-152;
+      * marshal_external_model api_ext.py:1127-1166): artifact signals
+      * are rawContent (opaque bytes, never a DataFrame) — compute reads
+      * the artifact PATH from its SlotContext.inputSignals and these
+      * attrs carry the declared metadata with the signal. */
+    modelMetadata: Map[String, String] = Map.empty,
+    modelFormat: Option[String] = None)
 
 /** Where a signal's resources live. The path⇄dimension codec lives here:
   * `materializePath` renders `root/dim1/dim2/...` from a value tuple;

@@ -389,6 +389,49 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("'bad'"))
   }
 
+  test("marshalExternalModel: artifact rides a ref, never becomes a view") {
+    stageDays(s"$work/src_model", Seq("2026-08-12"))
+    val mRoot = s"$work/models_suite"
+    val fs = new org.apache.hadoop.fs.Path(mRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new org.apache.hadoop.fs.Path(s"$mRoot/2026-08-12")
+    val out = fs.create(new org.apache.hadoop.fs.Path(mDir, "model.onnx"), true)
+    out.write(Array.fill[Byte](8)(1)); out.close()
+    fs.create(new org.apache.hadoop.fs.Path(mDir, "_SUCCESS"), true).close()
+
+    val root = s"$work/app_model"
+    val app = new Application("model", spark, root)
+    val src = app.marshalExternalData("src", s"$work/src_model", daySpec)
+    val model = app.marshalExternalModel("mymodel", mRoot, daySpec,
+      modelMetadata = Map("algorithm" -> "onnx-net", "dim" -> "768"),
+      modelFormat = "onnx")
+    var seenPath: String = null
+    var viewExists = true
+    val node = app.createData("scored", Seq(src.latest(1), model.ref),
+      Seq(ScalaSlot { ctx =>
+        val ms = ctx.inputSignals("mymodel")
+        seenPath = ms.materializedPaths.head
+        // the artifact must NOT be registered as an input view — it is
+        // opaque bytes, not a dataset
+        viewExists = ctx.spark.catalog.tableExists("mymodel")
+        assert(ms.source.attrs.modelMetadata("algorithm") == "onnx-net")
+        assert(ms.source.attrs.modelFormat.contains("onnx"))
+        ctx.input("src").groupBy("day")
+          .agg(sum("amount").cast("double").as("total"))
+      }))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    assert(!viewExists, "model artifact leaked into the temp-view catalog")
+    assert(seenPath.endsWith("models_suite/2026-08-12"))
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 6.0)
+    // metadata persists with the dev state (the slot closure above does
+    // not — use SqlSlot/ClassSlot nodes for persistable DAGs; the
+    // MARSHALED signal itself round-trips through consuming nodes)
+    val sig = model.signal
+    assert(sig.source.attrs.modelMetadata == Map(
+      "algorithm" -> "onnx-net", "dim" -> "768"))
+  }
+
   test("ClassSlot: compute persists by NAME and executes after attach") {
     stageDays(s"$work/src_classslot", Seq("2026-08-11"))
     val root = s"$work/app_classslot"
