@@ -172,15 +172,61 @@ final class RoutingTable(probe: PathProbe,
   private var replaying = false
   private var eventsSinceCompact = 0
 
-  def add(route: Route): Unit = synchronized { routes :+= route }
+  // ---- event→route index (reference RouteIndex, constructs.py:
+  // 2705-2741): both dispatch paths were linear scans over every
+  // route's signals — fine at 10 routes, seconds per 10k events at a
+  // 10k-route table. Dispatch cost must follow the EVENT, not the
+  // table: signal dispatch indexes the exact (kind, rootPath) of each
+  // non-reference input (`accepts` requires resource equality, so
+  // other routes can never match); raw-path decode indexes source
+  // roots and probes only the event path's ANCESTOR prefixes — O(path
+  // depth) lookups per event. List order inside each bucket preserves
+  // route-declaration order, so first-decode-wins semantics are
+  // unchanged.
+  private var routesBySource =
+    Map.empty[(SignalSourceKind, String), List[Route]]
+  private var signalsByRoot = Map.empty[String, List[Signal]]
+
+  def add(route: Route): Unit = synchronized {
+    routes :+= route
+    route.linkNode.signals.foreach { s =>
+      if (!s.isReference) {
+        val rk = (s.source.kind, s.source.rootPath)
+        val cur = routesBySource.getOrElse(rk, Nil)
+        if (!cur.exists(_ eq route))
+          routesBySource = routesBySource.updated(rk, cur :+ route)
+      }
+      val root = s.source.rootPath.stripSuffix("/")
+      signalsByRoot = signalsByRoot.updated(root,
+        signalsByRoot.getOrElse(root, Nil) :+ s)
+    }
+  }
   def all: List[Route] = routes
   def find(id: String): Option[Route] = routes.find(_.id == id)
+
+  /** Every ancestor prefix of `path` (itself first, then each parent),
+    * cut at '/' — the only candidate source roots an event can live
+    * under. */
+  private def ancestorPrefixes(path: String): List[String] = {
+    val norm = path.stripSuffix("/")
+    var acc = List(norm)
+    var cur = norm
+    var i = cur.lastIndexOf('/')
+    while (i > 0) {
+      cur = cur.substring(0, i)
+      acc = cur :: acc
+      i = cur.lastIndexOf('/')
+    }
+    acc.reverse // deepest (most specific) first
+  }
 
   /** Ingest one concrete event signal; returns ready execution contexts
     * across all matching routes. */
   def receive(incoming: Signal, isBlocked: Boolean = false): List[ExecutionContext] =
     synchronized {
-      val matching = routes.filter(_.accepts(incoming))
+      val matching = routesBySource
+        .getOrElse((incoming.source.kind, incoming.source.rootPath), Nil)
+        .filter(_.accepts(incoming))
       // log ONLY events some route accepts (an unmatched event rebuilds
       // nothing at replay, so logging it would just grow the WAL forever
       // on a long-lived driver), at tip granularity (reference ONLY_HEAD
@@ -254,7 +300,8 @@ final class RoutingTable(probe: PathProbe,
       // match their route's rootPath
       val normalized =
         if (p.getName.startsWith("part-")) p.getParent.toString else path
-      val decoded: List[Signal] = routes.flatMap(_.linkNode.signals)
+      val decoded: List[Signal] = ancestorPrefixes(normalized)
+        .flatMap(r => signalsByRoot.getOrElse(r, Nil))
         .flatMap(s => s.fromEventPath(normalized)).distinct
       // nested source roots are legal (boundary-aware prefix decode), so
       // one path can decode against SEVERAL resources — dispatch every
