@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch UDFs — one partition = one batch, no per-row
   * serialization overhead, embarrassingly parallel, no shuffle).
   *
-  * The actual image/audio codecs are NOT available in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic stand-in; everything
-  * around it — schema, batch shape, partitioning, feature plumbing — is
-  * real and tested.
+  * Decoders: images through the REAL `javax.imageio` path
+  * ([[decodeImages]]), audio through the REAL `javax.sound.sampled`
+  * WAV/PCM path ([[decodeAudio]]) — both in-JDK codecs, no external
+  * deps. Video has no in-JDK codec: its payloads get BYTE-LEVEL
+  * treatment only ([[extractFeatures]] histograms/checksums,
+  * [[sampleFrames]] chunking) — real plumbing, no frame decode, by
+  * design in this environment.
   */
 object Multimodal {
 
@@ -37,11 +40,6 @@ object Multimodal {
       .withColumn("format", lit(format))
       .as[MediaRow]
   }
-
-  /** ??? DECODE STUB ??? — non-image modalities (audio PCM, video codecs)
-    * have no decoder in this JRE; stand-in: the raw bytes themselves.
-    * Images go through the REAL `javax.imageio` path in [[decodeImages]]. */
-  private def decodeStub(content: Array[Byte]): Array[Byte] = content
 
   /** Deterministic RGB PNG for a payload: dimensions derived from the
     * payload length, pixels tiled from the payload bytes — REAL codec
@@ -114,23 +112,99 @@ object Multimodal {
     })
   }
 
-  /** Per-partition batch feature extraction: 16-bin byte histogram
-    * (normalized) + FNV checksum — the deterministic stand-in for an
-    * embedding/feature model over decoded media. */
+  /** Per-partition batch feature extraction over the ENCODED byte
+    * stream: 16-bin byte histogram (normalized) + FNV checksum — the
+    * deterministic stand-in for an embedding/feature model. Operates on
+    * payload bytes by design (container-level features); use
+    * [[decodeImages]]/[[decodeAudio]] for decoded-domain invariants. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = decodeStub(r.content)
+        val bytes = r.content
         val hist = new Array[Double](16)
-        decoded.foreach(b => hist((b & 0xff) >> 4) += 1.0)
-        val n = math.max(decoded.length, 1)
+        bytes.foreach(b => hist((b & 0xff) >> 4) += 1.0)
+        val n = math.max(bytes.length, 1)
         var h = 0xcbf29ce484222325L
-        decoded.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-        MediaFeatures(r.media_id, r.modality, decoded.length.toLong,
+        bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+        MediaFeatures(r.media_id, r.modality, bytes.length.toLong,
           hist.map(_ / n), h)
       }
     }
+  }
+
+  final case class AudioSamples(media_id: Long, channels: Int,
+                                sample_rate: Int, frames: Long,
+                                sample_count: Long, sample_checksum: Long)
+
+  /** Deterministic 16-bit PCM WAV for a payload — REAL codec bytes
+    * (RIFF/WAVE container written by `javax.sound.sampled`): channel
+    * count and frame count derive from the payload length, samples from
+    * the payload bytes, so decode invariants are predictable from the
+    * source row. */
+  private[operators] def encodeWav(seed: Array[Byte]): Array[Byte] = {
+    val channels = (seed.length % 2) + 1
+    val frames = (seed.length % 977) + 64
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      val base = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      val s = ((base << 8) ^ (i * 0x9E3779B9).toInt) & 0xffff
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, channels,
+      true, false) // signed PCM, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Pack a text table as REAL WAV media rows (the payload drives the
+    * deterministic PCM content; `orig_len` keeps the source length). */
+  def packAsWavMedia(df: DataFrame, idCol: String,
+                     payloadCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_1"),
+        encode(col(payloadCol), "UTF-8").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        MediaRow(id, "audio", encodeWav(raw), raw.length.toLong, "audio/wav")
+      })
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/PCM — in-JDK, no
+    * external codec deps). Per-partition batch shape. Emits the decoded
+    * geometry (channels, rate, frames) + an FNV checksum over the
+    * signed 16-bit samples, so oracles can assert the
+    * frames×channels=samples invariant and tests can assert lossless
+    * PCM round-trips. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioSamples] = {
+    import media.sparkSession.implicits._
+    media.filter(_.format.startsWith("audio/")).mapPartitions(_.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"media ${r.media_id}: expected 16-bit little-endian PCM, got $fmt")
+      val channels = fmt.getChannels
+      val bytes = ais.readAllBytes()
+      val nSamples = bytes.length / 2
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < nSamples) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)) & 0xffff
+        h ^= s.toLong; h *= 0x100000001b3L
+        i += 1
+      }
+      AudioSamples(r.media_id, channels, fmt.getSampleRate.toInt,
+        nSamples.toLong / channels, nSamples.toLong, h)
+    })
   }
 
   /** Frame sampling for "video" payloads: split the byte stream into

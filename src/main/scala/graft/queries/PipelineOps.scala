@@ -182,6 +182,28 @@ object PipelineOps {
         .orderBy("media_id")
     }),
 
+    // ---- REAL audio decode (javax.sound.sampled WAV/PCM): payloads
+    // re-encoded as actual RIFF/WAVE containers, decoded back — the
+    // oracle recomputes channels/frames from the payload length, so
+    // they match ONLY if a real decoder parsed the container; decoded
+    // sample-checksum classes must equal payload classes (planted
+    // byte-identical copies merge)
+    "p36_audio_decode" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") < 40)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val au = Multimodal.decodeAudio(
+        Multimodal.packAsWavMedia(base.unionByName(planted),
+          "doc_id", "text")).toDF()
+      val grp = au.groupBy("sample_checksum")
+        .agg(min("media_id").as("dup_min"), count(lit(1)).as("dup_cnt"))
+      au.join(grp, "sample_checksum")
+        .select(col("media_id"), col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("frames"), col("sample_count"), col("dup_min"), col("dup_cnt"))
+        .orderBy("media_id")
+    }),
+
     // ---- ANN with provable recall: planted positive multiples of the
     // query vector share its plane signature BY CONSTRUCTION (sign bits are
     // scale-invariant), have cosine exactly 1, and out-rank every real
@@ -746,6 +768,25 @@ object PipelineOps {
                 ((byte_len // 31) % 29) + 2 AS height,
                 CAST(3 AS BIGINT) AS channels,
                 ((byte_len % 31) + 2) * (((byte_len // 31) % 29) + 2) * 3 AS pixel_count
+         FROM b JOIN g USING (ck) ORDER BY media_id""",
+    // decoded WAV geometry recomputed from payload length; decoded
+    // sample-checksum classes == payload classes
+    "p36_audio_decode" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 40),
+         b AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                      md5(text) AS ck FROM corpus),
+         g AS (SELECT ck, MIN(media_id) AS dup_min, COUNT(*) AS dup_cnt
+               FROM b GROUP BY ck)
+         SELECT media_id,
+                (len % 2) + 1 AS channels,
+                CAST(16000 AS BIGINT) AS sample_rate,
+                (len % 977) + 64 AS frames,
+                ((len % 977) + 64) * ((len % 2) + 1) AS sample_count,
+                dup_min, dup_cnt
          FROM b JOIN g USING (ck) ORDER BY media_id""",
     // the ten planted positive multiples of the query vector are the true
     // top-10 at cosine exactly 1 (max real cosine to any vector ≈ 0.51)

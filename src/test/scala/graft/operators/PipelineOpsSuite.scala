@@ -278,6 +278,48 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(c0 == expected)
   }
 
+  test("multimodal: real WAV codec round-trip via javax.sound.sampled") {
+    val wav = Multimodal.packAsWavMedia(docsDf, "doc_id", "text")
+    val rows = wav.collect()
+    // real container bytes: RIFF magic, not the raw payload
+    assert(rows.forall(r => r.content(0) == 'R' && r.content(1) == 'I' &&
+      r.content(2) == 'F' && r.content(3) == 'F'))
+    val au = Multimodal.decodeAudio(wav).collect()
+    assert(au.length == 5)
+    rows.foreach { r =>
+      val a = au.find(_.media_id == r.media_id).get
+      val expCh = (r.orig_len % 2) + 1
+      val expFrames = (r.orig_len % 977) + 64
+      assert(a.channels == expCh && a.frames == expFrames)
+      assert(a.sample_rate == 16000)
+      assert(a.sample_count == a.frames * a.channels)
+    }
+    // WAV PCM is lossless: identical payloads decode to identical
+    // samples, different payloads to different ones
+    val c0 = au.find(_.media_id == 0L).get.sample_checksum
+    val c3 = au.find(_.media_id == 3L).get.sample_checksum
+    val c2 = au.find(_.media_id == 2L).get.sample_checksum
+    assert(c0 == c3 && c0 != c2)
+    // decoded samples equal the ORIGINAL pre-encode PCM pattern: the
+    // checksum is over decoded 16-bit samples, not container bytes
+    val seed = docsDf.where(col("doc_id") === 0)
+      .select(col("text")).collect().head.getString(0).getBytes("UTF-8")
+    val expected = {
+      val channels = (seed.length % 2) + 1
+      val frames = (seed.length % 977) + 64
+      var hsh = 0xcbf29ce484222325L
+      var i = 0
+      while (i < frames * channels) {
+        val base = seed(i % seed.length) & 0xff
+        val s = ((base << 8) ^ (i * 0x9E3779B9).toInt) & 0xffff
+        hsh ^= s.toLong; hsh *= 0x100000001b3L
+        i += 1
+      }
+      hsh
+    }
+    assert(c0 == expected)
+  }
+
   test("connected components cluster dup pairs; canonical = min id") {
     val sp = spark; import sp.implicits._
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
