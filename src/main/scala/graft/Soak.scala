@@ -360,6 +360,40 @@ object Soak {
       return
     }
 
+    // "ivf2" = the two-level IVF build at the k the single-broadcast
+    // path documents as its ceiling: coarse→fine assignment keeps every
+    // broadcast small (coarse ≈ √k centroids; fine blocks ride a
+    // kc-row join Catalyst sizes itself), so k=65536 builds without a
+    // monolithic k×dim task binary. The stage REQUIRES complete
+    // assignment (no dropped rows) and runs a 100-query ivfTopKJoin.
+    if (only == "ivf2") {
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val embCorpus = embBase.crossJoin(spark.range(copies.toLong).toDF("copy"))
+        .select((col("vec_id") * copies + col("copy")).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
+            .as("embedding"))
+        .repartition(32).localCheckpoint()
+      val nVecs = embCorpus.count()
+      val k2 = sys.env.getOrElse("SPARK_GRAFT_SOAK_IVF_K", "65536").toInt
+      val (idx, tBuild) = timed(Similarity.buildIvfIndexTwoLevel(
+        embCorpus, "embedding", "vec_id", k = k2, iters = 2,
+        persist = true))
+      val cellRows = idx.cells.count()
+      require(cellRows == nVecs,
+        s"two-level assignment dropped rows: $cellRows != $nVecs")
+      val nCells = idx.cells.select(countDistinct(col("__cell")))
+        .collect().head.getLong(0)
+      val queries = embBase.orderBy("vec_id").limit(100)
+      val (nRes, tJoin) = timed(
+        Similarity.ivfTopKJoin(queries, idx, k = 10, nProbe = 4).count())
+      println(
+        f"""{"soak":"ivf2","vectors":$nVecs,"k":$k2,"build_sec":$tBuild%.1f,"occupied_cells":$nCells,"join_queries":100,"join_rows":$nRes,"join_sec":$tJoin%.1f}""")
+      spark.stop()
+      return
+    }
+
     // "retention" = applyRetention at partition scale (VERDICT r10 #10):
     // a managed output with RETENTION_PARTS day-partitions (4 part-files
     // + _SUCCESS each, fabricated directly — retention cost is pure

@@ -413,11 +413,100 @@ object Similarity {
     * re-aggregation, which is map-side combined. Beyond k≈10⁵ (broadcast
     * ≈ k·dim·8 bytes) the next step is a coarse→fine two-level assignment;
     * not needed for ANN probing or SemDeDup cell sizes below that. */
+  /** Batched IVF top-k JOIN — the [[lshTopKJoin]] surface for an
+    * [[IvfIndex]]: every row of `queries` reranks exactly within its
+    * `nProbe` nearest cells. Per-query cell selection is the
+    * distributed form of [[IvfIndex.topK]]'s driver loop: the k
+    * centroid rows travel as broadcast DATA joined on a constant key
+    * (BroadcastHashJoin, never BNLJ), ranked by cosine per query
+    * (centroids are unit vectors, so cosine order == dot order — probe
+    * sets match the single-query path, equality gated as p37).
+    * `broadcastQueries` as in [[lshTopKJoin]]: default broadcasts the
+    * narrow (query_id, __cell) probe table and the query vectors —
+    * zero corpus shuffle; set false for corpus-scale query sets (both
+    * sides shuffle on the int cell key). */
+  def ivfTopKJoin(queries: DataFrame, index: IvfIndex, k: Int,
+                  nProbe: Int = 2,
+                  broadcastQueries: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(nProbe > 0, "nProbe must be positive")
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("__cell", "__cent").withColumn("__ck", lit(1))
+    val q = queries.select(col(index.idCol).as("query_id"),
+      col(index.vecCol).as("__qv"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__dot").desc, col("__cell"))
+    val probeTable = q.withColumn("__ck", lit(1))
+      .join(broadcast(cents), "__ck")
+      .withColumn("__dot", cosine(col("__qv"), col("__cent")))
+      .withColumn("__pr", row_number().over(wSel))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__cell"))
+    val (probeSide, vecSide) =
+      if (broadcastQueries) (broadcast(probeTable), broadcast(q))
+      else (probeTable, q)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(index.idCol))
+    index.cells.join(probeSide, "__cell")
+      .join(vecSide, "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col(index.vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(index.idCol), col("cosine"), col("rank"))
+  }
+
+  // nearest-centroid assignment for `centroids`: broadcast the one-row
+  // centroid table, argmax the per-cell dot products via the codegen'd
+  // ArgMaxDot kernel (the transform/aggregate/zip_with composition is
+  // CodegenFallback — measured ~25 s per Lloyd pass at k=256 over
+  // 20k×64-dim in interpreted lambdas; the kernel is a tight while-loop
+  // with identical arithmetic order and first-max-wins ties)
+  private def assignTo(b: DataFrame,
+                       centroids: Array[Array[Double]]): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val centsDf = Seq(Tuple1(centroids.map(_.toSeq).toSeq))
+      .toDF("__cents").withColumn("__ck", lit(1))
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    b.withColumn("__ck", lit(1))
+      .join(broadcast(centsDf), "__ck")
+      .withColumn("__cell", bridge.column(graft.expressions.ArgMaxDot(
+        bridge.expression(col("__cents")), bridge.expression(col("__u")))))
+      .drop("__ck", "__cents")
+  }
+
+  // fold the per-cell VecSumCount aggregation rows into the next
+  // centroid array (mean of members, re-normalized — the spherical
+  // step); cells with no members keep their previous centroid
+  private def nextCentroids(centroids: Array[Array[Double]],
+                            sums: Array[org.apache.spark.sql.Row])
+      : Array[Array[Double]] = {
+    val dim = centroids.head.length
+    val next = centroids.map(_.clone())
+    sums.foreach { r =>
+      val cell = r.getInt(0)
+      val arr = r.getSeq[Double](1)
+      val n = arr(dim)
+      if (n > 0) {
+        var pos = 0
+        while (pos < dim) { next(cell)(pos) = arr(pos) / n; pos += 1 }
+      }
+    }
+    next.map { c =>
+      val n = math.sqrt(c.iterator.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+  }
+
+  private def vecSumAgg() =
+    org.apache.spark.sql.functions.udaf(new VecSumCount,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+
   def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String,
                     k: Int = 16, iters: Int = 3,
                     persist: Boolean = true): IvfIndex = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // the unit-normalized projection feeds the seed collect, every Lloyd
     // round, and the final assignment — persist it for the build instead
     // of re-scanning + re-normalizing the corpus iters+2 times
@@ -431,55 +520,20 @@ object Similarity {
     require(centroids.nonEmpty,
       s"cannot build an IVF index over an empty corpus ($vecCol)")
 
-    // nearest-centroid assignment for the CURRENT `centroids`: broadcast
-    // the one-row centroid table, argmax the per-cell dot products via
-    // the codegen'd ArgMaxDot kernel (the transform/aggregate/zip_with
-    // composition is CodegenFallback — measured ~25 s per Lloyd pass at
-    // k=256 over 20k×64-dim in interpreted lambdas; the kernel is a tight
-    // while-loop with identical arithmetic order and first-max-wins ties)
-    def assign(b: DataFrame): DataFrame = {
-      val centsDf = Seq(Tuple1(centroids.map(_.toSeq).toSeq))
-        .toDF("__cents").withColumn("__ck", lit(1))
-      val bridge = org.apache.spark.sql.GraftColumnBridge
-      b.withColumn("__ck", lit(1))
-        .join(broadcast(centsDf), "__ck")
-        .withColumn("__cell", bridge.column(graft.expressions.ArgMaxDot(
-          bridge.expression(col("__cents")), bridge.expression(col("__u")))))
-        .drop("__ck", "__cents")
-    }
-
-    val dim = centroids.head.length
     // one vector-sum aggregator per cell: the collect is k rows of a
     // (dim+1)-double array — NOT the k×dim individual Rows the old
     // posexplode + groupBy(cell, pos) shape pulled to the driver (at the
     // semanticK clamp of 65536 cells × 768 dims that was 5e7 boxed Rows,
     // a driver OOM; the packed arrays are ~two orders of magnitude less)
-    val vs = org.apache.spark.sql.functions.udaf(new VecSumCount,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val vs = vecSumAgg()
     for (_ <- 1 to iters) {
-      val assigned = assign(base)
-      // new centroid = mean of members, re-normalized (spherical step)
-      val sums = assigned.groupBy(col("__cell"))
+      val sums = assignTo(base, centroids).groupBy(col("__cell"))
         .agg(vs(col("__u")).as("__sc"))
         .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val cell = r.getInt(0)
-        val arr = r.getSeq[Double](1)
-        val n = arr(dim)
-        if (n > 0) {
-          var pos = 0
-          while (pos < dim) { next(cell)(pos) = arr(pos) / n; pos += 1 }
-        }
-      }
-      centroids = next.map { c =>
-        val n = math.sqrt(c.iterator.map(x => x * x).sum)
-        if (n == 0.0) c else c.map(_ / n)
-      }
-      require(centroids.forall(_.length == dim))
+      centroids = nextCentroids(centroids, sums)
     }
 
-    val cells = assign(base).drop("__u")
+    val cells = assignTo(base, centroids).drop("__u")
     val kept =
       if (persist) {
         val c = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -488,5 +542,109 @@ object Similarity {
       } else cells.localCheckpoint() // sever from base before unpersisting
     base.unpersist()
     IvfIndex(kept, centroids, vecCol, idCol)
+  }
+
+  /** Two-level IVF build — lifts [[buildIvfIndex]]'s single-broadcast
+    * bound (all k centroids inside ONE broadcast argmax: ~k·dim·8 bytes
+    * per task at every assignment — the documented k≲1e5 ceiling).
+    * Assignment goes coarse→fine: rows pick one of `coarseK` coarse
+    * cells (small broadcast argmax), then join the fine-centroid BLOCK
+    * of that coarse cell — a kc-row equi-join Catalyst sizes itself
+    * (broadcast while small, shuffle join past the threshold; never a
+    * monolithic k-wide task binary) — and argmax only within the block
+    * (O((kc + k/kc)·dim) per row instead of O(k·dim)). Fine centroids
+    * re-cluster with the same Lloyd/VecSumCount machinery; every coarse
+    * cell is guaranteed a non-empty block (an empty one borrows the
+    * fine centroid nearest its coarse centroid), so no row is dropped.
+    *
+    * The RESULT is a plain [[IvfIndex]] over the k fine cells — topK /
+    * [[ivfTopKJoin]] / SemDeDup consume it unchanged. Assignment is the
+    * standard hierarchical-IVF approximation: a row near a coarse
+    * boundary may assign to a near-optimal fine cell; cell PROBING at
+    * query time ranks all fine centroids exactly, as ever. Driver
+    * memory holds k·dim doubles (the centroids themselves) — the same
+    * as the single-level index object. */
+  def buildIvfIndexTwoLevel(df: DataFrame, vecCol: String, idCol: String,
+                            k: Int, coarseK: Int = 0, iters: Int = 2,
+                            persist: Boolean = true): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kc0 = if (coarseK > 0) coarseK
+      else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val base = df.select(col(idCol), col(vecCol), unit(col(vecCol)).as("__u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fine seeds double as the coarse seed pool: k lowest-md5 rows (the
+    // deterministic rule shared with buildIvfIndex)
+    val seedRows = base.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).select(col("__u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.nonEmpty,
+      s"cannot build an IVF index over an empty corpus ($vecCol)")
+    val vs = vecSumAgg()
+    // coarse Lloyd (kc centroids — a small broadcast at every step)
+    var coarse: Array[Array[Double]] = seedRows.take(kc0)
+    for (_ <- 1 to iters) {
+      val sums = assignTo(base, coarse).groupBy(col("__cell"))
+        .agg(vs(col("__u")).as("__sc")).collect()
+      coarse = nextCentroids(coarse, sums)
+    }
+    var fine: Array[Array[Double]] = seedRows
+    def dotAA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // fine centroids grouped into per-coarse blocks (driver-side argmax
+    // of each fine centroid against the coarse set; first-max wins like
+    // ArgMaxDot). Coverage: an empty coarse block borrows the fine
+    // centroid nearest its coarse centroid — a fine centroid may then
+    // appear in two blocks, which only widens a row's candidate set.
+    def fineBlocks(): DataFrame = {
+      val members = Array.fill(coarse.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      fine.zipWithIndex.foreach { case (f, fi) =>
+        var best = 0; var bestD = Double.NegativeInfinity; var c = 0
+        while (c < coarse.length) {
+          val d = dotAA(coarse(c), f)
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        members(best) += fi
+      }
+      for (c <- coarse.indices if members(c).isEmpty) {
+        var best = 0; var bestD = Double.NegativeInfinity; var fi = 0
+        while (fi < fine.length) {
+          val d = dotAA(coarse(c), fine(fi))
+          if (d > bestD) { bestD = d; best = fi }
+          fi += 1
+        }
+        members(c) += best
+      }
+      members.zipWithIndex.map { case (ids, c) =>
+        (c, ids.toSeq, ids.map(fine(_).toSeq).toSeq)
+      }.toSeq.toDF("__coarse", "__fids", "__fvecs")
+    }
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    def fineAssign(): DataFrame =
+      assignTo(base, coarse).withColumnRenamed("__cell", "__coarse")
+        .join(fineBlocks(), "__coarse")
+        .withColumn("__local", bridge.column(graft.expressions.ArgMaxDot(
+          bridge.expression(col("__fvecs")), bridge.expression(col("__u")))))
+        .withColumn("__cell", element_at(col("__fids"), col("__local") + 1))
+        .drop("__coarse", "__fids", "__fvecs", "__local")
+    for (_ <- 1 to iters) {
+      val sums = fineAssign().groupBy(col("__cell"))
+        .agg(vs(col("__u")).as("__sc")).collect()
+      fine = nextCentroids(fine, sums)
+    }
+    val cells = fineAssign().drop("__u")
+    val kept =
+      if (persist) {
+        val c = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      } else cells.localCheckpoint()
+    base.unpersist()
+    IvfIndex(kept, fine, vecCol, idCol)
   }
 }

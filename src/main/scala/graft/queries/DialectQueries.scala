@@ -21,10 +21,27 @@ object DialectQueries {
        FROM events WHERE "event_type" = 'click'
        ORDER BY event_id"""
 
+  /** The silent-divergence idioms (round 12): Presto's literal-delimiter
+    * split vs Spark's regex split (a '.' delimiter), MySQL-style
+    * date_format %-codes vs Java patterns (with a literal pattern
+    * letter), element_at's NULL-past-bounds vs Spark's ANSI error, and
+    * CROSS JOIN UNNEST → LATERAL VIEW explode. */
+  private val prestoBreadthSql =
+    """SELECT "event_id" AS event_id, part,
+       date_format("ts", '%Y-%m-%dT%H') AS hour_key,
+       element_at(split("event_type" || '.' || 'x', '.'), 5) AS missing
+       FROM events CROSS JOIN UNNEST(split("event_type", 'i')) AS t (part)
+       WHERE "event_type" = 'click'
+       ORDER BY event_id, part"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_presto_dialect" -> ((s, dir) => {
       EventTables.events(s, dir).createOrReplaceTempView("events")
       s.sql(PrestoDialect.translate(prestoSql))
+    }),
+    "q44_presto_breadth" -> ((s, dir) => {
+      EventTables.events(s, dir).createOrReplaceTempView("events")
+      s.sql(PrestoDialect.translate(prestoBreadthSql))
     }),
   )
 
@@ -39,5 +56,13 @@ object DialectQueries {
                            / 86400) AS BIGINT) AS days_since
          FROM events WHERE event_type = 'click'
          ORDER BY event_id""",
+    "q44_presto_breadth" ->
+      """SELECT event_id,
+                UNNEST(string_split(event_type, 'i')) AS part,
+                strftime(ts, '%Y-%m-%dT%H') AS hour_key,
+                list_extract(string_split(event_type || '.' || 'x', '.'), 5)
+                  AS missing
+         FROM events WHERE event_type = 'click'
+         ORDER BY event_id, part""",
   )
 }

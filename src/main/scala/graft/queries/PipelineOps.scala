@@ -204,6 +204,36 @@ object PipelineOps {
         .orderBy("media_id")
     }),
 
+    // ---- batched IVF join: SAME planted construction and oracle as
+    // p20 through ivfTopKJoin, with in-query equality against the
+    // single-query IvfIndex.topK path (the p35 pattern for LSH)
+    "p37_ivf_join" -> ((s, dir) => {
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val planted = (0 until 10).map(n =>
+          (10000L + n, q.map(v => v * (1.0f + 0.1f * (n + 1)))))
+        .toDF("vec_id", "embedding")
+      val corpus = embs(s, dir).where(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").unionByName(planted)
+      val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+        k = 8, iters = 2, persist = false)
+      val queries = Seq((90001L, q)).toDF("vec_id", "embedding")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("vec_id").collect()
+      val viaJoin = shaped(
+        Similarity.ivfTopKJoin(queries, index, k = 10, nProbe = 2))
+      val single = shaped(index.topK(q, 10, nProbe = 2))
+      require(viaJoin.toSeq == single.toSeq,
+        "ivfTopKJoin diverged from the single-query IVF path")
+      s.createDataFrame(java.util.Arrays.asList(viaJoin: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }),
+
     // ---- ANN with provable recall: planted positive multiples of the
     // query vector share its plane signature BY CONSTRUCTION (sign bits are
     // scale-invariant), have cosine exactly 1, and out-rank every real
@@ -796,6 +826,10 @@ object PipelineOps {
     // the planted colinear set is the provable IVF answer too (same
     // construction as p12; cells cannot separate parallel vectors)
     "p20_ivf_ann" ->
+      """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(10) ORDER BY vec_id""",
+    // batched IVF join over the p20 construction: same provable answer
+    "p37_ivf_join" ->
       """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(10) ORDER BY vec_id""",
     // planted colinear rows are the only cosine>=0.999 pairs (max real-real

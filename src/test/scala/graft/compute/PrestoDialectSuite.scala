@@ -75,6 +75,65 @@ class PrestoDialectSuite extends AnyFunSuite {
     assert(translate("""SELECT "a`b" FROM t""") == "SELECT `a``b` FROM t")
   }
 
+  test("UNNEST: the cross-join form translates, the rest refuse") {
+    assert(translate(
+      "SELECT x FROM t CROSS JOIN UNNEST(arr) AS u (x)") ==
+      "SELECT x FROM t LATERAL VIEW explode(arr) u AS x")
+    assert(translate(
+      "SELECT x FROM t cross join unnest(split_arr(a, b)) AS u(x)") ==
+      "SELECT x FROM t LATERAL VIEW explode(split_arr(a, b)) u AS x")
+    val e = intercept[IllegalArgumentException](translate(
+      "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)"))
+    assert(e.getMessage.contains("UNNEST"))
+    // UNNEST text inside a literal is data
+    assert(translate("SELECT 'use UNNEST(a)' AS hint") ==
+      "SELECT 'use UNNEST(a)' AS hint")
+  }
+
+  test("TRY refuses loudly; try_ functions pass") {
+    val e = intercept[IllegalArgumentException](
+      translate("SELECT TRY(1/x) FROM t"))
+    assert(e.getMessage.contains("TRY"))
+    assert(translate("SELECT try_divide(1, x) FROM t") ==
+      "SELECT try_divide(1, x) FROM t")
+    assert(translate("SELECT 'TRY(1)' AS s") == "SELECT 'TRY(1)' AS s")
+  }
+
+  test("split: literal delimiter is regex-quoted, non-literal refuses") {
+    // doubled backslashes: Spark's SQL parser consumes one level of
+    // escaping inside the literal, leaving regex \Q.\E
+    assert(translate("SELECT split(x, '.') FROM t") ==
+      """SELECT split(x, '\\Q.\\E') FROM t""")
+    assert(translate("SELECT split(f(a, b), '|') FROM t") ==
+      """SELECT split(f(a, b), '\\Q|\\E') FROM t""")
+    val e = intercept[IllegalArgumentException](
+      translate("SELECT split(x, d) FROM t"))
+    assert(e.getMessage.contains("split"))
+  }
+
+  test("date_format %-codes convert to Java patterns; unknown refuse") {
+    assert(translate("SELECT date_format(ts, '%Y-%m-%d') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
+    // literal pattern letters get Java-quoted so Spark can't interpret
+    // them (each Java quote doubles inside the SQL literal)
+    assert(translate("SELECT date_format(ts, '%H:%i:%sZ') FROM t") ==
+      "SELECT date_format(ts, 'HH:mm:ss''Z''') FROM t")
+    val e = intercept[IllegalArgumentException](
+      translate("SELECT date_format(ts, '%Q') FROM t"))
+    assert(e.getMessage.contains("%Q"))
+  }
+
+  test("ANSI-divergent and array renames") {
+    assert(translate("SELECT element_at(a, 5), contains(a, 3) FROM t") ==
+      "SELECT try_element_at(a, 5), array_contains(a, 3) FROM t")
+    assert(translate("SELECT to_hex(b), from_hex(s) FROM t") ==
+      "SELECT hex(b), unhex(s) FROM t")
+    // shared-syntax surface passes through unchanged
+    val shared = "SELECT date_trunc('hour', ts), cardinality(a), " +
+      "transform(a, x -> x + 1), filter(a, x -> x > 0) FROM t"
+    assert(translate(shared) == shared)
+  }
+
   test("statement splitter: escapes and comments hide semicolons") {
     import graft.compute.SqlSlot.statements
     assert(statements("""SELECT 'don\'t; stop' AS s""") ==

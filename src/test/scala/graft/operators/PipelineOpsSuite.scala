@@ -172,6 +172,65 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == brute)
   }
 
+  test("ivfTopKJoin equals per-query IvfIndex.topK on both join paths") {
+    val sp = spark; import sp.implicits._
+    val a = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val b = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (0 until 24).map { i =>
+      val anchor = if (i % 2 == 0) a else b
+      val v = anchor.clone(); v(i % 8) += 0.01f * (i / 2 + 1)
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      k = 2, iters = 3, persist = false)
+    val queries = corpus.where(col("vec_id") < 4)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    def viaJoin(bc: Boolean) =
+      Similarity.ivfTopKJoin(queries, idx, k = 3, nProbe = 2,
+          broadcastQueries = bc)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val perQuery = rows.take(4).flatMap { case (qid, qv) =>
+      idx.topK(qv.map(_.toFloat), 3, nProbe = 2).collect().zipWithIndex
+        .map { case (r, i) => (qid + 100L, r.getLong(0), i + 1) }
+    }.toSet
+    assert(viaJoin(true) == perQuery, "broadcast join path diverged")
+    assert(viaJoin(false) == perQuery, "shuffle join path diverged")
+  }
+
+  test("two-level IVF: complete assignment, deterministic, probes recall") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.tabulate(4)(c =>
+      Array.tabulate(8)(i => math.cos(c + i).toFloat))
+    val rows = (0 until 120).map { i =>
+      val v = anchors(i % 4).clone(); v(i % 8) += 0.02f * rnd.nextFloat()
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndexTwoLevel(corpus, "embedding",
+      "vec_id", k = 8, coarseK = 2, iters = 2, persist = false)
+    // every row assigned (coverage guarantee: no coarse cell without a
+    // fine block, no rows dropped at the block join)
+    assert(idx.cells.count() == 120)
+    assert(idx.centroids.length == 8)
+    // deterministic rebuild
+    val idx2 = Similarity.buildIvfIndexTwoLevel(corpus, "embedding",
+      "vec_id", k = 8, coarseK = 2, iters = 2, persist = false)
+    assert(idx.centroids.map(_.toSeq).toSeq == idx2.centroids.map(_.toSeq).toSeq)
+    // a planted colinear near-copy is recalled through cell probing
+    val q = rows.head._2.map(_ * 2.0f)
+    val top = idx.topK(q, k = 1, nProbe = 2).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 0L,
+      s"two-level probe missed the colinear vector: ${top.toSeq}")
+    // and the index composes with the batched join surface
+    val queries = corpus.where(col("vec_id") === 0)
+    val joined = Similarity.ivfTopKJoin(queries, idx, k = 1, nProbe = 2)
+      .collect()
+    assert(joined.length == 1 && joined.head.getLong(1) == 0L)
+  }
+
   test("ann stored index: build once, query repeatedly with same results") {
     val idx = Similarity.buildIndex(vecsDf.where(col("vec_id") =!= 0),
       "embedding", "vec_id", planes = 4)

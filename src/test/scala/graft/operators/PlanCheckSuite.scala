@@ -106,6 +106,11 @@ class PlanCheckSuite extends AnyFunSuite with BeforeAndAfterAll {
           broadcastQueries = false),
       "AnnIndex.topK" -> idx.topK(qv, k = 2, probeBits = 1),
       "IvfIndex.topK" -> ivf.topK(qv, k = 2, nProbe = 2),
+      "ivfTopKJoin/broadcast" -> graft.operators.Similarity
+        .ivfTopKJoin(queries, ivf, k = 2, nProbe = 2),
+      "ivfTopKJoin/shuffle" -> graft.operators.Similarity
+        .ivfTopKJoin(queries, ivf, k = 2, nProbe = 2,
+          broadcastQueries = false),
       "lshTopK" -> graft.operators.Similarity.lshTopK(corpus, "embedding",
         "vec_id", qv, k = 2, planes = 4))
     val offenders = surface.flatMap { case (name, df) =>
