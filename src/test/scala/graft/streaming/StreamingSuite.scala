@@ -427,6 +427,81 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed near-dup pairs wrong: $pairs")
   }
 
+  test("near-dup ingest survives a crash-replay restart idempotently") {
+    val sp = spark
+    import sp.implicits._
+    val long =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val other =
+      "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq((1L, long),
+      (2L, "completely different corpus content about catalyst codegen"))
+      .toDF("doc_id", "text")
+    val root = s"$work/stream_restart"
+    val ixPath = s"$root/index"
+    graft.operators.Dedup.saveNearDupIndex(
+      graft.operators.Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, persist = false), ixPath)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val incoming = s"$root/incoming"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(incoming))
+    def stageFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/tmp"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$incoming/$name"))
+    }
+    stageFile("b0.parquet", Seq((10L, long + " extra"), (11L, other)))
+    stageFile("b1.parquet", Seq((20L, other + " tail")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(): Unit = {
+      val q = StreamingDedup.nearDupIngest(
+          sp.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(incoming),
+          ixPath, "text", s"$root/pairs")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def pairSet() = spark.read.parquet(s"$root/pairs")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set((10L, 1L), (20L, 11L))
+    assert(pairSet() == expect)
+    // crash replay: drop the last batch's COMMIT marker so the restart
+    // re-offers that batch to foreachBatch — the applied/<batchId>
+    // marker must skip the fold (no duplicate pairs, no re-appended
+    // index rows)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/ckpt/commits"))
+      .map(_.getPath).filter(!_.getName.startsWith("."))
+    val last = commits.map(_.getName.toInt).max
+    val sigRowsBefore = spark.read.parquet(s"$ixPath/sigs").count()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/ckpt/commits/$last"), false)
+    drain()
+    assert(pairSet() == expect, "replayed batch re-flagged pairs")
+    val raw = spark.read.parquet(s"$root/pairs").count()
+    assert(raw == expect.size, s"replay appended duplicate pair rows: $raw")
+    assert(spark.read.parquet(s"$ixPath/sigs").count() == sigRowsBefore,
+      "replayed fold re-appended index rows despite its applied marker")
+    // the restarted session keeps folding forward: a near-dup of the
+    // replay-era doc is still flagged against the maintained index
+    stageFile("b2.parquet", Seq((30L, other + " tail more")))
+    drain()
+    assert(pairSet().contains((30L, 20L)) || pairSet().contains((30L, 11L)),
+      s"post-restart fold lost continuity: ${pairSet()}")
+  }
+
   test("coincidence trigger fires once when all required inputs arrive") {
     val sp = spark
     import sp.implicits._
