@@ -258,6 +258,10 @@ final class Application(val name: String, val spark: SparkSession,
     val started = System.currentTimeMillis()
     try {
       val w = compute.run(ctx, slots, retry, sink)
+      w.foreach(applyStorageSecurity)
+      if (securityConfs.get(ConstructKind.BatchCompute)
+          .flatMap(_.processing).exists(_.zeroSensitiveDataAfterUse))
+        spark.sharedState.cacheManager.clearCache()
       recordCompute(ComputeRecord(ctx.routeId, outPath, started,
         System.currentTimeMillis(), succeeded = true, None, snapshot,
         slots.map(_.getClass.getSimpleName).toList))
@@ -947,8 +951,53 @@ final class Application(val name: String, val spark: SparkSession,
     * single in-memory table). Routing state checkpoints to
     * `<rootDir>/routing_state.json` on every mutation; call [[recover]]
     * after activate to reload a previous driver's pending state. */
+  // ---- per-construct security (reference set_security_conf,
+  // application.py:4043) -------------------------------------------------
+
+  private var securityConfs: Map[ConstructKind, SecurityConf] = Map.empty
+
+  /** Declare a construct's security configuration; validated (and
+    * refused where the local platform cannot honor it) at activation,
+    * like the reference's driver-side processing. Storage `persisting`
+    * is ENFORCED: every managed partition this app writes afterwards is
+    * chmod'ed to the declared POSIX mode. */
+  def setSecurityConf(construct: ConstructKind, conf: SecurityConf): Unit =
+    securityConfs += construct -> conf
+
+  def getSecurityConf(construct: ConstructKind): Option[SecurityConf] =
+    securityConfs.get(construct)
+
+  private def validateSecurityConfs(): Unit =
+    securityConfs.foreach { case (k, c) => SecurityConf.validate(k, c) }
+
+  /** Storage-persisting enforcement: restrict a freshly written managed
+    * partition to the declared mode (dirs as declared; files minus
+    * execute bits). */
+  private def applyStorageSecurity(written: String): Unit =
+    securityConfs.get(ConstructKind.Storage).flatMap(_.persisting)
+      .foreach { p =>
+        val root = new org.apache.hadoop.fs.Path(written)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val dirMode = new org.apache.hadoop.fs.permission.FsPermission(
+            Integer.parseInt(p.posixMode, 8).toShort)
+          val fileMode = new org.apache.hadoop.fs.permission.FsPermission(
+            (Integer.parseInt(p.posixMode, 8) & Integer.parseInt("666", 8))
+              .toShort)
+          def walk(d: org.apache.hadoop.fs.Path): Unit = {
+            fs.setPermission(d, dirMode)
+            fs.listStatus(d).foreach { st =>
+              if (st.isDirectory) walk(st.getPath)
+              else fs.setPermission(st.getPath, fileMode)
+            }
+          }
+          walk(root)
+        }
+      }
+
   def activate(): Unit = {
     require(appState != AppState.DELETED, "application is deleted")
+    validateSecurityConfs()
     val cp = new RoutingCheckpoint(s"$rootDir/routing_state.json",
       spark.sparkContext.hadoopConfiguration)
     val table = new RoutingTable(probe, Some(cp))
@@ -1001,6 +1050,7 @@ final class Application(val name: String, val spark: SparkSession,
                       leaseStoreFor: Option[Int => graft.routing.LeaseStore] = None)
       : List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
+    validateSecurityConfs()
     // re-activation: surrender the previous incarnation's leases (so
     // successors claim released shards immediately, not after timeout)
     // and close its open WAL streams before replacing it

@@ -389,6 +389,50 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("'bad'"))
   }
 
+  test("setSecurityConf: storage mode enforced, unsatisfiable demands refuse") {
+    stageDays(s"$work/src_sec", Seq("2026-08-12"))
+    val app = new Application("sec", spark, s"$work/app_sec")
+    val src = app.marshalExternalData("src", s"$work/src_sec", daySpec)
+    val node = app.createData("secured", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.setSecurityConf(ConstructKind.Storage,
+      SecurityConf(persisting = Some(PersistingSecurityDef(posixMode = "700"))))
+    app.activate()
+    app.execute(node("2026-08-12"))
+    // the managed partition and its files carry the declared mode
+    val part = new java.io.File(
+      s"$work/app_sec/internal_data/secured/2026-08-12")
+    assert(part.exists())
+    val perms = java.nio.file.Files.getPosixFilePermissions(part.toPath)
+    import java.nio.file.attribute.PosixFilePermission._
+    assert(perms.contains(OWNER_READ) && !perms.contains(GROUP_READ) &&
+      !perms.contains(OTHERS_READ), s"dir mode not enforced: $perms")
+    val dataFile = part.listFiles().find(_.getName.startsWith("part-")).get
+    val fPerms = java.nio.file.Files.getPosixFilePermissions(dataFile.toPath)
+    assert(!fPerms.contains(GROUP_READ) && !fPerms.contains(OTHERS_READ) &&
+      !fPerms.contains(OWNER_EXECUTE), s"file mode not enforced: $fPerms")
+    assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 6.0)
+    assert(app.getSecurityConf(ConstructKind.Storage).isDefined)
+    // demands the local platform cannot honor refuse AT ACTIVATION
+    val bad1 = new Application("sec_bad1", spark, s"$work/app_sec_bad1")
+    bad1.setSecurityConf(ConstructKind.Storage, SecurityConf(
+      persisting = Some(PersistingSecurityDef(
+        EncryptionConf(keyAllocationLevel = "PER_RESOURCE")))))
+    assert(intercept[IllegalArgumentException](bad1.activate())
+      .getMessage.contains("KMS"))
+    val bad2 = new Application("sec_bad2", spark, s"$work/app_sec_bad2")
+    bad2.setSecurityConf(ConstructKind.Processor,
+      SecurityConf(passing = Some(PassingSecurityDef("HTTPS"))))
+    assert(intercept[IllegalArgumentException](bad2.activate())
+      .getMessage.contains("in-process"))
+    val bad3 = new Application("sec_bad3", spark, s"$work/app_sec_bad3")
+    bad3.setSecurityConf(ConstructKind.BatchCompute, SecurityConf(
+      processing = Some(ProcessingSecurityDef(
+        enforcePrivilegeSeparation = true))))
+    assert(intercept[IllegalArgumentException](bad3.activate())
+      .getMessage.contains("rivilegeSeparation"))
+  }
+
   test("marshalExternalModel: artifact rides a ref, never becomes a view") {
     stageDays(s"$work/src_model", Seq("2026-08-12"))
     val mRoot = s"$work/models_suite"
