@@ -956,13 +956,18 @@ final class Application(val name: String, val spark: SparkSession,
 
   private var securityConfs: Map[ConstructKind, SecurityConf] = Map.empty
 
-  /** Declare a construct's security configuration; validated (and
-    * refused where the local platform cannot honor it) at activation,
-    * like the reference's driver-side processing. Storage `persisting`
-    * is ENFORCED: every managed partition this app writes afterwards is
-    * chmod'ed to the declared POSIX mode. */
-  def setSecurityConf(construct: ConstructKind, conf: SecurityConf): Unit =
+  /** Declare a construct's security configuration; refused HERE when
+    * the local platform cannot honor it (validation also re-runs at
+    * activation, matching the reference's driver-side processing — the
+    * setter check covers execute()-without-activate and post-activation
+    * declarations, so enforcement never runs an unvalidated conf after
+    * an output was already written). Storage `persisting` is ENFORCED:
+    * every managed partition this app writes afterwards is chmod'ed to
+    * the declared POSIX mode. */
+  def setSecurityConf(construct: ConstructKind, conf: SecurityConf): Unit = {
+    SecurityConf.validate(construct, conf)
     securityConfs += construct -> conf
+  }
 
   def getSecurityConf(construct: ConstructKind): Option[SecurityConf] =
     securityConfs.get(construct)
@@ -1649,17 +1654,13 @@ final class Application(val name: String, val spark: SparkSession,
     }
 
     // narrow nearest inputs to their first EXISTING partition — the
-    // event path does this in RuntimeLinkNode.materializedInputs, and
-    // the signal handed to slots must not depend on how the execution
+    // SAME helper the event path uses (RuntimeLinkNode.narrowNearest),
+    // so the signal handed to slots never depends on how the execution
     // was triggered (a rawContent artifact consumer reads the signal's
     // path directly; before this, manual execute gave it the unprobed
     // range tip)
-    val inputs = inputs0.map { s =>
-      if (s.nearestTheTip)
-        s.materializedPaths.find(p => probe.isComplete(p, s.source.protocol))
-          .flatMap(s.fromEventPath).getOrElse(s)
-      else s
-    }
+    val inputs = inputs0.map(
+      graft.routing.RuntimeLinkNode.narrowNearest(_, probe))
     val ctx = ExecutionContext(d.id, inputs, out)
     runCancellable(ctx, d.slots, d.retry).getOrElse(out.materializedPaths.head)
   }

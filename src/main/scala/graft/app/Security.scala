@@ -53,12 +53,6 @@ object ConstructKind {
   case object Processor extends ConstructKind
   case object RoutingTable extends ConstructKind
   case object BatchCompute extends ConstructKind
-  def byName(n: String): ConstructKind = n match {
-    case "Storage" => Storage
-    case "Processor" => Processor
-    case "RoutingTable" => RoutingTable
-    case "BatchCompute" => BatchCompute
-  }
 }
 
 object SecurityConf {

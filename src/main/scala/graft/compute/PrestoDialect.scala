@@ -248,10 +248,21 @@ object PrestoDialect {
         unsupported("TRY(...)",
           "use try_cast/try_divide/try_element_at or handle errors explicitly")
     }
-    // CROSS JOIN UNNEST(expr) AS t (c) → LATERAL VIEW explode(expr) t AS c
-    cur = CrossJoinUnnest.replaceAllIn(cur, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"LATERAL VIEW explode(${m.group(1)}) ${m.group(2)} AS ${m.group(3)}"))
+    // CROSS JOIN UNNEST(expr) AS t (c) → LATERAL VIEW explode(expr) t
+    // AS c — only for matches STARTING outside string literals (the
+    // expr itself may contain literals and still translates; matching
+    // text wholly inside a literal is data)
+    locally {
+      val spans = literalSpans(cur)
+      val edits = CrossJoinUnnest.findAllMatchIn(cur)
+        .filter(m => outsideLits(spans, m.start))
+        .map(m => (m.start, m.end,
+          s"LATERAL VIEW explode(${m.group(1)}) ${m.group(2)} AS ${m.group(3)}"))
+        .toList
+      cur = edits.sortBy(-_._1).foldLeft(cur) { case (acc, (a, b, rep)) =>
+        acc.substring(0, a) + rep + acc.substring(b)
+      }
+    }
     locally {
       val spans = literalSpans(cur)
       for (m <- "(?i)\\bunnest\\b".r.findAllMatchIn(cur)
@@ -259,14 +270,16 @@ object PrestoDialect {
         unsupported("this UNNEST form (WITH ORDINALITY / multi-column / " +
           "comma-join)", "only CROSS JOIN UNNEST(expr) AS t (col) translates")
     }
-    // Presto split() delimiter is a LITERAL; Spark's is a REGEX — quote
-    // the literal delimiter (\Q…\E) so e.g. split(x, '.') keeps Presto
-    // semantics; non-literal delimiters refuse. Spark's SQL parser
-    // processes backslash escapes inside string literals, so the SQL
-    // text needs each backslash DOUBLED to survive as regex \Q…\E.
+    // Presto split() delimiter is a LITERAL; Spark's is a REGEX —
+    // regex-quote it via Pattern.quote (which, unlike naive \Q…\E
+    // wrapping, survives a delimiter containing \E itself);
+    // non-literal delimiters refuse. The quoted regex then re-escapes
+    // INTO SQL-literal text: backslashes double (Spark's parser
+    // consumes one escaping level) and quotes double per SQL.
     cur = rewriteSecondArgLiteral(cur, "split",
       "Spark split() treats the delimiter as a regex",
-      c => "\\\\Q" + c.replace("\\", "\\\\") + "\\\\E")
+      c => java.util.regex.Pattern.quote(c.replace("''", "'"))
+        .replace("\\", "\\\\").replace("'", "''"))
     // Presto date_format uses MySQL %-codes; Spark uses Java patterns
     cur = rewriteSecondArgLiteral(cur, "date_format",
       "Spark date_format() takes a Java datetime pattern",

@@ -103,12 +103,7 @@ object Temporal {
       case Some(tol) =>
         // tolerance unit follows the ts type: micros for timestamps, the
         // column's own unit for numeric timelines
-        def asLong(c: Column): Column = left.schema(tsCol).dataType match {
-          case org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType =>
-            unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-          case _ => c.cast("long")
-        }
+        val asLong = tsToLong(left.schema(tsCol).dataType) _
         val gap =
           if (direction == "backward")
             asLong(col(tsCol)) - asLong(col("__match.__rts"))
@@ -154,12 +149,7 @@ object Temporal {
     require(!left.columns.exists(_.startsWith("__")),
       "left columns starting with __ collide with asofJoinBroadcast " +
         "internals (__hist/__cand/__match)")
-    def asLong(c: Column): Column = left.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-      case _ => c.cast("long")
-    }
+    val asLong = tsToLong(left.schema(tsCol).dataType) _
     // __rts leads the struct so sort_array orders by (ts, tie) ascending
     val pay = struct(
       (Seq(col(tsCol).as("__rts"), col(tieCol).as("__rtie")) ++

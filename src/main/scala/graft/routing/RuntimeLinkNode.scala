@@ -207,7 +207,7 @@ final class RuntimeLinkNode(
   /** First existing partition in range (S4/nearest semantics, fail-fast
     * ordered probe; reference glueetl_default_ABI.py:283-284). */
   def nearestExisting(s: Signal, probe: PathProbe): Option[String] =
-    s.materializedPaths.find(p => probe.isComplete(p, s.source.protocol))
+    RuntimeLinkNode.nearestExisting(s, probe)
 
   /** Materialize the output's partition tuple from ready-signal tips
     * through the output link matrix (J6). Reference: materialize_output,
@@ -238,12 +238,21 @@ final class RuntimeLinkNode(
   /** Final ready inputs for compute, nearest inputs narrowed to their
     * satisfied partition. */
   def materializedInputs(probe: PathProbe): List[Signal] =
-    readySignals.map { s =>
-      if (s.nearestTheTip) {
-        nearestExisting(s, probe) match {
-          case Some(path) => s.fromEventPath(path).getOrElse(s)
-          case None => s
-        }
-      } else s
-    }
+    readySignals.map(RuntimeLinkNode.narrowNearest(_, probe))
+}
+
+object RuntimeLinkNode {
+  /** First existing partition in range (S4/nearest) — shared by the
+    * event path ([[RuntimeLinkNode.materializedInputs]]) and manual
+    * execution ([[graft.app.Application!.execute]]); the two must never
+    * disagree about which partition a slot receives. */
+  def nearestExisting(s: Signal, probe: PathProbe): Option[String] =
+    s.materializedPaths.find(p => probe.isComplete(p, s.source.protocol))
+
+  /** Narrow a nearest input to its satisfied partition (identity for
+    * non-nearest signals or when nothing exists yet). */
+  def narrowNearest(s: Signal, probe: PathProbe): Signal =
+    if (s.nearestTheTip)
+      nearestExisting(s, probe).flatMap(s.fromEventPath).getOrElse(s)
+    else s
 }

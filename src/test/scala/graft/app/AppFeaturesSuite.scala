@@ -413,24 +413,28 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       !fPerms.contains(OWNER_EXECUTE), s"file mode not enforced: $fPerms")
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 6.0)
     assert(app.getSecurityConf(ConstructKind.Storage).isDefined)
-    // demands the local platform cannot honor refuse AT ACTIVATION
-    val bad1 = new Application("sec_bad1", spark, s"$work/app_sec_bad1")
-    bad1.setSecurityConf(ConstructKind.Storage, SecurityConf(
-      persisting = Some(PersistingSecurityDef(
-        EncryptionConf(keyAllocationLevel = "PER_RESOURCE")))))
-    assert(intercept[IllegalArgumentException](bad1.activate())
+    // demands the local platform cannot honor refuse AT DECLARATION
+    // (validation re-runs at activation too)
+    val bad = new Application("sec_bad", spark, s"$work/app_sec_bad")
+    assert(intercept[IllegalArgumentException](
+      bad.setSecurityConf(ConstructKind.Storage, SecurityConf(
+        persisting = Some(PersistingSecurityDef(
+          EncryptionConf(keyAllocationLevel = "PER_RESOURCE"))))))
       .getMessage.contains("KMS"))
-    val bad2 = new Application("sec_bad2", spark, s"$work/app_sec_bad2")
-    bad2.setSecurityConf(ConstructKind.Processor,
-      SecurityConf(passing = Some(PassingSecurityDef("HTTPS"))))
-    assert(intercept[IllegalArgumentException](bad2.activate())
+    assert(intercept[IllegalArgumentException](
+      bad.setSecurityConf(ConstructKind.Processor,
+        SecurityConf(passing = Some(PassingSecurityDef("HTTPS")))))
       .getMessage.contains("in-process"))
-    val bad3 = new Application("sec_bad3", spark, s"$work/app_sec_bad3")
-    bad3.setSecurityConf(ConstructKind.BatchCompute, SecurityConf(
-      processing = Some(ProcessingSecurityDef(
-        enforcePrivilegeSeparation = true))))
-    assert(intercept[IllegalArgumentException](bad3.activate())
+    assert(intercept[IllegalArgumentException](
+      bad.setSecurityConf(ConstructKind.BatchCompute, SecurityConf(
+        processing = Some(ProcessingSecurityDef(
+          enforcePrivilegeSeparation = true)))))
       .getMessage.contains("rivilegeSeparation"))
+    // an invalid posix mode is refused before any output could be written
+    assert(intercept[IllegalArgumentException](
+      bad.setSecurityConf(ConstructKind.Storage, SecurityConf(
+        persisting = Some(PersistingSecurityDef(posixMode = "rwx")))))
+      .getMessage.contains("octal"))
   }
 
   test("marshalExternalModel: artifact rides a ref, never becomes a view") {

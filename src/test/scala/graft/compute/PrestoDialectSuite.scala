@@ -85,9 +85,17 @@ class PrestoDialectSuite extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](translate(
       "SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)"))
     assert(e.getMessage.contains("UNNEST"))
-    // UNNEST text inside a literal is data
+    // UNNEST text inside a literal is data — even the FULL cross-join
+    // form (the rewrite only fires on matches starting outside literals)
     assert(translate("SELECT 'use UNNEST(a)' AS hint") ==
       "SELECT 'use UNNEST(a)' AS hint")
+    assert(translate(
+      "SELECT 'CROSS JOIN UNNEST(a) AS t (x)' AS doc FROM tips") ==
+      "SELECT 'CROSS JOIN UNNEST(a) AS t (x)' AS doc FROM tips")
+    // an expr CONTAINING a literal still translates
+    assert(translate(
+      "SELECT c FROM t CROSS JOIN UNNEST(split(x, ',')) AS u (c)") ==
+      """SELECT c FROM t LATERAL VIEW explode(split(x, '\\Q,\\E')) u AS c""")
   }
 
   test("TRY refuses loudly; try_ functions pass") {
@@ -109,6 +117,18 @@ class PrestoDialectSuite extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       translate("SELECT split(x, d) FROM t"))
     assert(e.getMessage.contains("split"))
+    // a delimiter containing \E itself cannot ride naive \Q…\E wrapping;
+    // Pattern.quote splits around it — after Spark's literal unescaping
+    // the regex is \Qa\\E\QE b\E (one SQL-escaping level shown doubled)
+    assert(translate("""SELECT split(x, 'a\Eb') FROM t""") ==
+      "SELECT split(x, '" +
+        java.util.regex.Pattern.quote("a\\Eb").replace("\\", "\\\\") +
+        "') FROM t")
+    // an escaped quote in the delimiter round-trips
+    assert(translate("SELECT split(x, '''') FROM t") ==
+      "SELECT split(x, '" +
+        java.util.regex.Pattern.quote("'").replace("\\", "\\\\")
+          .replace("'", "''") + "') FROM t")
   }
 
   test("date_format %-codes convert to Java patterns; unknown refuse") {
