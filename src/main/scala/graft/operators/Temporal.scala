@@ -287,9 +287,11 @@ object Temporal {
     val perChunkBest = r.groupBy(col(keyCol), col("__chunk"))
       .agg(max_by(col("__rpay"), ordKey).as("__best"))
     // chunk axis = every (key, chunk) on either side, so carry-in
-    // reaches chunks holding only left rows
+    // reaches chunks holding only left rows; ONE distinct over the
+    // union (a pre-union distinct would just add an exchange — the
+    // union's dedup covers both sides)
     val axis = lOk
-      .select(col(keyCol), chunkOf(col(tsCol)).as("__chunk")).distinct()
+      .select(col(keyCol), chunkOf(col(tsCol)).as("__chunk"))
       .unionByName(perChunkBest.select(col(keyCol), col("__chunk")))
       .distinct()
     // chunks partition time ⇒ the best over ALL prior (later) chunks is
