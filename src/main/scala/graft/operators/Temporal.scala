@@ -362,6 +362,59 @@ object Temporal {
     matchedOut.unionByName(nullOut)
   }
 
+  /** Hot-key probe shared by the auto operators: max per-key row count
+    * and total rows of `df` (one map-side-combinable aggregation —
+    * tiny next to the operator itself). Returns (maxKeyCount, total);
+    * (0, 0) for an empty frame. */
+  private def keyProfile(df: DataFrame, keyCol: String): (Long, Long) = {
+    val r = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")), sum(col("__c"))).collect().head
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  private def shufflePartitionsOf(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** [[asofJoin]] with AUTOMATIC hot-key handling: one cheap profile of
+    * the left side picks the plain operator for uniform keys and
+    * [[asofJoinSkew]] (width from [[chunkWidthFor]]) when the largest
+    * key holds more than `skewFactor`× the mean shuffle-partition's
+    * rows — the regime where the unsalted window serializes onto a
+    * straggler task (measured crossover in BASELINE.md r12). Semantics
+    * are identical on both paths (suite-pinned), so the choice is
+    * purely physical. */
+  def asofJoinAuto(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   rightCols: Seq[String], tieCol: String,
+                   direction: String = "backward",
+                   toleranceMicros: Option[Long] = None,
+                   skewFactor: Double = 4.0,
+                   targetChunks: Int = 256): DataFrame = {
+    val (mx, tot) = keyProfile(left, keyCol)
+    val hot = tot > 0 &&
+      mx > skewFactor * tot.toDouble / shufflePartitionsOf(left)
+    if (hot)
+      asofJoinSkew(left, right, keyCol, tsCol, rightCols, tieCol,
+        chunkWidth = chunkWidthFor(left, tsCol, targetChunks),
+        direction = direction, toleranceMicros = toleranceMicros)
+    else asofJoin(left, right, keyCol, tsCol, rightCols, tieCol,
+      direction, toleranceMicros)
+  }
+
+  /** [[sessionize]] with the same automatic hot-key pre-split as
+    * [[asofJoinAuto]]. */
+  def sessionizeAuto(df: DataFrame, keyCol: String, tsCol: String,
+                     gapMicros: Long, skewFactor: Double = 4.0,
+                     targetChunks: Int = 256): DataFrame = {
+    val (mx, tot) = keyProfile(df, keyCol)
+    val hot = tot > 0 &&
+      mx > skewFactor * tot.toDouble / shufflePartitionsOf(df)
+    if (hot)
+      sessionizeSkew(df, keyCol, tsCol, gapMicros,
+        chunkWidth = chunkWidthFor(df, tsCol, targetChunks))
+    else sessionize(df, keyCol, tsCol, gapMicros)
+  }
+
   /** Sessionize: tag every row with a per-key session ordinal
     * (`session_seq`, 1-based in time order) — a new session starts when
     * the gap to the key's previous event exceeds `gapMicros` (timestamp

@@ -293,6 +293,81 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Temporal.chunkWidthFor(ldf, "t", targetChunks = 100) >= 1L)
   }
 
+  test("auto operators pick the skew path only under a hot key") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(61)
+    val uniform = (0 until 400).map(i =>
+      (i.toLong, (i % 37).toLong, rnd.nextInt(5000).toLong))
+      .toDF("lid", "k", "t")
+    val hot = (0 until 400).map(i =>
+      (i.toLong, if (i < 350) 0L else i.toLong, rnd.nextInt(5000).toLong))
+      .toDF("lid", "k", "t")
+    val rdf = (0 until 80).map(i =>
+      (1000L + i, (i % 37).toLong, rnd.nextInt(5000).toLong, 1.0))
+      .toDF("rid", "k", "t", "v")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    // uniform keys: the plain single-window plan (no chunk column)
+    val u = Temporal.asofJoinAuto(uniform, rdf, "k", "t", Seq("v"), "rid")
+    assert(!planOf(u).contains("__chunk"), "uniform input took the skew path")
+    // one key at 87%: the chunked plan
+    val h = Temporal.asofJoinAuto(hot, rdf, "k", "t", Seq("v"), "rid",
+      skewFactor = 1.5) // 2 test shuffle partitions: mean=200, hot key=350
+    assert(planOf(h).contains("__chunk"), "hot input missed the skew path")
+    // both choices produce asofJoin's exact semantics
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(shape(h) == shape(
+      Temporal.asofJoin(hot, rdf, "k", "t", Seq("v"), "rid")))
+    // sessionize mirrors
+    val su = Temporal.sessionizeAuto(uniform, "k", "t", gapMicros = 300L)
+    val sh = Temporal.sessionizeAuto(hot, "k", "t", gapMicros = 300L,
+      skewFactor = 1.5)
+    assert(!planOf(su).contains("__chunk") && planOf(sh).contains("__chunk"))
+    def sshape(d: org.apache.spark.sql.DataFrame) =
+      d.select("lid", "session_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sshape(sh) == sshape(
+      Temporal.sessionize(hot, "k", "t", gapMicros = 300L)))
+  }
+
+  test("skew variants handle negative timelines (floor division sign)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(59)
+    // timestamps straddle zero: floorDiv must floor (not truncate
+    // toward zero) or chunk -1..-w would alias chunk 0..w
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(2000).toLong - 1000L))
+    val right = (0 until 120).map(i =>
+      (1000L + i, rnd.nextInt(3).toLong, rnd.nextInt(2000).toLong - 1000L,
+        rnd.nextDouble()))
+    val ldf = left.toDF("lid", "k", "t")
+    val rdf = right.toDF("rid", "k", "t", "v")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid", "asof_t").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    for (dir <- Seq("backward", "forward"); width <- Seq(7L, 128L)) {
+      val base = shape(Temporal.asofJoin(ldf, rdf, "k", "t", Seq("v"),
+        "rid", direction = dir))
+      val skew = shape(Temporal.asofJoinSkew(ldf, rdf, "k", "t", Seq("v"),
+        "rid", chunkWidth = width, direction = dir))
+      assert(skew == base, s"negative-timeline divergence dir=$dir w=$width")
+    }
+    def sshape(d: org.apache.spark.sql.DataFrame) =
+      d.select("lid", "session_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(7L, 128L)) {
+      val base = sshape(Temporal.sessionize(ldf, "k", "t", gapMicros = 50L))
+      val skew = sshape(Temporal.sessionizeSkew(ldf, "k", "t",
+        gapMicros = 50L, chunkWidth = width))
+      assert(skew == base, s"negative-timeline sessionize divergence w=$width")
+    }
+  }
+
   test("sessionizeSkew equals sessionize incl. boundary ties") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(53)
