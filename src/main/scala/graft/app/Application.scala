@@ -1503,11 +1503,19 @@ final class Application(val name: String, val spark: SparkSession,
     * other shard with an accepting route — any driver can ingest any
     * event. */
   def processPath(path: String): List[String] =
-    if (appState == AppState.PAUSED) Nil
-    else sharded match {
+    tryProcessPath(path).getOrElse(Nil)
+
+  /** [[processPath]] that DISTINGUISHES "dropped because paused" (None)
+    * from "delivered, these completions" (Some) — a durable event
+    * source (e.g. [[graft.streaming.MarkerStream]]) must keep an event
+    * pending when the app is paused rather than consume it against a
+    * silent drop. */
+  def tryProcessPath(path: String): Option[List[String]] =
+    if (appState == AppState.PAUSED) None
+    else Some(sharded match {
       case Some(d) => runContexts(d.receivePath(path))
       case None => runContexts(table.receivePath(path))
-    }
+    })
 
   /** Re-check every pending node's completion probes without a new event
     * and run whatever became ready (the reference processor's periodic

@@ -80,13 +80,25 @@ private[sources] object AvroConversions {
     else base
   }
 
-  /** (catalyst type, nullable) for an avro schema. */
-  def toSqlType(s: Schema): (DataType, Boolean) = s.getType match {
+  /** (catalyst type, nullable) for an avro schema. `depth` guards
+    * RECURSIVE schemas (legal in Avro, unrepresentable in a Catalyst
+    * StructType): without it the record→union→record cycle would
+    * StackOverflow at planning instead of failing cleanly. */
+  def toSqlType(s: Schema, depth: Int = 0): (DataType, Boolean) = {
+    if (depth > 64)
+      throw new UnsupportedOperationException(
+        "graft avro: schema nesting exceeds 64 levels — recursive avro " +
+          "schemas have no StructType equivalent")
+    toSqlType0(s, depth)
+  }
+
+  private def toSqlType0(s: Schema, depth: Int): (DataType, Boolean) =
+    s.getType match {
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.toList
       branches.filterNot(_.getType == Schema.Type.NULL) match {
         case one :: Nil if branches.exists(_.getType == Schema.Type.NULL) =>
-          (toSqlType(one)._1, true)
+          (toSqlType(one, depth + 1)._1, true)
         case _ =>
           throw new UnsupportedOperationException(
             s"graft avro: only [null, T] unions are supported, got $s")
@@ -109,17 +121,37 @@ private[sources] object AvroConversions {
     case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
     case Schema.Type.RECORD =>
       (StructType(s.getFields.asScala.map { f =>
-        val (dt, nullable) = toSqlType(f.schema())
+        val (dt, nullable) = toSqlType(f.schema(), depth + 1)
         StructField(f.name(), dt, nullable)
       }.toArray), false)
     case Schema.Type.ARRAY =>
-      val (et, n) = toSqlType(s.getElementType)
+      val (et, n) = toSqlType(s.getElementType, depth + 1)
       (ArrayType(et, n), false)
     case Schema.Type.MAP =>
-      val (vt, n) = toSqlType(s.getValueType)
+      val (vt, n) = toSqlType(s.getValueType, depth + 1)
       (MapType(StringType, vt, n), false)
     case other =>
       throw new UnsupportedOperationException(s"graft avro: $other")
+  }
+
+  /** Unwrap a top-level `[null, record]` union (files written by tools
+    * that mark the whole row nullable) and insist on a record — the
+    * shapes [[toSqlType]] accepts at planning must be exactly the
+    * shapes the reader handles at run time. */
+  def topLevelRecord(raw: Schema): Schema = {
+    val s =
+      if (raw.getType == Schema.Type.UNION)
+        raw.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+          .toList match {
+          case one :: Nil => one
+          case _ => raw
+        }
+      else raw
+    if (s.getType != Schema.Type.RECORD)
+      throw new UnsupportedOperationException(
+        s"graft avro: top-level schema must be a record (or " +
+          s"[null, record]), got ${s.getType}")
+    s
   }
 
   /** Avro runtime value → Catalyst value (for `catalystType`). */
@@ -153,9 +185,14 @@ private[sources] object AvroConversions {
         new GenericArrayData(
           xs.map(avroToCatalyst(_, resolved.getElementType, et)).toArray)
       case (Schema.Type.MAP, MapType(StringType, vt, _)) =>
-        val m = value.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
-        val keys = m.keys.map(k => UTF8String.fromString(k.toString)).toArray[Any]
-        val vals = m.values.map(avroToCatalyst(_, resolved.getValueType, vt)).toArray[Any]
+        // one entrySet pass: separate keys/values iterations only agree
+        // by de-facto HashMap behavior, not by Map contract
+        val entries = value.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+          .entrySet().asScala.toArray
+        val keys = entries.map(e =>
+          UTF8String.fromString(e.getKey.toString): Any)
+        val vals = entries.map(e =>
+          avroToCatalyst(e.getValue, resolved.getValueType, vt))
         ArrayBasedMapData(keys, vals)
       case (_, ByteType) => value.asInstanceOf[java.lang.Integer].byteValue()
       case (_, ShortType) => value.asInstanceOf[java.lang.Integer].shortValue()
@@ -253,7 +290,9 @@ final class AvroFileFormat extends FileFormat with DataSourceRegister
       .map { f =>
         val reader = DataFileReader.openReader(
           new FsInput(f.getPath, conf), new GenericDatumReader[GenericRecord]())
-        try AvroConversions.toSqlType(reader.getSchema)._1.asInstanceOf[StructType]
+        try AvroConversions.toSqlType(
+            AvroConversions.topLevelRecord(reader.getSchema))._1
+          .asInstanceOf[StructType]
         finally reader.close()
       }
   }
@@ -265,6 +304,11 @@ final class AvroFileFormat extends FileFormat with DataSourceRegister
       .toAvroSchema(dataSchema, "topLevelRecord", nullable = false).toString
     val codec = options.getOrElse("compression",
       sparkSession.conf.get("spark.sql.avro.compression.codec", "snappy"))
+    // fail an unknown codec HERE on the driver — inside AvroRowWriter it
+    // would fail every task (with retries) after the job already launched
+    require(Set("snappy", "deflate", "uncompressed", "null", "none")
+        .contains(codec),
+      s"graft avro: unknown compression codec '$codec'")
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ".avro"
       override def newInstance(path: String, dataSchema: StructType,
@@ -289,11 +333,15 @@ final class AvroFileFormat extends FileFormat with DataSourceRegister
         new GenericDatumReader[GenericRecord]())
       Option(TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => reader.close()))
-      val fileSchema = reader.getSchema
+      // same top-level unwrap as inferSchema: a [null, record] container
+      // must not plan fine then crash every task on getField
+      val fileSchema = AvroConversions.topLevelRecord(reader.getSchema)
       // project by NAME against this file's writer schema — a field the
       // file lacks reads as null (schema-evolution tolerance)
       val fieldOf = required.fields.map(f => Option(fileSchema.getField(f.name)))
-      reader.iterator().asScala.map { rec =>
+      // a [null, record] container may carry null DATUMS — skip them (no
+      // Catalyst row shape exists for "the whole row is null")
+      reader.iterator().asScala.filter(_ != null).map { rec =>
         val vals = new Array[Any](required.length)
         var i = 0
         while (i < required.length) {

@@ -104,15 +104,29 @@ final class MarkerStream(app: Application, roots: Seq[String],
       marker.getFileSystem(conf).exists(marker)
     }
     // remove a dir only AFTER its completion was actually delivered, so a
-    // mid-loop failure re-offers the remainder next batch
+    // mid-loop failure re-offers the remainder next batch. Delivery uses
+    // tryProcessPath: a pause() landing MID-LOOP returns None and the
+    // dir stays pending (processPath's silent Nil would have consumed
+    // the completion forever). Scheme handling: binaryFile emits
+    // scheme-qualified paths while local routes commonly declare bare
+    // paths — offer the stripped form first (today's match for local
+    // roots) and the scheme-qualified form when nothing matched, so
+    // s3a://-rooted routes receive their completions too.
     ready.foreach { dir =>
-      app.processPath(dir.toUri.getPath)
-      pendingDirs.synchronized { pendingDirs -= dir }
+      val stripped = dir.toUri.getPath
+      app.tryProcessPath(stripped) match {
+        case None => () // paused mid-loop: keep pending, retry next batch
+        case Some(done) =>
+          if (done.isEmpty && dir.toString != stripped)
+            app.processPath(dir.toString)
+          pendingDirs.synchronized { pendingDirs -= dir }
+      }
     }
     pendingDirs.synchronized { savePending() }
   }
 
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(roots.nonEmpty, "MarkerStream needs at least one root to watch")
     val spark = app.spark
     recheckPending()
     val sources = roots.map { root =>
@@ -129,10 +143,15 @@ final class MarkerStream(app: Application, roots: Seq[String],
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // partition completions per micro-batch are few: fold data files to
-        // their partition dirs, then require the _SUCCESS marker
-        val batchDirs = batch.collect().map(_.getString(0))
-          .map(raw => new org.apache.hadoop.fs.Path(raw).getParent)
+        // fold data files to their DISTINCT partition dirs inside the
+        // DataFrame — only unique dirs reach the driver (the first
+        // AvailableNow backlog over an existing corpus can carry
+        // millions of part-file rows; collecting them raw would
+        // materialize every path string driver-side)
+        val batchDirs = batch
+          .select(regexp_replace(col("path"), "/[^/]*$", "").as("dir"))
+          .where(col("dir") =!= "").distinct()
+          .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0)))
         pendingDirs.synchronized { pendingDirs ++= batchDirs }
         recheckPending()
         ()
@@ -150,7 +169,12 @@ object StreamingDedup {
     * 32-char hex string — never the document). */
   def dropDuplicateContent(stream: DataFrame, textCol: String,
                            timeCol: String, watermark: String): DataFrame =
-    stream.withColumn("__digest", unhex(md5(col(textCol))))
+    // null-text rows are NOT content duplicates of each other (md5(null)
+    // is null and dropDuplicates compares nulls equal — two distinct
+    // null-text documents would collapse to one); give each a unique
+    // digest so only real content matches dedupe
+    stream.withColumn("__digest",
+        coalesce(unhex(md5(col(textCol))), unhex(md5(uuid()))))
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
@@ -166,27 +190,36 @@ object StreamingDedup {
     * stream — nothing here grows with the corpus in executor memory.
     *
     * Delivery: foreachBatch is at-least-once, so the fold is made
-    * idempotent per batch — an `applied/<batchId>` marker under the
-    * index path is written after a batch's fold completes, and a
-    * replayed batch that finds its marker is skipped outright (no
-    * re-appended index rows, no re-flagged pairs). The residual window
-    * is a crash BETWEEN the fold and its marker write: that one replay
-    * re-appends sigs/grams rows (storage hygiene — compact the index)
-    * and re-flags the same pairs (dedupe `pairsOut` on (d1, d2) if
-    * exact-once matters), but the bucket lists stay correct — the
-    * update's merge is array_distinct, so a replayed fold cannot double
-    * a list or push it across `maxBucketSize`. Start the returned
-    * writer with `.option("checkpointLocation", ...).start()`. */
+    * idempotent per batch — an `applied/<ingestId>batch-<batchId>`
+    * marker under the index path is written after a batch's fold
+    * completes, and a replayed batch that finds its marker is skipped
+    * outright (no re-appended index rows, no re-flagged pairs). The
+    * residual window is a crash BETWEEN the fold and its marker write:
+    * that one replay re-appends sigs/grams rows (storage hygiene —
+    * compact the index) and re-flags the same pairs (dedupe `pairsOut`
+    * on (d1, d2) if exact-once matters), but the bucket lists stay
+    * correct — the update's merge is array_distinct, so a replayed fold
+    * cannot double a list or push it across `maxBucketSize`.
+    *
+    * `ingestId` NAMESPACES the markers per logical stream: batch ids
+    * restart at 0 in a fresh checkpoint directory, so a second stream
+    * (or a restart that abandoned its checkpoint) into the SAME index
+    * would otherwise find stale markers and silently skip genuinely
+    * new batches. Give every (checkpoint, index) pairing its own
+    * ingestId — same id across restarts of the same checkpoint,
+    * different id for a new one. Start the returned writer with
+    * `.option("checkpointLocation", ...).start()`. */
   def nearDupIngest(stream: DataFrame, indexPath: String, textCol: String,
                     pairsOut: String, minJaccard: Double = 0.9,
-                    maxBucketSize: Int = 1000)
+                    maxBucketSize: Int = 1000, ingestId: String = "")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val ns = if (ingestId.isEmpty) "" else s"$ingestId-"
           val marker = new org.apache.hadoop.fs.Path(
-            s"$indexPath/applied/batch-$batchId")
+            s"$indexPath/applied/${ns}batch-$batchId")
           val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
             val b = batch.localCheckpoint()

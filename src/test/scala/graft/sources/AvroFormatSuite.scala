@@ -77,4 +77,48 @@ class AvroFormatSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.read.format("avro").load(s"$work/codec_$c").count() == 2)
     }
   }
+
+  test("unknown codec fails on the driver before any job launches") {
+    val sp = spark; import sp.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Seq((1, "a")).toDF("k", "v").write.mode("overwrite")
+        .format("avro").option("compression", "zstd99")
+        .save(s"$work/codec_bad")
+    }
+    assert(e.getMessage.contains("zstd99"))
+  }
+
+  test("[null, record] top-level container reads; null datums skip") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val rec = SchemaBuilder.record("row").fields()
+      .requiredLong("id").requiredString("s").endRecord()
+    val union = Schema.createUnion(
+      Schema.create(Schema.Type.NULL), rec)
+    val dir = new java.io.File(s"$work/union_top"); dir.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](union))
+    w.create(union, new java.io.File(dir, "data.avro"))
+    val r1 = new GenericData.Record(rec); r1.put("id", 1L); r1.put("s", "a")
+    val r2 = new GenericData.Record(rec); r2.put("id", 2L); r2.put("s", "b")
+    w.append(r1); w.append(null); w.append(r2); w.close()
+    // planning unwraps the union AND the reader handles it identically —
+    // before, inference succeeded and every task crashed on getField
+    val got = spark.read.format("avro").load(s"$work/union_top")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("recursive avro schemas fail cleanly, not with a StackOverflow") {
+    import org.apache.avro.Schema
+    val recursive = new Schema.Parser().parse(
+      """{"type":"record","name":"Node","fields":[
+         {"name":"v","type":"long"},
+         {"name":"next","type":["null","Node"],"default":null}]}""")
+    val e = intercept[UnsupportedOperationException](
+      AvroConversions.toSqlType(recursive))
+    assert(e.getMessage.contains("recursive") ||
+      e.getMessage.contains("nesting"))
+  }
 }

@@ -427,6 +427,81 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed near-dup pairs wrong: $pairs")
   }
 
+  test("null-text rows are not content duplicates of each other") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-08-14 00:00:00")
+    val out = StreamingDedup.dropDuplicateContent(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("nulldup")
+      .outputMode("append").start()
+    mem.addData((1L, "same content", t0), (2L, null, t0),
+      (3L, null, t0), (4L, "same content", t0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("nulldup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the real duplicate collapses; BOTH null-text docs survive
+    assert(ids.intersect(Set(1L, 4L)).size == 1, s"content dup kept twice: $ids")
+    assert(ids.contains(2L) && ids.contains(3L),
+      s"distinct null-text docs were merged as duplicates: $ids")
+  }
+
+  test("ingestId namespaces applied markers across checkpoints") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val corpus = Seq((1L, "completely different corpus content about codegen"))
+      .toDF("doc_id", "text")
+    val ixPath = s"$work/stream_nsix"
+    graft.operators.Dedup.saveNearDupIndex(
+      graft.operators.Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, persist = false), ixPath)
+    def runOnce(ckpt: String, ingestId: String, rows: (Long, String)*): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedup.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+          ixPath, "text", s"$work/stream_nspairs", ingestId = ingestId)
+        .option("checkpointLocation", s"$work/$ckpt").start()
+      mem.addData(rows: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    val freshText = "one two three four five six seven eight nine ten"
+    runOnce("ns_ckpt_a", "streamA", (10L, freshText))
+    // a SECOND stream with a fresh checkpoint restarts batch ids at 0 —
+    // with a distinct ingestId its batch 0 must still fold (before the
+    // namespace, streamA's batch-0 marker silently skipped it)
+    runOnce("ns_ckpt_b", "streamB", (20L, freshText + " tail"))
+    val sigIds = spark.read.parquet(s"$ixPath/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds.contains(10L) && sigIds.contains(20L),
+      s"fresh-checkpoint batch was skipped by a stale marker: $sigIds")
+    // and the cross-stream near-dup was flagged (20 vs 10 via the index)
+    val pairs = spark.read.parquet(s"$work/stream_nspairs")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((20L, 10L)), s"cross-stream fold lost: $pairs")
+  }
+
+  test("tryProcessPath keeps completions pending while paused") {
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, 2.0), (2L, 4.0)).toDF("id", "amount")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/src_paused2/2026-08-12")
+    val app = new Application("paused2", sp, s"$work/app_paused2")
+    val src = app.marshalExternalData("src", s"$work/src_paused2", daySpec)
+    app.createData("daily", Seq(src.latest(1)), Seq(graft.compute.SqlSlot(
+      "SELECT COUNT(*) AS n FROM src")))
+    app.activate()
+    app.pause()
+    assert(app.tryProcessPath(s"$work/src_paused2/2026-08-12").isEmpty,
+      "paused delivery must be distinguishable from 'no route matched'")
+    app.resume()
+    assert(app.tryProcessPath(s"$work/src_paused2/2026-08-12").nonEmpty)
+  }
+
   test("near-dup ingest survives a crash-replay restart idempotently") {
     val sp = spark
     import sp.implicits._
