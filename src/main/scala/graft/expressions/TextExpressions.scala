@@ -54,7 +54,12 @@ final case class SimHash64(child: Expression) extends StringHashExpression {
   * hence the object's Java-facing methods). */
 object Kernels {
   def fnvFingerprint(s: UTF8String): Long = {
-    val normalized = s.toString.toLowerCase.trim.replaceAll("\\s+", " ")
+    // Locale.ROOT: default-locale toLowerCase is JVM-environment-
+    // dependent (tr locale dots/undots 'i'), which would give the SAME
+    // document DIFFERENT fingerprints across clusters/runs — fatal for
+    // dedup joins keyed on the fingerprint
+    val normalized = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.replaceAll("\\s+", " ")
     var h = 0xcbf29ce484222325L
     val bytes = normalized.getBytes("UTF-8")
     var i = 0
@@ -85,9 +90,19 @@ object Kernels {
   * `GraftFunctions.register(spark)` exposes `fnv_fingerprint(str)` and
   * `simhash64(str)` to SQL slots and `expr(...)`. */
 object GraftFunctions {
+  private def arity1(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(one) => build(one)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name,
+        "expectedNum" -> "1", "actualNum" -> other.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "fnv_fingerprint" -> { args => FnvFingerprint(args.head) },
-    "simhash64" -> { args => SimHash64(args.head) })
+    "fnv_fingerprint" -> arity1("fnv_fingerprint")(FnvFingerprint(_)),
+    "simhash64" -> arity1("simhash64")(SimHash64(_)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

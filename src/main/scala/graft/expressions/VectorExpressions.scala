@@ -81,11 +81,20 @@ final case class CosineSim(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // A zero-norm (or NaN-carrying) vector has UNDEFINED cosine — the raw
+  // division yields NaN, and Spark's NaN-is-largest ordering would rank
+  // such a vector ABOVE every real match and pass every >= threshold
+  // (a zero embedding would be flagged as a near-dup of its whole
+  // bucket). Undefined similarity surfaces as NULL, which thresholds
+  // and orderings reject.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val ad = a.asInstanceOf[ArrayData]
     val bd = b.asInstanceOf[ArrayData]
     if (ad.numElements() != bd.numElements()) null
-    else VectorKernels.cosine(ad, bd, isFloat(left), isFloat(right))
+    else {
+      val c = VectorKernels.cosine(ad, bd, isFloat(left), isFloat(right))
+      if (java.lang.Double.isNaN(c)) null else c
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -96,6 +105,7 @@ final case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  ${ev.value} = graft.expressions.VectorKernels.cosine(
          |    $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |  if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
          |}
        """.stripMargin)
 
@@ -148,6 +158,10 @@ final case class ArgMaxDot(left: Expression, right: Expression)
 final case class PlaneSig(child: Expression, planes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with Serializable {
+  // the signature packs one bit per plane into a long; past 64 the
+  // shift wraps mod 64 and planes silently alias onto low bits
+  require(planes >= 1 && planes <= 64,
+    s"planes must be in [1, 64] (one signature bit per plane), got $planes")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "plane_sig"

@@ -224,8 +224,12 @@ object Dedup {
           new BoundedCollectLong(maxBucketSize),
           org.apache.spark.sql.Encoders.scalaLong)
         grouped.agg(bc(col(idCol)).as("__ids"))
-      } else
-        grouped.agg(collect_list(col(idCol)).as("__ids"))
+      } else {
+        val bc = org.apache.spark.sql.functions.udaf(
+          new BoundedCollectString(maxBucketSize),
+          org.apache.spark.sql.Encoders.STRING)
+        grouped.agg(bc(col(idCol)).as("__ids"))
+      }
     collected
       .where(size(col("__ids")) <= maxBucketSize && size(col("__ids")) > 1)
       .select(array_sort(col("__ids")).as("__s"))
@@ -246,8 +250,10 @@ object Dedup {
     * scale soaks to prove the guard engages before a near-universal
     * bucket (shared boilerplate) turns the candidate join quadratic. */
   def lshBucketStats(df: DataFrame, textCol: String, idCol: String,
-                     k: Int = 64, bands: Int = 16, shingleN: Int = 2,
+                     k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                      maxBucketSize: Int = 1000): DataFrame = {
+    // shingleN default tracks minhashLshPairs — the diagnostic must
+    // describe the SAME clustering the operator will bucket
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     bandExplode(sigs, idCol, bands, k / bands)
@@ -614,6 +620,18 @@ object Dedup {
     * band), verified by true hamming distance. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    // 4×16-bit banding guarantees candidate generation only for
+    // hamming ≤ 3 (pigeonhole: 4 differing bits can land in 4 distinct
+    // bands) — a wider bound still returns only pairs that HAPPEN to
+    // share a band (useful as a post-banding filter, which existing
+    // callers rely on) but its recall is incomplete. Same contract
+    // surface as AnnIndex.topK's probeBits clamp: warn, don't refuse.
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    if (maxHamming > 3)
+      org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+        s"simhashPairs: maxHamming=$maxHamming exceeds the 4-band " +
+          "pigeonhole guarantee (3) — pairs beyond hamming 3 are found " +
+          "only when they share a band; recall is incomplete")
     val fp = spread(df).select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
     val bandExprs = (0 until 4).map(b =>
       shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))
@@ -656,10 +674,18 @@ object Dedup {
           .withColumn("__m", transform(col("__m0"), x =>
             struct(x.getField("_1").as("i"), x.getField("_2").as("h"))))
           .drop("__m0")
-      } else
+      } else {
+        val bc = org.apache.spark.sql.functions.udaf(
+          new BoundedCollectStringPair(maxBucketSize),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
         banded0.groupBy("band", "band_val")
-          .agg(collect_list(struct(col(idCol).as("i"), col("sh").as("h")))
-            .as("__m"))
+          .agg(bc(col(idCol), col("sh")).as("__m0"))
+          .withColumn("__m", transform(col("__m0"), x =>
+            struct(x.getField("_1").as("i"), x.getField("_2").as("h"))))
+          .drop("__m0")
+      }
     bucketed
       .where(size(col("__m")) <= maxBucketSize && size(col("__m")) > 1)
       .select(array_sort(col("__m")).as("__s"))
@@ -781,10 +807,29 @@ object Dedup {
   def sharedSpanPairs(df: DataFrame, textCol: String, idCol: String,
                       spanTokens: Int = 50,
                       maxSpanDocs: Int = 1000): DataFrame = {
+    // distinct BEFORE collecting (a doc repeating a span must count
+    // once — the collect_set this replaces deduped in-buffer), then a
+    // BOUNDED collect: plain collect_set materialized a corpus-wide
+    // boilerplate span's full doc list in ONE aggregation buffer before
+    // the maxSpanDocs guard could drop it — the exact skew OOM the
+    // bounded aggregators exist for, missed on this path.
     val spans = spread(df).select(col(idCol),
-      explode(hashedShingles(col(textCol), spanTokens)).as("__g"))
-    spans.groupBy("__g")
-      .agg(collect_set(col(idCol)).as("__ids"))
+        explode(hashedShingles(col(textCol), spanTokens)).as("__g"))
+      .distinct()
+    val grouped = spans.groupBy("__g")
+    val collected =
+      if (isLongCol(df, idCol)) {
+        val bc = org.apache.spark.sql.functions.udaf(
+          new BoundedCollectLong(maxSpanDocs),
+          org.apache.spark.sql.Encoders.scalaLong)
+        grouped.agg(bc(col(idCol)).as("__ids"))
+      } else {
+        val bc = org.apache.spark.sql.functions.udaf(
+          new BoundedCollectString(maxSpanDocs),
+          org.apache.spark.sql.Encoders.STRING)
+        grouped.agg(bc(col(idCol)).as("__ids"))
+      }
+    collected
       .where(size(col("__ids")) <= maxSpanDocs && size(col("__ids")) > 1)
       .select(array_sort(col("__ids")).as("__s"))
       .select(explode(sortedPairs(col("__s"), isLongCol(df, idCol))).as("__p"))
@@ -811,8 +856,12 @@ object Dedup {
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 minOccurrences: Int = 2): DataFrame = {
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    // null text behaves as empty text: without the coalesce, the doc
+    // resurrects through the right join with n_lines = size(split(null))
+    // = null and a null n_removed — garbage counts downstream
+    val txt = coalesce(col(textCol), lit(""))
     val lines = spread(df).select(col(idCol),
-      posexplode(split(col(textCol), "\n")))
+      posexplode(split(txt, "\n")))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
       .withColumn("__k", xxhash64(trim(col("__line"))))
     val common = lines.where(trim(col("__line")) =!= "")
@@ -827,7 +876,8 @@ object Dedup {
           x => x.getField("__line"))).as("clean_text"),
         count(lit(1)).as("__kept"))
       .join(df.select(col(idCol),
-        size(split(col(textCol), "\n")).as("n_lines")), Seq(idCol), "right")
+        size(split(coalesce(col(textCol), lit("")), "\n")).as("n_lines")),
+        Seq(idCol), "right")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_lines"),
@@ -950,10 +1000,14 @@ object Dedup {
     val sig = sig0.join(smallBuckets, "bucket")
     val a = sig.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("bucket"))
     val b = sig.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("bucket"))
+    // no dedup pass: the signature is a function of the vector, so each
+    // doc lives in exactly ONE bucket and a pair can only meet once (the
+    // historical .distinct() re-shuffled the operator's largest
+    // intermediate for no semantic effect — semanticDedupDrops documents
+    // the same single-bucket argument)
     a.join(b, "bucket").where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         Similarity.cosine(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= minCosine)
-      .distinct()
   }
 }

@@ -91,6 +91,27 @@ final class BoundedCollectString(cap: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
+/** (string id, hash) pair variant for the SimHash bucket aggregation
+  * over non-long id columns. */
+final class BoundedCollectStringPair(cap: Int)
+    extends Aggregator[(String, Long), List[(String, Long)], Seq[(String, Long)]] {
+  private val lim = cap + 1
+  override def zero: List[(String, Long)] = Nil
+  override def reduce(b: List[(String, Long)],
+                      v: (String, Long)): List[(String, Long)] =
+    if (b.length >= lim) b else v :: b
+  override def merge(b1: List[(String, Long)],
+                     b2: List[(String, Long)]): List[(String, Long)] =
+    if (b1.length >= lim) b1
+    else if (b2.length >= lim) b2
+    else { val c = b2 ::: b1; if (c.length > lim) c.take(lim) else c }
+  override def finish(b: List[(String, Long)]): Seq[(String, Long)] = b
+  override def bufferEncoder: Encoder[List[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long)]]()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
 /** (id, hash) pair variant for the SimHash bucket aggregation. */
 final class BoundedCollectPair(cap: Int)
     extends Aggregator[(Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {

@@ -126,6 +126,38 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(half == Seq(127, 64)) // 63.5 rounds HALF_UP to 64
   }
 
+  test("CosineSim yields NULL (not NaN) for zero-norm vectors") {
+    val sp = spark; import sp.implicits._
+    // documented divergence from the raw-division composition: its NaN
+    // ranks ABOVE every real cosine under Spark's NaN-is-largest
+    // ordering and passes every >= threshold, so a zero embedding would
+    // be flagged as a near-dup of its whole bucket; undefined
+    // similarity surfaces as NULL, which thresholds reject
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (2L, Seq(1.0f, 2.0f), Seq(0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      bridge.column(CosineSim(
+        bridge.expression(col("a")), bridge.expression(col("b")))).as("k"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) == 1.0)
+    // the threshold filter rejects the undefined rows
+    val kept = df.select(col("id"),
+      bridge.column(CosineSim(
+        bridge.expression(col("a")), bridge.expression(col("b")))).as("k"))
+      .where(col("k") >= 0.9).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L), s"zero-norm row passed a threshold: $kept")
+  }
+
+  test("PlaneSig rejects plane counts past the 64-bit signature") {
+    val sp = spark; import sp.implicits._
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Similarity.planeSignature(col("v"), planes = 96))
+    assert(e.getMessage.contains("64"))
+  }
+
   test("CosineSim yields NULL on mismatched lengths, like the composition") {
     val sp = spark; import sp.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")

@@ -379,6 +379,40 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(c0 == expected)
   }
 
+  test("zero embeddings never flag as near-dups; bounds are validated") {
+    val sp = spark; import sp.implicits._
+    // a zero vector shares bucket 0's signature with whatever lands
+    // there; its cosine is UNDEFINED and must never pass the threshold
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(2.0f, 4.0f, 6.0f, 8.0f)),   // colinear with 1
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+        minCosine = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"zero vector leaked into near-dup pairs: $pairs")
+    // simhash banding contract: negative bounds refuse; bounds past the
+    // pigeonhole guarantee run (as a post-banding filter) with a logged
+    // incomplete-recall warning — the probeBits-clamp precedent
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = -1))
+    Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 5).collect()
+  }
+
+  test("lineDedup treats null text as empty, never emits negative counts") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "keep me\nshared line"), (2L, "shared line\nother"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(out(3L)._1 == "" && out(3L)._2 == 1 && out(3L)._3 == 0,
+      s"null-text doc got garbage counts: ${out(3L)}")
+    assert(out(1L)._1 == "keep me")
+  }
+
   test("connected components cluster dup pairs; canonical = min id") {
     val sp = spark; import sp.implicits._
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
