@@ -92,6 +92,18 @@ private[routing] object WalCodec {
     events.zipWithIndex
       .groupBy(_._1._1).map { case (_, occ) => occ.last }
       .toSeq.sortBy(_._2).map(_._1)
+
+  /** The snapshot BODY, in one place (shared by [[RoutingCheckpoint]]
+    * and the sharded EpochWal — a line-format or durability fix must
+    * not have to land twice): last event per path + distinct completed
+    * set, in WAL line format. */
+  def writeState(out: java.io.OutputStream, events: Seq[(String, Boolean)],
+                 completed: Seq[String]): Unit = {
+    lastPerPath(events).foreach { case (p, b) =>
+      out.write(s"${if (b) "eb" else "e"}\t${esc(p)}\n".getBytes("UTF-8")) }
+    completed.distinct.foreach(p =>
+      out.write(s"c\t${esc(p)}\n".getBytes("UTF-8")))
+  }
 }
 
 final class RoutingCheckpoint(path: String, conf: Configuration)
@@ -133,7 +145,6 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
   def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit =
     synchronized {
       if (!fs.exists(dir)) return
-      val lastPerPath = WalCodec.lastPerPath(events)
       val old = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("wal-"))
       close() // the snapshot becomes the new open segment's predecessor
@@ -141,14 +152,19 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
       // segment (a same-millisecond live segment could otherwise sort
       // ahead of a timestamped snapshot and invert replay order)
       val name = f"wal-${0L}%013d-compacted-${System.currentTimeMillis()}.log"
-      val out = fs.create(new Path(dir, name), true)
-      try {
-        lastPerPath.foreach { case (p, b) =>
-          out.write(s"${if (b) "eb" else "e"}\t${esc(p)}\n".getBytes("UTF-8")) }
-        completed.distinct.foreach(p =>
-          out.write(s"c\t${esc(p)}\n".getBytes("UTF-8")))
-      } finally out.close()
-      old.foreach(f => fs.delete(f, false))
+      val snap = new Path(dir, name)
+      val out = fs.create(snap, true)
+      try WalCodec.writeState(out, events, completed) finally out.close()
+      val survived = old.filter(f => !fs.delete(f, false) && fs.exists(f))
+      if (survived.nonEmpty) {
+        // a surviving pre-compaction segment carries OLDER entries that
+        // would fold AFTER the snapshot (later timestamp) and win the
+        // last-per-path fold — withdraw the snapshot, retry next time
+        fs.delete(snap, false)
+        org.slf4j.LoggerFactory.getLogger(classOf[RoutingCheckpoint]).warn(
+          s"checkpoint $dir: compaction aborted — could not delete " +
+            s"${survived.map(_.getName).mkString(", ")}; snapshot withdrawn")
+      }
     }
 
   /** Replay-ordered state: (events with blocked flag, completed paths).

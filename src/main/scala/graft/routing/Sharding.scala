@@ -70,6 +70,10 @@ trait LeaseStore {
   def list(): Seq[String]
   /** Whether [[putIfAbsent]] is strictly atomic on this store. */
   def atomicCreate: Boolean
+  /** Best-effort removal of a stale entry (namespace hygiene) — a
+    * backend without deletes may leave it a no-op; correctness never
+    * depends on pruning. */
+  def delete(name: String): Unit = ()
 }
 
 /** The conditional-write KV primitive of an object store — the shape of
@@ -167,8 +171,14 @@ final class HadoopLeaseStore(dir: Path, conf: Configuration)
 
   def put(name: String, content: String): Unit = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    write(new Path(dir, name), content, overwrite = true)
-    ()
+    // a silently dropped heartbeat ages the on-store lease while the
+    // owner believes it is fresh (peer steals at timeout, both execute
+    // until the next fence poll) and a dropped release tombstone costs
+    // the successor a full timeout — at least leave evidence
+    if (!write(new Path(dir, name), content, overwrite = true))
+      org.slf4j.LoggerFactory.getLogger(classOf[HadoopLeaseStore]).warn(
+        s"lease store write FAILED for $name under $dir — heartbeat/" +
+          "tombstone not durable this round")
   }
 
   def get(name: String): Option[String] =
@@ -181,6 +191,11 @@ final class HadoopLeaseStore(dir: Path, conf: Configuration)
   def list(): Seq[String] =
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
+
+  override def delete(name: String): Unit = {
+    try { fs.delete(new Path(dir, name), false); () }
+    catch { case _: java.io.IOException => () } // hygiene only
+  }
 }
 
 /** Lease + fencing-epoch ownership of ONE shard over a shared filesystem.
@@ -268,9 +283,16 @@ final class ShardLease(val shard: Int, val ownerId: String,
   /** The epoch this instance holds, or -1. */
   def heldEpoch: Long = held
 
-  /** Is the held epoch still the shard's highest (not fenced out)? */
+  /** Is the held epoch still the shard's highest (not fenced out)?
+    * An UNREADABLE epoch-file content (transient store failure — the
+    * files are immutable, so "" can never mean "owned by nobody") at
+    * the held epoch counts as still-current: folding a read hiccup to
+    * "fenced" would drop a live shard (WAL close + full replay churn);
+    * a real double-hold still converges at the next readable poll, and
+    * [[renew]] keeps converging it every heartbeat. */
   def isCurrent: Boolean =
-    held > 0 && current().exists { case (k, o) => k == held && o == ownerId }
+    held > 0 && current().exists { case (k, o) =>
+      k == held && (o == ownerId || o.isEmpty) }
 
   /** Claim the shard: succeeds when no lease exists, when this owner
     * already holds the current epoch, when this owner finds its OWN
@@ -316,6 +338,18 @@ final class ShardLease(val shard: Int, val ownerId: String,
     if (store.putIfAbsent(epochName(k), ownerId)) {
       store.put(hbName(k), clock().toString)
       hbMissingSince.filterInPlace((e, _) => e >= k) // strikes for dead epochs
+      // namespace hygiene: entries far below the new epoch are
+      // unreadable by any replay (segments that old sweep at each
+      // takeover compaction; 64 epochs of slack covers pathological
+      // recovery) — unpruned, every claim-path list() grows with the
+      // deployment's total failover count. Best-effort per backend.
+      if (k > 64)
+        store.list()
+          .filter(n => n.startsWith("epoch-") || n.startsWith("hb-"))
+          .foreach { n =>
+            n.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLongOption
+              .filter(_ < k - 64).foreach(_ => store.delete(n))
+          }
       if (store.atomicCreate) {
         // The store decided the race atomically (POSIX O_EXCL, HDFS
         // namenode create, an object store's If-None-Match conditional
@@ -345,9 +379,19 @@ final class ShardLease(val shard: Int, val ownerId: String,
     * here, bounding split-brain to at most one renewal period. */
   def renew(): Unit =
     if (held > 0) {
-      if (store.get(epochName(held)).map(_.trim).contains(ownerId))
-        { store.put(hbName(held), clock().toString); () }
-      else held = -1L // epoch file carries another owner — abdicate
+      store.get(epochName(held)).map(_.trim) match {
+        case Some(o) if o == ownerId =>
+          store.put(hbName(held), clock().toString); ()
+        case Some(_) =>
+          held = -1L // epoch file carries another owner — abdicate
+        case None =>
+          // epoch files are immutable and never deleted: an unreadable
+          // read is a TRANSIENT failure, not lost ownership. Abdicating
+          // here dropped a live shard on a single swallowed IOException
+          // (tryAcquire's hb grace exists for exactly this class) —
+          // keep heartbeating; the next successful read re-verifies.
+          store.put(hbName(held), clock().toString); ()
+      }
     }
 
   /** Drop ownership: tombstone the heartbeat so a successor claims
@@ -446,6 +490,14 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith(prefix))
 
+  /** The 13-digit millisecond component of a segment name, whichever of
+    * the two formats (`wal-<epoch>-<token>-<ts>-<uuid>` /
+    * legacy `wal-<epoch>-<ts>-<uuid>`) produced it. */
+  private def tsOf(n: String): Long =
+    n.stripSuffix(".log").split('-').drop(2)
+      .find(f => f.length == 13 && f.forall(_.isDigit))
+      .map(_.toLong).getOrElse(Long.MaxValue)
+
   /** Replay-ordered state under the fencing rule. */
   def load(): Option[(List[(String, Boolean)], List[String])] = {
     if (!fs.exists(dir)) return None
@@ -466,7 +518,7 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
         case _ => true
       }
     }
-    val (live, zombie) = (liveP.map(_._1), zombieP.map(_._1))
+    val zombie = zombieP.map(_._1)
     if (losers.nonEmpty)
       log.warn(s"shard WAL $dir: ignoring ${losers.length} segment(s) from " +
         "same-epoch claim-race losers (owner token differs from the " +
@@ -477,7 +529,13 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
         zombie.sorted.mkString(", "))
     val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val completed = scala.collection.mutable.ListBuffer.empty[String]
-    val ordered = snapName.toSeq ++ live.sorted // epoch asc, then ts asc
+    // NUMERIC (epoch, ts) order: a plain name sort compares the token
+    // field against a legacy name's timestamp field at the same epoch,
+    // so mixed-format (or unresolvable-owner) segments could replay out
+    // of chronological order and last-wins state would come from the
+    // older event
+    val ordered = snapName.toSeq ++
+      liveP.sortBy { case (n, e) => (e, tsOf(n), n) }.map(_._1)
     if (ordered.isEmpty) return None
     ordered.foreach(name =>
       WalCodec.foldFile(fs, new Path(dir, name), events, completed))
@@ -497,19 +555,26 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
           "higher-epoch snapshot exists (this owner is fenced out)")
         return
       }
-      val lastPerPath = WalCodec.lastPerPath(events)
       val old = parsed(listNames("wal-") ++ listNames("snap-"))
         .filter(_._2 <= epoch).map(_._1)
       close() // own open segment is among the deletions below
       val name = f"snap-$epoch%09d-${System.currentTimeMillis()}%013d.log"
       val out = fs.create(new Path(dir, name), true)
-      try {
-        lastPerPath.foreach { case (p, b) =>
-          out.write(s"${if (b) "eb" else "e"}\t${WalCodec.esc(p)}\n".getBytes("UTF-8")) }
-        completed.distinct.foreach(p =>
-          out.write(s"c\t${WalCodec.esc(p)}\n".getBytes("UTF-8")))
-      } finally out.close()
-      old.foreach(n => fs.delete(new Path(dir, n), false))
+      try WalCodec.writeState(out, events, completed) finally out.close()
+      val survived = old.filter { n =>
+        val p = new Path(dir, n)
+        !fs.delete(p, false) && fs.exists(p)
+      }
+      if (survived.nonEmpty) {
+        // a surviving same-epoch segment would fold AFTER the new
+        // snapshot on the next load (last-wins) and resurrect stale
+        // state — abort the barrier by removing the snapshot; the next
+        // compaction retries the whole swap
+        fs.delete(new Path(dir, name), false)
+        log.warn(s"shard WAL $dir: compaction at epoch $epoch aborted — " +
+          s"could not delete segment(s) ${survived.mkString(", ")}; " +
+          "snapshot withdrawn, will retry")
+      }
     }
 }
 
@@ -581,13 +646,28 @@ final class ShardedDriver(root: String, val driverId: String,
   }
 
   /** Acquire every shard that has routes and a free/expired lease. */
-  def acquireShards(): List[ExecutionContext] =
-    (0 until numShards).toList
-      .filter(s => defs.exists(d => shardOf(d.id) == s))
-      .flatMap(s => tryAcquireShard(s).getOrElse(Nil))
+  def acquireShards(): List[ExecutionContext] = {
+    // defs is mutated under the monitor — read it there too, or a poll
+    // racing add() can observe a stale list and skip a routed shard
+    val withRoutes = synchronized {
+      (0 until numShards).toList
+        .filter(s => defs.exists(d => shardOf(d.id) == s))
+    }
+    withRoutes.flatMap(s => tryAcquireShard(s).getOrElse(Nil))
+  }
 
-  /** Heartbeat every held lease — call on the driver's poll cadence. */
-  def renewLeases(): Unit = synchronized { owned.values.foreach(_.lease.renew()) }
+  /** Heartbeat every held lease — call on the driver's poll cadence.
+    * Renewal runs OUTSIDE the driver monitor (only the ownership
+    * snapshot is taken under it): the decoupled heartbeat exists so
+    * long work — a takeover WAL replay in tryAcquireShard, inbox I/O —
+    * cannot starve renewals past the lease timeout, which holding the
+    * monitor here would reintroduce. ShardLease is safe to renew
+    * concurrently (volatile held; renew re-verifies the settled
+    * owner), and renewing a just-dropped lease only converges it. */
+  def renewLeases(): Unit = {
+    val ls = synchronized { owned.values.map(_.lease).toList }
+    ls.foreach(_.renew())
+  }
 
   /** Shards whose lease this driver LOST (fenced by a successor) — the
     * driver should drop them and stop executing their work. */
@@ -708,7 +788,15 @@ final class ShardedDriver(root: String, val driverId: String,
     val dir = inboxDir(shard)
     if (!fs.exists(dir)) return Nil
     val table = owned(shard).table
-    val msgs = fs.listStatus(dir).map(_.getPath)
+    val all = fs.listStatus(dir)
+    // sweep tmp litter from senders that died between create and rename
+    // (their message is redelivered via the sender's own WAL replay);
+    // the age floor keeps live in-flight publishes untouched
+    all.filter(st => st.getPath.getName.startsWith(".msg-") &&
+        st.getPath.getName.endsWith(".tmp") &&
+        clock() - st.getModificationTime > 2 * leaseTimeoutMillis)
+      .foreach(st => fs.delete(st.getPath, false))
+    val msgs = all.map(_.getPath)
       .filter(_.getName.startsWith("msg-")).sortBy(_.getName)
     msgs.toList.flatMap { m =>
       val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
