@@ -22,7 +22,18 @@ final case class MetricAlarmDef(
 final case class CompositeAlarmDef(
     alarmId: String,
     memberIds: Seq[String],
-    rule: AlarmRule)
+    rule: AlarmRule) {
+  // fail at CONSTRUCTION, with the alarm named — a rule referencing an
+  // unknown member would otherwise surface as a bare
+  // NoSuchElementException inside every poll (and, unisolated, starve
+  // the whole monitor)
+  require(memberIds.nonEmpty,
+    s"composite alarm '$alarmId' needs at least one member")
+  require(AlarmRule.refs(rule).subsetOf(memberIds.toSet),
+    s"composite alarm '$alarmId': rule references " +
+      s"${(AlarmRule.refs(rule) -- memberIds).mkString(", ")} " +
+      "outside its declared members")
+}
 
 object CompositeAlarmDef {
   /** Derive the composite's (period, state) rows from its members'
@@ -87,8 +98,19 @@ final class AlarmMonitor(
     * silently drop the pending transition. */
   private def advance(alarmId: String,
                       rows: Seq[(LocalDateTime, String)]): List[Transition] = {
-    val fresh = rows.filter { case (t, _) =>
-      lastPeriod.get(alarmId).forall(t.isAfter) }
+    val fresh = rows.filter { case (t, s) =>
+      lastPeriod.get(alarmId) match {
+        case None => true
+        case Some(lp) =>
+          // strictly-newer periods always; the ALREADY-CONSUMED period
+          // re-enters only when late intra-period data FLIPPED its
+          // evaluated state — a change-only protocol must raise the
+          // corrected edge, not silently keep the stale one (the
+          // newest period is typically still OPEN when first seen)
+          t.isAfter(lp) ||
+            (t == lp && !lastState.get(alarmId).contains(s))
+      }
+    }
     val out = scala.collection.mutable.ListBuffer.empty[Transition]
     var halted = false
     def consume(t: LocalDateTime): Unit = {
@@ -106,7 +128,9 @@ final class AlarmMonitor(
             lastState(alarmId) = state
             out += Transition(alarmId, state, t, completions)
           } catch {
-            case e: Throwable =>
+            // NonFatal: an OOM/StackOverflow must not be absorbed as a
+            // retryable raise failure, and interruption must propagate
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft-alarm-monitor] raise " +
                 s"$alarmId→$state@$t failed (will retry): ${e.getMessage}")
               halted = true // preserve transition order; retry next poll
@@ -117,11 +141,29 @@ final class AlarmMonitor(
     out.toList
   }
 
-  private def stateRows(d: MetricAlarmDef): Seq[(LocalDateTime, String)] =
-    Alarms.evaluate(d.series(), d.params, d.periodSecs)
-      .select("period_start", "state").orderBy("period_start")
+  private def stateRows(d: MetricAlarmDef): Seq[(LocalDateTime, String)] = {
+    val evaluated = Alarms.evaluate(d.series(), d.params, d.periodSecs)
+      .select("period_start", "state")
+    // bound the driver transfer: advance() discards everything before
+    // its cursor, so only periods at/after the MOST-BEHIND cursor ever
+    // matter (the global minimum, not this alarm's own — a composite
+    // whose raise failed may still need periods its members already
+    // consumed). Un-pruned, a long-lived poll loop collect()s the
+    // alarm's entire history every tick.
+    val floor = synchronized {
+      val all = lastPeriod.values
+      if (all.isEmpty) None else Some(all.min(Ordering.fromLessThan[
+        LocalDateTime]((a, b) => a.isBefore(b))))
+    }
+    val pruned = floor match {
+      case Some(f) => evaluated.where(org.apache.spark.sql.functions
+        .col("period_start") >= java.sql.Timestamp.valueOf(f))
+      case None => evaluated
+    }
+    pruned.orderBy("period_start")
       .collect()
       .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1))).toSeq
+  }
 
   /** Evaluate every alarm over its current series; raise each state
     * transition (in period order) into routing. Returns the raised
@@ -136,12 +178,34 @@ final class AlarmMonitor(
   def poll(): List[Transition] = synchronized {
     val rowsById = scala.collection.mutable.Map.empty[
       String, Seq[(LocalDateTime, String)]]
-    defs.foreach(d => rowsById(d.alarmId) = stateRows(d))
-    val simple = defs.toList.flatMap(d => advance(d.alarmId, rowsById(d.alarmId)))
+    // PER-ALARM fault isolation: one alarm's failing series() (deleted
+    // external store, broken schema) must not abort the poll before
+    // any other alarm advances — unisolated, a permanently-broken
+    // series starves every healthy alarm forever
+    defs.foreach { d =>
+      try rowsById(d.alarmId) = stateRows(d)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-alarm-monitor] series for " +
+            s"'${d.alarmId}' failed this poll (others continue): " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    val simple = defs.toList
+      .filter(d => rowsById.contains(d.alarmId))
+      .flatMap(d => advance(d.alarmId, rowsById(d.alarmId)))
     val composite = composites.toList.flatMap { c =>
-      val rows = CompositeAlarmDef.deriveRows(c, rowsById.toMap)
-      rowsById(c.alarmId) = rows // visible to later composites
-      advance(c.alarmId, rows)
+      if (!c.memberIds.forall(rowsById.contains)) {
+        System.err.println(s"[graft-alarm-monitor] composite " +
+          s"'${c.alarmId}' skipped this poll — member series " +
+          s"${c.memberIds.filterNot(rowsById.contains).mkString(", ")} " +
+          "unavailable")
+        Nil
+      } else {
+        val rows = CompositeAlarmDef.deriveRows(c, rowsById.toMap)
+        rowsById(c.alarmId) = rows // visible to later composites
+        advance(c.alarmId, rows)
+      }
     }
     simple ++ composite
   }

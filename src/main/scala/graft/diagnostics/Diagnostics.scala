@@ -65,7 +65,10 @@ object MetricStatistic {
   }
   case object AVG extends MetricStatistic {
     def agg(c: String) = avg(col(c))
-    def weightedAgg(c: String, n: String) = sum(col(c) * col(n)) / sum(col(n))
+    // null-value pairs contribute NOTHING — like the row-wise avg,
+    // which skips nulls; an unguarded denominator counted their weights
+    def weightedAgg(c: String, n: String) =
+      sum(col(c) * col(n)) / sum(when(col(c).isNotNull, col(n)))
   }
   case object MIN extends MetricStatistic {
     def agg(c: String) = min(col(c))
@@ -79,14 +82,19 @@ object MetricStatistic {
   }
   case object SAMPLE_COUNT extends MetricStatistic {
     def agg(c: String) = count(col(c))
-    def weightedAgg(c: String, n: String) = sum(col(n))
+    def weightedAgg(c: String, n: String) =
+      sum(when(col(c).isNotNull, col(n)))
   }
   /** Exact interpolated percentile (matches DuckDB quantile_cont);
-    * weighted via the built-in percentile's frequency argument. */
+    * weighted via the built-in percentile's frequency argument.
+    * Identifiers are backtick-quoted like every col()-based statistic —
+    * a column named `response time` (or a reserved word) must not be a
+    * parse error here alone. */
   final case class Percentile(p: Double) extends MetricStatistic {
-    def agg(c: String) = expr(s"percentile($c, $p)")
+    private def q(c: String) = "`" + c.replace("`", "``") + "`"
+    def agg(c: String) = expr(s"percentile(${q(c)}, $p)")
     def weightedAgg(c: String, n: String) =
-      expr(s"percentile($c, $p, cast($n as bigint))")
+      expr(s"percentile(${q(c)}, $p, cast(${q(n)} as bigint))")
   }
 }
 
@@ -123,7 +131,8 @@ object Metrics {
         min(col(valueCol)).cast("double").as("min"),
         max(col(valueCol)).cast("double").as("max"),
         count(col(valueCol)).as("sample_count"),
-        expr(s"percentile($valueCol, 0.5)").cast("double").as("p50"))
+        expr(s"percentile(`${valueCol.replace("`", "``")}`, 0.5)")
+          .cast("double").as("p50"))
       .select(col("name"), col("w.start").as("period_start"),
         col("sum"), col("avg"), col("min"), col("max"),
         col("sample_count"), col("p50"))
@@ -178,7 +187,16 @@ final case class AlarmParams(
     comparison: AlarmComparison,
     evaluationPeriods: Int,
     datapointsToAlarm: Int,
-    missingData: MissingDataPolicy = MissingDataPolicy.Missing)
+    missingData: MissingDataPolicy = MissingDataPolicy.Missing) {
+  // CloudWatch's own validation (1 <= M <= N): M=0 is permanent ALARM,
+  // M>N silently unreachable, N=0 an opaque window-frame error at
+  // analysis — all three must fail HERE, where the misconfiguration is
+  require(evaluationPeriods >= 1,
+    s"evaluationPeriods must be >= 1, got $evaluationPeriods")
+  require(datapointsToAlarm >= 1 && datapointsToAlarm <= evaluationPeriods,
+    s"datapointsToAlarm must be in [1, evaluationPeriods=" +
+      s"$evaluationPeriods], got $datapointsToAlarm")
+}
 
 object Alarms {
   val ALARM = "ALARM"
@@ -195,21 +213,26 @@ object Alarms {
     val filled = params.missingData match {
       case MissingDataPolicy.Missing => series
       case policy =>
-        // densify the period grid per name, fill gaps per policy
+        // densify the period grid per name, fill gaps per policy. The
+        // fill sentinel must land on the breaching/non-breaching side
+        // of the threshold at ANY magnitude: a fixed ±offset rounds
+        // back to the threshold once |threshold| outgrows the offset's
+        // half-ulp (≥ ~5e24 for 1e9), inverting the policy — use the
+        // double extremes instead.
         val fillVal = policy match {
           case MissingDataPolicy.Breaching =>
             params.comparison match {
               case AlarmComparison.LessThanThreshold
                    | AlarmComparison.LessThanOrEqualToThreshold =>
-                params.threshold - 1e9
-              case _ => params.threshold + 1e9
+                -Double.MaxValue
+              case _ => Double.MaxValue
             }
           case _ =>
             params.comparison match {
               case AlarmComparison.LessThanThreshold
                    | AlarmComparison.LessThanOrEqualToThreshold =>
-                params.threshold + 1e9
-              case _ => params.threshold - 1e9
+                Double.MaxValue
+              case _ => -Double.MaxValue
             }
         }
         val grid = series.groupBy("name")

@@ -347,6 +347,57 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     val t2 = mon.poll()
     assert(t2.map(_.state) == List("OK") && t2.head.completions.isEmpty)
     assert(mon.poll().isEmpty)
+
+    // LATE INTRA-PERIOD DATA flips the already-consumed newest period:
+    // the corrected edge must raise (the open period's first read was
+    // partial — a change-only protocol must not keep the stale state)
+    rows :+= (("m", "2026-08-12 12:00:00", 99.0)) // same day-period, now breaching
+    val t3 = mon.poll()
+    assert(t3.map(t => (t.state, t.period.toLocalDate.toString)) ==
+      List(("ALARM", "2026-08-12")),
+      s"late-data state flip of the open period was dropped: $t3")
+    assert(mon.poll().isEmpty)
+  }
+
+  test("alarm monitor isolates a failing series from healthy alarms") {
+    val sp = spark
+    import sp.implicits._
+    val app = new Application("mon_iso", spark, s"$work/app_mon_iso")
+    var broken = true
+    app.createMetricAlarm("bad",
+      () => if (broken) sys.error("store deleted")
+        else Seq(("b", "2026-08-10 00:00:00", 10.0))
+          .toDF("name", "period_start", "value")
+          .withColumn("period_start", to_timestamp(col("period_start"))),
+      graft.diagnostics.AlarmParams(5.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1),
+      periodSecs = 86400, timeFormat = "%Y-%m-%d")
+    app.createMetricAlarm("good",
+      () => Seq(("g", "2026-08-10 00:00:00", 10.0))
+        .toDF("name", "period_start", "value")
+        .withColumn("period_start", to_timestamp(col("period_start"))),
+      graft.diagnostics.AlarmParams(5.0,
+        graft.diagnostics.AlarmComparison.GreaterThanOrEqualToThreshold,
+        evaluationPeriods = 1, datapointsToAlarm = 1),
+      periodSecs = 86400, timeFormat = "%Y-%m-%d")
+    app.activate()
+    val mon = app.alarmMonitor()
+    // the broken series must not starve the healthy alarm
+    val t1 = mon.poll()
+    assert(t1.map(_.alarmId) == List("good"),
+      s"healthy alarm starved by a failing sibling: $t1")
+    // once the store heals, the broken alarm catches up
+    broken = false
+    val t2 = mon.poll()
+    assert(t2.map(_.alarmId) == List("bad"), s"healed alarm never raised: $t2")
+    // misconfigured params fail at construction, CloudWatch-style
+    intercept[IllegalArgumentException](graft.diagnostics.AlarmParams(
+      5.0, graft.diagnostics.AlarmComparison.GreaterThanThreshold,
+      evaluationPeriods = 3, datapointsToAlarm = 0))
+    intercept[IllegalArgumentException](graft.diagnostics.AlarmParams(
+      5.0, graft.diagnostics.AlarmComparison.GreaterThanThreshold,
+      evaluationPeriods = 0, datapointsToAlarm = 1))
   }
 
   test("dev state round-trips: serialize, attach in a new session, execute") {
