@@ -131,7 +131,15 @@ object DimFilter {
           (lv.name.isEmpty || rv.name.isEmpty || lv.name == rv.name)
       }
       for ((lv, lSub) <- block) {
-        val applied: Option[List[DimValue]] = Try(lv.applyTo(rv, finalize)).getOrElse(None)
+        val applied: Option[List[DimValue]] =
+          try lv.applyTo(rv, finalize)
+          catch {
+            // deliberate misuse diagnostics (finalize of relative vs
+            // relative) must SURFACE — swallowing them turned
+            // programming errors into silent non-matches
+            case e: IllegalStateException => throw e
+            case scala.util.control.NonFatal(_) => None // value incompat
+          }
         applied.foreach { survivors =>
           val newSub: Option[DimFilter] =
             if (lSub.isEmpty || rSub.isEmpty) Some(DimFilter.empty) // leaf
@@ -141,13 +149,37 @@ object DimFilter {
             }
           newSub.foreach { sub =>
             survivors.foreach { s =>
-              // eliminate identicals at this level (keyed by canonical value)
-              resultNodes.getOrElseUpdate(s.value.toString, (s, sub))
+              // identical values at this level MERGE their subtrees —
+              // first-wins silently dropped the second branch's
+              // distinct sub-filter (two pinned days under one region
+              // value), losing partitions the intersection covers
+              val key = s.value.toString
+              resultNodes.get(key) match {
+                case None => resultNodes(key) = (s, sub)
+                case Some((s0, sub0)) =>
+                  resultNodes(key) = (s0, mergeByValue(sub0, sub))
+              }
             }
           }
         }
       }
     }
     DimFilter(resultNodes.values.toList)
+  }
+
+  /** Recursive union of two filters' branches, deduped by canonical
+    * value per level (subtrees of equal values merge the same way). */
+  private def mergeByValue(a: DimFilter, b: DimFilter): DimFilter = {
+    if (b.isEmpty) return a
+    if (a.isEmpty) return b
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (DimValue, DimFilter)]
+    (a.nodes ++ b.nodes).foreach { case (v, sub) =>
+      val k = v.value.toString
+      out.get(k) match {
+        case None => out(k) = (v, sub)
+        case Some((v0, sub0)) => out(k) = (v0, mergeByValue(sub0, sub))
+      }
+    }
+    DimFilter(out.values.toList)
   }
 }

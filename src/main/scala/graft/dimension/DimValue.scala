@@ -211,12 +211,22 @@ object DimValue {
               dim.name, params)
           case None =>
             // untyped: numbers → Long; datetime-like strings (len>=6,
-            // reference heuristic) → Date; numeric strings → Long; else String
+            // reference heuristic) → Date; numeric strings → Long; else
+            // String. parseDateTime runs ONCE — it sweeps ~24 candidate
+            // patterns and resolve sits on the event-ingestion hot path.
             if (raw.isInstanceOf[Number]) LongValue(s.trim.toLong, dim.name, params)
-            else if (s.length >= 6 && !s.forall(_.isDigit) && parseDateTime(s, None).isDefined)
-              DateValue(parseDateTime(s, None).get, dim.name, params)
-            else if (Try(s.trim.toLong).isSuccess) LongValue(s.trim.toLong, dim.name, params)
-            else StringValue(s, dim.name, params)
+            else {
+              val dt =
+                if (s.length >= 6 && !s.forall(_.isDigit)) parseDateTime(s, None)
+                else None
+              dt match {
+                case Some(d) => DateValue(d, dim.name, params)
+                case None =>
+                  if (Try(s.trim.toLong).isSuccess)
+                    LongValue(s.trim.toLong, dim.name, params)
+                  else StringValue(s, dim.name, params)
+              }
+            }
         }
     }
   }
@@ -321,10 +331,14 @@ final case class DateValue(date: LocalDateTime, name: Option[String] = None,
     case Some(s: String) => s.toUpperCase match {
       case "MINUTE" => Granularity.MINUTE
       case "HOUR" => Granularity.HOUR
+      case "DAY" => Granularity.DAY
       case "WEEK" => Granularity.WEEK
       case "MONTH" => Granularity.MONTH
       case "YEAR" => Granularity.YEAR
-      case _ => Granularity.DAY
+      case other => throw new IllegalArgumentException(
+        // a silent DAY fallback turned a typo ('HOURS') into day-sized
+        // stepping over hourly partitions — wrong paths, no signal
+        s"unknown granularity '$other' — use MINUTE|HOUR|DAY|WEEK|MONTH|YEAR")
     }
     case _ => Granularity.DAY
   }
@@ -475,9 +489,14 @@ final case class RelativeValue(relativeIndex: Int, shift: Int = 0,
     val shifted = if (shift == 0) datum
       else datum.withAttrs(datum.name, datum.dtype,
         datum.params + (DimValue.RangeShiftKey -> shift)).transform()
-    (0 until math.abs(relativeIndex)).toList.map { i =>
-      if (relativeIndex >= 0) shifted.plus(i) else shifted.minus(i)
-    }
+    // `min` is a CLAMP (reference dimension_constructs.py:1494-1851):
+    // a step past it TRUNCATES the expansion at the boundary — letting
+    // the constructor's min-require void the WHOLE range made an event
+    // near the dataset's start match nothing instead of its valid tail
+    (0 until math.abs(relativeIndex)).iterator
+      .map(i => Try(
+        if (relativeIndex >= 0) shifted.plus(i) else shifted.minus(i)))
+      .takeWhile(_.isSuccess).map(_.get).toList
   }
 
   override protected[dimension] def applyOneWay(other: DimValue, finalize: Boolean): Option[List[DimValue]] =
@@ -488,7 +507,9 @@ final case class RelativeValue(relativeIndex: Int, shift: Int = 0,
         Some(List(intersect(r)))
       case o if typeCompatible(o) && o.isMaterial =>
         // end of life-cycle: concrete datum arrived → expand the range
-        Try(range(o)).toOption
+        // (an empty expansion — the datum itself below `min` — means
+        // the event matches nothing)
+        Try(range(o)).toOption.filter(_.nonEmpty)
       case _ => None
     }
 

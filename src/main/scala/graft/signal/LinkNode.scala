@@ -28,7 +28,11 @@ object LinkSource {
 final case class DimensionLink(
     target: DimRef,
     source: LinkSource,
-    func: DimValue => DimValue = identity) {
+    // the DEFAULT must be the shared Identity instance: isIdentity is a
+    // reference check, and a directly-constructed equality link with a
+    // fresh `identity` lambda would never be recognized as reversible
+    // (its inputs would silently fail to reverse-materialize)
+    func: DimValue => DimValue = DimensionLink.Identity) {
   def isIdentity: Boolean = func eq DimensionLink.Identity
   /** The alias every source dim comes from (None for literals). */
   def sourceAlias: Option[String] = source match {
@@ -102,13 +106,18 @@ final case class SignalLinkNode(
     direct ++ reversed
   }
 
-  /** N→1 application: every source dim's tip value must be material;
+  /** N→1 application: every source dim's tip value must be MATERIAL;
     * otherwise the link yields nothing (the dim stays open, same as an
-    * unmaterialized 1→1 source). */
+    * unmaterialized 1→1 source). isDefined alone is not enough: a
+    * force-materialized output (zombie prediction, dependent probing)
+    * carries '*'/relative tips, and feeding those into a user mapper
+    * that expects concrete values throws — which the zombie catch would
+    * misread as "can never match", killing a valid pending node. */
   private def applyN(rs: Seq[DimRef], f: Seq[DimValue] => DimValue,
                      tip: String => Option[DimValue]): Option[Any] = {
     val vs = rs.map(r => tip(r.dim))
-    if (vs.forall(_.isDefined)) Some(f(vs.map(_.get)).rawValue) else None
+    if (vs.forall(_.exists(_.isMaterial))) Some(f(vs.map(_.get)).rawValue)
+    else None
   }
 
   /** Reverse-materialize every input from a concrete output (+ already
@@ -132,13 +141,17 @@ final case class SignalLinkNode(
             val tgt = DimRef(in.alias, dim)
             // 1. explicit link output->input (or reversed identity input->output)
             val fromOutput: Option[Any] = outputLinks.collectFirst {
+              // material-only: mappers see concrete values, never the
+              // '*'/relative tips of a force-materialized output (same
+              // contract as applyN)
               case DimensionLink(`tgt`, LinkSource.FromDim(DimRef("output", od)), f) =>
-                output.tipValue(od).map(v => f(v).rawValue)
+                output.tipValue(od).filter(_.isMaterial).map(v => f(v).rawValue)
               case DimensionLink(`tgt`, LinkSource.FromDims(rs, f), _)
                 if rs.forall(_.alias == "output") =>
                 applyN(rs, f, output.tipValue)
               case l @ DimensionLink(DimRef("output", od), LinkSource.FromDim(`tgt`), _)
-                if l.isIdentity => output.tipValue(od).map(_.rawValue)
+                if l.isIdentity =>
+                output.tipValue(od).filter(_.isMaterial).map(_.rawValue)
             }.flatten
             // 2. literal assignment
             val fromLiteral: Option[Any] = outputLinks.collectFirst {
@@ -179,11 +192,14 @@ final case class SignalLinkNode(
       val tgt = DimRef("output", dimName)
       val linked: Option[DimValue] = outputLinks.collectFirst {
         case DimensionLink(`tgt`, LinkSource.FromDim(DimRef(a, sd)), f) =>
-          signal(a).flatMap(_.filter.values.headOption match {
-            case Some(v) if v.isMaterial => signal(a).flatMap(_.tipValue(sd)).map(f)
-            case Some(v) => Some(v) // special variants pass through un-mapped
-            case None => None
-          })
+          // materiality of the LINKED dim `sd` gates the mapper — the
+          // historical root-level check could feed a relative/wildcard
+          // sd value into f (throwing at createData) while a material
+          // sd under a wildcard root was left open instead of pinned
+          signal(a).flatMap(_.tipValue(sd)) match {
+            case Some(v) if v.isMaterial => Some(f(v))
+            case other => other // special variants pass through un-mapped
+          }
         case DimensionLink(`tgt`, LinkSource.FromDims(rs, f), _) if rs.nonEmpty =>
           // N->1 toward the output: map only when every source tip is
           // material; otherwise leave the output dim open (tip semantics)

@@ -41,15 +41,21 @@ final case class Signal(
   /** Most-recent/head partition tuple (the "tip"). */
   def tip: List[DimValue] = filter.tuples.headOption.getOrElse(Nil)
 
+  // a dim's POSITION in the value tuples: the tuple carries every dim,
+  // so indexing must run over the full flattened spec — `dimNames`
+  // drops unnamed dims and would misalign every lookup after one
+  private def dimIndex(dimName: String): Int =
+    spec.flatten.indexWhere(_.name.contains(dimName))
+
   /** Tip value of a named dimension. */
   def tipValue(dimName: String): Option[DimValue] = {
-    val idx = dimNames.indexOf(dimName)
+    val idx = dimIndex(dimName)
     if (idx < 0) None else tip.lift(idx)
   }
 
   /** All values a named dimension takes across the materialized range. */
   def valuesOf(dimName: String): List[DimValue] = {
-    val idx = dimNames.indexOf(dimName)
+    val idx = dimIndex(dimName)
     if (idx < 0) Nil else filter.tuples.flatMap(_.lift(idx)).distinct
   }
 

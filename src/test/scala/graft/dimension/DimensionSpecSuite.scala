@@ -136,6 +136,53 @@ class DimensionSpecSuite extends AnyFunSuite {
     }
   }
 
+  test("relative range TRUNCATES at min instead of voiding the expansion") {
+    // reference semantics: min is a CLAMP (dimension_constructs.py:
+    // 1494-1851) — an event 10 days past min with a _:-30 range yields
+    // the 10 valid days, not nothing
+    val rel = RelativeValue(-30, 0, Some("day"), Some(DimType.DATETIME),
+      Map("format" -> "%Y-%m-%d", "min" -> "2020-01-01"))
+    val datum = DateValue(LocalDateTime.of(2020, 1, 10, 0, 0), Some("day"),
+      Map("format" -> "%Y-%m-%d", "min" -> "2020-01-01"))
+    val expanded = rel.range(datum).map(_.value)
+    assert(expanded.length == 10, s"expected 10 clamped days: $expanded")
+    assert(expanded.head == "2020-01-10" && expanded.last == "2020-01-01")
+    // datum itself below min: empty expansion, event matches nothing
+    intercept[IllegalArgumentException](
+      DateValue(LocalDateTime.of(2019, 12, 31, 0, 0), Some("day"),
+        Map("format" -> "%Y-%m-%d", "min" -> "2020-01-01")))
+  }
+
+  test("unknown granularity strings fail loudly instead of DAY fallback") {
+    val e = intercept[IllegalArgumentException] {
+      DateValue(LocalDateTime.of(2020, 1, 1, 0, 0),
+        params = Map("format" -> "%Y-%m-%d %H", "granularity" -> "HOURS"))
+    }
+    assert(e.getMessage.contains("HOURS"))
+    // the six valid names (any case) still resolve
+    DateValue(LocalDateTime.of(2020, 1, 1, 0, 0),
+      params = Map("granularity" -> "day"))
+    DateValue(LocalDateTime.of(2020, 1, 1, 0, 0),
+      params = Map("granularity" -> "HOUR"))
+  }
+
+  test("chain merges same-value branches instead of dropping subtrees") {
+    // two branches sharing region NA with DIFFERENT pinned days: the
+    // intersection with all-pass must keep BOTH days (first-wins lost
+    // the second branch's subtree)
+    val spec = DimSpec.pretty(
+      "region" -> (DimType.STRING, Map.empty[String, Any]),
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+    val left = DimFilter.loadRaw(spec, DimFilter.RawFilter(List(
+      "NA" -> DimFilter.RawFilter(List("2021-01-01" -> DimFilter.RawFilter.empty)),
+      "NA" -> DimFilter.RawFilter(List("2021-01-02" -> DimFilter.RawFilter.empty)))))
+    val allPass = DimFilter.allPassFor(spec)
+    val chained = left.chain(allPass).get
+    val tuples = chained.tuples.map(_.map(_.value))
+    assert(tuples.toSet == Set(Seq("NA", "2021-01-01"), Seq("NA", "2021-01-02")),
+      s"same-value branch subtree lost: $tuples")
+  }
+
   // ---- factory resolution (dimension_constructs.py:782-918)
   test("factory resolves raw values to proper variants") {
     assert(DimValue.resolve("*").isInstanceOf[AnyVal_])
