@@ -151,8 +151,15 @@ final class AlarmMonitor(
     // consumed). Un-pruned, a long-lived poll loop collect()s the
     // alarm's entire history every tick.
     val floor = synchronized {
+      // every defined alarm must have advanced at least once before any
+      // pruning: an alarm whose series was failing/empty on earlier
+      // polls has no cursor and does NOT lower the min — pruning below
+      // the others' cursors would silently drop its first transitions
+      // when its series finally produces
+      val ids = defs.map(_.alarmId) ++ composites.map(_.alarmId)
       val all = lastPeriod.values
-      if (all.isEmpty) None else Some(all.min(Ordering.fromLessThan[
+      if (all.isEmpty || ids.exists(id => !lastPeriod.contains(id))) None
+      else Some(all.min(Ordering.fromLessThan[
         LocalDateTime]((a, b) => a.isBefore(b))))
     }
     val pruned = floor match {

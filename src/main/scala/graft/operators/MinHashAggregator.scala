@@ -57,75 +57,102 @@ final class MinHashAggregator(k: Int)
   * skew case the bucket guard exists for. Element order is not
   * preserved (callers array_sort anyway). */
 final class BoundedCollectLong(cap: Int)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
+    extends Aggregator[Long, (Long, List[Long]), Array[Long]] {
+  // buffer = (count, prepend-list): the count makes the cap check O(1)
+  // and the list makes append O(1) — a plain Array buffer costs an O(n)
+  // copy per element (O(cap^2) to fill the near-universal bucket this
+  // guard exists for) and a bare List costs an O(n) length walk per call
   private val lim = cap + 1
-  override def zero: Array[Long] = Array.emptyLongArray
-  override def reduce(b: Array[Long], v: Long): Array[Long] =
-    if (b.length >= lim) b else b :+ v
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    if (b1.length >= lim) b1
-    else if (b2.length >= lim) b2
-    else { val c = b1 ++ b2; if (c.length > lim) c.take(lim) else c }
-  override def finish(b: Array[Long]): Array[Long] = b
-  override def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def zero: (Long, List[Long]) = (0L, Nil)
+  override def reduce(b: (Long, List[Long]), v: Long): (Long, List[Long]) =
+    if (b._1 >= lim) b else (b._1 + 1, v :: b._2)
+  override def merge(b1: (Long, List[Long]),
+                     b2: (Long, List[Long])): (Long, List[Long]) =
+    if (b1._1 >= lim) b1
+    else if (b2._1 >= lim) b2
+    else {
+      val total = b1._1 + b2._1
+      val c = b2._2 ::: b1._2
+      if (total > lim) (lim, c.take(lim)) else (total, c)
+    }
+  override def finish(b: (Long, List[Long])): Array[Long] = b._2.toArray
+  override def bufferEncoder: Encoder[(Long, List[Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[Long])]()
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
-/** String-id variant of [[BoundedCollectLong]]. */
+/** String-id variant of [[BoundedCollectLong]] (same O(1)-cap buffer). */
 final class BoundedCollectString(cap: Int)
-    extends Aggregator[String, List[String], Seq[String]] {
+    extends Aggregator[String, (Long, List[String]), Seq[String]] {
   private val lim = cap + 1
-  override def zero: List[String] = Nil
-  override def reduce(b: List[String], v: String): List[String] =
-    if (b.length >= lim) b else v :: b
-  override def merge(b1: List[String], b2: List[String]): List[String] =
-    if (b1.length >= lim) b1
-    else if (b2.length >= lim) b2
-    else { val c = b2 ::: b1; if (c.length > lim) c.take(lim) else c }
-  override def finish(b: List[String]): Seq[String] = b
-  override def bufferEncoder: Encoder[List[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[String]]()
+  override def zero: (Long, List[String]) = (0L, Nil)
+  override def reduce(b: (Long, List[String]),
+                      v: String): (Long, List[String]) =
+    if (b._1 >= lim) b else (b._1 + 1, v :: b._2)
+  override def merge(b1: (Long, List[String]),
+                     b2: (Long, List[String])): (Long, List[String]) =
+    if (b1._1 >= lim) b1
+    else if (b2._1 >= lim) b2
+    else {
+      val total = b1._1 + b2._1
+      val c = b2._2 ::: b1._2
+      if (total > lim) (lim, c.take(lim)) else (total, c)
+    }
+  override def finish(b: (Long, List[String])): Seq[String] = b._2
+  override def bufferEncoder: Encoder[(Long, List[String])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[String])]()
   override def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
 /** (string id, hash) pair variant for the SimHash bucket aggregation
-  * over non-long id columns. */
+  * over non-long id columns (same O(1)-cap buffer). */
 final class BoundedCollectStringPair(cap: Int)
-    extends Aggregator[(String, Long), List[(String, Long)], Seq[(String, Long)]] {
+    extends Aggregator[(String, Long), (Long, List[(String, Long)]), Seq[(String, Long)]] {
   private val lim = cap + 1
-  override def zero: List[(String, Long)] = Nil
-  override def reduce(b: List[(String, Long)],
-                      v: (String, Long)): List[(String, Long)] =
-    if (b.length >= lim) b else v :: b
-  override def merge(b1: List[(String, Long)],
-                     b2: List[(String, Long)]): List[(String, Long)] =
-    if (b1.length >= lim) b1
-    else if (b2.length >= lim) b2
-    else { val c = b2 ::: b1; if (c.length > lim) c.take(lim) else c }
-  override def finish(b: List[(String, Long)]): Seq[(String, Long)] = b
-  override def bufferEncoder: Encoder[List[(String, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(String, Long)]]()
+  override def zero: (Long, List[(String, Long)]) = (0L, Nil)
+  override def reduce(b: (Long, List[(String, Long)]),
+                      v: (String, Long)): (Long, List[(String, Long)]) =
+    if (b._1 >= lim) b else (b._1 + 1, v :: b._2)
+  override def merge(b1: (Long, List[(String, Long)]),
+                     b2: (Long, List[(String, Long)])): (Long, List[(String, Long)]) =
+    if (b1._1 >= lim) b1
+    else if (b2._1 >= lim) b2
+    else {
+      val total = b1._1 + b2._1
+      val c = b2._2 ::: b1._2
+      if (total > lim) (lim, c.take(lim)) else (total, c)
+    }
+  override def finish(b: (Long, List[(String, Long)])): Seq[(String, Long)] = b._2
+  override def bufferEncoder: Encoder[(Long, List[(String, Long)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[(String, Long)])]()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }
 
-/** (id, hash) pair variant for the SimHash bucket aggregation. */
+/** (id, hash) pair variant for the SimHash bucket aggregation (same
+  * O(1)-cap buffer). */
 final class BoundedCollectPair(cap: Int)
-    extends Aggregator[(Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+    extends Aggregator[(Long, Long), (Long, List[(Long, Long)]), Array[(Long, Long)]] {
   private val lim = cap + 1
-  override def zero: Array[(Long, Long)] = Array.empty
-  override def reduce(b: Array[(Long, Long)], v: (Long, Long)): Array[(Long, Long)] =
-    if (b.length >= lim) b else b :+ v
-  override def merge(b1: Array[(Long, Long)], b2: Array[(Long, Long)]): Array[(Long, Long)] =
-    if (b1.length >= lim) b1
-    else if (b2.length >= lim) b2
-    else { val c = b1 ++ b2; if (c.length > lim) c.take(lim) else c }
-  override def finish(b: Array[(Long, Long)]): Array[(Long, Long)] = b
-  override def bufferEncoder: Encoder[Array[(Long, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
+  override def zero: (Long, List[(Long, Long)]) = (0L, Nil)
+  override def reduce(b: (Long, List[(Long, Long)]),
+                      v: (Long, Long)): (Long, List[(Long, Long)]) =
+    if (b._1 >= lim) b else (b._1 + 1, v :: b._2)
+  override def merge(b1: (Long, List[(Long, Long)]),
+                     b2: (Long, List[(Long, Long)])): (Long, List[(Long, Long)]) =
+    if (b1._1 >= lim) b1
+    else if (b2._1 >= lim) b2
+    else {
+      val total = b1._1 + b2._1
+      val c = b2._2 ::: b1._2
+      if (total > lim) (lim, c.take(lim)) else (total, c)
+    }
+  override def finish(b: (Long, List[(Long, Long)])): Array[(Long, Long)] =
+    b._2.toArray
+  override def bufferEncoder: Encoder[(Long, List[(Long, Long)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[(Long, Long)])]()
   override def outputEncoder: Encoder[Array[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
 }

@@ -426,7 +426,13 @@ object Temporal {
     * One shuffle on the key; the lag and the running sum share the same
     * (key, ts) sort, so the second window reuses the first's order. Ties
     * on ts are gap-0 by definition and always co-session, so the output
-    * is deterministic even with duplicate timestamps. */
+    * is deterministic even with duplicate timestamps.
+    *
+    * Rows with a null `tsCol` have no timeline position: they are KEPT
+    * with a null `session_seq` and do not perturb the other rows'
+    * ordinals — the same contract as [[sessionizeSkew]] and
+    * [[sessionizeAuto]], so the physical path never changes the
+    * result. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapMicros: Long): DataFrame = {
     require(gapMicros > 0, "gapMicros must be positive")
@@ -436,13 +442,19 @@ object Temporal {
         unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => col(tsCol).cast("long")
     }
+    // null-ts rows sort first in the partition (asc_nulls_first): their
+    // __new is forced to 0 so they don't inflate the running ordinal,
+    // and their own session_seq is nulled at the end
     val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol))
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__prev", lag(tsAsLong, 1).over(byTime))
       .withColumn("__new",
-        when(col("__prev").isNull ||
-          tsAsLong - col("__prev") > gapMicros, 1L).otherwise(0L))
-      .withColumn("session_seq", sum(col("__new")).over(running))
+        when(tsAsLong.isNull, 0L)
+          .when(col("__prev").isNull ||
+            tsAsLong - col("__prev") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        when(tsAsLong.isNull, lit(null).cast("long"))
+          .otherwise(sum(col("__new")).over(running)))
       .drop("__prev", "__new")
   }
 
@@ -462,8 +474,12 @@ object Temporal {
     * on (key, chunk) — the same partitioning the phase-1 window
     * produced, so no extra row-scale shuffle.
     *
-    * Rows with a null `tsCol` are dropped (a null timeline position has
-    * no session; [[sessionize]] gives such rows arbitrary ordinals).
+    * Rows with a null `tsCol` are KEPT with a null `session_seq` (a
+    * null timeline position has no session) — the same contract as
+    * [[sessionize]], so [[sessionizeAuto]]'s physical choice never
+    * changes row counts. They bypass the chunk machinery entirely: an
+    * IsNull-filtered side scan (parquet row-group stats skip it when
+    * the column has no nulls) unioned back at the end.
     * Pick `chunkWidth` as for [[asofJoinSkew]]. */
   def sessionizeSkew(df: DataFrame, keyCol: String, tsCol: String,
                      gapMicros: Long, chunkWidth: Long): DataFrame = {
@@ -500,10 +516,13 @@ object Temporal {
           .over(byKey.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col(keyCol), col("__chunk"), col("__merge"), col("__off"))
-    tagged.join(offsets, Seq(keyCol, "__chunk"))
+    val sessioned = tagged.join(offsets, Seq(keyCol, "__chunk"))
       .withColumn("session_seq",
         col("__off") + col("__lseq") - col("__merge"))
       .select(df.columns.map(col).toSeq :+ col("session_seq"): _*)
+    val nullRows = df.where(col(tsCol).isNull)
+      .withColumn("session_seq", lit(null).cast("long"))
+    sessioned.unionByName(nullRows)
   }
 
   /** Interval OVERLAP join: pairs every `a` interval with every `b`

@@ -114,13 +114,32 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
 
   private var wal: FSDataOutputStream = _
 
+  /** Strictly-increasing floor for new segment timestamps: a new live
+    * segment must sort AFTER the latest snapshot/segment even when the
+    * clock lands on the same millisecond (or regressed across a
+    * restart) — replay order is the name sort. 0 = not yet initialised
+    * (first creation lists the dir once). */
+  private var minNextTs: Long = 0L
+
+  /** 13-digit millisecond field of a segment/snapshot name (position 1),
+    * 0 for legacy/unparseable names — used only for max() floors, where
+    * "sorts first anyway" is the right degenerate value. */
+  private def tsOf(n: String): Long =
+    n.split('-').lift(1).filter(f => f.length == 13 && f.forall(_.isDigit))
+      .map(_.toLong).getOrElse(0L)
+
   private def esc(s: String): String = WalCodec.esc(s)
 
   /** kinds: "e" event, "eb" blocked event, "c" completed path */
   private def record(kind: String, payload: String): Unit = synchronized {
     if (wal == null) {
       if (!fs.exists(dir)) fs.mkdirs(dir)
-      val name = f"wal-${System.currentTimeMillis()}%013d-${
+      if (minNextTs == 0L)
+        minNextTs = fs.listStatus(dir).map(s => tsOf(s.getPath.getName))
+          .foldLeft(0L)(math.max) + 1
+      val ts = math.max(System.currentTimeMillis(), minNextTs)
+      minNextTs = ts + 1
+      val name = f"wal-$ts%013d-${
         java.util.UUID.randomUUID().toString.take(8)}.log"
       wal = fs.create(new Path(dir, name), true)
     }
@@ -148,22 +167,31 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
       val old = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("wal-"))
       close() // the snapshot becomes the new open segment's predecessor
-      // zero timestamp: the snapshot must sort BEFORE every future live
-      // segment (a same-millisecond live segment could otherwise sort
-      // ahead of a timestamped snapshot and invert replay order)
-      val name = f"wal-${0L}%013d-compacted-${System.currentTimeMillis()}.log"
+      // The snapshot must sort AFTER every segment it subsumes (so a
+      // survivor of a partial deletion folds first and is overridden by
+      // the snapshot's last-per-path state) and BEFORE every future live
+      // segment (record()'s minNextTs floor guarantees new segments get
+      // ts > tsMax even on a same-millisecond clock). "zzzzzzzz" sorts
+      // after any same-ts hex-uuid segment; the trailing wall-clock +
+      // uuid keep repeated same-tsMax snapshots ordered and unique.
+      val tsMax = old.map(p => tsOf(p.getName)).foldLeft(0L)(math.max)
+      val name = f"wal-$tsMax%013d-zzzzzzzz-${System.currentTimeMillis()}%013d-${
+        java.util.UUID.randomUUID().toString.take(8)}.log"
       val snap = new Path(dir, name)
       val out = fs.create(snap, true)
       try WalCodec.writeState(out, events, completed) finally out.close()
+      minNextTs = math.max(minNextTs, tsMax + 1)
       val survived = old.filter(f => !fs.delete(f, false) && fs.exists(f))
       if (survived.nonEmpty) {
-        // a surviving pre-compaction segment carries OLDER entries that
-        // would fold AFTER the snapshot (later timestamp) and win the
-        // last-per-path fold — withdraw the snapshot, retry next time
-        fs.delete(snap, false)
+        // KEEP the snapshot: once any old segment was deleted it holds
+        // the only durable copy of that segment's events (withdrawing it
+        // here would lose them — the pre-r13 defect). Survivors are
+        // harmless — they sort before the snapshot, so its state wins
+        // the fold — and are re-deleted on the next compaction.
         org.slf4j.LoggerFactory.getLogger(classOf[RoutingCheckpoint]).warn(
-          s"checkpoint $dir: compaction aborted — could not delete " +
-            s"${survived.map(_.getName).mkString(", ")}; snapshot withdrawn")
+          s"checkpoint $dir: could not delete segment(s) " +
+            s"${survived.map(_.getName).mkString(", ")}; snapshot kept " +
+            "(subsumes them on replay), deletion retried next compaction")
       }
     }
 

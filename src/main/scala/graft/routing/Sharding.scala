@@ -385,12 +385,19 @@ final class ShardLease(val shard: Int, val ownerId: String,
         case Some(_) =>
           held = -1L // epoch file carries another owner — abdicate
         case None =>
-          // epoch files are immutable and never deleted: an unreadable
-          // read is a TRANSIENT failure, not lost ownership. Abdicating
-          // here dropped a live shard on a single swallowed IOException
-          // (tryAcquire's hb grace exists for exactly this class) —
-          // keep heartbeating; the next successful read re-verifies.
-          store.put(hbName(held), clock().toString); ()
+          // An unreadable read is normally a TRANSIENT failure (epoch
+          // files are immutable), and abdicating on it dropped a live
+          // shard on a single swallowed IOException. But claim()'s
+          // namespace pruning DOES delete epoch files 64+ failovers
+          // behind — an owner partitioned that long would heartbeat a
+          // dead epoch forever if "missing" were always transient. So
+          // cross-check the current lease: a higher epoch existing means
+          // this owner was really fenced (its file pruned) — abdicate;
+          // otherwise keep heartbeating and re-verify next cycle.
+          current() match {
+            case Some((k, _)) if k > held => held = -1L
+            case _ => store.put(hbName(held), clock().toString); ()
+          }
       }
     }
 
@@ -465,11 +472,27 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     name.split('-').lift(2).filter(s =>
       s.length == 8 && s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
 
+  /** Strictly-increasing floor for new segment/snapshot timestamps: a
+    * post-compaction segment must carry ts > the snapshot's ts even on a
+    * same-millisecond clock — [[load]] uses (epoch, ts) to tell
+    * snapshot-subsumed segments from post-snapshot ones. 0 = not yet
+    * initialised (first use lists the dir once). */
+  private var minNextTs: Long = 0L
+
+  private def nextTs(): Long = {
+    if (minNextTs == 0L)
+      minNextTs = (listNames("wal-") ++ listNames("snap-"))
+        .map(tsOf).filter(_ != Long.MaxValue).foldLeft(0L)(math.max) + 1
+    val ts = math.max(System.currentTimeMillis(), minNextTs)
+    minNextTs = ts + 1
+    ts
+  }
+
   private def record(kind: String, payload: String): Unit = synchronized {
     if (wal == null) {
       if (!fs.exists(dir)) fs.mkdirs(dir)
       val tok = ownerToken.map(t => s"$t-").getOrElse("")
-      val name = f"wal-$epoch%09d-$tok${System.currentTimeMillis()}%013d-${
+      val name = f"wal-$epoch%09d-$tok${nextTs()}%013d-${
         java.util.UUID.randomUUID().toString.take(8)}.log"
       wal = fs.create(new Path(dir, name), true)
     }
@@ -504,7 +527,18 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     val snaps = parsed(listNames("snap-"))
     val snapEpoch = if (snaps.isEmpty) -1L else snaps.map(_._2).max
     val snapName = snaps.filter(_._2 == snapEpoch).map(_._1).sorted.lastOption
-    val (liveP0, zombieP) = parsed(listNames("wal-")).partition(_._2 >= snapEpoch)
+    val snapTs = snapName.map(tsOf).getOrElse(-1L)
+    val (livePre, zombieP) = parsed(listNames("wal-")).partition(_._2 >= snapEpoch)
+    // same-epoch segments with ts <= the snapshot's ts predate it and are
+    // folded INTO it (compact's nextTs floor guarantees post-snapshot
+    // segments get a strictly larger ts) — drop them, so a survivor of a
+    // partial compaction deletion cannot resurrect stale last-wins state
+    val (liveP0, subsumed) = livePre.partition { case (n, e) =>
+      e != snapEpoch || tsOf(n) > snapTs }
+    if (subsumed.nonEmpty)
+      log.info(s"shard WAL $dir: skipping ${subsumed.length} segment(s) " +
+        s"already folded into snapshot ${snapName.getOrElse("")}: " +
+        subsumed.map(_._1).sorted.mkString(", "))
     // same-epoch fencing: of segments attributed to an owner (new-format
     // names), keep only those of each epoch's SETTLED owner — a claim
     // race's loser may have appended under the same epoch before
@@ -558,7 +592,10 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
       val old = parsed(listNames("wal-") ++ listNames("snap-"))
         .filter(_._2 <= epoch).map(_._1)
       close() // own open segment is among the deletions below
-      val name = f"snap-$epoch%09d-${System.currentTimeMillis()}%013d.log"
+      // nextTs(): the snapshot's ts must strictly exceed every segment it
+      // subsumes AND lower-bound every post-snapshot segment — load()'s
+      // (epoch, ts) subsumption rule depends on it
+      val name = f"snap-$epoch%09d-${nextTs()}%013d.log"
       val out = fs.create(new Path(dir, name), true)
       try WalCodec.writeState(out, events, completed) finally out.close()
       val survived = old.filter { n =>
@@ -566,14 +603,15 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
         !fs.delete(p, false) && fs.exists(p)
       }
       if (survived.nonEmpty) {
-        // a surviving same-epoch segment would fold AFTER the new
-        // snapshot on the next load (last-wins) and resurrect stale
-        // state — abort the barrier by removing the snapshot; the next
-        // compaction retries the whole swap
-        fs.delete(new Path(dir, name), false)
-        log.warn(s"shard WAL $dir: compaction at epoch $epoch aborted — " +
-          s"could not delete segment(s) ${survived.mkString(", ")}; " +
-          "snapshot withdrawn, will retry")
+        // KEEP the snapshot: once any deletion succeeded it holds the
+        // only durable copy of the deleted segments' events (withdrawing
+        // it would lose them — the pre-r13 defect). Survivors are
+        // harmless: lower epochs are zombie-filtered and same-epoch
+        // ts <= snapshot segments are subsumption-filtered at load();
+        // deletion is retried on the next compaction.
+        log.warn(s"shard WAL $dir: compaction at epoch $epoch could not " +
+          s"delete segment(s) ${survived.mkString(", ")}; snapshot kept " +
+          "(load() filters them), deletion retried next compaction")
       }
     }
 }

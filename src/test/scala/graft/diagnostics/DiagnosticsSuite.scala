@@ -204,4 +204,30 @@ class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(weightedPnn(Seq((3.0, 2L), (3.0, 1L), (7.0, 1L)), 0.5) ==
       quantileCont(Seq((3.0, 3L), (7.0, 1L)), 0.5))
   }
+
+  test("late-starting alarm: prune floor waits for every alarm's first cursor") {
+    val sp = spark
+    import sp.implicits._
+    def series(vals: (Int, Double)*) =
+      vals.map { case (m, v) => ("m", ts(m), v) }
+        .toDF("name", "period_start", "value")
+    val params = AlarmParams(5.0,
+      AlarmComparison.GreaterThanOrEqualToThreshold, 1, 1)
+    @volatile var bReady = false
+    val a = MetricAlarmDef("a",
+      () => series((0, 9.0), (5, 9.0), (10, 9.0)), params, 300)
+    // b's store is down for the first poll: no rows, no cursor
+    val b = MetricAlarmDef("b",
+      () => if (!bReady) sys.error("store down") else series((0, 9.0)),
+      params, 300)
+    val mon = new AlarmMonitor(Seq(a, b), (_, _, _) => Nil)
+    val t1 = mon.poll() // a advances its cursor to minute 10; b fails
+    assert(t1.map(_.alarmId) == List("a"))
+    bReady = true
+    // b's first-ever period (minute 0) is OLDER than a's cursor — the
+    // global-min prune floor must not discard it while b has no cursor
+    val t2 = mon.poll()
+    assert(t2.exists(tr => tr.alarmId == "b" && tr.state == Alarms.ALARM),
+      s"b's first transition was pruned away: $t2")
+  }
 }

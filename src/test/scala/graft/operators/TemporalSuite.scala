@@ -475,4 +475,27 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
         s"nested-loop join leaked into a temporal plan:\n$phys")
     }
   }
+
+  test("sessionize family: null-ts rows kept with null session_seq on every path") {
+    val sp = spark; import sp.implicits._
+    val rows: Seq[(Long, Long, Option[Long])] = Seq(
+      (1L, 0L, Some(100L)), (2L, 0L, None), (3L, 0L, Some(500L)),
+      (4L, 1L, None), (5L, 1L, Some(10L)), (6L, 0L, Some(120L)))
+    val df = rows.toDF("eid", "k", "t")
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.select("eid", "session_seq").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+    // key 0: ts 100,120 co-session (gap 20), 500 starts session 2;
+    // key 1: ts 10 is session 1; null-ts rows carry NULL, not an
+    // arbitrary ordinal, and do not perturb the others
+    val want = Set((1L, 1L), (6L, 1L), (3L, 2L), (5L, 1L),
+      (2L, -1L), (4L, -1L))
+    assert(shape(Temporal.sessionize(df, "k", "t", 100L)) == want)
+    for (w <- Seq(7L, 1000L))
+      assert(shape(Temporal.sessionizeSkew(df, "k", "t", 100L, w)) == want,
+        s"skew path diverges on null ts at width=$w")
+    // the auto operator's physical choice can never change row counts
+    assert(shape(Temporal.sessionizeAuto(df, "k", "t", 100L)) == want)
+  }
 }
