@@ -86,6 +86,57 @@ object Soak {
       return
     }
 
+    // "compaction" = r13 managed-write governance soak: accumulate an
+    // APPEND partition from many wide writes (the 100-TB small-file
+    // failure mode), then measure the crash-healable compaction rewrite
+    // and the governed-write alternative that avoids the mess upfront.
+    if (only == "compaction") {
+      import graft.compute.{Compaction, OutputWriter}
+      import graft.signal._
+      import graft.dimension._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_soak_cmp").toString
+      val spec = DimSpec.pretty(
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+      def sig(attrs: DatasetAttrs) =
+        Signal("li", SignalSource.internal(root, "li").copy(attrs = attrs),
+          spec, DimFilter.branchOf(spec, Seq("2026-08-10")))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val appendSig = sig(DatasetAttrs(datasetType = DatasetType.APPEND))
+      val batches = 8
+      val (_, tAppend) = timed {
+        (0 until batches).foreach { _ =>
+          OutputWriter.write(spark, li.repartition(256), appendSig) }
+      }
+      val dir = new java.io.File(s"$root/internal_data/li/2026-08-10")
+      val filesBefore = dir.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val rowsBefore = spark.read.parquet(dir.toString).count()
+      val (stats, tCompact) = timed(
+        Compaction.compactPartition(spark, appendSig, 128L << 20))
+      val rowsAfter = spark.read.parquet(dir.toString).count()
+      // governed write of the same 8-batch volume: no cleanup needed
+      val root2 = java.nio.file.Files
+        .createTempDirectory("graft_soak_cmp2").toString
+      val govSig = Signal("li",
+        SignalSource.internal(root2, "li").copy(attrs = DatasetAttrs(
+          datasetType = DatasetType.APPEND,
+          targetFileBytes = Some(128L << 20))),
+        spec, DimFilter.branchOf(spec, Seq("2026-08-10")))
+      val (_, tGov) = timed {
+        (0 until batches).foreach { _ =>
+          OutputWriter.write(spark, li.repartition(256), govSig) }
+      }
+      val govFiles = new java.io.File(s"$root2/internal_data/li/2026-08-10")
+        .listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val mb = stats.bytes / 1e6
+      println(
+        f"""{"soak":"compaction","append_sec":$tAppend%.1f,"files_before":$filesBefore,"mb":$mb%.1f,"compact_sec":$tCompact%.1f,"files_after":${stats.filesAfter},"rows_before":$rowsBefore,"rows_after":$rowsAfter,"governed_write_sec":$tGov%.1f,"governed_files":$govFiles}""")
+      spark.stop()
+      return
+    }
+
     // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000.
     // The verified pairs are checkpointed and REUSED as the p14 input —
     // the soak's duplicate graph is the true one (copy-chains collapse

@@ -1733,6 +1733,24 @@ final class Application(val name: String, val spark: SparkSession,
     evict.map(_.toString).toSeq
   }
 
+  /** Compact one materialized partition of a managed (typically APPEND)
+    * output — `compactPartition(node("2026-08-10"), 128L << 20)` rewrites
+    * that partition's accumulated part files to ~128 MB each under the
+    * crash-healable `_SUCCESS` swap protocol
+    * ([[graft.compute.Compaction]]). Executions of the node are
+    * serialized per partition by routing, so run this from the same
+    * driver that owns the route (or a quiet window). */
+  def compactPartition(target: NodeRef,
+                       targetFileBytes: Long): graft.compute.Compaction.CompactStats = {
+    val s = target.signal
+    require(s.source.kind == SignalSourceKind.INTERNAL,
+      "compaction is for managed outputs")
+    require(s.filter.isMaterialized,
+      s"select a concrete partition first, e.g. node(\"2026-08-10\") — " +
+        s"'${s.alias}' still has unmaterialized dimensions")
+    graft.compute.Compaction.compactPartition(spark, s, targetFileBytes)
+  }
+
   /** Import another application's managed output as an input node
     * (reference upstream-app collaboration, application.py
     * import_upstream_application + _check_upstream_signal): reads the

@@ -1,0 +1,208 @@
+package graft.compute
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.signal.Signal
+
+/** APPEND-partition compaction: every append lands its own part files,
+  * so a long-lived APPEND partition accumulates files without bound —
+  * at 100 TB the small-file problem (NameNode pressure, per-file open
+  * cost, tiny row groups) dominates long before query cost does. The
+  * reference's sink has no rewrite path at all
+  * (glueetl_default_ABI.py:380-446); this is a deliberate improvement.
+  *
+  * Protocol (honors the `_SUCCESS`/`_SCHEMA.spark.json` completion
+  * contract, crash-healable at every step):
+  *
+  *  1. heal any interrupted previous swap (rollback — see below);
+  *  2. read the partition's committed part files, rewrite them into
+  *     `<data>/.compact-tmp/` at ~`targetFileBytes` per file (file count
+  *     from ACTUAL on-disk bytes, not an estimate);
+  *  3. swap under a manifest: write `.compact-manifest` (old + new file
+  *     name lists), remove the partition-root `_SUCCESS` (integrity
+  *     probes gate on it, so no NEW read starts mid-swap), move old
+  *     files to `<data>/.compact-old/`, move new files in, restore
+  *     `_SUCCESS`, then clear manifest + temp dirs.
+  *
+  * Readers: Spark's file index ignores `.`/`_`-prefixed paths, so the
+  * tmp/old dirs are invisible; per-file rename is atomic on
+  * local/HDFS, and a reader that already opened old handles keeps
+  * reading them (POSIX/HDFS unlink semantics). New readers are held off
+  * by the missing `_SUCCESS`. Stores without atomic rename should point
+  * compaction at a quiet window; appends to the SAME partition must be
+  * serialized with compaction by the caller (route executions already
+  * serialize per partition).
+  *
+  * Healing is ROLLBACK-only and deterministic from the manifest: delete
+  * any moved-in NEW file, move every `.compact-old` file back, restore
+  * `_SUCCESS`, drop manifest + temp dirs. The old file set is a complete
+  * committed state at every step, so rollback never loses data;
+  * compaction work is simply redone. Files NOT in the manifest (a
+  * concurrent append that slipped in) are never touched.
+  */
+object Compaction {
+
+  final case class CompactStats(filesBefore: Int, filesAfter: Int,
+                                bytes: Long, healed: Boolean,
+                                skipped: Boolean)
+
+  private val TmpDir = ".compact-tmp"
+  private val OldDir = ".compact-old"
+  private val Manifest = ".compact-manifest"
+
+  private def log = org.slf4j.LoggerFactory.getLogger(Compaction.getClass)
+
+  /** Committed data files of a partition: skip `_` markers, `.` work
+    * dirs/hidden files — the same rule Spark's own file index applies. */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getLen))
+
+  /** Compact one materialized partition of `output` (tip path). No-op
+    * (skipped=true) when the partition is already at or below the file
+    * count its byte size warrants. `failpoint` is a test seam: invoked
+    * with a step label right AFTER that step completes. */
+  def compactPartition(spark: SparkSession, output: Signal,
+                       targetFileBytes: Long,
+                       failpoint: String => Unit = _ => ()): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val attrs = output.source.attrs
+    val root = new Path(output.materializedPaths.head)
+    val dataPath = attrs.dataFolder
+      .map(d => new Path(root, d)).getOrElse(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+
+    val healed = healPartition(spark, output)
+
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"refusing to compact incomplete partition $root (no _SUCCESS)")
+    val files = dataFiles(fs, dataPath)
+    val total = files.map(_._2).sum
+    val wanted = math.min(65536L,
+      math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
+    if (files.size <= wanted)
+      return CompactStats(files.size, files.size, total, healed, skipped = true)
+
+    // rewrite: reading N small files gives ~N input partitions; coalesce
+    // is narrow (no shuffle) and the target count is exact
+    val tmp = new Path(dataPath, TmpDir)
+    fs.delete(tmp, true)
+    var reader = spark.read.format(attrs.format)
+    if (attrs.format.equalsIgnoreCase("csv"))
+      reader = reader.option("header", attrs.header.toString)
+        .option("sep", attrs.delimiter)
+    val df = reader.load(files.map { case (n, _) =>
+      new Path(dataPath, n).toString }: _*)
+    var writer = df.coalesce(wanted.toInt).write
+      .format(attrs.format).mode("overwrite")
+    if (attrs.format.equalsIgnoreCase("csv"))
+      writer = writer.option("header", attrs.header.toString)
+        .option("sep", attrs.delimiter)
+    attrs.compression.foreach(c => writer = writer.option("compression", c))
+    writer.save(tmp.toString)
+    val newFiles = dataFiles(fs, tmp).map(_._1)
+    failpoint("rewritten")
+
+    // ---- the manifest-guarded swap ----
+    val manifest = new Path(dataPath, Manifest)
+    val body = (files.map { case (n, _) => s"old\t$n" } ++
+      newFiles.map(n => s"new\t$n")).mkString("", "\n", "\n")
+    val out = fs.create(manifest, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    failpoint("manifest-written")
+
+    fs.delete(new Path(root, "_SUCCESS"), false)
+    failpoint("success-removed")
+
+    val old = new Path(dataPath, OldDir)
+    fs.mkdirs(old)
+    files.foreach { case (n, _) =>
+      if (!fs.rename(new Path(dataPath, n), new Path(old, n)))
+        throw new java.io.IOException(s"compaction: cannot move $n aside")
+    }
+    failpoint("old-moved")
+
+    newFiles.foreach { n =>
+      if (!fs.rename(new Path(tmp, n), new Path(dataPath, n)))
+        throw new java.io.IOException(s"compaction: cannot move $n in")
+    }
+    failpoint("new-moved")
+
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+    failpoint("committed")
+
+    // manifest deletion is the HEALING COMMIT POINT and must come FIRST:
+    // healing rolls back whenever a manifest exists, so deleting the
+    // old dir before the manifest would leave a window where heal
+    // deletes the new files with nothing left to restore
+    fs.delete(manifest, false)
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+    log.info(s"compacted $dataPath: ${files.size} files / $total bytes " +
+      s"-> ${newFiles.size} files")
+    CompactStats(files.size, newFiles.size, total, healed, skipped = false)
+  }
+
+  /** Roll back an interrupted swap on `output`'s tip partition. Returns
+    * true when there was one to heal. Deterministic from the manifest:
+    * after healing, the partition holds exactly its pre-compaction
+    * committed state (plus any concurrently-appended files, untouched).
+    * Idempotent — healing a healed or untouched partition is a no-op. */
+  def healPartition(spark: SparkSession, output: Signal): Boolean = {
+    val attrs = output.source.attrs
+    val root = new Path(output.materializedPaths.head)
+    val dataPath = attrs.dataFolder
+      .map(d => new Path(root, d)).getOrElse(root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(dataPath, Manifest)
+    if (!fs.exists(manifest)) {
+      // no swap in flight. Clear stale work dirs: a tmp dir from a
+      // crash BEFORE the manifest was written (old state fully intact),
+      // or tmp/old dirs from a crash AFTER the post-commit manifest
+      // delete (new state fully committed — the old dir only ever
+      // exists alongside a manifest or after commit)
+      fs.delete(new Path(dataPath, TmpDir), true)
+      fs.delete(new Path(dataPath, OldDir), true)
+      return false
+    }
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(manifest), "UTF-8"))
+    val (oldNames, newNames) = {
+      val o = List.newBuilder[String]; val n = List.newBuilder[String]
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          line.split('\t') match {
+            case Array("old", f) => o += f
+            case Array("new", f) => n += f
+            case _ => ()
+          }
+          line = in.readLine()
+        }
+      } finally in.close()
+      (o.result(), n.result())
+    }
+    // 1. moved-in new files go (they are reproducible; old is canonical)
+    newNames.foreach(n => fs.delete(new Path(dataPath, n), false))
+    // 2. aside-moved old files come back
+    val old = new Path(dataPath, OldDir)
+    oldNames.foreach { n =>
+      val aside = new Path(old, n)
+      if (fs.exists(aside) && !fs.rename(aside, new Path(dataPath, n)))
+        throw new java.io.IOException(s"heal: cannot restore $n")
+    }
+    // 3. completion marker back, work dirs gone
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+    fs.delete(old, true)
+    fs.delete(new Path(dataPath, TmpDir), true)
+    fs.delete(manifest, false)
+    log.warn(s"healed interrupted compaction swap at $dataPath " +
+      s"(${oldNames.size} committed files restored)")
+    true
+  }
+}

@@ -160,7 +160,40 @@ object InputLoader {
   * (glueetl_default_ABI.py:380-446). */
 object OutputWriter {
 
-  def write(spark: SparkSession, df: DataFrame, output: Signal): String = {
+  /** File-count for a governed write: the optimized plan's sizeInBytes
+    * (for scan-rooted plans ≈ source file bytes, scaled by Catalyst's
+    * selectivity estimates) divided by the target, clamped to
+    * [1, 65536]. `graft.write.sizeRatio` (default 1.0) rescales when a
+    * deployment's data compresses very differently from its estimate. */
+  private[compute] def governedFileCount(spark: SparkSession, df: DataFrame,
+                                         targetBytes: Long): Int = {
+    val ratio = spark.conf.get("graft.write.sizeRatio", "1.0").toDouble
+    val est = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes) / ratio
+    val n = (est / targetBytes).setScale(0, BigDecimal.RoundingMode.CEILING)
+    n.toLong.max(1L).min(65536L).toInt
+  }
+
+  /** Apply [[DatasetAttrs.targetFileBytes]]: one explicit round-robin
+    * (or partition-key-clustered) exchange sized from plan stats, so
+    * the number of part files tracks DATA VOLUME instead of upstream
+    * task count. Skew inside a partition key is bounded by the
+    * `maxRecordsPerFile` backstop (files roll within a task), not by
+    * the exchange. */
+  private def governed(spark: SparkSession, df: DataFrame,
+                       attrs: graft.signal.DatasetAttrs): DataFrame =
+    attrs.targetFileBytes match {
+      case Some(target) =>
+        val n = governedFileCount(spark, df, target)
+        if (attrs.partitionKeys.nonEmpty)
+          // cluster rows of the same hive-partition: each task then
+          // writes whole files per key instead of every task writing a
+          // sliver of every key (task-count × key-count files)
+          df.repartition(n, attrs.partitionKeys.map(df.col): _*)
+        else df.repartition(n)
+      case None => df
+    }
+
+  def write(spark: SparkSession, df0: DataFrame, output: Signal): String = {
     val attrs = output.source.attrs
     val path = output.materializedPaths.head
     // data may live one level under the partition (attrs.dataFolder) —
@@ -171,7 +204,10 @@ object OutputWriter {
       case DatasetType.REPLACE => SaveMode.Overwrite
       case DatasetType.APPEND => SaveMode.Append
     }
+    val df = governed(spark, df0, attrs)
     var writer = df.write.format(attrs.format).mode(mode)
+    attrs.maxRecordsPerFile.foreach(n =>
+      writer = writer.option("maxRecordsPerFile", n.toString))
     if (attrs.format.equalsIgnoreCase("csv"))
       writer = writer.option("header", attrs.header.toString).option("sep", attrs.delimiter)
     if (Seq("csv", "json", "text").exists(attrs.format.equalsIgnoreCase))

@@ -50,7 +50,22 @@ final case class DatasetAttrs(
       * the artifact PATH from its SlotContext.inputSignals and these
       * attrs carry the declared metadata with the signal. */
     modelMetadata: Map[String, String] = Map.empty,
-    modelFormat: Option[String] = None)
+    modelFormat: Option[String] = None,
+    /** Managed-write file-size governance: target on-disk bytes per part
+      * file. When set, [[graft.compute.OutputWriter]] derives a file
+      * count from the plan's size estimate and repartitions before the
+      * write, so a wide upstream shuffle (1000s of tasks) cannot spray
+      * 1000s of tiny files into the partition — at 100 TB the
+      * small-file problem dominates NameNode/list/open costs long
+      * before query cost does. The reference's sink has no such control
+      * (glueetl_default_ABI.py:380-446 writes one file per task); this
+      * is a deliberate improvement. */
+    targetFileBytes: Option[Long] = None,
+    /** Hard per-file record cap, applied as Spark's `maxRecordsPerFile`
+      * write option: files roll WITHIN a task, so this bounds the skewed
+      * task's output file size without a shuffle — the backstop when
+      * the size estimate behind [[targetFileBytes]] is off. */
+    maxRecordsPerFile: Option[Long] = None)
 
 /** Where a signal's resources live. The path⇄dimension codec lives here:
   * `materializePath` renders `root/dim1/dim2/...` from a value tuple;

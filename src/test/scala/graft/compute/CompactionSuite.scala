@@ -1,0 +1,163 @@
+package graft.compute
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.dimension._
+import graft.signal._
+
+/** r13: managed-write file-size governance + APPEND compaction. The
+  * 100-TB failure mode under test: a wide upstream shuffle (or a
+  * long-lived APPEND partition) spraying thousands of small files. */
+class CompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  private def sig(root: String, attrs: DatasetAttrs): Signal =
+    Signal("n1", SignalSource.internal(root, "n1").copy(attrs = attrs),
+      daySpec, DimFilter.branchOf(daySpec, Seq("2026-08-10")))
+
+  private def partFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("targetFileBytes bounds part-file count from a 1200-partition write") {
+    val root = tmp("graft_gov1")
+    val df = spark.range(20000).toDF("id").repartition(1200)
+    // ungoverned: one file per upstream task
+    val plain = sig(root, DatasetAttrs())
+    OutputWriter.write(spark, df, plain)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    assert(partFiles(dir).size > 400,
+      s"ungoverned wide write should spray files, got ${partFiles(dir).size}")
+    // governed: file count derives from data volume (~160 KB here)
+    val root2 = tmp("graft_gov2")
+    val gov = sig(root2, DatasetAttrs(targetFileBytes = Some(1L << 20)))
+    OutputWriter.write(spark, df, gov)
+    val dir2 = s"$root2/internal_data/n1/2026-08-10"
+    val n = partFiles(dir2).size
+    assert(n <= 4, s"governed write must be bounded by size, got $n files")
+    assert(new java.io.File(dir2, "_SUCCESS").exists())
+    assert(new java.io.File(dir2, "_SCHEMA.spark.json").exists())
+    // same rows either way
+    assert(spark.read.parquet(dir2).count() == 20000L)
+  }
+
+  test("maxRecordsPerFile rolls files within a task (skew backstop)") {
+    val root = tmp("graft_gov3")
+    val s = sig(root, DatasetAttrs(maxRecordsPerFile = Some(500L)))
+    OutputWriter.write(spark, spark.range(10000).coalesce(1).toDF("id"), s)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    assert(partFiles(dir).size >= 20)
+    val worst = spark.read.parquet(dir)
+      .groupBy(input_file_name()).count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(worst <= 500L, s"a file exceeds the record cap: $worst")
+  }
+
+  test("governed write clusters hive-partition keys") {
+    val root = tmp("graft_gov4")
+    val s = sig(root, DatasetAttrs(partitionKeys = Seq("k"),
+      targetFileBytes = Some(1L << 20)))
+    val df = spark.range(8000).toDF("id")
+      .withColumn("k", (col("id") % 4).cast("string")).repartition(311)
+    OutputWriter.write(spark, df, s)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    (0 until 4).foreach { k =>
+      val files = partFiles(s"$dir/k=$k")
+      assert(files.nonEmpty && files.size <= 4,
+        s"k=$k has ${files.size} files — keys must not be sliver-sprayed " +
+          "across every task")
+    }
+  }
+
+  private def appendBatches(s: Signal, batches: Int, wide: Int): Unit =
+    (0 until batches).foreach { b =>
+      OutputWriter.write(spark,
+        spark.range(b * 1000L, b * 1000L + 1000L).toDF("id")
+          .repartition(wide), s)
+    }
+
+  test("compactPartition rewrites an accumulated APPEND partition") {
+    val root = tmp("graft_cmp1")
+    val s = sig(root, DatasetAttrs(datasetType = DatasetType.APPEND))
+    appendBatches(s, batches = 3, wide = 40)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val before = partFiles(dir).size
+    assert(before >= 100, s"append accumulation expected, got $before")
+    val stats = Compaction.compactPartition(spark, s, 64L << 20)
+    assert(!stats.skipped && stats.filesBefore == before)
+    val after = partFiles(dir)
+    assert(after.size == stats.filesAfter && after.size <= 2,
+      s"expected ~1 compacted file, got ${after.size}")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val rows = spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L until 3000L).toSeq)
+    // already compact -> no-op
+    assert(Compaction.compactPartition(spark, s, 64L << 20).skipped)
+  }
+
+  test("crash at every swap step heals with zero data loss") {
+    for (fp <- Seq("rewritten", "manifest-written", "success-removed",
+      "old-moved", "new-moved", "committed")) {
+      val root = tmp(s"graft_cmp_fp")
+      val s = sig(root, DatasetAttrs(datasetType = DatasetType.APPEND))
+      appendBatches(s, batches = 2, wide = 25)
+      val dir = s"$root/internal_data/n1/2026-08-10"
+      val boom = intercept[RuntimeException] {
+        Compaction.compactPartition(spark, s, 64L << 20,
+          failpoint = l => if (l == fp) sys.error(s"boom at $l"))
+      }
+      assert(boom.getMessage.contains(fp))
+      // recovery: the next compaction heals the interrupted swap first,
+      // then completes; no rows lost at ANY crash point
+      val stats = Compaction.compactPartition(spark, s, 64L << 20)
+      assert(stats.filesAfter <= 2, s"[$fp] not compacted: $stats")
+      assert(new java.io.File(dir, "_SUCCESS").exists(), s"[$fp] no marker")
+      val rows = spark.read.parquet(dir).select("id").collect()
+        .map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L until 2000L).toSeq, s"[$fp] data diverged")
+      assert(partFiles(dir).forall(f => !f.getName.startsWith(".")))
+      assert(!new java.io.File(dir, ".compact-old").exists(), s"[$fp] old dir")
+      assert(!new java.io.File(dir, ".compact-tmp").exists(), s"[$fp] tmp dir")
+      assert(!new java.io.File(dir, ".compact-manifest").exists(),
+        s"[$fp] manifest")
+    }
+  }
+
+  test("healPartition alone restores the committed state (no recompact)") {
+    val root = tmp("graft_cmp_heal")
+    val s = sig(root, DatasetAttrs(datasetType = DatasetType.APPEND))
+    appendBatches(s, batches = 2, wide = 10)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val before = partFiles(dir).map(_.getName).toSet
+    intercept[RuntimeException] {
+      Compaction.compactPartition(spark, s, 64L << 20,
+        failpoint = l => if (l == "new-moved") sys.error("boom"))
+    }
+    assert(Compaction.healPartition(spark, s))
+    assert(partFiles(dir).map(_.getName).toSet == before,
+      "heal must restore exactly the pre-compaction committed files")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(!Compaction.healPartition(spark, s), "idempotent no-op")
+  }
+}
