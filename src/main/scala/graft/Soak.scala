@@ -137,6 +137,102 @@ object Soak {
       return
     }
 
+    // "key_profile" = r13 sampled auto-operator profile: full vs 1%
+    // profile cost at 10M rows, decisions REQUIRED equal on skewed and
+    // uniform keys.
+    if (only == "key_profile") {
+      import graft.operators.Temporal
+      val n = 10000000L
+      val skewed = spark.range(n).select(col("id").as("eid"),
+        when(col("id") % 2 === 0, 0L)
+          .otherwise(pmod(col("id"), lit(9973L)) + 1L).as("k"),
+        (col("id") * 17 % 1000000L).as("t")).localCheckpoint()
+      val uniform = spark.range(n).select(col("id").as("eid"),
+        pmod(col("id"), lit(9973L)).as("k"),
+        (col("id") * 17 % 1000000L).as("t")).localCheckpoint()
+      def prof(df: org.apache.spark.sql.DataFrame, frac: Double): (Boolean, Double) = {
+        val (d, t) = timed(Temporal.profileIsHot(df, "k", 4.0, frac))
+        (d, t)
+      }
+      val (dsF, tsF) = prof(skewed, 1.0)
+      val (dsS, tsS) = prof(skewed, 0.01)
+      val (duF, tuF) = prof(uniform, 1.0)
+      val (duS, tuS) = prof(uniform, 0.01)
+      require(dsF == dsS && duF == duS,
+        s"sampled profile decision diverged: skew $dsF/$dsS uniform $duF/$duS")
+      require(dsF && !duF, "expected skewed=hot, uniform=cold")
+      println(
+        f"""{"soak":"key_profile","rows":$n,"full_skew_sec":$tsF%.2f,"sampled_skew_sec":$tsS%.2f,"full_uni_sec":$tuF%.2f,"sampled_uni_sec":$tuS%.2f,"decisions_equal":true}""")
+      spark.stop()
+      return
+    }
+
+    // "routing_sweep" = r13 monitor-free sweep bench: 10k pending nodes
+    // against a 50 ms-latency probe; measures total sweep wall time and
+    // the WORST event-ingestion latency observed DURING the sweep (the
+    // starvation the r13 three-phase sweep removes).
+    if (only == "routing_sweep") {
+      import graft.routing._
+      import graft.dimension._
+      import graft.signal._
+      val nodes = sys.env.getOrElse("SPARK_GRAFT_SOAK_SWEEP_NODES", "10000").toInt
+      val probeMs = sys.env.getOrElse("SPARK_GRAFT_SOAK_PROBE_MS", "50").toLong
+      sys.props("graft.sweep.parallelism") =
+        sys.env.getOrElse("SPARK_GRAFT_SOAK_SWEEP_PAR", "64")
+      val longSpec = DimSpec.pretty(
+        "seq" -> (DimType.LONG, Map.empty[String, Any]))
+      val existing = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      @volatile var slow = false
+      val probe = new PathProbe {
+        def exists(p: String): Boolean = {
+          if (slow) Thread.sleep(probeMs)
+          existing.contains(p)
+        }
+      }
+      val table = new RoutingTable(probe)
+      val ranged = Signal("a", SignalSource.external("/data/a"), longSpec,
+        DimFilter.loadRaw(longSpec, DimFilter.RawFilter.leafValues("_:-2")),
+        rangeCheckRequired = true)
+      val waitNode = SignalLinkNode(List(ranged)).withAutoLinks
+      table.add(new Route("waiting", waitNode,
+        Signal("waiting", SignalSource.internal("/app", "waiting"), longSpec,
+          waitNode.deriveOutputFilter(longSpec, Nil)), Nil))
+      val fastNode = SignalLinkNode(List(
+        Signal("f", SignalSource.external("/data/fast"), longSpec,
+          DimFilter.loadRaw(longSpec, DimFilter.RawFilter.leafValues("*")))))
+        .withAutoLinks
+      table.add(new Route("fast", fastNode,
+        Signal("fast", SignalSource.internal("/app", "fast"), longSpec,
+          fastNode.deriveOutputFilter(longSpec, Nil)), Nil))
+      val (_, tBuild) = timed {
+        (1 to nodes).foreach(i => table.receivePath(s"/data/a/${i * 10}"))
+      }
+      require(table.find("waiting").get.pendingNodes.length == nodes)
+      slow = true
+      @volatile var maxRecvMs = 0.0
+      @volatile var recvs = 0
+      @volatile var sweeping = true
+      val sampler = new Thread(() => {
+        var i = 0
+        while (sweeping) {
+          val t0 = System.nanoTime()
+          table.receivePath(s"/data/fast/${i + 1}")
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms > maxRecvMs) maxRecvMs = ms
+          recvs += 1; i += 1
+          Thread.sleep(100)
+        }
+      })
+      sampler.start()
+      val (swept, tSweep) = timed(table.sweepPending())
+      sweeping = false
+      sampler.join()
+      println(
+        f"""{"soak":"routing_sweep","nodes":$nodes,"probe_ms":$probeMs,"build_sec":$tBuild%.1f,"sweep_sec":$tSweep%.1f,"fired":${swept.length},"recv_samples":$recvs,"max_recv_ms":$maxRecvMs%.1f}""")
+      spark.stop()
+      return
+    }
+
     // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000.
     // The verified pairs are checkpointed and REUSED as the p14 input —
     // the soak's duplicate graph is the true one (copy-chains collapse

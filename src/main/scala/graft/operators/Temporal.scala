@@ -138,9 +138,28 @@ object Temporal {
                         keyCol: String, tsCol: String,
                         rightCols: Seq[String], tieCol: String,
                         direction: String = "backward",
-                        toleranceMicros: Option[Long] = None): DataFrame = {
+                        toleranceMicros: Option[Long] = None,
+                        broadcastLimitRows: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
+    // Loud fit guard (r13): the whole right history is collect_list'ed
+    // into per-key arrays and broadcast — overflowing that surfaces as
+    // an executor OOM deep inside the aggregation, minutes in. Fail
+    // fast instead, with the fix in the message. The pre-count is one
+    // cheap job when the right side fits (the only legal use), and far
+    // cheaper than the OOM when it doesn't. Limit override order:
+    // explicit param > session conf > default.
+    val limit = broadcastLimitRows.getOrElse(
+      right.sparkSession.conf
+        .get("graft.asof.broadcastLimitRows", "10000000").toLong)
+    val rRows = right.count()
+    require(rRows <= limit,
+      s"asofJoinBroadcast: right side has $rRows rows, over " +
+        s"broadcastLimitRows=$limit — its full history is packed into " +
+        "per-key arrays and broadcast to every task. Use asofJoin " +
+        "(shuffle) or asofJoinSkew/asofJoinAuto for a right side this " +
+        "large, or raise the limit (param or session conf " +
+        "graft.asof.broadcastLimitRows) if it genuinely fits memory.")
     require(rightCols.nonEmpty, "rightCols must name at least one column")
     require(!rightCols.contains(tsCol) && !rightCols.contains(tieCol),
       s"rightCols must not repeat '$tsCol'/'$tieCol'")
@@ -372,6 +391,36 @@ object Temporal {
     if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
   }
 
+  /** Sample floor below which the sampled profile is not trusted to
+    * judge skew: under ~10k sampled rows the true total is small enough
+    * that the exact pass costs nothing anyway. */
+  private val MinSampledProfileRows = 10000L
+
+  /** The auto operators' hot-key decision. By DEFAULT the profile runs
+    * on a Bernoulli `profileFraction` sample: at 100 TB a full per-key
+    * count before every auto call is an extra full scan of the input,
+    * and the decision inequality (max > skewFactor × total/partitions)
+    * is scale-invariant — both sides shrink by the same fraction, so it
+    * evaluates directly on sampled counts with no rescaling. Samples
+    * too small to judge fall back to the exact pass (cheap at that
+    * size); `profileFraction >= 1` opts into the exact pass
+    * explicitly. Fixed seed: the physical-plan choice must not flap
+    * between runs on the same data. */
+  private[graft] def profileIsHot(df: DataFrame, keyCol: String,
+                                      skewFactor: Double,
+                                      profileFraction: Double): Boolean = {
+    require(profileFraction > 0, "profileFraction must be positive")
+    val (mx, tot) =
+      if (profileFraction >= 1.0) keyProfile(df, keyCol)
+      else {
+        val s = keyProfile(
+          df.sample(withReplacement = false, profileFraction, seed = 421L),
+          keyCol)
+        if (s._2 < MinSampledProfileRows) keyProfile(df, keyCol) else s
+      }
+    tot > 0 && mx > skewFactor * tot.toDouble / shufflePartitionsOf(df)
+  }
+
   private def shufflePartitionsOf(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
@@ -389,10 +438,9 @@ object Temporal {
                    direction: String = "backward",
                    toleranceMicros: Option[Long] = None,
                    skewFactor: Double = 4.0,
-                   targetChunks: Int = 256): DataFrame = {
-    val (mx, tot) = keyProfile(left, keyCol)
-    val hot = tot > 0 &&
-      mx > skewFactor * tot.toDouble / shufflePartitionsOf(left)
+                   targetChunks: Int = 256,
+                   profileFraction: Double = 0.01): DataFrame = {
+    val hot = profileIsHot(left, keyCol, skewFactor, profileFraction)
     if (hot)
       asofJoinSkew(left, right, keyCol, tsCol, rightCols, tieCol,
         chunkWidth = chunkWidthFor(left, tsCol, targetChunks),
@@ -405,10 +453,9 @@ object Temporal {
     * [[asofJoinAuto]]. */
   def sessionizeAuto(df: DataFrame, keyCol: String, tsCol: String,
                      gapMicros: Long, skewFactor: Double = 4.0,
-                     targetChunks: Int = 256): DataFrame = {
-    val (mx, tot) = keyProfile(df, keyCol)
-    val hot = tot > 0 &&
-      mx > skewFactor * tot.toDouble / shufflePartitionsOf(df)
+                     targetChunks: Int = 256,
+                     profileFraction: Double = 0.01): DataFrame = {
+    val hot = profileIsHot(df, keyCol, skewFactor, profileFraction)
     if (hot)
       sessionizeSkew(df, keyCol, tsCol, gapMicros,
         chunkWidth = chunkWidthFor(df, tsCol, targetChunks))

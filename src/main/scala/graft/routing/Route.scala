@@ -82,15 +82,24 @@ final class Route(
               isBlocked: Boolean = false): List[ExecutionContext] = {
     expireNodes(nowMillis)
     ctrs = ctrs.copy(eventsReceived = ctrs.eventsReceived + 1)
-    var consumed = false
-    pending.foreach { n => if (n.receive(incoming, isBlocked)) consumed = true }
+    // only nodes TOUCHED by this event get their (probe-I/O) readiness
+    // re-checked: an untouched node's event state is unchanged, and
+    // storage-side completions are the SWEEP's job by contract — probing
+    // every pending node on every event made one event cost
+    // O(pending × range × probe latency) (16 minutes per event at 10k
+    // waiting nodes on a 50 ms store; see BASELINE r13). A duplicate
+    // re-publish of a node's path counts as touched, so manual re-offer
+    // still re-evaluates that node immediately.
+    var touched = List.empty[RuntimeLinkNode]
+    pending.foreach { n => if (n.receive(incoming, isBlocked)) touched ::= n }
 
-    if (!consumed) {
+    if (touched.isEmpty) {
       val declared = linkNode.signals.find(s => s.sameResource(incoming) && !s.isReference)
       if (declared.isDefined) {
         val n = new RuntimeLinkNode(linkNode, output, outputLinks, nowMillis)
         if (n.receive(incoming, isBlocked)) {
           pending :+= n
+          touched ::= n
           ctrs = ctrs.copy(pendingCreated = ctrs.pendingCreated + 1)
           hooks.onPendingNodeCreated(this, n)
         }
@@ -103,13 +112,17 @@ final class Route(
     pending = alive
     ctrs = ctrs.copy(zombiesEliminated = ctrs.zombiesEliminated + zombies.length)
 
-    fireReady(probe)
+    fireReady(probe, touched)
   }
 
-  /** The single firing path (event receive AND sweep): ready nodes leave
-    * pending, bump the trigger counter, and materialize their contexts. */
-  private def fireReady(probe: PathProbe): List[ExecutionContext] = {
-    val (ready, waiting) = pending.partition(_.isReady(probe))
+  /** The single firing path (event receive AND sweep): ready CANDIDATES
+    * leave pending, bump the trigger counter, and materialize their
+    * contexts. Only candidates pay the readiness probe I/O. */
+  private def fireReady(probe: PathProbe,
+                        candidates: List[RuntimeLinkNode]): List[ExecutionContext] = {
+    if (candidates.isEmpty) return Nil
+    val (ready, waiting) = pending.partition(n =>
+      candidates.exists(_ eq n) && n.isReady(probe))
     pending = waiting
     ctrs = ctrs.copy(triggers = ctrs.triggers + ready.length)
     ready.map { n =>
@@ -127,7 +140,7 @@ final class Route(
             nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] = {
     expireNodes(nowMillis)
     fireCheckpoints(nowMillis)
-    fireReady(probe)
+    fireReady(probe, pending) // the sweep re-checks EVERY pending node
   }
 
   /** Fire every not-yet-fired checkpoint mark the node's age has passed,
@@ -314,26 +327,102 @@ final class RoutingTable(probe: PathProbe,
     }
 
   /** Re-run every route's pending completion checks without an event
-    * (the orchestration-cycle sweep; see [[Route.sweep]]). Routes with no
-    * pending nodes are skipped — the periodic tick costs probe I/O only
-    * where something is actually waiting. NOTE: probes run under the
-    * table monitor (pending state demands it); on slow remote storage
-    * with many waiting ranges, size the sweeper's pollMillis so event
-    * ingestion isn't starved behind the probe I/O. */
+    * (the orchestration-cycle sweep; see [[Route.sweep]]).
+    *
+    * Three phases so event ingestion NEVER waits on probe I/O (r13 —
+    * previously the probes ran under the table monitor and a slow
+    * remote store starved `receive()` for the whole sweep):
+    * snapshot the pending nodes' probe targets under the monitor (no
+    * I/O), probe them OUTSIDE it with bounded parallelism, then run the
+    * normal sweep under the monitor against the pre-probed snapshot.
+    * Targets that appear between the phases (a pending node created by
+    * a concurrent event) miss the snapshot and fall through to a live
+    * probe under the monitor — bounded by the handful of new nodes, not
+    * by the waiting backlog. */
   def sweepPending(nowMillis: Long = System.currentTimeMillis()): List[ExecutionContext] =
-    synchronized {
-      routes.filter(_.pendingNodes.nonEmpty).flatMap(_.sweep(cachingProbe, nowMillis))
-    }
+    sweepWhere(_ => true, nowMillis)
 
   /** [[sweepPending]] narrowed to ONE route (reference
     * update_active_route_status → check_active_route). */
   def sweepPendingRoute(id: String,
                         nowMillis: Long = System.currentTimeMillis())
       : List[ExecutionContext] =
-    synchronized {
-      routes.filter(r => r.id == id && r.pendingNodes.nonEmpty)
-        .flatMap(_.sweep(cachingProbe, nowMillis))
+    sweepWhere(_.id == id, nowMillis)
+
+  private def sweepWhere(sel: Route => Boolean,
+                         nowMillis: Long): List[ExecutionContext] = {
+    val targets = synchronized {
+      routes.filter(r => sel(r) && r.pendingNodes.nonEmpty)
+        .flatMap(_.pendingNodes.flatMap(_.probeTargets)).distinct
     }
+    val snap = probeOutsideMonitor(targets)
+    synchronized {
+      val sp = new SnapshotProbe(cachingProbe, snap)
+      routes.filter(r => sel(r) && r.pendingNodes.nonEmpty)
+        .flatMap(_.sweep(sp, nowMillis))
+    }
+  }
+
+  /** Phase 2: the sweep's probe I/O, monitor-free. Results land in a
+    * completion-keyed map ([[SnapshotProbe]]); parallelism is bounded so
+    * a 10k-node backlog against a high-latency store overlaps its
+    * round-trips instead of serializing them. */
+  private def probeOutsideMonitor(
+      targets: List[(String, graft.signal.IntegrityProtocol)])
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] = {
+    val snap = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    if (targets.isEmpty) return snap
+    // I/O-bound round-trips: size to the store's latency×throughput
+    // (-Dgraft.sweep.parallelism=64 for a 50 ms object store)
+    val par = math.min(
+      sys.props.getOrElse("graft.sweep.parallelism", "16").toInt,
+      targets.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futs = targets.map { case (p, proto) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = proto match {
+            case graft.signal.IntegrityProtocol.None_ =>
+              snap.put(p, cachingProbe.isComplete(p, proto))
+            case graft.signal.IntegrityProtocol.FileCheck(f) =>
+              val k = s"$p/$f"
+              snap.put(k, cachingProbe.exists(k))
+          }
+        })
+      }
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+    snap
+  }
+
+  /** One-sweep snapshot view: answers completion checks from the
+    * pre-probed results (NEGATIVES included — the caching probe only
+    * memoizes positives, and re-probing every miss under the monitor is
+    * exactly the starvation being avoided), falling back to the live
+    * probe for anything outside the snapshot. */
+  private final class SnapshotProbe(
+      live: CachingProbe,
+      snap: java.util.Map[String, java.lang.Boolean]) extends PathProbe {
+    def exists(path: String): Boolean = {
+      val c = snap.get(path)
+      if (c != null) c.booleanValue else live.exists(path)
+    }
+    override def isComplete(path: String,
+                            protocol: graft.signal.IntegrityProtocol): Boolean =
+      protocol match {
+        case graft.signal.IntegrityProtocol.None_ =>
+          // keyed by the partition path; the snapshot value came through
+          // the live probe's protocol-aware check (mid-write guard incl.)
+          val c = snap.get(path)
+          if (c != null) c.booleanValue else live.isComplete(path, protocol)
+        case graft.signal.IntegrityProtocol.FileCheck(f) =>
+          exists(s"$path/$f")
+      }
+  }
 
   /** Pre-seed known-complete paths (transfer_ranges analog). */
   def markComplete(paths: Iterable[String]): Unit = synchronized {

@@ -209,6 +209,20 @@ final class RuntimeLinkNode(
   def nearestExisting(s: Signal, probe: PathProbe): Option[String] =
     RuntimeLinkNode.nearestExisting(s, probe)
 
+  /** The (path, protocol) pairs [[isReady]] (and the subsequent
+    * nearest-narrowing) would probe — enumerated WITHOUT any I/O, so the
+    * table sweep can run the probes outside its monitor and feed the
+    * results back through a snapshot probe. Must stay in lockstep with
+    * [[isReady]]'s probe set (a missed target only costs a live probe
+    * under the monitor, never a wrong answer). */
+  def probeTargets: List[(String, IntegrityProtocol)] =
+    if (isZombie || !allSignalsReady) Nil
+    else readySignals.flatMap { s =>
+      if (s.nearestTheTip || s.rangeCheckRequired)
+        s.materializedPaths.map(p => (p, s.source.protocol))
+      else Nil
+    }
+
   /** Materialize the output's partition tuple from ready-signal tips
     * through the output link matrix (J6). Reference: materialize_output,
     * routing_runtime_constructs.py:677-722. */

@@ -63,7 +63,11 @@ final case class Signal(
   def isMaterialized: Boolean =
     if (spec.flatten.isEmpty) true else !filter.isEmpty && filter.isMaterialized
 
-  def materializedPaths: Seq[String] = source.materializePaths(filter)
+  /** lazy: an event signal is offered to EVERY pending node of its
+    * route, each offer reading these paths — rendering them once per
+    * immutable instance instead of once per offer is the difference
+    * between O(1) and O(pending) path formatting per event. */
+  lazy val materializedPaths: Seq[String] = source.materializePaths(filter)
 
   /** Build the concrete signal for a physical resource path (the event
     * codec direction). Reference: Signal.create, signal.py:405-468. */

@@ -476,6 +476,50 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampled key profile decides like the full pass (skewed + uniform)") {
+    // 400k rows so the 5% sample (~20k) clears the trust floor and the
+    // sampled path actually engages (small inputs fall back to exact)
+    val n = 400000L
+    val skewed = spark.range(n).select(col("id").as("eid"),
+      when(col("id") % 10 < 9, 0L) // one key at 90%
+        .otherwise(pmod(col("id"), lit(97L)) + 1L).as("k"))
+    val uniform = spark.range(n).select(col("id").as("eid"),
+      pmod(col("id"), lit(100L)).as("k"))
+    for (frac <- Seq(0.05, 0.2)) {
+      assert(Temporal.profileIsHot(skewed, "k", 1.5, frac) ==
+        Temporal.profileIsHot(skewed, "k", 1.5, 1.0),
+        s"skewed decision flipped at fraction $frac")
+      assert(Temporal.profileIsHot(uniform, "k", 1.5, frac) ==
+        Temporal.profileIsHot(uniform, "k", 1.5, 1.0),
+        s"uniform decision flipped at fraction $frac")
+    }
+    assert(Temporal.profileIsHot(skewed, "k", 1.5, 1.0))
+    assert(!Temporal.profileIsHot(uniform, "k", 1.5, 1.0))
+  }
+
+  test("asofJoinBroadcast refuses an over-limit right side, loudly") {
+    val sp = spark; import sp.implicits._
+    val ldf = (0 until 20).map(i => (i.toLong, i % 3L, i.toLong * 7))
+      .toDF("lid", "k", "t")
+    val rdf = (0 until 50).map(i => (100L + i, i % 3L, i.toLong * 5, 0.5))
+      .toDF("rid", "k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoinBroadcast(ldf, rdf, "k", "t", Seq("v"), "rid",
+        broadcastLimitRows = Some(10L))
+    }
+    assert(e.getMessage.contains("broadcastLimitRows") &&
+      e.getMessage.contains("asofJoinSkew"),
+      s"guard message must name the limit and the fix: ${e.getMessage}")
+    // session-conf override is honored
+    spark.conf.set("graft.asof.broadcastLimitRows", "10")
+    try intercept[IllegalArgumentException] {
+      Temporal.asofJoinBroadcast(ldf, rdf, "k", "t", Seq("v"), "rid")
+    } finally spark.conf.unset("graft.asof.broadcastLimitRows")
+    // within the limit: runs
+    assert(Temporal.asofJoinBroadcast(ldf, rdf, "k", "t", Seq("v"), "rid",
+      broadcastLimitRows = Some(1000L)).count() == 20L)
+  }
+
   test("sessionize family: null-ts rows kept with null session_seq on every path") {
     val sp = spark; import sp.implicits._
     val rows: Seq[(Long, Long, Option[Long])] = Seq(
