@@ -32,6 +32,17 @@ import org.apache.hadoop.fs.{FSDataOutputStream, Path}
   *   message AFTER folding — re-folding after a crash is safe because
   *   event folding is idempotent per tip path and completion probes
   *   re-verify against the filesystem, which is shared truth.
+  * - **Per-store commit requirements** (r13): the FILESYSTEM backends
+  *   assume atomic rename (inbox publish) and atomic-enough
+  *   create-if-absent (leases; POSIX O_EXCL / HDFS namenode create) —
+  *   true on local disk and HDFS, best-effort on NFS and object-store
+  *   connectors. Object stores (S3/GCS/Azure) should instead pass
+  *   `kvStore = Some(conditionalKv)` to [[ShardedDriver]]: leases ride
+  *   conditional PUTs ([[ConditionalLeaseStore]]), the WAL becomes
+  *   per-record values ([[KvEpochWal]], no append/rename needed), and
+  *   inbox messages are single atomic value puts — the only store
+  *   contract required is conditional create + list-after-put
+  *   consistency, both GA on all three majors.
   * - **Failure model**: driver loss → lease expiry → new owner replays
   *   the shard's WAL (pending nodes rebuilt, mid-flight executions
   *   re-surfaced by the existing recover() contract); split brain →
@@ -93,6 +104,11 @@ trait ConditionalKv {
   def get(key: String): Option[String]
   /** Keys starting with `prefix`. */
   def list(prefix: String): Seq[String]
+  /** Remove `key` (idempotent; absent key is a no-op). Inbox drains and
+    * WAL compaction depend on it; a failed delete must THROW, not
+    * silently succeed — callers treat deletion as best-effort and
+    * survivors as subsumed, but need the exception to log it. */
+  def delete(key: String): Unit
 }
 
 /** Strictly-atomic in-memory [[ConditionalKv]] (ConcurrentHashMap
@@ -108,6 +124,7 @@ final class InMemoryConditionalKv extends ConditionalKv {
     import scala.jdk.CollectionConverters._
     m.keySet.asScala.filter(_.startsWith(prefix)).toSeq
   }
+  def delete(key: String): Unit = { m.remove(key); () }
 }
 
 /** [[LeaseStore]] over a [[ConditionalKv]] — the object-store-safe lease
@@ -124,6 +141,7 @@ final class ConditionalLeaseStore(kv: ConditionalKv, prefix: String)
   def list(): Seq[String] =
     kv.list(s"$prefix/").map(_.stripPrefix(s"$prefix/"))
   def atomicCreate: Boolean = true
+  override def delete(name: String): Unit = kv.delete(key(name))
 }
 
 /** [[LeaseStore]] over a Hadoop filesystem directory — the original
@@ -616,6 +634,136 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     }
 }
 
+/** Per-shard WAL over a [[ConditionalKv]] — the object-store-safe
+  * [[RoutingWal]] for stores WITHOUT atomic rename or append (S3-class).
+  * Same fencing model as [[EpochWal]], with the filesystem mechanics
+  * replaced by value-level puts:
+  *
+  *  - one record per key `…/wal/<epoch>-<ownerToken>-<seq>` (a single
+  *    PUT is atomic — no torn lines, no rename; per-event PUT cadence
+  *    matches the reference's per-event DynamoDB writes,
+  *    constructs.py:3293-3433);
+  *  - snapshots at `…/snap/<epoch>-<seq>`, where `seq` comes from the
+  *    SAME per-owner counter as the records — replay drops same-epoch
+  *    records with seq <= the snapshot's (subsumed), so a partially
+  *    failed post-compaction delete can never resurrect stale state and
+  *    the snapshot is never withdrawn (the r13 durability rule);
+  *  - zombie epochs (< max snapshot epoch) and same-epoch claim-race
+  *    losers (ownerToken != the settled owner) are dropped at replay,
+  *    exactly as in [[EpochWal]].
+  *
+  * Requires list-after-put consistency (S3/GCS/Azure all provide it). */
+final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
+                       ownerToken: Option[String] = None,
+                       winnerTokenOf: Long => Option[String] = _ => None)
+    extends RoutingWal {
+
+  private def log = org.slf4j.LoggerFactory.getLogger(classOf[KvEpochWal])
+  private val token = ownerToken.getOrElse("00000000")
+  private val seq = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def walPrefix = s"$prefix/wal/"
+  private def snapPrefix = s"$prefix/snap/"
+
+  /** (epoch, token, seq) of a wal key; (epoch, "", seq) of a snap key;
+    * None for stray keys (degrade to a warning, never brick replay). */
+  private def parseWal(k: String): Option[(Long, String, Long)] =
+    k.stripPrefix(walPrefix).split('-') match {
+      case Array(e, t, s) =>
+        for (ep <- e.toLongOption; sq <- s.toLongOption) yield (ep, t, sq)
+      case _ => None
+    }
+  private def parseSnap(k: String): Option[(Long, Long)] =
+    k.stripPrefix(snapPrefix).split('-') match {
+      case Array(e, s) =>
+        for (ep <- e.toLongOption; sq <- s.toLongOption) yield (ep, sq)
+      case _ => None
+    }
+
+  private def nextSeq(): Long = {
+    if (seq.get() < 0L) seq.synchronized {
+      if (seq.get() < 0L) {
+        val maxExisting =
+          (kv.list(walPrefix).flatMap(parseWal(_).map(_._3)) ++
+            kv.list(snapPrefix).flatMap(parseSnap(_).map(_._2)))
+            .foldLeft(0L)(math.max)
+        seq.set(maxExisting)
+      }
+    }
+    seq.incrementAndGet()
+  }
+
+  private def record(kind: String, payload: String): Unit =
+    kv.put(f"${walPrefix}$epoch%09d-$token-${nextSeq()}%09d",
+      s"$kind\t${WalCodec.esc(payload)}")
+
+  def appendEvent(p: String, blocked: Boolean): Unit =
+    record(if (blocked) "eb" else "e", p)
+  def appendCompleted(p: String): Unit = record("c", p)
+  def close(): Unit = ()
+
+  def load(): Option[(List[(String, Boolean)], List[String])] = {
+    val snaps = kv.list(snapPrefix).flatMap(k => parseSnap(k).map(k -> _))
+    val (snapEpoch, snapSeq, snapKey) =
+      if (snaps.isEmpty) (-1L, -1L, None)
+      else {
+        val (k, (e, s)) = snaps.maxBy { case (_, (e, s)) => (e, s) }
+        (e, s, Some(k))
+      }
+    val rawKeys = kv.list(walPrefix)
+    val entries = rawKeys.flatMap(k => parseWal(k).map(k -> _))
+    val junk = rawKeys.filter(parseWal(_).isEmpty)
+    if (junk.nonEmpty)
+      log.warn(s"kv WAL $prefix: ignoring ${junk.length} unparseable " +
+        s"key(s): ${junk.sorted.mkString(", ")}")
+    val winnerOf = scala.collection.mutable.Map.empty[Long, Option[String]]
+    val live = entries.filter { case (_, (e, t, s)) =>
+      e >= snapEpoch && !(e == snapEpoch && s <= snapSeq) &&
+        (winnerOf.getOrElseUpdate(e, winnerTokenOf(e)) match {
+          case Some(w) => t == w || t == "00000000"
+          case None => true
+        })
+    }
+    val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val completed = scala.collection.mutable.ListBuffer.empty[String]
+    snapKey.flatMap(kv.get).foreach(
+      _.split('\n').foreach(WalCodec.foldLine(_, events, completed)))
+    live.sortBy { case (_, (e, _, s)) => (e, s) }
+      .foreach { case (k, _) => kv.get(k).foreach(
+        _.split('\n').foreach(WalCodec.foldLine(_, events, completed))) }
+    if (snapKey.isEmpty && live.isEmpty) None
+    else Some((events.toList, completed.toList))
+  }
+
+  def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit = {
+    val newer = kv.list(snapPrefix).flatMap(parseSnap).exists(_._1 > epoch)
+    if (newer) {
+      log.warn(s"kv WAL $prefix: compaction at epoch $epoch aborted — a " +
+        "higher-epoch snapshot exists (this owner is fenced out)")
+      return
+    }
+    val snapSeq = nextSeq()
+    val body = {
+      val buf = new java.io.ByteArrayOutputStream()
+      WalCodec.writeState(buf, events, completed)
+      buf.toString("UTF-8")
+    }
+    kv.put(f"$snapPrefix$epoch%09d-$snapSeq%09d", body)
+    val oldWal = kv.list(walPrefix).filter(parseWal(_).exists {
+      case (e, _, s) => e < epoch || (e == epoch && s < snapSeq) })
+    val oldSnap = kv.list(snapPrefix).filter(parseSnap(_).exists {
+      case (e, s) => e < epoch || (e == epoch && s < snapSeq) })
+    (oldWal ++ oldSnap).foreach { k =>
+      try kv.delete(k)
+      catch { case scala.util.control.NonFatal(ex) =>
+        // subsumed at replay (epoch/seq filters); retried next compaction
+        log.warn(s"kv WAL $prefix: could not delete $k (${ex.getMessage}); " +
+          "snapshot kept, entry is replay-subsumed, deletion retried")
+      }
+    }
+  }
+}
+
 /** One driver instance in a multi-driver deployment: owns the shards
   * whose leases it holds, folds their WALs and inboxes, and routes
   * cross-shard feed-back through the consuming shard's inbox.
@@ -629,10 +777,15 @@ final class ShardedDriver(root: String, val driverId: String,
                           conf: Configuration,
                           leaseTimeoutMillis: Long = 10000L,
                           clock: () => Long = () => System.currentTimeMillis(),
-                          leaseStoreFor: Option[Int => LeaseStore] = None) {
+                          leaseStoreFor: Option[Int => LeaseStore] = None,
+                          /** All shared state (leases AND WAL AND inbox)
+                            * through one [[ConditionalKv]] — the
+                            * object-store deployment, where Hadoop rename/
+                            * create-if-absent are not atomic. */
+                          kvStore: Option[ConditionalKv] = None) {
 
   private case class RouteDef(id: String, mk: () => Route, canonical: Route)
-  private case class Owned(shard: Int, lease: ShardLease, wal: EpochWal,
+  private case class Owned(shard: Int, lease: ShardLease, wal: RoutingWal,
                            table: RoutingTable)
 
   private var defs: List[RouteDef] = Nil
@@ -653,12 +806,28 @@ final class ShardedDriver(root: String, val driverId: String,
   private def shardDir(shard: Int) = s"$root/shards/shard-$shard"
 
   private def leaseFor(shard: Int): ShardLease =
-    leases.getOrElseUpdate(shard, leaseStoreFor match {
-      case Some(mk) =>
+    leases.getOrElseUpdate(shard, (leaseStoreFor, kvStore) match {
+      case (Some(mk), _) =>
         new ShardLease(shard, driverId, mk(shard), leaseTimeoutMillis, clock)
-      case None =>
+      case (None, Some(kv)) =>
+        new ShardLease(shard, driverId,
+          new ConditionalLeaseStore(kv, s"$root/leases/shard-$shard"),
+          leaseTimeoutMillis, clock)
+      case (None, None) =>
         new ShardLease(root, shard, driverId, conf, leaseTimeoutMillis, clock)
     })
+
+  private def walFor(shard: Int, epoch: Long, lease: ShardLease): RoutingWal =
+    kvStore match {
+      case Some(kv) =>
+        new KvEpochWal(kv, s"${shardDir(shard)}/wal", epoch,
+          ownerToken = Some(Sharding.ownerToken(driverId)),
+          winnerTokenOf = k => lease.ownerOf(k).map(Sharding.ownerToken))
+      case None =>
+        new EpochWal(s"${shardDir(shard)}/wal", conf, epoch,
+          ownerToken = Some(Sharding.ownerToken(driverId)),
+          winnerTokenOf = k => lease.ownerOf(k).map(Sharding.ownerToken))
+    }
 
   /** Try to take ownership of `shard`: acquire (or take over) the lease,
     * replay the shard WAL through fresh route instances (pending nodes
@@ -672,9 +841,7 @@ final class ShardedDriver(root: String, val driverId: String,
     val shardDefs = defs.filter(d => shardOf(d.id) == shard)
     val lease = leaseFor(shard)
     lease.tryAcquire().map { epoch =>
-      val wal = new EpochWal(s"${shardDir(shard)}/wal", conf, epoch,
-        ownerToken = Some(Sharding.ownerToken(driverId)),
-        winnerTokenOf = k => lease.ownerOf(k).map(Sharding.ownerToken))
+      val wal = walFor(shard, epoch, lease)
       val table = new RoutingTable(probe, Some(wal))
       shardDefs.foreach(d => table.add(d.mk()))
       val recovered = table.recover() // replay + compact(epoch) inside
@@ -795,12 +962,20 @@ final class ShardedDriver(root: String, val driverId: String,
 
   private lazy val fs = WalCodec.uncachedFs(new Path(root), conf)
 
-  /** Tmp-write + atomic rename so a reader never sees a torn message. */
+  /** Tmp-write + atomic rename so a reader never sees a torn message —
+    * or, on a [[ConditionalKv]] backend, ONE value put (atomic by the
+    * store's contract, so no rename is needed at all). */
   private def sendToInbox(shard: Int, lines: List[String]): Unit = {
-    val dir = inboxDir(shard)
-    if (!fs.exists(dir)) fs.mkdirs(dir)
     val name = f"msg-${System.currentTimeMillis()}%013d-${
       java.util.UUID.randomUUID().toString.take(8)}"
+    kvStore match {
+      case Some(kv) =>
+        kv.put(s"${shardDir(shard)}/inbox/$name", lines.mkString("\n"))
+        return
+      case None => ()
+    }
+    val dir = inboxDir(shard)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
     val tmp = new Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
     try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
@@ -823,6 +998,23 @@ final class ShardedDriver(root: String, val driverId: String,
     * Delete happens AFTER the fold (at-least-once: a crash in between
     * re-folds on the next owner — idempotent per the replay contract). */
   private def drainInbox(shard: Int): List[ExecutionContext] = {
+    kvStore match {
+      case Some(kv) =>
+        val table0 = owned(shard).table
+        val pre = s"${shardDir(shard)}/inbox/"
+        return kv.list(pre).sorted.toList.flatMap { k =>
+          val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+          val completed = scala.collection.mutable.ListBuffer.empty[String]
+          kv.get(k).foreach(
+            _.split('\n').foreach(WalCodec.foldLine(_, events, completed)))
+          table0.markComplete(completed.toList)
+          val ctxs = events.toList.flatMap { case (p, b) =>
+            table0.receivePath(p, b) }
+          kv.delete(k) // AFTER the fold: at-least-once, refold is idempotent
+          ctxs
+        }
+      case None => ()
+    }
     val dir = inboxDir(shard)
     if (!fs.exists(dir)) return Nil
     val table = owned(shard).table

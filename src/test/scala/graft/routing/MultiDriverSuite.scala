@@ -356,6 +356,104 @@ class MultiDriverSuite extends AnyFunSuite {
     dx.releaseAll()
   }
 
+  test("FULL conditional-KV backend: leases AND WAL AND inbox, failover end-to-end") {
+    // r13: the whole shared state through one ConditionalKv — the
+    // object-store deployment where Hadoop rename/create-if-absent are
+    // not atomic. Covers cross-shard inbox feed-back, lease-expiry
+    // failover with KvEpochWal replay, and fencing of the dead owner.
+    val kv = new InMemoryConditionalKv
+    var now = 0L
+    val clock = () => now
+    val existing = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val probe = new PathProbe { def exists(p: String) = existing.contains(p) }
+    def mkDriver(id: String) = {
+      val d = new ShardedDriver("app", id, 2, probe, conf,
+        leaseTimeoutMillis = 1000, clock = clock, kvStore = Some(kv))
+      d.add(() => mkUp()); d.add(() => mkDown()); d
+    }
+    val dx = mkDriver("X")
+    val dy = mkDriver("Y")
+    assert(dx.tryAcquireShard(0).contains(Nil))
+    assert(dy.tryAcquireShard(1).contains(Nil))
+    assert(dy.tryAcquireShard(0).isEmpty, "live KV lease must hold")
+
+    // upstream fires on X; completion feeds Y's shard via the KV inbox
+    val ctxs = dx.receivePath("/data/a/2026-08-12")
+    assert(ctxs.map(_.routeId) == List(upId))
+    val outPath = ctxs.head.output.materializedPaths.head
+    existing.add(s"$outPath/_SUCCESS") // the slot "wrote" its output
+    assert(dx.complete(outPath).isEmpty)
+    val downCtxs = dy.pollInboxes()
+    assert(downCtxs.map(_.routeId) == List(downId))
+    assert(downCtxs.head.output.tip.map(_.value) == List("2026-08-12"))
+    assert(dy.pollInboxes().isEmpty, "KV inbox message must be consumed")
+
+    // X dies mid-state: a second upstream event is in X's KV WAL only,
+    // its output never written
+    assert(dx.receivePath("/data/a/2026-08-13").nonEmpty)
+    now = 2000 // X stops renewing; Y takes over shard 0
+    val recovered = dy.tryAcquireShard(0)
+    assert(recovered.isDefined, "expired KV lease must hand over")
+    // replay re-offers the mid-flight 08-13 execution (output incomplete);
+    // the completed 08-12 one is NOT re-offered
+    assert(recovered.get.map(_.output.tip.map(_.value).head) == List("2026-08-13"))
+    assert(dx.fencedShards() == Set(0))
+    // the fenced zombie's stale appends never replay on the successor
+    dx.receivePath("/data/a/2026-08-19")
+    val dz = {
+      val d = new ShardedDriver("app", "Z", 2, allExists, conf,
+        leaseTimeoutMillis = 1000, clock = clock, kvStore = Some(kv))
+      d.add(() => mkUp()); d.add(() => mkDown()); d
+    }
+    now = 4000
+    val rez = dz.tryAcquireShard(0)
+    assert(rez.isDefined)
+    assert(!rez.get.exists(_.output.tip.map(_.value).contains("2026-08-19")),
+      "zombie writer's post-fencing event must not replay")
+    dz.releaseAll(); dy.releaseAll()
+  }
+
+  test("KvEpochWal: snapshot subsumes failed deletions; zombies fenced") {
+    val kv = new InMemoryConditionalKv
+    val w1 = new KvEpochWal(kv, "app/shards/shard-0/wal", 1)
+    w1.appendEvent("/data/a/2026-08-10", blocked = false)
+    val w2 = new KvEpochWal(kv, "app/shards/shard-0/wal", 2)
+    val st = w2.load().get
+    assert(st._1 == List(("/data/a/2026-08-10", false)))
+    w2.compact(st._1, st._2)
+    // zombie at epoch 1 keeps writing → rejected at replay
+    w1.appendEvent("/data/a/2026-08-99", blocked = false)
+    assert(w2.load().get._1 == List(("/data/a/2026-08-10", false)))
+    // zombie compaction aborts (higher-epoch snapshot)
+    w1.compact(List(("/data/a/2026-08-99", false)), Nil)
+    assert(w2.load().get._1 == List(("/data/a/2026-08-10", false)))
+    // a same-epoch entry with seq below the snapshot (survivor of a
+    // partial post-compaction delete) is subsumed, NOT replayed
+    val snapKey = kv.list("app/shards/shard-0/wal/snap/").max
+    val snapSeq = snapKey.split('-').last.toLong
+    kv.put(f"app/shards/shard-0/wal/wal/${2L}%09d-00000000-${snapSeq - 1}%09d",
+      "e\t/data/STALE/1")
+    assert(!w2.load().get._1.exists(_._1.contains("STALE")),
+      "pre-snapshot survivor resurrected stale state")
+    // post-snapshot appends (seq > snapshot) replay normally
+    w2.appendEvent("/data/b/2026-08-11", blocked = false)
+    assert(w2.load().get._1.map(_._1) ==
+      List("/data/a/2026-08-10", "/data/b/2026-08-11"))
+    // next compaction sweeps survivors
+    val st2 = w2.load().get
+    w2.compact(st2._1, st2._2)
+    assert(kv.list("app/shards/shard-0/wal/wal/").isEmpty)
+    assert(KvEpochWalLoadEquals(kv, st2))
+  }
+
+  private def KvEpochWalLoadEquals(
+      kv: ConditionalKv,
+      want: (List[(String, Boolean)], List[String])): Boolean = {
+    val w3 = new KvEpochWal(kv, "app/shards/shard-0/wal", 3)
+    val got = w3.load().get
+    got._1.toSet == want._1.toSet && got._2.toSet == want._2.toSet
+  }
+
   test("stray files in the shard WAL dir degrade to a warning, not a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft_md6").toString
     val shardDir = s"$root/wal"
