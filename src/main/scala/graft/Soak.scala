@@ -137,6 +137,75 @@ object Soak {
       return
     }
 
+    // "concurrent_exec" = r13 concurrent-execution soak: N SQL/Class
+    // executions in flight at once over sf lineitem, a retrying slot,
+    // and one killed mid-run — every surviving output must equal the
+    // directly-computed expectation (distinct multipliers make any
+    // cross-session leakage visible).
+    if (only == "concurrent_exec") {
+      import graft.app.Application
+      import graft.compute.{ScalaSlot, SqlSlot, RetryPolicy}
+      import graft.dimension.{DimSpec, DimType}
+      import scala.concurrent.{Await, ExecutionContext}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_CONC", "12").toInt
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_soak_conc").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      li.write.mode("overwrite").parquet(s"$work/src/2026-08-10")
+      val expected = li.agg(sum(col("l_quantity")).cast("double"))
+        .collect().head.getDouble(0)
+      val daySpec = DimSpec.pretty(
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+      val app = new Application("conc_soak", spark, s"$work/app")
+      val src = app.marshalExternalData("src", s"$work/src", daySpec)
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val slow = app.createData("slow", Seq(src.latest(1)),
+        Seq(ScalaSlot { ctx =>
+          started.countDown()
+          ctx.spark.range(500000000000L)
+            .filter(col("id") % 1000000007L === 123).count()
+          ctx.input("src")
+        }))
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val rty = app.createData("rty", Seq(src.latest(1)),
+        Seq(ScalaSlot { ctx =>
+          if (attempts.incrementAndGet() == 1) sys.error("transient")
+          ctx.input("src").agg(sum(col("l_quantity")).cast("double").as("t"))
+        }), retry = RetryPolicy(maxRetries = 3, backoffMs = 50))
+      val sqlNodes = (1 to n).map(i => app.createData(s"m$i",
+        Seq(src.latest(1)), Seq(SqlSlot(
+          s"SELECT CAST(SUM(l_quantity) * $i AS DOUBLE) AS t FROM src"))))
+      app.activate()
+      val slowFut = app.executeAsync(slow("2026-08-10"))
+      started.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      val ((futs, killOk), tLaunch) = timed {
+        val fs = (sqlNodes :+ rty).map(nd => app.executeAsync(nd("2026-08-10")))
+        Thread.sleep(1000)
+        (fs, app.kill(slow("2026-08-10")))
+      }
+      val (_, tAll) = timed(futs.foreach(f => Await.result(f, 600.seconds)))
+      val slowFailed =
+        Await.ready(slowFut, 120.seconds).value.get.isFailure
+      var leaks = 0
+      (1 to n).foreach { i =>
+        val got = spark.read.parquet(
+          s"$work/app/internal_data/m$i/2026-08-10")
+          .collect().head.getDouble(0)
+        if (got != expected * i) leaks += 1
+      }
+      val rtyGot = spark.read.parquet(
+        s"$work/app/internal_data/rty/2026-08-10").collect().head.getDouble(0)
+      require(leaks == 0 && rtyGot == expected && slowFailed && killOk,
+        s"leaks=$leaks rty=$rtyGot/$expected slowFailed=$slowFailed kill=$killOk")
+      println(
+        f"""{"soak":"concurrent_exec","executions":${n + 2},"launch_sec":$tLaunch%.1f,"all_done_sec":$tAll%.1f,"retry_attempts":${attempts.get()},"killed":true,"leaks":0}""")
+      spark.stop()
+      return
+    }
+
     // "key_profile" = r13 sampled auto-operator profile: full vs 1%
     // profile cost at 10M rows, decisions REQUIRED equal on skewed and
     // uniform keys.

@@ -542,4 +542,54 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     // (1+5) + (2+5) = 13
     assert(app.load(joined("2026-08-12")).collect().head.getDouble(1) == 13.0)
   }
+
+  test("8-way concurrent executeAsync: mixed slots, retry, one kill, zero leakage") {
+    // r13 (VERDICT r12 #8): session isolation under real concurrency.
+    // Every execution registers the SAME 'src' alias in its own isolated
+    // session — cross-execution leakage would mix the multipliers.
+    val app = new Application("conc", spark, s"$work/app_conc")
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val slow = app.createData("slow", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        import org.apache.spark.sql.functions._
+        started.countDown()
+        ctx.spark.range(50000000000L)
+          .filter(col("id") % 1000000007L === 123).count()
+        ctx.input("src")
+      }))
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rty = app.createData("rty", Seq(src.latest(1)),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        import org.apache.spark.sql.functions._
+        if (attempts.incrementAndGet() == 1) sys.error("transient fault")
+        ctx.input("src").groupBy("day")
+          .agg(sum("amount").cast("double").as("total"))
+      }), retry = graft.compute.RetryPolicy(maxRetries = 3, backoffMs = 10))
+    val sqlNodes = (1 to 5).map(i => app.createData(s"m$i", Seq(src.latest(1)),
+      Seq(SqlSlot(s"SELECT day, CAST(SUM(amount) * $i AS DOUBLE) AS total " +
+        "FROM src GROUP BY day"))))
+    val cls = app.createData("cls", Seq(src.latest(1)),
+      Seq(graft.compute.ClassSlot("graft.app.TestTriplerSlot")))
+    app.activate()
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slowFut = app.executeAsync(slow("2026-08-12"))
+    started.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    val futs = (sqlNodes :+ cls :+ rty).map(n =>
+      app.executeAsync(n("2026-08-12")))
+    Thread.sleep(500) // the doomed Spark job is actually running
+    assert(app.kill(slow("2026-08-12")))
+    futs.foreach(f => Await.result(f, 300.seconds))
+    assert(Await.ready(slowFut, 60.seconds).value.get.isFailure,
+      "the killed execution must fail, not linger")
+    // outputs: src day total = 3.0; node mI must carry EXACTLY 3*I
+    (1 to 5).foreach { i =>
+      val got = app.load(sqlNodes(i - 1)("2026-08-12")).collect().head.getDouble(1)
+      assert(got == 3.0 * i, s"m$i read $got — cross-execution leakage")
+    }
+    assert(app.load(cls("2026-08-12")).collect().head.getDouble(1) == 9.0)
+    assert(app.load(rty("2026-08-12")).collect().head.getDouble(1) == 3.0)
+    assert(attempts.get() == 2, "retry slot must have failed once, then passed")
+    assert(app.poll(slow("2026-08-12")).isEmpty, "killed output must not exist")
+  }
 }
