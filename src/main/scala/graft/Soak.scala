@@ -582,6 +582,70 @@ object Soak {
     // kc-row join Catalyst sizes itself), so k=65536 builds without a
     // monolithic k×dim task binary. The stage REQUIRES complete
     // assignment (no dropped rows) and runs a 100-query ivfTopKJoin.
+    // "pq" = product quantization at corpus scale (r13): ~2M 64-dim
+    // vectors (sf embeddings × PQ_COPIES, per-coordinate perturbed so
+    // directions stay distinct) plus 10 planted colinear multiples of
+    // the query vector. Measured: sampled codebook train, the one-pass
+    // encode, the full-ADC code scan, and the IVF-PQ probe (nProbe of k
+    // cells), with the exact full-vector scan as the baseline — the
+    // memory claim (m bytes vs 4·dim) is what keeps a 100-TB corpus'
+    // index RAM-resident. REQUIRED in-soak: the ADC top-10 IS the
+    // planted set exactly (quantization preserves the near-dup margin)
+    // and the IVF-PQ probe returns the same set through 1/k of the scan.
+    if (only == "pq") {
+      val sp2 = spark; import sp2.implicits._
+      val pqCopies = sys.env.getOrElse("SPARK_GRAFT_SOAK_PQ_COPIES", "400").toInt
+      val pqIvfK = sys.env.getOrElse("SPARK_GRAFT_SOAK_PQ_IVF_K", "64").toInt
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val qv = embBase.where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val plantedIds = (0 until 10).map(n => 1900000000L + n)
+      val planted = plantedIds.zipWithIndex.map { case (id, n) =>
+          (id, qv.map(v => v * (1.0f + 0.1f * (n + 1)))) }
+        .toDF("vec_id", "embedding")
+      val corpus = embBase.where(col("vec_id") =!= 0)
+        .crossJoin(spark.range(pqCopies.toLong).toDF("copy"))
+        .select((col("vec_id") * pqCopies + col("copy")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((col("copy") * 31 + i) % 7 - 3).cast("float") / lit(100f))
+            .as("embedding"))
+        .unionByName(planted)
+        .repartition(32).localCheckpoint()
+      val nVecs = corpus.count()
+      val frac = math.min(1.0, 100000.0 / nVecs)
+      val (cb, tTrain) = timed(graft.operators.Pq.train(
+        corpus, "embedding", "vec_id", m = 8, k = 256, iters = 2,
+        trainFraction = frac))
+      val codes = graft.operators.Pq.encode(corpus, "embedding", cb)
+        .select(col("vec_id"), col("pq_code"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nCodes, tEncode) = timed(codes.count())
+      require(nCodes == nVecs, s"encode dropped rows: $nCodes != $nVecs")
+      val (adcIds, tAdc) = timed(
+        graft.operators.Pq.topK(codes, "vec_id", cb, qv, 10)
+          .collect().map(_.getLong(0)).toSeq)
+      require(adcIds == plantedIds,
+        s"ADC top-10 must be the planted set, got $adcIds")
+      val (_, tExact) = timed(
+        Similarity.cosineTopK(corpus, "embedding", "vec_id", qv, 10).count())
+      val (idx, tIvf) = timed(Similarity.buildIvfIndex(
+        corpus, "embedding", "vec_id", k = pqIvfK, iters = 2, persist = true))
+      val pqCells = graft.operators.Pq.encodeCells(idx, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCellRows = pqCells.count()
+      require(nCellRows == nVecs, s"encodeCells dropped rows: $nCellRows != $nVecs")
+      val (probeIds, tProbe) = timed(
+        graft.operators.Pq.ivfPqTopK(pqCells, idx.centroids, cb, "vec_id",
+          qv, 10, nProbe = 4).collect().map(_.getLong(0)).toSeq)
+      require(probeIds == plantedIds,
+        s"IVF-PQ probe top-10 must be the planted set, got $probeIds")
+      println(
+        f"""{"soak":"pq","vectors":$nVecs,"m":8,"k":256,"train_sec":$tTrain%.1f,"encode_sec":$tEncode%.1f,"adc_scan_sec":$tAdc%.2f,"exact_scan_sec":$tExact%.2f,"ivf_k":$pqIvfK,"ivf_build_sec":$tIvf%.1f,"ivfpq_probe_sec":$tProbe%.2f,"code_bytes_per_vec":8,"raw_bytes_per_vec":256}""")
+      spark.stop()
+      return
+    }
+
     if (only == "ivf2") {
       val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory half of the ANN scale story.
+  *
+  * [[Similarity]]'s IVF/LSH paths bound how many candidates a query
+  * SCANS; PQ bounds how much memory each candidate COSTS: a 64-dim
+  * float embedding (256 B) collapses to an m-byte code (8 B at m=8,
+  * 32×), so a 100-TB embedding corpus becomes a few TB of codes — the
+  * difference between "the index fits the cluster's RAM" and "every
+  * probe hits object storage". Queries score codes with ADC (asymmetric
+  * distance computation): one O(k·dim) table per query, then m array
+  * lookups per candidate — no decode, no per-candidate O(dim) work.
+  *
+  * Distance contract: vectors are unit-normalized before training and
+  * encoding, so squared L2 is monotone with cosine (‖a−b‖² = 2·(1−cos))
+  * and every surface reports `pq_cosine = 1 − adc/2` — directly
+  * comparable with the exact/LSH/IVF surfaces' `cosine`. Codes are
+  * deterministic (md5-seeded k-means, fixed Lloyd rounds, first-min
+  * ties): identical codebooks and codes on every run/cluster.
+  *
+  * Scale shape: training aggregates m·k (subDim+1)-double rows per
+  * Lloyd round (map-side combined — the collect is the codebook, not
+  * the data); encoding is ONE narrow pass with the codebook riding as a
+  * single flat plan literal (≤256·dim doubles by the k ≤ 256 cap — no
+  * join, no shuffle); querying ships per-query ADC tables the same way
+  * (single query) or as broadcast data (batched join). Compose
+  * with IVF ([[encodeCells]] / [[ivfPqTopK]]) to scan only nProbe/k of
+  * the codes: the classic IVF-PQ index is (id, cell, code) ≈ 14 B/row.
+  */
+object Pq {
+
+  /** Trained codebook: `centroids(s)(j)` is the j-th centroid of
+    * sub-space s (subDim doubles each). `dim` = Σ subDims; k ≤ 256 so
+    * codes pack one byte per sub-space. */
+  final case class PqCodebook(dim: Int, m: Int, k: Int,
+                              centroids: Array[Array[Array[Double]]]) {
+    require(centroids.length == m, s"codebook has ${centroids.length} sub-spaces, expected $m")
+    def subDim: Int = dim / m
+
+    /** Flat m·k ADC table for a (unit) query — driver-side twin of
+      * [[graft.expressions.PqKernels.pqTable]]. */
+    private[operators] def tableFor(unitQ: Array[Double]): Array[Double] = {
+      require(unitQ.length == dim, s"query dim ${unitQ.length} != codebook dim $dim")
+      val out = new Array[Double](m * k)
+      var off = 0
+      var s = 0
+      while (s < m) {
+        val cents = centroids(s)
+        var i = 0
+        while (i < cents.length) {
+          var d = 0.0
+          var j = 0
+          while (j < cents(i).length) {
+            val t = cents(i)(j) - unitQ(off + j); d += t * t; j += 1
+          }
+          out(s * k + i) = d
+          i += 1
+        }
+        // unseeded tail centroids (corpus smaller than k) keep distance 0
+        // from init — they have no members, no code ever references them
+        while (i < k) { out(s * k + i) = Double.MaxValue; i += 1 }
+        off += cents.headOption.map(_.length).getOrElse(0)
+        s += 1
+      }
+      out
+    }
+  }
+
+  private val bridge = org.apache.spark.sql.GraftColumnBridge
+
+  private def unit(vec: Column): Column =
+    bridge.column(graft.expressions.UnitVec(bridge.expression(vec)))
+
+  private def unitLocal(v: Seq[Float]): Array[Double] = {
+    val ss = v.iterator.map(x => x.toDouble * x).sum
+    if (ss == 0.0) v.map(_.toDouble).toArray
+    else { val n = math.sqrt(ss); v.map(_ / n).toArray }
+  }
+
+  /** The codebook as ONE flat plan literal (a single `Literal.create`
+    * node wrapping nested ArrayData — not a per-element CreateArray
+    * tree, which is what blew task binaries in the IVF k≈32 experiments
+    * and motivated [[Similarity]]'s broadcast-data pattern). PQ's k ≤
+    * 256 cap bounds this at 256·dim doubles (~128 KB at dim 64), well
+    * inside task-binary comfort, and the literal sidesteps the
+    * constant-key one-row join entirely — which Catalyst folds into a
+    * BroadcastNestedLoopJoin (foldable keys constant-fold out of the
+    * equi-join), the all-pairs shape the plan sweep bans. */
+  private def codebookLit(cb: PqCodebook): Column =
+    typedlit(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Train a PQ codebook: per-sub-space k-means over unit-normalized
+    * vectors. Deterministic (seed rows = lowest md5(id), fixed `iters`
+    * Lloyd rounds, Bernoulli `trainFraction` sample at a fixed seed).
+    *
+    * At corpus scale pass a small `trainFraction`: k-means needs a few
+    * hundred points per centroid, not the corpus — 10⁵–10⁶ sampled rows
+    * train k=256 fine and the full corpus is only ever touched by
+    * [[encode]]'s single pass. Each Lloyd round shuffles m rows per
+    * input row but map-side combines to m·k aggregation rows. */
+  def train(df: DataFrame, vecCol: String, idCol: String,
+            m: Int = 8, k: Int = 256, iters: Int = 3,
+            trainFraction: Double = 1.0): PqCodebook = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256] (one byte per sub-space), got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val dimRow = df.select(size(col(vecCol))).take(1)
+    require(dimRow.nonEmpty,
+      s"cannot train a PQ codebook over an empty corpus ($vecCol)")
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m")
+    val subDim = dim / m
+
+    val sampled = if (trainFraction >= 1.0) df
+      else df.sample(withReplacement = false, trainFraction, seed = 421L)
+    val base = sampled
+      .select(col(idCol).as("__id"), unit(col(vecCol)).as("__u"))
+      .where(size(col("__u")) === dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeds: the k lowest-md5 rows, sliced per sub-space
+      val seedRows = base.orderBy(md5(col("__id").cast("string")), col("__id"))
+        .limit(k).select(col("__u")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seedRows.nonEmpty, s"cannot train a PQ codebook over an empty corpus ($vecCol)")
+      var cents: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+        seedRows.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)))
+
+      // (id, s, subvec) rows: m sub-vectors per input row
+      val slices = array((0 until m).map(s =>
+        slice(col("__u"), s * subDim + 1, subDim)): _*)
+      val sub = base.select(col("__id"), posexplode(slices).as(Seq("__s", "__sv")))
+
+      val vs = udaf(new VecSumCount,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      for (_ <- 1 to iters) {
+        val centsDf = cents.zipWithIndex
+          .map { case (c, s) => (s, c.map(_.toSeq).toSeq) }.toSeq
+          .toDF("__s", "__cents")
+        val assigned = sub.join(broadcast(centsDf), "__s")
+          .withColumn("__code", bridge.column(graft.expressions.ArgMinL2(
+            bridge.expression(col("__cents")), bridge.expression(col("__sv")))))
+        val sums = assigned.groupBy(col("__s"), col("__code"))
+          .agg(vs(col("__sv")).as("__sc")).collect()
+        val next = cents.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val s = r.getInt(0); val codeIx = r.getInt(1)
+          val arr = r.getSeq[Double](2)
+          val n = arr(subDim)
+          if (n > 0) {
+            var j = 0
+            while (j < subDim) { next(s)(codeIx)(j) = arr(j) / n; j += 1 }
+          } // empty cells keep their previous centroid
+        }
+        cents = next
+      }
+      PqCodebook(dim, m, cents.head.length, cents)
+    } finally { base.unpersist(); () }
+  }
+
+  /** Append an m-byte `codeCol` to `df` (all original columns kept):
+    * one narrow pass — no join, no shuffle — with the codebook riding as
+    * a single flat literal ([[codebookLit]]) into the codegen'd
+    * [[graft.expressions.PqEncodeExpr]] kernel. Ragged vectors (length ≠
+    * codebook dim) encode as NULL, never mis-encoded. */
+  def encode(df: DataFrame, vecCol: String, cb: PqCodebook,
+             codeCol: String = "pq_code"): DataFrame =
+    df.withColumn(codeCol, bridge.column(graft.expressions.PqEncodeExpr(
+      bridge.expression(codebookLit(cb)),
+      bridge.expression(unit(col(vecCol))))))
+
+  private def adcCosine(tableCol: Column, codeCol: Column, k: Int): Column =
+    lit(1.0) - bridge.column(graft.expressions.PqAdcExpr(
+      bridge.expression(tableCol), bridge.expression(codeCol), k)) / lit(2.0)
+
+  /** Approximate top-k by ADC over an encoded corpus: ONE driver-side
+    * table (m·k doubles, ≤16 KB at k=256 — a single flat literal) rides
+    * into the scan; each code scores in m lookups. `codes` needs only
+    * (idCol, codeCol) — the vectors themselves never load. The plan is
+    * scan → project → TakeOrdered: no join, no shuffle. Output
+    * (idCol, pq_cosine) desc. */
+  def topK(codes: DataFrame, idCol: String, cb: PqCodebook,
+           queryVec: Seq[Float], k: Int,
+           codeCol: String = "pq_code"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val table = cb.tableFor(unitLocal(queryVec))
+    codes
+      .select(col(idCol),
+        adcCosine(typedlit(table.toSeq), col(codeCol), cb.k).as("pq_cosine"))
+      .where(col("pq_cosine").isNotNull)
+      .orderBy(col("pq_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batched ADC top-k JOIN — the [[Similarity.lshTopKJoin]] surface
+    * for PQ codes: every query row computes its ADC table DISTRIBUTED
+    * (codegen'd [[graft.expressions.PqTableExpr]], codebook broadcast
+    * as data) and scans the code table. The query side (query_id +
+    * m·k-double table) broadcasts through a constant-key
+    * BroadcastHashJoin (never BNLJ) — the corpus codes never shuffle.
+    * This is deliberately brute-force over CODES (the PQ trade: m-byte
+    * scans are memory-speed); for sub-linear candidate counts compose
+    * with IVF via [[ivfPqTopK]].
+    *
+    * `maxQueries` is the loud broadcast-fit guard (the
+    * [[Similarity.cosineTopKJoin]] / asofJoinBroadcast convention): each
+    * query row broadcasts an m·k-double ADC table (~16 KB at m=8,
+    * k=256), so 100k queries would be a 1.6 GB broadcast — the guard
+    * counts the NARROW query side only and refuses with an actionable
+    * message instead of an executor OOM. Raise it knowingly, or batch
+    * the query set. */
+  def topKJoin(queries: DataFrame, codes: DataFrame, cb: PqCodebook,
+               k: Int, queryIdCol: String = "vec_id",
+               queryVecCol: String = "embedding", idCol: String = "vec_id",
+               codeCol: String = "pq_code", maxQueries: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val nq = queries.select(col(queryIdCol)).count()
+    require(nq <= maxQueries,
+      s"Pq.topKJoin broadcasts an ~${cb.m * cb.k * 8 / 1024} KB ADC table per query " +
+        s"row; $nq queries exceeds maxQueries=$maxQueries (~${nq * cb.m * cb.k * 8 / (1 << 20)} MB). " +
+        "Batch the query set or raise maxQueries knowingly.")
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"),
+        bridge.column(graft.expressions.PqTableExpr(
+          bridge.expression(codebookLit(cb)),
+          bridge.expression(unit(col(queryVecCol))))).as("__t"))
+      .withColumn("__ck", lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pq_cosine").desc, col(idCol))
+    // the stream-side key derives (non-foldably) from the code column so
+    // Catalyst cannot constant-fold the equi-keys out of the join and
+    // degrade it to a BroadcastNestedLoopJoin; length(code)*0 ≡ 0 for
+    // every non-null code, and NULL codes drop here exactly as the
+    // pq_cosine IS NOT NULL filter would have dropped them
+    codes.withColumn("__ck", length(col(codeCol)) * lit(0))
+      .join(broadcast(qt), "__ck")
+      .select(col("query_id"), col(idCol),
+        adcCosine(col("__t"), col(codeCol), cb.k).as("pq_cosine"))
+      .where(col("pq_cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Encode an [[Similarity.IvfIndex]]'s cell table into the classic
+    * IVF-PQ index shape (id, __cell, codeCol) — ~(8 + 4 + m) bytes per
+    * vector, the form that keeps a corpus-scale index resident. */
+  def encodeCells(index: Similarity.IvfIndex, cb: PqCodebook,
+                  codeCol: String = "pq_code"): DataFrame =
+    encode(index.cells, index.vecCol, cb, codeCol)
+      .select(col(index.idCol), col("__cell"), col(codeCol))
+
+  /** IVF-PQ probe: rank cells by the query's dot against the IVF
+    * centroids (driver-side, as [[Similarity.IvfIndex.topK]]), scan
+    * only the `nProbe` nearest cells' CODES, score by ADC. Candidate
+    * count ~ nProbe·N/k cells × m bytes each — sub-linear scan of a
+    * RAM-resident index; rerank the returned ids against true vectors
+    * downstream if exactness matters. */
+  def ivfPqTopK(pqCells: DataFrame, ivfCentroids: Array[Array[Double]],
+                cb: PqCodebook, idCol: String, queryVec: Seq[Float],
+                k: Int, nProbe: Int = 2,
+                codeCol: String = "pq_code"): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val qn = unitLocal(queryVec)
+    val probeCells = ivfCentroids.zipWithIndex.map { case (c, i) =>
+      (c.iterator.zip(qn.iterator).map { case (x, y) => x * y }.sum, i)
+    }.sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
+    topK(pqCells.where(col("__cell").isin(probeCells.toSeq: _*)),
+      idCol, cb, queryVec, k, codeCol)
+  }
+
+  /** Persist a codebook as one parquet row table (s, j, cent) + meta —
+    * the durable form matching [[Similarity.saveAnnIndex]]'s layout
+    * conventions; save → load is exact (doubles round-trip parquet). */
+  def saveCodebook(spark: SparkSession, cb: PqCodebook, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- cb.centroids.indices
+      j <- cb.centroids(s).indices
+    } yield (s, j, cb.centroids(s)(j).toSeq)
+    rows.toDF("s", "j", "cent").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"dim=${cb.dim}\nm=${cb.m}\nk=${cb.k}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def loadCodebook(spark: SparkSession, path: String): PqCodebook = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      finally in.close()
+    val (dim, m, k) = (meta("dim").toInt, meta("m").toInt, meta("k").toInt)
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select(col("s"), col("j"), col("cent")).collect()
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val trimmed = cents.map(_.takeWhile(_ != null))
+    PqCodebook(dim, m, trimmed.head.length, trimmed)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Pq, Similarity}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables. Every query carries a DuckDB oracle. For the hash-based ops
@@ -232,6 +232,38 @@ object PipelineOps {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cosine",
             org.apache.spark.sql.types.DoubleType))))
+    }),
+
+    // ---- PQ ANN: product-quantized codes (m bytes/vector) scored by
+    // ADC, exact-cosine rerank of the retrieved ids (the classic
+    // quantize→probe→rerank pipeline). Planted colinear rows encode to
+    // the query's own code, so their ADC distance is the query's own
+    // quantization error (≪ the ≈0.98 squared-L2 of the best real
+    // vector at cosine ≈0.51) — the ADC top-10 must be the planted set
+    // and the rerank reports exact cosine 1. In-query equality: the
+    // batched topKJoin path must match the single-query topK path.
+    "p38_pq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val planted = (0 until 10).map(n =>
+          (10000L + n, q.map(v => v * (1.0f + 0.1f * (n + 1)))))
+        .toDF("vec_id", "embedding")
+      val corpus = embs(s, dir).where(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").unionByName(planted)
+      val cb = Pq.train(corpus, "embedding", "vec_id", m = 8, k = 16, iters = 2)
+      val codes = Pq.encode(corpus, "embedding", cb).select("vec_id", "pq_code")
+      val cand = Pq.topK(codes, "vec_id", cb, q, k = 10)
+      val queries = Seq((90001L, q)).toDF("vec_id", "embedding")
+      val viaJoin = Pq.topKJoin(queries, codes, cb, k = 10)
+        .select("vec_id", "pq_cosine").orderBy("vec_id").collect()
+      val single = cand.select("vec_id", "pq_cosine").orderBy("vec_id").collect()
+      require(viaJoin.toSeq == single.toSeq,
+        "PQ topKJoin diverged from the single-query topK path")
+      Similarity.cosineTopK(
+          corpus.join(cand.select("vec_id"), "vec_id"),
+          "embedding", "vec_id", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id")
     }),
 
     // ---- ANN with provable recall: planted positive multiples of the
@@ -830,6 +862,11 @@ object PipelineOps {
          FROM range(10) ORDER BY vec_id""",
     // batched IVF join over the p20 construction: same provable answer
     "p37_ivf_join" ->
+      """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(10) ORDER BY vec_id""",
+    // PQ-ADC retrieval over the p12/p20 construction: the planted set is
+    // provably the ADC top-10 (see the query comment), reranked exact
+    "p38_pq_ann" ->
       """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(10) ORDER BY vec_id""",
     // planted colinear rows are the only cosine>=0.999 pairs (max real-real

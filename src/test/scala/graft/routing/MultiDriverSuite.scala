@@ -479,38 +479,46 @@ class MultiDriverSuite extends AnyFunSuite {
     // suite cases cannot: RawLocalFileSystem's create(overwrite=false)
     // is exists-then-create, so without the O_EXCL path + read-back
     // verify in ShardLease.claim this test double-claims within seconds.
-    val root = java.nio.file.Files.createTempDirectory("graft_md7").toString
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val owners = Seq("A", "B", "C", "D")
-    val barrier = java.nio.file.Paths.get(root, "go")
-    val procs = owners.map { o =>
-      new ProcessBuilder(
-        javaBin, "-cp", cp, "graft.routing.LeaseContender",
-        root, o, "2000").inheritIO().start()
+    // SAFETY (no epoch double-claimed) is asserted on every race;
+    // LIVENESS (≥2 distinct winners) gets one retry — under full-suite
+    // load a slow JVM boot can hand one owner the whole window.
+    def raceOnce(): Seq[(Long, String)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_md7").toString
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val owners = Seq("A", "B", "C", "D")
+      val barrier = java.nio.file.Paths.get(root, "go")
+      val procs = owners.map { o =>
+        new ProcessBuilder(
+          javaBin, "-cp", cp, "graft.routing.LeaseContender",
+          root, o, "2000").inheritIO().start()
+      }
+      // contenders signal readiness, then spin on the barrier file so the
+      // race starts simultaneously after JVM boot
+      val deadline = System.currentTimeMillis() + 60000
+      while (owners.exists(o => !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, s"ready-$o"))) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      java.nio.file.Files.write(barrier, Array.emptyByteArray)
+      procs.foreach(p => assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)))
+      procs.foreach(p => assert(p.exitValue() == 0))
+      val claims = owners.flatMap { o =>
+        val f = java.nio.file.Paths.get(root, s"claims-$o")
+        if (!java.nio.file.Files.exists(f)) Nil
+        else scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f)).asScala
+          .filter(_.nonEmpty).map(l => (l.toLong, o))
+      }
+      assert(claims.nonEmpty, "contenders made no claims — harness broken")
+      val byEpoch = claims.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+      val doubled = byEpoch.filter(_._2.size > 1).toMap
+      assert(doubled.isEmpty, s"epochs claimed by two owners: $doubled")
+      claims
     }
-    // contenders signal readiness, then spin on the barrier file so the
-    // race starts simultaneously after JVM boot
-    val deadline = System.currentTimeMillis() + 60000
-    while (owners.exists(o => !java.nio.file.Files.exists(
-        java.nio.file.Paths.get(root, s"ready-$o"))) &&
-        System.currentTimeMillis() < deadline)
-      Thread.sleep(20)
-    java.nio.file.Files.write(barrier, Array.emptyByteArray)
-    procs.foreach(p => assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)))
-    procs.foreach(p => assert(p.exitValue() == 0))
-    val claims = owners.flatMap { o =>
-      val f = java.nio.file.Paths.get(root, s"claims-$o")
-      if (!java.nio.file.Files.exists(f)) Nil
-      else scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(f)).asScala
-        .filter(_.nonEmpty).map(l => (l.toLong, o))
-    }
-    assert(claims.nonEmpty, "contenders made no claims — harness broken")
-    val byEpoch = claims.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
-    val doubled = byEpoch.filter(_._2.size > 1).toMap
-    assert(doubled.isEmpty, s"epochs claimed by two owners: $doubled")
+    var claims = raceOnce()
     // real contention happened: multiple owners won at least one epoch
+    if (claims.map(_._2).distinct.size < 2) claims = raceOnce()
     assert(claims.map(_._2).distinct.size >= 2,
       s"only ${claims.map(_._2).distinct} ever won — no contention exercised")
   }
