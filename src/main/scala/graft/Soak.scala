@@ -631,17 +631,32 @@ object Soak {
         Similarity.cosineTopK(corpus, "embedding", "vec_id", qv, 10).count())
       val (idx, tIvf) = timed(Similarity.buildIvfIndex(
         corpus, "embedding", "vec_id", k = pqIvfK, iters = 2, persist = true))
-      val pqCells = graft.operators.Pq.encodeCells(idx, cb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nCellRows = pqCells.count()
+      // durable IVF-PQ index: partitionBy(__cell) parquet — the probe
+      // prunes to nProbe cell DIRECTORIES (file-level skip), which is
+      // the actual sub-linear story; an in-memory cached cell table
+      // still scans every row and only saves the ADC arithmetic
+      val idxDir = s"/tmp/graft_soak_pq_${ProcessHandle.current().pid()}"
+      val (_, tSave) = timed(graft.operators.Pq.saveIvfPq(
+        graft.operators.Pq.encodeCells(idx, cb), idx.centroids, cb, idxDir))
+      val (loadedCells, loadedCents, loadedCb) =
+        graft.operators.Pq.loadIvfPq(spark, idxDir)
+      val nCellRows = loadedCells.count()
       require(nCellRows == nVecs, s"encodeCells dropped rows: $nCellRows != $nVecs")
       val (probeIds, tProbe) = timed(
-        graft.operators.Pq.ivfPqTopK(pqCells, idx.centroids, cb, "vec_id",
-          qv, 10, nProbe = 4).collect().map(_.getLong(0)).toSeq)
+        graft.operators.Pq.ivfPqTopK(loadedCells, loadedCents, loadedCb,
+          "vec_id", qv, 10, nProbe = 4).collect().map(_.getLong(0)).toSeq)
       require(probeIds == plantedIds,
         s"IVF-PQ probe top-10 must be the planted set, got $probeIds")
+      // full-ADC scan over the SAME at-rest files — the apples-to-apples
+      // baseline the partition-pruned probe is beating
+      val (diskIds, tDiskAdc) = timed(
+        graft.operators.Pq.topK(loadedCells, "vec_id", loadedCb, qv, 10)
+          .collect().map(_.getLong(0)).toSeq)
+      require(diskIds == plantedIds,
+        s"at-rest ADC top-10 must be the planted set, got $diskIds")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
       println(
-        f"""{"soak":"pq","vectors":$nVecs,"m":8,"k":256,"train_sec":$tTrain%.1f,"encode_sec":$tEncode%.1f,"adc_scan_sec":$tAdc%.2f,"exact_scan_sec":$tExact%.2f,"ivf_k":$pqIvfK,"ivf_build_sec":$tIvf%.1f,"ivfpq_probe_sec":$tProbe%.2f,"code_bytes_per_vec":8,"raw_bytes_per_vec":256}""")
+        f"""{"soak":"pq","vectors":$nVecs,"m":8,"k":256,"train_sec":$tTrain%.1f,"encode_sec":$tEncode%.1f,"adc_scan_sec":$tAdc%.2f,"exact_scan_sec":$tExact%.2f,"ivf_k":$pqIvfK,"ivf_build_sec":$tIvf%.1f,"index_save_sec":$tSave%.1f,"ivfpq_probe_sec":$tProbe%.2f,"disk_adc_scan_sec":$tDiskAdc%.2f,"code_bytes_per_vec":8,"raw_bytes_per_vec":256}""")
       spark.stop()
       return
     }

@@ -96,6 +96,15 @@ object Compaction {
     if (attrs.format.equalsIgnoreCase("csv"))
       reader = reader.option("header", attrs.header.toString)
         .option("sep", attrs.delimiter)
+    // APPEND partitions can hold batches whose schemas evolved (managed
+    // appends are path-based and re-stamp _SCHEMA.spark.json per batch);
+    // without mergeSchema the rewrite would take ONE arbitrary footer's
+    // schema and silently drop columns present only in other files —
+    // row counts still match, so it would read as a clean compaction.
+    // The union schema keeps every column; pre-evolution rows read NULL.
+    if (attrs.format.equalsIgnoreCase("parquet") ||
+        attrs.format.equalsIgnoreCase("orc"))
+      reader = reader.option("mergeSchema", "true")
     val df = reader.load(files.map { case (n, _) =>
       new Path(dataPath, n).toString }: _*)
     var writer = df.coalesce(wanted.toInt).write

@@ -164,13 +164,23 @@ object OutputWriter {
     * (for scan-rooted plans ≈ source file bytes, scaled by Catalyst's
     * selectivity estimates) divided by the target, clamped to
     * [1, 65536]. `graft.write.sizeRatio` (default 1.0) rescales when a
-    * deployment's data compresses very differently from its estimate. */
+    * deployment's data compresses very differently from its estimate.
+    *
+    * Returns None when the plan has NO usable stats: stat-less roots
+    * (LogicalRDD from a ScalaSlot's createDataFrame, some in-memory
+    * relations) report the `spark.sql.defaultSizeInBytes` sentinel
+    * (Long.MaxValue-ish), which would clamp to a 65536-partition
+    * exchange over a possibly tiny dataset — strictly worse than the
+    * ungoverned write. Callers keep upstream partitioning in that case
+    * (the maxRecordsPerFile backstop still bounds file size). */
   private[compute] def governedFileCount(spark: SparkSession, df: DataFrame,
-                                         targetBytes: Long): Int = {
+                                         targetBytes: Long): Option[Int] = {
+    val raw = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (raw >= BigInt(Long.MaxValue) / 4) return None
     val ratio = spark.conf.get("graft.write.sizeRatio", "1.0").toDouble
-    val est = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes) / ratio
+    val est = BigDecimal(raw) / ratio
     val n = (est / targetBytes).setScale(0, BigDecimal.RoundingMode.CEILING)
-    n.toLong.max(1L).min(65536L).toInt
+    Some(n.toLong.max(1L).min(65536L).toInt)
   }
 
   /** Apply [[DatasetAttrs.targetFileBytes]]: one explicit round-robin
@@ -183,13 +193,15 @@ object OutputWriter {
                        attrs: graft.signal.DatasetAttrs): DataFrame =
     attrs.targetFileBytes match {
       case Some(target) =>
-        val n = governedFileCount(spark, df, target)
-        if (attrs.partitionKeys.nonEmpty)
-          // cluster rows of the same hive-partition: each task then
-          // writes whole files per key instead of every task writing a
-          // sliver of every key (task-count × key-count files)
-          df.repartition(n, attrs.partitionKeys.map(df.col): _*)
-        else df.repartition(n)
+        governedFileCount(spark, df, target) match {
+          case Some(n) if attrs.partitionKeys.nonEmpty =>
+            // cluster rows of the same hive-partition: each task then
+            // writes whole files per key instead of every task writing a
+            // sliver of every key (task-count × key-count files)
+            df.repartition(n, attrs.partitionKeys.map(df.col): _*)
+          case Some(n) => df.repartition(n)
+          case None => df // stat-less plan: keep upstream partitioning
+        }
       case None => df
     }
 

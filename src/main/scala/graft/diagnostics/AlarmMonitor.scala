@@ -141,25 +141,39 @@ final class AlarmMonitor(
     out.toList
   }
 
+  /** Fixpoint over composite membership: the consumers of an alarm's
+    * evaluated rows are the alarm itself plus every composite
+    * (transitively) built on it — deriveRows reads member rows, so a
+    * lagging composite cursor means member periods older than the
+    * member's own cursor are still needed. */
+  private def consumersOf(alarmId: String): Set[String] = {
+    var consumers = Set(alarmId)
+    var grew = true
+    while (grew) {
+      val next = consumers ++ composites
+        .filter(_.memberIds.exists(consumers)).map(_.alarmId)
+      grew = next.size != consumers.size
+      consumers = next
+    }
+    consumers
+  }
+
   private def stateRows(d: MetricAlarmDef): Seq[(LocalDateTime, String)] = {
     val evaluated = Alarms.evaluate(d.series(), d.params, d.periodSecs)
       .select("period_start", "state")
     // bound the driver transfer: advance() discards everything before
-    // its cursor, so only periods at/after the MOST-BEHIND cursor ever
-    // matter (the global minimum, not this alarm's own — a composite
-    // whose raise failed may still need periods its members already
-    // consumed). Un-pruned, a long-lived poll loop collect()s the
-    // alarm's entire history every tick.
+    // its cursor, so only periods at/after the most-behind CONSUMER of
+    // THIS alarm's rows matter (itself + composites transitively built
+    // on it). A consumer with no cursor yet needs the full history —
+    // no pruning for this alarm until it advances — but unrelated
+    // alarms never couple in: a permanently-dead series elsewhere
+    // leaves only ITS OWN (empty) evaluation unpruned instead of
+    // disabling pruning fleet-wide and re-growing the full-history
+    // collect() this floor exists to prevent.
     val floor = synchronized {
-      // every defined alarm must have advanced at least once before any
-      // pruning: an alarm whose series was failing/empty on earlier
-      // polls has no cursor and does NOT lower the min — pruning below
-      // the others' cursors would silently drop its first transitions
-      // when its series finally produces
-      val ids = defs.map(_.alarmId) ++ composites.map(_.alarmId)
-      val all = lastPeriod.values
-      if (all.isEmpty || ids.exists(id => !lastPeriod.contains(id))) None
-      else Some(all.min(Ordering.fromLessThan[
+      val need = consumersOf(d.alarmId)
+      if (need.exists(id => !lastPeriod.contains(id))) None
+      else Some(need.toSeq.map(lastPeriod).min(Ordering.fromLessThan[
         LocalDateTime]((a, b) => a.isBefore(b))))
     }
     val pruned = floor match {

@@ -276,6 +276,67 @@ object Pq {
       idCol, cb, queryVec, k, codeCol)
   }
 
+  /** Persist an IVF-PQ index durably — the probe-able AT-REST form and
+    * the real sub-linear-probe story: codes written
+    * `partitionBy(__cell)` so a probe PRUNES to its nProbe cell
+    * directories at the file level (the scan's PartitionFilters skip
+    * every other cell's files — an in-memory cached cell table, by
+    * contrast, still scans all rows and only saves the ADC work).
+    * Persists the codebook ([[saveCodebook]]) and the IVF centroids
+    * alongside; ~(8 + m) bytes/vector on disk plus the parquet
+    * dictionary. */
+  def saveIvfPq(pqCells: DataFrame, ivfCentroids: Array[Array[Double]],
+                cb: PqCodebook, path: String): Unit = {
+    val spark = pqCells.sparkSession
+    import spark.implicits._
+    pqCells.write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/cells")
+    saveCodebook(spark, cb, path)
+    ivfCentroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cent").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/ivf_centroids")
+  }
+
+  /** Load a [[saveIvfPq]]-written index: (cells, ivfCentroids,
+    * codebook). Probe with [[ivfPqTopK]] — the `__cell isin` filter
+    * reaches the scan as a partition filter. */
+  def loadIvfPq(spark: SparkSession, path: String)
+      : (DataFrame, Array[Array[Double]], PqCodebook) = {
+    val cb = loadCodebook(spark, path)
+    val rows = spark.read.parquet(s"$path/ivf_centroids")
+      .select(col("cell"), col("cent")).collect()
+    val cents = new Array[Array[Double]](rows.length)
+    rows.foreach(r => cents(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    require(cents.forall(_ != null),
+      s"ivf_centroids at $path has gaps — corrupt or partial write")
+    (spark.read.parquet(s"$path/cells"), cents, cb)
+  }
+
+  /** Fold a batch of NEW vectors into a [[saveIvfPq]]-written index in
+    * place — O(batch), the [[Similarity.updateAnnIndex]] convention:
+    * only the batch is assigned (stored centroids, broadcast as data)
+    * and encoded (stored codebook), then parquet-APPENDed into its
+    * cell partitions. The corpus is never re-read; centroids and
+    * codebook are NOT retrained (drift is a rebuild decision, not an
+    * ingest one). Batch ids must be disjoint from stored ids — a
+    * replayed batch duplicates rows, which dedup-by-id downstream or a
+    * fresh save clears. */
+  def updateIvfPq(spark: SparkSession, path: String, batch: DataFrame,
+                  vecCol: String, idCol: String): Unit = {
+    val (_, cents, cb) = loadIvfPq(spark, path)
+    // carry the RAW vector through assignment and encode from it, so the
+    // unit-normalization is applied exactly once (as in the build path) —
+    // re-unitizing an already-unit double vector shifts values by an ulp
+    // and could flip exact-tie codes between build and update
+    val assigned = Similarity.assignTo(
+      batch.select(col(idCol), col(vecCol).as("__orig"),
+        unit(col(vecCol)).as("__u")), cents)
+    encode(assigned, "__orig", cb)
+      .select(col(idCol), col("__cell"), col("pq_code"))
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/cells")
+  }
+
   /** Persist a codebook as one parquet row table (s, j, cent) + meta —
     * the durable form matching [[Similarity.saveAnnIndex]]'s layout
     * conventions; save → load is exact (doubles round-trip parquet). */

@@ -463,8 +463,8 @@ object Similarity {
   // CodegenFallback — measured ~25 s per Lloyd pass at k=256 over
   // 20k×64-dim in interpreted lambdas; the kernel is a tight while-loop
   // with identical arithmetic order and first-max-wins ties)
-  private def assignTo(b: DataFrame,
-                       centroids: Array[Array[Double]]): DataFrame = {
+  private[operators] def assignTo(b: DataFrame,
+                                  centroids: Array[Array[Double]]): DataFrame = {
     val spark = b.sparkSession
     import spark.implicits._
     val centsDf = Seq(Tuple1(centroids.map(_.toSeq).toSeq))

@@ -489,10 +489,16 @@ object Temporal {
         unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => col(tsCol).cast("long")
     }
-    // null-ts rows sort first in the partition (asc_nulls_first): their
-    // __new is forced to 0 so they don't inflate the running ordinal,
-    // and their own session_seq is nulled at the end
-    val byTime = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    // order by the POST-CAST timeline value, nulls first: null-ts rows
+    // sort ahead of every real instant, their __new is forced to 0 so
+    // they don't inflate the running ordinal, and their session_seq
+    // nulls at the end. Ordering by the raw column instead would sort a
+    // numeric-STRING timeline lexicographically ("100" < "9") while the
+    // arithmetic casts — splitting sessions the cast timeline says are
+    // contiguous, and disagreeing with the skew path, which keys its
+    // chunks on the cast value. (Unparseable strings throw at the ANSI
+    // cast — loudly, on every path alike.)
+    val byTime = Window.partitionBy(keyCol).orderBy(tsAsLong.asc_nulls_first)
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__prev", lag(tsAsLong, 1).over(byTime))
       .withColumn("__new",
@@ -535,11 +541,14 @@ object Temporal {
     require(!df.columns.exists(_.startsWith("__")),
       "columns starting with __ collide with sessionizeSkew internals")
     val toL = tsToLong(df.schema(tsCol).dataType) _
-    val base = df.where(col(tsCol).isNotNull)
+    // null membership and chunk/order keys are the POST-CAST value (the
+    // [[sessionize]] contract): identical ordering on numeric-string
+    // timelines, identical null-row routing
+    val base = df.where(toL(col(tsCol)).isNotNull)
       .withColumn("__tsl", toL(col(tsCol)))
       .withColumn("__chunk", floorDiv(col("__tsl"), chunkWidth))
     val byChunk = Window.partitionBy(col(keyCol), col("__chunk"))
-      .orderBy(col(tsCol))
+      .orderBy(col("__tsl"))
     val runningC = byChunk.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
     val tagged = base
@@ -567,7 +576,7 @@ object Temporal {
       .withColumn("session_seq",
         col("__off") + col("__lseq") - col("__merge"))
       .select(df.columns.map(col).toSeq :+ col("session_seq"): _*)
-    val nullRows = df.where(col(tsCol).isNull)
+    val nullRows = df.where(toL(col(tsCol)).isNull)
       .withColumn("session_seq", lit(null).cast("long"))
     sessioned.unionByName(nullRows)
   }

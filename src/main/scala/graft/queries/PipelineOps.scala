@@ -266,6 +266,45 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    // ---- incremental IVF-PQ ingest: the index is built WITHOUT the
+    // planted rows, persisted (partitionBy cell), and the planted batch
+    // is folded in O(batch) via updateIvfPq — the probe of the UPDATED
+    // index must recover exactly the planted set (batch assignment +
+    // encode replay the build arithmetic bit-for-bit), reranked exact
+    "p39_ivfpq_update" -> ((s, dir) => {
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val planted = (0 until 10).map(n =>
+          (10000L + n, q.map(v => v * (1.0f + 0.1f * (n + 1)))))
+        .toDF("vec_id", "embedding")
+      val corpus = embs(s, dir).where(col("vec_id") =!= 0)
+        .select("vec_id", "embedding")
+      val index = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+        k = 8, iters = 2, persist = false)
+      val cb = Pq.train(corpus, "embedding", "vec_id", m = 8, k = 16, iters = 2)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_p39").toString
+      Pq.saveIvfPq(Pq.encodeCells(index, cb), index.centroids, cb, idxDir)
+      Pq.updateIvfPq(s, idxDir, planted, "embedding", "vec_id")
+      val (cells, cents, cb2) = Pq.loadIvfPq(s, idxDir)
+      val cand = Pq.ivfPqTopK(cells, cents, cb2, "vec_id", q,
+        k = 10, nProbe = 2)
+      val full = corpus.unionByName(planted)
+      val reranked = Similarity.cosineTopK(
+          full.join(cand.select("vec_id"), "vec_id"),
+          "embedding", "vec_id", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id").collect()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      s.createDataFrame(java.util.Arrays.asList(reranked: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }),
+
     // ---- ANN with provable recall: planted positive multiples of the
     // query vector share its plane signature BY CONSTRUCTION (sign bits are
     // scale-invariant), have cosine exactly 1, and out-rank every real
@@ -867,6 +906,11 @@ object PipelineOps {
     // PQ-ADC retrieval over the p12/p20 construction: the planted set is
     // provably the ADC top-10 (see the query comment), reranked exact
     "p38_pq_ann" ->
+      """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(10) ORDER BY vec_id""",
+    // incremental IVF-PQ: the planted batch folded into a persisted
+    // index must probe back out exactly — same provable answer
+    "p39_ivfpq_update" ->
       """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(10) ORDER BY vec_id""",
     // planted colinear rows are the only cosine>=0.999 pairs (max real-real

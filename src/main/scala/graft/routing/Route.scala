@@ -121,8 +121,14 @@ final class Route(
   private def fireReady(probe: PathProbe,
                         candidates: List[RuntimeLinkNode]): List[ExecutionContext] = {
     if (candidates.isEmpty) return Nil
+    // identity membership in O(1): the sweep passes the ENTIRE pending
+    // list as candidates, so a linear exists() here would make every
+    // sweep O(pending²) reference comparisons inside the table monitor
+    val candSet = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[RuntimeLinkNode, java.lang.Boolean]())
+    candidates.foreach(candSet.add)
     val (ready, waiting) = pending.partition(n =>
-      candidates.exists(_ eq n) && n.isReady(probe))
+      candSet.contains(n) && n.isReady(probe))
     pending = waiting
     ctrs = ctrs.copy(triggers = ctrs.triggers + ready.length)
     ready.map { n =>
@@ -367,6 +373,26 @@ final class RoutingTable(probe: PathProbe,
     * completion-keyed map ([[SnapshotProbe]]); parallelism is bounded so
     * a 10k-node backlog against a high-latency store overlaps its
     * round-trips instead of serializing them. */
+  // shared probe pool, created lazily and reused across sweep ticks — a
+  // per-tick fixed pool would churn up to `parallelism` threads every
+  // sub-second poll. Daemon threads with core-timeout: the pool drains
+  // itself to zero threads when sweeps go idle.
+  private lazy val sweepProbePool: java.util.concurrent.ThreadPoolExecutor = {
+    val par = sys.props.getOrElse("graft.sweep.parallelism", "16").toInt
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-sweep-probe-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      par, par, 30, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
+
   private def probeOutsideMonitor(
       targets: List[(String, graft.signal.IntegrityProtocol)])
       : java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] = {
@@ -374,28 +400,23 @@ final class RoutingTable(probe: PathProbe,
     if (targets.isEmpty) return snap
     // I/O-bound round-trips: size to the store's latency×throughput
     // (-Dgraft.sweep.parallelism=64 for a 50 ms object store)
-    val par = math.min(
-      sys.props.getOrElse("graft.sweep.parallelism", "16").toInt,
-      targets.size)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    try {
-      val futs = targets.map { case (p, proto) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = proto match {
-            case graft.signal.IntegrityProtocol.None_ =>
-              snap.put(p, cachingProbe.isComplete(p, proto))
-            case graft.signal.IntegrityProtocol.FileCheck(f) =>
-              val k = s"$p/$f"
-              snap.put(k, cachingProbe.exists(k))
-          }
-        })
-      }
-      futs.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause }
-      }
-    } finally pool.shutdown()
+    val pool = sweepProbePool
+    val futs = targets.map { case (p, proto) =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = proto match {
+          case graft.signal.IntegrityProtocol.None_ =>
+            snap.put(p, cachingProbe.isComplete(p, proto))
+          case graft.signal.IntegrityProtocol.FileCheck(f) =>
+            val k = s"$p/$f"
+            snap.put(k, cachingProbe.exists(k))
+        }
+      })
+    }
+    futs.foreach { f =>
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause }
+    }
     snap
   }
 

@@ -116,6 +116,53 @@ class CompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Compaction.compactPartition(spark, s, 64L << 20).skipped)
   }
 
+  test("compaction merges evolved schemas — no column silently dropped") {
+    // APPEND batches are path-based (no schema check) and re-stamp the
+    // schema marker per batch, so a partition can hold files with
+    // different schemas. The rewrite must take the UNION schema: a
+    // single arbitrary footer would drop the other files' columns with
+    // matching row counts — silent data loss.
+    val root = tmp("graft_cmp_sch")
+    val s = sig(root, DatasetAttrs(datasetType = DatasetType.APPEND))
+    OutputWriter.write(spark,
+      spark.range(0L, 100L).toDF("id").repartition(20), s)
+    OutputWriter.write(spark,
+      spark.range(100L, 200L).toDF("id")
+        .withColumn("extra", col("id") * 2).repartition(20), s)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val stats = Compaction.compactPartition(spark, s, 64L << 20)
+    assert(!stats.skipped)
+    val out = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(out.columns.toSet == Set("id", "extra"),
+      s"union schema lost: ${out.columns.mkString(",")}")
+    assert(out.count() == 200L)
+    // batch-2 rows keep their extra values; batch-1 rows read NULL
+    assert(out.where(col("extra").isNotNull).count() == 100L)
+    assert(out.where(col("id") === 150L).select("extra").head().getLong(0) == 300L)
+  }
+
+  test("governed write keeps upstream partitioning when plan stats are the sentinel") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // an RDD-backed DataFrame (LogicalRDD) has no stats — sizeInBytes
+    // reads the defaultSizeInBytes sentinel; clamping to 65536
+    // partitions would make the governed write strictly worse than the
+    // ungoverned one
+    val rdd = spark.sparkContext.parallelize(
+      (0L until 100L).map(Row(_)), 3)
+    val df = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id", LongType))))
+    assert(OutputWriter.governedFileCount(spark, df, 1L << 20).isEmpty,
+      "sentinel stats must disable the governed repartition")
+    val root = tmp("graft_gov_sent")
+    val gov = sig(root, DatasetAttrs(targetFileBytes = Some(1L << 20)))
+    OutputWriter.write(spark, df, gov)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val n = partFiles(dir).size
+    assert(n <= 3, s"expected upstream partitioning (3), got $n files")
+    assert(spark.read.parquet(dir).count() == 100L)
+  }
+
   test("crash at every swap step heals with zero data loss") {
     for (fp <- Seq("rewritten", "manifest-written", "success-removed",
       "old-moved", "new-moved", "committed")) {

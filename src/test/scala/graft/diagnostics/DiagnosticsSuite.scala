@@ -205,7 +205,11 @@ class DiagnosticsSuite extends AnyFunSuite with BeforeAndAfterAll {
       quantileCont(Seq((3.0, 3L), (7.0, 1L)), 0.5))
   }
 
-  test("late-starting alarm: prune floor waits for every alarm's first cursor") {
+  // consumer-scoped prune floor: an alarm with no cursor keeps its OWN
+  // evaluation unpruned (full history) until it first advances, while
+  // unrelated alarms keep pruning at their own consumers' cursors — a
+  // permanently-dead series cannot disable pruning fleet-wide
+  test("late-starting alarm: its own rows stay unpruned until its first cursor") {
     val sp = spark
     import sp.implicits._
     def series(vals: (Int, Double)*) =

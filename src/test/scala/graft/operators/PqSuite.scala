@@ -177,6 +177,56 @@ class PqSuite extends AnyFunSuite with BeforeAndAfterAll {
     hits.foreach(r => assert(math.abs(r.getAs[Double]("pq_cosine") - 1.0) < 1e-9))
   }
 
+  test("durable IVF-PQ index: save/load round-trip, probe prunes partitions") {
+    val df = corpusDf
+    val index = Similarity.buildIvfIndex(df, "embedding", "vec_id",
+      k = 4, iters = 2, persist = false)
+    val cb = Pq.train(df, "embedding", "vec_id", m = 2, k = 4, iters = 2)
+    val pqCells = Pq.encodeCells(index, cb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.saveIvfPq(pqCells, index.centroids, cb, dir)
+    val (cells, cents, cb2) = Pq.loadIvfPq(spark, dir)
+    assert(cb2.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cents.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    val q = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val probe = Pq.ivfPqTopK(cells, cents, cb2, "vec_id", q, k = 5, nProbe = 1)
+    // identical answer to the in-memory composition...
+    val mem = Pq.ivfPqTopK(pqCells, index.centroids, cb, "vec_id", q,
+      k = 5, nProbe = 1)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      mem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // ...and the cell filter reaches the scan as a PARTITION filter
+    // (file-level pruning — the at-rest sub-linear probe)
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.split("\n").find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("__cell")),
+      s"__cell probe must prune partitions at the scan:\n$plan")
+  }
+
+  test("updateIvfPq folds a batch in O(batch): appended rows probe identically") {
+    val sp = spark; import sp.implicits._
+    val df = corpusDf
+    val index = Similarity.buildIvfIndex(df, "embedding", "vec_id",
+      k = 4, iters = 2, persist = false)
+    val cb = Pq.train(df, "embedding", "vec_id", m = 2, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_up").toString
+    Pq.saveIvfPq(Pq.encodeCells(index, cb), index.centroids, cb, dir)
+    // new batch: two more direction-1 vectors (ids disjoint from stored)
+    val batch = Seq(
+      (100L, Seq(0f, 7f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 9f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    Pq.updateIvfPq(spark, dir, batch, "embedding", "vec_id")
+    val (cells, cents, cb2) = Pq.loadIvfPq(spark, dir)
+    assert(cells.count() == 22L)
+    val q = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val hits = Pq.ivfPqTopK(cells, cents, cb2, "vec_id", q, k = 7, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    // the appended rows join the stored direction-1 rows in ONE cell
+    // (identical codes — batch encode must replay the build arithmetic)
+    assert(hits == (idsOfDir(1) ++ Seq(100L, 101L)).sorted, s"got $hits")
+  }
+
   test("plan shapes: encode/topK are joinless narrow passes; topKJoin stays BHJ") {
     val sp = spark; import sp.implicits._
     val df = corpusDf

@@ -542,4 +542,40 @@ class TemporalSuite extends AnyFunSuite with BeforeAndAfterAll {
     // the auto operator's physical choice can never change row counts
     assert(shape(Temporal.sessionizeAuto(df, "k", "t", 100L)) == want)
   }
+
+  test("sessionize family: string timelines order NUMERICALLY and agree on every path") {
+    val sp = spark; import sp.implicits._
+    // the window orders by the POST-CAST timeline value: a numeric-
+    // string column must session by its numeric order ("9" < "100"),
+    // not lexicographically ("100" < "9"), and the skew path (which
+    // keys chunks on the cast value) must agree exactly
+    val rows = Seq(
+      (1L, 0L, "9"), (3L, 0L, "100"), (4L, 0L, "500"), (5L, 1L, "42"))
+    val df = rows.toDF("eid", "k", "t")
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.select("eid", "session_seq").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+    // key 0 at gap 100: 9 and 100 co-session (diff 91), 500 opens
+    // session 2 — lexicographic ordering would visit 100, 500, 9 and
+    // split 9 into its own session
+    val want = Set((1L, 1L), (3L, 1L), (4L, 2L), (5L, 1L))
+    assert(shape(Temporal.sessionize(df, "k", "t", 100L)) == want)
+    for (w <- Seq(7L, 1000L))
+      assert(shape(Temporal.sessionizeSkew(df, "k", "t", 100L, w)) == want,
+        s"skew path diverges on string ts at width=$w")
+    assert(shape(Temporal.sessionizeAuto(df, "k", "t", 100L)) == want)
+    // an UNPARSEABLE value fails loudly (ANSI cast) on BOTH paths —
+    // never a silent per-path divergence in row counts or ordinals
+    val bad = (rows :+ (2L, 0L, "n/a")).toDF("eid", "k", "t")
+    def castError(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("CAST_INVALID_INPUT"), msgs)
+    }
+    castError(Temporal.sessionize(bad, "k", "t", 100L).collect())
+    castError(Temporal.sessionizeSkew(bad, "k", "t", 100L, 7L).collect())
+  }
 }
