@@ -225,19 +225,9 @@ final class RoutingTable(probe: PathProbe,
 
   /** Every ancestor prefix of `path` (itself first, then each parent),
     * cut at '/' — the only candidate source roots an event can live
-    * under. */
-  private def ancestorPrefixes(path: String): List[String] = {
-    val norm = path.stripSuffix("/")
-    var acc = List(norm)
-    var cur = norm
-    var i = cur.lastIndexOf('/')
-    while (i > 0) {
-      cur = cur.substring(0, i)
-      acc = cur :: acc
-      i = cur.lastIndexOf('/')
-    }
-    acc.reverse // deepest (most specific) first
-  }
+    * under. Shared with [[ShardedDriver]]'s shard-dispatch index. */
+  private def ancestorPrefixes(path: String): List[String] =
+    RoutingPaths.ancestorPrefixes(path)
 
   /** Ingest one concrete event signal; returns ready execution contexts
     * across all matching routes. */
@@ -450,5 +440,23 @@ final class RoutingTable(probe: PathProbe,
     cachingProbe.markComplete(paths)
     if (!replaying)
       paths.foreach(p => checkpoint.foreach(_.appendCompleted(p)))
+  }
+}
+
+/** Path utilities shared by the table- and shard-level dispatch
+  * indexes. */
+private[routing] object RoutingPaths {
+  /** Every ancestor prefix of `path` (deepest first), cut at '/'. */
+  def ancestorPrefixes(path: String): List[String] = {
+    val norm = path.stripSuffix("/")
+    var acc = List(norm)
+    var cur = norm
+    var i = cur.lastIndexOf('/')
+    while (i > 0) {
+      cur = cur.substring(0, i)
+      acc = cur :: acc
+      i = cur.lastIndexOf('/')
+    }
+    acc.reverse // deepest (most specific) first
   }
 }

@@ -395,11 +395,28 @@ final class ShardLease(val shard: Int, val ownerId: String,
     * and abdicates if not: on a store without atomic create-if-absent,
     * a double-hold that slipped past the claim read-back is surrendered
     * here, bounding split-brain to at most one renewal period. */
-  def renew(): Unit =
-    if (held > 0) {
-      store.get(epochName(held)).map(_.trim) match {
+  def renew(): Unit = {
+    val k = held
+    if (k > 0) {
+      store.get(epochName(k)).map(_.trim) match {
         case Some(o) if o == ownerId =>
-          store.put(hbName(held), clock().toString); ()
+          // fenced check folded into the heartbeat: a successor claiming
+          // k+1 leaves OUR epoch-k file intact (epoch files are
+          // immutable), so verifying only our own file would heartbeat a
+          // dead epoch forever and [[heldEpoch]] would keep reading
+          // "held" — but liveOwnedShards treats heldEpoch as the
+          // believed-ownership flag, so fencing must clear it here, at
+          // heartbeat cadence, not only at the fencedShards() poll
+          if (current().exists(_._1 > k)) held = -1L
+          else {
+            store.put(hbName(k), clock().toString)
+            // a release() racing this renewal clears `held` BEFORE
+            // writing its tombstone; if our timestamp landed after the
+            // tombstone, restore it — otherwise the abandoned lease
+            // looks live and the successor waits out the full timeout
+            if (held <= 0) store.put(hbName(k), "released")
+            ()
+          }
         case Some(_) =>
           held = -1L // epoch file carries another owner — abdicate
         case None =>
@@ -413,17 +430,25 @@ final class ShardLease(val shard: Int, val ownerId: String,
           // this owner was really fenced (its file pruned) — abdicate;
           // otherwise keep heartbeating and re-verify next cycle.
           current() match {
-            case Some((k, _)) if k > held => held = -1L
-            case _ => store.put(hbName(held), clock().toString); ()
+            case Some((cur, _)) if cur > k => held = -1L
+            case _ =>
+              store.put(hbName(k), clock().toString)
+              if (held <= 0) store.put(hbName(k), "released")
+              ()
           }
       }
     }
+  }
 
   /** Drop ownership: tombstone the heartbeat so a successor claims
-    * immediately instead of waiting out the timeout. */
+    * immediately instead of waiting out the timeout. `held` clears
+    * FIRST so a concurrently-running renew() cannot overwrite the
+    * tombstone with a live timestamp (and renew re-checks `held` after
+    * its write for the opposite interleaving). */
   def release(): Unit = if (held > 0) {
-    store.put(hbName(held), "released")
+    val k = held
     held = -1L
+    store.put(hbName(k), "released")
   }
 
   /** The SETTLED owner of epoch `k` (the epoch file's content). On a
@@ -618,7 +643,12 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
       try WalCodec.writeState(out, events, completed) finally out.close()
       val survived = old.filter { n =>
         val p = new Path(dir, n)
-        !fs.delete(p, false) && fs.exists(p)
+        // a THROWING delete (transient store RPC failure) must count as
+        // survived, not escape: compact runs inside tryAcquireShard
+        // (post-claim — an abort would orphan a heartbeating lease) and
+        // inside maybeCompact on the live ingest path
+        try !fs.delete(p, false) && fs.exists(p)
+        catch { case scala.util.control.NonFatal(_) => true }
       }
       if (survived.nonEmpty) {
         // KEEP the snapshot: once any deletion succeeded it holds the
@@ -791,6 +821,23 @@ final class ShardedDriver(root: String, val driverId: String,
   private var defs: List[RouteDef] = Nil
   private var owned: Map[Int, Owned] = Map.empty
   private val leases = scala.collection.mutable.Map.empty[Int, ShardLease]
+  // Leases renewable WITHOUT the driver monitor and from the instant of
+  // claim: tryAcquireShard holds the monitor through a potentially long
+  // WAL replay, so (a) the heartbeat thread reads THIS registry instead
+  // of snapshotting `owned` under the monitor (which would block renewals
+  // behind the replay — the exact starvation the decoupled heartbeat
+  // exists to prevent), and (b) the just-claimed lease registers BEFORE
+  // the replay starts, so a replay longer than the lease timeout keeps
+  // heartbeating instead of being stolen mid-takeover.
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[Int, ShardLease]()
+  // Shard-dispatch index (the RoutingTable.signalsByRoot convention
+  // lifted to shards): source root -> (signal, shard) for every
+  // non-reference route input. acceptingShards probes only the event
+  // path's ancestor prefixes — O(path depth) — instead of scanning
+  // every def's signals per event under the driver monitor.
+  private var signalsByRootShard =
+    Map.empty[String, List[(graft.signal.Signal, Int)]]
 
   def shardOf(routeId: String): Int = Sharding.shardOf(routeId, numShards)
 
@@ -799,6 +846,12 @@ final class ShardedDriver(root: String, val driverId: String,
     val c = mk()
     require(!defs.exists(_.id == c.id), s"route '${c.id}' already added")
     defs :+= RouteDef(c.id, mk, c)
+    val sh = shardOf(c.id)
+    c.linkNode.signals.filterNot(_.isReference).foreach { s =>
+      val root = s.source.rootPath.stripSuffix("/")
+      signalsByRootShard = signalsByRootShard.updated(root,
+        signalsByRootShard.getOrElse(root, Nil) :+ (s -> sh))
+    }
   }
 
   def ownedShards: Set[Int] = owned.keySet
@@ -841,38 +894,42 @@ final class ShardedDriver(root: String, val driverId: String,
     val shardDefs = defs.filter(d => shardOf(d.id) == shard)
     val lease = leaseFor(shard)
     lease.tryAcquire().map { epoch =>
-      val wal = walFor(shard, epoch, lease)
-      val table = new RoutingTable(probe, Some(wal))
-      shardDefs.foreach(d => table.add(d.mk()))
-      val recovered = table.recover() // replay + compact(epoch) inside
-      owned += shard -> Owned(shard, lease, wal, table)
-      recovered ++ drainInbox(shard)
+      // register for renewal IMMEDIATELY: the replay below can run
+      // longer than the lease timeout, and the single heartbeat claim()
+      // wrote would otherwise expire mid-takeover — a peer would claim
+      // epoch+1 and replay concurrently (dual execution)
+      heldLeases.put(shard, lease)
+      try {
+        val wal = walFor(shard, epoch, lease)
+        val table = new RoutingTable(probe, Some(wal))
+        shardDefs.foreach(d => table.add(d.mk()))
+        val recovered = table.recover() // replay + compact(epoch) inside
+        owned += shard -> Owned(shard, lease, wal, table)
+        recovered ++ drainInbox(shard)
+      } catch {
+        case t: Throwable =>
+          // claimed but unusable (replay/compaction failed): stop
+          // renewing and tombstone so a successor claims immediately
+          // instead of waiting out a timeout on a heartbeating ghost
+          heldLeases.remove(shard)
+          try lease.release() catch { case _: Throwable => () }
+          throw t
+      }
     }
-  }
-
-  /** Acquire every shard that has routes and a free/expired lease. */
-  def acquireShards(): List[ExecutionContext] = {
-    // defs is mutated under the monitor — read it there too, or a poll
-    // racing add() can observe a stale list and skip a routed shard
-    val withRoutes = synchronized {
-      (0 until numShards).toList
-        .filter(s => defs.exists(d => shardOf(d.id) == s))
-    }
-    withRoutes.flatMap(s => tryAcquireShard(s).getOrElse(Nil))
   }
 
   /** Heartbeat every held lease — call on the driver's poll cadence.
-    * Renewal runs OUTSIDE the driver monitor (only the ownership
-    * snapshot is taken under it): the decoupled heartbeat exists so
-    * long work — a takeover WAL replay in tryAcquireShard, inbox I/O —
-    * cannot starve renewals past the lease timeout, which holding the
-    * monitor here would reintroduce. ShardLease is safe to renew
-    * concurrently (volatile held; renew re-verifies the settled
-    * owner), and renewing a just-dropped lease only converges it. */
-  def renewLeases(): Unit = {
-    val ls = synchronized { owned.values.map(_.lease).toList }
-    ls.foreach(_.renew())
-  }
+    * Renewal touches NO driver monitor at all (the registry is a
+    * concurrent map maintained by claim/drop/release): the decoupled
+    * heartbeat exists so long work — a takeover WAL replay in
+    * tryAcquireShard, inbox I/O — cannot starve renewals past the
+    * lease timeout, and tryAcquireShard holds the monitor for the
+    * whole replay, so even a monitor-held SNAPSHOT here would block.
+    * ShardLease is safe to renew concurrently (volatile held; renew
+    * re-verifies the settled owner), and renewing a just-dropped lease
+    * only converges it. */
+  def renewLeases(): Unit =
+    heldLeases.values.forEach(_.renew())
 
   /** Shards whose lease this driver LOST (fenced by a successor) — the
     * driver should drop them and stop executing their work. */
@@ -881,10 +938,24 @@ final class ShardedDriver(root: String, val driverId: String,
   }
 
   /** Drop a shard (fenced or draining): close its WAL stream, forget its
-    * runtime state. The shared store keeps the WAL for the successor. */
+    * runtime state, stop renewing its lease. The shared store keeps the
+    * WAL for the successor. */
   def dropShard(shard: Int): Unit = synchronized {
+    heldLeases.remove(shard)
     owned.get(shard).foreach { o => o.wal.close(); owned -= shard }
   }
+
+  /** Owned shards whose lease this driver still BELIEVES held (volatile
+    * heldEpoch, maintained by the heartbeat thread's renew/abdicate):
+    * a shard fenced by a successor must be treated as UNOWNED the
+    * moment the renewal discovers it — folding its events into the
+    * zombie table would ACK them into an old-epoch WAL the successor's
+    * snapshot fence discards (acked-but-void). The residual blind
+    * window is one heartbeat period, inherent to lease-based
+    * ownership; the epoch fence guarantees the zombie's WRITES never
+    * surface either way. */
+  private def liveOwnedShards: Set[Int] =
+    owned.collect { case (s, o) if o.lease.heldEpoch > 0 => s }.toSet
 
   /** Ingest a raw path event: fold into every OWNED shard whose routes
     * accept it; forward to the inbox of every UNOWNED shard with an
@@ -893,9 +964,10 @@ final class ShardedDriver(root: String, val driverId: String,
   def receivePath(path: String, isBlocked: Boolean = false): List[ExecutionContext] =
     synchronized {
       val accepting = acceptingShards(path)
-      val local = accepting.intersect(owned.keySet).toList
+      val live = liveOwnedShards
+      val local = accepting.intersect(live).toList
         .flatMap(s => owned(s).table.receivePath(path, isBlocked))
-      accepting.diff(owned.keySet).foreach(s =>
+      accepting.diff(live).foreach(s =>
         sendToInbox(s, List(s"${if (isBlocked) "eb" else "e"}\t${WalCodec.esc(path)}")))
       local
     }
@@ -905,11 +977,12 @@ final class ShardedDriver(root: String, val driverId: String,
     * every other shard whose routes consume it. */
   def complete(path: String): List[ExecutionContext] = synchronized {
     val accepting = acceptingShards(path)
-    val local = accepting.intersect(owned.keySet).toList.flatMap { s =>
+    val live = liveOwnedShards
+    val local = accepting.intersect(live).toList.flatMap { s =>
       owned(s).table.markComplete(Seq(path))
       owned(s).table.receivePath(path)
     }
-    accepting.diff(owned.keySet).foreach(s =>
+    accepting.diff(live).foreach(s =>
       sendToInbox(s, List(s"c\t${WalCodec.esc(path)}",
         s"e\t${WalCodec.esc(path)}")))
     local
@@ -920,13 +993,14 @@ final class ShardedDriver(root: String, val driverId: String,
     * richer (signal) form, where a receivePath would double-deliver to
     * the owned tables. */
   def forwardPath(path: String): Unit = synchronized {
-    acceptingShards(path).diff(owned.keySet).foreach(s =>
+    acceptingShards(path).diff(liveOwnedShards).foreach(s =>
       sendToInbox(s, List(s"e\t${WalCodec.esc(path)}")))
   }
 
-  /** Fold pending inbox messages of every owned shard. */
+  /** Fold pending inbox messages of every (live-)owned shard — a fenced
+    * shard's inbox belongs to its successor. */
   def pollInboxes(): List[ExecutionContext] = synchronized {
-    owned.keySet.toList.flatMap(drainInbox)
+    liveOwnedShards.toList.flatMap(drainInbox)
   }
 
   /** Pending nodes of a shard's route (test/ops introspection). */
@@ -938,6 +1012,7 @@ final class ShardedDriver(root: String, val driverId: String,
 
   /** Release every lease (clean shutdown — successors claim immediately). */
   def releaseAll(): Unit = synchronized {
+    heldLeases.clear() // stop renewals before tombstoning
     owned.values.foreach(_.lease.release())
     owned.values.foreach(_.wal.close())
     owned = Map.empty
@@ -946,16 +1021,21 @@ final class ShardedDriver(root: String, val driverId: String,
   // ---- internals --------------------------------------------------------
 
   /** Shards containing at least one route that accepts `path` — decoded
-    * against the canonical (stateless) definition instances. */
+    * against the canonical (stateless) definition instances, through the
+    * ancestor-prefix index: only signals rooted at one of the event
+    * path's prefixes are probed (O(path depth) lookups — the per-event
+    * linear scan over every def's signals re-created, under the driver
+    * monitor, the dispatch cost the RoutingTable index eliminated). */
   private def acceptingShards(path: String): Set[Int] = {
     val p = new Path(path)
     // getParent.toString keeps scheme/authority (same fix as
     // RoutingTable.receivePath — toUri.getPath stripped them)
     val normalized =
       if (p.getName.startsWith("part-")) p.getParent.toString else path
-    defs.filter(d => d.canonical.linkNode.signals
-        .exists(s => !s.isReference && s.fromEventPath(normalized).isDefined))
-      .map(d => shardOf(d.id)).toSet
+    RoutingPaths.ancestorPrefixes(normalized)
+      .flatMap(r => signalsByRootShard.getOrElse(r, Nil))
+      .collect { case (s, sh) if s.fromEventPath(normalized).isDefined => sh }
+      .toSet
   }
 
   private def inboxDir(shard: Int) = new Path(s"${shardDir(shard)}/inbox")
@@ -984,8 +1064,13 @@ final class ShardedDriver(root: String, val driverId: String,
     // silently drops a cross-shard message and breaks the at-least-once
     // feed-back contract. Unique names make dest-exists collisions
     // practically impossible, so a false here is a real store fault:
-    // retry once under a fresh name, then fail loudly to the caller
-    // (whose own event is still in ITS wal — replay redelivers).
+    // retry once under a fresh name, then fail loudly to the caller.
+    // DELIVERY CONTRACT: receivePath/complete returning success means
+    // the event is folded into every live-owned accepting shard's WAL
+    // AND published to every other accepting shard's inbox. A crash or
+    // throw MID-CALL leaves partial effects and NO ack — the SOURCE's
+    // retry restores at-least-once (duplicate folds are idempotent);
+    // WAL replay rebuilds local state only and never re-forwards.
     if (!fs.rename(tmp, new Path(dir, name))) {
       val name2 = s"$name-r${java.util.UUID.randomUUID().toString.take(4)}"
       if (!fs.rename(tmp, new Path(dir, name2)))
@@ -998,20 +1083,32 @@ final class ShardedDriver(root: String, val driverId: String,
     * Delete happens AFTER the fold (at-least-once: a crash in between
     * re-folds on the next owner — idempotent per the replay contract). */
   private def drainInbox(shard: Int): List[ExecutionContext] = {
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[ShardedDriver])
     kvStore match {
       case Some(kv) =>
         val table0 = owned(shard).table
         val pre = s"${shardDir(shard)}/inbox/"
+        // PER-MESSAGE fault isolation: one failing fold or delete must
+        // not abort the drain (the rest of the backlog would starve
+        // behind a poison message) or escape into the poll cycle. An
+        // undeleted folded message refolds next poll — idempotent.
         return kv.list(pre).sorted.toList.flatMap { k =>
-          val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
-          val completed = scala.collection.mutable.ListBuffer.empty[String]
-          kv.get(k).foreach(
-            _.split('\n').foreach(WalCodec.foldLine(_, events, completed)))
-          table0.markComplete(completed.toList)
-          val ctxs = events.toList.flatMap { case (p, b) =>
-            table0.receivePath(p, b) }
-          kv.delete(k) // AFTER the fold: at-least-once, refold is idempotent
-          ctxs
+          try {
+            val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+            val completed = scala.collection.mutable.ListBuffer.empty[String]
+            kv.get(k).foreach(
+              _.split('\n').foreach(WalCodec.foldLine(_, events, completed)))
+            table0.markComplete(completed.toList)
+            val ctxs = events.toList.flatMap { case (p, b) =>
+              table0.receivePath(p, b) }
+            try kv.delete(k) // AFTER the fold: at-least-once, refold idempotent
+            catch { case scala.util.control.NonFatal(e) =>
+              log.warn(s"inbox delete failed for $k — will refold: ${e.getMessage}") }
+            ctxs
+          } catch { case scala.util.control.NonFatal(e) =>
+            log.warn(s"inbox message $k failed this drain (kept): ${e.getMessage}")
+            Nil
+          }
         }
       case None => ()
     }
@@ -1020,22 +1117,35 @@ final class ShardedDriver(root: String, val driverId: String,
     val table = owned(shard).table
     val all = fs.listStatus(dir)
     // sweep tmp litter from senders that died between create and rename
-    // (their message is redelivered via the sender's own WAL replay);
-    // the age floor keeps live in-flight publishes untouched
+    // (the sender crashed mid-publish, so its caller got NO ack — the
+    // source's retry is what redelivers, per the sendToInbox contract).
+    // The age floor keeps live in-flight publishes untouched. WALL clock
+    // here, not the injectable logical `clock` — mtime is stamped by the
+    // storage server's clock, and comparing a logical test clock (or a
+    // badly skewed driver clock) against it could sweep a LIVE publish;
+    // modest NTP-level skew is absorbed by the 2x-timeout floor.
     all.filter(st => st.getPath.getName.startsWith(".msg-") &&
         st.getPath.getName.endsWith(".tmp") &&
-        clock() - st.getModificationTime > 2 * leaseTimeoutMillis)
+        System.currentTimeMillis() - st.getModificationTime >
+          2 * leaseTimeoutMillis)
       .foreach(st => fs.delete(st.getPath, false))
     val msgs = all.map(_.getPath)
       .filter(_.getName.startsWith("msg-")).sortBy(_.getName)
     msgs.toList.flatMap { m =>
-      val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
-      val completed = scala.collection.mutable.ListBuffer.empty[String]
-      WalCodec.foldFile(fs, m, events, completed)
-      table.markComplete(completed.toList)
-      val ctxs = events.toList.flatMap { case (p, b) => table.receivePath(p, b) }
-      fs.delete(m, false)
-      ctxs
+      try {
+        val events = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+        val completed = scala.collection.mutable.ListBuffer.empty[String]
+        WalCodec.foldFile(fs, m, events, completed)
+        table.markComplete(completed.toList)
+        val ctxs = events.toList.flatMap { case (p, b) => table.receivePath(p, b) }
+        // a false return re-delivers forever with no evidence — log it
+        if (!fs.delete(m, false) && fs.exists(m))
+          log.warn(s"inbox delete returned false for $m — will refold")
+        ctxs
+      } catch { case scala.util.control.NonFatal(e) =>
+        log.warn(s"inbox message $m failed this drain (kept): ${e.getMessage}")
+        Nil
+      }
     }
   }
 }

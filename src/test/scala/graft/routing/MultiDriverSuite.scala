@@ -87,6 +87,71 @@ class MultiDriverSuite extends AnyFunSuite {
     dx.releaseAll(); dy.releaseAll()
   }
 
+  test("fenced driver forwards events to the successor once its renewal notices") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md_f").toString
+    var now = 0L
+    val clock = () => now
+    def mkDriver(id: String) = {
+      val d = new ShardedDriver(root, id, 2, allExists, conf,
+        leaseTimeoutMillis = 1000, clock = clock)
+      d.add(() => mkUp()); d.add(() => mkDown()); d
+    }
+    val dx = mkDriver("X")
+    val dy = mkDriver("Y")
+    assert(dx.tryAcquireShard(0).contains(Nil))
+    now += 2000 // X's heartbeat expires
+    assert(dy.tryAcquireShard(0).isDefined) // Y fences X at epoch k+1
+    // X has NOT polled fencedShards yet, but its heartbeat thread runs:
+    // the renewal must notice the higher epoch and abdicate (X's own
+    // epoch-k file still carries X — verifying only it would heartbeat
+    // a dead epoch forever)
+    dx.renewLeases()
+    // an event reaching the fenced-but-undropped X must NOT fold into
+    // the zombie table (acked into a fenced WAL = acked-but-void); it
+    // forwards to the successor's inbox instead
+    val ctxs = dx.receivePath("/data/a/2026-08-12")
+    assert(ctxs.isEmpty, s"zombie folded locally: $ctxs")
+    assert(dy.pollInboxes().map(_.routeId) == List(upId),
+      "event did not reach the successor via the inbox")
+    // cleanup path still reports the fenced shard
+    assert(dx.fencedShards() == Set(0))
+    dx.dropShard(0)
+    dy.releaseAll()
+  }
+
+  test("renewLeases never waits on the driver monitor") {
+    val root = java.nio.file.Files.createTempDirectory("graft_md_m").toString
+    var now = 0L
+    val clock = () => now
+    val dx = new ShardedDriver(root, "X", 2, allExists, conf,
+      leaseTimeoutMillis = 1000, clock = clock)
+    dx.add(() => mkUp())
+    assert(dx.tryAcquireShard(0).contains(Nil))
+    now += 1500 // heartbeat (written at claim, ts=0) is now expired
+    // another thread holds the driver monitor — the shape of a long
+    // takeover replay inside tryAcquireShard
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val releaseMonitor = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => dx.synchronized {
+      entered.countDown()
+      releaseMonitor.await(10, java.util.concurrent.TimeUnit.SECONDS); ()
+    })
+    t.start()
+    entered.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    // the heartbeat must proceed WITHOUT the monitor and land the renewal
+    val t0 = System.nanoTime()
+    dx.renewLeases()
+    val ms = (System.nanoTime() - t0) / 1e6
+    releaseMonitor.countDown(); t.join()
+    assert(ms < 2000, f"renewLeases blocked $ms%.0f ms behind the monitor")
+    // the renewal took effect: a peer cannot steal the lease
+    val dy = new ShardedDriver(root, "Y", 2, allExists, conf,
+      leaseTimeoutMillis = 1000, clock = clock)
+    dy.add(() => mkUp())
+    assert(dy.tryAcquireShard(0).isEmpty, "renewal did not land — lease stolen")
+    dx.releaseAll()
+  }
+
   test("lease-expiry failover: successor replays the WAL, rebuilds pending joins") {
     val root = java.nio.file.Files.createTempDirectory("graft_md2").toString
     var now = 0L
