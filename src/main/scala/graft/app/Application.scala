@@ -195,10 +195,20 @@ final class Application(val name: String, val spark: SparkSession,
     }
 
   /** Metrics for every active route (reference get_platform_metrics'
-    * routing section, application.py:532-599). */
-  def getAllRouteMetrics: Map[String, RouteMetricsReport] =
-    runtimeTables.flatMap(_.all)
-      .flatMap(r => getRouteMetrics(r.id).map(r.id -> _)).toMap
+    * routing section, application.py:532-599). ONE records snapshot and
+    * one groupBy serve every route — per-route getRouteMetrics calls
+    * re-copied the full bounded record list (10k entries) per route
+    * under its lock, O(routes × records) per poll on the alarm-monitor
+    * thread. */
+  def getAllRouteMetrics: Map[String, RouteMetricsReport] = {
+    val byRoute = computeRecords.groupBy(_.routeId)
+    runtimeTables.flatMap(_.all).map { r =>
+      val recs = byRoute.getOrElse(r.id, Nil)
+      r.id -> RouteMetricsReport(r.id, r.counters,
+        recs.count(_.succeeded), recs.count(!_.succeeded),
+        r.pendingNodes.length)
+    }.toMap
+  }
 
   /** The platform/orchestration counters as a METRIC SERIES
     * (name, period_start, value) — the reference's get_platform_metrics
@@ -388,13 +398,13 @@ final class Application(val name: String, val spark: SparkSession,
     * raise as delivered and advances its cursor — a silent drop here
     * would consume the edge forever. The throw makes the monitor hold
     * the transition and retry after resume(). */
-  def raiseAlarm(alarm: NodeRef, state: String, time: Any): List[String] = {
-    if (appState == AppState.PAUSED)
-      throw new IllegalStateException(
-        "application is paused — alarm edge held for retry after resume()")
-    process(alarm.signal.copy(
-      filter = DimFilter.branchOf(alarm.signal.spec, Seq(state, time))))
-  }
+  def raiseAlarm(alarm: NodeRef, state: String, time: Any): List[String] =
+    // the throw happens INSIDE process's own paused branch — a separate
+    // pre-check here raced pause(): passing the check, then having
+    // process drop the event silently, consumed the edge forever
+    processInternal(alarm.signal.copy(
+      filter = DimFilter.branchOf(alarm.signal.spec, Seq(state, time))),
+      throwIfPaused = true)
 
   /** Metric-backed alarm (reference create_alarm over a target metric,
     * application.py:826-1005): declares the alarm signal node AND
@@ -1052,7 +1062,13 @@ final class Application(val name: String, val spark: SparkSession,
                       shards: Option[Set[Int]] = None,
                       leaseTimeoutMillis: Long = 10000L,
                       clock: () => Long = () => System.currentTimeMillis(),
-                      leaseStoreFor: Option[Int => graft.routing.LeaseStore] = None)
+                      leaseStoreFor: Option[Int => graft.routing.LeaseStore] = None,
+                      /** false = re-init the driver WITHOUT the initial
+                        * cycle (no takeover, no recovered/inbox
+                        * executions) — the [[refresh]]-while-PAUSED
+                        * path, where running work would violate the
+                        * pause contract. */
+                      runCycle: Boolean = true)
       : List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
     validateSecurityConfs()
@@ -1072,7 +1088,7 @@ final class Application(val name: String, val spark: SparkSession,
       leaseStoreFor))
     routingTable = None
     appState = AppState.ACTIVE
-    shardedCycle()
+    if (runCycle) shardedCycle() else Nil
   }
 
   /** One sharded-driver poll cycle: heartbeat held leases, drop shards a
@@ -1209,7 +1225,11 @@ final class Application(val name: String, val spark: SparkSession,
       (sharded, shardedParams) match {
         case (Some(d), Some((drv, n, lt, clk, mk))) =>
           val targets = shardedTargets
-          activateSharded(drv, n, targets, lt, clk, mk); ()
+          // a PAUSED app must not execute during its refresh: skip the
+          // initial cycle (takeover + recovered/inbox executions run
+          // work) — the next shardedCycle after resume() picks it up
+          activateSharded(drv, n, targets, lt, clk, mk,
+            runCycle = prior != AppState.PAUSED); ()
         case _ => activate()
       }
       if (prior == AppState.PAUSED) appState = AppState.PAUSED
@@ -1461,9 +1481,13 @@ final class Application(val name: String, val spark: SparkSession,
     routingTable.getOrElse(throw new IllegalStateException("activate() first"))
 
   /** Every runtime table this driver holds: the single-driver table, or
-    * the tables of the owned shards in sharded mode. */
+    * the LIVE-owned shards' tables in sharded mode — a shard whose lease
+    * the heartbeat discovered fenced is excluded, or process()/sweep()/
+    * fireTimer would fold events into a zombie table whose old-epoch WAL
+    * the successor's snapshot fence discards (dual execution on two
+    * drivers until the next shardedCycle dropped it). */
   private def runtimeTables: List[RoutingTable] = sharded match {
-    case Some(d) => d.ownedShards.toList.sorted.flatMap(d.tableOf)
+    case Some(d) => d.liveTables
     case None => List(table)
   }
 
@@ -1481,9 +1505,22 @@ final class Application(val name: String, val spark: SparkSession,
     * (reference process(), application.py:1877-1981 + feed-back loop,
     * processor/aws.py:2746-2803). Returns completed output paths in
     * topological completion order. */
-  def process(event: Signal): List[String] = {
+  def process(event: Signal): List[String] =
+    processInternal(event, throwIfPaused = false)
+
+  /** `throwIfPaused` makes the paused-drop decision itself throw —
+    * [[raiseAlarm]] needs the check INSIDE the drop branch (a
+    * check-then-call from the caller races pause(): the silent Nil
+    * would read as delivered and the monitor would consume the alarm
+    * edge forever). */
+  private def processInternal(event: Signal,
+                              throwIfPaused: Boolean): List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
-    if (appState == AppState.PAUSED) Nil
+    if (appState == AppState.PAUSED) {
+      if (throwIfPaused) throw new IllegalStateException(
+        "application is paused — alarm edge held for retry after resume()")
+      Nil
+    }
     // sharded mode: a SIGNAL event folds into the shards this driver
     // owns, AND (when materialized — the process/fireTimer/raiseAlarm
     // shape) forwards as its physical path(s) to every unowned
@@ -1545,7 +1582,11 @@ final class Application(val name: String, val spark: SparkSession,
     ctxs.flatMap { ctx =>
       try runContexts(List(ctx))
       catch {
-        case e: Throwable =>
+        // NonFatal only (the runContextsIsolated contract): an OOM or a
+        // delivered interrupt must terminate the tick, not be printed
+        // and ignored while the loop runs the next context on a
+        // corrupted heap
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-sweeper] ${ctx.routeId} -> " +
             s"${ctx.output.materializedPaths.headOption.getOrElse("?")} " +
             s"failed: ${e.getMessage} (redeem via recover()/backfill)")
@@ -1568,8 +1609,21 @@ final class Application(val name: String, val spark: SparkSession,
 
   private def runContexts(ctxs: List[ExecutionContext]): List[String] = {
     ctxs.flatMap { ctx =>
-      val hooks = defs.find(_.id == ctx.routeId).map(_.hooks).getOrElse(RouteHooks.none)
-      val route = findRoute(ctx.routeId).get
+      // ONE def resolution per execution (hooks/retry/slots all read it)
+      val nodeDef = defs.find(_.id == ctx.routeId)
+      val hooks = nodeDef.map(_.hooks).getOrElse(RouteHooks.none)
+      val routeOpt = findRoute(ctx.routeId)
+      if (routeOpt.isEmpty) {
+        // the route's shard was fenced/dropped between context creation
+        // (pollInboxes/sweep) and execution — the successor replays and
+        // re-runs it; crashing on .get here replaced a clean skip with
+        // an opaque NoSuchElementException
+        System.err.println(s"[graft] route ${ctx.routeId} no longer " +
+          "owned (shard fenced mid-cycle) — skipping context; the " +
+          "successor re-runs it")
+        Nil
+      } else {
+      val route = routeOpt.get
       // an execution already in flight for the same materialized output
       // (concurrent executeAsync / overlapping event) — skip, don't stack
       // (reference on_exec_skipped, constructs.py:3475-3486). The check
@@ -1581,30 +1635,47 @@ final class Application(val name: String, val spark: SparkSession,
       // token, this thread's cleanup can only ever drop its own claim.
       // runCancellable merges its real job group alongside the token
       // (cancelJobGroup on the token is a harmless no-op for kill()).
-      val outPath = ctx.output.materializedPaths.head
+      //
+      // EVERY materialized path reserves (a multi-branch projection
+      // output guarded only by its head path let an overlapping route
+      // write branch 2 concurrently); claims go in sorted order and a
+      // partial hit rolls back its own claims, so overlapping sets
+      // skip cleanly instead of deadlocking or leaking reservations.
+      val outPaths = ctx.output.materializedPaths.toList.distinct.sorted
       // token carries the route id in the same <prefix>-<id>-<uuid> shape
       // as real job groups, so the active-route/record parsers read both
       val token = s"resv-${ctx.routeId}-${java.util.UUID.randomUUID()}"
-      if (activeGroups.putIfAbsent(outPath, Set(token)) != null) {
+      val claimed = scala.collection.mutable.ListBuffer.empty[String]
+      val allClaimed = outPaths.forall { p =>
+        val ok = activeGroups.putIfAbsent(p, Set(token)) == null
+        if (ok) claimed += p
+        ok
+      }
+      def unclaim(): Unit = claimed.foreach(p =>
+        activeGroups.computeIfPresent(p, (_, gs) =>
+          if ((gs - token).isEmpty) null else gs - token))
+      if (!allClaimed) {
+        unclaim()
         hooks.onExecSkipped(route, ctx)
         Nil
       } else {
-        try runContext(ctx, hooks, route)
-        finally activeGroups.computeIfPresent(outPath, (_, gs) =>
-          if ((gs - token).isEmpty) null else gs - token)
+        try runContext(ctx, nodeDef, hooks, route)
+        finally unclaim()
+      }
       }
     }
   }
 
   /** One event-driven execution: begin/success/failure hooks around the
     * cancellable run, then completion feed-back. */
-  private def runContext(ctx: ExecutionContext, hooks: RouteHooks,
+  private def runContext(ctx: ExecutionContext, nodeDef: Option[NodeDef],
+                         hooks: RouteHooks,
                          route: graft.routing.Route): List[String] = {
       hooks.onExecBegin(route, ctx)
-      val retry = defs.find(_.id == ctx.routeId).map(_.retry).getOrElse(RetryPolicy())
+      val retry = nodeDef.map(_.retry).getOrElse(RetryPolicy())
       val written =
         try {
-          val w = runCancellable(ctx, slotsOf(ctx.routeId), retry)
+          val w = runCancellable(ctx, nodeDef.map(_.slots).getOrElse(Nil), retry)
           hooks.onExecSuccess(route, ctx)
           w
         } catch {
@@ -1888,7 +1959,14 @@ final class Application(val name: String, val spark: SparkSession,
       val granted = manifestFor(down.name).exists(_.nodes.exists(n =>
         path.startsWith(s"$rootDir/internal_data/${n.nodeId}/") ||
           path == s"$rootDir/internal_data/${n.nodeId}"))
-      if (granted) down.processPath(path) else Nil
+      // a paused/terminated downstream consumes nothing by contract —
+      // letting "activate() first" escape from THIS app's completion
+      // feed-back would fail an execution that succeeded and drop the
+      // remaining downstreams' propagation. (processPath stays loud for
+      // DIRECT calls on an inactive app; the tolerance belongs here.)
+      val active = down.state != down.AppState.INACTIVE &&
+        down.state != down.AppState.DELETED
+      if (granted && active) down.tryProcessPath(path).getOrElse(Nil) else Nil
     }
 
   /** Marshal a catalog table (S2) as an input node; dims = partition keys. */
@@ -1904,13 +1982,15 @@ final class Application(val name: String, val spark: SparkSession,
     * Returns true when an active execution was found and cancelled. */
   def kill(target: NodeRef): Boolean = {
     require(target.signal.isMaterialized, "kill needs a materialized output view")
-    val outPath = target.signal.materializedPaths.head
-    Option(activeGroups.get(outPath)) match {
-      case Some(groups) if groups.nonEmpty =>
-        groups.foreach(spark.sparkContext.cancelJobGroup)
-        true
-      case _ => false
-    }
+    // every materialized path: a multi-branch (projection) output's
+    // execution may be registered under any of its branches
+    val groups = target.signal.materializedPaths
+      .flatMap(p => Option(activeGroups.get(p)).toList.flatMap(_.toList))
+      .distinct
+    if (groups.nonEmpty) {
+      groups.foreach(spark.sparkContext.cancelJobGroup)
+      true
+    } else false
   }
 
   /** Feed the GROUND signal of a dangling input: satisfies the input

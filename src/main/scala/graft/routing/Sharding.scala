@@ -1006,6 +1006,14 @@ final class ShardedDriver(root: String, val driverId: String,
   /** Pending nodes of a shard's route (test/ops introspection). */
   def tableOf(shard: Int): Option[RoutingTable] = owned.get(shard).map(_.table)
 
+  /** Tables of shards whose lease is still BELIEVED held — the runtime
+    * view callers must fold events into (a fenced shard's table is a
+    * zombie whose WAL the successor discards; see [[liveOwnedShards]]).
+    * `tableOf`/`ownedShards` remain the raw introspection views. */
+  def liveTables: List[RoutingTable] = synchronized {
+    liveOwnedShards.toList.sorted.flatMap(s => owned.get(s).map(_.table))
+  }
+
   def close(): Unit = synchronized {
     owned.values.foreach(_.wal.close())
   }
