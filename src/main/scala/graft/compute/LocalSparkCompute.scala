@@ -2,7 +2,7 @@ package graft.compute
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.routing.{ExecutionContext, PathProbe}
 import graft.signal._
@@ -38,7 +38,21 @@ final class FsProbe(spark: SparkSession) extends PathProbe {
                 // a committer-written _SUCCESS also counts: a partition
                 // that legitimately produced ZERO rows (marker + no data
                 // files) is complete, not forever-pending
-                (!n.startsWith("_") && !n.startsWith(".")) || n == "_SUCCESS"
+                if (n.startsWith("_") || n.startsWith(".")) n == "_SUCCESS"
+                else if (st.isFile) true
+                else {
+                  // a visible DIRECTORY (attrs.dataFolder layout) is only
+                  // evidence of data if IT holds something visible — a
+                  // concurrent writer's job creates <dataFolder>/_temporary
+                  // at setup, and counting the empty folder itself marked
+                  // the partition complete mid-write (and the caching
+                  // probe memoized the false positive permanently)
+                  try fs.listStatus(st.getPath).exists { c =>
+                    val cn = c.getPath.getName
+                    (!cn.startsWith("_") && !cn.startsWith(".")) ||
+                      cn == "_SUCCESS"
+                  } catch { case _: java.io.FileNotFoundException => false }
+                }
               })
           } catch { case _: java.io.FileNotFoundException => false }
         }
@@ -141,16 +155,26 @@ object InputLoader {
     * path: glueetl_default_ABI.py:196-241. */
   private def loadCatalog(spark: SparkSession, signal: Signal): DataFrame = {
     val base = spark.table(CatalogSource.tableName(signal.source))
-    val dims = signal.dimNames
+    // pair partition-column names positionally over the FULL flattened
+    // spec (dimNames drops unnamed dims and would misalign the values);
+    // cast the LITERAL side to the column's own type — wrapping the
+    // COLUMN in cast("string") made every conjunct non-pushable to a
+    // Hive metastore's getPartitionsByFilter, fetching all partition
+    // metadata client-side on large tables
+    val flatNames = signal.spec.flatten.map(_.name)
+    val colType: Map[String, org.apache.spark.sql.types.DataType] =
+      base.schema.map(f => f.name -> f.dataType).toMap
     val tuples = signal.filter.tuples
       .map(_.takeWhile(_.isMaterial).map(_.transform().value.toString))
       .filter(_.nonEmpty).distinct
-    if (tuples.isEmpty || dims.isEmpty) base
-    else base.where(
-      tuples.map(t =>
-        dims.zip(t).map { case (d, v) => col(d).cast("string") === v }
-          .reduce(_ && _))
-        .reduce(_ || _))
+    val preds = tuples.flatMap { t =>
+      val conjuncts = flatNames.zip(t).collect { case (Some(d), v) =>
+        col(d) === lit(v).cast(colType.getOrElse(d,
+          org.apache.spark.sql.types.StringType))
+      }
+      if (conjuncts.isEmpty) None else Some(conjuncts.reduce(_ && _))
+    }
+    if (preds.isEmpty) base else base.where(preds.reduce(_ || _))
   }
 }
 
@@ -226,17 +250,40 @@ object OutputWriter {
       attrs.encoding.foreach(e => writer = writer.option("encoding", e))
     attrs.compression.foreach(c => writer = writer.option("compression", c))
     if (attrs.partitionKeys.nonEmpty) writer = writer.partitionBy(attrs.partitionKeys: _*)
-    writer.save(dataPath)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    // schema file (SPARK_SCHEMA_JSON, signal_source.py:507-510)
-    val schemaOut = fs.create(new Path(dir, "_SCHEMA.spark.json"), true)
-    try schemaOut.write(df.schema.json.getBytes("UTF-8")) finally schemaOut.close()
-    // _SUCCESS: Spark's committer usually writes it; guarantee it at the
-    // partition root (with dataFolder the committer's copy lands below)
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) fs.create(new Path(dir, "_SUCCESS"), true).close()
+    // REPLACE with a dataFolder: the overwrite only clears <path>/<data>,
+    // so a _SUCCESS surviving at the partition ROOT would keep the
+    // partition reading as complete for the whole rewrite — a concurrent
+    // downstream would read zero rows mid-job and believe them final.
+    // (Without dataFolder the overwrite deletes the dir, marker included.)
+    if (mode == SaveMode.Overwrite && attrs.dataFolder.isDefined)
+      fs.delete(new Path(dir, "_SUCCESS"), false)
+    writer.save(dataPath)
+
+    def finalizeMarkers(): Unit = {
+      // schema file (SPARK_SCHEMA_JSON, signal_source.py:507-510)
+      val schemaOut = fs.create(new Path(dir, "_SCHEMA.spark.json"), true)
+      try schemaOut.write(df.schema.json.getBytes("UTF-8")) finally schemaOut.close()
+      // _SUCCESS: Spark's committer usually writes it; guarantee it at the
+      // partition root (with dataFolder the committer's copy lands below)
+      if (!fs.exists(new Path(dir, "_SUCCESS"))) fs.create(new Path(dir, "_SUCCESS"), true).close()
+    }
+    if (mode == SaveMode.Append) {
+      // the data COMMIT already happened: a retry of the whole runOnce
+      // would append every row a SECOND time. Marker failures here are
+      // therefore non-retryable — the partition stays marker-less (not
+      // complete), visible to the operator, instead of silently doubled.
+      try finalizeMarkers()
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new AppendFinalizedDataAtRiskException(
+          s"APPEND data committed to $dataPath but marker finalization " +
+            s"failed — NOT retrying (a re-run would duplicate every row); " +
+            "write _SUCCESS manually or re-run after clearing the batch", e)
+      }
+    } else finalizeMarkers() // overwrite is idempotent: retry freely
     path
   }
 }
@@ -273,6 +320,7 @@ object RetryPolicy {
     var depth = 0
     while (c != null && depth < 10) {
       if (c.isInstanceOf[InterruptedException]) return true
+      if (c.isInstanceOf[AppendFinalizedDataAtRiskException]) return true
       val m = Option(c.getMessage).getOrElse("")
       if (m.contains("cancelled") || m.contains("SparkContext was shut down"))
         return true
@@ -281,6 +329,14 @@ object RetryPolicy {
     false
   }
 }
+
+/** The data COMMIT of an APPEND write succeeded but finalization
+  * (schema/marker) failed: a retry would run the whole slot chain again
+  * and APPEND every row a second time, so [[RetryPolicy]] refuses to
+  * retry through this (the partition is left marker-less — incomplete
+  * to every probe — for the operator to finalize or clear). */
+final class AppendFinalizedDataAtRiskException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
 
 /** The single BatchCompute driver (reference CompositeBatchCompute routes
   * across Glue/EMR/Athena/…, constructs.py:1046-1244; Spark-native needs
@@ -323,18 +379,36 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
     // catalog tables (saveAsTable) remain visible; session-level conf
     // set at builder time is carried by the shared SparkConf.
     val session = spark.newSession()
+    // load ONCE per signal, positionally: keying the loads by alias
+    // collapsed duplicate-alias inputs (the same upstream consumed twice
+    // with different ranges) onto the LAST load — input0/input1 and
+    // inputList all pointed at one DataFrame and a join of the two
+    // ranges silently self-joined. The positional inputN convention
+    // exists in the reference precisely to disambiguate duplicate
+    // aliases (glueetl_default_ABI.py:303-322); the alias map/view keeps
+    // last-wins for the ambiguous name itself.
+    val loaded: List[(Signal, DataFrame)] =
+      datasetInputs.map(s => s -> InputLoader.load(session, s, probe))
     val inputs: Map[String, DataFrame] =
-      datasetInputs.map(s => s.alias -> InputLoader.load(session, s, probe)).toMap
-    val inputList = datasetInputs.map(s => inputs(s.alias))
+      loaded.map { case (s, df) => s.alias -> df }.toMap
+    val inputList = loaded.map(_._2)
 
     // temp views: alias + positional inputN (glueetl_default_ABI.py:303-322)
-    datasetInputs.zipWithIndex.foreach { case (s, i) =>
+    loaded.zipWithIndex.foreach { case ((s, df), i) =>
+      df.createOrReplaceTempView(s"input$i")
       inputs(s.alias).createOrReplaceTempView(s.alias)
-      inputs(s.alias).createOrReplaceTempView(s"input$i")
     }
 
-    val dims: Map[String, Any] = ctx.output.dimNames
-      .zip(ctx.output.tip.map(_.transform().value)).toMap
+    // pair names with tip values over the FULL flattened spec — the
+    // Signal.dimIndex rule: `dimNames` drops unnamed dims while `tip`
+    // carries every position, so zipping them misaligns every dimension
+    // after an unnamed placeholder (e.g. the 'NA' level used with
+    // partition prefixes) and '{day}' would interpolate the wrong value
+    val dims: Map[String, Any] = ctx.output.spec.flatten
+      .zip(ctx.output.tip)
+      .collect { case (d, v) if d.name.isDefined =>
+        d.name.get -> v.transform().value }
+      .toMap
     val slotCtx = SlotContext(session, inputs, inputList, dims, args,
       ctx.inputs.map(s => s.alias -> s).toMap, ctx.output, logSink)
 
@@ -342,8 +416,11 @@ final class LocalSparkCompute(spark: SparkSession, probe: PathProbe,
     slots.foreach {
       case ScalaSlot(f) => lastDf = Some(f(slotCtx))
       case SqlSlot(sql) =>
-        val rendered = SqlSlot.interpolate(sql, dims)
-        SqlSlot.statements(rendered).foreach { st =>
+        // split FIRST, interpolate per statement: a dim value containing
+        // ';' must never create a statement boundary (interpolate also
+        // refuses metacharacter values outright)
+        SqlSlot.statements(sql).foreach { st0 =>
+          val st = SqlSlot.interpolate(st0, dims)
           logSink(s"sql> $st")
           lastDf = Some(session.sql(st))
         }

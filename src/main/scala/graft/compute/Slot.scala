@@ -48,7 +48,11 @@ object ClassSlot {
       try Some(Class.forName(n))
       catch { case _: ClassNotFoundException => None }
     def instantiate(cls: Class[_]): Option[Any] =
-      if (cls.getName.endsWith("$"))
+      // assignability gates INSTANTIATION: running arbitrary no-arg
+      // constructors of classes that are not SlotFunctions executes
+      // side effects (and surfaces raw reflection errors) for nothing
+      if (!classOf[SlotFunction].isAssignableFrom(cls)) None
+      else if (cls.getName.endsWith("$"))
         try Some(cls.getField("MODULE$").get(null))
         catch { case _: NoSuchFieldException => None }
       else
@@ -91,9 +95,26 @@ final case class SlotContext(
 
 object SqlSlot {
   /** `{dim}` → materialized output dimension value (format_map semantics:
-    * unknown placeholders are left untouched). */
+    * unknown placeholders are left untouched).
+    *
+    * Values are data-driven (decoded from event PATHS), so they refuse
+    * SQL metacharacters loudly: a partition segment like
+    * `x'; DROP TABLE t; --` would otherwise splice straight into the
+    * statement text. Splitting happens BEFORE interpolation (runOnce),
+    * so a ';' can never mint a new statement regardless — this guard
+    * closes the within-statement cases (quote breakout, comment-out).
+    * Legitimate dimension values (dates, ids, regions, numerics) never
+    * carry these characters. */
   def interpolate(sql: String, dims: Map[String, Any]): String =
-    dims.foldLeft(sql) { case (acc, (k, v)) => acc.replace(s"{$k}", v.toString) }
+    dims.foldLeft(sql) { case (acc, (k, v)) =>
+      val s = v.toString
+      if (s.exists(c => c == '\'' || c == '"' || c == ';' || c == '\\') ||
+          s.contains("--") || s.contains("/*"))
+        throw new IllegalArgumentException(
+          s"SqlSlot: dimension '$k' value ${s.take(60)} contains SQL " +
+            "metacharacters — refusing to interpolate it into a statement")
+      acc.replace(s"{$k}", s)
+    }
 
   /** Split a multi-statement body on top-level ';'. Aware of the dialect
     * it feeds: quotes ('' and "") with backslash escapes (Spark's default

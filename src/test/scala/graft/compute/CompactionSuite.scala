@@ -163,6 +163,48 @@ class CompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dir).count() == 100L)
   }
 
+  test("SqlSlot.interpolate refuses metacharacter dim values; split precedes interpolation") {
+    // a partition segment is data-driven — refusing quotes/';'/comments
+    // closes the within-statement injection cases
+    val bad = Seq("x'; DROP TABLE t; --", "a\"b", "c;d", "e--f", "g/*h", "i\\j")
+    bad.foreach { v =>
+      val e = intercept[IllegalArgumentException](
+        SqlSlot.interpolate("SELECT * FROM t WHERE d = '{day}'", Map("day" -> v)))
+      assert(e.getMessage.contains("metacharacters"), e.getMessage)
+    }
+    assert(SqlSlot.interpolate("SELECT '{day}'", Map("day" -> "2026-08-14"))
+      == "SELECT '2026-08-14'")
+    // split-then-interpolate: a ';' in a value can never mint a statement
+    // (the guard refuses it outright, but the ordering is belt-and-braces:
+    // statements() sees only the template)
+    assert(SqlSlot.statements("SELECT 1; SELECT '{x}'").length == 2)
+  }
+
+  test("FsProbe: a dataFolder holding only _temporary is NOT complete") {
+    val probe = new FsProbe(spark)
+    val root = tmp("graft_probe_df")
+    val part = new java.io.File(s"$root/p/2026-08-10")
+    val dataTmp = new java.io.File(part, "data/_temporary/0")
+    assert(dataTmp.mkdirs())
+    // mid-write: the visible 'data' dir exists but holds only committer
+    // scaffolding — counting the folder itself completed the partition
+    // mid-job (and the caching probe memoized it forever)
+    assert(!probe.isComplete(part.toString,
+      graft.signal.IntegrityProtocol.None_))
+    // a real file under the dataFolder completes it
+    val f = new java.io.File(part, "data/part-00000.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1))
+    assert(probe.isComplete(part.toString,
+      graft.signal.IntegrityProtocol.None_))
+    // zero-row marker-only dataFolder also completes (committer _SUCCESS)
+    val part2 = new java.io.File(s"$root/p/2026-08-11")
+    assert(new java.io.File(part2, "data").mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(part2, "data/_SUCCESS").toPath, Array.emptyByteArray)
+    assert(probe.isComplete(part2.toString,
+      graft.signal.IntegrityProtocol.None_))
+  }
+
   test("crash at every swap step heals with zero data loss") {
     for (fp <- Seq("rewritten", "manifest-written", "success-removed",
       "old-moved", "new-moved", "committed")) {
