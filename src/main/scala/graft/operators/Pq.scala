@@ -38,6 +38,14 @@ object Pq {
   final case class PqCodebook(dim: Int, m: Int, k: Int,
                               centroids: Array[Array[Array[Double]]]) {
     require(centroids.length == m, s"codebook has ${centroids.length} sub-spaces, expected $m")
+    // every sub-space carries exactly k centroids — the invariant both
+    // ADC table builders (this driver-side twin AND the distributed
+    // PqTableExpr kernel, which NULLs on a per-sub-space count mismatch)
+    // depend on; enforcing it here keeps the two surfaces equivalent for
+    // ANY codebook, not just library-built ones
+    require(centroids.forall(_.length == k),
+      s"every sub-space must have exactly k=$k centroids, got " +
+        centroids.map(_.length).mkString(","))
     def subDim: Int = dim / m
 
     /** Flat m·k ADC table for a (unit) query — driver-side twin of
@@ -59,9 +67,6 @@ object Pq {
           out(s * k + i) = d
           i += 1
         }
-        // unseeded tail centroids (corpus smaller than k) keep distance 0
-        // from init — they have no members, no code ever references them
-        while (i < k) { out(s * k + i) = Double.MaxValue; i += 1 }
         off += cents.headOption.map(_.length).getOrElse(0)
         s += 1
       }
@@ -74,11 +79,15 @@ object Pq {
   private def unit(vec: Column): Column =
     bridge.column(graft.expressions.UnitVec(bridge.expression(vec)))
 
-  private def unitLocal(v: Seq[Float]): Array[Double] = {
-    val ss = v.iterator.map(x => x.toDouble * x).sum
-    if (ss == 0.0) v.map(_.toDouble).toArray
-    else { val n = math.sqrt(ss); v.map(_ / n).toArray }
-  }
+  /** Driver-side unit normalization through the SAME kernel the
+    * distributed paths run ([[graft.expressions.VectorKernels.unitVec]])
+    * — the topK-vs-topKJoin bit-equality contract must live in ONE
+    * place, not in a hand-kept mirror whose accumulation order could
+    * drift (the AnnIndex.topK/planeSignature convention). */
+  private def unitLocal(v: Seq[Float]): Array[Double] =
+    graft.expressions.VectorKernels.unitVec(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+      isFloat = true).toDoubleArray()
 
   /** The codebook as ONE flat plan literal (a single `Literal.create`
     * node wrapping nested ArrayData — not a per-element CreateArray
@@ -94,7 +103,8 @@ object Pq {
 
   /** Train a PQ codebook: per-sub-space k-means over unit-normalized
     * vectors. Deterministic (seed rows = lowest md5(id), fixed `iters`
-    * Lloyd rounds, Bernoulli `trainFraction` sample at a fixed seed).
+    * Lloyd rounds, and a CONTENT-deterministic `trainFraction` sample —
+    * id-hash threshold, identical rows regardless of partitioning).
     *
     * At corpus scale pass a small `trainFraction`: k-means needs a few
     * hundred points per centroid, not the corpus — 10⁵–10⁶ sampled rows
@@ -112,15 +122,26 @@ object Pq {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val dimRow = df.select(size(col(vecCol))).take(1)
+    // probe the dimension from a NON-NULL row: every other surface
+    // tolerates null/ragged vectors (filtered, NULL-coded) — one null
+    // row in dirty data must not kill training with an opaque NPE
+    val dimRow = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
     require(dimRow.nonEmpty,
       s"cannot train a PQ codebook over an empty corpus ($vecCol)")
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"vector dim $dim is not divisible by m=$m")
     val subDim = dim / m
 
+    // CONTENT-deterministic sampling (id-hash threshold), not
+    // df.sample: Bernoulli sampling draws from a per-partition RNG
+    // seeded by (seed + partition index), so the selected rows — and
+    // therefore the codebook and every stored code — would change with
+    // the input's physical split, breaking the documented
+    // identical-on-every-run/cluster contract
     val sampled = if (trainFraction >= 1.0) df
-      else df.sample(withReplacement = false, trainFraction, seed = 421L)
+      else df.where(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+        lit((trainFraction * 1000000L).toLong))
     val base = sampled
       .select(col(idCol).as("__id"), unit(col(vecCol)).as("__u"))
       .where(size(col("__u")) === dim)
@@ -269,8 +290,14 @@ object Pq {
                 codeCol: String = "pq_code"): DataFrame = {
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val qn = unitLocal(queryVec)
+    // float-rounded query for the cell ranking — EXACTLY the
+    // [[Similarity.IvfIndex.topK]] arithmetic, so both IVF probe paths
+    // pick the same cells for the same query (a full-double dot here
+    // could flip the nearest-cell order on a near-equidistant query and
+    // the two surfaces would scan different cells)
+    val qf = qn.map(_.toFloat)
     val probeCells = ivfCentroids.zipWithIndex.map { case (c, i) =>
-      (c.iterator.zip(qn.iterator).map { case (x, y) => x * y }.sum, i)
+      (c.iterator.zip(qf.iterator).map { case (x, y) => x * y.toDouble }.sum, i)
     }.sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
     topK(pqCells.where(col("__cell").isin(probeCells.toSeq: _*)),
       idCol, cb, queryVec, k, codeCol)
@@ -305,7 +332,11 @@ object Pq {
     val cb = loadCodebook(spark, path)
     val rows = spark.read.parquet(s"$path/ivf_centroids")
       .select(col("cell"), col("cent")).collect()
-    val cents = new Array[Array[Double]](rows.length)
+    require(rows.nonEmpty, s"ivf_centroids at $path is empty — corrupt")
+    // size by the highest surviving id, not the row count: a partial
+    // write that lost an INTERIOR row would otherwise throw a raw
+    // ArrayIndexOutOfBounds before the gap check could name the cause
+    val cents = new Array[Array[Double]](rows.map(_.getInt(0)).max + 1)
     rows.foreach(r => cents(r.getInt(0)) = r.getSeq[Double](1).toArray)
     require(cents.forall(_ != null),
       s"ivf_centroids at $path has gaps — corrupt or partial write")
@@ -323,7 +354,19 @@ object Pq {
     * fresh save clears. */
   def updateIvfPq(spark: SparkSession, path: String, batch: DataFrame,
                   vecCol: String, idCol: String): Unit = {
-    val (_, cents, cb) = loadIvfPq(spark, path)
+    val (cells, cents, cb) = loadIvfPq(spark, path)
+    // the code column comes from the STORED index's own schema — a
+    // hardcoded default would append files whose code column name
+    // differs from a custom-named index's, and the schema mismatch
+    // would silently NULL one side's codes out of every future probe
+    val codeCol = cells.columns.filterNot(c => c == "__cell" || c == idCol)
+      .toList match {
+      case one :: Nil => one
+      case other => throw new IllegalArgumentException(
+        s"cannot infer the code column of $path from columns " +
+          s"[${cells.columns.mkString(", ")}] with idCol=$idCol — got " +
+          s"${other.mkString(", ")}")
+    }
     // carry the RAW vector through assignment and encode from it, so the
     // unit-normalization is applied exactly once (as in the build path) —
     // re-unitizing an already-unit double vector shifts values by an ulp
@@ -331,8 +374,8 @@ object Pq {
     val assigned = Similarity.assignTo(
       batch.select(col(idCol), col(vecCol).as("__orig"),
         unit(col(vecCol)).as("__u")), cents)
-    encode(assigned, "__orig", cb)
-      .select(col(idCol), col("__cell"), col("pq_code"))
+    encode(assigned, "__orig", cb, codeCol)
+      .select(col(idCol), col("__cell"), col(codeCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"$path/cells")
   }
@@ -369,10 +412,18 @@ object Pq {
     val rows = spark.read.parquet(s"$path/codebook")
       .select(col("s"), col("j"), col("cent")).collect()
     val cents = Array.ofDim[Array[Double]](m, k)
+    // corruption guards (the loadIvfPq convention): out-of-range or
+    // missing (s,j) rows must fail HERE with the cause named — a
+    // partially written codebook otherwise surfaces as an
+    // ArrayIndexOutOfBounds at query time or silently NULL scores
     rows.foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      val (s, j) = (r.getInt(0), r.getInt(1))
+      require(s >= 0 && s < m && j >= 0 && j < k,
+        s"codebook at $path: entry ($s,$j) outside ${m}x$k — corrupt")
+      cents(s)(j) = r.getSeq[Double](2).toArray
     }
-    val trimmed = cents.map(_.takeWhile(_ != null))
-    PqCodebook(dim, m, trimmed.head.length, trimmed)
+    require(cents.forall(_.forall(_ != null)),
+      s"codebook at $path is missing (s,j) entries — corrupt or partial write")
+    PqCodebook(dim, m, k, cents)
   }
 }

@@ -388,8 +388,9 @@ object Similarity {
         case 0.0 => queryVec.map(_.toDouble)
         case n => queryVec.map(_ / n)
       }
+      val qf = qn.map(_.toFloat) // hoisted: one rounding, not one per centroid
       val probeCells = centroids.zipWithIndex
-        .map { case (c, i) => (dotLocal(c, qn.map(_.toFloat)), i) }
+        .map { case (c, i) => (dotLocal(c, qf), i) }
         .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
       val q = array(queryVec.map(v => lit(v)): _*)
       cells.where(col("__cell").isin(probeCells.toSeq: _*))

@@ -227,6 +227,41 @@ class PqSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits == (idsOfDir(1) ++ Seq(100L, 101L)).sorted, s"got $hits")
   }
 
+  test("trainFraction sampling is content-deterministic across partitionings") {
+    val df = corpusDf
+    def cbOf(parts: Int) = Pq.train(df.repartition(parts), "embedding",
+      "vec_id", m = 2, k = 4, iters = 2, trainFraction = 0.7)
+      .centroids.map(_.map(_.toSeq).toSeq).toSeq
+    // df.sample would select different rows per physical split (per-
+    // partition RNG); the id-hash threshold selects the same CONTENT
+    assert(cbOf(1) == cbOf(7),
+      "sampled training must be identical regardless of partitioning")
+  }
+
+  test("updateIvfPq honors a custom code column from the stored schema") {
+    val sp = spark; import sp.implicits._
+    val df = corpusDf
+    val index = Similarity.buildIvfIndex(df, "embedding", "vec_id",
+      k = 4, iters = 2, persist = false)
+    val cb = Pq.train(df, "embedding", "vec_id", m = 2, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cc").toString
+    Pq.saveIvfPq(Pq.encodeCells(index, cb, codeCol = "code8"),
+      index.centroids, cb, dir)
+    val batch = Seq((200L, Seq(0f, 0f, 5f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Pq.updateIvfPq(spark, dir, batch, "embedding", "vec_id")
+    val (cells, cents, cb2) = Pq.loadIvfPq(spark, dir)
+    // the appended row carries the SAME code column — a hardcoded
+    // default would have split the schema and NULLed one side's codes
+    assert(cells.columns.count(_ == "code8") == 1 &&
+      !cells.columns.contains("pq_code"))
+    assert(cells.where(col("code8").isNull).count() == 0L)
+    val q = Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    val hits = Pq.ivfPqTopK(cells, cents, cb2, "vec_id", q, k = 6,
+      nProbe = 1, codeCol = "code8").collect().map(_.getLong(0)).toSeq
+    assert(hits == (idsOfDir(2) ++ Seq(200L)).sorted, s"got $hits")
+  }
+
   test("plan shapes: encode/topK are joinless narrow passes; topKJoin stays BHJ") {
     val sp = spark; import sp.implicits._
     val df = corpusDf
