@@ -155,16 +155,26 @@ object Sampling {
     // old unconditional cast-to-long truncated fractional token columns
     // at every partition boundary, drifting cum_tokens from the single-
     // window answer (and varying with partition count)
-    val integral = df.schema(tokenCol).dataType match {
+    val tokenType = df.schema(tokenCol).dataType
+    val integral = tokenType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    // decimals fold exactly too: routing them through the double path
+    // made the OFFSETS float while the window's __local stayed exact
+    // decimal — cum_tokens then varied with the partition count at the
+    // budget boundary, the drift this family-preserving fold exists to
+    // prevent
+    val isDecimal =
+      tokenType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
     val totalRows = local.groupBy("__pid")
-      .agg(coalesce(sum(col(tokenCol)),
-        lit(0)).cast(if (integral) "long" else "double").as("__ptotal"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0))
+        .cast(if (integral) "long"
+              else if (isDecimal) "decimal(38,18)"
+              else "double").as("__ptotal"))
       .collect().sortBy(_.getInt(0))
     // fold the offsets back in via a BROADCAST JOIN on __pid, never a
     // when-chain: an O(numPartitions)-deep when(...).otherwise(...) tree
@@ -177,6 +187,11 @@ object Sampling {
         var acc = 0L
         totalRows.toSeq.map { r =>
           val e = (r.getInt(0), acc); acc += r.getLong(1); e
+        }.toDF("__pid", "__offset")
+      } else if (isDecimal) {
+        var acc = java.math.BigDecimal.ZERO
+        totalRows.toSeq.map { r =>
+          val e = (r.getInt(0), acc); acc = acc.add(r.getDecimal(1)); e
         }.toDF("__pid", "__offset")
       } else {
         var acc = 0.0
@@ -204,9 +219,16 @@ object Sampling {
     * window per group; no driver-side collection. */
   def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
                        quota: Int): DataFrame = {
+    // final tiebreaker = hash of the WHOLE row: rows sharing a keyCol
+    // value are exact peers under (md5(key), key) and row_number would
+    // break the tie by partition arrival order — the quota-boundary
+    // survivors would change run to run. Exact duplicate rows remain
+    // interchangeable (identical hash), which is harmless: either copy
+    // is the same sample.
+    val rowTie = xxhash64(struct(df.columns.map(col).toSeq: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol), rowTie)
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= quota)
       .drop("__rk")
@@ -230,7 +252,11 @@ object Packing {
     require(chunkTokens > overlapTokens && overlapTokens >= 0,
       s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val toks = split(trim(col(textCol)), "\\s+")
+    // filter empty tokens: SQL trim strips SPACES only, so a tab or
+    // newline at either edge leaves "" entries in the split — phantom
+    // tokens that shift every chunk boundary and inflate the counts
+    // (the unigramLogProbScore __t =!= "" rule, applied to the array)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
     // posexplode of an empty array emits no row, dropping degenerate docs;
     // the guard is "contains any non-whitespace" (SQL trim strips SPACES
     // only, so a tabs/newlines-only doc would survive a trim = "" check)

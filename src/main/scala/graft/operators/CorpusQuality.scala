@@ -17,7 +17,9 @@ object CorpusQuality {
     * low). Tokens are lowercased whitespace tokens; smoothing
     * `ln((c + 1) / (total + V))` over corpus token count c, corpus size
     * `total`, vocabulary size `V`; a document's score is its tokens'
-    * MEAN log-probability (0 tokens → null).
+    * MEAN log-probability. Empty/whitespace-only/null documents yield
+    * NO output row (the inner token join has nothing to aggregate) —
+    * left-join the scores back to the corpus if row-parity matters.
     *
     * Scale shape: one explode + one groupBy(token) builds the model (the
     * same inverted-index shuffle every dedup op pays — map-side combined,
@@ -37,7 +39,10 @@ object CorpusQuality {
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .where(col("__t") =!= "")
       .localCheckpoint()
+    // the model feeds BOTH the stats collect and the scoring join —
+    // un-materialized, the inverted-index-sized aggregation runs twice
     val model = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     // empty/whitespace-only corpus: sum() is null — return the empty
     // result instead of NPE-ing on getLong
     val statsRow = model.agg(sum(col("__c")), count(lit(1))).collect().head
@@ -88,7 +93,13 @@ object CorpusQuality {
     * parallelism (a double sum's value would depend on partitioning).
     *
     * Returns the surviving documents with their source's
-    * `source_quality` appended. */
+    * `source_quality` appended. Documents whose `sourceCol` is NULL are
+    * EXCLUDED (standard equi-join semantics, matching the SQL replay —
+    * there is no source to attribute quality to; `coalesce` the column
+    * to a sentinel first to pool them as their own source). The mean is
+    * over SCORED documents (null scores are excluded from numerator AND
+    * denominator — dividing by the total row count dragged a source's
+    * mean toward zero for every unscoreable document). */
   def filterBySourceQuality(df: DataFrame,
                             score: org.apache.spark.sql.Column,
                             sourceCol: String,
@@ -96,7 +107,7 @@ object CorpusQuality {
     val scored = df.withColumn("__q",
       round(score, 4).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
     val perSource = scored.groupBy(col(sourceCol)).agg(
-      round(sum(col("__q")).cast("double") / count(lit(1)), 4)
+      round(sum(col("__q")).cast("double") / count(col("__q")), 4)
         .as("source_quality"))
     scored.drop("__q").join(
       broadcast(perSource.where(col("source_quality") >= minSourceScore)),

@@ -28,12 +28,17 @@ object Multimodal {
                                frame_len: Long, frame_checksum: Long)
 
   /** Pack a text table into binary media rows (deterministic fake payloads:
-    * UTF-8 bytes stand in for encoded media). */
+    * UTF-8 bytes stand in for encoded media). NULL payloads are dropped
+    * here, at the boundary — a `content = null` MediaRow would NPE
+    * inside executor tasks at the first downstream byte walk
+    * (extractFeatures/decode/encode), failing the whole job with no
+    * indication of the row at fault. */
   def packAsMedia(df: DataFrame, idCol: String, payloadCol: String,
                   modality: String = "image", format: String = "fake/raw"): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"),
+    df.where(col(payloadCol).isNotNull)
+      .select(col(idCol).cast("long").as("media_id"),
         encode(col(payloadCol), "UTF-8").as("content"))
       .withColumn("modality", lit(modality))
       .withColumn("orig_len", length(col("content")).cast("long"))
@@ -209,7 +214,11 @@ object Multimodal {
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * `nFrames` equal chunks, emit per-frame checksums (stand-in for frame
-    * decode + thumbnail). One row in, nFrames rows out — flatMap shape. */
+    * decode + thumbnail). One row in, UP TO nFrames rows out (flatMap
+    * shape): a payload shorter than nFrames bytes cannot yield nFrames
+    * distinct chunks and emits one frame per byte; empty payloads emit
+    * zero frames. Consumers must key on (media_id, frame_idx), never
+    * assume a fixed per-media row count. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[FrameSample] = {
     require(nFrames > 0, s"nFrames must be positive, got $nFrames " +
       "(0 divides by zero inside executor tasks; negatives silently emit nothing)")

@@ -45,10 +45,13 @@ object Skew {
   }
 
   /** Per-key frequency profile — decide whether salting is worth it
-    * (top key count vs. rows/partition budget). */
+    * (top key count vs. rows/partition budget). Ties at the `topN` cut
+    * break on the key columns ascending (the vocabulary convention), so
+    * a recorded profile — and any salting decision derived from it — is
+    * reproducible at any parallelism. */
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc)
+      .orderBy(col("cnt").desc +: keys.map(k => col(k).asc): _*)
       .limit(topN)
 }
