@@ -1175,6 +1175,7 @@ final class Application(val name: String, val spark: SparkSession,
     * so a later activate() rebuilds it (reference terminate(),
     * application.py:295-356 — infra removal there, table drop here). */
   def terminate(): Unit = {
+    routingTable.foreach(_.disposeWal()) // stream + its private FileSystem
     routingTable = None
     sharded.foreach(_.releaseAll()) // successors claim immediately
     sharded = None

@@ -31,15 +31,27 @@ trait RoutingWal {
   def appendCompleted(p: String): Unit
   def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit
   def load(): Option[(List[(String, Boolean)], List[String])]
+  /** Close the open stream — the WAL stays usable (compaction closes the
+    * open segment, then keeps writing through the same instance). */
   def close(): Unit
+  /** End-of-life: close the stream AND release owned resources (the
+    * PRIVATE uncached FileSystem, which the JVM cache does not own — on
+    * HDFS/s3a each leaked instance holds a client with sockets and
+    * threads). After dispose the WAL must not be used again. */
+  def dispose(): Unit = close()
 }
 
 /** Shared WAL line codec + filesystem plumbing. */
 private[routing] object WalCodec {
+  // \r escapes too: BufferedReader-style line handling (and CRLF-
+  // contaminated payload values) would otherwise split one record into
+  // two — the first parsing as a truncated path, the second dropped
   def esc(s: String): String =
-    s.replace("%", "%25").replace("\t", "%09").replace("\n", "%0A")
+    s.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
   def unesc(s: String): String =
-    s.replace("%0A", "\n").replace("%09", "\t").replace("%25", "%")
+    s.replace("%0A", "\n").replace("%0D", "\r")
+      .replace("%09", "\t").replace("%25", "%")
 
   /** A PRIVATE (uncached) FileSystem instance with write checksums off:
     * setWriteChecksum on the JVM-shared cached instance would silently
@@ -70,19 +82,32 @@ private[routing] object WalCodec {
     }
 
   /** Fold every line of one log/inbox file — the ONE read loop shared by
-    * checkpoint load, shard-WAL replay, and inbox draining. */
+    * checkpoint load, shard-WAL replay, and inbox draining.
+    *
+    * Only newline-TERMINATED lines count as committed records: every
+    * appender writes `record + "\n"` in one call, so an unterminated
+    * tail is a torn mid-write crash remnant — and a torn PREFIX of a
+    * valid record still parses (a truncated path would replay as a
+    * phantom event), which is why readLine's accept-the-last-line
+    * behavior was unsafe here. Segments are compaction-bounded, so the
+    * full read is small. */
   def foldFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
                events: scala.collection.mutable.ListBuffer[(String, Boolean)],
                completed: scala.collection.mutable.ListBuffer[String]): Unit = {
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-    try {
-      var line = in.readLine()
-      while (line != null) {
-        foldLine(line, events, completed)
-        line = in.readLine()
-      }
-    } finally in.close()
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64 * 1024)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val committed = s.lastIndexOf('\n')
+    if (committed >= 0)
+      s.substring(0, committed).split('\n')
+        .foreach(foldLine(_, events, completed))
   }
 
   /** The compaction law, in ONE place: replay needs only the LAST
@@ -154,6 +179,14 @@ final class RoutingCheckpoint(path: String, conf: Configuration)
 
   def close(): Unit = synchronized {
     if (wal != null) { wal.close(); wal = null }
+  }
+
+  override def dispose(): Unit = synchronized {
+    close()
+    // the uncached FileSystem is OWNED by this checkpoint (the JVM cache
+    // deliberately does not hold it) — on HDFS/s3a an undisposed
+    // instance leaks a client with sockets/threads per app lifecycle
+    try fs.close() catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Compact the log into one snapshot segment and drop the older ones.

@@ -223,6 +223,10 @@ final class RoutingTable(probe: PathProbe,
   def all: List[Route] = routes
   def find(id: String): Option[Route] = routes.find(_.id == id)
 
+  /** End-of-life for this table's WAL (stream + its private FileSystem)
+    * — [[graft.routing.RoutingWal.dispose]]. */
+  def disposeWal(): Unit = synchronized { checkpoint.foreach(_.dispose()) }
+
   /** Every ancestor prefix of `path` (itself first, then each parent),
     * cut at '/' — the only candidate source roots an event can live
     * under. Shared with [[ShardedDriver]]'s shard-dispatch index. */

@@ -141,7 +141,20 @@ final class RuntimeLinkNode(
       declared.applyEvent(incoming) match {
         case None => // declared filter rejected this event for this alias
         case Some(candidate) =>
-          if (checkLinks(candidate)) {
+          // containment for the THIRD user-mapper path (resolveDependents
+          // and predictZombie already have theirs): a throwing link
+          // mapper — or a malformed link target — escaping here kills the
+          // driver's event-ingestion loop AND wedges WAL recovery forever
+          // (the event is already logged; replay re-throws on every
+          // restart). The node can never fire consistently with its
+          // links: zombie it so the sweep reaps it.
+          val linksOk =
+            try checkLinks(candidate)
+            catch { case scala.util.control.NonFatal(_) =>
+              isZombie = true
+              false
+            }
+          if (linksOk) {
             if (readySignals.exists(_.alias == candidate.alias)) {
               // duplicate for an already-ready input (e.g. reference auto-added)
               if (candidate.isReference || candidate.nearestTheTip) consumed = true

@@ -552,6 +552,11 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
     if (wal != null) { wal.close(); wal = null }
   }
 
+  override def dispose(): Unit = synchronized {
+    close()
+    try fs.close() catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   private def listNames(prefix: String): Array[String] =
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith(prefix))
@@ -942,7 +947,7 @@ final class ShardedDriver(root: String, val driverId: String,
     * WAL for the successor. */
   def dropShard(shard: Int): Unit = synchronized {
     heldLeases.remove(shard)
-    owned.get(shard).foreach { o => o.wal.close(); owned -= shard }
+    owned.get(shard).foreach { o => o.wal.dispose(); owned -= shard }
   }
 
   /** Owned shards whose lease this driver still BELIEVES held (volatile
@@ -1015,14 +1020,14 @@ final class ShardedDriver(root: String, val driverId: String,
   }
 
   def close(): Unit = synchronized {
-    owned.values.foreach(_.wal.close())
+    owned.values.foreach(_.wal.dispose())
   }
 
   /** Release every lease (clean shutdown — successors claim immediately). */
   def releaseAll(): Unit = synchronized {
     heldLeases.clear() // stop renewals before tombstoning
     owned.values.foreach(_.lease.release())
-    owned.values.foreach(_.wal.close())
+    owned.values.foreach(_.wal.dispose())
     owned = Map.empty
   }
 

@@ -65,10 +65,40 @@ final class MarkerStream(app: Application, roots: Seq[String],
     * writing, so a crash mid-write would empty the durable set and
     * silently drop every carried-over completion on restart. The shared
     * [[graft.app.AtomicFile]] swap protocol leaves either the old file or
-    * a complete tmp; [[loadPending]] falls back to the tmp. */
-  private def savePending(): Unit =
+    * a complete tmp; [[loadPending]] falls back to the tmp. Skips the
+    * write when the set is unchanged — recheckPending saves twice per
+    * micro-batch, and a large never-marked backlog would otherwise be
+    * rewritten in full every batch forever. */
+  private var lastSavedHash: Int = 0
+  private def savePending(): Unit = {
+    val snapshot = pendingDirs.map(_.toString).toSeq.sorted
+    val h = snapshot.hashCode
+    if (h == lastSavedHash) return
     graft.app.AtomicFile.replace(fsOf(pendingFile), pendingFile)(out =>
-      out.write(pendingDirs.map(_.toString).mkString("\n").getBytes("UTF-8")))
+      out.write(snapshot.mkString("\n").getBytes("UTF-8")))
+    lastSavedHash = h
+  }
+
+  // growth visibility, NOT a silent cap: dirs whose marker never arrives
+  // (external writers that emit no _SUCCESS, lifecycle-deleted markers)
+  // stay pending forever BY CONTRACT (dropping them would lose
+  // completions) — but each costs one exists() probe per micro-batch, so
+  // an operator must be told when the set grows pathological. Warns at
+  // the threshold and again at every doubling.
+  private var pendingWarnedAt = 0
+  private def warnIfPendingLarge(): Unit = {
+    val threshold =
+      sys.props.getOrElse("graft.marker.pendingWarn", "10000").toInt
+    val sz = pendingDirs.synchronized { pendingDirs.size }
+    if (sz > threshold && sz >= math.max(pendingWarnedAt * 2, threshold)) {
+      pendingWarnedAt = sz
+      org.slf4j.LoggerFactory.getLogger(classOf[MarkerStream]).warn(
+        s"$sz partition dirs are pending without a _SUCCESS marker — " +
+          "each costs a filesystem probe per micro-batch; if their " +
+          "writers never emit markers, marshal those sources with a " +
+          "marker-less completion protocol instead")
+    }
+  }
 
   private val binaryFileSchema = StructType(Seq(
     StructField("path", StringType),
@@ -94,6 +124,7 @@ final class MarkerStream(app: Application, roots: Seq[String],
     // including on the paused path below, where skipping the save would
     // lose not-yet-marked completions if the JVM dies while paused
     pendingDirs.synchronized { savePending() }
+    warnIfPendingLarge()
     // a paused app ignores events — draining the set now would LOSE the
     // completions; leave everything pending until resume
     if (app.state == app.AppState.PAUSED) return
@@ -117,9 +148,15 @@ final class MarkerStream(app: Application, roots: Seq[String],
       app.tryProcessPath(stripped) match {
         case None => () // paused mid-loop: keep pending, retry next batch
         case Some(done) =>
-          if (done.isEmpty && dir.toString != stripped)
-            app.processPath(dir.toString)
-          pendingDirs.synchronized { pendingDirs -= dir }
+          // the qualified-form fallback must ALSO be pause-safe: a
+          // pause() landing between the two offers would silently drop
+          // the completion through processPath's Nil and the removal
+          // below would consume it forever
+          val delivered =
+            if (done.isEmpty && dir.toString != stripped)
+              app.tryProcessPath(dir.toString).isDefined
+            else true
+          if (delivered) pendingDirs.synchronized { pendingDirs -= dir }
       }
     }
     pendingDirs.synchronized { savePending() }
@@ -289,10 +326,20 @@ final case class CoincidenceTrigger(key: String, inputs: Seq[String])
 
 object Coincidence {
 
+  /** A fired key's tombstone — [[trigger]]'s exactly-once memory. */
+  private val Fired = "__graft_fired__"
+
   /** The streaming form of the event-coincidence join: accumulate arrived
     * input types per key; emit exactly once when the required set is
-    * complete; `ttlMs > 0` expires silent keys via processing-time timeout
-    * (pending-node TTL, J4); `ttlMs <= 0` keeps state until completion. */
+    * complete; `ttlMs > 0` expires silent keys AND fired-key tombstones
+    * via processing-time timeout (pending-node TTL, J4); `ttlMs <= 0`
+    * keeps state until completion — and keeps tombstones forever, which
+    * is what makes the once-only promise hold against an at-least-once
+    * upstream (removing state on fire let re-delivered arrivals
+    * re-complete the set and fire the key AGAIN; the batch-side analog
+    * is RuntimeLinkNode's processedPaths dedup). Production streams
+    * should set `ttlMs > 0` so neither stragglers nor tombstones grow
+    * state unboundedly. */
   def trigger(events: Dataset[ArrivalEvent], required: Set[String],
               ttlMs: Long = 0): Dataset[CoincidenceTrigger] = {
     import events.sparkSession.implicits._
@@ -308,15 +355,24 @@ object Coincidence {
             state.remove()
             Iterator.empty
           } else {
-            val seen = state.getOption.getOrElse(Set.empty) ++
-              rows.map(_.inputType).filter(required.contains)
-            if (required.subsetOf(seen)) {
-              state.remove() // fire once, clear pending state
-              Iterator.single(CoincidenceTrigger(key, seen.toSeq.sorted))
-            } else {
-              state.update(seen)
+            val prior = state.getOption.getOrElse(Set.empty)
+            if (prior.contains(Fired)) {
+              // already fired: duplicate arrivals (at-least-once
+              // upstream) must not re-trigger — refresh the tombstone
               if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
               Iterator.empty
+            } else {
+              val seen = prior ++
+                rows.map(_.inputType).filter(required.contains)
+              if (required.subsetOf(seen)) {
+                state.update(Set(Fired)) // fire once; tombstone the key
+                if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+                Iterator.single(CoincidenceTrigger(key, seen.toSeq.sorted))
+              } else {
+                state.update(seen)
+                if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+                Iterator.empty
+              }
             }
           }
       }

@@ -594,10 +594,50 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     val fired = spark.table("coincide").as[CoincidenceTrigger].collect()
     assert(fired.length == 1 && fired.head.key == "2026-08-12")
     assert(fired.head.inputs == Seq("a", "b"))
-    // duplicate arrival does not re-fire (state cleared)
+    // duplicate arrival does not re-fire
     mem.addData(ArrivalEvent("2026-08-12", "b"))
     q.processAllAvailable()
     assert(spark.table("coincide").count() == 1)
+    // an at-least-once upstream re-delivering the WHOLE required set must
+    // not re-fire either: the fired key keeps a tombstone (pre-tombstone,
+    // remove() forgot the firing and the re-completed set fired AGAIN)
+    mem.addData(ArrivalEvent("2026-08-12", "a"),
+      ArrivalEvent("2026-08-12", "b"))
+    q.processAllAvailable()
+    assert(spark.table("coincide").count() == 1,
+      "re-delivered required set re-fired a tombstoned key")
     q.stop()
+  }
+
+  test("a throwing link mapper is contained: node zombied, ingestion lives") {
+    import graft.routing._
+    import graft.signal._
+    import graft.dimension._
+    val daySpec = DimSpec.pretty(
+      "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+    val a = Signal("a", SignalSource.external("/tmp/ml_a"), daySpec,
+      DimFilter.allPassFor(daySpec))
+    val b = Signal("b", SignalSource.external("/tmp/ml_b"), daySpec,
+      DimFilter.allPassFor(daySpec))
+    val boom: DimValue => DimValue = _ => sys.error("mapper boom")
+    val node = SignalLinkNode(List(a, b), List(
+      DimensionLink(DimRef("b", "day"),
+        LinkSource.FromDim(DimRef("a", "day")), boom)))
+    val out = Signal("out", SignalSource.internal("/tmp/ml_out", "out"),
+      daySpec, DimFilter.allPassFor(daySpec))
+    val table = new RoutingTable(new PathProbe {
+      def exists(p: String) = true
+      override def isComplete(p: String, proto: IntegrityProtocol) = true
+    })
+    table.add(new Route("r1", node, out, Nil))
+    // first event opens the pending node; the second offer crosses the
+    // throwing link mapper — uncontained, this throw killed the event
+    // loop AND re-threw from WAL replay on every restart
+    val c1 = table.receivePath("/tmp/ml_a/2026-08-12")
+    val c2 = table.receivePath("/tmp/ml_b/2026-08-12") // must NOT throw
+    assert(c1.isEmpty && c2.isEmpty)
+    // the mis-linked node was zombied and reaped — ingestion continues
+    assert(table.all.head.pendingNodes.isEmpty ||
+      table.all.head.pendingNodes.forall(!_.isZombie))
   }
 }
