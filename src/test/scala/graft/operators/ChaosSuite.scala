@@ -115,6 +115,20 @@ class ChaosSuite extends AnyFunSuite with BeforeAndAfterAll {
         chunkWidth = 500L))
   }
 
+  test("p38 PQ encode + ADC retrieval are retry-safe") {
+    // one codebook trained fault-free; encode and the ADC scan (the two
+    // distributed PQ stages) run under injected retries — codes are
+    // deterministic kernels, so any divergence is a retry-safety bug
+    val cb = Pq.train(embeddings, "vec", "doc_id", m = 2, k = 8, iters = 2)
+    assertRetrySafe("pqEncode", embeddings, d =>
+      Pq.encode(d, "vec", cb)
+        .select(col("doc_id"), hex(col("pq_code")).as("code")))
+    val q = (0 until 8).map(_.toFloat + 1f)
+    assertRetrySafe("pqTopK", embeddings, d =>
+      Pq.topK(Pq.encode(d, "vec", cb).select("doc_id", "pq_code"),
+        "doc_id", cb, q, k = 25))
+  }
+
   test("governed managed write is retry-safe (commit protocol)") {
     import graft.compute.OutputWriter
     import graft.dimension._
