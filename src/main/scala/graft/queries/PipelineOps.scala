@@ -122,13 +122,15 @@ object PipelineOps {
         .orderBy("d1")
     }),
 
-    // ---- language-ID distribution: langId is a pure Column expression
-    // (stopword-profile scores + argmax), so the same scoring is
-    // re-expressed in the DuckDB oracle — a real semantic check
+    // ---- language-ID, PER DOCUMENT: langId is a pure Column expression
+    // (stopword-profile scores + argmax, alphabetical-first ties — the
+    // oracle's CASE order), so the same scoring is re-expressed in the
+    // DuckDB oracle row by row. A distribution-only comparison would
+    // accept any count-preserving permutation of doc→lang assignments
+    // (compensating misclassifications aggregate away).
     "p09_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
-        .orderBy("lang_pred")
+        .orderBy("doc_id")
     }),
 
     // ---- fingerprint equivalence classes: the FNV value itself is
@@ -174,11 +176,21 @@ object PipelineOps {
         .toDF()
         .select(col("media_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("channels").cast("long").as("channels"), col("pixel_count"))
-      feats.join(grp, "checksum").join(frames, "media_id").join(px, "media_id")
+          col("channels").cast("long").as("channels"), col("pixel_count"),
+          col("pixel_checksum"))
+      // decoded-PIXEL equivalence classes must equal payload classes:
+      // geometry comes from the PNG header, but the raster CONTENT is
+      // only pinned if byte-identical payloads decode to byte-identical
+      // samples (a band-index or sample-read bug keeps geometry intact
+      // while scrambling pixels — invisible without this)
+      val pxCls = px.groupBy("pixel_checksum")
+        .agg(min("media_id").as("pix_min"), count(lit(1)).as("pix_cnt"))
+      feats.join(grp, "checksum").join(frames, "media_id")
+        .join(px.join(pxCls, "pixel_checksum"), "media_id")
         .select(col("media_id"), col("byte_len"), col("dup_min"),
           col("dup_cnt"), col("n_frames"), col("frame_bytes"),
-          col("width"), col("height"), col("channels"), col("pixel_count"))
+          col("width"), col("height"), col("channels"), col("pixel_count"),
+          col("pix_min"), col("pix_cnt"))
         .orderBy("media_id")
     }),
 
@@ -259,6 +271,20 @@ object PipelineOps {
       val single = cand.select("vec_id", "pq_cosine").orderBy("vec_id").collect()
       require(viaJoin.toSeq == single.toSeq,
         "PQ topKJoin diverged from the single-query topK path")
+      // retrieval-strength guards the rerank cannot see: k must actually
+      // bound the candidate set (an unbounded cand would let the exact
+      // rerank rebuild the right answer from the whole corpus), and the
+      // ADC scores themselves must be in cosine range and clearly above
+      // the ~0.51 max real-real cosine (scale/sign sanity — the rerank
+      // replaces pq_cosine, so the oracle never sees it). The bound is
+      // sf-aware: the sf0.001 corpus trains a coarser codebook (≈0.79
+      // planted ADC vs ≈0.97 at sf0.01), so it pins the MARGIN, not the
+      // quantization accuracy.
+      require(single.length == 10,
+        s"ADC top-k must return exactly k=10 candidates, got ${single.length}")
+      require(single.forall { r =>
+          val c = r.getDouble(1); c <= 1.0 + 1e-9 && c > 0.55 },
+        s"planted ADC cosines out of range: ${single.map(_.getDouble(1)).mkString(",")}")
       Similarity.cosineTopK(
           corpus.join(cand.select("vec_id"), "vec_id"),
           "embedding", "vec_id", q, 10)
@@ -284,18 +310,36 @@ object PipelineOps {
       val cb = Pq.train(corpus, "embedding", "vec_id", m = 8, k = 16, iters = 2)
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft_p39").toString
-      Pq.saveIvfPq(Pq.encodeCells(index, cb), index.centroids, cb, idxDir)
-      Pq.updateIvfPq(s, idxDir, planted, "embedding", "vec_id")
-      val (cells, cents, cb2) = Pq.loadIvfPq(s, idxDir)
-      val cand = Pq.ivfPqTopK(cells, cents, cb2, "vec_id", q,
-        k = 10, nProbe = 2)
-      val full = corpus.unionByName(planted)
-      val reranked = Similarity.cosineTopK(
-          full.join(cand.select("vec_id"), "vec_id"),
-          "embedding", "vec_id", q, 10)
-        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("vec_id").collect()
-      org.apache.commons.io.FileUtils.deleteDirectory(
+      val reranked = try {
+        Pq.saveIvfPq(Pq.encodeCells(index, cb), index.centroids, cb, idxDir)
+        Pq.updateIvfPq(s, idxDir, planted, "embedding", "vec_id")
+        val (cells, cents, cb2) = Pq.loadIvfPq(s, idxDir)
+        val cand = Pq.ivfPqTopK(cells, cents, cb2, "vec_id", q,
+          k = 10, nProbe = 2).collect()
+        // retrieval-strength guard (the rerank would rebuild the right
+        // answer from ANY superset): k must bound the candidates, and
+        // the appended planted rows' ADC scores must be in cosine range
+        // and clearly above the ~0.51 max real-real cosine. The bound is
+        // looser than p38's: HERE the codebook was trained WITHOUT the
+        // planted direction (that is the point of the update test), so
+        // the query's own quantization error is out-of-distribution
+        // (measured ≈0.68 at sf0.01) — still safely above every real
+        // vector, which carries the same codebook error on top of a
+        // lower true cosine
+        require(cand.length == 10,
+          s"IVF-PQ probe must return exactly k=10, got ${cand.length}")
+        require(cand.forall { r =>
+            val c = r.getDouble(1); c <= 1.0 + 1e-9 && c > 0.55 },
+          s"post-update ADC cosines out of range: ${cand.map(_.getDouble(1)).mkString(",")}")
+        val candIds = cand.map(_.getLong(0)).toSeq
+          .toDF("vec_id")
+        val full = corpus.unionByName(planted)
+        Similarity.cosineTopK(
+            full.join(candIds, "vec_id"),
+            "embedding", "vec_id", q, 10)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("vec_id").collect()
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(idxDir))
       s.createDataFrame(java.util.Arrays.asList(reranked: _*),
         org.apache.spark.sql.types.StructType(Seq(
@@ -400,13 +444,20 @@ object PipelineOps {
     // ---- int8 embedding quantization: integer surface (extrema + nonzero
     // count) is engine-exact, so the quantizer's semantics are oracle-able
     "p19_quantize" -> ((s, dir) => {
+      // pos_weighted = Σ qv[i]·(i+1): a POSITION-weighted integer sum
+      // pins every element's value AND order (extremum-only columns are
+      // permutation-invariant and blind to interior mis-rounding)
       embs(s, dir)
         .select(col("vec_id"),
           Similarity.quantizeInt8(col("embedding")).getField("q").as("qv"))
         .select(col("vec_id"),
           array_max(col("qv")).cast("long").as("max_q"),
           array_min(col("qv")).cast("long").as("min_q"),
-          size(filter(col("qv"), x => x =!= 0)).cast("long").as("nonzero"))
+          size(filter(col("qv"), x => x =!= 0)).cast("long").as("nonzero"),
+          aggregate(
+            zip_with(col("qv"), sequence(lit(1L), size(col("qv")).cast("long")),
+              (q, i) => q.cast("long") * i),
+            lit(0L), (acc, x) => acc + x).as("pos_weighted"))
         .orderBy("vec_id")
     }),
 
@@ -640,8 +691,12 @@ object PipelineOps {
 
     // ---- corpus vocabulary: top-50 tokens by frequency (tokenizer prep)
     "p34_vocabulary" -> ((s, dir) => {
+      // re-pin the order AFTER the projection: the operator's internal
+      // sort is not guaranteed to survive a re-select (every other
+      // gated query orders explicitly at the end)
       graft.operators.CorpusQuality.vocabulary(docs(s, dir), "text", topK = 50)
         .select(col("token"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
     }),
 
     // ---- Gopher rule bundle: the standard heuristic pre-filters, each
@@ -688,7 +743,7 @@ object PipelineOps {
                / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_tok_len
          FROM documents ORDER BY doc_id""",
     "p04_ngram_jaccard" ->
-      """WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                         FROM documents WHERE doc_id < 60),
          pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
          grams AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS g
@@ -724,7 +779,7 @@ object PipelineOps {
          FROM dots WHERE l1 = l2 GROUP BY l1 ORDER BY label""",
     "p14_dup_clusters" ->
       """WITH RECURSIVE
-         words AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+         words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                    FROM documents WHERE doc_id < 60),
          pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
          grams AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS g
@@ -758,10 +813,16 @@ object PipelineOps {
          s AS (SELECT vec_id, v,
                 127.0 / list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
          q AS (SELECT vec_id,
-                list_transform(v, x -> CAST(round(x * sc) AS BIGINT)) AS qv FROM s)
-         SELECT vec_id, list_max(qv) AS max_q, list_min(qv) AS min_q,
-                CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS nonzero
-         FROM q ORDER BY vec_id""",
+                list_transform(v, x -> CAST(round(x * sc) AS BIGINT)) AS qv FROM s),
+         pw AS (SELECT vec_id, SUM(x * i) AS pws FROM
+                  (SELECT vec_id, UNNEST(qv) AS x,
+                          generate_subscripts(qv, 1) AS i FROM q)
+                GROUP BY vec_id)
+         SELECT q.vec_id AS vec_id, list_max(qv) AS max_q,
+                list_min(qv) AS min_q,
+                CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS nonzero,
+                CAST(pw.pws AS BIGINT) AS pos_weighted
+         FROM q JOIN pw ON q.vec_id = pw.vec_id ORDER BY q.vec_id""",
     "p18_incremental_dedup" ->
       """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                         FROM documents),
@@ -835,14 +896,13 @@ object PipelineOps {
            len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS fr,
            len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不','人','这'))) AS zh
            FROM toks),
-         pred AS (SELECT CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+         pred AS (SELECT doc_id, CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
            WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
            WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
            WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
            WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
            ELSE 'zh' END AS lang_pred FROM s)
-         SELECT lang_pred, COUNT(*) AS cnt FROM pred
-         GROUP BY lang_pred ORDER BY lang_pred""",
+         SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""",
     // fingerprint classes == normalized-content classes
     "p10_fingerprint" ->
       """WITH corpus AS (
@@ -868,7 +928,8 @@ object PipelineOps {
                 (byte_len % 31) + 2 AS width,
                 ((byte_len // 31) % 29) + 2 AS height,
                 CAST(3 AS BIGINT) AS channels,
-                ((byte_len % 31) + 2) * (((byte_len // 31) % 29) + 2) * 3 AS pixel_count
+                ((byte_len % 31) + 2) * (((byte_len // 31) % 29) + 2) * 3 AS pixel_count,
+                dup_min AS pix_min, dup_cnt AS pix_cnt
          FROM b JOIN g USING (ck) ORDER BY media_id""",
     // decoded WAV geometry recomputed from payload length; decoded
     // sample-checksum classes == payload classes
