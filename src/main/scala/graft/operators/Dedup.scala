@@ -39,16 +39,30 @@ object Dedup {
     if (estParts < target) df.repartition(target) else df
   }
 
-  /** Exact dedup: one survivor (min id) per content digest. */
+  // null-text rows key per-ROW, never together: md5(null) is null and
+  // groupBy treats null keys as EQUAL, so distinct null-text documents
+  // would collapse into one survivor and real data would be dropped —
+  // the exact defect the streaming counterpart (dropDuplicateContent)
+  // guards with a per-row digest; here the fallback is deterministic
+  // (the id itself) so the DuckDB oracle replays it verbatim
+  private def contentKey(textHash: Column, idCol: String): Column =
+    coalesce(textHash, concat(lit("null-"), col(idCol).cast("string")))
+
+  /** Exact dedup: one survivor (min id) per content digest; null-text
+    * rows are each their own class (see [[contentKey]]). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("text_hash"))
+    df.groupBy(contentKey(md5(col(textCol)), idCol).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
 
-  /** Exact dedup on normalized content (case/whitespace-insensitive). */
+  /** Exact dedup on normalized content (case/whitespace-insensitive).
+    * Normalization collapses FIRST and trims LAST: SQL trim strips
+    * spaces only, so trimming first left a tab/newline at either edge
+    * to survive as a residual " " — "foo\n" and "foo" hashed apart
+    * despite the whitespace-insensitive contract. */
   def exactDedupNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("__norm",
-        regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-      .groupBy(md5(col("__norm")).as("text_hash"))
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .groupBy(contentKey(md5(col("__norm")), idCol).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
 
   /** Word n-gram (shingle) SET for set-Jaccard: the shared sliding window
@@ -99,9 +113,15 @@ object Dedup {
             greatest(size(sorted) - i.cast("int") - 1, lit(0))),
           y => struct(x.as("d1"), y.as("d2")))))
 
-  private def isLongCol(df: DataFrame, colName: String): Boolean =
-    df.schema.find(_.name == colName)
+  private def isLongCol(df: DataFrame, colName: String): Boolean = {
+    // resolve with the SESSION's resolver: Spark resolves columns
+    // case-insensitively by default, so a case-mismatched long id
+    // (schema "ID", caller "id") silently took the string branch and
+    // the string udaf failed analysis against the bigint column
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    df.schema.find(f => resolver(f.name, colName))
       .exists(_.dataType == org.apache.spark.sql.types.LongType)
+  }
 
   /** Hard memory ceiling for STORED index bucket lists (~8 MB of ids):
     * far above any probe's maxBucketSize guard — an overflowed stored
@@ -543,7 +563,15 @@ object Dedup {
     val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
     val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
     fs.delete(old, true)
-    fs.rename(live, old)
+    // UNCHECKED, a false here (transient store fault) leaves `live` in
+    // place and the next rename moves buckets_next INSIDE it (HDFS
+    // rename-into-existing-dir), silently discarding the merged update
+    // while sigs/grams were already appended — a permanently
+    // inconsistent index with no error surfaced
+    if (!fs.rename(live, old) && fs.exists(live))
+      throw new java.io.IOException(
+        s"updateNearDupIndex: could not move $live aside — aborting swap " +
+          "(the live table is untouched; retry the update)")
     if (!fs.rename(next, live)) {
       fs.rename(old, live) // restore the live table, surface the failure
       throw new java.io.IOException(
@@ -693,10 +721,13 @@ object Dedup {
       .select(col("__p.d1").as("d1"), col("__p.d2").as("d2"),
         col("__p.hamming").as("hamming"))
       // duplicate input ids would emit (id, id) self-pairs at hamming 0 —
-      // excluded, matching the historical join shape's strict d1<d2
+      // excluded, matching the historical join shape's strict d1<d2.
+      // hamming filters BEFORE distinct: it is deterministic per pair,
+      // so the output is identical and the distinct shuffle no longer
+      // carries the (majority) pairs about to be discarded
       .where(col("d1") =!= col("d2"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join: only documents
@@ -705,12 +736,31 @@ object Dedup {
     * self-join's shuffle key drops from ~doc-length bytes to 8 bytes per
     * exploded row, with jaccard identical modulo ~2⁻⁶⁴ collisions. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        maxGramDocs: Int = 100000): DataFrame = {
+    require(maxGramDocs > 1, s"maxGramDocs must be > 1, got $maxGramDocs")
     val grams = spread(df).select(col(idCol).as("doc"),
       explode(hashedShingles(col(textCol), n)).as("g"))
     val sizes = grams.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val common = grams.select(col("doc").as("d1"), col("g"))
-      .join(grams.select(col("doc").as("d2"), col("g")), Seq("g"))
+    // LOUD gram-frequency guard (the maxBucketSize/maxSpanDocs
+    // convention): ONE boilerplate gram shared by f documents makes the
+    // inverted-index self-join emit f²/2 rows for that single key.
+    // Exact Jaccard cannot silently drop grams (values would change),
+    // so a breach REFUSES with the fix named instead of running the
+    // quadratic stage to death. The frequency table reuses the same
+    // gram partitioning as the self-join — no extra row-scale shuffle.
+    val gramFreq = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__gdf"))
+      .withColumn("__gdf",
+        when(col("__gdf") <= maxGramDocs, col("__gdf"))
+          .otherwise(raise_error(concat(
+            lit(s"ngramJaccardPairs: a gram occurs in more than " +
+              s"$maxGramDocs documents — the pair join is quadratic in " +
+              "that frequency; raise maxGramDocs knowingly or strip " +
+              "boilerplate (lineDedup) first")))))
+    val guarded = grams.join(gramFreq, Seq("g")).select(col("doc"), col("g"))
+    val common = guarded.select(col("doc").as("d1"), col("g"))
+      .join(guarded.select(col("doc").as("d2"), col("g")), Seq("g"))
       .where(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
     common
@@ -860,11 +910,18 @@ object Dedup {
     // resurrects through the right join with n_lines = size(split(null))
     // = null and a null n_removed — garbage counts downstream
     val txt = coalesce(col(textCol), lit(""))
+    // line keys normalize with a REGEX trim (all leading/trailing
+    // whitespace, not SQL trim's spaces-only): CRLF corpora split on
+    // "\n" leave a trailing \r on every non-final line, so the same
+    // visible boilerplate line keyed differently mid-document vs at the
+    // end and never reached minOccurrences
+    def lineNorm(c: Column): Column =
+      regexp_replace(c, "^\\s+|\\s+$", "")
     val lines = spread(df).select(col(idCol),
       posexplode(split(txt, "\n")))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
-      .withColumn("__k", xxhash64(trim(col("__line"))))
-    val common = lines.where(trim(col("__line")) =!= "")
+      .withColumn("__k", xxhash64(lineNorm(col("__line"))))
+    val common = lines.where(lineNorm(col("__line")) =!= "")
       .groupBy("__k").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minOccurrences)
       .select("__k")

@@ -723,9 +723,12 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // null-text rows key per-row ('null-'||id) on BOTH sides — distinct
+    // null documents must never collapse into one survivor
     "p01_exact_dedup" ->
-      """SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
-         FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+      """SELECT COALESCE(md5(text), 'null-' || doc_id) AS text_hash,
+                MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+         FROM documents GROUP BY 1 ORDER BY doc_id""",
     "p02_token_stats" ->
       """SELECT doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -1044,10 +1047,13 @@ object PipelineOps {
          ls AS (SELECT doc_id, UNNEST(string_split(tt, chr(10))) AS l,
                        generate_subscripts(string_split(tt, chr(10)), 1) AS i
                 FROM t),
-         common AS (SELECT trim(l) AS tl FROM ls WHERE trim(l) <> ''
-                    GROUP BY trim(l) HAVING COUNT(*) >= 2),
+         common AS (SELECT regexp_replace(l, '^\s+|\s+$', '', 'g') AS tl
+                    FROM ls WHERE regexp_replace(l, '^\s+|\s+$', '', 'g') <> ''
+                    GROUP BY 1 HAVING COUNT(*) >= 2),
          kept AS (SELECT doc_id, l, i FROM ls
-                  WHERE trim(l) = '' OR trim(l) NOT IN (SELECT tl FROM common)),
+                  WHERE regexp_replace(l, '^\s+|\s+$', '', 'g') = ''
+                     OR regexp_replace(l, '^\s+|\s+$', '', 'g')
+                        NOT IN (SELECT tl FROM common)),
          agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS ct,
                         COUNT(*) AS kc
                  FROM kept GROUP BY doc_id),
