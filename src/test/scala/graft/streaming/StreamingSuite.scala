@@ -134,16 +134,24 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     var attempt = 0
     while (app.poll(node(d2)).isEmpty && attempt < 3) {
       attempt += 1
-      val q = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_live_$attempt")
-        .start(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
-      try {
-        Seq((d2, 2.0), (d2, 3.0)).toDF("day", "amount")
-          .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d2")
-        val deadline = System.currentTimeMillis() + 60000
-        while (app.poll(node(d2)).isEmpty && q.exception.isEmpty &&
-               System.currentTimeMillis() < deadline)
-          Thread.sleep(250)
-      } finally scala.util.Try(q.stop())
+      // the whole attempt is fallible: the engine can ALSO die inside
+      // start() (offset/metadata-log read race) — an uncaught throw
+      // there escaped the retry loop entirely and failed the test on a
+      // pure engine flake
+      scala.util.Try {
+        val q = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_live_$attempt")
+          .start(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+        try {
+          Seq((d2, 2.0), (d2, 3.0)).toDF("day", "amount")
+            .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$d2")
+          val deadline = System.currentTimeMillis() + 60000
+          while (app.poll(node(d2)).isEmpty && q.exception.isEmpty &&
+                 System.currentTimeMillis() < deadline)
+            Thread.sleep(250)
+        } finally scala.util.Try(q.stop())
+      }.failed.foreach(e => System.err.println(
+        s"[stream-live] attempt $attempt died (engine flake, retrying): " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
     assert(app.poll(node(d2)).isDefined, "late partition never triggered")
     assert(app.load(node(d2)).collect().head.getDouble(1) == 5.0)
