@@ -395,23 +395,63 @@ final class RoutingTable(probe: PathProbe,
     // I/O-bound round-trips: size to the store's latency×throughput
     // (-Dgraft.sweep.parallelism=64 for a 50 ms object store)
     val pool = sweepProbePool
+    // Per-target fault isolation: a probe that throws (bad mount,
+    // permissions, a flaky endpoint) folds to incomplete-FOR-THIS-SWEEP
+    // on ITS key only — the snapshot records `false`, so the sweep
+    // neither fires that node nor falls through to a live re-probe
+    // under the monitor. Without this, one persistently-failing path
+    // aborted every route's sweep tick fleet-wide, forever. Transient
+    // faults self-heal on a later sweep; the pending node keeps waiting.
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
     val futs = targets.map { case (p, proto) =>
       pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = proto match {
-          case graft.signal.IntegrityProtocol.None_ =>
-            snap.put(p, cachingProbe.isComplete(p, proto))
-          case graft.signal.IntegrityProtocol.FileCheck(f) =>
-            val k = s"$p/$f"
-            snap.put(k, cachingProbe.exists(k))
+        def call(): Unit = {
+          val key = proto match {
+            case graft.signal.IntegrityProtocol.None_       => p
+            case graft.signal.IntegrityProtocol.FileCheck(f) => s"$p/$f"
+          }
+          try {
+            val ok = proto match {
+              case graft.signal.IntegrityProtocol.None_ =>
+                cachingProbe.isComplete(p, proto)
+              case graft.signal.IntegrityProtocol.FileCheck(_) =>
+                cachingProbe.exists(key)
+            }
+            snap.put(key, ok)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              snap.put(key, java.lang.Boolean.FALSE)
+              failures.put(key, e)
+          }
         }
       })
     }
     futs.foreach { f =>
       try f.get()
       catch { case e: java.util.concurrent.ExecutionException =>
-        throw e.getCause }
+        throw e.getCause } // only fatal errors escape call() now
     }
+    if (!failures.isEmpty) warnProbeFailures(failures)
     snap
+  }
+
+  // Rate-limited (one line per window, default 10 s) so a permanently
+  // broken path doesn't flood the log at sub-second sweep cadence.
+  private val lastProbeWarnMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def warnProbeFailures(
+      failures: java.util.Map[String, Throwable]): Unit = {
+    val windowMs = sys.props.getOrElse("graft.sweep.warn.interval.ms", "10000").toLong
+    val now = System.currentTimeMillis()
+    val last = lastProbeWarnMillis.get()
+    if (now - last >= windowMs && lastProbeWarnMillis.compareAndSet(last, now)) {
+      val it = failures.entrySet().iterator()
+      val first = it.next()
+      org.slf4j.LoggerFactory.getLogger(classOf[RoutingTable]).warn(
+        s"sweep: ${failures.size} probe target(s) failed this tick and were " +
+          s"treated as incomplete (first: ${first.getKey} -> " +
+          s"${first.getValue.getClass.getSimpleName}: ${first.getValue.getMessage}); " +
+          "other targets were unaffected")
+    }
   }
 
   /** One-sweep snapshot view: answers completion checks from the
