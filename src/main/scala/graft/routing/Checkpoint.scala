@@ -31,6 +31,10 @@ trait RoutingWal {
   def appendCompleted(p: String): Unit
   def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit
   def load(): Option[(List[(String, Boolean)], List[String])]
+  /** Block until every appended record is durably handed to the store —
+    * a no-op for synchronous backends; the group-committing
+    * [[KvEpochWal]] drains its batch buffer here. */
+  def flush(): Unit = ()
   /** Close the open stream — the WAL stays usable (compaction closes the
     * open segment, then keeps writing through the same instance). */
   def close(): Unit

@@ -127,6 +127,22 @@ final class InMemoryConditionalKv extends ConditionalKv {
   def delete(key: String): Unit = { m.remove(key); () }
 }
 
+/** [[ConditionalKv]] decorator that sleeps `latencyMs` before every
+  * store round-trip — the object-store stand-in for throughput ledgers
+  * (CkptBench) and endurance soaks: an S3-class PUT/GET/LIST is a
+  * 20-50 ms HTTP round-trip, and designs that are fine on the in-memory
+  * backend (one PUT per WAL record) collapse under it. */
+final class LatencyInjectedKv(underlying: ConditionalKv, latencyMs: Long)
+    extends ConditionalKv {
+  private def rt(): Unit = if (latencyMs > 0) Thread.sleep(latencyMs)
+  def putIfNoneMatch(key: String, value: String): Boolean =
+    { rt(); underlying.putIfNoneMatch(key, value) }
+  def put(key: String, value: String): Unit = { rt(); underlying.put(key, value) }
+  def get(key: String): Option[String] = { rt(); underlying.get(key) }
+  def list(prefix: String): Seq[String] = { rt(); underlying.list(prefix) }
+  def delete(key: String): Unit = { rt(); underlying.delete(key) }
+}
+
 /** [[LeaseStore]] over a [[ConditionalKv]] — the object-store-safe lease
   * backend: every claim is a conditional PUT decided by the store, so
   * the acknowledged double-hold window of the filesystem backend never
@@ -687,10 +703,29 @@ final class EpochWal(shardDir: String, conf: Configuration, val epoch: Long,
   *    losers (ownerToken != the settled owner) are dropped at replay,
   *    exactly as in [[EpochWal]].
   *
-  * Requires list-after-put consistency (S3/GCS/Azure all provide it). */
+  * Requires list-after-put consistency (S3/GCS/Azure all provide it).
+  *
+  * GROUP COMMIT (`groupCommit` > 1): at object-store latency (~20-50 ms
+  * per PUT) one-PUT-per-record caps event throughput at ~20-50/s. With
+  * group commit, records enqueue to a bounded buffer and a single
+  * flusher thread drains up to `groupCommit` records per PUT — ONE
+  * multi-line value keyed by its first record's seq (the key format and
+  * replay path are unchanged: [[load]] already folds every key's value
+  * line-by-line, and a single PUT is atomic, so a torn batch cannot
+  * exist). Ordering holds because seq assignment and enqueue are atomic
+  * together and the lone flusher PUTs batches in queue order.
+  * Durability window: records acked-but-unflushed for up to one flush
+  * interval are lost on a crash — the same class as [[EpochWal]]'s
+  * OS-buffered hflush on local filesystems, and covered by the same
+  * at-least-once net (inbox redelivery + completion probes).
+  * [[compact]] and [[close]] drain the buffer first, so a snapshot's
+  * seq always exceeds every flushed record's and the subsumption filter
+  * stays exact. */
 final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
                        ownerToken: Option[String] = None,
-                       winnerTokenOf: Long => Option[String] = _ => None)
+                       winnerTokenOf: Long => Option[String] = _ => None,
+                       groupCommit: Int = 1,
+                       flushIntervalMs: Long = 5L)
     extends RoutingWal {
 
   private def log = org.slf4j.LoggerFactory.getLogger(classOf[KvEpochWal])
@@ -728,14 +763,84 @@ final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
     seq.incrementAndGet()
   }
 
-  private def record(kind: String, payload: String): Unit =
-    kv.put(f"${walPrefix}$epoch%09d-$token-${nextSeq()}%09d",
-      s"$kind\t${WalCodec.esc(payload)}")
+  private def keyOf(s: Long): String = f"${walPrefix}$epoch%09d-$token-$s%09d"
+
+  // ---- group-commit machinery (inert when groupCommit <= 1) ----
+  private val pendingQ =
+    new java.util.concurrent.LinkedBlockingQueue[(Long, String)]()
+  private val lastEnqueued = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val lastFlushed = new java.util.concurrent.atomic.AtomicLong(-1L)
+  @volatile private var disposed = false
+  private val enqLock = new Object
+  private val flushedMonitor = new Object
+  private lazy val flusher: Thread = {
+    val t = new Thread(() => flushLoop(), s"graft-kvwal-flusher-$prefix")
+    t.setDaemon(true); t.start(); t
+  }
+
+  private def flushLoop(): Unit = {
+    val batch = new java.util.ArrayList[(Long, String)](groupCommit)
+    while (!disposed || !pendingQ.isEmpty) {
+      batch.clear()
+      val head = pendingQ.poll(flushIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (head != null) {
+        batch.add(head)
+        pendingQ.drainTo(batch, groupCommit - 1)
+        val firstSeq = batch.get(0)._1
+        val lastSeq = batch.get(batch.size - 1)._1
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < batch.size) {
+          if (i > 0) sb.append('\n')
+          sb.append(batch.get(i)._2); i += 1
+        }
+        // PUT in queue order; a failed PUT is retried in place (records
+        // are never dropped and later batches never overtake this one)
+        var done = false
+        var attempt = 0
+        while (!done) {
+          try { kv.put(keyOf(firstSeq), sb.toString); done = true }
+          catch { case scala.util.control.NonFatal(e) =>
+            attempt += 1
+            if (attempt % 10 == 1)
+              log.warn(s"kv WAL $prefix: batch PUT seq $firstSeq failed " +
+                s"(attempt $attempt): ${e.getMessage}; retrying")
+            Thread.sleep(math.min(1000L, 10L << math.min(attempt, 6)))
+          }
+        }
+        lastFlushed.set(lastSeq)
+        flushedMonitor.synchronized { flushedMonitor.notifyAll() }
+      }
+    }
+  }
+
+  /** Block until every record enqueued so far has been PUT. */
+  override def flush(): Unit = if (groupCommit > 1) {
+    val target = lastEnqueued.get()
+    flushedMonitor.synchronized {
+      while (lastFlushed.get() < target) flushedMonitor.wait(50L)
+    }
+  }
+
+  private def record(kind: String, payload: String): Unit = {
+    val line = s"$kind\t${WalCodec.esc(payload)}"
+    if (groupCommit <= 1) kv.put(keyOf(nextSeq()), line)
+    else {
+      flusher // ensure started
+      enqLock.synchronized {
+        val s = nextSeq()
+        pendingQ.put((s, line))
+        lastEnqueued.set(s)
+      }
+    }
+  }
 
   def appendEvent(p: String, blocked: Boolean): Unit =
     record(if (blocked) "eb" else "e", p)
   def appendCompleted(p: String): Unit = record("c", p)
-  def close(): Unit = ()
+  def close(): Unit = flush()
+  override def dispose(): Unit = { flush(); disposed = true }
 
   def load(): Option[(List[(String, Boolean)], List[String])] = {
     val snaps = kv.list(snapPrefix).flatMap(k => parseSnap(k).map(k -> _))
@@ -771,6 +876,9 @@ final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
   }
 
   def compact(events: Seq[(String, Boolean)], completed: Seq[String]): Unit = {
+    // drain the group-commit buffer first: the snapshot's seq must
+    // exceed every flushed record's so replay subsumption stays exact
+    flush()
     val newer = kv.list(snapPrefix).flatMap(parseSnap).exists(_._1 > epoch)
     if (newer) {
       log.warn(s"kv WAL $prefix: compaction at epoch $epoch aborted — a " +
@@ -817,7 +925,11 @@ final class ShardedDriver(root: String, val driverId: String,
                             * through one [[ConditionalKv]] — the
                             * object-store deployment, where Hadoop rename/
                             * create-if-absent are not atomic. */
-                          kvStore: Option[ConditionalKv] = None) {
+                          kvStore: Option[ConditionalKv] = None,
+                          /** Records per WAL PUT on the KV backend (see
+                            * [[KvEpochWal]] group commit); 1 = one
+                            * synchronous PUT per record. */
+                          kvGroupCommit: Int = 1) {
 
   private case class RouteDef(id: String, mk: () => Route, canonical: Route)
   private case class Owned(shard: Int, lease: ShardLease, wal: RoutingWal,
@@ -880,7 +992,8 @@ final class ShardedDriver(root: String, val driverId: String,
       case Some(kv) =>
         new KvEpochWal(kv, s"${shardDir(shard)}/wal", epoch,
           ownerToken = Some(Sharding.ownerToken(driverId)),
-          winnerTokenOf = k => lease.ownerOf(k).map(Sharding.ownerToken))
+          winnerTokenOf = k => lease.ownerOf(k).map(Sharding.ownerToken),
+          groupCommit = kvGroupCommit)
       case None =>
         new EpochWal(s"${shardDir(shard)}/wal", conf, epoch,
           ownerToken = Some(Sharding.ownerToken(driverId)),

@@ -41,4 +41,37 @@ object CkptBench extends App {
   // event, so nothing else touches the shared store on this path
   run("sharded epoch WAL (per-driver)", 1000000, epochWal)
   run("sharded epoch WAL + live compaction @1000", 1000, epochWal)
+
+  /** KV-backend WAL throughput under injected object-store latency:
+    * per-record PUTs collapse to ~1000/latency events/s; group commit
+    * (one multi-line PUT per batch) amortizes the round-trip. The timed
+    * region includes the final flush() so async batching can't cheat by
+    * leaving records buffered. */
+  def kvRun(label: String, latencyMs: Long, group: Int, events: Int): Unit = {
+    val kv = new LatencyInjectedKv(new InMemoryConditionalKv, latencyMs)
+    val wal = new KvEpochWal(kv, "bench/wal", 1, groupCommit = group)
+    val table = new RoutingTable(new PathProbe { def exists(p: String) = true },
+      Some(wal), compactEveryEvents = 1000000)
+    table.add(new Route("joined", node, out, Nil))
+    val day0 = java.time.LocalDate.of(2000, 1, 1)
+    val t0 = System.nanoTime()
+    (0 until events / 2).foreach { i =>
+      val d = day0.plusDays(i.toLong % 365).toString
+      table.receivePath(s"/data/a/$d"); table.receivePath(s"/data/b/$d")
+    }
+    wal.flush()
+    val secs = (System.nanoTime() - t0) / 1e9
+    wal.dispose()
+    println(f"$label: ${events / secs}%.0f events/s over $events events")
+  }
+  kvRun("kv WAL warmup", 0, 64, 4000)
+  kvRun("kv WAL latency=0ms  per-record", 0, 1, 4000)
+  kvRun("kv WAL latency=0ms  group=64", 0, 64, 4000)
+  kvRun("kv WAL latency=1ms  per-record", 1, 1, 2000)
+  kvRun("kv WAL latency=1ms  group=64", 1, 64, 4000)
+  kvRun("kv WAL latency=10ms per-record", 10, 1, 400)
+  kvRun("kv WAL latency=10ms group=64", 10, 64, 4000)
+  kvRun("kv WAL latency=50ms per-record", 50, 1, 100)
+  kvRun("kv WAL latency=50ms group=64", 50, 64, 2000)
+  kvRun("kv WAL latency=50ms group=256", 50, 256, 4000)
 }
