@@ -214,4 +214,184 @@ object Compaction {
       s"(${oldNames.size} committed files restored)")
     true
   }
+
+  // ================= object-store-safe variant =================
+  //
+  // `compactPartition` above assumes atomic per-file rename (local/HDFS).
+  // On S3-class stores rename is copy+delete and not atomic, so the
+  // rollback-only heal could observe half-moved state it cannot undo.
+  // This variant performs ZERO renames on the swap path and keeps its
+  // manifest in a [[graft.routing.ConditionalKv]] (the same primitive
+  // the lease/WAL stack uses — S3 `If-None-Match: *`):
+  //
+  //  1. rewrite into `.compact-tmp` (on a real object store, run the
+  //     rewrite with a zero-rename committer; the SWAP below is what
+  //     this variant makes rename-free);
+  //  2. CLAIM the swap: conditional PUT of a manifest recording old and
+  //     new file names WITH LENGTHS — two concurrent compactors cannot
+  //     both claim (the loser aborts loudly);
+  //  3. remove `_SUCCESS` (single object delete — new readers held off);
+  //  4. COPY new files tmp -> data dir (a PUT per file; object PUTs are
+  //     all-or-nothing, and lengths in the manifest let heal detect a
+  //     partial local-FS copy);
+  //  5. only once ALL new files are fully present, delete the old files
+  //     — "all new present at recorded lengths" IS the commit point;
+  //  6. restore `_SUCCESS`, drop the manifest, clear tmp.
+  //
+  // Healing is decided from the manifest alone: all new files present at
+  // their recorded lengths -> ROLL FORWARD (finish deleting old, restore
+  // marker); anything less -> ROLL BACK (delete copied-in new files —
+  // the invariant "no old file deleted before every new file is in"
+  // guarantees the old set is complete). Both directions are idempotent.
+  // Files not listed in the manifest (a concurrent append) are never
+  // touched in either direction.
+
+  /** Rename-free compaction of `output`'s tip partition, manifest-guarded
+    * through `kv`. Semantics and stats match [[compactPartition]]. */
+  def compactPartitionKv(spark: SparkSession, output: Signal,
+                         targetFileBytes: Long,
+                         kv: graft.routing.ConditionalKv,
+                         failpoint: String => Unit = _ => ()): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val attrs = output.source.attrs
+    val root = new Path(output.materializedPaths.head)
+    val dataPath = attrs.dataFolder
+      .map(d => new Path(root, d)).getOrElse(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+
+    val healed = healPartitionKv(spark, output, kv)
+
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"refusing to compact incomplete partition $root (no _SUCCESS)")
+    val files = dataFiles(fs, dataPath)
+    val total = files.map(_._2).sum
+    val wanted = math.min(65536L,
+      math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
+    if (files.size <= wanted)
+      return CompactStats(files.size, files.size, total, healed, skipped = true)
+
+    val tmp = new Path(dataPath, TmpDir)
+    fs.delete(tmp, true)
+    var reader = spark.read.format(attrs.format)
+    if (attrs.format.equalsIgnoreCase("csv"))
+      reader = reader.option("header", attrs.header.toString)
+        .option("sep", attrs.delimiter)
+    if (attrs.format.equalsIgnoreCase("parquet") ||
+        attrs.format.equalsIgnoreCase("orc"))
+      reader = reader.option("mergeSchema", "true")
+    val df = reader.load(files.map { case (n, _) =>
+      new Path(dataPath, n).toString }: _*)
+    var writer = df.coalesce(wanted.toInt).write
+      .format(attrs.format).mode("overwrite")
+    if (attrs.format.equalsIgnoreCase("csv"))
+      writer = writer.option("header", attrs.header.toString)
+        .option("sep", attrs.delimiter)
+    attrs.compression.foreach(c => writer = writer.option("compression", c))
+    writer.save(tmp.toString)
+    val newFiles = dataFiles(fs, tmp)
+    failpoint("rewritten")
+
+    // the conditional claim: a second compactor (or a zombie of this
+    // one) must not start a concurrent swap on the same partition
+    val key = manifestKey(dataPath)
+    val body = (files.map { case (n, l) => s"old\t$n\t$l" } ++
+      newFiles.map { case (n, l) => s"new\t$n\t$l" }).mkString("\n")
+    if (!kv.putIfNoneMatch(key, body))
+      throw new java.io.IOException(
+        s"compaction: swap already claimed for $dataPath (manifest key " +
+          s"$key exists) — heal or let the claimant finish first")
+    failpoint("manifest-claimed")
+
+    fs.delete(new Path(root, "_SUCCESS"), false)
+    failpoint("success-removed")
+
+    newFiles.foreach { case (n, _) =>
+      copyFile(fs, conf, new Path(tmp, n), new Path(dataPath, n))
+    }
+    failpoint("new-copied")
+
+    // all new files are in at their recorded lengths — the commit point;
+    // old deletion may now begin
+    files.foreach { case (n, _) =>
+      fs.delete(new Path(dataPath, n), false)
+    }
+    failpoint("old-deleted")
+
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+    failpoint("committed")
+
+    kv.delete(key)
+    fs.delete(tmp, true)
+    log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
+      s"bytes -> ${newFiles.size} files")
+    CompactStats(files.size, newFiles.size, total, healed, skipped = false)
+  }
+
+  /** Heal an interrupted KV-guarded swap on `output`'s tip partition:
+    * roll FORWARD when every manifest-listed new file is present at its
+    * recorded length, roll BACK otherwise. Idempotent; returns true when
+    * there was a swap to heal. */
+  def healPartitionKv(spark: SparkSession, output: Signal,
+                      kv: graft.routing.ConditionalKv): Boolean = {
+    val attrs = output.source.attrs
+    val root = new Path(output.materializedPaths.head)
+    val dataPath = attrs.dataFolder
+      .map(d => new Path(root, d)).getOrElse(root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = manifestKey(dataPath)
+    kv.get(key) match {
+      case None =>
+        fs.delete(new Path(dataPath, TmpDir), true)
+        false
+      case Some(body) =>
+        val olds = List.newBuilder[(String, Long)]
+        val news = List.newBuilder[(String, Long)]
+        body.split('\n').foreach(_.split('\t') match {
+          case Array("old", n, l) => olds += ((n, l.toLong))
+          case Array("new", n, l) => news += ((n, l.toLong))
+          case _ => ()
+        })
+        val (oldFiles, newFiles) = (olds.result(), news.result())
+        def presentAt(n: String, len: Long): Boolean = {
+          val p = new Path(dataPath, n)
+          fs.exists(p) && fs.getFileStatus(p).getLen == len
+        }
+        val committed = newFiles.forall { case (n, l) => presentAt(n, l) }
+        if (committed) {
+          // ROLL FORWARD: the swap reached its commit point — finish it
+          oldFiles.foreach { case (n, _) =>
+            fs.delete(new Path(dataPath, n), false) }
+          log.warn(s"healed interrupted kv compaction at $dataPath: " +
+            s"rolled FORWARD (${newFiles.size} new files committed)")
+        } else {
+          // ROLL BACK: old set is complete by the ordering invariant
+          newFiles.foreach { case (n, _) =>
+            fs.delete(new Path(dataPath, n), false) }
+          oldFiles.foreach { case (n, l) =>
+            if (!presentAt(n, l))
+              throw new java.io.IOException(
+                s"heal: committed file $n missing during rollback at " +
+                  s"$dataPath — ordering invariant violated")
+          }
+          log.warn(s"healed interrupted kv compaction at $dataPath: " +
+            s"rolled BACK (${oldFiles.size} committed files intact)")
+        }
+        fs.create(new Path(root, "_SUCCESS"), true).close()
+        fs.delete(new Path(dataPath, TmpDir), true)
+        kv.delete(key)
+        true
+    }
+  }
+
+  private def manifestKey(dataPath: Path): String =
+    s"compact/${dataPath.toString}"
+
+  /** Stream copy, no rename: the object-store write primitive (a PUT). */
+  private def copyFile(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                       src: Path, dst: Path): Unit = {
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+        false /* keep src */, true /* overwrite */, conf))
+      throw new java.io.IOException(s"compaction: cannot copy $src -> $dst")
+  }
 }

@@ -1,0 +1,204 @@
+package graft.compute
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.dimension._
+import graft.routing.InMemoryConditionalKv
+import graft.signal._
+
+/** A local FS that REFUSES rename outside committer scaffolding —
+  * the S3-semantics stand-in: object stores have no atomic rename, so
+  * the KV-guarded swap must never call it. (Committer renames inside
+  * `_temporary` are allowed: on a real object store the REWRITE stage
+  * runs under a zero-rename committer; the SWAP is what this variant
+  * makes rename-free.) */
+class NoRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (src.toString.contains("_temporary")) super.rename(src, dst)
+    else throw new UnsupportedOperationException(
+      s"norename fs: atomic rename not available ($src -> $dst)")
+  }
+}
+
+/** r14: object-store-safe compaction (VERDICT r13 #3) — copy-then-
+  * conditional-manifest through a ConditionalKv, zero renames on the
+  * swap path, with roll-FORWARD/roll-BACK healing decided from the
+  * manifest's recorded file lengths. Failpoint-killed at every step on
+  * a filesystem where rename throws. */
+class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.hadoop.fs.norename.impl",
+        classOf[NoRenameFileSystem].getName)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val daySpec = DimSpec.pretty(
+    "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+
+  private def sig(root: String): Signal =
+    Signal("n1", SignalSource.internal(root, "n1")
+      .copy(attrs = DatasetAttrs(datasetType = DatasetType.APPEND)),
+      daySpec, DimFilter.branchOf(daySpec, Seq("2026-08-10")))
+
+  private def tmpRoot(): String =
+    "norename://" +
+      java.nio.file.Files.createTempDirectory("graft_kvcmp").toString
+
+  private def partFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(new java.net.URI(
+      dir.replace("norename://", "file://")))
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName)
+  }
+
+  private def appendBatches(s: Signal, batches: Int, wide: Int): Unit =
+    (0 until batches).foreach { b =>
+      OutputWriter.write(spark,
+        spark.range(b * 1000L, b * 1000L + 1000L).toDF("id")
+          .repartition(wide), s)
+    }
+
+  test("kv compaction runs rename-free end-to-end on the no-rename FS") {
+    val root = tmpRoot()
+    val s = sig(root)
+    appendBatches(s, batches = 2, wide = 25)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val before = partFiles(dir).size
+    assert(before >= 40, s"append accumulation expected, got $before")
+    val kv = new InMemoryConditionalKv
+    val stats = Compaction.compactPartitionKv(spark, s, 64L << 20, kv)
+    assert(!stats.skipped && stats.filesBefore == before)
+    assert(partFiles(dir).size == stats.filesAfter &&
+      stats.filesAfter <= 2)
+    val rows = spark.read.parquet(dir).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L until 2000L).toSeq)
+    assert(kv.list("compact/").isEmpty, "manifest must be cleared")
+    // already compact -> no-op
+    assert(Compaction.compactPartitionKv(spark, s, 64L << 20, kv).skipped)
+  }
+
+  test("crash at every swap step heals with zero data loss (no-rename FS)") {
+    for (fp <- Seq("rewritten", "manifest-claimed", "success-removed",
+      "new-copied", "old-deleted", "committed")) {
+      val root = tmpRoot()
+      val s = sig(root)
+      appendBatches(s, batches = 2, wide = 25)
+      val dir = s"$root/internal_data/n1/2026-08-10"
+      val kv = new InMemoryConditionalKv
+      val boom = intercept[RuntimeException] {
+        Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+          failpoint = l => if (l == fp) sys.error(s"boom at $l"))
+      }
+      assert(boom.getMessage.contains(fp))
+      val stats = Compaction.compactPartitionKv(spark, s, 64L << 20, kv)
+      assert(stats.filesAfter <= 2 || stats.skipped, s"[$fp] $stats")
+      val rows = spark.read.parquet(dir).select("id").collect()
+        .map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L until 2000L).toSeq, s"[$fp] data diverged")
+      assert(partFiles(dir).size <= 2, s"[$fp] not compacted")
+      assert(new java.io.File(new java.net.URI(
+        s"$root/internal_data/n1/2026-08-10/_SUCCESS"
+          .replace("norename://", "file://"))).exists(), s"[$fp] no marker")
+      assert(kv.list("compact/").isEmpty, s"[$fp] manifest survived")
+      assert(!partFiles(dir).exists(_.startsWith(".")), s"[$fp] work files")
+    }
+  }
+
+  test("heal rolls BACK before the commit point, FORWARD after it") {
+    // crash after _SUCCESS removal, before any copy: old set canonical
+    val root1 = tmpRoot()
+    val s1 = sig(root1)
+    appendBatches(s1, batches = 2, wide = 10)
+    val dir1 = s"$root1/internal_data/n1/2026-08-10"
+    val before1 = partFiles(dir1).toSet
+    val kv1 = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactPartitionKv(spark, s1, 64L << 20, kv1,
+        failpoint = l => if (l == "success-removed") sys.error("boom"))
+    }
+    assert(Compaction.healPartitionKv(spark, s1, kv1))
+    assert(partFiles(dir1).toSet == before1,
+      "rollback must restore exactly the pre-compaction files")
+    assert(!Compaction.healPartitionKv(spark, s1, kv1), "idempotent")
+
+    // crash after all new files are in: commit point passed -> forward
+    val root2 = tmpRoot()
+    val s2 = sig(root2)
+    appendBatches(s2, batches = 2, wide = 10)
+    val dir2 = s"$root2/internal_data/n1/2026-08-10"
+    val kv2 = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactPartitionKv(spark, s2, 64L << 20, kv2,
+        failpoint = l => if (l == "new-copied") sys.error("boom"))
+    }
+    assert(Compaction.healPartitionKv(spark, s2, kv2))
+    assert(partFiles(dir2).size <= 2,
+      "roll-forward must finish the compaction, not undo it")
+    val rows = spark.read.parquet(dir2).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L until 2000L).toSeq)
+  }
+
+  test("a partially-copied new file (length mismatch) forces rollback") {
+    val root = tmpRoot()
+    val s = sig(root)
+    appendBatches(s, batches = 2, wide = 10)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val before = partFiles(dir).toSet
+    val kv = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+        failpoint = l => if (l == "new-copied") sys.error("boom"))
+    }
+    // simulate a torn local-FS copy: truncate one copied-in new file
+    val newName = kv.list("compact/").headOption
+      .flatMap(k => kv.get(k)).get.split('\n')
+      .collectFirst { case l if l.startsWith("new\t") => l.split('\t')(1) }.get
+    val local = new java.io.File(new java.net.URI(
+      s"$dir/$newName".replace("norename://", "file://")))
+    val ch = new java.io.RandomAccessFile(local, "rw")
+    try ch.setLength(math.max(0L, local.length() - 7)) finally ch.close()
+    assert(Compaction.healPartitionKv(spark, s, kv))
+    assert(partFiles(dir).toSet == before,
+      "length mismatch must be read as not-committed -> rollback")
+  }
+
+  test("a second claimant is refused while a swap manifest exists") {
+    val root = tmpRoot()
+    val s = sig(root)
+    appendBatches(s, batches = 2, wide = 10)
+    val kv = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+        failpoint = l => if (l == "manifest-claimed") sys.error("boom"))
+    }
+    // a concurrent compactor that does NOT heal first must be refused
+    val e = intercept[java.io.IOException] {
+      // bypass the built-in heal by calling with a failpoint that throws
+      // BEFORE heal could run is impossible (heal runs first) — so pin
+      // the claim itself instead:
+      val attrs = s.source.attrs
+      val rootP = new org.apache.hadoop.fs.Path(s.materializedPaths.head)
+      val dataPath = attrs.dataFolder.map(d =>
+        new org.apache.hadoop.fs.Path(rootP, d)).getOrElse(rootP)
+      if (!kv.putIfNoneMatch(s"compact/${dataPath.toString}", "claim2"))
+        throw new java.io.IOException("swap already claimed")
+      ()
+    }
+    assert(e.getMessage.contains("already claimed"))
+  }
+}
