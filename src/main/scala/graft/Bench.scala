@@ -40,6 +40,15 @@ import org.apache.spark.sql.SparkSession
   *   drains. In a loaded artifact even the mins are inflated and the
   *   honest comparison is a calm re-run, not the prior round's number
   *   (the r9 artifact, all sweeps at load ≥ 3.9, read 2-8x high).
+  * - `"jvm"` (r14) ships per-sweep self-diagnosis so a monotone-
+  *   INCREASING reps_detail (the BENCH_r13 shape) is attributable from
+  *   the artifact without a judge re-run: `gc_ms` (GC-time delta over
+  *   the sweep), `heap_mb` (used heap at sweep end), `own_cores`
+  *   (process-CPU cores averaged over the sweep). Rising gc_ms/heap_mb
+  *   with own_cores near the machine width = the bench's own memory
+  *   pressure accumulating across sweeps; flat GC with own_cores LOW
+  *   while walls rise = the time went to a co-tenant (and
+  *   loadavg_other should corroborate).
   * Headline `"queries"` values remain the per-query MIN across reps
   * (default SPARK_GRAFT_BENCH_REPS=3), comparable with every prior round.
   */
@@ -151,6 +160,26 @@ object Bench {
     // "loaded".
     var burstBudgetSecs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BURST_BUDGET_SECS", "180").toInt
+    // r14: per-sweep JVM telemetry, so a monotone-increasing reps_detail
+    // is attributable FROM THE ARTIFACT (VERDICT r13 #5): rising gc_ms /
+    // heap_mb with own_cores ~ full = the bench's own memory pressure;
+    // flat GC with own_cores low and walls high = someone else has the
+    // machine (and loadavg_other should have caught it). gc_ms/own_cores
+    // are per-sweep DELTAS; heap_mb is used-heap at sweep end.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    def cpuNanos(): Long = osBean match {
+      case Some(os) => os.getProcessCpuTime
+      case None => -1L
+    }
+    val gcMs = scala.collection.mutable.ArrayBuffer[Long]()
+    val heapMb = scala.collection.mutable.ArrayBuffer[Long]()
+    val ownCores = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { _ =>
       while (otherLoad1m() >= 2.0 && burstBudgetSecs > 0) {
         System.err.println(
@@ -161,6 +190,7 @@ object Bench {
       }
       loads += loadavg1m()
       otherLoads += otherLoad1m()
+      val (gc0, cpu0, wall0) = (gcMillis(), cpuNanos(), System.nanoTime())
       names.foreach { name =>
         val fn = queries(name)
         val t0 = System.nanoTime()
@@ -175,6 +205,12 @@ object Bench {
             System.err.println(s"[bench] $name failed: $msg")
         }
       }
+      gcMs += gcMillis() - gc0
+      heapMb += java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed >> 20
+      val wall = math.max(1L, System.nanoTime() - wall0)
+      ownCores += (if (cpu0 < 0) -1.0
+                   else (cpuNanos() - cpu0).toDouble / wall)
     }
     loads += loadavg1m()
 
@@ -201,7 +237,11 @@ object Bench {
     val window =
       if (otherLoads.nonEmpty &&
         otherLoads.forall(l => l >= 0 && l < 2.0)) "calm" else "loaded"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"window":"$window"$errJson,"sf":"$sfDir"}""")
+    val jvmJson =
+      s"""{"gc_ms":${gcMs.mkString("[", ",", "]")},""" +
+        s""""heap_mb":${heapMb.mkString("[", ",", "]")},""" +
+        s""""own_cores":${ownCores.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

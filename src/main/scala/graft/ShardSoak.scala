@@ -207,6 +207,120 @@ object ShardSoak {
       spark.stop()
       if (!ok) sys.exit(3)
 
+    // r14 (VERDICT r13 #8): the 8-hop chain END-TO-END on the FULL
+    // ConditionalKv backend (leases AND WAL AND inbox) with injected
+    // object-store latency and KvEpochWal group commit — the r13 KV
+    // failover was suite-scale (2 shards, stub probe); this drives the
+    // real DAG with real Spark compute through the KV store, abandons
+    // driver A mid-chain (no releaseAll — the crash shape: leases must
+    // EXPIRE), and requires the survivor to steal A's shards, replay
+    // the latency-injected KV WAL, drain the KV inbox, and finish with
+    // arithmetically exact totals. Single process, two Application
+    // instances (the MultiDriverSuite topology at soak scale — an
+    // InMemoryConditionalKv cannot cross OS processes; what the soak
+    // exercises is the KV protocol stack, whose atomicity contract the
+    // in-memory store implements exactly).
+    case "kvchain" =>
+      val Array(_, root) = args
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val copies = sys.env.getOrElse("SPARK_GRAFT_SHARD_SOAK_COPIES", "2").toInt
+      val latencyMs = sys.env.getOrElse("SPARK_GRAFT_KV_LATENCY_MS", "10").toLong
+      val gc = sys.env.getOrElse("SPARK_GRAFT_KV_GROUP_COMMIT", "64").toInt
+      val timeoutMs =
+        sys.env.getOrElse("SPARK_GRAFT_SHARD_SOAK_TIMEOUT", "600").toLong * 1000
+      val spark = session(sys.env.getOrElse("SPARK_GRAFT_SOAK_CPUS", "16").toInt)
+      val t0 = System.nanoTime()
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      base.crossJoin(spark.range(copies.toLong).toDF("copy"))
+        .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rev"), col("copy")))
+            .as("text"))
+        .repartition(16).write.mode("overwrite").parquet(s"$root/staged/0")
+
+      val ops = new java.util.concurrent.atomic.AtomicLong
+      val kv: graft.routing.ConditionalKv = {
+        val inner = new graft.routing.LatencyInjectedKv(
+          new graft.routing.InMemoryConditionalKv, latencyMs)
+        new graft.routing.ConditionalKv {
+          def put(key: String, value: String): Unit =
+            { ops.incrementAndGet(); inner.put(key, value) }
+          def putIfNoneMatch(key: String, value: String): Boolean =
+            { ops.incrementAndGet(); inner.putIfNoneMatch(key, value) }
+          def get(key: String): Option[String] =
+            { ops.incrementAndGet(); inner.get(key) }
+          def list(prefix: String): Seq[String] =
+            { ops.incrementAndGet(); inner.list(prefix) }
+          def delete(key: String): Unit =
+            { ops.incrementAndGet(); inner.delete(key) }
+        }
+      }
+      // the shard_soak.sh topology: A(0,1) B(2,3) — consecutive hops
+      // land on DIFFERENT drivers (hopShard: 0,2,1,3,0,2,1,3)
+      val drivers = NumShards / 2
+      val homesA = (0 until NumShards / 2).toSet
+      val homesB = (NumShards / 2 until NumShards).toSet
+      val appA = buildApp(spark, root)
+      val appB = buildApp(spark, root)
+      appA.activateSharded("A", NumShards, Some(homesA),
+        leaseTimeoutMillis = 4000L, kvStore = Some(kv), kvGroupCommit = gc)
+      appB.activateSharded("B", NumShards, Some(homesB),
+        leaseTimeoutMillis = 4000L, kvStore = Some(kv), kvGroupCommit = gc)
+      val hbA = new DaemonPoller("kvchain-hb-A", () => appA.heartbeatShardLeases())
+      val hbB = new DaemonPoller("kvchain-hb-B", () => appB.heartbeatShardLeases())
+      hbA.start(1000); hbB.start(1000)
+      for (_ <- 1 to 2) { appA.shardedCycle(); appB.shardedCycle() }
+
+      appA.processPath(s"$root/staged/0")
+      log(root, "A", "injected corpus event")
+
+      def hopDone(i: Int): Boolean = new java.io.File(
+        s"$root/app/internal_data/${hopId(i)}/0/_SUCCESS").exists()
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var aDead = false
+      var tKill = 0.0
+      while (!hopDone(Hops - 1) && System.currentTimeMillis() < deadline) {
+        if (!aDead) appA.shardedCycle()
+        appB.shardedCycle()
+        if (!aDead && hopDone(2)) {
+          // hop 2 (an A shard) is in; hop 3 runs on B — abandon A in the
+          // idle window WITHOUT releasing: the crash shape, leases expire
+          hbA.stop()
+          aDead = true
+          tKill = (System.nanoTime() - t0) / 1e9
+          log(root, "A", "ABANDONED (no release — leases must expire)")
+          appB.retargetShards(None)
+        }
+        if (!hopDone(Hops - 1)) Thread.sleep(200)
+      }
+      val done = hopDone(Hops - 1)
+      val tTotal = (System.nanoTime() - t0) / 1e9
+      hbB.stop(); if (!aDead) hbA.stop()
+      appB.terminate()
+
+      // exact-arithmetic verify (the ShardSoak verify contract)
+      val corpus2 = spark.read.parquet(s"$root/staged/0")
+      val exp = corpus2.agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("text"))).cast("long").as("chars"),
+        sum(size(split(col("text"), " "))).cast("long").as("words"))
+        .collect().head
+      val fin = spark.read
+        .parquet(s"$root/app/internal_data/${hopId(Hops - 1)}/0").collect()
+      val rowsOk = (0 until Hops).forall(i => spark.read
+        .parquet(s"$root/app/internal_data/${hopId(i)}/0").count() == 1)
+      val got = fin.head
+      val ok = done && fin.length == 1 && rowsOk &&
+        got.getLong(got.fieldIndex("acc_docs")) == exp.getLong(0) &&
+        got.getLong(got.fieldIndex("acc_chars")) == exp.getLong(1) &&
+        got.getLong(got.fieldIndex("acc_words")) == exp.getLong(2)
+      println(s"""{"mode":"kvchain","match":$ok,"docs":${exp.getLong(0)},""" +
+        s""""latency_ms":$latencyMs,"group_commit":$gc,"kv_ops":${ops.get()},""" +
+        f""""kill_sec":$tKill%.1f,"total_sec":$tTotal%.1f,"ring":$NumShards,"drivers":$drivers}""")
+      spark.stop()
+      if (!ok) sys.exit(3)
+
     case other => sys.error(s"unknown mode '$other'")
   }
 }

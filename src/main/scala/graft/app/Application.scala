@@ -1037,7 +1037,8 @@ final class Application(val name: String, val spark: SparkSession,
   // single-driver table over every route
   @volatile private var shardedParams:
     Option[(String, Int, Long, () => Long,
-      Option[Int => graft.routing.LeaseStore])] = None
+      Option[Int => graft.routing.LeaseStore],
+      Option[graft.routing.ConditionalKv], Int)] = None
 
   /** Compile the dev context into a SHARDED runtime: this instance
     * becomes ONE driver of the app's multi-driver deployment over
@@ -1068,7 +1069,16 @@ final class Application(val name: String, val spark: SparkSession,
                         * executions) — the [[refresh]]-while-PAUSED
                         * path, where running work would violate the
                         * pause contract. */
-                      runCycle: Boolean = true)
+                      runCycle: Boolean = true,
+                      /** All shared state (leases AND WAL AND inbox)
+                        * through one [[graft.routing.ConditionalKv]] —
+                        * the object-store deployment ([[graft.routing.
+                        * ShardedDriver]]'s kvStore, surfaced at app
+                        * level). `kvGroupCommit` batches WAL records
+                        * per conditional PUT (KvEpochWal group commit —
+                        * the object-store-latency throughput knob). */
+                      kvStore: Option[graft.routing.ConditionalKv] = None,
+                      kvGroupCommit: Int = 1)
       : List[String] = {
     require(appState != AppState.DELETED, "application is deleted")
     validateSecurityConfs()
@@ -1078,14 +1088,14 @@ final class Application(val name: String, val spark: SparkSession,
     sharded.foreach(_.releaseAll())
     val d = new graft.routing.ShardedDriver(s"$rootDir/sharding", driverId,
       numShards, probe, spark.sparkContext.hadoopConfiguration,
-      leaseTimeoutMillis, clock, leaseStoreFor)
+      leaseTimeoutMillis, clock, leaseStoreFor, kvStore, kvGroupCommit)
     defs.foreach(df => d.add(() =>
       new Route(df.id, df.linkNode, df.output, df.outputLinks,
         df.ttlMillis, df.hooks)))
     sharded = Some(d)
     shardedTargets = shards
     shardedParams = Some((driverId, numShards, leaseTimeoutMillis, clock,
-      leaseStoreFor))
+      leaseStoreFor, kvStore, kvGroupCommit))
     routingTable = None
     appState = AppState.ACTIVE
     if (runCycle) shardedCycle() else Nil
@@ -1224,13 +1234,14 @@ final class Application(val name: String, val spark: SparkSession,
       // — plain activate() would release its leases and run EVERY route
       // lease-free alongside peers that still own their shards
       (sharded, shardedParams) match {
-        case (Some(d), Some((drv, n, lt, clk, mk))) =>
+        case (Some(d), Some((drv, n, lt, clk, mk, kv, gc))) =>
           val targets = shardedTargets
           // a PAUSED app must not execute during its refresh: skip the
           // initial cycle (takeover + recovered/inbox executions run
           // work) — the next shardedCycle after resume() picks it up
           activateSharded(drv, n, targets, lt, clk, mk,
-            runCycle = prior != AppState.PAUSED); ()
+            runCycle = prior != AppState.PAUSED,
+            kvStore = kv, kvGroupCommit = gc); ()
         case _ => activate()
       }
       if (prior == AppState.PAUSED) appState = AppState.PAUSED

@@ -749,16 +749,24 @@ object Dedup {
     // so a breach REFUSES with the fix named instead of running the
     // quadratic stage to death. The frequency table reuses the same
     // gram partitioning as the self-join — no extra row-scale shuffle.
-    val gramFreq = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("__gdf"))
-      .withColumn("__gdf",
-        when(col("__gdf") <= maxGramDocs, col("__gdf"))
-          .otherwise(raise_error(concat(
-            lit(s"ngramJaccardPairs: a gram occurs in more than " +
-              s"$maxGramDocs documents — the pair join is quadratic in " +
-              "that frequency; raise maxGramDocs knowingly or strip " +
-              "boilerplate (lineDedup) first")))))
-    val guarded = grams.join(gramFreq, Seq("g")).select(col("doc"), col("g"))
+    // maxGramDocs = Int.MaxValue disables the guard AND its frequency
+    // pass entirely (no count can exceed it) — the explicit escape
+    // hatch, and the "pre" side of the r14 p04ab soak that measures the
+    // guard's cost (BASELINE.md: same-partitioning claim, pinned)
+    val guarded =
+      if (maxGramDocs == Int.MaxValue) grams
+      else {
+        val gramFreq = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("__gdf"))
+          .withColumn("__gdf",
+            when(col("__gdf") <= maxGramDocs, col("__gdf"))
+              .otherwise(raise_error(concat(
+                lit(s"ngramJaccardPairs: a gram occurs in more than " +
+                  s"$maxGramDocs documents — the pair join is quadratic in " +
+                  "that frequency; raise maxGramDocs knowingly or strip " +
+                  "boilerplate (lineDedup) first")))))
+        grams.join(gramFreq, Seq("g")).select(col("doc"), col("g"))
+      }
     val common = guarded.select(col("doc").as("d1"), col("g"))
       .join(guarded.select(col("doc").as("d2"), col("g")), Seq("g"))
       .where(col("d1") < col("d2"))

@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * (single query) or as broadcast data (batched join). Compose
   * with IVF ([[encodeCells]] / [[ivfPqTopK]]) to scan only nProbe/k of
   * the codes: the classic IVF-PQ index is (id, cell, code) ≈ 14 B/row.
+  *
+  * Honest limitation — no OPQ: sub-spaces are RAW COORDINATE BLOCKS
+  * (dims [0,subDim), [subDim,2·subDim), ...), with no learned rotation
+  * decorrelating them first, so strongly correlated dimensions cost
+  * more recall per byte than a rotated (OPQ) codebook would lose.
+  * Measured on real embeddings in BASELINE.md's r14 `pqrecall` ledger
+  * (ADC recall@10 at m ∈ {4,8,16} vs exact ground truth; near-dup
+  * recall is the curation-relevant floor, pinned in ScaleSuite). When
+  * recall at the budgeted m falls short, raise m before considering a
+  * rotation — m=16 doubles code bytes and typically dominates it.
   */
 object Pq {
 
@@ -378,6 +388,175 @@ object Pq {
       .select(col(idCol), col("__cell"), col(codeCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"$path/cells")
+  }
+
+  /** [[compactIvfPq]] outcome. `dedupedRows` counts duplicate-id rows
+    * dropped (0 unless `dedupById` was requested and found some). */
+  final case class IvfPqCompactStats(filesBefore: Int, filesAfter: Int,
+                                     bytes: Long, cells: Int,
+                                     rows: Long, dedupedRows: Long,
+                                     healed: Boolean, skipped: Boolean)
+
+  private val IvfPqTmp = ".ivfpq-compact-tmp"
+  private val IvfPqOld = ".ivfpq-compact-old"
+  private val IvfPqManifest = ".ivfpq-compact-manifest"
+
+  private def ivfPqDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path)
+      : Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).foreach { s =>
+        val n = s.getPath.getName
+        // Spark's hidden-path rule: "." always hidden; "_" hidden UNLESS
+        // it's a partition dir (contains "=") — __cell=N must be walked
+        if (!n.startsWith(".") && (!n.startsWith("_") || n.contains("="))) {
+          if (s.isDirectory) walk(s.getPath)
+          else out += ((s.getPath.toString, s.getLen))
+        }
+      }
+    if (fs.exists(dir)) walk(dir)
+    out.result()
+  }
+
+  /** Compact a [[saveIvfPq]]-written index's `cells/` tree — the index
+    * maintenance [[updateIvfPq]] needs: every O(batch) update APPENDs
+    * ≥1 file into up-to-k cell partitions, so a daily-update index
+    * accumulates exactly the small-file debt
+    * [[graft.compute.Compaction]] clears for APPEND partitions. This is
+    * the whole-index form of that rewrite (ONE Spark job, not a job per
+    * cell — codes are (8+4+m) bytes/vector, so even a billion-vector
+    * index rewrites as one modest job): read all cells, optionally drop
+    * replayed-batch duplicates (`dedupById` — duplicate ids carry
+    * identical (__cell, code) rows under the stored centroids/codebook,
+    * so any survivor is correct; this closes [[updateIvfPq]]'s
+    * documented at-least-once contract), cluster one-task-per-cell
+    * (`repartition(__cell)` — one output file per cell, split only past
+    * `targetFileBytes` via maxRecordsPerFile from MEASURED on-disk
+    * bytes/row), then swap the directory under a manifest:
+    *
+    *  1. heal any interrupted previous swap ([[healIvfPq]], rollback);
+    *  2. rewrite into `.ivfpq-compact-tmp`;
+    *  3. write `.ivfpq-compact-manifest` at the index root, rename
+    *     `cells` -> `.ivfpq-compact-old`, rename tmp -> `cells`,
+    *     delete the manifest (the healing commit point), clear old.
+    *
+    * Directory rename is atomic on local/HDFS; on rename-less object
+    * stores run this in a quiet window (the
+    * [[graft.compute.Compaction.compactPartitionKv]] copy-then-
+    * conditional-manifest treatment ports directly if that window ever
+    * disappears). Callers must serialize compaction with concurrent
+    * [[updateIvfPq]]/probes on the same path — between the two renames
+    * there is no `cells` directory to read, and an update's APPEND into
+    * the old tree would be dropped by the swap.
+    *
+    * Skips (skipped=true) when every cell is already at or below the
+    * file count its bytes warrant — unless `dedupById` is set, which
+    * always rewrites (duplicates can hide inside already-compact
+    * files, so presence cannot be decided from the listing). */
+  def compactIvfPq(spark: SparkSession, path: String,
+                   targetFileBytes: Long = 64L << 20,
+                   dedupById: Option[String] = None,
+                   failpoint: String => Unit = _ => ()): IvfPqCompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(root, "cells")
+    val healed = healIvfPq(spark, path)
+    require(fs.exists(cells), s"no cells/ under $path — not an IVF-PQ index")
+
+    val files = ivfPqDataFiles(fs, cells)
+    val total = files.map(_._2).sum
+    val byCell = files.groupBy(f =>
+      new org.apache.hadoop.fs.Path(f._1).getParent.toString)
+    val alreadyCompact = byCell.forall { case (_, fl) =>
+      val bytes = fl.map(_._2).sum
+      fl.size <= math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    }
+    if (alreadyCompact && dedupById.isEmpty)
+      return IvfPqCompactStats(files.size, files.size, total, byCell.size,
+        rows = -1L, dedupedRows = 0L, healed, skipped = true)
+
+    val tmp = new org.apache.hadoop.fs.Path(root, IvfPqTmp)
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(cells.toString)
+    val rowsBefore = df.count()
+    val deduped = dedupById match {
+      case Some(id) =>
+        require(df.columns.contains(id),
+          s"dedupById column '$id' not in cells schema " +
+            s"[${df.columns.mkString(", ")}]")
+        df.dropDuplicates(id)
+      case None => df
+    }
+    val rows = dedupById.fold(rowsBefore)(_ => deduped.count())
+    // one task per cell -> one file per cell; cells past targetFileBytes
+    // split by row cap derived from the listing's measured bytes/row
+    val bytesPerRow = math.max(1L, total / math.max(1L, rowsBefore))
+    val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
+    deduped.repartition(col("__cell"))
+      .write.option("maxRecordsPerFile", maxRecords)
+      .partitionBy("__cell").parquet(tmp.toString)
+    failpoint("rewritten")
+
+    val manifest = new org.apache.hadoop.fs.Path(root, IvfPqManifest)
+    val out = fs.create(manifest, true)
+    try out.write("swap\n".getBytes("UTF-8")) finally out.close()
+    failpoint("manifest-written")
+
+    val old = new org.apache.hadoop.fs.Path(root, IvfPqOld)
+    if (!fs.rename(cells, old))
+      throw new java.io.IOException(s"compactIvfPq: cannot move $cells aside")
+    failpoint("old-moved")
+    if (!fs.rename(tmp, cells))
+      throw new java.io.IOException(s"compactIvfPq: cannot move new cells in")
+    failpoint("new-moved")
+
+    // manifest deletion IS the commit point (heal rolls back while one
+    // exists), so it must precede the old-tree delete
+    fs.delete(manifest, false)
+    failpoint("committed")
+    fs.delete(old, true)
+
+    val after = ivfPqDataFiles(fs, cells)
+    IvfPqCompactStats(files.size, after.size, total,
+      after.groupBy(f => new org.apache.hadoop.fs.Path(f._1)
+        .getParent.toString).size,
+      rows, dedupedRows = rowsBefore - rows, healed, skipped = false)
+  }
+
+  /** Roll back an interrupted [[compactIvfPq]] swap. Deterministic from
+    * directory state under the manifest: the old tree, once moved
+    * aside, is the complete committed index, so rollback restores it
+    * and discards the rewrite (which is reproducible). Idempotent;
+    * returns true when there was a swap to heal. */
+  def healIvfPq(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(root, "cells")
+    val tmp = new org.apache.hadoop.fs.Path(root, IvfPqTmp)
+    val old = new org.apache.hadoop.fs.Path(root, IvfPqOld)
+    val manifest = new org.apache.hadoop.fs.Path(root, IvfPqManifest)
+    if (!fs.exists(manifest)) {
+      // stale work dirs only: tmp from a pre-manifest crash (old state
+      // intact), or tmp/old from a post-commit crash (new state
+      // committed — old only exists alongside a manifest or after it)
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      return false
+    }
+    if (fs.exists(old)) {
+      // the swap moved the committed tree aside: discard any moved-in
+      // new tree and restore it
+      fs.delete(cells, true)
+      if (!fs.rename(old, cells))
+        throw new java.io.IOException(s"healIvfPq: cannot restore $cells")
+    }
+    fs.delete(tmp, true)
+    fs.delete(manifest, false)
+    org.slf4j.LoggerFactory.getLogger(Pq.getClass)
+      .warn(s"healed interrupted IVF-PQ compaction at $path (rolled back)")
+    true
   }
 
   /** Persist a codebook as one parquet row table (s, j, cent) + meta —
