@@ -247,11 +247,25 @@ object Compaction {
   // touched in either direction.
 
   /** Rename-free compaction of `output`'s tip partition, manifest-guarded
-    * through `kv`. Semantics and stats match [[compactPartition]]. */
+    * through `kv`. Semantics and stats match [[compactPartition]].
+    *
+    * Concurrency (r15): the manifest carries a unique claim token +
+    * timestamp, and the claim is RE-VERIFIED immediately before the
+    * destructive step (the old-file delete). If another actor healed or
+    * re-claimed the swap in the meantime — e.g. a second compactor whose
+    * entry heal rolled this one back mid-copy — this compactor aborts
+    * loudly instead of deleting files that a restored `_SUCCESS` now
+    * presents as committed. `healMinClaimAgeMs` > 0 additionally makes
+    * the ENTRY heal refuse manifests younger than that lease-style TTL
+    * (a fresh claim is likely a live claimant); 0 (default) heals
+    * unconditionally — right for single-compactor crash recovery, while
+    * deployments where compactors can overlap should pass a TTL above
+    * their longest expected swap. */
   def compactPartitionKv(spark: SparkSession, output: Signal,
                          targetFileBytes: Long,
                          kv: graft.routing.ConditionalKv,
-                         failpoint: String => Unit = _ => ()): CompactStats = {
+                         failpoint: String => Unit = _ => (),
+                         healMinClaimAgeMs: Long = 0L): CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val attrs = output.source.attrs
     val root = new Path(output.materializedPaths.head)
@@ -260,7 +274,7 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
 
-    val healed = healPartitionKv(spark, output, kv)
+    val healed = healPartitionKv(spark, output, kv, healMinClaimAgeMs)
 
     require(fs.exists(new Path(root, "_SUCCESS")),
       s"refusing to compact incomplete partition $root (no _SUCCESS)")
@@ -293,10 +307,14 @@ object Compaction {
     failpoint("rewritten")
 
     // the conditional claim: a second compactor (or a zombie of this
-    // one) must not start a concurrent swap on the same partition
+    // one) must not start a concurrent swap on the same partition. The
+    // claim line's token makes this compactor's manifest distinguishable
+    // from any later re-claim, and its timestamp feeds the heal TTL.
     val key = manifestKey(dataPath)
-    val body = (files.map { case (n, l) => s"old\t$n\t$l" } ++
-      newFiles.map { case (n, l) => s"new\t$n\t$l" }).mkString("\n")
+    val claim = s"claim\t${java.util.UUID.randomUUID()}\t" +
+      s"${System.currentTimeMillis()}"
+    val body = (claim +: (files.map { case (n, l) => s"old\t$n\t$l" } ++
+      newFiles.map { case (n, l) => s"new\t$n\t$l" })).mkString("\n")
     if (!kv.putIfNoneMatch(key, body))
       throw new java.io.IOException(
         s"compaction: swap already claimed for $dataPath (manifest key " +
@@ -311,6 +329,21 @@ object Compaction {
     }
     failpoint("new-copied")
 
+    // DESTRUCTIVE-STEP GUARD: re-read the manifest and require it still
+    // holds THIS compactor's exact body. A second compactor whose entry
+    // heal ran mid-copy has rolled this swap back (deleting the copied
+    // new files and restoring _SUCCESS) and may have re-claimed the key;
+    // deleting the old files now would destroy the state that restored
+    // marker presents as committed. Abort loudly instead — nothing
+    // destructive has happened yet and the current claimant (or a heal)
+    // owns the partition.
+    if (!kv.get(key).contains(body))
+      throw new java.io.IOException(
+        s"compaction: claim lost for $dataPath (manifest at $key changed " +
+          "or vanished mid-swap — another compactor healed or re-claimed " +
+          "it); aborting before the old-file delete")
+    failpoint("claim-verified")
+
     // all new files are in at their recorded lengths — the commit point;
     // old deletion may now begin
     files.foreach { case (n, _) =>
@@ -321,7 +354,9 @@ object Compaction {
     fs.create(new Path(root, "_SUCCESS"), true).close()
     failpoint("committed")
 
-    kv.delete(key)
+    // conditional cleanup: only drop the manifest if it is still OURS —
+    // an unconditional delete here could destroy a successor's claim
+    if (kv.get(key).contains(body)) kv.delete(key)
     fs.delete(tmp, true)
     log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
       s"bytes -> ${newFiles.size} files")
@@ -331,9 +366,14 @@ object Compaction {
   /** Heal an interrupted KV-guarded swap on `output`'s tip partition:
     * roll FORWARD when every manifest-listed new file is present at its
     * recorded length, roll BACK otherwise. Idempotent; returns true when
-    * there was a swap to heal. */
+    * there was a swap to heal. `minClaimAgeMs` > 0 REFUSES (throws) when
+    * the manifest's claim is younger than that — a fresh claim is likely
+    * a LIVE compactor mid-copy, and healing it would yank the partition
+    * out from under it (its own destructive step is guarded by the
+    * claim re-verify, but its work is wasted and the window reopens). */
   def healPartitionKv(spark: SparkSession, output: Signal,
-                      kv: graft.routing.ConditionalKv): Boolean = {
+                      kv: graft.routing.ConditionalKv,
+                      minClaimAgeMs: Long = 0L): Boolean = {
     val attrs = output.source.attrs
     val root = new Path(output.materializedPaths.head)
     val dataPath = attrs.dataFolder
@@ -347,11 +387,21 @@ object Compaction {
       case Some(body) =>
         val olds = List.newBuilder[(String, Long)]
         val news = List.newBuilder[(String, Long)]
+        var claimedAt = -1L
         body.split('\n').foreach(_.split('\t') match {
           case Array("old", n, l) => olds += ((n, l.toLong))
           case Array("new", n, l) => news += ((n, l.toLong))
+          case Array("claim", _, ts) => claimedAt = ts.toLongOption.getOrElse(-1L)
           case _ => ()
         })
+        if (minClaimAgeMs > 0 && claimedAt > 0) {
+          val age = System.currentTimeMillis() - claimedAt
+          if (age < minClaimAgeMs)
+            throw new java.io.IOException(
+              s"heal: swap at $dataPath was claimed ${age}ms ago " +
+                s"(< $minClaimAgeMs ms TTL) — the claimant may be live; " +
+                "refusing to heal (retry after the TTL)")
+        }
         val (oldFiles, newFiles) = (olds.result(), news.result())
         def presentAt(n: String, len: Long): Boolean = {
           val p = new Path(dataPath, n)
@@ -365,15 +415,21 @@ object Compaction {
           log.warn(s"healed interrupted kv compaction at $dataPath: " +
             s"rolled FORWARD (${newFiles.size} new files committed)")
         } else {
-          // ROLL BACK: old set is complete by the ordering invariant
-          newFiles.foreach { case (n, _) =>
-            fs.delete(new Path(dataPath, n), false) }
+          // ROLL BACK: the ordering invariant says the old set is
+          // complete — but VERIFY that before destroying the new copies
+          // (the only other recoverable state). If the invariant was
+          // ever violated (bug, manual intervention, inconsistent
+          // listing), failing here leaves BOTH sides on disk for a
+          // human; deleting new first would have left neither.
           oldFiles.foreach { case (n, l) =>
             if (!presentAt(n, l))
               throw new java.io.IOException(
-                s"heal: committed file $n missing during rollback at " +
-                  s"$dataPath — ordering invariant violated")
+                s"heal: committed file $n missing or wrong length during " +
+                  s"rollback at $dataPath — ordering invariant violated; " +
+                  "leaving all files in place for manual recovery")
           }
+          newFiles.foreach { case (n, _) =>
+            fs.delete(new Path(dataPath, n), false) }
           log.warn(s"healed interrupted kv compaction at $dataPath: " +
             s"rolled BACK (${oldFiles.size} committed files intact)")
         }

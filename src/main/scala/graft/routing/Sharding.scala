@@ -773,10 +773,28 @@ final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
   @volatile private var disposed = false
   private val enqLock = new Object
   private val flushedMonitor = new Object
+  // A flusher that dies (e.g. an InterruptedException escaping poll/
+  // sleep — NOT matched by NonFatal) must fail the WAL LOUDLY: without
+  // this, lastFlushed never advances again and flush()/close()/compact()
+  // spin forever in their wait loop while records silently pile up.
+  @volatile private var flusherDown: Throwable = _
   private lazy val flusher: Thread = {
-    val t = new Thread(() => flushLoop(), s"graft-kvwal-flusher-$prefix")
+    val t = new Thread(() => {
+      try flushLoop()
+      catch { case e: Throwable =>
+        flusherDown = e
+        log.error(s"kv WAL $prefix: flusher thread died — WAL is failed; " +
+          s"${pendingQ.size} record(s) will never flush", e)
+        flushedMonitor.synchronized { flushedMonitor.notifyAll() }
+      }
+    }, s"graft-kvwal-flusher-$prefix")
     t.setDaemon(true); t.start(); t
   }
+  private def failIfFlusherDown(): Unit =
+    if (flusherDown != null) throw new IllegalStateException(
+      s"kv WAL $prefix: flusher thread died; the WAL is failed " +
+        "(re-activate to recover — replay covers flushed records)",
+      flusherDown)
 
   private def flushLoop(): Unit = {
     val batch = new java.util.ArrayList[(Long, String)](groupCommit)
@@ -815,11 +833,15 @@ final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
     }
   }
 
-  /** Block until every record enqueued so far has been PUT. */
+  /** Block until every record enqueued so far has been PUT. Throws
+    * (instead of waiting forever) when the flusher thread has died. */
   override def flush(): Unit = if (groupCommit > 1) {
     val target = lastEnqueued.get()
     flushedMonitor.synchronized {
-      while (lastFlushed.get() < target) flushedMonitor.wait(50L)
+      while (lastFlushed.get() < target) {
+        failIfFlusherDown()
+        flushedMonitor.wait(50L)
+      }
     }
   }
 
@@ -828,6 +850,7 @@ final class KvEpochWal(kv: ConditionalKv, prefix: String, val epoch: Long,
     if (groupCommit <= 1) kv.put(keyOf(nextSeq()), line)
     else {
       flusher // ensure started
+      failIfFlusherDown() // a dead flusher would strand this record
       enqLock.synchronized {
         val s = nextSeq()
         pendingQ.put((s, line))

@@ -93,7 +93,7 @@ class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   test("crash at every swap step heals with zero data loss (no-rename FS)") {
     for (fp <- Seq("rewritten", "manifest-claimed", "success-removed",
-      "new-copied", "old-deleted", "committed")) {
+      "new-copied", "claim-verified", "old-deleted", "committed")) {
       val root = tmpRoot()
       val s = sig(root)
       appendBatches(s, batches = 2, wide = 25)
@@ -175,6 +175,55 @@ class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Compaction.healPartitionKv(spark, s, kv))
     assert(partFiles(dir).toSet == before,
       "length mismatch must be read as not-committed -> rollback")
+  }
+
+  test("a lost claim is detected BEFORE the old-file delete (r15)") {
+    // the ADVICE r14 hazard: compactor B's entry heal rolls a LIVE
+    // claimant A back mid-copy (restoring _SUCCESS and dropping A's
+    // manifest); A must then ABORT at its destructive step instead of
+    // deleting the old files a restored marker presents as committed.
+    // Simulated via the failpoint seam: at "new-copied" a rogue actor
+    // replaces A's manifest — A must throw and leave every old file.
+    val root = tmpRoot()
+    val s = sig(root)
+    appendBatches(s, batches = 2, wide = 10)
+    val dir = s"$root/internal_data/n1/2026-08-10"
+    val before = partFiles(dir).toSet
+    val kv = new InMemoryConditionalKv
+    val e = intercept[java.io.IOException] {
+      Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+        failpoint = l => if (l == "new-copied") {
+          val key = kv.list("compact/").head
+          kv.delete(key)
+          assert(kv.putIfNoneMatch(key, "claim\thijacker\t0\nold\tx\t1"))
+        })
+    }
+    assert(e.getMessage.contains("claim lost"), e.getMessage)
+    assert(before.subsetOf(partFiles(dir).toSet),
+      "aborted compactor must not have deleted any old file")
+    // data still fully readable (old files intact; the copied-in new
+    // files are a benign superset until the hijacker's swap is healed)
+    kv.delete(kv.list("compact/").head)
+    assert(spark.read.parquet(before.map(n => s"$dir/$n").toSeq: _*)
+      .count() == 2000L)
+  }
+
+  test("heal refuses a claim younger than the lease TTL (r15)") {
+    val root = tmpRoot()
+    val s = sig(root)
+    appendBatches(s, batches = 2, wide = 10)
+    val kv = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+        failpoint = l => if (l == "new-copied") sys.error("boom"))
+    }
+    // fresh claim + TTL -> refuse (claimant may be live)
+    val e = intercept[java.io.IOException] {
+      Compaction.healPartitionKv(spark, s, kv, minClaimAgeMs = 60000L)
+    }
+    assert(e.getMessage.contains("refusing to heal"), e.getMessage)
+    // without TTL (explicit operator decision) the heal proceeds
+    assert(Compaction.healPartitionKv(spark, s, kv))
   }
 
   test("a second claimant is refused while a swap manifest exists") {

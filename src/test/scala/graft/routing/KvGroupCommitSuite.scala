@@ -139,4 +139,43 @@ class KvGroupCommitSuite extends AnyFunSuite {
       List("2026-08-13"), "flushed batch must replay on the successor")
     dy.releaseAll()
   }
+
+  test("a dead flusher fails the WAL loudly instead of hanging (r15)") {
+    // ADVICE r14: an InterruptedException escaping poll/sleep is NOT
+    // NonFatal, so it killed the flusher silently and flush()/close()
+    // spun forever in their wait loop. Pin: interrupt the flusher while
+    // it is blocked inside a PUT — flush() and record() must THROW with
+    // the cause chained, not hang.
+    val inner = new InMemoryConditionalKv
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val blockingKv = new ConditionalKv {
+      def put(key: String, value: String): Unit = {
+        gate.countDown()
+        Thread.sleep(600000) // the flusher parks here until interrupted
+      }
+      def putIfNoneMatch(key: String, value: String): Boolean =
+        inner.putIfNoneMatch(key, value)
+      def get(key: String): Option[String] = inner.get(key)
+      def list(prefix: String): Seq[String] = inner.list(prefix)
+      def delete(key: String): Unit = inner.delete(key)
+    }
+    val w = new KvEpochWal(blockingKv, "app/shards/shard-9/wal", 1L,
+      groupCommit = 8, flushIntervalMs = 1L)
+    w.appendEvent("/data/a/1", blocked = false)
+    assert(gate.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "flusher never reached the PUT")
+    import scala.jdk.CollectionConverters._
+    val th = Thread.getAllStackTraces.keySet.asScala
+      .find(_.getName == "graft-kvwal-flusher-app/shards/shard-9/wal")
+      .getOrElse(fail("flusher thread not found"))
+    th.interrupt()
+    th.join(5000)
+    assert(!th.isAlive, "interrupted flusher should exit")
+    val e = intercept[IllegalStateException] { w.flush() }
+    assert(e.getMessage.contains("flusher thread died"))
+    assert(e.getCause != null, "original cause must be chained")
+    intercept[IllegalStateException] {
+      w.appendEvent("/data/a/2", blocked = false)
+    }
+  }
 }
