@@ -339,6 +339,17 @@ object Pq {
     * reaches the scan as a partition filter. */
   def loadIvfPq(spark: SparkSession, path: String)
       : (DataFrame, Array[Array[Double]], PqCodebook) = {
+    // refuse a mid-swap tree: between compactIvfPq's two renames there
+    // is no cells/ directory (or a half-state a crash left behind) —
+    // fail with the cause and the remedy named instead of a confusing
+    // path-not-found (or worse, a silently partial scan) downstream
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val lfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lfs.exists(new org.apache.hadoop.fs.Path(rootP, IvfPqManifest)))
+      throw new IllegalStateException(
+        s"IVF-PQ index at $path has an interrupted compaction swap in " +
+          "flight — run Pq.healIvfPq (or compactIvfPq, which heals at " +
+          "entry) before loading")
     val cb = loadCodebook(spark, path)
     val rows = spark.read.parquet(s"$path/ivf_centroids")
       .select(col("cell"), col("cent")).collect()
@@ -361,9 +372,20 @@ object Pq {
     * codebook are NOT retrained (drift is a rebuild decision, not an
     * ingest one). Batch ids must be disjoint from stored ids — a
     * replayed batch duplicates rows, which dedup-by-id downstream or a
-    * fresh save clears. */
+    * fresh save clears ([[compactIvfPq]] with `dedupById`).
+    *
+    * Refuses (throws) while a [[compactIvfPq]] claim stands on the
+    * index — an APPEND into the old tree mid-rewrite would be silently
+    * dropped by the swap; retry once the compaction finishes (or after
+    * `claimTtlMs` if the compactor crashed — a stale claim is cleared
+    * here, and an interrupted swap heals, before the append). */
   def updateIvfPq(spark: SparkSession, path: String, batch: DataFrame,
-                  vecCol: String, idCol: String): Unit = {
+                  vecCol: String, idCol: String,
+                  claimTtlMs: Long = IvfPqClaimTtlMs): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val ufs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfPqEnsureUnclaimed(ufs, rootP, claimTtlMs, "updateIvfPq")
+    healIvfPq(spark, path) // a crashed swap rolls back before the append
     val (cells, cents, cb) = loadIvfPq(spark, path)
     // the code column comes from the STORED index's own schema — a
     // hardcoded default would append files whose code column name
@@ -400,6 +422,43 @@ object Pq {
   private val IvfPqTmp = ".ivfpq-compact-tmp"
   private val IvfPqOld = ".ivfpq-compact-old"
   private val IvfPqManifest = ".ivfpq-compact-manifest"
+  private val IvfPqClaim = ".ivfpq-compact-claim"
+
+  /** Default compaction-claim lease TTL: long enough for any realistic
+    * whole-index rewrite, short enough that a crashed compactor's stale
+    * claim clears without an operator. */
+  val IvfPqClaimTtlMs: Long = 15L * 60 * 1000
+
+  /** Refuse (throw) while a FRESH compaction claim exists on the index —
+    * a live compactor owns it; clear a STALE one (the claimant died;
+    * the swap manifest, if it got that far, is healed by the caller). */
+  private def ivfPqEnsureUnclaimed(fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path,
+                                   claimTtlMs: Long, ctx: String): Unit = {
+    val claim = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
+    if (!fs.exists(claim)) return
+    val st = fs.getFileStatus(claim)
+    val createdMs = (try {
+      val in = fs.open(claim)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.split('\t') match {
+        case Array(_, ts) => ts.trim.toLongOption
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(st.getModificationTime)
+    val age = System.currentTimeMillis() - createdMs
+    if (age < claimTtlMs)
+      throw new IllegalStateException(
+        s"$ctx: IVF-PQ compaction in progress at $root (claim is ${age}ms " +
+          s"old, TTL ${claimTtlMs}ms) — retry after it finishes; a crashed " +
+          "compactor's claim clears once the TTL passes")
+    org.slf4j.LoggerFactory.getLogger(Pq.getClass).warn(
+      s"$ctx: clearing STALE IVF-PQ compaction claim at $root " +
+        s"(${age}ms old > ${claimTtlMs}ms TTL — the claimant died)")
+    fs.delete(claim, false)
+  }
 
   private def ivfPqDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                              dir: org.apache.hadoop.fs.Path)
@@ -445,10 +504,20 @@ object Pq {
     * stores run this in a quiet window (the
     * [[graft.compute.Compaction.compactPartitionKv]] copy-then-
     * conditional-manifest treatment ports directly if that window ever
-    * disappears). Callers must serialize compaction with concurrent
-    * [[updateIvfPq]]/probes on the same path — between the two renames
-    * there is no `cells` directory to read, and an update's APPEND into
-    * the old tree would be dropped by the swap.
+    * disappears).
+    *
+    * Concurrency (r15): the whole compaction runs under a CLAIM file
+    * (`.ivfpq-compact-claim`, created with overwrite=false — atomic on
+    * local/HDFS) that [[updateIvfPq]] also checks, so a concurrent
+    * update FAILS LOUDLY instead of APPENDing into the old tree mid-
+    * rewrite and having its batch silently dropped by the swap; a
+    * second compactor loses the claim race the same way. A crashed
+    * compactor's claim goes stale after `claimTtlMs` and is cleared by
+    * the next entrant (the swap manifest, if the crash got that far,
+    * heals as before). A controlled failure (exception) releases the
+    * claim on the way out. Reads mid-REWRITE are safe (the old cells
+    * tree is untouched until the swap); [[loadIvfPq]] refuses an index
+    * whose swap manifest is present (mid-swap or crashed-swap state).
     *
     * Skips (skipped=true) when every cell is already at or below the
     * file count its bytes warrant — unless `dedupById` is set, which
@@ -457,13 +526,45 @@ object Pq {
   def compactIvfPq(spark: SparkSession, path: String,
                    targetFileBytes: Long = 64L << 20,
                    dedupById: Option[String] = None,
-                   failpoint: String => Unit = _ => ()): IvfPqCompactStats = {
+                   failpoint: String => Unit = _ => (),
+                   claimTtlMs: Long = IvfPqClaimTtlMs): IvfPqCompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cells = new org.apache.hadoop.fs.Path(root, "cells")
+    ivfPqEnsureUnclaimed(fs, root, claimTtlMs, "compactIvfPq")
     val healed = healIvfPq(spark, path)
     require(fs.exists(cells), s"no cells/ under $path — not an IVF-PQ index")
+    // CLAIM: atomic create-if-absent — two compactors cannot both win,
+    // and updates refuse while it stands (mirrors compactPartitionKv's
+    // conditional-PUT claim semantics on the KV backend)
+    val claimPath = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
+    try {
+      val out = fs.create(claimPath, false)
+      try out.write((s"${java.util.UUID.randomUUID()}\t" +
+        s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(claimPath))
+          throw new IllegalStateException(
+            s"compactIvfPq: lost the claim race on $path — another " +
+              "compactor claimed it concurrently; retry later", e)
+        else throw e
+    }
+    try compactIvfPqClaimed(spark, fs, root, cells, targetFileBytes,
+      dedupById, failpoint, healed)
+    finally fs.delete(claimPath, false)
+  }
+
+  private def compactIvfPqClaimed(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  cells: org.apache.hadoop.fs.Path,
+                                  targetFileBytes: Long,
+                                  dedupById: Option[String],
+                                  failpoint: String => Unit,
+                                  healed: Boolean): IvfPqCompactStats = {
 
     val files = ivfPqDataFiles(fs, cells)
     val total = files.map(_._2).sum

@@ -150,6 +150,70 @@ class PqCompactSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an update during a claimed compaction is refused loudly (r15)") {
+    val path = buildIndex()
+    (0 until 3).foreach { b =>
+      Pq.updateIvfPq(spark, path, batchDf(Seq(3000L + b), dir = b % 4),
+        "embedding", "vec_id")
+    }
+    // mid-compaction (claim held, rewrite done, swap not yet started):
+    // the concurrent update must throw, NOT silently lose its batch
+    var refused = ""
+    val stats = Pq.compactIvfPq(spark, path,
+      failpoint = l => if (l == "rewritten") {
+        val e = intercept[IllegalStateException] {
+          Pq.updateIvfPq(spark, path, batchDf(Seq(9000L), dir = 0),
+            "embedding", "vec_id")
+        }
+        refused = e.getMessage
+      })
+    assert(refused.contains("compaction in progress"), refused)
+    assert(!stats.skipped)
+    // claim released on completion: the same update now succeeds
+    Pq.updateIvfPq(spark, path, batchDf(Seq(9000L), dir = 0),
+      "embedding", "vec_id")
+    val (cells, _, _) = Pq.loadIvfPq(spark, path)
+    assert(cells.where(col("vec_id") === 9000L).count() == 1L)
+  }
+
+  test("second compactor loses the claim race; stale claims clear (r15)") {
+    val path = buildIndex()
+    Pq.updateIvfPq(spark, path, batchDf(Seq(800L, 801L), dir = 1),
+      "embedding", "vec_id")
+    // a fresh claim (another live compactor) refuses both entrants
+    val claim = new java.io.File(s"$path/.ivfpq-compact-claim")
+    val w = new java.io.FileWriter(claim)
+    try w.write(s"other\t${System.currentTimeMillis()}") finally w.close()
+    intercept[IllegalStateException] { Pq.compactIvfPq(spark, path) }
+    intercept[IllegalStateException] {
+      Pq.updateIvfPq(spark, path, batchDf(Seq(802L), dir = 1),
+        "embedding", "vec_id")
+    }
+    // past the TTL the claim is STALE (claimant died) and clears
+    Thread.sleep(30)
+    val stats = Pq.compactIvfPq(spark, path, claimTtlMs = 10L)
+    assert(!stats.skipped && !claim.exists())
+    // a controlled failure releases the claim on the way out
+    intercept[RuntimeException] {
+      Pq.compactIvfPq(spark, path, dedupById = Some("vec_id"),
+        failpoint = l => if (l == "rewritten") sys.error("boom"))
+    }
+    assert(!claim.exists(), "exception path must release the claim")
+  }
+
+  test("loadIvfPq refuses an index with an interrupted swap manifest (r15)") {
+    val path = buildIndex()
+    intercept[RuntimeException] {
+      Pq.compactIvfPq(spark, path, dedupById = Some("vec_id"),
+        failpoint = l => if (l == "old-moved") sys.error("boom"))
+    }
+    val e = intercept[IllegalStateException] { Pq.loadIvfPq(spark, path) }
+    assert(e.getMessage.contains("interrupted compaction swap"))
+    assert(Pq.healIvfPq(spark, path))
+    val (cells, _, _) = Pq.loadIvfPq(spark, path)
+    assert(cells.count() == 20L)
+  }
+
   test("healIvfPq is a no-op without a manifest and idempotent with one") {
     val path = buildIndex()
     assert(!Pq.healIvfPq(spark, path))
