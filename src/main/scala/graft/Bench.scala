@@ -40,6 +40,14 @@ import org.apache.spark.sql.SparkSession
   *   drains. In a loaded artifact even the mins are inflated and the
   *   honest comparison is a calm re-run, not the prior round's number
   *   (the r9 artifact, all sweeps at load ≥ 3.9, read 2-8x high).
+  *   (r15) "calm" ADDITIONALLY requires every sweep to have RUN calm:
+  *   per-sweep co-tenant CPU (`"jvm"."other_cores"`, /proc/stat busy-
+  *   jiffy deltas minus own process CPU — counters, not the decaying
+  *   loadavg EWMA the self-subtraction can erase a burst from) must
+  *   stay < 2 cores. BENCH_r14 labeled itself calm while its own
+  *   telemetry showed the machine leaving (own_cores 5.8 -> 2.7, walls
+  *   rising, GC flat); the label now CONSUMES that telemetry
+  *   ([[windowLabel]], unit-tested with exactly that shape).
   * - `"jvm"` (r14) ships per-sweep self-diagnosis so a monotone-
   *   INCREASING reps_detail (the BENCH_r13 shape) is attributable from
   *   the artifact without a judge re-run: `gc_ms` (GC-time delta over
@@ -102,6 +110,51 @@ object Bench {
     val raw = loadavg1m()
     if (raw < 0) raw else math.max(0.0, raw - selfLoad1m())
   }
+
+  // ---- per-sweep co-tenant CPU, measured not inferred (r15): the r14
+  // artifact labeled itself "calm" while its own jvm telemetry showed
+  // the machine going elsewhere (own_cores 5.8 -> 2.7, walls rising,
+  // GC flat) — loadavg_other's EWMA self-subtraction erased a genuine
+  // burst. /proc/stat is a COUNTER, not an average: (busy-jiffies delta
+  // over the sweep) scaled to cores, minus this process's own CPU-time
+  // delta, IS the co-tenant's average core usage during that exact
+  // window — no decay arithmetic to fool. -1 when /proc/stat is
+  // unavailable (never counts as calm).
+  private def procStatJiffies(): Option[(Long, Long)] =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+      Some((f.sum - idle, f.sum))
+    } catch { case _: Throwable => None }
+
+  /** Co-tenant cores over a sweep from /proc/stat + own-CPU deltas. */
+  private[graft] def otherCoresOver(stat0: Option[(Long, Long)],
+                                    stat1: Option[(Long, Long)],
+                                    ownCpuNanos: Long,
+                                    wallNanos: Long): Double =
+    (stat0, stat1) match {
+      case (Some((b0, t0)), Some((b1, t1))) if t1 > t0 && wallNanos > 0 =>
+        val nCpus = Runtime.getRuntime.availableProcessors()
+        val busyCores = (b1 - b0).toDouble / (t1 - t0) * nCpus
+        val ownCores =
+          if (ownCpuNanos < 0) 0.0 else ownCpuNanos.toDouble / wallNanos
+        math.max(0.0, busyCores - ownCores)
+      case _ => -1.0
+    }
+
+  /** The window-label decision, pure so the rule itself is unit-testable
+    * (VERDICT r14 #2: the label must CONSUME the telemetry — a run with
+    * the BENCH_r14 shape, pre-sweep other-load clean but co-tenant CPU
+    * present DURING the sweeps, must self-label "loaded"). "calm" =
+    * every sweep both STARTED calm (1-min other-load < 2 cores) and RAN
+    * calm (measured co-tenant CPU < 2 cores for the sweep's duration);
+    * any unavailable reading (-1) degrades to "loaded". */
+  def windowLabel(preSweepOtherLoad: Seq[Double],
+                  sweepOtherCores: Seq[Double]): String =
+    if (preSweepOtherLoad.nonEmpty && sweepOtherCores.nonEmpty &&
+        preSweepOtherLoad.forall(l => l >= 0 && l < 2.0) &&
+        sweepOtherCores.forall(c => c >= 0 && c < 2.0)) "calm" else "loaded"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -180,6 +233,7 @@ object Bench {
     val gcMs = scala.collection.mutable.ArrayBuffer[Long]()
     val heapMb = scala.collection.mutable.ArrayBuffer[Long]()
     val ownCores = scala.collection.mutable.ArrayBuffer[Double]()
+    val otherCores = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { _ =>
       while (otherLoad1m() >= 2.0 && burstBudgetSecs > 0) {
         System.err.println(
@@ -190,6 +244,7 @@ object Bench {
       }
       loads += loadavg1m()
       otherLoads += otherLoad1m()
+      val stat0 = procStatJiffies()
       val (gc0, cpu0, wall0) = (gcMillis(), cpuNanos(), System.nanoTime())
       names.foreach { name =>
         val fn = queries(name)
@@ -209,8 +264,9 @@ object Bench {
       heapMb += java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed >> 20
       val wall = math.max(1L, System.nanoTime() - wall0)
-      ownCores += (if (cpu0 < 0) -1.0
-                   else (cpuNanos() - cpu0).toDouble / wall)
+      val ownCpu = if (cpu0 < 0) -1L else cpuNanos() - cpu0
+      ownCores += (if (ownCpu < 0) -1.0 else ownCpu.toDouble / wall)
+      otherCores += otherCoresOver(stat0, procStatJiffies(), ownCpu, wall)
     }
     loads += loadavg1m()
 
@@ -228,19 +284,18 @@ object Bench {
       else errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // unavailable /proc/loadavg (-1) never counts as calm.
-    // "calm" = EVERY sweep started with OTHER-load (loadavg minus the
-    // bench's own trailing CPU) below the threshold — the artifact of
-    // record must not need a judge re-run to interpret (r13), and the
-    // bench's own just-finished sweep must not read as a co-tenant
-    // burst. Both series ship in the artifact for audit.
-    val window =
-      if (otherLoads.nonEmpty &&
-        otherLoads.forall(l => l >= 0 && l < 2.0)) "calm" else "loaded"
+    // "calm" = every sweep STARTED calm (pre-sweep other-load) AND RAN
+    // calm (per-sweep co-tenant CPU measured from /proc/stat counters —
+    // r15, so a burst the loadavg EWMA arithmetic erases is still
+    // caught). Unavailable readings (-1) never count as calm. All
+    // series ship in the artifact for audit; the rule itself is
+    // [[windowLabel]], unit-tested with the BENCH_r14 shape.
+    val window = windowLabel(otherLoads.toSeq, otherCores.toSeq)
     val jvmJson =
       s"""{"gc_ms":${gcMs.mkString("[", ",", "]")},""" +
         s""""heap_mb":${heapMb.mkString("[", ",", "]")},""" +
-        s""""own_cores":${ownCores.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
+        s""""own_cores":${ownCores.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
+        s""""other_cores":${otherCores.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
