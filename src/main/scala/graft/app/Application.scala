@@ -216,7 +216,8 @@ final class Application(val name: String, val spark: SparkSession,
     * [[createMetricAlarm]]/[[graft.diagnostics.Alarms]] like any emitted
     * metric: e.g. alarm on `route.myNode.execFailed`. Names:
     * `route.<id>.<eventsReceived|pendingCreated|pendingExpired|
-    * zombiesEliminated|triggers|execSucceeded|execFailed|pendingNow>`
+    * zombiesEliminated|triggers|probeFailures|execSucceeded|execFailed|
+    * pendingNow>`
     * plus app-level `app.<computeRecords|activeExecutions|routes>`. */
   def platformMetricsDf(
       at: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()))
@@ -230,6 +231,7 @@ final class Application(val name: String, val spark: SparkSession,
         s"route.$id.pendingExpired" -> m.counters.pendingExpired.toDouble,
         s"route.$id.zombiesEliminated" -> m.counters.zombiesEliminated.toDouble,
         s"route.$id.triggers" -> m.counters.triggers.toDouble,
+        s"route.$id.probeFailures" -> m.counters.probeFailures.toDouble,
         s"route.$id.execSucceeded" -> m.execSucceeded.toDouble,
         s"route.$id.execFailed" -> m.execFailed.toDouble,
         s"route.$id.pendingNow" -> m.pendingNow.toDouble)

@@ -440,6 +440,126 @@ object Compaction {
     }
   }
 
+  // ================= flat table-directory variant =================
+  //
+  // Durable-index row tables (near-dup sigs/grams — parquet-APPENDed
+  // per ingest batch, Dedup.updateNearDupIndex) accumulate ~1 file per
+  // batch per table with no completion-marker contract and no partition
+  // tree: a year of daily updates is ~730 files per table, the same
+  // small-file debt compactIvfPq closes for the PQ index. This is the
+  // compactPartition swap minus the `_SUCCESS` choreography: rewrite to
+  // `.compact-tmp`, manifest, move old aside, move new in, drop
+  // manifest (the healing commit point), clear work dirs. Healing is
+  // rollback-only from the manifest, identical to [[healPartition]].
+  // Callers serialize with concurrent updates of the same table (the
+  // updateNearDupIndex crash contract already requires an outer
+  // snapshot/serialize discipline across its three sub-tables).
+
+  final case class DirCompactStats(filesBefore: Int, filesAfter: Int,
+                                   bytes: Long, healed: Boolean,
+                                   skipped: Boolean)
+
+  /** Compact one flat parquet table directory to ~`targetFileBytes`
+    * per file. No-op (skipped=true) at or below the warranted count. */
+  def compactDir(spark: SparkSession, dir: String, targetFileBytes: Long,
+                 failpoint: String => Unit = _ => ()): DirCompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dataPath = new Path(dir)
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val healed = healDir(spark, dir)
+    val files = dataFiles(fs, dataPath)
+    val total = files.map(_._2).sum
+    val wanted = math.min(65536L,
+      math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
+    if (files.size <= wanted)
+      return DirCompactStats(files.size, files.size, total, healed,
+        skipped = true)
+
+    val tmp = new Path(dataPath, TmpDir)
+    fs.delete(tmp, true)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map { case (n, _) => new Path(dataPath, n).toString }: _*)
+      .coalesce(wanted.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val newFiles = dataFiles(fs, tmp).map(_._1)
+    failpoint("rewritten")
+
+    val manifest = new Path(dataPath, Manifest)
+    val body = (files.map { case (n, _) => s"old\t$n" } ++
+      newFiles.map(n => s"new\t$n")).mkString("", "\n", "\n")
+    val out = fs.create(manifest, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    failpoint("manifest-written")
+
+    val old = new Path(dataPath, OldDir)
+    fs.mkdirs(old)
+    files.foreach { case (n, _) =>
+      if (!fs.rename(new Path(dataPath, n), new Path(old, n)))
+        throw new java.io.IOException(s"compactDir: cannot move $n aside")
+    }
+    failpoint("old-moved")
+    newFiles.foreach { n =>
+      if (!fs.rename(new Path(tmp, n), new Path(dataPath, n)))
+        throw new java.io.IOException(s"compactDir: cannot move $n in")
+    }
+    failpoint("new-moved")
+
+    // manifest deletion is the healing commit point — first, as above
+    fs.delete(manifest, false)
+    failpoint("committed")
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+    log.info(s"compacted $dataPath: ${files.size} files / $total bytes " +
+      s"-> ${newFiles.size} files")
+    DirCompactStats(files.size, newFiles.size, total, healed,
+      skipped = false)
+  }
+
+  /** Roll back an interrupted [[compactDir]] swap; true when there was
+    * one. Identical discipline to [[healPartition]]: the old set is a
+    * complete committed state at every pre-commit step, unlisted files
+    * are never touched, healing is idempotent. */
+  def healDir(spark: SparkSession, dir: String): Boolean = {
+    val dataPath = new Path(dir)
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(dataPath, Manifest)
+    if (!fs.exists(manifest)) {
+      fs.delete(new Path(dataPath, TmpDir), true)
+      fs.delete(new Path(dataPath, OldDir), true)
+      return false
+    }
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(manifest), "UTF-8"))
+    val (oldNames, newNames) = {
+      val o = List.newBuilder[String]; val n = List.newBuilder[String]
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          line.split('\t') match {
+            case Array("old", f) => o += f
+            case Array("new", f) => n += f
+            case _ => ()
+          }
+          line = in.readLine()
+        }
+      } finally in.close()
+      (o.result(), n.result())
+    }
+    newNames.foreach(n => fs.delete(new Path(dataPath, n), false))
+    val old = new Path(dataPath, OldDir)
+    oldNames.foreach { n =>
+      val aside = new Path(old, n)
+      if (fs.exists(aside) && !fs.rename(aside, new Path(dataPath, n)))
+        throw new java.io.IOException(s"healDir: cannot restore $n")
+    }
+    fs.delete(old, true)
+    fs.delete(new Path(dataPath, TmpDir), true)
+    fs.delete(manifest, false)
+    log.warn(s"healed interrupted compactDir swap at $dataPath " +
+      s"(${oldNames.size} committed files restored)")
+    true
+  }
+
   private def manifestKey(dataPath: Path): String =
     s"compact/${dataPath.toString}"
 

@@ -581,6 +581,45 @@ object Dedup {
     ()
   }
 
+  /** [[compactNearDupIndex]] outcome, per appended table. */
+  final case class NearDupCompactStats(
+      sigs: graft.compute.Compaction.DirCompactStats,
+      grams: graft.compute.Compaction.DirCompactStats)
+
+  /** Compact a [[saveNearDupIndex]]-written index's APPENDED row tables
+    * (`sigs/`, `grams/` — [[updateNearDupIndex]] parquet-appends ≥1
+    * file into each per ingest batch, so a year of daily updates is
+    * ~730 small files per table; measured in BASELINE.md's r15
+    * `ndcompact` ledger). `buckets/` needs no compaction: every update
+    * rewrites it wholesale through its own staged swap. Each table is
+    * rewritten under the [[graft.compute.Compaction.compactDir]]
+    * manifest-guarded swap — a crash mid-rewrite rolls back to the
+    * committed files on the next compact/load, and probes across the
+    * swap are value-identical (suite-pinned). Serialize with concurrent
+    * [[updateNearDupIndex]] calls on the same path — the same outer
+    * discipline the update's own three-table crash contract already
+    * requires of the daily driver. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          targetFileBytes: Long = 64L << 20)
+      : NearDupCompactStats =
+    NearDupCompactStats(
+      graft.compute.Compaction.compactDir(spark, s"$path/sigs",
+        targetFileBytes),
+      graft.compute.Compaction.compactDir(spark, s"$path/grams",
+        targetFileBytes))
+
+  /** Heal interrupted [[compactNearDupIndex]] swaps (either table);
+    * true when anything was healed. [[loadNearDupIndex]] callers on a
+    * crash-recovered path should run this first (compaction itself
+    * heals at entry). */
+  def healNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean = {
+    val a = graft.compute.Compaction.healDir(spark, s"$path/sigs")
+    val b = graft.compute.Compaction.healDir(spark, s"$path/grams")
+    a || b
+  }
+
   /** Incremental near-dup for the daily-ingest shape: candidates between a
     * NEW batch and an EXISTING corpus index only — new-vs-new and
     * existing-vs-existing pairs never form. Output: (d1 = new id, d2 =

@@ -617,6 +617,46 @@ object Framework {
 
     // ---- F2: relative-range expansion itself, oracle'd against DuckDB's
     // calendar arithmetic (30 days ending at the orders tip)
+    // ---- S6 (r15): APPEND accumulation -> object-store-safe compaction
+    // (rename-free KV-guarded swap) -> managed-partition READ-BACK, hash-
+    // matched against DuckDB over the source table. The rewrite semantics
+    // (not just the suites' kill matrix) are under the correctness gate:
+    // three disjoint lineitem slices APPEND as wide writes, the compactor
+    // collapses the partition, and the read-back must equal the whole
+    // table.
+    "fw19_compaction_readback" -> ((s, dir) => {
+      import graft.signal.{DatasetAttrs, DatasetType, Signal, SignalSource}
+      val w = work(dir)
+      val root = s"$w/fw19_cmp"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // fresh every run: the compaction must rewrite THIS run's appends
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val sig = Signal("li_app", SignalSource.internal(root, "li_app")
+          .copy(attrs = DatasetAttrs(datasetType = DatasetType.APPEND)),
+        daySpec, DimFilter.branchOf(daySpec, Seq("2026-08-10")))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      (0 until 3).foreach { b =>
+        OutputWriter.write(s,
+          li.where(pmod(col("l_orderkey"), lit(3)) === b).repartition(8), sig)
+      }
+      val part = s"$root/internal_data/li_app/2026-08-10"
+      val before = fs.listStatus(new org.apache.hadoop.fs.Path(part))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      val stats = Compaction.compactPartitionKv(s, sig, 256L << 20,
+        new graft.routing.InMemoryConditionalKv)
+      require(!stats.skipped && stats.filesAfter < before,
+        s"compaction did not engage: $stats (before=$before)")
+      s.read.parquet(part)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("item_cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "fw06_range_expansion" -> ((s, dir) => {
       import s.implicits._
       val maxDay = s.read.parquet(s"$dir/orders.parquet")
@@ -630,6 +670,10 @@ object Framework {
   )
 
   val oracles: Map[String, String] = Map(
+    "fw19_compaction_readback" ->
+      """SELECT l_returnflag, COUNT(*) AS item_cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "fw01_range_union" ->
       """SELECT o_orderstatus, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -35,11 +35,15 @@ final case class ExecutionContext(
     output: Signal)
 
 /** Per-route runtime counters (reference get_route_metrics surface,
-  * application.py:429-531 — orchestration metrics per route). */
+  * application.py:429-531 — orchestration metrics per route).
+  * `probeFailures` (r15) counts sweep-probe targets of THIS route that
+  * threw and were folded to incomplete — the rate-limited warn log
+  * names one key per window, so a permanently-broken path must also be
+  * visible in metrics (alarms/dashboards), not only in a sampled line. */
 final case class RouteCounters(
     eventsReceived: Long = 0, pendingCreated: Long = 0,
     pendingExpired: Long = 0, zombiesEliminated: Long = 0,
-    triggers: Long = 0)
+    triggers: Long = 0, probeFailures: Long = 0)
 
 /** A data node at runtime: link-node template + output signal + output dim
   * matrix + pending nodes + TTL. Reference: Route,
@@ -67,6 +71,11 @@ final class Route(
   private var ctrs = RouteCounters()
   /** Snapshot of this route's orchestration counters. */
   def counters: RouteCounters = ctrs
+
+  /** Attribute `n` failed sweep-probe targets to this route (called by
+    * [[RoutingTable]] under its monitor after the probe phase). */
+  private[routing] def noteProbeFailures(n: Int): Unit =
+    if (n > 0) ctrs = ctrs.copy(probeFailures = ctrs.probeFailures + n)
 
   /** Does an incoming concrete signal belong to any of this route's inputs? */
   def accepts(incoming: Signal): Boolean =
@@ -351,17 +360,34 @@ final class RoutingTable(probe: PathProbe,
 
   private def sweepWhere(sel: Route => Boolean,
                          nowMillis: Long): List[ExecutionContext] = {
-    val targets = synchronized {
+    val perRoute = synchronized {
       routes.filter(r => sel(r) && r.pendingNodes.nonEmpty)
-        .flatMap(_.pendingNodes.flatMap(_.probeTargets)).distinct
+        .map(r => r -> r.pendingNodes.flatMap(_.probeTargets).distinct)
     }
-    val snap = probeOutsideMonitor(targets)
+    val targets = perRoute.flatMap(_._2).distinct
+    val (snap, failedKeys) = probeOutsideMonitor(targets)
     synchronized {
+      // attribute this tick's probe failures to the routes whose pending
+      // nodes own the failing targets (a shared target counts on every
+      // route waiting on it — each one's completion is equally stalled)
+      if (failedKeys.nonEmpty) perRoute.foreach { case (r, ts) =>
+        r.noteProbeFailures(
+          ts.count { case (p, proto) => failedKeys.contains(probeKey(p, proto)) })
+      }
       val sp = new SnapshotProbe(cachingProbe, snap)
       routes.filter(r => sel(r) && r.pendingNodes.nonEmpty)
         .flatMap(_.sweep(sp, nowMillis))
     }
   }
+
+  /** The snapshot/failure map key of a probe target — one derivation
+    * shared by the probe phase and the per-route attribution above. */
+  private def probeKey(p: String,
+                       proto: graft.signal.IntegrityProtocol): String =
+    proto match {
+      case graft.signal.IntegrityProtocol.None_        => p
+      case graft.signal.IntegrityProtocol.FileCheck(f) => s"$p/$f"
+    }
 
   /** Phase 2: the sweep's probe I/O, monitor-free. Results land in a
     * completion-keyed map ([[SnapshotProbe]]); parallelism is bounded so
@@ -389,9 +415,10 @@ final class RoutingTable(probe: PathProbe,
 
   private def probeOutsideMonitor(
       targets: List[(String, graft.signal.IntegrityProtocol)])
-      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] = {
+      : (java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean],
+         Set[String]) = {
     val snap = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-    if (targets.isEmpty) return snap
+    if (targets.isEmpty) return (snap, Set.empty)
     // I/O-bound round-trips: size to the store's latency×throughput
     // (-Dgraft.sweep.parallelism=64 for a 50 ms object store)
     val pool = sweepProbePool
@@ -406,10 +433,7 @@ final class RoutingTable(probe: PathProbe,
     val futs = targets.map { case (p, proto) =>
       pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
-          val key = proto match {
-            case graft.signal.IntegrityProtocol.None_       => p
-            case graft.signal.IntegrityProtocol.FileCheck(f) => s"$p/$f"
-          }
+          val key = probeKey(p, proto)
           try {
             val ok = proto match {
               case graft.signal.IntegrityProtocol.None_ =>
@@ -432,7 +456,8 @@ final class RoutingTable(probe: PathProbe,
         throw e.getCause } // only fatal errors escape call() now
     }
     if (!failures.isEmpty) warnProbeFailures(failures)
-    snap
+    (snap, scala.jdk.CollectionConverters.SetHasAsScala(
+      failures.keySet()).asScala.toSet)
   }
 
   // Rate-limited (one line per window, default 10 s) so a permanently

@@ -11,6 +11,30 @@ import graft.compute._
 import graft.dimension._
 import graft.signal.{DatasetAttrs, DatasetType}
 
+/** A local FS whose status calls THROW for paths containing "poison" —
+  * the store-fault stand-in for the r15 per-route probe-failure-counter
+  * test (registered at the `faulty:` scheme inside the test). */
+object FaultyStatusFs {
+  /** Armed AFTER event ingestion so only the SWEEP's probes fault —
+    * the per-route counter under test is the sweep-side attribution. */
+  @volatile var armed = false
+}
+class FaultyStatusFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  private def boom(p: org.apache.hadoop.fs.Path): Unit =
+    if (FaultyStatusFs.armed && p.toString.contains("poison"))
+      throw new java.io.IOException(s"simulated store failure probing $p")
+  // RawLocalFileSystem overrides exists() directly (it does NOT route
+  // through getFileStatus) — poison both probe entry points
+  override def exists(p: org.apache.hadoop.fs.Path): Boolean = {
+    boom(p); super.exists(p)
+  }
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    boom(p); super.getFileStatus(p)
+  }
+}
+
 /** End-to-end Application features: catalog inputs with partition pruning
   * (S2), slot retry (E3), retention sweeps (R1), APPEND datasets, CSV
   * format attributes, multi-statement SQL slots (S9). */
@@ -675,6 +699,43 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     val transitions = app.alarmMonitor().poll()
     assert(transitions.exists(t =>
       t.alarmId == "flaky_health" && t.state == graft.diagnostics.Alarms.ALARM))
+  }
+
+  test("sweep probe failures surface per route in metrics and dashboards (r15)") {
+    val sp = spark; import sp.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.faulty.impl",
+      classOf[FaultyStatusFs].getName)
+    stageDays(s"$work/src_pf", Seq("2026-08-12"))
+    val app = new Application("probefail", spark, s"$work/app_probefail")
+    val src = app.marshalExternalData("srcpf", s"$work/src_pf", daySpec)
+    val bad = app.marshalExternalData("badpf", "faulty:///poison/bad", daySpec)
+    app.createData("pf",
+      Seq(src.latest(1), bad.latest(1).ref.rangeCheck()),
+      Seq(SqlSlot("SELECT 1 AS one")))
+    app.activate()
+    // event opens a pending node; the completion probe of the poisoned
+    // reference range throws every sweep tick
+    assert(app.processPath(s"$work/src_pf/2026-08-12").isEmpty)
+    assert(app.pendingNodeCounts.getOrElse("pf", 0) == 1)
+    FaultyStatusFs.armed = true
+    try { app.sweep(); app.sweep() }
+    finally FaultyStatusFs.armed = false
+    val m = app.getRouteMetrics("pf").get
+    assert(m.counters.probeFailures >= 2L,
+      s"two failing ticks must count, got ${m.counters.probeFailures}")
+    // the counter is a platform metric series (alarmable like any other)
+    val pm = app.platformMetricsDf()
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pm("route.pf.probeFailures") >= 2.0)
+    // ... and renders on a dashboard, not only in a sampled log line
+    app.createDashboard("probes")
+    app.createMetricWidget("probes", "sweep probe failures",
+      () => app.platformMetricsDf()
+        .where(col("name") === "route.pf.probeFailures"))
+    val rows = app.renderDashboard("probes").collect()
+    assert(rows.exists(r => r.getAs[String]("name") == "route.pf.probeFailures"
+      && r.getAs[Double]("value") >= 2.0),
+      s"dashboard must render the counter: ${rows.mkString("; ")}")
   }
 
   test("alarm edge raised while PAUSED is retried after resume, not dropped") {

@@ -76,6 +76,37 @@ class SweepFaultIsolationSuite extends AnyFunSuite {
       "healed path must fire on the next sweep")
   }
 
+  test("probe failures are counted per route, not just sampled in the log (r15)") {
+    val probe = new FaultyProbe
+    val table = new RoutingTable(probe)
+    val sick = SignalLinkNode(List(ranged("s", "/data/sick"))).withAutoLinks
+    val sickRoute = new Route("sick", sick, outputFor(sick, "sick"), Nil)
+    table.add(sickRoute)
+    val healthy = SignalLinkNode(List(ranged("h", "/data/healthy"))).withAutoLinks
+    val healthyRoute = new Route("healthy", healthy, outputFor(healthy, "healthy"), Nil)
+    table.add(healthyRoute)
+    assert(table.receivePath("/data/sick/2026-08-10").isEmpty)
+    assert(table.receivePath("/data/healthy/2026-08-10").isEmpty)
+    probe.poisoned.add("/data/sick")
+
+    // two ticks: the sick route's 2-target range fails both times — its
+    // counter records 2 per tick; the healthy route's stays at zero
+    table.sweepPending()
+    table.sweepPending()
+    assert(sickRoute.counters.probeFailures == 4L,
+      s"expected 2 targets x 2 ticks, got ${sickRoute.counters.probeFailures}")
+    assert(healthyRoute.counters.probeFailures == 0L,
+      "failures must be attributed to the owning route only")
+
+    // healed path stops counting
+    probe.poisoned.clear()
+    probe.existing.add("/data/sick/2026-08-10")
+    probe.existing.add("/data/sick/2026-08-09")
+    table.sweepPending()
+    assert(sickRoute.counters.probeFailures == 4L,
+      "a healthy tick must not grow the counter")
+  }
+
   test("a throwing target folds to incomplete, not to a live re-probe under the monitor") {
     // If the failed key were merely OMITTED from the snapshot, the
     // SnapshotProbe would fall back to the live probe UNDER the table
