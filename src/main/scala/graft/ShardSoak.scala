@@ -219,7 +219,8 @@ object ShardSoak {
     // instances (the MultiDriverSuite topology at soak scale — an
     // InMemoryConditionalKv cannot cross OS processes; what the soak
     // exercises is the KV protocol stack, whose atomicity contract the
-    // in-memory store implements exactly).
+    // in-memory store implements exactly). Results: BASELINE.md
+    // "Round 15 ledger", section "kvchain".
     case "kvchain" =>
       val Array(_, root) = args
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -189,6 +189,133 @@ object Soak {
       return
     }
 
+    // "kvrace" = r15 (VERDICT r14 #6): concurrent APPENDs race the
+    // object-store-safe compaction swap. KvCompactionSuite pins that
+    // manifest-UNLISTED files are never touched in either heal
+    // direction; this soak drives the claim at scale — batches land
+    // DURING the claimed swap (failpoint sleeps widen the claim->copy
+    // window) and the partition's totals must stay arithmetically exact
+    // through the race AND through a follow-up full compaction.
+    if (only == "kvrace") {
+      import graft.compute.{Compaction, OutputWriter}
+      import graft.signal._
+      import graft.dimension.{DimFilter, DimSpec, DimType}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_soak_kvrace").toString
+      val spec = DimSpec.pretty(
+        "day" -> (DimType.DATETIME, Map[String, Any]("format" -> "%Y-%m-%d")))
+      val appendSig = Signal("li",
+        SignalSource.internal(root, "li").copy(
+          attrs = DatasetAttrs(datasetType = DatasetType.APPEND)),
+        spec, DimFilter.branchOf(spec, Seq("2026-08-10")))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val (oneCnt, oneSum) = {
+        val r = li.agg(count(lit(1)),
+          sum(col("l_quantity").cast("decimal(18,2)"))).collect().head
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val preBatches = 6
+      val raceBatches = 4
+      val (_, tStage) = timed {
+        (0 until preBatches).foreach { _ =>
+          OutputWriter.write(spark, li.repartition(64), appendSig) }
+      }
+      val dir = s"$root/internal_data/li/2026-08-10"
+      val filesBefore = new java.io.File(dir).listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val kv = new graft.routing.InMemoryConditionalKv
+      val claimed = new java.util.concurrent.CountDownLatch(1)
+      @volatile var stats1: Compaction.CompactStats = null
+      @volatile var boom: Throwable = null
+      val compactor = new Thread(() => {
+        try stats1 = Compaction.compactPartitionKv(spark, appendSig,
+          128L << 20, kv, failpoint = {
+            case "manifest-claimed" => claimed.countDown(); Thread.sleep(2000)
+            case "new-copied" => Thread.sleep(2000)
+            case _ => ()
+          })
+        catch { case t: Throwable => boom = t; claimed.countDown() }
+      }, "kvrace-compactor")
+      val t0 = System.nanoTime()
+      compactor.start()
+      claimed.await()
+      // the race: appends land while the swap holds its claim
+      val (_, tRace) = timed {
+        (0 until raceBatches).foreach { _ =>
+          OutputWriter.write(spark, li.repartition(64), appendSig) }
+      }
+      compactor.join()
+      val tSwap = (System.nanoTime() - t0) / 1e9
+      if (boom != null) throw boom
+      def verify(tag: String): Unit = {
+        val r = spark.read.parquet(dir).agg(count(lit(1)),
+          sum(col("l_quantity").cast("decimal(18,2)"))).collect().head
+        val n = preBatches + raceBatches
+        require(r.getLong(0) == oneCnt * n &&
+          r.getDecimal(1).compareTo(
+            oneSum.multiply(new java.math.BigDecimal(n))) == 0,
+          s"$tag: totals diverged — got (${r.getLong(0)}, ${r.getDecimal(1)}), " +
+            s"want (${oneCnt * n}, ${oneSum.multiply(new java.math.BigDecimal(n))})")
+      }
+      verify("post-race")
+      // the racy appends are now the small-file debt; a quiet-window
+      // compaction must clear them with totals still exact
+      val (stats2, tCompact2) = timed(
+        Compaction.compactPartitionKv(spark, appendSig, 128L << 20, kv))
+      verify("post-recompact")
+      val filesAfter = new java.io.File(dir).listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      println(
+        f"""{"soak":"kvrace","rows":${oneCnt * (preBatches + raceBatches)},"pre_batches":$preBatches,"race_batches":$raceBatches,"files_before":$filesBefore,"swap_files_after":${stats1.filesAfter},"stage_sec":$tStage%.1f,"race_append_sec":$tRace%.1f,"swap_sec":$tSwap%.1f,"recompact_sec":$tCompact2%.1f,"files_after":$filesAfter,"match":true}""")
+      spark.stop()
+      return
+    }
+
+    // "ndcompact" = r15 (VERDICT r14 #4): the durable near-dup index's
+    // append debt, measured — 100 simulated daily update batches into a
+    // saved index, then compactNearDupIndex. Ledgered: file counts
+    // before/after per table and probe equality across the compaction.
+    if (only == "ndcompact") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_soak_nd").toString
+      val updates = sys.env.getOrElse("SPARK_GRAFT_SOAK_ND_UPDATES", "100").toInt
+      val corpus = base.localCheckpoint()
+      val nDocs = corpus.count()
+      val (_, tBuild) = timed {
+        Dedup.saveNearDupIndex(
+          Dedup.buildNearDupIndex(corpus, "text", "doc_id", persist = false),
+          dir)
+      }
+      // daily batch b: 50 fresh docs derived from the corpus with
+      // disjoint ids and perturbed text (near-dups of their originals)
+      def batch(b: Int) = corpus.orderBy("doc_id").limit(50)
+        .select((col("doc_id") + 10000000L + b * 50L).as("doc_id"),
+          concat(col("text"), lit(s" upd$b")).as("text"))
+      val (_, tUpdates) = timed {
+        (0 until updates).foreach(b =>
+          Dedup.updateNearDupIndex(spark, dir, batch(b), "text"))
+      }
+      def files(t: String) = new java.io.File(s"$dir/$t").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      val (sigsBefore, gramsBefore) = (files("sigs"), files("grams"))
+      def probePairs(): Long = {
+        val idx = Dedup.loadNearDupIndex(spark, dir, persist = false)
+        Dedup.incrementalJaccardPairs(corpus.limit(200), idx, "text",
+          minJaccard = 0.9, maxBucketSize = 1000).count()
+      }
+      val pairsBefore = probePairs()
+      val (stats, tCompact) = timed(Dedup.compactNearDupIndex(spark, dir))
+      val pairsAfter = probePairs()
+      require(pairsBefore == pairsAfter && pairsBefore > 0,
+        s"probe diverged across compaction: $pairsBefore vs $pairsAfter")
+      println(
+        f"""{"soak":"ndcompact","docs":$nDocs,"updates":$updates,"build_sec":$tBuild%.1f,"updates_sec":$tUpdates%.1f,"sigs_files_before":$sigsBefore,"grams_files_before":$gramsBefore,"sigs_files_after":${stats.sigs.filesAfter},"grams_files_after":${stats.grams.filesAfter},"compact_sec":$tCompact%.1f,"probe_pairs":$pairsBefore,"match":true}""")
+      spark.stop()
+      return
+    }
+
     // "concurrent_exec" = r13 concurrent-execution soak: N SQL/Class
     // executions in flight at once over sf lineitem, a retrying slot,
     // and one killed mid-run — every surviving output must equal the

@@ -563,6 +563,70 @@ object Compaction {
   private def manifestKey(dataPath: Path): String =
     s"compact/${dataPath.toString}"
 
+  /** Lease-style claim-file mutual exclusion for index/table maintenance
+    * (r15): a maintenance pass (compaction) takes a claim file with
+    * create-if-absent (atomic on local/HDFS), mutators check it and fail
+    * LOUDLY instead of appending into a tree mid-rewrite, and a crashed
+    * claimant's claim goes stale after a TTL. The same semantics as
+    * [[compactPartitionKv]]'s conditional-PUT claim, expressed on a
+    * filesystem. Claim body: `<uuid>\t<createdMs>` (mtime fallback). */
+  object FsClaim {
+
+    /** Default lease TTL: long enough for any realistic rewrite, short
+      * enough that a crashed claimant clears without an operator. */
+    val DefaultTtlMs: Long = 15L * 60 * 1000
+
+    /** Throw while a FRESH claim exists (a live claimant owns the
+      * target); clear a STALE one (the claimant died — the caller's
+      * entry heal handles whatever swap state it left). */
+    def ensureUnclaimed(fs: FileSystem, claim: Path, ttlMs: Long,
+                        ctx: String): Unit = {
+      if (!fs.exists(claim)) return
+      val st = fs.getFileStatus(claim)
+      val createdMs = (try {
+        val in = fs.open(claim)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        s.split('\t') match {
+          case Array(_, ts) => ts.trim.toLongOption
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse(st.getModificationTime)
+      val age = System.currentTimeMillis() - createdMs
+      if (age < ttlMs)
+        throw new IllegalStateException(
+          s"$ctx: compaction in progress at ${claim.getParent} (claim is " +
+            s"${age}ms old, TTL ${ttlMs}ms) — retry after it finishes; a " +
+            "crashed claimant's claim clears once the TTL passes")
+      log.warn(s"$ctx: clearing STALE maintenance claim at $claim " +
+        s"(${age}ms old > ${ttlMs}ms TTL — the claimant died)")
+      fs.delete(claim, false)
+    }
+
+    /** Atomic create-if-absent; loses loudly to a concurrent claimant. */
+    def acquire(fs: FileSystem, claim: Path, ctx: String): Unit =
+      try {
+        val out = fs.create(claim, false)
+        try out.write((s"${java.util.UUID.randomUUID()}\t" +
+          s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case e: java.io.IOException =>
+          if (fs.exists(claim))
+            throw new IllegalStateException(
+              s"$ctx: lost the claim race on ${claim.getParent} — another " +
+                "claimant took it concurrently; retry later", e)
+          else throw e
+      }
+
+    def release(fs: FileSystem, claim: Path): Unit = fs.delete(claim, false)
+
+    /** True while a claim younger than `ttlMs` stands. */
+    def isFresh(fs: FileSystem, claim: Path, ttlMs: Long): Boolean =
+      try { ensureUnclaimed(fs, claim, ttlMs, "probe"); false }
+      catch { case _: IllegalStateException => true }
+  }
   /** Stream copy, no rename: the object-store write primitive (a PUT). */
   private def copyFile(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
                        src: Path, dst: Path): Unit = {

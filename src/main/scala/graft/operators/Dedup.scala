@@ -454,6 +454,21 @@ object Dedup {
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
+    // sigs/grams resolution tolerates a crash mid-[[compactNearDupIndex]]
+    // swap (r15): while a table's swap manifest exists its data files
+    // may be half moved aside — a plain scan would read PARTIAL rows
+    // silently. With a FRESH compaction claim the compactor is live:
+    // refuse loudly. With no (or a stale) claim the swap is orphaned:
+    // heal it (rollback to the committed files) before reading.
+    Seq("sigs", "grams").foreach { t =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/.compact-manifest"))) {
+        val claimP = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
+        graft.compute.Compaction.FsClaim.ensureUnclaimed(fs, claimP,
+          graft.compute.Compaction.FsClaim.DefaultTtlMs, "loadNearDupIndex")
+        graft.compute.Compaction.healDir(spark, s"$path/$t")
+        ()
+      }
+    }
     // buckets resolution tolerates a crash mid-[[updateNearDupIndex]]
     // swap: `buckets_next` is always fully written before the swap
     // begins, so if the live dir is missing COMPLETE the interrupted
@@ -515,6 +530,19 @@ object Dedup {
                          textCol: String,
                          precomputedSigs: Option[DataFrame]): Unit = {
     val spark = newDf.sparkSession
+    // refuse while a compaction claim stands on the index: an append
+    // into sigs/grams mid-rewrite would be silently dropped by the
+    // table swap (same contract as updateIvfPq vs compactIvfPq); a
+    // crashed compactor's stale claim clears here, and its interrupted
+    // table swaps heal, before the fold proceeds
+    locally {
+      val claimP = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
+      val cfs = claimP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.compute.Compaction.FsClaim.ensureUnclaimed(cfs, claimP,
+        graft.compute.Compaction.FsClaim.DefaultTtlMs, "updateNearDupIndex")
+      healNearDupIndex(spark, path)
+      ()
+    }
     val idCol = idx.idCol
     // checkpoint: the batch signatures feed both the append and the
     // banding below — hash the batch once
@@ -586,6 +614,8 @@ object Dedup {
       sigs: graft.compute.Compaction.DirCompactStats,
       grams: graft.compute.Compaction.DirCompactStats)
 
+  private val NearDupClaim = ".neardup-compact-claim"
+
   /** Compact a [[saveNearDupIndex]]-written index's APPENDED row tables
     * (`sigs/`, `grams/` — [[updateNearDupIndex]] parquet-appends ≥1
     * file into each per ingest batch, so a year of daily updates is
@@ -595,19 +625,34 @@ object Dedup {
     * rewritten under the [[graft.compute.Compaction.compactDir]]
     * manifest-guarded swap — a crash mid-rewrite rolls back to the
     * committed files on the next compact/load, and probes across the
-    * swap are value-identical (suite-pinned). Serialize with concurrent
-    * [[updateNearDupIndex]] calls on the same path — the same outer
-    * discipline the update's own three-table crash contract already
-    * requires of the daily driver. */
+    * swap are value-identical (suite-pinned).
+    *
+    * Concurrency: the whole pass runs under a
+    * [[graft.compute.Compaction.FsClaim]] claim file at the index root
+    * that [[updateNearDupIndex]] also checks — a concurrent update
+    * fails loudly instead of appending into a table mid-rewrite, a
+    * second compactor loses the claim race, and a crashed compactor's
+    * claim goes stale after `claimTtlMs` (same contract as
+    * [[graft.operators.Pq.compactIvfPq]]). */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
-                          targetFileBytes: Long = 64L << 20)
-      : NearDupCompactStats =
-    NearDupCompactStats(
+                          targetFileBytes: Long = 64L << 20,
+                          failpoint: String => Unit = _ => (),
+                          claimTtlMs: Long =
+                            graft.compute.Compaction.FsClaim.DefaultTtlMs)
+      : NearDupCompactStats = {
+    import graft.compute.Compaction.FsClaim
+    val claim = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactNearDupIndex")
+    FsClaim.acquire(fs, claim, "compactNearDupIndex")
+    try NearDupCompactStats(
       graft.compute.Compaction.compactDir(spark, s"$path/sigs",
-        targetFileBytes),
+        targetFileBytes, failpoint),
       graft.compute.Compaction.compactDir(spark, s"$path/grams",
-        targetFileBytes))
+        targetFileBytes, failpoint))
+    finally FsClaim.release(fs, claim)
+  }
 
   /** Heal interrupted [[compactNearDupIndex]] swaps (either table);
     * true when anything was healed. [[loadNearDupIndex]] callers on a
@@ -790,8 +835,10 @@ object Dedup {
     // gram partitioning as the self-join — no extra row-scale shuffle.
     // maxGramDocs = Int.MaxValue disables the guard AND its frequency
     // pass entirely (no count can exceed it) — the explicit escape
-    // hatch, and the "pre" side of the r14 p04ab soak that measures the
-    // guard's cost (BASELINE.md: same-partitioning claim, pinned)
+    // hatch, and the guard-OFF side of the `p04ab` A/B soak that
+    // measures the guard's cost (BASELINE.md "Round 15 ledger",
+    // section "p04ab": guard ON/OFF walls and shuffle rows; the
+    // shuffle-rows ratio of 1.006 pins the same-partitioning claim)
     val guarded =
       if (maxGramDocs == Int.MaxValue) grams
       else {

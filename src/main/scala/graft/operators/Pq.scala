@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   * (dims [0,subDim), [subDim,2·subDim), ...), with no learned rotation
   * decorrelating them first, so strongly correlated dimensions cost
   * more recall per byte than a rotated (OPQ) codebook would lose.
-  * Measured on real embeddings in BASELINE.md's r14 `pqrecall` ledger
-  * (ADC recall@10 at m ∈ {4,8,16} vs exact ground truth; near-dup
-  * recall is the curation-relevant floor, pinned in ScaleSuite). When
+  * Measured on real embeddings in BASELINE.md's "Round 15 ledger",
+  * section "pqrecall" (ADC recall@10 at m ∈ {4,8,16} vs exact ground
+  * truth; near-dup recall is the curation-relevant floor — 1.000 at
+  * every config there, also pinned in ScaleSuite). When
   * recall at the budgeted m falls short, raise m before considering a
   * rotation — m=16 doubles code bytes and typically dominates it.
   */
@@ -424,41 +425,18 @@ object Pq {
   private val IvfPqManifest = ".ivfpq-compact-manifest"
   private val IvfPqClaim = ".ivfpq-compact-claim"
 
-  /** Default compaction-claim lease TTL: long enough for any realistic
-    * whole-index rewrite, short enough that a crashed compactor's stale
-    * claim clears without an operator. */
-  val IvfPqClaimTtlMs: Long = 15L * 60 * 1000
+  /** Default compaction-claim lease TTL (the shared
+    * [[graft.compute.Compaction.FsClaim]] lease semantics). */
+  val IvfPqClaimTtlMs: Long = graft.compute.Compaction.FsClaim.DefaultTtlMs
 
   /** Refuse (throw) while a FRESH compaction claim exists on the index —
     * a live compactor owns it; clear a STALE one (the claimant died;
     * the swap manifest, if it got that far, is healed by the caller). */
   private def ivfPqEnsureUnclaimed(fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
-                                   claimTtlMs: Long, ctx: String): Unit = {
-    val claim = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
-    if (!fs.exists(claim)) return
-    val st = fs.getFileStatus(claim)
-    val createdMs = (try {
-      val in = fs.open(claim)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      s.split('\t') match {
-        case Array(_, ts) => ts.trim.toLongOption
-        case _ => None
-      }
-    } catch { case scala.util.control.NonFatal(_) => None })
-      .getOrElse(st.getModificationTime)
-    val age = System.currentTimeMillis() - createdMs
-    if (age < claimTtlMs)
-      throw new IllegalStateException(
-        s"$ctx: IVF-PQ compaction in progress at $root (claim is ${age}ms " +
-          s"old, TTL ${claimTtlMs}ms) — retry after it finishes; a crashed " +
-          "compactor's claim clears once the TTL passes")
-    org.slf4j.LoggerFactory.getLogger(Pq.getClass).warn(
-      s"$ctx: clearing STALE IVF-PQ compaction claim at $root " +
-        s"(${age}ms old > ${claimTtlMs}ms TTL — the claimant died)")
-    fs.delete(claim, false)
-  }
+                                   claimTtlMs: Long, ctx: String): Unit =
+    graft.compute.Compaction.FsClaim.ensureUnclaimed(fs,
+      new org.apache.hadoop.fs.Path(root, IvfPqClaim), claimTtlMs, ctx)
 
   private def ivfPqDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                              dir: org.apache.hadoop.fs.Path)
@@ -539,22 +517,10 @@ object Pq {
     // and updates refuse while it stands (mirrors compactPartitionKv's
     // conditional-PUT claim semantics on the KV backend)
     val claimPath = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
-    try {
-      val out = fs.create(claimPath, false)
-      try out.write((s"${java.util.UUID.randomUUID()}\t" +
-        s"${System.currentTimeMillis()}").getBytes("UTF-8"))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException =>
-        if (fs.exists(claimPath))
-          throw new IllegalStateException(
-            s"compactIvfPq: lost the claim race on $path — another " +
-              "compactor claimed it concurrently; retry later", e)
-        else throw e
-    }
+    graft.compute.Compaction.FsClaim.acquire(fs, claimPath, "compactIvfPq")
     try compactIvfPqClaimed(spark, fs, root, cells, targetFileBytes,
       dedupById, failpoint, healed)
-    finally fs.delete(claimPath, false)
+    finally graft.compute.Compaction.FsClaim.release(fs, claimPath)
   }
 
   private def compactIvfPqClaimed(spark: SparkSession,

@@ -100,6 +100,79 @@ class NearDupCompactSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(found == Set((902L, 500L)))
   }
 
+  test("an update during a claimed compaction is refused loudly (r15)") {
+    val dir = staged(updates = 3)
+    var refused = ""
+    val stats = Dedup.compactNearDupIndex(spark, dir,
+      failpoint = l => if (l == "rewritten" && refused.isEmpty) {
+        val e = intercept[IllegalStateException] {
+          Dedup.updateNearDupIndex(spark, dir, batchDf(700L), "text")
+        }
+        refused = e.getMessage
+      })
+    assert(refused.contains("compaction in progress"), refused)
+    assert(!stats.sigs.skipped)
+    // claim released on completion: the same update now succeeds
+    Dedup.updateNearDupIndex(spark, dir, batchDf(700L), "text")
+    val sp = spark; import sp.implicits._
+    val q = Seq((903L, "novel batch document number 700 with its own words"))
+      .toDF("doc_id", "text")
+    val found = Dedup.incrementalJaccardPairs(q,
+      Dedup.loadNearDupIndex(spark, dir, persist = false), "text",
+      minJaccard = 0.9, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((903L, 700L)))
+  }
+
+  test("claim race, stale clearing, and exception release (r15)") {
+    val dir = staged(updates = 2)
+    val claim = new java.io.File(s"$dir/.neardup-compact-claim")
+    val w = new java.io.FileWriter(claim)
+    try w.write(s"other\t${System.currentTimeMillis()}") finally w.close()
+    // fresh claim refuses both a second compactor and an update
+    intercept[IllegalStateException] { Dedup.compactNearDupIndex(spark, dir) }
+    intercept[IllegalStateException] {
+      Dedup.updateNearDupIndex(spark, dir, batchDf(710L), "text")
+    }
+    // past the TTL the claim is stale and clears
+    Thread.sleep(30)
+    val stats = Dedup.compactNearDupIndex(spark, dir, claimTtlMs = 10L)
+    assert(!stats.sigs.skipped && !claim.exists())
+    // a controlled failure releases the claim on the way out (fresh
+    // appends first — an already-compact table skips before the seam)
+    Dedup.updateNearDupIndex(spark, dir, batchDf(711L), "text")
+    Dedup.updateNearDupIndex(spark, dir, batchDf(712L), "text")
+    intercept[RuntimeException] {
+      Dedup.compactNearDupIndex(spark, dir,
+        failpoint = l => if (l == "rewritten") sys.error("boom"))
+    }
+    assert(!claim.exists(), "exception path must release the claim")
+  }
+
+  test("load refuses a fresh-claimed mid-swap table, heals an orphaned one (r15)") {
+    val dir = staged(updates = 2)
+    val pre = probe(dir)
+    // orphan a mid-swap manifest in sigs/ (compactor died, claim gone —
+    // the exception path releases it)
+    intercept[RuntimeException] {
+      Dedup.compactNearDupIndex(spark, dir,
+        failpoint = l => if (l == "old-moved") sys.error("boom"))
+    }
+    assert(new java.io.File(s"$dir/sigs/.compact-manifest").exists())
+    // a FRESH claim (live compactor) makes the load refuse loudly
+    val claim = new java.io.File(s"$dir/.neardup-compact-claim")
+    val w = new java.io.FileWriter(claim)
+    try w.write(s"other\t${System.currentTimeMillis()}") finally w.close()
+    val e = intercept[IllegalStateException] {
+      Dedup.loadNearDupIndex(spark, dir, persist = false)
+    }
+    assert(e.getMessage.contains("compaction in progress"))
+    // claim gone (orphaned swap): load heals and reads committed rows
+    assert(claim.delete())
+    assert(probe(dir) == pre, "healed load must read the committed files")
+    assert(!new java.io.File(s"$dir/sigs/.compact-manifest").exists())
+  }
+
   test("a kill at every swap failpoint heals with zero loss") {
     for (fp <- Seq("rewritten", "manifest-written", "old-moved",
       "new-moved", "committed")) {
