@@ -305,9 +305,31 @@ object Compaction {
     writer.save(tmp.toString)
     val newFiles = dataFiles(fs, tmp)
     failpoint("rewritten")
+    kvSwapCore(fs, conf, dataPath, Some(new Path(root, "_SUCCESS")),
+      files, newFiles, tmp, kv, failpoint)
+    log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
+      s"bytes -> ${newFiles.size} files")
+    CompactStats(files.size, newFiles.size, total, healed, skipped = false)
+  }
 
+  /** The rename-free KV-guarded swap shared by [[compactPartitionKv]]
+    * (marker = the partition's `_SUCCESS`) and [[compactDirKv]]
+    * (markerless flat table): claim (conditional PUT — a second
+    * claimant loses loudly) -> marker off -> COPY new files in -> RE-
+    * VERIFY the claim (the destructive-step guard: a swap healed or
+    * re-claimed mid-copy aborts here, before any old file dies) ->
+    * delete old -> marker on -> conditional manifest drop. "All new
+    * present at recorded lengths" is the commit point [[healKvSwap]]
+    * decides direction from. */
+  private def kvSwapCore(fs: FileSystem,
+                         conf: org.apache.hadoop.conf.Configuration,
+                         dataPath: Path, marker: Option[Path],
+                         files: Seq[(String, Long)],
+                         newFiles: Seq[(String, Long)], tmp: Path,
+                         kv: graft.routing.ConditionalKv,
+                         failpoint: String => Unit): Unit = {
     // the conditional claim: a second compactor (or a zombie of this
-    // one) must not start a concurrent swap on the same partition. The
+    // one) must not start a concurrent swap on the same target. The
     // claim line's token makes this compactor's manifest distinguishable
     // from any later re-claim, and its timestamp feeds the heal TTL.
     val key = manifestKey(dataPath)
@@ -321,7 +343,7 @@ object Compaction {
           s"$key exists) — heal or let the claimant finish first")
     failpoint("manifest-claimed")
 
-    fs.delete(new Path(root, "_SUCCESS"), false)
+    marker.foreach(m => fs.delete(m, false))
     failpoint("success-removed")
 
     newFiles.foreach { case (n, _) =>
@@ -332,11 +354,11 @@ object Compaction {
     // DESTRUCTIVE-STEP GUARD: re-read the manifest and require it still
     // holds THIS compactor's exact body. A second compactor whose entry
     // heal ran mid-copy has rolled this swap back (deleting the copied
-    // new files and restoring _SUCCESS) and may have re-claimed the key;
-    // deleting the old files now would destroy the state that restored
-    // marker presents as committed. Abort loudly instead — nothing
-    // destructive has happened yet and the current claimant (or a heal)
-    // owns the partition.
+    // new files and restoring the marker) and may have re-claimed the
+    // key; deleting the old files now would destroy the state that
+    // restored marker presents as committed. Abort loudly instead —
+    // nothing destructive has happened yet and the current claimant (or
+    // a heal) owns the target.
     if (!kv.get(key).contains(body))
       throw new java.io.IOException(
         s"compaction: claim lost for $dataPath (manifest at $key changed " +
@@ -351,16 +373,13 @@ object Compaction {
     }
     failpoint("old-deleted")
 
-    fs.create(new Path(root, "_SUCCESS"), true).close()
+    marker.foreach(m => fs.create(m, true).close())
     failpoint("committed")
 
     // conditional cleanup: only drop the manifest if it is still OURS —
     // an unconditional delete here could destroy a successor's claim
     if (kv.get(key).contains(body)) kv.delete(key)
     fs.delete(tmp, true)
-    log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
-      s"bytes -> ${newFiles.size} files")
-    CompactStats(files.size, newFiles.size, total, healed, skipped = false)
   }
 
   /** Heal an interrupted KV-guarded swap on `output`'s tip partition:
@@ -379,6 +398,15 @@ object Compaction {
     val dataPath = attrs.dataFolder
       .map(d => new Path(root, d)).getOrElse(root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healKvSwap(fs, dataPath, Some(new Path(root, "_SUCCESS")), kv,
+      minClaimAgeMs)
+  }
+
+  /** [[healKvSwap]] shared by the partition and flat-dir variants. */
+  private def healKvSwap(fs: FileSystem, dataPath: Path,
+                         marker: Option[Path],
+                         kv: graft.routing.ConditionalKv,
+                         minClaimAgeMs: Long): Boolean = {
     val key = manifestKey(dataPath)
     kv.get(key) match {
       case None =>
@@ -433,11 +461,73 @@ object Compaction {
           log.warn(s"healed interrupted kv compaction at $dataPath: " +
             s"rolled BACK (${oldFiles.size} committed files intact)")
         }
-        fs.create(new Path(root, "_SUCCESS"), true).close()
+        marker.foreach(m => fs.create(m, true).close())
         fs.delete(new Path(dataPath, TmpDir), true)
         kv.delete(key)
         true
     }
+  }
+
+  /** Rename-free KV-guarded compaction of one FLAT parquet table
+    * directory — [[compactDir]]'s semantics with [[compactPartitionKv]]'s
+    * zero-rename swap, for index row tables living on object stores
+    * (near-dup sigs/grams). No completion-marker choreography (flat
+    * tables have none); readers are held off by their own claim/
+    * manifest checks (loadNearDupIndex refuses or heals). */
+  /** Advisory in-flight marker a [[compactDirKv]] swap leaves in the
+    * table dir: the KV manifest is invisible to plain-FS readers, so a
+    * reader that only has the filesystem (loadNearDupIndex) can still
+    * detect a crashed KV swap and refuse loudly instead of silently
+    * reading duplicate (pre-commit) or partial (post-commit) rows.
+    * Healed KV swaps remove it; it carries no swap state itself. */
+  val DirKvInflight = ".compact-kv-inflight"
+
+  def compactDirKv(spark: SparkSession, dir: String, targetFileBytes: Long,
+                   kv: graft.routing.ConditionalKv,
+                   failpoint: String => Unit = _ => (),
+                   healMinClaimAgeMs: Long = 0L): DirCompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dataPath = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dataPath.getFileSystem(conf)
+    val healed = healDirKv(spark, dir, kv, healMinClaimAgeMs)
+    val files = dataFiles(fs, dataPath)
+    val total = files.map(_._2).sum
+    val wanted = math.min(65536L,
+      math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
+    if (files.size <= wanted)
+      return DirCompactStats(files.size, files.size, total, healed,
+        skipped = true)
+    val tmp = new Path(dataPath, TmpDir)
+    fs.delete(tmp, true)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map { case (n, _) => new Path(dataPath, n).toString }: _*)
+      .coalesce(wanted.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val newFiles = dataFiles(fs, tmp)
+    failpoint("rewritten")
+    // advisory marker BEFORE the claim: any crash window inside the KV
+    // swap is covered (a marker with no KV manifest heals to a no-op)
+    fs.create(new Path(dataPath, DirKvInflight), true).close()
+    kvSwapCore(fs, conf, dataPath, None, files, newFiles, tmp, kv, failpoint)
+    fs.delete(new Path(dataPath, DirKvInflight), false)
+    log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
+      s"bytes -> ${newFiles.size} files")
+    DirCompactStats(files.size, newFiles.size, total, healed,
+      skipped = false)
+  }
+
+  /** Heal an interrupted [[compactDirKv]] swap: forward/back decided
+    * from the manifest's recorded lengths, exactly [[healPartitionKv]]
+    * without the marker restore. */
+  def healDirKv(spark: SparkSession, dir: String,
+                kv: graft.routing.ConditionalKv,
+                minClaimAgeMs: Long = 0L): Boolean = {
+    val dataPath = new Path(dir)
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acted = healKvSwap(fs, dataPath, None, kv, minClaimAgeMs)
+    fs.delete(new Path(dataPath, DirKvInflight), false)
+    acted
   }
 
   // ================= flat table-directory variant =================

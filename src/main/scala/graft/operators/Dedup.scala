@@ -461,10 +461,23 @@ object Dedup {
     // refuse loudly. With no (or a stale) claim the swap is orphaned:
     // heal it (rollback to the committed files) before reading.
     Seq("sigs", "grams").foreach { t =>
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/.compact-manifest"))) {
+      val fsManifest = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/$t/.compact-manifest"))
+      val kvInflight = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/$t/${graft.compute.Compaction.DirKvInflight}"))
+      if (fsManifest || kvInflight) {
         val claimP = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
         graft.compute.Compaction.FsClaim.ensureUnclaimed(fs, claimP,
           graft.compute.Compaction.FsClaim.DefaultTtlMs, "loadNearDupIndex")
+        if (kvInflight)
+          // the swap state lives in the manifest STORE, which a plain-FS
+          // load does not have — refuse with the remedy named rather
+          // than read duplicate (pre-commit) or partial (post-commit)
+          // rows from a half-swapped table
+          throw new IllegalStateException(
+            s"near-dup index at $path has an interrupted OBJECT-STORE " +
+              s"compaction swap in $t/ — run Dedup.healNearDupIndexKv " +
+              "(it needs the manifest store) before loading")
         graft.compute.Compaction.healDir(spark, s"$path/$t")
         ()
       }
@@ -662,6 +675,48 @@ object Dedup {
                        path: String): Boolean = {
     val a = graft.compute.Compaction.healDir(spark, s"$path/sigs")
     val b = graft.compute.Compaction.healDir(spark, s"$path/grams")
+    a || b
+  }
+
+  /** [[compactNearDupIndex]] with the RENAME-FREE KV-guarded swap
+    * ([[graft.compute.Compaction.compactDirKv]]) — for an index living
+    * on an object store without atomic rename. Same index-level claim
+    * file as the rename-based variant, so [[updateNearDupIndex]] and
+    * [[loadNearDupIndex]] interoperate identically. Crash recovery
+    * needs the manifest store: run [[healNearDupIndexKv]] (or this
+    * entry point, which heals first) — a crashed KV swap leaves an
+    * in-flight marker that makes plain-FS loads refuse loudly rather
+    * than read duplicate/partial rows. NOTE the UPDATE path's buckets
+    * swap still uses directory renames — on a pure object store run
+    * updates against HDFS-semantics storage or in a quiet window; the
+    * COMPACTION path is what this variant makes rename-free. */
+  def compactNearDupIndexKv(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            kv: graft.routing.ConditionalKv,
+                            targetFileBytes: Long = 64L << 20,
+                            failpoint: String => Unit = _ => (),
+                            claimTtlMs: Long =
+                              graft.compute.Compaction.FsClaim.DefaultTtlMs)
+      : NearDupCompactStats = {
+    import graft.compute.Compaction.FsClaim
+    val claim = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactNearDupIndexKv")
+    FsClaim.acquire(fs, claim, "compactNearDupIndexKv")
+    try NearDupCompactStats(
+      graft.compute.Compaction.compactDirKv(spark, s"$path/sigs",
+        targetFileBytes, kv, failpoint),
+      graft.compute.Compaction.compactDirKv(spark, s"$path/grams",
+        targetFileBytes, kv, failpoint))
+    finally FsClaim.release(fs, claim)
+  }
+
+  /** Heal interrupted [[compactNearDupIndexKv]] swaps (either table). */
+  def healNearDupIndexKv(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         kv: graft.routing.ConditionalKv): Boolean = {
+    val a = graft.compute.Compaction.healDirKv(spark, s"$path/sigs", kv)
+    val b = graft.compute.Compaction.healDirKv(spark, s"$path/grams", kv)
     a || b
   }
 

@@ -226,6 +226,52 @@ class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Compaction.healPartitionKv(spark, s, kv))
   }
 
+  test("compactDirKv: flat-table swap runs rename-free and kills heal (r15)") {
+    // the near-dup index row tables' object-store path: stage a FLAT
+    // parquet dir on the no-rename FS, then (a) compact end-to-end and
+    // (b) kill at every failpoint — entry heal must roll forward/back
+    // to exactly the committed rows, with zero rename calls on the swap
+    def stage(): String = {
+      val root = tmpRoot()
+      val dir = s"$root/sigs"
+      (0 until 12).foreach { b =>
+        spark.range(b * 100L, b * 100L + 100L).toDF("id").repartition(3)
+          .write.mode("append").parquet(dir)
+      }
+      dir
+    }
+    def rows(dir: String): Seq[Long] =
+      spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L until 1200L).toSeq
+
+    val d0 = stage()
+    val kv0 = new InMemoryConditionalKv
+    val stats = Compaction.compactDirKv(spark, d0, 64L << 20, kv0)
+    assert(!stats.skipped && stats.filesAfter <= 2 &&
+      partFiles(d0).size == stats.filesAfter)
+    assert(rows(d0) == want)
+    assert(Compaction.compactDirKv(spark, d0, 64L << 20, kv0).skipped)
+    assert(kv0.list("compact/").isEmpty)
+
+    for (fp <- Seq("rewritten", "manifest-claimed", "success-removed",
+      "new-copied", "claim-verified", "old-deleted", "committed")) {
+      val dir = stage()
+      val kv = new InMemoryConditionalKv
+      intercept[RuntimeException] {
+        Compaction.compactDirKv(spark, dir, 64L << 20, kv,
+          failpoint = l => if (l == fp) sys.error(s"boom at $l"))
+      }
+      val redo = Compaction.compactDirKv(spark, dir, 64L << 20, kv)
+      assert(redo.filesAfter <= 2 || redo.skipped, s"[$fp] $redo")
+      assert(rows(dir) == want, s"[$fp] rows diverged")
+      assert(kv.list("compact/").isEmpty, s"[$fp] manifest survived")
+      assert(!partFiles(dir).exists(_.startsWith(".")), s"[$fp] work files")
+      assert(!new java.io.File(new java.net.URI(
+        s"$dir/.compact-kv-inflight".replace("norename://", "file://")))
+        .exists(), s"[$fp] inflight marker survived")
+    }
+  }
+
   test("a second claimant is refused while a swap manifest exists") {
     val root = tmpRoot()
     val s = sig(root)

@@ -173,6 +173,44 @@ class NearDupCompactSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$dir/sigs/.compact-manifest").exists())
   }
 
+  test("KV variant: collapse, probe equality, loud orphan handling (r15)") {
+    val kv = new graft.routing.InMemoryConditionalKv
+    val dir = staged(updates = 6)
+    val pre = probe(dir)
+    val stats = Dedup.compactNearDupIndexKv(spark, dir, kv)
+    assert(!stats.sigs.skipped && stats.sigs.filesAfter <= 2 &&
+      stats.grams.filesAfter <= 2, s"$stats")
+    assert(probe(dir) == pre, "KV compaction must not change probe results")
+    assert(kv.list("compact/").isEmpty, "KV manifests must be cleared")
+    // update refused while the KV variant holds the claim
+    var refused = ""
+    Dedup.updateNearDupIndex(spark, dir, batchDf(800L), "text")
+    Dedup.compactNearDupIndexKv(spark, dir, kv,
+      failpoint = l => if (l == "rewritten" && refused.isEmpty) {
+        val e = intercept[IllegalStateException] {
+          Dedup.updateNearDupIndex(spark, dir, batchDf(801L), "text")
+        }
+        refused = e.getMessage
+      })
+    assert(refused.contains("compaction in progress"), refused)
+    // orphaned KV swap (crash mid-swap, claim released by the exception
+    // path): a plain-FS load must refuse LOUDLY with the KV heal named —
+    // it cannot see the KV manifest, and reading a half-swapped table
+    // silently would return duplicate or partial rows
+    Dedup.updateNearDupIndex(spark, dir, batchDf(802L), "text")
+    intercept[RuntimeException] {
+      Dedup.compactNearDupIndexKv(spark, dir, kv,
+        failpoint = l => if (l == "old-deleted") sys.error("boom"))
+    }
+    val e = intercept[IllegalStateException] {
+      Dedup.loadNearDupIndex(spark, dir, persist = false)
+    }
+    assert(e.getMessage.contains("healNearDupIndexKv"), e.getMessage)
+    assert(Dedup.healNearDupIndexKv(spark, dir, kv))
+    val post = probe(dir)
+    assert(post == pre, s"healed KV swap must read committed rows: $post")
+  }
+
   test("a kill at every swap failpoint heals with zero loss") {
     for (fp <- Seq("rewritten", "manifest-written", "old-moved",
       "new-moved", "committed")) {
