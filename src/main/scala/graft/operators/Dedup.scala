@@ -422,11 +422,34 @@ object Dedup {
     * can restart without re-hashing the corpus. The build is
     * deterministic, so save → load → probe is byte-identical to probing
     * the original. */
-  def saveNearDupIndex(index: NearDupIndex, path: String): Unit = {
+  def saveNearDupIndex(index: NearDupIndex, path: String): Unit =
+    saveNearDupIndex(index, path, renameFree = false)
+
+  /** `renameFree = true` lays the bucket table out in VERSIONED
+    * directories committed by immutable POINTER FILES
+    * (`buckets_v<N>/` + `buckets_ptr.v<N>`, newest valid pointer wins)
+    * instead of the live/next/old rename swap — every
+    * [[updateNearDupIndex]] then runs with ZERO renames outside Spark's
+    * own committer, making the whole daily maintenance loop safe on
+    * object stores without atomic rename (pair with
+    * [[compactNearDupIndexKv]] for the sigs/grams rewrite). A pointer
+    * file is one small PUT — all-or-nothing on object stores; a torn or
+    * targetless pointer is skipped at read time (fall back to the
+    * previous version), so the commit point is crash-safe on local
+    * filesystems too. The default layout is unchanged for existing
+    * indexes; the mode is auto-detected from the pointer files on
+    * load/update. */
+  def saveNearDupIndex(index: NearDupIndex, path: String,
+                       renameFree: Boolean): Unit = {
     index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
     index.grams.write.mode("overwrite").parquet(s"$path/grams")
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     val spark = index.sigs.sparkSession
+    if (renameFree) {
+      index.buckets.write.mode("overwrite").parquet(s"$path/buckets_v1")
+      writeBucketsPointer(spark, path, 1, "buckets_v1")
+    } else {
+      index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    }
     val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -435,6 +458,49 @@ object Dedup {
         s"bands=${index.bands}\nshingleN=${index.shingleN}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private val BucketsPtrPrefix = "buckets_ptr.v"
+
+  private def writeBucketsPointer(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, seq: Int,
+                                  dirName: String): Unit = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/$BucketsPtrPrefix$seq")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // create-if-absent: a seq collision means a concurrent update — the
+    // serialize-updates contract was violated; fail loudly, the other
+    // writer's pointer stays the committed one
+    val out = fs.create(ptr, false)
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Newest VALID versioned bucket table: highest-seq pointer whose
+    * content parses and whose target directory is complete. Returns
+    * (seq, dirName); None = legacy (rename-swap) layout. A torn pointer
+    * (crash mid-PUT on a local FS) or a pointer whose target never
+    * finished writing is skipped — the previous version stays live. */
+  private def newestBucketsVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[(Int, String)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return None
+    val ptrs = fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(BucketsPtrPrefix))
+      .flatMap(n => n.stripPrefix(BucketsPtrPrefix).toIntOption.map(_ -> n))
+      .sortBy(-_._1)
+    ptrs.iterator.flatMap { case (seq, name) =>
+      val target = try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (s.nonEmpty && !s.contains('/') && !s.contains('\n')) Some(s)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      target.filter(t => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
+        .map(seq -> _)
+    }.nextOption()
   }
 
   /** Load a [[saveNearDupIndex]]-written corpus index. `persist=true`
@@ -482,24 +548,31 @@ object Dedup {
         ()
       }
     }
-    // buckets resolution tolerates a crash mid-[[updateNearDupIndex]]
-    // swap: `buckets_next` is always fully written before the swap
+    // buckets resolution. VERSIONED layout first (r15 rename-free mode:
+    // newest valid pointer wins; a crash between the merge write and
+    // the pointer PUT simply leaves the previous version live). Legacy
+    // layout otherwise: tolerate a crash mid-[[updateNearDupIndex]]
+    // swap — `buckets_next` is always fully written before the swap
     // begins, so if the live dir is missing COMPLETE the interrupted
     // swap (rename next->live, drop old) rather than merely reading
     // next in place — a retried update would otherwise overwrite the
     // very directory its merge is lazily scanning. Healing makes the
     // on-disk state identical to a successful swap; if the rename is
     // refused (read-only mount) fall back to reading next/old directly.
-    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
-    val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
-    if (!fs.exists(live) && fs.exists(next) &&
-        (try fs.rename(next, live) catch { case _: java.io.IOException => false }))
-      fs.delete(old, true)
-    val bucketsDir = Seq(live, next, old)
-      .find(fs.exists)
-      .getOrElse(throw new java.io.FileNotFoundException(
-        s"$path/buckets (no live, next, or old table)"))
+    val bucketsDir = newestBucketsVersion(fs, path) match {
+      case Some((_, dirName)) => new org.apache.hadoop.fs.Path(s"$path/$dirName")
+      case None =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+        val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
+        val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
+        if (!fs.exists(live) && fs.exists(next) &&
+            (try fs.rename(next, live) catch { case _: java.io.IOException => false }))
+          fs.delete(old, true)
+        Seq(live, next, old)
+          .find(fs.exists)
+          .getOrElse(throw new java.io.FileNotFoundException(
+            s"$path/buckets (no live, next, old, or versioned table)"))
+    }
     NearDupIndex(
       maybe(spark.read.parquet(s"$path/sigs")),
       maybe(spark.read.parquet(s"$path/grams")),
@@ -514,9 +587,12 @@ object Dedup {
     * batch means re-hashing the whole corpus into a fresh build. The
     * batch's signatures/gram-hashes APPEND to `sigs/`/`grams/` (row-level
     * tables — parquet append is exactly the right merge), and its banded
-    * buckets MERGE list-wise into `buckets/` (flatten per (band,
-    * band_hash) key, written aside and swapped in, so the scan of the old
-    * table never races its own overwrite). A probe of the updated index
+    * buckets MERGE list-wise into the bucket table: the legacy layout
+    * swaps `buckets/` by directory rename (written aside first, so the
+    * scan of the old table never races its own overwrite); a
+    * [[saveNearDupIndex]] `renameFree=true` index instead writes a fresh
+    * `buckets_v<N>/` committed by one immutable pointer PUT — zero
+    * renames, the object-store path. A probe of the updated index
     * produces the same verified pairs as probing a from-scratch rebuild
     * of corpus+batch (suite-pinned): bucket-list order differs, but pair
     * emission explodes + distincts, and the maxBucketSize guard sees the
@@ -566,59 +642,93 @@ object Dedup {
       .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
     val newBuckets = boundedIdCollect(
       bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands), idCol)
-    // merged bucket table lands in a UNIQUE temp dir first: idx.buckets
-    // may be a lazy scan of buckets_next itself (a load that fell back
-    // after an interrupted swap), and writing the merge straight to
-    // buckets_next would delete the scan's source before reading it.
-    // The materialized temp table then renames into buckets_next.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/buckets_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     // array_distinct: a doc id appears at most once per bucket by
     // construction (one bandExplode row per doc per band), so distinct
     // is a no-op on clean folds and makes a crash-REPLAYED fold
     // idempotent on the bucket lists — a re-appended batch can neither
     // double-emit pairs from doubled lists nor push a list across the
     // maxBucketSize guard (which would silently drop future pairs)
-    idx.buckets.unionByName(newBuckets)
+    val merged = idx.buckets.unionByName(newBuckets)
       .groupBy("band", "band_hash")
       // both sides are <= MaxStoredBucket+1 by construction; re-cap the
       // merged list so repeated folds cannot creep past the ceiling
       .agg(slice(array_distinct(flatten(collect_list(col("__ids")))),
         1, MaxStoredBucket + 1).as("__ids"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val nextPre = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
-    fs.delete(nextPre, true)
-    if (!fs.rename(tmp, nextPre))
-      throw new java.io.IOException(
-        s"updateNearDupIndex: could not stage merged buckets at $nextPre")
-    newSigs.write.mode("append").parquet(s"$path/sigs")
-    newGrams.write.mode("append").parquet(s"$path/grams")
-    // swap: move the LIVE table aside first, then the new one into
-    // place, then drop the old — a crash at any boundary leaves either
-    // the old or the new buckets loadable (delete-then-rename would
-    // leave a window with NO buckets table, turning a crash into a
-    // hard-down index instead of a stale one)
-    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
-    val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
-    fs.delete(old, true)
-    // UNCHECKED, a false here (transient store fault) leaves `live` in
-    // place and the next rename moves buckets_next INSIDE it (HDFS
-    // rename-into-existing-dir), silently discarding the merged update
-    // while sigs/grams were already appended — a permanently
-    // inconsistent index with no error surfaced
-    if (!fs.rename(live, old) && fs.exists(live))
-      throw new java.io.IOException(
-        s"updateNearDupIndex: could not move $live aside — aborting swap " +
-          "(the live table is untouched; retry the update)")
-    if (!fs.rename(next, live)) {
-      fs.rename(old, live) // restore the live table, surface the failure
-      throw new java.io.IOException(
-        s"updateNearDupIndex: could not swap $next into place")
+    newestBucketsVersion(fs, path) match {
+      case Some((seq, _)) =>
+        // RENAME-FREE versioned layout (r15): the merge lands in a
+        // FRESH versioned directory (never its own lazy-scan source, so
+        // no tmp staging), row tables append, and the commit is one
+        // immutable pointer PUT. A crash before the pointer leaves the
+        // previous version live (orphan dir overwritten on retry); a
+        // crash after it is committed. Zero renames outside Spark's
+        // committer — the object-store update path.
+        val next = seq + 1
+        val dirName = s"buckets_v$next"
+        merged.write.mode("overwrite").parquet(s"$path/$dirName")
+        newSigs.write.mode("append").parquet(s"$path/sigs")
+        newGrams.write.mode("append").parquet(s"$path/grams")
+        writeBucketsPointer(spark, path, next, dirName)
+        // GC: keep the committed version and its predecessor (the
+        // fallback a torn next-pointer would resolve to). Pointer
+        // before dir, so no surviving pointer ever targets a missing
+        // dir; readers pick the NEWEST valid pointer, so dropping
+        // older ones never changes what they resolve.
+        val keep = Set(dirName, s"buckets_v$seq")
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+          val n = st.getPath.getName
+          val stalePtr = n.startsWith(BucketsPtrPrefix) &&
+            n.stripPrefix(BucketsPtrPrefix).toIntOption.exists(_ < seq)
+          val staleDir = n.startsWith("buckets_v") && !keep.contains(n) &&
+            n.stripPrefix("buckets_v").toIntOption.exists(_ < seq)
+          if (stalePtr) fs.delete(st.getPath, false)
+          else if (staleDir) fs.delete(st.getPath, true)
+        }
+      case None =>
+        // LEGACY rename-swap layout. Merged bucket table lands in a
+        // UNIQUE temp dir first: idx.buckets may be a lazy scan of
+        // buckets_next itself (a load that fell back after an
+        // interrupted swap), and writing the merge straight to
+        // buckets_next would delete the scan's source before reading
+        // it. The materialized temp table then renames into
+        // buckets_next.
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path/buckets_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val nextPre = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
+        fs.delete(nextPre, true)
+        if (!fs.rename(tmp, nextPre))
+          throw new java.io.IOException(
+            s"updateNearDupIndex: could not stage merged buckets at $nextPre")
+        newSigs.write.mode("append").parquet(s"$path/sigs")
+        newGrams.write.mode("append").parquet(s"$path/grams")
+        // swap: move the LIVE table aside first, then the new one into
+        // place, then drop the old — a crash at any boundary leaves
+        // either the old or the new buckets loadable (delete-then-
+        // rename would leave a window with NO buckets table, turning a
+        // crash into a hard-down index instead of a stale one)
+        val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+        val next = new org.apache.hadoop.fs.Path(s"$path/buckets_next")
+        val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
+        fs.delete(old, true)
+        // UNCHECKED, a false here (transient store fault) leaves `live`
+        // in place and the next rename moves buckets_next INSIDE it
+        // (HDFS rename-into-existing-dir), silently discarding the
+        // merged update while sigs/grams were already appended — a
+        // permanently inconsistent index with no error surfaced
+        if (!fs.rename(live, old) && fs.exists(live))
+          throw new java.io.IOException(
+            s"updateNearDupIndex: could not move $live aside — aborting " +
+              "swap (the live table is untouched; retry the update)")
+        if (!fs.rename(next, live)) {
+          fs.rename(old, live) // restore the live table, surface the failure
+          throw new java.io.IOException(
+            s"updateNearDupIndex: could not swap $next into place")
+        }
+        fs.delete(old, true)
     }
-    fs.delete(old, true)
     ()
   }
 
