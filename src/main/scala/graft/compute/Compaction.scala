@@ -653,6 +653,70 @@ object Compaction {
   private def manifestKey(dataPath: Path): String =
     s"compact/${dataPath.toString}"
 
+  /** Versioned-directory layout with immutable pointer-file commits
+    * (r15): a table lives in `<dirPrefix><N>/` directories; the
+    * committed one is named by the highest-seq VALID pointer file
+    * `<ptrPrefix><N>` (content = the directory name). Commit = ONE
+    * small PUT of a fresh pointer — atomic on object stores, and
+    * crash-safe everywhere because readers SKIP invalid pointers: torn
+    * content (crash mid-PUT on a local FS) or a target directory
+    * without `_SUCCESS` falls back to the previous version. Writers
+    * never rename; a crash between the data write and the pointer PUT
+    * leaves an orphan directory the retry overwrites (same seq is
+    * recomputed). The public-engineering precedent is the metadata-
+    * pointer commit of table formats (Iceberg/Delta-style). */
+  object VersionedDir {
+
+    /** Newest valid (seq, dirName); None = no versioned layout here. */
+    def newest(fs: FileSystem, root: Path,
+               ptrPrefix: String): Option[(Int, String)] = {
+      if (!fs.exists(root)) return None
+      val ptrs = fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(ptrPrefix))
+        .flatMap(n => n.stripPrefix(ptrPrefix).toIntOption.map(_ -> n))
+        .sortBy(-_._1)
+      ptrs.iterator.flatMap { case (seq, name) =>
+        val target = try {
+          val in = fs.open(new Path(root, name))
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          if (s.nonEmpty && !s.contains('/') && !s.contains('\n')) Some(s)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+        target.filter(t => fs.exists(new Path(root, s"$t/_SUCCESS")))
+          .map(seq -> _)
+      }.nextOption()
+    }
+
+    /** Commit `dirName` as version `seq` — one immutable pointer PUT.
+      * create-if-absent: a seq collision means a concurrent writer
+      * violated the serialize-maintenance contract; fail loudly (the
+      * other writer's pointer stays committed). */
+    def commit(fs: FileSystem, root: Path, ptrPrefix: String, seq: Int,
+               dirName: String): Unit = {
+      val out = fs.create(new Path(root, s"$ptrPrefix$seq"), false)
+      try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Drop versions older than `keepMinSeq` (typically the previous
+      * committed seq — current + one fallback survive). Pointers go
+      * before directories, so no surviving pointer targets a missing
+      * dir; readers resolve NEWEST-first, so dropping older ones never
+      * changes what they see. */
+    def gc(fs: FileSystem, root: Path, ptrPrefix: String,
+           dirPrefix: String, keepMinSeq: Int): Unit =
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val stalePtr = n.startsWith(ptrPrefix) &&
+          n.stripPrefix(ptrPrefix).toIntOption.exists(_ < keepMinSeq)
+        val staleDir = !stalePtr && n.startsWith(dirPrefix) &&
+          n.stripPrefix(dirPrefix).toIntOption.exists(_ < keepMinSeq)
+        if (stalePtr) fs.delete(st.getPath, false)
+        else if (staleDir) fs.delete(st.getPath, true)
+      }
+  }
+
   /** Lease-style claim-file mutual exclusion for index/table maintenance
     * (r15): a maintenance pass (compaction) takes a claim file with
     * create-if-absent (atomic on local/HDFS), mutators check it and fail

@@ -465,43 +465,20 @@ object Dedup {
   private def writeBucketsPointer(spark: org.apache.spark.sql.SparkSession,
                                   path: String, seq: Int,
                                   dirName: String): Unit = {
-    val ptr = new org.apache.hadoop.fs.Path(s"$path/$BucketsPtrPrefix$seq")
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // create-if-absent: a seq collision means a concurrent update — the
-    // serialize-updates contract was violated; fail loudly, the other
-    // writer's pointer stays the committed one
-    val out = fs.create(ptr, false)
-    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.compute.Compaction.VersionedDir.commit(fs, root,
+      BucketsPtrPrefix, seq, dirName)
   }
 
-  /** Newest VALID versioned bucket table: highest-seq pointer whose
-    * content parses and whose target directory is complete. Returns
-    * (seq, dirName); None = legacy (rename-swap) layout. A torn pointer
-    * (crash mid-PUT on a local FS) or a pointer whose target never
-    * finished writing is skipped — the previous version stays live. */
+  /** Newest VALID versioned bucket table (the shared
+    * [[graft.compute.Compaction.VersionedDir]] resolution); None =
+    * legacy (rename-swap) layout. */
   private def newestBucketsVersion(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Option[(Int, String)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) return None
-    val ptrs = fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(BucketsPtrPrefix))
-      .flatMap(n => n.stripPrefix(BucketsPtrPrefix).toIntOption.map(_ -> n))
-      .sortBy(-_._1)
-    ptrs.iterator.flatMap { case (seq, name) =>
-      val target = try {
-        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        if (s.nonEmpty && !s.contains('/') && !s.contains('\n')) Some(s)
-        else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-      target.filter(t => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
-        .map(seq -> _)
-    }.nextOption()
-  }
+      path: String): Option[(Int, String)] =
+    graft.compute.Compaction.VersionedDir.newest(fs,
+      new org.apache.hadoop.fs.Path(path), BucketsPtrPrefix)
 
   /** Load a [[saveNearDupIndex]]-written corpus index. `persist=true`
     * additionally caches the tables MEMORY_AND_DISK for repeated probes
@@ -672,20 +649,10 @@ object Dedup {
         newGrams.write.mode("append").parquet(s"$path/grams")
         writeBucketsPointer(spark, path, next, dirName)
         // GC: keep the committed version and its predecessor (the
-        // fallback a torn next-pointer would resolve to). Pointer
-        // before dir, so no surviving pointer ever targets a missing
-        // dir; readers pick the NEWEST valid pointer, so dropping
-        // older ones never changes what they resolve.
-        val keep = Set(dirName, s"buckets_v$seq")
-        fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-          val n = st.getPath.getName
-          val stalePtr = n.startsWith(BucketsPtrPrefix) &&
-            n.stripPrefix(BucketsPtrPrefix).toIntOption.exists(_ < seq)
-          val staleDir = n.startsWith("buckets_v") && !keep.contains(n) &&
-            n.stripPrefix("buckets_v").toIntOption.exists(_ < seq)
-          if (stalePtr) fs.delete(st.getPath, false)
-          else if (staleDir) fs.delete(st.getPath, true)
-        }
+        // fallback a torn next-pointer would resolve to)
+        graft.compute.Compaction.VersionedDir.gc(fs,
+          new org.apache.hadoop.fs.Path(path), BucketsPtrPrefix,
+          "buckets_v", keepMinSeq = seq)
       case None =>
         // LEGACY rename-swap layout. Merged bucket table lands in a
         // UNIQUE temp dir first: idx.buckets may be a lazy scan of

@@ -324,16 +324,53 @@ object Pq {
     * alongside; ~(8 + m) bytes/vector on disk plus the parquet
     * dictionary. */
   def saveIvfPq(pqCells: DataFrame, ivfCentroids: Array[Array[Double]],
-                cb: PqCodebook, path: String): Unit = {
+                cb: PqCodebook, path: String): Unit =
+    saveIvfPq(pqCells, ivfCentroids, cb, path, renameFree = false)
+
+  /** `renameFree = true` lays the cells tree out in VERSIONED
+    * directories committed by immutable pointer files (`cells_v<N>/` +
+    * `cells_ptr.vN`, [[graft.compute.Compaction.VersionedDir]]
+    * semantics): [[compactIvfPq]] then rewrites into a FRESH versioned
+    * tree and commits with one pointer PUT — zero renames, and readers
+    * mid-compaction keep resolving the previous committed tree (no
+    * no-cells window at all). [[updateIvfPq]] appends are committer-
+    * based in both layouts. Auto-detected on load/update/compact;
+    * existing `cells/` indexes are untouched. */
+  def saveIvfPq(pqCells: DataFrame, ivfCentroids: Array[Array[Double]],
+                cb: PqCodebook, path: String, renameFree: Boolean): Unit = {
     val spark = pqCells.sparkSession
     import spark.implicits._
-    pqCells.write.mode("overwrite").partitionBy("__cell")
-      .parquet(s"$path/cells")
+    if (renameFree) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pqCells.write.mode("overwrite").partitionBy("__cell")
+        .parquet(s"$path/cells_v1")
+      graft.compute.Compaction.VersionedDir.commit(fs, root,
+        CellsPtrPrefix, 1, "cells_v1")
+    } else {
+      pqCells.write.mode("overwrite").partitionBy("__cell")
+        .parquet(s"$path/cells")
+    }
     saveCodebook(spark, cb, path)
     ivfCentroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cent").repartition(1)
       .write.mode("overwrite").parquet(s"$path/ivf_centroids")
   }
+
+  private val CellsPtrPrefix = "cells_ptr.v"
+
+  /** The committed cells tree: newest valid versioned dir if the index
+    * uses the rename-free layout, `cells/` otherwise. Returns the
+    * version seq (None = legacy) and the directory path. */
+  private def resolveCells(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String)
+      : (Option[Int], org.apache.hadoop.fs.Path) =
+    graft.compute.Compaction.VersionedDir.newest(fs,
+      new org.apache.hadoop.fs.Path(path), CellsPtrPrefix) match {
+      case Some((seq, d)) =>
+        (Some(seq), new org.apache.hadoop.fs.Path(s"$path/$d"))
+      case None => (None, new org.apache.hadoop.fs.Path(s"$path/cells"))
+    }
 
   /** Load a [[saveIvfPq]]-written index: (cells, ivfCentroids,
     * codebook). Probe with [[ivfPqTopK]] — the `__cell isin` filter
@@ -362,7 +399,7 @@ object Pq {
     rows.foreach(r => cents(r.getInt(0)) = r.getSeq[Double](1).toArray)
     require(cents.forall(_ != null),
       s"ivf_centroids at $path has gaps — corrupt or partial write")
-    (spark.read.parquet(s"$path/cells"), cents, cb)
+    (spark.read.parquet(resolveCells(lfs, path)._2.toString), cents, cb)
   }
 
   /** Fold a batch of NEW vectors into a [[saveIvfPq]]-written index in
@@ -407,10 +444,11 @@ object Pq {
     val assigned = Similarity.assignTo(
       batch.select(col(idCol), col(vecCol).as("__orig"),
         unit(col(vecCol)).as("__u")), cents)
+    val cellsDir = resolveCells(ufs, path)._2
     encode(assigned, "__orig", cb, codeCol)
       .select(col(idCol), col("__cell"), col(codeCol))
       .write.mode("append").partitionBy("__cell")
-      .parquet(s"$path/cells")
+      .parquet(cellsDir.toString)
   }
 
   /** [[compactIvfPq]] outcome. `dedupedRows` counts duplicate-id rows
@@ -478,11 +516,11 @@ object Pq {
     *     `cells` -> `.ivfpq-compact-old`, rename tmp -> `cells`,
     *     delete the manifest (the healing commit point), clear old.
     *
-    * Directory rename is atomic on local/HDFS; on rename-less object
-    * stores run this in a quiet window (the
-    * [[graft.compute.Compaction.compactPartitionKv]] copy-then-
-    * conditional-manifest treatment ports directly if that window ever
-    * disappears).
+    * Directory rename is atomic on local/HDFS; an index saved with
+    * [[saveIvfPq]] `renameFree = true` (versioned cells tree + pointer
+    * commit) compacts with ZERO renames instead — the object-store
+    * path, auto-detected. Legacy `cells/` indexes on rename-less
+    * stores should run this in a quiet window or be re-saved versioned.
     *
     * Concurrency (r15): the whole compaction runs under a CLAIM file
     * (`.ivfpq-compact-claim`, created with overwrite=false — atomic on
@@ -509,17 +547,17 @@ object Pq {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells = new org.apache.hadoop.fs.Path(root, "cells")
     ivfPqEnsureUnclaimed(fs, root, claimTtlMs, "compactIvfPq")
     val healed = healIvfPq(spark, path)
-    require(fs.exists(cells), s"no cells/ under $path — not an IVF-PQ index")
+    val (versionSeq, cells) = resolveCells(fs, path)
+    require(fs.exists(cells), s"no cells under $path — not an IVF-PQ index")
     // CLAIM: atomic create-if-absent — two compactors cannot both win,
     // and updates refuse while it stands (mirrors compactPartitionKv's
     // conditional-PUT claim semantics on the KV backend)
     val claimPath = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
     graft.compute.Compaction.FsClaim.acquire(fs, claimPath, "compactIvfPq")
-    try compactIvfPqClaimed(spark, fs, root, cells, targetFileBytes,
-      dedupById, failpoint, healed)
+    try compactIvfPqClaimed(spark, fs, root, cells, versionSeq,
+      targetFileBytes, dedupById, failpoint, healed)
     finally graft.compute.Compaction.FsClaim.release(fs, claimPath)
   }
 
@@ -527,6 +565,7 @@ object Pq {
                                   fs: org.apache.hadoop.fs.FileSystem,
                                   root: org.apache.hadoop.fs.Path,
                                   cells: org.apache.hadoop.fs.Path,
+                                  versionSeq: Option[Int],
                                   targetFileBytes: Long,
                                   dedupById: Option[String],
                                   failpoint: String => Unit,
@@ -561,6 +600,36 @@ object Pq {
     // split by row cap derived from the listing's measured bytes/row
     val bytesPerRow = math.max(1L, total / math.max(1L, rowsBefore))
     val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
+
+    versionSeq match {
+      case Some(seq) =>
+        // VERSIONED layout (r15): the compacted tree lands in a FRESH
+        // versioned directory and ONE immutable pointer PUT commits it —
+        // zero renames, no no-cells window for readers (the previous
+        // version resolves until the commit instant), crash before the
+        // pointer = previous version stays live and the orphan tree is
+        // overwritten on retry. GC keeps the previous version as the
+        // torn-pointer fallback.
+        val next = seq + 1
+        val dirName = s"cells_v$next"
+        deduped.repartition(col("__cell"))
+          .write.mode("overwrite").option("maxRecordsPerFile", maxRecords)
+          .partitionBy("__cell").parquet(s"$root/$dirName")
+        failpoint("rewritten")
+        graft.compute.Compaction.VersionedDir.commit(fs, root,
+          CellsPtrPrefix, next, dirName)
+        failpoint("committed")
+        graft.compute.Compaction.VersionedDir.gc(fs, root,
+          CellsPtrPrefix, "cells_v", keepMinSeq = seq)
+        val newCells = new org.apache.hadoop.fs.Path(s"$root/$dirName")
+        val after = ivfPqDataFiles(fs, newCells)
+        return IvfPqCompactStats(files.size, after.size, total,
+          after.groupBy(f => new org.apache.hadoop.fs.Path(f._1)
+            .getParent.toString).size,
+          rows, dedupedRows = rowsBefore - rows, healed, skipped = false)
+      case None => () // legacy rename swap below
+    }
+
     deduped.repartition(col("__cell"))
       .write.option("maxRecordsPerFile", maxRecords)
       .partitionBy("__cell").parquet(tmp.toString)
