@@ -334,6 +334,28 @@ object Similarity {
         .filter(_.contains("=")).map { l =>
           val Array(a, b) = l.split("=", 2); a -> b }.toMap
       finally in.close()
+    // mid-compaction-swap safety (the loadNearDupIndex convention): a
+    // fresh claim = live compactor -> refuse; an orphaned FS swap heals
+    // here; an orphaned OBJECT-STORE swap needs the manifest store ->
+    // refuse with healAnnIndexKv named
+    locally {
+      val fsManifest = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/sigs/.compact-manifest"))
+      val kvInflight = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/sigs/${graft.compute.Compaction.DirKvInflight}"))
+      if (fsManifest || kvInflight) {
+        graft.compute.Compaction.FsClaim.ensureUnclaimed(fs,
+          new org.apache.hadoop.fs.Path(s"$path/$AnnClaim"),
+          graft.compute.Compaction.FsClaim.DefaultTtlMs, "loadAnnIndex")
+        if (kvInflight)
+          throw new IllegalStateException(
+            s"ANN index at $path has an interrupted OBJECT-STORE " +
+              "compaction swap in sigs/ — run Similarity.healAnnIndexKv " +
+              "(it needs the manifest store) before loading")
+        graft.compute.Compaction.healDir(spark, s"$path/sigs")
+        ()
+      }
+    }
     val sigs = spark.read.parquet(s"$path/sigs")
     AnnIndex(
       if (persist) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -351,11 +373,79 @@ object Similarity {
     * which dedup-by-id downstream or a fresh save clears. */
   def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newDf: DataFrame): Unit = {
+    // refuse while a compaction claim stands (same contract as
+    // updateNearDupIndex/updateIvfPq — an append into sigs mid-rewrite
+    // would be silently dropped by the table swap); a crashed
+    // compactor's stale claim clears, and its swap heals, first
+    locally {
+      val claimP = new org.apache.hadoop.fs.Path(s"$path/$AnnClaim")
+      val cfs = claimP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.compute.Compaction.FsClaim.ensureUnclaimed(cfs, claimP,
+        graft.compute.Compaction.FsClaim.DefaultTtlMs, "updateAnnIndex")
+      graft.compute.Compaction.healDir(spark, s"$path/sigs")
+      ()
+    }
     val idx = loadAnnIndex(spark, path, persist = false)
     newDf.select(col(idx.idCol), col(idx.vecCol),
         planeSignature(col(idx.vecCol), idx.planes).as("__bucket"))
       .write.mode("append").parquet(s"$path/sigs")
   }
+
+  private val AnnClaim = ".ann-compact-claim"
+
+  /** Compact a [[saveAnnIndex]]-written index's `sigs/` table —
+    * [[updateAnnIndex]] parquet-appends one file per shuffle partition
+    * per batch, the same small-file debt [[Dedup.compactNearDupIndex]]
+    * clears for the near-dup row tables. Runs under the shared
+    * claim-file contract (concurrent updates refuse loudly; a crashed
+    * compactor's claim goes stale after `claimTtlMs`); the rewrite is
+    * the manifest-guarded [[graft.compute.Compaction.compactDir]] swap,
+    * crash-healable at every step. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, targetFileBytes: Long = 64L << 20,
+                      failpoint: String => Unit = _ => (),
+                      claimTtlMs: Long =
+                        graft.compute.Compaction.FsClaim.DefaultTtlMs)
+      : graft.compute.Compaction.DirCompactStats = {
+    import graft.compute.Compaction.FsClaim
+    val claim = new org.apache.hadoop.fs.Path(s"$path/$AnnClaim")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactAnnIndex")
+    FsClaim.acquire(fs, claim, "compactAnnIndex")
+    try graft.compute.Compaction.compactDir(spark, s"$path/sigs",
+      targetFileBytes, failpoint)
+    finally FsClaim.release(fs, claim)
+  }
+
+  /** [[compactAnnIndex]] with the rename-free KV-guarded swap — the
+    * object-store variant ([[graft.compute.Compaction.compactDirKv]]).
+    * Crash recovery needs the manifest store: [[healAnnIndexKv]]. */
+  def compactAnnIndexKv(spark: org.apache.spark.sql.SparkSession,
+                        path: String, kv: graft.routing.ConditionalKv,
+                        targetFileBytes: Long = 64L << 20,
+                        failpoint: String => Unit = _ => (),
+                        claimTtlMs: Long =
+                          graft.compute.Compaction.FsClaim.DefaultTtlMs)
+      : graft.compute.Compaction.DirCompactStats = {
+    import graft.compute.Compaction.FsClaim
+    val claim = new org.apache.hadoop.fs.Path(s"$path/$AnnClaim")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactAnnIndexKv")
+    FsClaim.acquire(fs, claim, "compactAnnIndexKv")
+    try graft.compute.Compaction.compactDirKv(spark, s"$path/sigs",
+      targetFileBytes, kv, failpoint)
+    finally FsClaim.release(fs, claim)
+  }
+
+  /** Heal an interrupted [[compactAnnIndex]] swap; true when healed. */
+  def healAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Boolean =
+    graft.compute.Compaction.healDir(spark, s"$path/sigs")
+
+  /** Heal an interrupted [[compactAnnIndexKv]] swap. */
+  def healAnnIndexKv(spark: org.apache.spark.sql.SparkSession, path: String,
+                     kv: graft.routing.ConditionalKv): Boolean =
+    graft.compute.Compaction.healDirKv(spark, s"$path/sigs", kv)
 
   // ---- IVF: the centroid-partitioned ANN scale path ----------------------
 
