@@ -421,6 +421,45 @@ object PipelineOps {
         .orderBy("d1", "d2")
     }),
 
+    // ---- r15: the DURABLE VERSIONED near-dup index's whole maintenance
+    // loop under the oracle gate — save (rename-free pointer layout) ->
+    // fold a daily batch -> rename-free KV compaction of the appended
+    // row tables -> load -> probe. Semantics identical to p18 (the index
+    // holds exactly the `existing` side), so the same exact-Jaccard
+    // oracle pins that NO maintenance step changed a single pair.
+    "p40_versioned_index_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newBatch = d.where(col("doc_id") % 10 === 0)
+      val seed = d.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val daily = d.where(col("doc_id") % 10 === 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p40").toString
+      try {
+        Dedup.saveNearDupIndex(
+          Dedup.buildNearDupIndex(seed, "text", "doc_id", persist = false),
+          tmp, renameFree = true)
+        Dedup.updateNearDupIndex(s, tmp, daily, "text")
+        Dedup.compactNearDupIndexKv(s, tmp,
+          new graft.routing.InMemoryConditionalKv)
+        val idx = Dedup.loadNearDupIndex(s, tmp, persist = false)
+        val rows = Dedup.incrementalJaccardPairs(newBatch, idx, "text",
+            minJaccard = 0.9, maxBucketSize = 1000)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("d1", "d2").collect()
+        // small verified pair list — re-materialize driver-side so the
+        // returned frame no longer depends on the deleted temp index
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("d1",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("d2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }),
+
     // ---- deterministic stratified sampling: exact per-lang quotas picked
     // by hash order (reproducible, engine-agnostic)
     "p16_stratified_sample" -> ((s, dir) => {
@@ -827,6 +866,23 @@ object PipelineOps {
                 CAST(pw.pws AS BIGINT) AS pos_weighted
          FROM q JOIN pw ON q.vec_id = pw.vec_id ORDER BY q.vec_id""",
     "p18_incremental_dedup" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                        FROM documents),
+         pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
+         grams AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word AS g
+                   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+                    FROM grams a JOIN grams b ON a.g = b.g
+                     AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                    GROUP BY 1, 2)
+         SELECT d1, d2, ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
+         FROM common JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.9
+         ORDER BY d1, d2""",
+    // identical ground truth to p18: the index holds exactly the
+    // non-batch side, and maintenance must not change a single pair
+    "p40_versioned_index_dedup" ->
       """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                         FROM documents),
          pos AS (SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM words),
