@@ -435,6 +435,48 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed near-dup pairs wrong: $pairs")
   }
 
+  test("streaming ingest on a VERSIONED (rename-free) index folds forward (r15)") {
+    // the object-store shape: the bucket table commits by pointer PUT,
+    // auto-detected — the ingest loop needs no changes, and the
+    // cross-batch fold (batch 2 matching batch 1's doc) proves the
+    // pointer advanced between micro-batches
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val long =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val other =
+      "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq((1L, long),
+      (2L, "completely different corpus content about catalyst codegen"))
+      .toDF("doc_id", "text")
+    val ixPath = s"$work/stream_ndix_v"
+    graft.operators.Dedup.saveNearDupIndex(
+      graft.operators.Dedup.buildNearDupIndex(corpus, "text", "doc_id",
+        k = 64, bands = 16, shingleN = 2, persist = false), ixPath,
+      renameFree = true)
+    val pairsOut = s"$work/stream_ndpairs_v"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        ixPath, "text", pairsOut)
+      .option("checkpointLocation", s"$work/stream_ndckpt_v").start()
+    mem.addData((10L, long + " extra"), (11L, other))
+    q.processAllAvailable()
+    mem.addData((20L, other + " tail"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(pairsOut)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (20L, 11L)),
+      s"streamed near-dup pairs wrong on the versioned layout: $pairs")
+    // two micro-batches advanced the pointer twice: v1 -> v3
+    val names = new java.io.File(ixPath).listFiles().map(_.getName).toSet
+    assert(names.contains("buckets_ptr.v3"), s"pointer did not advance: $names")
+    assert(!names.contains("buckets"), "no legacy dir may appear")
+  }
+
   test("null-text rows are not content duplicates of each other") {
     val sp = spark
     import sp.implicits._
