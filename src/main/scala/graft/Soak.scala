@@ -280,12 +280,15 @@ object Soak {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_soak_nd").toString
       val updates = sys.env.getOrElse("SPARK_GRAFT_SOAK_ND_UPDATES", "100").toInt
+      // "versioned" = the r15 rename-free pointer-commit bucket layout
+      // (the object-store path); "legacy" = the rename-swap layout
+      val layout = sys.env.getOrElse("SPARK_GRAFT_SOAK_ND_LAYOUT", "versioned")
       val corpus = base.localCheckpoint()
       val nDocs = corpus.count()
       val (_, tBuild) = timed {
         Dedup.saveNearDupIndex(
           Dedup.buildNearDupIndex(corpus, "text", "doc_id", persist = false),
-          dir)
+          dir, renameFree = layout == "versioned")
       }
       // daily batch b: 50 fresh docs derived from the corpus with
       // disjoint ids and perturbed text (near-dups of their originals)
@@ -311,7 +314,7 @@ object Soak {
       require(pairsBefore == pairsAfter && pairsBefore > 0,
         s"probe diverged across compaction: $pairsBefore vs $pairsAfter")
       println(
-        f"""{"soak":"ndcompact","docs":$nDocs,"updates":$updates,"build_sec":$tBuild%.1f,"updates_sec":$tUpdates%.1f,"sigs_files_before":$sigsBefore,"grams_files_before":$gramsBefore,"sigs_files_after":${stats.sigs.filesAfter},"grams_files_after":${stats.grams.filesAfter},"compact_sec":$tCompact%.1f,"probe_pairs":$pairsBefore,"match":true}""")
+        f"""{"soak":"ndcompact","layout":"$layout","docs":$nDocs,"updates":$updates,"build_sec":$tBuild%.1f,"updates_sec":$tUpdates%.1f,"sigs_files_before":$sigsBefore,"grams_files_before":$gramsBefore,"sigs_files_after":${stats.sigs.filesAfter},"grams_files_after":${stats.grams.filesAfter},"compact_sec":$tCompact%.1f,"probe_pairs":$pairsBefore,"match":true}""")
       spark.stop()
       return
     }
