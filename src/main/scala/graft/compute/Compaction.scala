@@ -664,7 +664,13 @@ object Compaction {
     * never rename; a crash between the data write and the pointer PUT
     * leaves an orphan directory the retry overwrites (same seq is
     * recomputed). The public-engineering precedent is the metadata-
-    * pointer commit of table formats (Iceberg/Delta-style). */
+    * pointer commit of table formats (Iceberg/Delta-style).
+    *
+    * Retention: [[gc]] keeps the committed version plus its
+    * predecessor. A reader resolves the pointer ONCE per load, so a
+    * lazy scan held across TWO subsequent commits can lose its files
+    * (the table-format VACUUM contract) — long-lived consumers should
+    * re-load per probe batch; the index load paths here do. */
   object VersionedDir {
 
     /** Newest valid (seq, dirName); None = no versioned layout here. */
@@ -723,7 +729,14 @@ object Compaction {
     * LOUDLY instead of appending into a tree mid-rewrite, and a crashed
     * claimant's claim goes stale after a TTL. The same semantics as
     * [[compactPartitionKv]]'s conditional-PUT claim, expressed on a
-    * filesystem. Claim body: `<uuid>\t<createdMs>` (mtime fallback). */
+    * filesystem. Claim body: `<uuid>\t<createdMs>` (mtime fallback).
+    *
+    * Atomicity: create-if-absent is atomic on local/HDFS. On object
+    * stores whose connector lacks conditional-PUT create semantics the
+    * claim is ADVISORY interop (updates/loads still see and honor it);
+    * the HARD fence there is the KV manifest inside [[compactDirKv]]/
+    * [[compactPartitionKv]]'s swap — its claim re-verify before the
+    * destructive step holds regardless of who won the file claim. */
   object FsClaim {
 
     /** Default lease TTL: long enough for any realistic rewrite, short
