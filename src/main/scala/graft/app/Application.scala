@@ -1822,18 +1822,43 @@ final class Application(val name: String, val spark: SparkSession,
     * output — `compactPartition(node("2026-08-10"), 128L << 20)` rewrites
     * that partition's accumulated part files to ~128 MB each under the
     * crash-healable `_SUCCESS` swap protocol
-    * ([[graft.compute.Compaction]]). Executions of the node are
-    * serialized per partition by routing, so run this from the same
-    * driver that owns the route (or a quiet window). */
-  def compactPartition(target: NodeRef,
-                       targetFileBytes: Long): graft.compute.Compaction.CompactStats = {
+    * ([[graft.compute.Compaction]]); pass `kv` to use the RENAME-FREE
+    * object-store swap ([[graft.compute.Compaction.compactPartitionKv]])
+    * instead.
+    *
+    * Mutual exclusion with executions (r15): the partition's output
+    * path is RESERVED through the same `activeGroups` table the
+    * trigger path claims before writing — compaction REFUSES loudly
+    * while an execution (or another compaction) holds the path, and a
+    * route trigger arriving mid-compaction skips cleanly and retries on
+    * a later cycle (the inbox/sweep redelivery net). Manual `execute()`
+    * calls on the same partition are the remaining caller
+    * responsibility (they join rather than reserve). Run compaction
+    * from the driver that owns the route so the reservation actually
+    * covers the writers. */
+  def compactPartition(target: NodeRef, targetFileBytes: Long,
+                       kv: Option[graft.routing.ConditionalKv] = None)
+      : graft.compute.Compaction.CompactStats = {
     val s = target.signal
     require(s.source.kind == SignalSourceKind.INTERNAL,
       "compaction is for managed outputs")
     require(s.filter.isMaterialized,
       s"select a concrete partition first, e.g. node(\"2026-08-10\") — " +
         s"'${s.alias}' still has unmaterialized dimensions")
-    graft.compute.Compaction.compactPartition(spark, s, targetFileBytes)
+    val outPath = s.materializedPaths.head
+    // same <prefix>-<id>-<uuid> token shape as execution reservations
+    val token = s"resv-compaction-${java.util.UUID.randomUUID()}"
+    if (activeGroups.putIfAbsent(outPath, Set(token)) != null)
+      throw new IllegalStateException(
+        s"compactPartition: an execution (or another compaction) is " +
+          s"active on $outPath — retry when it finishes")
+    try kv match {
+      case Some(store) => graft.compute.Compaction
+        .compactPartitionKv(spark, s, targetFileBytes, store)
+      case None => graft.compute.Compaction
+        .compactPartition(spark, s, targetFileBytes)
+    } finally activeGroups.computeIfPresent(outPath, (_, gs) =>
+      if ((gs - token).isEmpty) null else gs - token)
   }
 
   /** Import another application's managed output as an input node

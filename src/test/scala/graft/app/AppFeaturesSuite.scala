@@ -165,6 +165,46 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).count() == 6L) // 3 rows x 2 runs
   }
 
+  test("app-level compaction reserves the partition against executions (r15)") {
+    val sp = spark; import sp.implicits._
+    stageDays(s"$work/src_cmp", Seq("2026-08-12"))
+    val app = new Application("cmpapp", spark, s"$work/app_cmpapp")
+    val src = app.marshalExternalData("src", s"$work/src_cmp", daySpec)
+    val node = app.createData("acc", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, amount FROM src")),
+      attrs = DatasetAttrs(datasetType = DatasetType.APPEND))
+    app.activate()
+    // accumulate wide appends, then compact through the app surface —
+    // the rename-free KV variant, with the partition reserved
+    (1 to 3).foreach(_ => app.execute(node("2026-08-12")))
+    val dir = s"$work/app_cmpapp/internal_data/acc/2026-08-12"
+    val stats = app.compactPartition(node("2026-08-12"), 64L << 20,
+      kv = Some(new graft.routing.InMemoryConditionalKv))
+    assert(!stats.skipped && stats.filesAfter < stats.filesBefore)
+    assert(spark.read.parquet(dir).count() == 9L) // 3 rows x 3 runs
+    // a busy partition refuses compaction loudly instead of racing
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slow = app.createData("slowacc", Seq(src.latest(1).as("srcs")),
+      Seq(graft.compute.ScalaSlot { ctx =>
+        latch.countDown(); release.await(); ctx.input("srcs")
+      }), attrs = DatasetAttrs(datasetType = DatasetType.APPEND))
+    app.activate()
+    val fut = app.executeAsync(slow("2026-08-12"))
+    latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    val e = intercept[IllegalStateException] {
+      app.compactPartition(slow("2026-08-12"), 64L << 20)
+    }
+    assert(e.getMessage.contains("active on"), e.getMessage)
+    release.countDown()
+    scala.concurrent.Await.result(fut, 120.seconds)
+    // once the execution drains, compaction proceeds (or no-ops)
+    app.compactPartition(slow("2026-08-12"), 64L << 20)
+    ()
+  }
+
   test("multi-statement SQL slot (S9): intermediate views, last result wins") {
     stageDays(s"$work/src_ms", Seq("2026-08-12"))
     val app = new Application("ms", spark, s"$work/app_ms")
