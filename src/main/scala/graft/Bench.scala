@@ -120,23 +120,31 @@ object Bench {
   // delta, IS the co-tenant's average core usage during that exact
   // window — no decay arithmetic to fool. -1 when /proc/stat is
   // unavailable (never counts as calm).
-  private def procStatJiffies(): Option[(Long, Long)] =
+  /** (busyJiffies, totalJiffies, hostCpus) from /proc/stat. Busy sums
+    * user..steal ONLY — guest/guest_nice are already folded into
+    * user/nice on Linux, so including them double-counts VM guests.
+    * hostCpus is the count of per-cpu lines: /proc/stat is NOT cgroup-
+    * namespaced, so the aggregate line spans the HOST's CPUs —
+    * Runtime.availableProcessors (quota-aware under containers) would
+    * under-scale the busy fraction and read a saturated host as calm. */
+  private def procStatJiffies(): Option[(Long, Long, Int)] =
     try {
-      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .trim.split("\\s+").drop(1).map(_.toLong)
-      val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
-      Some((f.sum - idle, f.sum))
+      val lines = scala.io.Source.fromFile("/proc/stat").getLines().toList
+      val f = lines.head.trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f.take(8).sum - f(3) - (if (f.length > 4) f(4) else 0L)
+      val total = f.take(8).sum // user nice system idle iowait irq softirq steal
+      val nCpus = lines.count(l => l.startsWith("cpu") && !l.startsWith("cpu "))
+      if (nCpus < 1 || total <= 0) None else Some((busy, total, nCpus))
     } catch { case _: Throwable => None }
 
   /** Co-tenant cores over a sweep from /proc/stat + own-CPU deltas. */
-  private[graft] def otherCoresOver(stat0: Option[(Long, Long)],
-                                    stat1: Option[(Long, Long)],
+  private[graft] def otherCoresOver(stat0: Option[(Long, Long, Int)],
+                                    stat1: Option[(Long, Long, Int)],
                                     ownCpuNanos: Long,
                                     wallNanos: Long): Double =
     (stat0, stat1) match {
-      case (Some((b0, t0)), Some((b1, t1))) if t1 > t0 && wallNanos > 0 =>
-        val nCpus = Runtime.getRuntime.availableProcessors()
-        val busyCores = (b1 - b0).toDouble / (t1 - t0) * nCpus
+      case (Some((b0, t0, n)), Some((b1, t1, _))) if t1 > t0 && wallNanos > 0 =>
+        val busyCores = (b1 - b0).toDouble / (t1 - t0) * n
         val ownCores =
           if (ownCpuNanos < 0) 0.0 else ownCpuNanos.toDouble / wallNanos
         math.max(0.0, busyCores - ownCores)

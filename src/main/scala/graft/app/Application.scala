@@ -1846,8 +1846,11 @@ final class Application(val name: String, val spark: SparkSession,
       s"select a concrete partition first, e.g. node(\"2026-08-10\") — " +
         s"'${s.alias}' still has unmaterialized dimensions")
     val outPath = s.materializedPaths.head
-    // same <prefix>-<id>-<uuid> token shape as execution reservations
-    val token = s"resv-compaction-${java.util.UUID.randomUUID()}"
+    // same <prefix>-<routeId>-<uuid> token shape as execution
+    // reservations, carrying the REAL node id so getActiveRoutes /
+    // getActiveComputeRecords resolve to an actual route (a made-up id
+    // here would surface a phantom route in dashboards/tooling)
+    val token = s"resv-${s.alias}-${java.util.UUID.randomUUID()}"
     if (activeGroups.putIfAbsent(outPath, Set(token)) != null)
       throw new IllegalStateException(
         s"compactPartition: an execution (or another compaction) is " +

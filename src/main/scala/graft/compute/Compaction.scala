@@ -377,8 +377,10 @@ object Compaction {
     failpoint("committed")
 
     // conditional cleanup: only drop the manifest if it is still OURS —
-    // an unconditional delete here could destroy a successor's claim
-    if (kv.get(key).contains(body)) kv.delete(key)
+    // an unconditional (or get-then-delete) cleanup could destroy a
+    // successor's freshly-claimed manifest; deleteIfValue is atomic on
+    // stores that support conditional delete (CAS / S3 If-Match)
+    kv.deleteIfValue(key, body)
     fs.delete(tmp, true)
   }
 
@@ -705,6 +707,28 @@ object Compaction {
       try out.write(dirName.getBytes("UTF-8")) finally out.close()
     }
 
+    /** Remove EVERY pointer and version directory — the full-rebuild
+      * (save) path must call this before laying a fresh table down:
+      * without it a re-save onto a path whose versioned layout had
+      * advanced to seq N would either lose to the surviving
+      * higher-seq pointer (fresh data invisible, stale table served
+      * with the NEW row tables — silent inconsistency) or collide on
+      * the create-if-absent pointer write. Saves are full-rebuild
+      * exclusive by contract, so clearing first is safe. */
+    def clear(fs: FileSystem, root: Path, ptrPrefix: String,
+              dirPrefix: String): Unit = {
+      if (!fs.exists(root)) return
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val ptr = n.startsWith(ptrPrefix) &&
+          n.stripPrefix(ptrPrefix).toIntOption.isDefined
+        val dir = !ptr && n.startsWith(dirPrefix) &&
+          n.stripPrefix(dirPrefix).toIntOption.isDefined
+        if (ptr) fs.delete(st.getPath, false)
+        else if (dir) fs.delete(st.getPath, true)
+      }
+    }
+
     /** Drop versions older than `keepMinSeq` (typically the previous
       * committed seq — current + one fallback survive). Pointers go
       * before directories, so no surviving pointer targets a missing
@@ -789,10 +813,33 @@ object Compaction {
 
     def release(fs: FileSystem, claim: Path): Unit = fs.delete(claim, false)
 
-    /** True while a claim younger than `ttlMs` stands. */
-    def isFresh(fs: FileSystem, claim: Path, ttlMs: Long): Boolean =
-      try { ensureUnclaimed(fs, claim, ttlMs, "probe"); false }
-      catch { case _: IllegalStateException => true }
+    /** Keep a held claim FRESH while a long rewrite runs: without this,
+      * a compaction outlasting the TTL would read as a dead claimant
+      * and a bystander's stale-clear would let a second compactor
+      * interleave an unguarded swap. The daemon rewrites the claim
+      * (new timestamp, same shape) every `ttlMs / 3`; close() stops it.
+      * A refresh failure is logged and retried on the next tick — the
+      * claim then ages like an unheartbeaten one, no worse. */
+    def startHeartbeat(fs: FileSystem, claim: Path,
+                       ttlMs: Long): AutoCloseable = {
+      val period = math.max(1000L, ttlMs / 3)
+      val stop = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        while (!stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          try {
+            val out = fs.create(claim, true)
+            try out.write((s"${java.util.UUID.randomUUID()}\t" +
+              s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+            finally out.close()
+          } catch { case scala.util.control.NonFatal(e) =>
+            log.warn(s"claim heartbeat at $claim failed (will retry): " +
+              s"${e.getMessage}")
+          }
+        }
+      }, s"graft-claim-heartbeat-${claim.getName}")
+      t.setDaemon(true); t.start()
+      () => { stop.countDown(); t.join(5000) }
+    }
   }
   /** Stream copy, no rename: the object-store write primitive (a PUT). */
   private def copyFile(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,

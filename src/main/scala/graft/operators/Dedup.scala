@@ -444,9 +444,21 @@ object Dedup {
     index.sigs.write.mode("overwrite").parquet(s"$path/sigs")
     index.grams.write.mode("overwrite").parquet(s"$path/grams")
     val spark = index.sigs.sparkSession
+    // a save is a FULL REBUILD: clear any previous versioned layout
+    // first — a surviving higher-seq pointer would otherwise keep
+    // resolving the OLD bucket table against the NEW row tables (silent
+    // inconsistency), or collide with the fresh v1 pointer write
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val vfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.compute.Compaction.VersionedDir.clear(vfs, rootP,
+      BucketsPtrPrefix, "buckets_v")
     if (renameFree) {
       index.buckets.write.mode("overwrite").parquet(s"$path/buckets_v1")
       writeBucketsPointer(spark, path, 1, "buckets_v1")
+      // a stale LEGACY table must not survive either (load prefers the
+      // pointer, but a later legacy save's reader could find it)
+      vfs.delete(new org.apache.hadoop.fs.Path(s"$path/buckets"), true)
+      ()
     } else {
       index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     }
@@ -596,11 +608,13 @@ object Dedup {
                          textCol: String,
                          precomputedSigs: Option[DataFrame]): Unit = {
     val spark = newDf.sparkSession
-    // refuse while a compaction claim stands on the index: an append
-    // into sigs/grams mid-rewrite would be silently dropped by the
-    // table swap (same contract as updateIvfPq vs compactIvfPq); a
-    // crashed compactor's stale claim clears here, and its interrupted
-    // table swaps heal, before the fold proceeds
+    // refuse while a compaction claim stands on the index; a crashed
+    // compactor's stale claim clears here, and its interrupted table
+    // swaps heal, before the fold proceeds. Unlike updateIvfPq (whole-
+    // tree swap), an append that RACES an already-running sigs/grams
+    // compaction is not lost: the compaction's manifest lists the files
+    // it saw at entry and its swap never touches unlisted files (the
+    // kvrace-soak invariant), so no post-append re-check is needed here
     locally {
       val claimP = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
       val cfs = claimP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -736,12 +750,13 @@ object Dedup {
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactNearDupIndex")
     FsClaim.acquire(fs, claim, "compactNearDupIndex")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
     try NearDupCompactStats(
       graft.compute.Compaction.compactDir(spark, s"$path/sigs",
         targetFileBytes, failpoint),
       graft.compute.Compaction.compactDir(spark, s"$path/grams",
         targetFileBytes, failpoint))
-    finally FsClaim.release(fs, claim)
+    finally { hb.close(); FsClaim.release(fs, claim) }
   }
 
   /** Heal interrupted [[compactNearDupIndex]] swaps (either table);
@@ -780,12 +795,13 @@ object Dedup {
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactNearDupIndexKv")
     FsClaim.acquire(fs, claim, "compactNearDupIndexKv")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
     try NearDupCompactStats(
       graft.compute.Compaction.compactDirKv(spark, s"$path/sigs",
         targetFileBytes, kv, failpoint),
       graft.compute.Compaction.compactDirKv(spark, s"$path/grams",
         targetFileBytes, kv, failpoint))
-    finally FsClaim.release(fs, claim)
+    finally { hb.close(); FsClaim.release(fs, claim) }
   }
 
   /** Heal interrupted [[compactNearDupIndexKv]] swaps (either table). */

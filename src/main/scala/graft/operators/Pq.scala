@@ -340,13 +340,20 @@ object Pq {
                 cb: PqCodebook, path: String, renameFree: Boolean): Unit = {
     val spark = pqCells.sparkSession
     import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a save is a FULL REBUILD: clear any previous versioned layout so
+    // a surviving higher-seq pointer can never keep resolving the old
+    // cells tree (or collide with the fresh v1 pointer write)
+    graft.compute.Compaction.VersionedDir.clear(fs, root,
+      CellsPtrPrefix, "cells_v")
     if (renameFree) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       pqCells.write.mode("overwrite").partitionBy("__cell")
         .parquet(s"$path/cells_v1")
       graft.compute.Compaction.VersionedDir.commit(fs, root,
         CellsPtrPrefix, 1, "cells_v1")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+      ()
     } else {
       pqCells.write.mode("overwrite").partitionBy("__cell")
         .parquet(s"$path/cells")
@@ -414,9 +421,17 @@ object Pq {
     *
     * Refuses (throws) while a [[compactIvfPq]] claim stands on the
     * index — an APPEND into the old tree mid-rewrite would be silently
-    * dropped by the swap; retry once the compaction finishes (or after
-    * `claimTtlMs` if the compactor crashed — a stale claim is cleared
-    * here, and an interrupted swap heals, before the append). */
+    * dropped by the swap (unlike the near-dup/ANN row tables, whose
+    * file-level compaction manifests never touch unlisted appends, the
+    * IVF-PQ compaction swaps the WHOLE tree); retry once the compaction
+    * finishes (or after `claimTtlMs` if the compactor crashed — a stale
+    * claim is cleared here, and an interrupted swap heals, before the
+    * append). The claim is RE-CHECKED after the append lands (and, on
+    * the versioned layout, the committed version seq is compared), so a
+    * compaction that claimed DURING this update aborts it LOUDLY
+    * instead of silently losing the batch — re-run the update after the
+    * compaction; a re-applied batch duplicates rows, which
+    * `compactIvfPq(dedupById)` clears (the at-least-once contract). */
   def updateIvfPq(spark: SparkSession, path: String, batch: DataFrame,
                   vecCol: String, idCol: String,
                   claimTtlMs: Long = IvfPqClaimTtlMs): Unit = {
@@ -424,6 +439,7 @@ object Pq {
     val ufs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ivfPqEnsureUnclaimed(ufs, rootP, claimTtlMs, "updateIvfPq")
     healIvfPq(spark, path) // a crashed swap rolls back before the append
+    val seqBefore = resolveCells(ufs, path)._1
     val (cells, cents, cb) = loadIvfPq(spark, path)
     // the code column comes from the STORED index's own schema — a
     // hardcoded default would append files whose code column name
@@ -449,6 +465,22 @@ object Pq {
       .select(col(idCol), col("__cell"), col(codeCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(cellsDir.toString)
+    // POST-APPEND GUARD: a compactor that claimed while this append ran
+    // read the tree BEFORE these rows landed — its swap will drop them.
+    // Presence of the claim (compaction still running) or an advanced
+    // committed version (versioned compaction already flipped its
+    // pointer) means the batch must be considered LOST: fail loudly so
+    // the caller re-runs it (at-least-once; dedupById clears replays).
+    val claimedNow =
+      ufs.exists(new org.apache.hadoop.fs.Path(rootP, IvfPqClaim))
+    val seqAfter = resolveCells(ufs, path)._1
+    if (claimedNow || seqAfter != seqBefore)
+      throw new IllegalStateException(
+        s"updateIvfPq: a compaction claimed $path DURING this append — " +
+          "the batch may be dropped by the in-flight (or just-committed) " +
+          "rewrite; re-run the update once the compaction finishes (a " +
+          "re-applied batch duplicates rows, which compactIvfPq's " +
+          "dedupById clears)")
   }
 
   /** [[compactIvfPq]] outcome. `dedupedRows` counts duplicate-id rows
@@ -548,17 +580,25 @@ object Pq {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ivfPqEnsureUnclaimed(fs, root, claimTtlMs, "compactIvfPq")
-    val healed = healIvfPq(spark, path)
-    val (versionSeq, cells) = resolveCells(fs, path)
-    require(fs.exists(cells), s"no cells under $path — not an IVF-PQ index")
-    // CLAIM: atomic create-if-absent — two compactors cannot both win,
-    // and updates refuse while it stands (mirrors compactPartitionKv's
-    // conditional-PUT claim semantics on the KV backend)
+    // CLAIM first, heal under it: a second compactor entering in the
+    // ensure-to-acquire window would otherwise run its entry heal
+    // (fs.delete of the tmp tree) against a LIVE claimant's in-flight
+    // rewrite. The claim is heartbeaten for the rewrite's duration so a
+    // long compaction never goes TTL-stale under a bystander's clear.
     val claimPath = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
     graft.compute.Compaction.FsClaim.acquire(fs, claimPath, "compactIvfPq")
-    try compactIvfPqClaimed(spark, fs, root, cells, versionSeq,
-      targetFileBytes, dedupById, failpoint, healed)
-    finally graft.compute.Compaction.FsClaim.release(fs, claimPath)
+    val hb = graft.compute.Compaction.FsClaim
+      .startHeartbeat(fs, claimPath, claimTtlMs)
+    try {
+      val healed = healIvfPq(spark, path)
+      val (versionSeq, cells) = resolveCells(fs, path)
+      require(fs.exists(cells), s"no cells under $path — not an IVF-PQ index")
+      compactIvfPqClaimed(spark, fs, root, cells, versionSeq,
+        targetFileBytes, dedupById, failpoint, healed)
+    } finally {
+      hb.close()
+      graft.compute.Compaction.FsClaim.release(fs, claimPath)
+    }
   }
 
   private def compactIvfPqClaimed(spark: SparkSession,

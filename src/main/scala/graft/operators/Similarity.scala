@@ -373,10 +373,12 @@ object Similarity {
     * which dedup-by-id downstream or a fresh save clears. */
   def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newDf: DataFrame): Unit = {
-    // refuse while a compaction claim stands (same contract as
-    // updateNearDupIndex/updateIvfPq — an append into sigs mid-rewrite
-    // would be silently dropped by the table swap); a crashed
-    // compactor's stale claim clears, and its swap heals, first
+    // refuse while a compaction claim stands (the updateNearDupIndex
+    // contract); a crashed compactor's stale claim clears, and its swap
+    // heals, first. An append RACING an already-running compaction is
+    // not lost — the file-level manifest never touches unlisted files —
+    // so no post-append re-check is needed (contrast updateIvfPq's
+    // whole-tree swap)
     locally {
       val claimP = new org.apache.hadoop.fs.Path(s"$path/$AnnClaim")
       val cfs = claimP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -412,9 +414,10 @@ object Similarity {
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactAnnIndex")
     FsClaim.acquire(fs, claim, "compactAnnIndex")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
     try graft.compute.Compaction.compactDir(spark, s"$path/sigs",
       targetFileBytes, failpoint)
-    finally FsClaim.release(fs, claim)
+    finally { hb.close(); FsClaim.release(fs, claim) }
   }
 
   /** [[compactAnnIndex]] with the rename-free KV-guarded swap — the
@@ -432,9 +435,10 @@ object Similarity {
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactAnnIndexKv")
     FsClaim.acquire(fs, claim, "compactAnnIndexKv")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
     try graft.compute.Compaction.compactDirKv(spark, s"$path/sigs",
       targetFileBytes, kv, failpoint)
-    finally FsClaim.release(fs, claim)
+    finally { hb.close(); FsClaim.release(fs, claim) }
   }
 
   /** Heal an interrupted [[compactAnnIndex]] swap; true when healed. */

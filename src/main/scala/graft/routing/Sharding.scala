@@ -109,6 +109,15 @@ trait ConditionalKv {
     * silently succeed — callers treat deletion as best-effort and
     * survivors as subsumed, but need the exception to log it. */
   def delete(key: String): Unit
+
+  /** Remove `key` only while it still holds `expect`; true = removed.
+    * The default is the non-atomic get-then-delete (the narrow window
+    * a caller had anyway); stores with conditional-delete semantics
+    * (S3 `If-Match`, a CAS row) should override atomically — the
+    * compaction-swap cleanup uses this so finishing compactor A can
+    * never delete successor B's freshly-claimed manifest. */
+  def deleteIfValue(key: String, expect: String): Boolean =
+    if (get(key).contains(expect)) { delete(key); true } else false
 }
 
 /** Strictly-atomic in-memory [[ConditionalKv]] (ConcurrentHashMap
@@ -125,6 +134,8 @@ final class InMemoryConditionalKv extends ConditionalKv {
     m.keySet.asScala.filter(_.startsWith(prefix)).toSeq
   }
   def delete(key: String): Unit = { m.remove(key); () }
+  override def deleteIfValue(key: String, expect: String): Boolean =
+    m.remove(key, expect) // ConcurrentHashMap's atomic two-arg remove
 }
 
 /** [[ConditionalKv]] decorator that sleeps `latencyMs` before every
@@ -141,6 +152,8 @@ final class LatencyInjectedKv(underlying: ConditionalKv, latencyMs: Long)
   def get(key: String): Option[String] = { rt(); underlying.get(key) }
   def list(prefix: String): Seq[String] = { rt(); underlying.list(prefix) }
   def delete(key: String): Unit = { rt(); underlying.delete(key) }
+  override def deleteIfValue(key: String, expect: String): Boolean =
+    { rt(); underlying.deleteIfValue(key, expect) }
 }
 
 /** [[LeaseStore]] over a [[ConditionalKv]] — the object-store-safe lease

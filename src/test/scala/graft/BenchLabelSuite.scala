@@ -44,23 +44,27 @@ class BenchLabelSuite extends AnyFunSuite {
   }
 
   test("otherCoresOver measures co-tenant cores from jiffy deltas") {
-    // 10 s wall on a machine where /proc/stat says 40% of capacity was
-    // busy while this process used 2 cores: co-tenant = 0.4*N - 2
-    val n = Runtime.getRuntime.availableProcessors()
+    // 10 s wall on a 64-cpu HOST where /proc/stat says 40% of capacity
+    // was busy while this process used 2 cores: co-tenant = 0.4*64 - 2.
+    // The host cpu count comes from /proc/stat itself (per-cpu lines) —
+    // NOT availableProcessors, which is cgroup-quota-aware and would
+    // under-scale the host-wide busy fraction inside a container.
+    val n = 64
     val wall = 10L * 1000 * 1000 * 1000
     val total0 = 1000000L
     val totalD = 50000L
     val busyD = totalD * 2 / 5 // 40% busy
     val own = 2L * wall // 2 cores' worth of cpu-time
     val got = Bench.otherCoresOver(
-      Some((500L, total0)), Some((500L + busyD, total0 + totalD)), own, wall)
-    assert(math.abs(got - math.max(0.0, 0.4 * n - 2.0)) < 1e-9, s"got $got")
+      Some((500L, total0, n)), Some((500L + busyD, total0 + totalD, n)),
+      own, wall)
+    assert(math.abs(got - (0.4 * n - 2.0)) < 1e-9, s"got $got")
     // unavailable stat or zero-width window -> -1 (never calm)
-    assert(Bench.otherCoresOver(None, Some((1L, 2L)), own, wall) == -1.0)
-    assert(Bench.otherCoresOver(Some((1L, 2L)), Some((1L, 2L)), own, wall)
-      == -1.0)
+    assert(Bench.otherCoresOver(None, Some((1L, 2L, n)), own, wall) == -1.0)
+    assert(Bench.otherCoresOver(Some((1L, 2L, n)), Some((1L, 2L, n)), own,
+      wall) == -1.0)
     // own >= busy clamps at 0, not negative
-    assert(Bench.otherCoresOver(Some((0L, total0)),
-      Some((busyD, total0 + totalD)), 100L * wall, wall) == 0.0)
+    assert(Bench.otherCoresOver(Some((0L, total0, n)),
+      Some((busyD, total0 + totalD, n)), 100L * wall, wall) == 0.0)
   }
 }

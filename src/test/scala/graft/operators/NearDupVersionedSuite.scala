@@ -137,6 +137,44 @@ class NearDupVersionedSuite extends AnyFunSuite with BeforeAndAfterAll {
       probe101) == Set((901L, 101L)), "targetless pointer must fall back")
   }
 
+  test("a fresh save clears a previously-advanced versioned layout (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndv4").toString
+    Dedup.saveNearDupIndex(
+      Dedup.buildNearDupIndex(corpusDf, "text", "doc_id", persist = false),
+      dir, renameFree = true)
+    (0 until 3).foreach(b =>
+      Dedup.updateNearDupIndex(spark, dir, batchDf(100L + b), "text"))
+    assert(new java.io.File(s"$dir/buckets_ptr.v4").exists())
+    // the documented failed-update recovery: REBUILD from the raw
+    // corpus. A legacy-layout re-save must not leave the old v4 pointer
+    // resolving stale buckets against the fresh row tables.
+    Dedup.saveNearDupIndex(
+      Dedup.buildNearDupIndex(corpusDf, "text", "doc_id", persist = false),
+      dir) // default legacy layout
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("buckets_ptr.")) &&
+      names.contains("buckets"), s"versioned residue after legacy save: $names")
+    val sp = spark; import sp.implicits._
+    val probe = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog near the river"),
+      (901L, "novel batch document number 100 with its own words"))
+      .toDF("doc_id", "text")
+    // the rebuilt index holds ONLY the corpus: batch doc 100 must not
+    // match anything (a stale v4 bucket table would still pair it)
+    assert(pairsOf(Dedup.loadNearDupIndex(spark, dir, persist = false),
+      probe) == Set((900L, 0L)))
+    // and a versioned re-save onto the same path starts clean at v1
+    Dedup.saveNearDupIndex(
+      Dedup.buildNearDupIndex(corpusDf, "text", "doc_id", persist = false),
+      dir, renameFree = true)
+    val names2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names2.contains("buckets_ptr.v1") && !names2.contains("buckets") &&
+      !names2.exists(n => n.startsWith("buckets_ptr.v") &&
+        n.stripPrefix("buckets_ptr.v").toInt > 1), s"$names2")
+    assert(pairsOf(Dedup.loadNearDupIndex(spark, dir, persist = false),
+      probe) == Set((900L, 0L)))
+  }
+
   test("legacy (rename-swap) indexes are untouched by the new layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndv3").toString
     Dedup.saveNearDupIndex(

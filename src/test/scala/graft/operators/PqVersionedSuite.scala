@@ -69,9 +69,14 @@ class PqVersionedSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
   private val q1 = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
 
-  private def localNames(dir: String): Set[String] =
-    new java.io.File(new java.net.URI(
-      dir.replace("norename://", "file://"))).listFiles().map(_.getName).toSet
+  private def localNames(dir: String): Set[String] = {
+    val f =
+      if (dir.startsWith("norename://"))
+        new java.io.File(new java.net.URI(
+          dir.replace("norename://", "file://")))
+      else new java.io.File(dir)
+    f.listFiles().map(_.getName).toSet
+  }
 
   test("the whole index loop runs with zero non-committer renames") {
     val path = buildVersioned(onNoRename = true)
@@ -124,6 +129,56 @@ class PqVersionedSuite extends AnyFunSuite with BeforeAndAfterAll {
     // cells rows intact
     val (cells, _, _) = Pq.loadIvfPq(spark, path)
     assert(cells.count() == 22L)
+  }
+
+  test("a compaction claiming DURING an append fails the update loudly (r15)") {
+    val path = buildVersioned(onNoRename = false)
+    val claimPath = s"$path/.ivfpq-compact-claim"
+    val sp = spark; import sp.implicits._
+    // poison UDF: the claim file appears WHILE the append job runs —
+    // the exact window where a compactor's read misses these rows
+    val poison = org.apache.spark.sql.functions.udf((id: Long) => {
+      new java.io.File(claimPath).createNewFile(); id
+    })
+    val batch = batchDf(Seq(700L, 701L), dir = 1)
+      .withColumn("vec_id", poison(col("vec_id")))
+    val e = intercept[IllegalStateException] {
+      Pq.updateIvfPq(spark, path, batch, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("DURING this append"), e.getMessage)
+    assert(new java.io.File(claimPath).delete())
+    // the documented recovery: re-run the update once the claim clears
+    Pq.updateIvfPq(spark, path, batchDf(Seq(700L, 701L), dir = 1),
+      "embedding", "vec_id")
+    assert(probe(path, q1, 16).map(_._1).contains(700L))
+  }
+
+  test("a fresh save clears a previously-advanced versioned layout (r15)") {
+    val path = buildVersioned(onNoRename = false)
+    (0 until 3).foreach(b => Pq.updateIvfPq(spark, path,
+      batchDf(Seq(800L + b), dir = 1), "embedding", "vec_id"))
+    Pq.compactIvfPq(spark, path) // pointer advances past v1
+    assert(localNames(path).exists(_.startsWith("cells_ptr.v2")))
+    // FULL REBUILD onto the same path, versioned: must not collide with
+    // (or lose to) the surviving higher-seq pointer
+    val df = corpusDf
+    val index = Similarity.buildIvfIndex(df, "embedding", "vec_id",
+      k = 4, iters = 2, persist = false)
+    val cb = Pq.train(df, "embedding", "vec_id", m = 2, k = 4, iters = 2)
+    Pq.saveIvfPq(Pq.encodeCells(index, cb), index.centroids, cb, path,
+      renameFree = true)
+    val (cells, _, _) = Pq.loadIvfPq(spark, path)
+    assert(cells.count() == 20L, "fresh save must be the resolved table")
+    val names = localNames(path)
+    assert(names.contains("cells_ptr.v1") &&
+      !names.exists(n => n.startsWith("cells_ptr.v") &&
+        n.stripPrefix("cells_ptr.v").toInt > 1), s"stale pointers: $names")
+    // ... and a LEGACY re-save onto the versioned path wins too
+    Pq.saveIvfPq(Pq.encodeCells(index, cb), index.centroids, cb, path)
+    val names2 = localNames(path)
+    assert(names2.contains("cells") &&
+      !names2.exists(_.startsWith("cells_ptr.")), s"versioned residue: $names2")
+    assert(Pq.loadIvfPq(spark, path)._1.count() == 20L)
   }
 
   test("versioned probes keep partition pruning on the resolved dir") {
