@@ -511,7 +511,26 @@ object Compaction {
     // advisory marker BEFORE the claim: any crash window inside the KV
     // swap is covered (a marker with no KV manifest heals to a no-op)
     fs.create(new Path(dataPath, DirKvInflight), true).close()
-    kvSwapCore(fs, conf, dataPath, None, files, newFiles, tmp, kv, failpoint)
+    try kvSwapCore(fs, conf, dataPath, None, files, newFiles, tmp, kv,
+      failpoint)
+    catch {
+      case e: Throwable =>
+        // CONTROLLED failure (r16): when no KV manifest stands for this
+        // dir — we lost the putIfNoneMatch race before writing one, or
+        // the claim-verify abort saw ours already healed away — nothing
+        // destructive happened and leaving the marker would make every
+        // plain-FS load refuse ("interrupted OBJECT-STORE swap") until a
+        // manual healDirKv. A manifest that IS present may be ours
+        // (crash state — heal needed, marker must stay) or a live
+        // successor's (they created their own marker and will clear it);
+        // either way the marker stays. Cleanup is best-effort: a failure
+        // here must not mask the swap's own exception.
+        try {
+          if (kv.get(manifestKey(dataPath)).isEmpty)
+            fs.delete(new Path(dataPath, DirKvInflight), false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     fs.delete(new Path(dataPath, DirKvInflight), false)
     log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
       s"bytes -> ${newFiles.size} files")
@@ -767,40 +786,92 @@ object Compaction {
       * enough that a crashed claimant clears without an operator. */
     val DefaultTtlMs: Long = 15L * 60 * 1000
 
-    /** Throw while a FRESH claim exists (a live claimant owns the
-      * target); clear a STALE one (the claimant died — the caller's
-      * entry heal handles whatever swap state it left). */
-    def ensureUnclaimed(fs: FileSystem, claim: Path, ttlMs: Long,
-                        ctx: String): Unit = {
-      if (!fs.exists(claim)) return
-      val st = fs.getFileStatus(claim)
-      val createdMs = (try {
+    /** Parse a claim file's `<uuid>\t<createdMs>` body; None when the
+      * file is absent or unreadable (racing delete, torn write). */
+    private def readClaim(fs: FileSystem,
+                          claim: Path): Option[(String, Long)] =
+      try {
         val in = fs.open(claim)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         s.split('\t') match {
-          case Array(_, ts) => ts.trim.toLongOption
+          case Array(u, ts) => ts.trim.toLongOption.map(u -> _)
           case _ => None
         }
-      } catch { case scala.util.control.NonFatal(_) => None })
-        .getOrElse(st.getModificationTime)
-      val age = System.currentTimeMillis() - createdMs
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Throw while a FRESH claim exists (a live claimant owns the
+      * target); clear a STALE one (the claimant died — the caller's
+      * entry heal handles whatever swap state it left).
+      *
+      * The stale-clear is a RENAME to a uuid-named tombstone, not a
+      * blind delete (r16): two entrants that both observed the same
+      * stale claim would otherwise interleave so that the slower one's
+      * delete lands AFTER a third party re-acquired — killing a live
+      * claim. Rename is atomic on local/HDFS, so exactly one clearer
+      * wins; the loser re-checks and defers to whatever claim now
+      * stands. On stores without atomic rename the claim is advisory
+      * anyway (the KV swap manifest is the hard fence) and the rename
+      * failure falls back to the old delete, logged. */
+    def ensureUnclaimed(fs: FileSystem, claim: Path, ttlMs: Long,
+                        ctx: String): Unit = {
+      if (!fs.exists(claim)) return
+      def ageOf: Option[Long] = {
+        if (!fs.exists(claim)) return None
+        val createdMs = readClaim(fs, claim).map(_._2).getOrElse(
+          try fs.getFileStatus(claim).getModificationTime
+          catch { case _: java.io.FileNotFoundException => return None })
+        Some(System.currentTimeMillis() - createdMs)
+      }
+      val age = ageOf.getOrElse(return)
       if (age < ttlMs)
         throw new IllegalStateException(
           s"$ctx: compaction in progress at ${claim.getParent} (claim is " +
             s"${age}ms old, TTL ${ttlMs}ms) — retry after it finishes; a " +
             "crashed claimant's claim clears once the TTL passes")
-      log.warn(s"$ctx: clearing STALE maintenance claim at $claim " +
-        s"(${age}ms old > ${ttlMs}ms TTL — the claimant died)")
-      fs.delete(claim, false)
+      val tomb = new Path(claim.getParent,
+        s".claim-tombstone-${java.util.UUID.randomUUID()}")
+      val won = try fs.rename(claim, tomb)
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        log.warn(s"$ctx: cleared STALE maintenance claim at $claim " +
+          s"(${age}ms old > ${ttlMs}ms TTL — the claimant died)")
+        fs.delete(tomb, false)
+        ()
+      } else ageOf match {
+        // someone else cleared it (gone) — proceed to the acquire race
+        case None => ()
+        // a successor already re-acquired: a FRESH claim stands — defer
+        case Some(a) if a < ttlMs =>
+          throw new IllegalStateException(
+            s"$ctx: compaction in progress at ${claim.getParent} (claim " +
+              s"re-acquired ${a}ms ago while clearing a stale one) — " +
+              "retry after it finishes")
+        // still stale and rename unsupported (object store): advisory
+        // mode — fall back to the non-atomic delete, logged
+        case Some(a) =>
+          log.warn(s"$ctx: clearing STALE claim at $claim via delete " +
+            s"(${a}ms old; rename-to-tombstone unsupported here — " +
+            "advisory mode, the KV manifest is the hard fence)")
+          fs.delete(claim, false)
+          ()
+      }
     }
 
-    /** Atomic create-if-absent; loses loudly to a concurrent claimant. */
-    def acquire(fs: FileSystem, claim: Path, ctx: String): Unit =
+    /** Atomic create-if-absent; loses loudly to a concurrent claimant.
+      * Returns the claim's UUID — callers pass it to [[startHeartbeat]]
+      * and [[release]] so every later rewrite/delete is ownership-
+      * checked. The post-create READ-BACK narrows the ensureUnclaimed/
+      * acquire interleave: if a racing stale-clear deleted this claim
+      * right after the create (letting a third party re-acquire), the
+      * read-back sees a foreign UUID and this claimant aborts before
+      * touching the target. */
+    def acquire(fs: FileSystem, claim: Path, ctx: String): String = {
+      val uuid = java.util.UUID.randomUUID().toString
       try {
         val out = fs.create(claim, false)
-        try out.write((s"${java.util.UUID.randomUUID()}\t" +
-          s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+        try out.write((s"$uuid\t${System.currentTimeMillis()}")
+          .getBytes("UTF-8"))
         finally out.close()
       } catch {
         case e: java.io.IOException =>
@@ -810,27 +881,71 @@ object Compaction {
                 "claimant took it concurrently; retry later", e)
           else throw e
       }
+      if (!readClaim(fs, claim).exists(_._1 == uuid))
+        throw new IllegalStateException(
+          s"$ctx: claim at $claim was overwritten immediately after " +
+            "acquire (raced a concurrent stale-clear + re-acquire) — " +
+            "the target is owned by another claimant; retry later")
+      uuid
+    }
 
-    def release(fs: FileSystem, claim: Path): Unit = fs.delete(claim, false)
+    /** Delete the claim only while it is still OURS: if a bystander
+      * stale-cleared it and a successor re-acquired, an unconditional
+      * delete here would kill the successor's live claim. Read-then-
+      * delete is not atomic, but the window is a single claim-file
+      * round-trip (vs the whole compaction for the unconditional form)
+      * and the KV manifest stays the hard fence regardless. */
+    def release(fs: FileSystem, claim: Path, uuid: String): Unit =
+      if (readClaim(fs, claim).exists(_._1 == uuid)) {
+        fs.delete(claim, false)
+        ()
+      }
 
     /** Keep a held claim FRESH while a long rewrite runs: without this,
       * a compaction outlasting the TTL would read as a dead claimant
       * and a bystander's stale-clear would let a second compactor
       * interleave an unguarded swap. The daemon rewrites the claim
-      * (new timestamp, same shape) every `ttlMs / 3`; close() stops it.
+      * (new timestamp, SAME uuid) every `ttlMs / 3`; close() stops it.
       * A refresh failure is logged and retried on the next tick — the
-      * claim then ages like an unheartbeaten one, no worse. */
-    def startHeartbeat(fs: FileSystem, claim: Path,
-                       ttlMs: Long): AutoCloseable = {
+      * claim then ages like an unheartbeaten one, no worse.
+      *
+      * Ownership-checked (r16): each tick re-reads the claim first and
+      * STOPS — never rewrites — when the claim is gone (released, or a
+      * bystander cleared it) or carries a foreign UUID (a successor
+      * legitimately re-acquired after a stale-clear); the old blind
+      * `create(overwrite=true)` could resurrect a released claim and
+      * block the index for a full TTL, or overwrite a successor's live
+      * one. A final in-memory `stopped` check sits immediately before
+      * the create so a close() racing an in-flight tick cannot recreate
+      * the claim after release. */
+    def startHeartbeat(fs: FileSystem, claim: Path, ttlMs: Long,
+                       uuid: String): AutoCloseable = {
       val period = math.max(1000L, ttlMs / 3)
       val stop = new java.util.concurrent.CountDownLatch(1)
+      val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
       val t = new Thread(() => {
-        while (!stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        var own = true
+        while (own &&
+            !stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
           try {
-            val out = fs.create(claim, true)
-            try out.write((s"${java.util.UUID.randomUUID()}\t" +
-              s"${System.currentTimeMillis()}").getBytes("UTF-8"))
-            finally out.close()
+            readClaim(fs, claim) match {
+              case Some((u, _)) if u == uuid =>
+                if (!stopped.get()) {
+                  val out = fs.create(claim, true)
+                  try out.write((s"$uuid\t${System.currentTimeMillis()}")
+                    .getBytes("UTF-8"))
+                  finally out.close()
+                }
+              case other =>
+                // gone or foreign: ownership lost — stop silently
+                // refreshing what is no longer ours. The claimant's own
+                // destructive steps stay guarded by the KV manifest.
+                if (!stopped.get())
+                  log.warn(s"claim heartbeat at $claim stopping: claim " +
+                    (if (other.isEmpty) "vanished (released or cleared)"
+                     else "re-acquired by another claimant"))
+                own = false
+            }
           } catch { case scala.util.control.NonFatal(e) =>
             log.warn(s"claim heartbeat at $claim failed (will retry): " +
               s"${e.getMessage}")
@@ -838,7 +953,7 @@ object Compaction {
         }
       }, s"graft-claim-heartbeat-${claim.getName}")
       t.setDaemon(true); t.start()
-      () => { stop.countDown(); t.join(5000) }
+      () => { stopped.set(true); stop.countDown(); t.join(5000) }
     }
   }
   /** Stream copy, no rename: the object-store write primitive (a PUT). */

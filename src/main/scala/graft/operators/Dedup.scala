@@ -749,14 +749,14 @@ object Dedup {
     val claim = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactNearDupIndex")
-    FsClaim.acquire(fs, claim, "compactNearDupIndex")
-    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
+    val uuid = FsClaim.acquire(fs, claim, "compactNearDupIndex")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs, uuid)
     try NearDupCompactStats(
       graft.compute.Compaction.compactDir(spark, s"$path/sigs",
         targetFileBytes, failpoint),
       graft.compute.Compaction.compactDir(spark, s"$path/grams",
         targetFileBytes, failpoint))
-    finally { hb.close(); FsClaim.release(fs, claim) }
+    finally { hb.close(); FsClaim.release(fs, claim, uuid) }
   }
 
   /** Heal interrupted [[compactNearDupIndex]] swaps (either table);
@@ -794,14 +794,21 @@ object Dedup {
     val claim = new org.apache.hadoop.fs.Path(s"$path/$NearDupClaim")
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactNearDupIndexKv")
-    FsClaim.acquire(fs, claim, "compactNearDupIndexKv")
-    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
+    val uuid = FsClaim.acquire(fs, claim, "compactNearDupIndexKv")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs, uuid)
+    // healMinClaimAgeMs = claimTtlMs (r16): on stores where the FsClaim
+    // is only advisory, the entry heal must REFUSE a manifest younger
+    // than the lease TTL — it may belong to a LIVE compactor mid-copy,
+    // and healing it would roll that swap back under its feet (its stray
+    // copyFile PUTs would then land after this compactor's listing and
+    // survive the swap as unlisted duplicate rows). Crash recovery
+    // within the TTL goes through [[healNearDupIndexKv]] explicitly.
     try NearDupCompactStats(
       graft.compute.Compaction.compactDirKv(spark, s"$path/sigs",
-        targetFileBytes, kv, failpoint),
+        targetFileBytes, kv, failpoint, healMinClaimAgeMs = claimTtlMs),
       graft.compute.Compaction.compactDirKv(spark, s"$path/grams",
-        targetFileBytes, kv, failpoint))
-    finally { hb.close(); FsClaim.release(fs, claim) }
+        targetFileBytes, kv, failpoint, healMinClaimAgeMs = claimTtlMs))
+    finally { hb.close(); FsClaim.release(fs, claim, uuid) }
   }
 
   /** Heal interrupted [[compactNearDupIndexKv]] swaps (either table). */

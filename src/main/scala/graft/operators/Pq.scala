@@ -426,15 +426,19 @@ object Pq {
     * IVF-PQ compaction swaps the WHOLE tree); retry once the compaction
     * finishes (or after `claimTtlMs` if the compactor crashed — a stale
     * claim is cleared here, and an interrupted swap heals, before the
-    * append). The claim is RE-CHECKED after the append lands (and, on
-    * the versioned layout, the committed version seq is compared), so a
+    * append). The claim is RE-CHECKED after the append lands (plus, on
+    * the versioned layout, the committed version seq is compared, and
+    * on the legacy layout the pre-append file listing is re-verified —
+    * a claim-acquire-swap-release cycle entirely inside the append
+    * window is caught either way), so a
     * compaction that claimed DURING this update aborts it LOUDLY
     * instead of silently losing the batch — re-run the update after the
     * compaction; a re-applied batch duplicates rows, which
     * `compactIvfPq(dedupById)` clears (the at-least-once contract). */
   def updateIvfPq(spark: SparkSession, path: String, batch: DataFrame,
                   vecCol: String, idCol: String,
-                  claimTtlMs: Long = IvfPqClaimTtlMs): Unit = {
+                  claimTtlMs: Long = IvfPqClaimTtlMs,
+                  failpoint: String => Unit = _ => ()): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(path)
     val ufs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ivfPqEnsureUnclaimed(ufs, rootP, claimTtlMs, "updateIvfPq")
@@ -461,20 +465,36 @@ object Pq {
       batch.select(col(idCol), col(vecCol).as("__orig"),
         unit(col(vecCol)).as("__u")), cents)
     val cellsDir = resolveCells(ufs, path)._2
+    // LEGACY-LAYOUT fingerprint (r16): on the versioned layout a swap
+    // shows up as an advanced pointer seq, but on the legacy `cells/`
+    // layout seqBefore == seqAfter == None always, so a compaction that
+    // acquired the claim, swapped the WHOLE tree, and released entirely
+    // inside the append window was invisible to the old guard — the
+    // appended batch silently dropped. Snapshot the pre-append file
+    // listing (name, length): appends only ADD files, so any pre-append
+    // file missing or resized afterwards proves a rewrite landed.
+    val legacyFp: Option[Seq[(String, Long)]] =
+      if (seqBefore.isEmpty) Some(ivfPqDataFiles(ufs, cellsDir)) else None
     encode(assigned, "__orig", cb, codeCol)
       .select(col(idCol), col("__cell"), col(codeCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(cellsDir.toString)
+    failpoint("appended")
     // POST-APPEND GUARD: a compactor that claimed while this append ran
     // read the tree BEFORE these rows landed — its swap will drop them.
-    // Presence of the claim (compaction still running) or an advanced
+    // Presence of the claim (compaction still running), an advanced
     // committed version (versioned compaction already flipped its
-    // pointer) means the batch must be considered LOST: fail loudly so
-    // the caller re-runs it (at-least-once; dedupById clears replays).
+    // pointer), or a disturbed legacy tree (fingerprint above) means the
+    // batch must be considered LOST: fail loudly so the caller re-runs
+    // it (at-least-once; dedupById clears replays).
     val claimedNow =
       ufs.exists(new org.apache.hadoop.fs.Path(rootP, IvfPqClaim))
     val seqAfter = resolveCells(ufs, path)._1
-    if (claimedNow || seqAfter != seqBefore)
+    val legacySwapped = legacyFp.exists { fp =>
+      val now = ivfPqDataFiles(ufs, resolveCells(ufs, path)._2).toSet
+      !fp.forall(now.contains)
+    }
+    if (claimedNow || seqAfter != seqBefore || legacySwapped)
       throw new IllegalStateException(
         s"updateIvfPq: a compaction claimed $path DURING this append — " +
           "the batch may be dropped by the in-flight (or just-committed) " +
@@ -586,9 +606,10 @@ object Pq {
     // rewrite. The claim is heartbeaten for the rewrite's duration so a
     // long compaction never goes TTL-stale under a bystander's clear.
     val claimPath = new org.apache.hadoop.fs.Path(root, IvfPqClaim)
-    graft.compute.Compaction.FsClaim.acquire(fs, claimPath, "compactIvfPq")
+    val uuid = graft.compute.Compaction.FsClaim
+      .acquire(fs, claimPath, "compactIvfPq")
     val hb = graft.compute.Compaction.FsClaim
-      .startHeartbeat(fs, claimPath, claimTtlMs)
+      .startHeartbeat(fs, claimPath, claimTtlMs, uuid)
     try {
       val healed = healIvfPq(spark, path)
       val (versionSeq, cells) = resolveCells(fs, path)
@@ -597,7 +618,7 @@ object Pq {
         targetFileBytes, dedupById, failpoint, healed)
     } finally {
       hb.close()
-      graft.compute.Compaction.FsClaim.release(fs, claimPath)
+      graft.compute.Compaction.FsClaim.release(fs, claimPath, uuid)
     }
   }
 

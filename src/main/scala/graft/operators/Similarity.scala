@@ -413,11 +413,11 @@ object Similarity {
     val claim = new org.apache.hadoop.fs.Path(s"$path/$AnnClaim")
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactAnnIndex")
-    FsClaim.acquire(fs, claim, "compactAnnIndex")
-    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
+    val uuid = FsClaim.acquire(fs, claim, "compactAnnIndex")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs, uuid)
     try graft.compute.Compaction.compactDir(spark, s"$path/sigs",
       targetFileBytes, failpoint)
-    finally { hb.close(); FsClaim.release(fs, claim) }
+    finally { hb.close(); FsClaim.release(fs, claim, uuid) }
   }
 
   /** [[compactAnnIndex]] with the rename-free KV-guarded swap — the
@@ -434,11 +434,14 @@ object Similarity {
     val claim = new org.apache.hadoop.fs.Path(s"$path/$AnnClaim")
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsClaim.ensureUnclaimed(fs, claim, claimTtlMs, "compactAnnIndexKv")
-    FsClaim.acquire(fs, claim, "compactAnnIndexKv")
-    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs)
+    val uuid = FsClaim.acquire(fs, claim, "compactAnnIndexKv")
+    val hb = FsClaim.startHeartbeat(fs, claim, claimTtlMs, uuid)
+    // healMinClaimAgeMs = claimTtlMs: refuse to entry-heal a manifest a
+    // LIVE compactor may still own (see compactNearDupIndexKv) — crash
+    // recovery inside the TTL goes through [[healAnnIndexKv]].
     try graft.compute.Compaction.compactDirKv(spark, s"$path/sigs",
-      targetFileBytes, kv, failpoint)
-    finally { hb.close(); FsClaim.release(fs, claim) }
+      targetFileBytes, kv, failpoint, healMinClaimAgeMs = claimTtlMs)
+    finally { hb.close(); FsClaim.release(fs, claim, uuid) }
   }
 
   /** Heal an interrupted [[compactAnnIndex]] swap; true when healed. */

@@ -37,12 +37,18 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // ---- 3-way join + agg + top-k (Q3 shape; dims broadcast by AQE/size)
+    // ---- 3-way join + agg + top-k (Q3 shape). customer is deliberately
+    // NOT hint-broadcast: it is SF-proportional (150k rows × SF), so a
+    // pinned hint would FORCE a broadcast at 100× scale — tripping the
+    // 8 GB broadcast hard cap or OOMing the driver — where AQE, left to
+    // its size estimate, broadcasts it at small SF and degrades cleanly
+    // to a shuffle join at large SF. PlanCheckSuite still pins the BHJ
+    // at sf0.1 sizes (now AQE-chosen, not forced).
     "q02_join_agg_topk" -> ((s, dir) => {
       val cust  = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord   = t(s, dir, "orders")
       val li    = t(s, dir, "lineitem")
-      broadcast(cust)
+      cust
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
@@ -51,14 +57,18 @@ object Relational {
         .limit(10)
     }),
 
-    // ---- star join through region→nation→customer→orders (Q5 shape)
+    // ---- star join through region→nation→customer→orders (Q5 shape).
+    // nation/region keep their hints (constant-size: 25 / 5 rows at ANY
+    // SF); customer must NEVER be hint-broadcast — it grows with SF and
+    // the pinned hint would force a 100×-scale broadcast past the 8 GB
+    // cap. AQE broadcasts it while small and shuffles it when not.
     "q03_star_join" -> ((s, dir) => {
       val reg = t(s, dir, "region")
       val nat = t(s, dir, "nation")
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
       ord
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")

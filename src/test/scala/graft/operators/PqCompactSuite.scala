@@ -214,6 +214,37 @@ class PqCompactSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells.count() == 20L)
   }
 
+  test("legacy layout: a full compaction INSIDE the append window fails " +
+      "the update loudly (r16)") {
+    val path = buildIndex()
+    Pq.updateIvfPq(spark, path, batchDf(Seq(700L), dir = 2),
+      "embedding", "vec_id")
+    // a compaction that claims, swaps the whole tree, and RELEASES all
+    // within the append window leaves no claim and (legacy layout) no
+    // version seq to compare — only the pre-append file fingerprint can
+    // prove the appended batch was dropped by the rewrite
+    val e = intercept[IllegalStateException] {
+      Pq.updateIvfPq(spark, path, batchDf(Seq(9100L), dir = 1),
+        "embedding", "vec_id",
+        failpoint = l => if (l == "appended") {
+          val st = Pq.compactIvfPq(spark, path, dedupById = Some("vec_id"))
+          assert(!st.skipped)
+        })
+    }
+    assert(e.getMessage.contains("DURING this append"), e.getMessage)
+    // in THIS interleaving the rewrite happened to read the tree AFTER
+    // the append landed, so nothing was lost — the guard cannot know
+    // that (a rewrite that listed files a moment earlier WOULD have
+    // dropped the batch) and fails conservatively. The documented
+    // contract is at-least-once: re-run the update, then dedupById
+    // clears whatever the race duplicated.
+    Pq.updateIvfPq(spark, path, batchDf(Seq(9100L), dir = 1),
+      "embedding", "vec_id")
+    Pq.compactIvfPq(spark, path, dedupById = Some("vec_id"))
+    val (cells2, _, _) = Pq.loadIvfPq(spark, path)
+    assert(cells2.where(col("vec_id") === 9100L).count() == 1L)
+  }
+
   test("healIvfPq is a no-op without a manifest and idempotent with one") {
     val path = buildIndex()
     assert(!Pq.healIvfPq(spark, path))
