@@ -613,6 +613,41 @@ object Soak {
       val (r4, nd4) = pqAt(4)
       val (r8, nd8) = pqAt(8)
       val (r16, nd16) = pqAt(16)
+      // r16: the two recall levers, measured against the same ground
+      // truth. OPQ (learned rotation) — expected ≈ parity on THIS
+      // corpus (near-isotropic by construction: mean |corr| ≈ 0.02, so
+      // rotating it cannot concentrate variance; the correlated-data
+      // gain is pinned in PqOpqSuite instead). Refine (ADC shortlist →
+      // exact re-rank) — the end-recall fix at any geometry.
+      val (opq8, opqNd8) = {
+        val cb = graft.operators.Pq.trainOpq(emb, "embedding", "vec_id",
+          m = 8, k = 256, iters = 3,
+          trainFraction = math.min(1.0, 100000.0 / nVecs))
+        val codes = graft.operators.Pq.encode(emb, "embedding", cb)
+          .select(col("vec_id"), col("pq_code")).localCheckpoint()
+        val rs = queries.map { case (id, v) =>
+          ids(graft.operators.Pq.topK(codes, "vec_id", cb, v, kTop))
+            .intersect(brute(id)).size.toDouble / kTop }
+        val nd = perturbed.count { case (id, pv) =>
+          ids(graft.operators.Pq.topK(codes, "vec_id", cb, pv, kTop))
+            .contains(id) }.toDouble / perturbed.length
+        (rs.sum / rs.length, nd)
+      }
+      val (ref50, ref100) = {
+        val cb = graft.operators.Pq.train(emb, "embedding", "vec_id",
+          m = 8, k = 256, iters = 3,
+          trainFraction = math.min(1.0, 100000.0 / nVecs))
+        val codes = graft.operators.Pq.encode(emb, "embedding", cb)
+          .select(col("vec_id"), col("pq_code")).localCheckpoint()
+        def refinedAt(c: Int): Double = {
+          val rs = queries.map { case (id, v) =>
+            ids(graft.operators.Pq.topKRefined(codes, emb, cb, v, kTop,
+              candidates = c))
+              .intersect(brute(id)).size.toDouble / kTop }
+          rs.sum / rs.length
+        }
+        (refinedAt(50), refinedAt(100))
+      }
       // IVF-PQ compose at documented defaults: the recall cost of cell
       // pruning STACKS with quantization — both ledgered so the split
       // is attributable (compare ivfpq_m8_nprobeN against adc_m8 and
@@ -638,9 +673,19 @@ object Soak {
         }.toDouble / perturbed.length
       val (ip2, ip4) = (ivfPqRecall(2), ivfPqRecall(4))
       val (ipn2, ipn4) = (ivfPqNdRecall(2), ivfPqNdRecall(4))
+      // IVF-PQ + refine: the full retrieval story (sub-linear scan ×
+      // 32× smaller rows × exact end ranking) at the documented defaults
+      def ivfPqRefined(nProbe: Int, c: Int): Double = {
+        val rs = queries.map { case (id, v) =>
+          ids(graft.operators.Pq.ivfPqTopKRefined(pqCells, ivfIdx.centroids,
+            cb8, emb, "vec_id", v, kTop, nProbe = nProbe, candidates = c))
+            .intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
+      val ipr4 = ivfPqRefined(4, 100)
       ivfIdx.unpersist()
       println(
-        f"""{"soak":"pqrecall","vectors":$nVecs,"queries":$qn,"k":$kTop,"pq_k":256,"adc_m4":$r4%.3f,"adc_m8":$r8%.3f,"adc_m16":$r16%.3f,"neardup_m4":$nd4%.3f,"neardup_m8":$nd8%.3f,"neardup_m16":$nd16%.3f,"ivfpq_m8_nprobe2":$ip2%.3f,"ivfpq_m8_nprobe4":$ip4%.3f,"neardup_ivfpq_m8_nprobe2":$ipn2%.3f,"neardup_ivfpq_m8_nprobe4":$ipn4%.3f}""")
+        f"""{"soak":"pqrecall","vectors":$nVecs,"queries":$qn,"k":$kTop,"pq_k":256,"adc_m4":$r4%.3f,"adc_m8":$r8%.3f,"adc_m16":$r16%.3f,"opq_m8":$opq8%.3f,"refined_m8_c50":$ref50%.3f,"refined_m8_c100":$ref100%.3f,"neardup_m4":$nd4%.3f,"neardup_m8":$nd8%.3f,"neardup_m16":$nd16%.3f,"neardup_opq_m8":$opqNd8%.3f,"ivfpq_m8_nprobe2":$ip2%.3f,"ivfpq_m8_nprobe4":$ip4%.3f,"ivfpq_refined_m8_nprobe4_c100":$ipr4%.3f,"neardup_ivfpq_m8_nprobe2":$ipn2%.3f,"neardup_ivfpq_m8_nprobe4":$ipn4%.3f}""")
       spark.stop()
       return
     }

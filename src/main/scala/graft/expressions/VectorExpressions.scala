@@ -211,6 +211,42 @@ final case class UnitVec(child: Expression)
     copy(child = newChild)
 }
 
+/** Dense matrix × vector: `out[i] = Σ_j M[i][j]·v[j]` over
+  * array<array<double>> × array<double>. The OPQ rotation kernel
+  * ([[graft.operators.Pq.trainOpq]]): the learned orthogonal rotation
+  * rides as ONE flat plan literal (dim² doubles — 32 KB at dim 64) and
+  * every vector rotates in a single codegen'd pass before PQ encode /
+  * ADC-table build. NULL when any matrix row's length differs from the
+  * vector's (a ragged embedding must not silently half-rotate — the
+  * [[CosineSim]] mismatch contract) or the matrix is empty. */
+final case class MatVec(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mat_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ExprTypeChecks.doubleArrayArray(left.dataType, prettyName, "matrix")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.doubleArray(right.dataType, prettyName, "vector")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.matVec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.expressions.VectorKernels.matVec($a, $b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric int8 quantization of a numeric-array column — kernel form
   * of Similarity.quantizeInt8's aggregate/transform composition: one
   * pass finds max|x|, a second emits round(x·scale) as ints.
@@ -277,6 +313,29 @@ object VectorKernels {
       p += 1
     }
     sig
+  }
+
+  /** Dense mat×vec, row-major left-to-right accumulation (the driver
+    * twin in [[graft.operators.Pq.PqCodebook.tableFor]] calls THIS
+    * kernel, so driver- and executor-side rotations are bit-equal).
+    * Null on empty matrix or any row-length mismatch. */
+  def matVec(m: ArrayData, v: ArrayData): ArrayData = {
+    val rows = m.numElements()
+    if (rows == 0) return null
+    val n = v.numElements()
+    val vv = v.toDoubleArray()
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      val row = m.getArray(i)
+      if (row.numElements() != n) return null
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += row.getDouble(j) * vv(j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** x_i / sqrt(Σx²) with the zero-vector passthrough; accumulation and

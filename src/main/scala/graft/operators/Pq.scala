@@ -30,24 +30,41 @@ import org.apache.spark.sql.functions._
   * with IVF ([[encodeCells]] / [[ivfPqTopK]]) to scan only nProbe/k of
   * the codes: the classic IVF-PQ index is (id, cell, code) ≈ 14 B/row.
   *
-  * Honest limitation — no OPQ: sub-spaces are RAW COORDINATE BLOCKS
-  * (dims [0,subDim), [subDim,2·subDim), ...), with no learned rotation
-  * decorrelating them first, so strongly correlated dimensions cost
-  * more recall per byte than a rotated (OPQ) codebook would lose.
-  * Measured on real embeddings in BASELINE.md's "Round 15 ledger",
-  * section "pqrecall" (ADC recall@10 at m ∈ {4,8,16} vs exact ground
-  * truth; near-dup recall is the curation-relevant floor — 1.000 at
-  * every config there, also pinned in ScaleSuite). When
-  * recall at the budgeted m falls short, raise m before considering a
-  * rotation — m=16 doubles code bytes and typically dominates it.
+  * Recall levers (r16, measured in BASELINE.md's "Round 16 ledger",
+  * section "pqrecall"): [[train]] cuts RAW COORDINATE BLOCKS;
+  * [[trainOpq]] learns an orthogonal rotation first (OPQ) so correlated
+  * dimensions stop over-spending code bytes — worth ~+0.1 recall@10 on
+  * correlated embeddings (PqOpqSuite's pinned fixture) and neutral on
+  * isotropic ones (rotating white noise is white noise — the harness
+  * corpus is near-isotropic, so its ledger shows parity, not gain).
+  * For END recall the big lever is [[topKRefined]] /
+  * [[ivfPqTopKRefined]]: ADC as a shortlist FILTER + exact re-rank of
+  * `candidates` true vectors (0.47 → 0.93 recall@10 at candidates=100
+  * on the harness corpus; near-dup recall is 1.000 at every config,
+  * pinned in ScaleSuite).
   */
 object Pq {
 
   /** Trained codebook: `centroids(s)(j)` is the j-th centroid of
     * sub-space s (subDim doubles each). `dim` = Σ subDims; k ≤ 256 so
-    * codes pack one byte per sub-space. */
+    * codes pack one byte per sub-space.
+    *
+    * `rotation` (OPQ, r16): an optional dim×dim ORTHOGONAL matrix R
+    * applied to every unit vector BEFORE sub-space splitting — encode
+    * quantizes R·u and queries build their ADC table from R·q, so all
+    * distances live in the rotated space where they equal the original
+    * ones exactly (‖R·a − R·b‖ = ‖a − b‖ for orthogonal R; pq_cosine's
+    * 1 − adc/2 contract is unchanged). Centroids are stored in ROTATED
+    * coordinates; R travels with the codebook ([[saveCodebook]]), so
+    * stored codes, updates, and probes all agree by construction. */
   final case class PqCodebook(dim: Int, m: Int, k: Int,
-                              centroids: Array[Array[Array[Double]]]) {
+                              centroids: Array[Array[Array[Double]]],
+                              rotation: Option[Array[Array[Double]]] = None) {
+    rotation.foreach { r =>
+      require(r.length == dim && r.forall(_.length == dim),
+        s"rotation must be ${dim}x$dim, got ${r.length}x" +
+          s"${r.headOption.map(_.length).getOrElse(0)}")
+    }
     require(centroids.length == m, s"codebook has ${centroids.length} sub-spaces, expected $m")
     // every sub-space carries exactly k centroids — the invariant both
     // ADC table builders (this driver-side twin AND the distributed
@@ -60,9 +77,26 @@ object Pq {
     def subDim: Int = dim / m
 
     /** Flat m·k ADC table for a (unit) query — driver-side twin of
-      * [[graft.expressions.PqKernels.pqTable]]. */
-    private[operators] def tableFor(unitQ: Array[Double]): Array[Double] = {
-      require(unitQ.length == dim, s"query dim ${unitQ.length} != codebook dim $dim")
+      * [[graft.expressions.PqKernels.pqTable]]. Applies `rotation`
+      * first (same accumulation order as the distributed
+      * [[graft.expressions.VectorKernels.matVec]] kernel — pinned
+      * bit-equal by PqOpqSuite). */
+    private[operators] def tableFor(rawUnitQ: Array[Double]): Array[Double] = {
+      require(rawUnitQ.length == dim, s"query dim ${rawUnitQ.length} != codebook dim $dim")
+      val unitQ = rotation match {
+        case Some(r) =>
+          val o = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            val row = r(i)
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc += row(j) * rawUnitQ(j); j += 1 }
+            o(i) = acc; i += 1
+          }
+          o
+        case None => rawUnitQ
+      }
       val out = new Array[Double](m * k)
       var off = 0
       var s = 0
@@ -112,6 +146,25 @@ object Pq {
   private def codebookLit(cb: PqCodebook): Column =
     typedlit(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
 
+  /** The OPQ rotation as one flat plan literal — dim² doubles (32 KB at
+    * dim 64), the [[codebookLit]] pattern. */
+  private def rotationLit(r: Array[Array[Double]]): Column =
+    typedlit(r.map(_.toSeq).toSeq)
+
+  /** Apply an optional OPQ rotation to an already-unit column — the ONE
+    * projection every PQ surface (train slices, encode, distributed ADC
+    * tables) must share so codes and tables always live in the same
+    * space. Identity (no-op) when no rotation was trained. */
+  private def rotated(rot: Option[Array[Array[Double]]], u: Column): Column =
+    rot match {
+      case Some(r) => bridge.column(graft.expressions.MatVec(
+        bridge.expression(rotationLit(r)), bridge.expression(u)))
+      case None => u
+    }
+
+  private def rotatedUnit(cb: PqCodebook, vec: Column): Column =
+    rotated(cb.rotation, unit(vec))
+
   /** Train a PQ codebook: per-sub-space k-means over unit-normalized
     * vectors. Deterministic (seed rows = lowest md5(id), fixed `iters`
     * Lloyd rounds, and a CONTENT-deterministic `trainFraction` sample —
@@ -124,7 +177,12 @@ object Pq {
     * input row but map-side combines to m·k aggregation rows. */
   def train(df: DataFrame, vecCol: String, idCol: String,
             m: Int = 8, k: Int = 256, iters: Int = 3,
-            trainFraction: Double = 1.0): PqCodebook = {
+            trainFraction: Double = 1.0): PqCodebook =
+    trainCore(df, vecCol, idCol, m, k, iters, trainFraction, rotation = None)
+
+  private def trainCore(df: DataFrame, vecCol: String, idCol: String,
+                        m: Int, k: Int, iters: Int, trainFraction: Double,
+                        rotation: Option[Array[Array[Double]]]): PqCodebook = {
     require(m >= 1, s"m must be positive, got $m")
     require(k >= 1 && k <= 256, s"k must be in [1, 256] (one byte per sub-space), got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
@@ -153,8 +211,11 @@ object Pq {
     val sampled = if (trainFraction >= 1.0) df
       else df.where(pmod(xxhash64(col(idCol)), lit(1000000L)) <
         lit((trainFraction * 1000000L).toLong))
+    // training slices come from the SAME unit→rotate projection encode
+    // applies, so centroids live in exactly the space codes are cut in
     val base = sampled
-      .select(col(idCol).as("__id"), unit(col(vecCol)).as("__u"))
+      .select(col(idCol).as("__id"),
+        rotated(rotation, unit(col(vecCol))).as("__u"))
       .where(size(col("__u")) === dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -194,8 +255,165 @@ object Pq {
         }
         cents = next
       }
-      PqCodebook(dim, m, cents.head.length, cents)
+      PqCodebook(dim, m, cents.head.length, cents, rotation)
     } finally { base.unpersist(); () }
+  }
+
+  /** Train an OPQ codebook: a learned dim×dim ORTHOGONAL rotation R is
+    * fit first (OPQ-NP, Ge et al. CVPR'13 — alternate PQ-fit and the
+    * orthogonal-Procrustes solve R = V·Uᵀ from SVD(Xᵀ·Y)), then the
+    * distributed codebook trains on rotated vectors ([[train]]'s exact
+    * machinery). Decorrelates sub-spaces so raw coordinate blocks stop
+    * over-spending code bytes on correlated dims; measured on the
+    * correlated-synthetic suite fixture (PqOpqSuite) and the pqrecall
+    * ledger (BASELINE.md r16) — on ISOTROPIC data the rotation is
+    * recall-neutral by design (any rotation of white noise is white
+    * noise), so [[topKRefined]]'s exact re-rank, not OPQ, is the lever
+    * for end recall there.
+    *
+    * The rotation fit is DRIVER-SIDE over a bounded deterministic
+    * sample (`opqSampleRows` lowest-md5 ids — the [[train]] seed-row
+    * convention; ~10 MB at the default 20k×64): serial arithmetic keeps
+    * the identical-on-every-run/cluster codebook contract that a
+    * distributed float reduction (partition-order-dependent sums) would
+    * break, and OPQ needs a few hundred rows per centroid, not the
+    * corpus. Each round is O(n·k·dim) k-means + O(n·dim²) accumulation
+    * + one dim×dim SVD (breeze/LAPACK — deterministic for a given
+    * input). The corpus itself is only ever touched by the final
+    * distributed [[train]] pass and [[encode]]'s single pass. */
+  def trainOpq(df: DataFrame, vecCol: String, idCol: String,
+               m: Int = 8, k: Int = 256, iters: Int = 3,
+               trainFraction: Double = 1.0,
+               opqIters: Int = 8, opqSampleRows: Int = 20000,
+               opqKmeansIters: Int = 3): PqCodebook = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    require(opqIters >= 1, s"opqIters must be positive, got $opqIters")
+    require(opqSampleRows >= 2, s"opqSampleRows too small: $opqSampleRows")
+    val dimRow = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    require(dimRow.nonEmpty,
+      s"cannot train an OPQ codebook over an empty corpus ($vecCol)")
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m")
+    val subDim = dim / m
+
+    // deterministic sample: lowest-md5 ids (content-deterministic, the
+    // seed-row convention) — identical rows regardless of partitioning
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol).as("__id"), unit(col(vecCol)).as("__u"))
+      .where(size(col("__u")) === dim)
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(opqSampleRows)
+      .select(col("__u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"cannot train an OPQ codebook over an empty corpus ($vecCol)")
+    val n = sample.length
+    val kk = math.min(k, n)
+
+    // ---- the OPQ-NP alternation, all serial/deterministic ----
+    var rot: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def applyRot(x: Array[Double]): Array[Double] = {
+      val o = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val row = rot(i)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += row(j) * x(j); j += 1 }
+        o(i) = acc; i += 1
+      }
+      o
+    }
+    // per-sub-space driver k-means, the exact train() semantics: seeds =
+    // first kk sample rows (md5-ordered), first-min ties, empty cells
+    // keep their previous centroid
+    def kmeansSub(xr: Array[Array[Double]], s: Int): Array[Array[Double]] = {
+      val off = s * subDim
+      var cents = Array.tabulate(kk)(i =>
+        java.util.Arrays.copyOfRange(xr(i), off, off + subDim))
+      var it = 0
+      while (it < opqKmeansIters) {
+        val sums = Array.ofDim[Double](kk, subDim + 1)
+        xr.foreach { v =>
+          var best = Double.NaN
+          var bi = 0
+          var i = 0
+          while (i < kk) {
+            val c = cents(i)
+            var d = 0.0
+            var j = 0
+            while (j < subDim) { val t = c(j) - v(off + j); d += t * t; j += 1 }
+            if (d < best || java.lang.Double.isNaN(best)) { best = d; bi = i }
+            i += 1
+          }
+          val row = sums(bi)
+          var j = 0
+          while (j < subDim) { row(j) += v(off + j); j += 1 }
+          row(subDim) += 1.0
+        }
+        cents = Array.tabulate(kk) { i =>
+          val cnt = sums(i)(subDim)
+          if (cnt > 0) Array.tabulate(subDim)(j => sums(i)(j) / cnt)
+          else cents(i)
+        }
+        it += 1
+      }
+      cents
+    }
+    var round = 0
+    while (round < opqIters) {
+      val xr = sample.map(applyRot)
+      val cents = Array.tabulate(m)(s => kmeansSub(xr, s))
+      // reconstruction Y (rotated coords) and A = Σ_n x_n·y_nᵀ
+      val a = Array.ofDim[Double](dim, dim)
+      var r = 0
+      while (r < n) {
+        val x = sample(r)
+        val v = xr(r)
+        val y = new Array[Double](dim)
+        var s = 0
+        while (s < m) {
+          val off = s * subDim
+          val cs = cents(s)
+          var best = Double.NaN
+          var bi = 0
+          var i = 0
+          while (i < kk) {
+            val c = cs(i)
+            var d = 0.0
+            var j = 0
+            while (j < subDim) { val t = c(j) - v(off + j); d += t * t; j += 1 }
+            if (d < best || java.lang.Double.isNaN(best)) { best = d; bi = i }
+            i += 1
+          }
+          System.arraycopy(cs(bi), 0, y, off, subDim)
+          s += 1
+        }
+        var i = 0
+        while (i < dim) {
+          val xi = x(i)
+          if (xi != 0.0) {
+            val ai = a(i)
+            var j = 0
+            while (j < dim) { ai(j) += xi * y(j); j += 1 }
+          }
+          i += 1
+        }
+        r += 1
+      }
+      // orthogonal Procrustes: max_R tr(R·A) with A = Xᵀ·Y = U·S·Vᵀ
+      // → R = V·Uᵀ = (U·Vᵀ)ᵀ
+      val adm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => a(i)(j))
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(adm)
+      val uvt = u * vt
+      rot = Array.tabulate(dim, dim)((i, j) => uvt(j, i))
+      round += 1
+    }
+    trainCore(df, vecCol, idCol, m, k, iters, trainFraction,
+      rotation = Some(rot))
   }
 
   /** Append an m-byte `codeCol` to `df` (all original columns kept):
@@ -207,7 +425,7 @@ object Pq {
              codeCol: String = "pq_code"): DataFrame =
     df.withColumn(codeCol, bridge.column(graft.expressions.PqEncodeExpr(
       bridge.expression(codebookLit(cb)),
-      bridge.expression(unit(col(vecCol))))))
+      bridge.expression(rotatedUnit(cb, col(vecCol))))))
 
   private def adcCosine(tableCol: Column, codeCol: Column, k: Int): Column =
     lit(1.0) - bridge.column(graft.expressions.PqAdcExpr(
@@ -263,7 +481,7 @@ object Pq {
       .select(col(queryIdCol).as("query_id"),
         bridge.column(graft.expressions.PqTableExpr(
           bridge.expression(codebookLit(cb)),
-          bridge.expression(unit(col(queryVecCol))))).as("__t"))
+          bridge.expression(rotatedUnit(cb, col(queryVecCol))))).as("__t"))
       .withColumn("__ck", lit(0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("pq_cosine").desc, col(idCol))
@@ -279,6 +497,66 @@ object Pq {
       .where(col("pq_cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** ADC shortlist + EXACT re-rank — the end-recall lever (FAISS
+    * `IndexRefineFlat` pattern): ADC alone caps recall by quantization
+    * error (measured floor on the pqrecall harness — BASELINE.md r16:
+    * isotropic 64-dim at m=8 tops out near 0.47 recall@10, and OPQ
+    * cannot help white noise), but ADC is an excellent FILTER — the
+    * true top-k almost always sits inside the ADC top-`candidates`.
+    * This probes the m-byte codes for a `candidates`-deep shortlist,
+    * then re-ranks ONLY those rows against their true vectors (exact
+    * cosine) and returns top-k. Measured: 0.47 → 0.93 recall@10 at
+    * candidates=100 on the harness corpus.
+    *
+    * Scale shape: the codes scan is [[topK]]'s (scan → project →
+    * TakeOrdered, no shuffle); the re-rank broadcasts the
+    * `candidates`-row id list against the full-vector table — ONE
+    * narrow pass, no shuffle, and only `candidates` exact distances
+    * actually compute (the BHJ drops every other row before the cosine
+    * projects). Cost is O(candidates·dim) math over one vector-table
+    * scan — at 100 TB keep the vector table sorted/bucketed by id so
+    * the join's min/max stats prune row groups. Output (idCol, cosine)
+    * desc — EXACT similarities, directly comparable with
+    * [[Similarity.cosineTopK]]. */
+  def topKRefined(codes: DataFrame, vectors: DataFrame, cb: PqCodebook,
+                  queryVec: Seq[Float], k: Int, candidates: Int = 100,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  codeCol: String = "pq_code"): DataFrame = {
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    val shortlist = topK(codes, idCol, cb, queryVec, candidates, codeCol)
+      .select(col(idCol))
+    val q = array(queryVec.map(v => lit(v)): _*)
+    vectors.join(broadcast(shortlist), idCol)
+      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[ivfPqTopK]] + exact re-rank ([[topKRefined]] semantics): the
+    * ADC shortlist scans only the nProbe nearest cells' codes, the
+    * re-rank touches only `candidates` true vectors. The full
+    * RAM-resident-index retrieval story: sub-linear candidate scan
+    * (IVF) × 32× smaller scan rows (PQ) × exact end ranking (refine). */
+  def ivfPqTopKRefined(pqCells: DataFrame, ivfCentroids: Array[Array[Double]],
+                       cb: PqCodebook, vectors: DataFrame, idCol: String,
+                       queryVec: Seq[Float], k: Int, nProbe: Int = 2,
+                       candidates: Int = 100,
+                       vecCol: String = "embedding",
+                       codeCol: String = "pq_code"): DataFrame = {
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    val shortlist = ivfPqTopK(pqCells, ivfCentroids, cb, idCol, queryVec,
+      candidates, nProbe, codeCol).select(col(idCol))
+    val q = array(queryVec.map(v => lit(v)): _*)
+    vectors.join(broadcast(shortlist), idCol)
+      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
   }
 
   /** Encode an [[Similarity.IvfIndex]]'s cell table into the classic
@@ -769,8 +1047,21 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codebook")
     val p = new org.apache.hadoop.fs.Path(s"$path/codebook_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the OPQ rotation travels WITH the codebook (doubles round-trip
+    // parquet exactly, so a loaded index encodes/probes bit-identically)
+    // — meta's rot flag is authoritative; a stale rotation/ dir from a
+    // previous OPQ save is deleted so a plain re-save can't resurrect it
+    cb.rotation match {
+      case Some(r) =>
+        r.indices.map(i => (i, r(i).toSeq)).toDF("i", "row").repartition(1)
+          .write.mode("overwrite").parquet(s"$path/rotation")
+      case None =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/rotation"), true)
+        ()
+    }
     val out = fs.create(p, true)
-    try out.write(s"dim=${cb.dim}\nm=${cb.m}\nk=${cb.k}\n"
+    try out.write((s"dim=${cb.dim}\nm=${cb.m}\nk=${cb.k}\n" +
+      s"rot=${if (cb.rotation.isDefined) 1 else 0}\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -800,6 +1091,24 @@ object Pq {
     }
     require(cents.forall(_.forall(_ != null)),
       s"codebook at $path is missing (s,j) entries — corrupt or partial write")
-    PqCodebook(dim, m, k, cents)
+    // rot flag in meta is authoritative (absent in pre-r16 indexes →
+    // no rotation); same corruption guards as the centroid table
+    val rotation =
+      if (meta.get("rot").contains("1")) {
+        val rrows = spark.read.parquet(s"$path/rotation")
+          .select(col("i"), col("row")).collect()
+        val r = new Array[Array[Double]](dim)
+        rrows.foreach { rr =>
+          val i = rr.getInt(0)
+          require(i >= 0 && i < dim,
+            s"rotation at $path: row $i outside dim $dim — corrupt")
+          r(i) = rr.getSeq[Double](1).toArray
+        }
+        require(r.forall(row => row != null && row.length == dim),
+          s"rotation at $path has missing or ragged rows — corrupt or " +
+            "partial write")
+        Some(r)
+      } else None
+    PqCodebook(dim, m, k, cents, rotation)
   }
 }

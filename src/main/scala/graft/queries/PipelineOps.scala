@@ -349,6 +349,40 @@ object PipelineOps {
             org.apache.spark.sql.types.DoubleType))))
     }),
 
+    // ---- OPQ-rotated PQ + exact-re-rank refine (r16): the codebook
+    // carries a LEARNED orthogonal rotation (trainOpq — decorrelates
+    // sub-spaces before block splitting) and retrieval goes ADC
+    // shortlist → exact cosine re-rank (topKRefined, the FAISS
+    // refine pattern). Planted colinear rows still dominate under
+    // rotation (R·(c·u) = c·R·u keeps them colinear with the rotated
+    // query, so their ADC error stays the query's own quantization
+    // error), the shortlist is HARD-BOUNDED at candidates=10 = k (the
+    // re-rank cannot rebuild the answer from a wider set), and the
+    // refined output must be the planted set at exact cosine 1.
+    "p41_opq_refine" -> ((s, dir) => {
+      import s.implicits._
+      val q = queryVec(s, dir)
+      val planted = (0 until 10).map(n =>
+          (10000L + n, q.map(v => v * (1.0f + 0.1f * (n + 1)))))
+        .toDF("vec_id", "embedding")
+      val corpus = embs(s, dir).where(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").unionByName(planted)
+      val cb = Pq.trainOpq(corpus, "embedding", "vec_id", m = 8, k = 16,
+        iters = 2, opqIters = 3, opqKmeansIters = 2)
+      require(cb.rotation.isDefined, "trainOpq must carry a rotation")
+      // rotation sanity the refine cannot see: orthogonal rows (unit
+      // norm) — a broken Procrustes solve would still often "work"
+      // here because planted rows dominate any linear map
+      val r0 = cb.rotation.get
+      val n0 = r0.map(row => row.map(x => x * x).sum)
+      require(n0.forall(n => math.abs(n - 1.0) < 1e-6),
+        s"rotation rows must be unit-norm, got ${n0.take(3).mkString(",")}")
+      val codes = Pq.encode(corpus, "embedding", cb).select("vec_id", "pq_code")
+      Pq.topKRefined(codes, corpus, cb, q, k = 10, candidates = 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_id")
+    }),
+
     // ---- ANN with provable recall: planted positive multiples of the
     // query vector share its plane signature BY CONSTRUCTION (sign bits are
     // scale-invariant), have cosine exactly 1, and out-rank every real
@@ -1026,6 +1060,12 @@ object PipelineOps {
     // PQ-ADC retrieval over the p12/p20 construction: the planted set is
     // provably the ADC top-10 (see the query comment), reranked exact
     "p38_pq_ann" ->
+      """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
+         FROM range(10) ORDER BY vec_id""",
+    // OPQ + refine: rotation keeps planted rows colinear with the
+    // rotated query; the candidates=10 ADC shortlist must BE the
+    // planted set and the exact re-rank reports cosine 1
+    "p41_opq_refine" ->
       """SELECT CAST(10000 + range AS BIGINT) AS vec_id, 1.0 AS cosine
          FROM range(10) ORDER BY vec_id""",
     // incremental IVF-PQ: the planted batch folded into a persisted
