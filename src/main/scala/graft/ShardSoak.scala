@@ -240,10 +240,28 @@ object ShardSoak {
             .as("text"))
         .repartition(16).write.mode("overwrite").parquet(s"$root/staged/0")
 
+      // r16 (VERDICT r15 #3): SPARK_GRAFT_KV_BACKEND=http runs the
+      // whole chain against a REAL conditional-PUT HTTP endpoint
+      // (LocalHttpObjectStore + HttpConditionalKv) — every lease/WAL/
+      // inbox operation is an actual socket round-trip with S3-shaped
+      // If-None-Match/If-Match semantics, so the latency is REAL wire
+      // latency (latencyMs then defaults to 0; injected sleep can still
+      // be stacked on top for S3-distance simulation).
+      val backend = sys.env.getOrElse("SPARK_GRAFT_KV_BACKEND", "memory")
+      val httpStore: Option[graft.routing.LocalHttpObjectStore] =
+        if (backend == "http") Some(new graft.routing.LocalHttpObjectStore)
+        else None
       val ops = new java.util.concurrent.atomic.AtomicLong
+      val effLatencyMs =
+        if (backend == "http")
+          sys.env.getOrElse("SPARK_GRAFT_KV_LATENCY_MS", "0").toLong
+        else latencyMs
       val kv: graft.routing.ConditionalKv = {
-        val inner = new graft.routing.LatencyInjectedKv(
-          new graft.routing.InMemoryConditionalKv, latencyMs)
+        val raw: graft.routing.ConditionalKv = httpStore match {
+          case Some(s) => new graft.routing.HttpConditionalKv(s.endpoint)
+          case None => new graft.routing.InMemoryConditionalKv
+        }
+        val inner = new graft.routing.LatencyInjectedKv(raw, effLatencyMs)
         new graft.routing.ConditionalKv {
           def put(key: String, value: String): Unit =
             { ops.incrementAndGet(); inner.put(key, value) }
@@ -255,6 +273,10 @@ object ShardSoak {
             { ops.incrementAndGet(); inner.list(prefix) }
           def delete(key: String): Unit =
             { ops.incrementAndGet(); inner.delete(key) }
+          // MUST delegate: the trait default is get-then-delete, which
+          // would silently strip the underlying store's atomicity
+          override def deleteIfValue(key: String, expect: String): Boolean =
+            { ops.incrementAndGet(); inner.deleteIfValue(key, expect) }
         }
       }
       // the shard_soak.sh topology: A(0,1) B(2,3) — consecutive hops
@@ -317,10 +339,14 @@ object ShardSoak {
         got.getLong(got.fieldIndex("acc_chars")) == exp.getLong(1) &&
         got.getLong(got.fieldIndex("acc_words")) == exp.getLong(2)
       println(s"""{"mode":"kvchain","match":$ok,"docs":${exp.getLong(0)},""" +
-        s""""latency_ms":$latencyMs,"group_commit":$gc,"kv_ops":${ops.get()},""" +
+        s""""backend":"$backend","latency_ms":$effLatencyMs,"group_commit":$gc,""" +
+        s""""kv_ops":${ops.get()},""" +
         f""""kill_sec":$tKill%.1f,"total_sec":$tTotal%.1f,"ring":$NumShards,"drivers":$drivers}""")
+      httpStore.foreach(_.close())
       spark.stop()
-      if (!ok) sys.exit(3)
+      // explicit: library threads (HttpClient selector, Spark leftovers)
+      // must not hold a finished soak's JVM open
+      sys.exit(if (ok) 0 else 3)
 
     case other => sys.error(s"unknown mode '$other'")
   }
