@@ -218,7 +218,12 @@ final class Application(val name: String, val spark: SparkSession,
     * `route.<id>.<eventsReceived|pendingCreated|pendingExpired|
     * zombiesEliminated|triggers|probeFailures|execSucceeded|execFailed|
     * pendingNow>`
-    * plus app-level `app.<computeRecords|activeExecutions|routes>`. */
+    * plus app-level `app.<computeRecords|activeExecutions|routes>` and
+    * (r16) the per-JVM maintenance counters `maintenance.compaction.*` /
+    * `maintenance.heal.*` / `maintenance.claim.*`
+    * ([[graft.compute.MaintenanceMetrics]]) — alarm on
+    * `maintenance.claim.staleCleared` to catch CRASHING compactions,
+    * on `maintenance.claim.contention` to catch overlapping windows. */
   def platformMetricsDf(
       at: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()))
       : DataFrame = {
@@ -240,7 +245,13 @@ final class Application(val name: String, val spark: SparkSession,
       "app.computeRecords" -> computeRecords.length.toDouble,
       "app.activeExecutions" -> activeComputePaths.size.toDouble,
       "app.routes" -> runtimeTables.flatMap(_.all).length.toDouble)
-    (routeRows ++ appRows).map { case (n, v) => (n, at, v) }
+    // maintenance counters (r16): compaction swaps/heals and claim
+    // contention surface in the SAME alarmable series as route health —
+    // per-JVM registry (the scope the maintenance jobs run in), names
+    // `maintenance.compaction.*` / `maintenance.heal.*` /
+    // `maintenance.claim.*` (graft.compute.MaintenanceMetrics)
+    val maintRows = graft.compute.MaintenanceMetrics.snapshot.toList
+    (routeRows ++ appRows ++ maintRows).map { case (n, v) => (n, at, v) }
       .toDF("name", "period_start", "value")
   }
 

@@ -53,6 +53,19 @@ object Compaction {
 
   private def log = org.slf4j.LoggerFactory.getLogger(Compaction.getClass)
 
+  /** Fold a completed (non-skipped) rewrite into [[MaintenanceMetrics]]
+    * — one call per swap, shared by all four compaction variants (and
+    * Pq.compactIvfPq). `t0` = nanoTime at rewrite start. */
+  private[graft] def recordCompaction(filesBefore: Int, filesAfter: Int,
+                                      bytes: Long, t0: Long): Unit = {
+    MaintenanceMetrics.add("maintenance.compaction.swaps")
+    MaintenanceMetrics.add("maintenance.compaction.filesCollapsed",
+      math.max(0L, (filesBefore - filesAfter).toLong))
+    MaintenanceMetrics.add("maintenance.compaction.bytesRewritten", bytes)
+    MaintenanceMetrics.add("maintenance.compaction.wallMs",
+      (System.nanoTime() - t0) / 1000000L)
+  }
+
   /** Committed data files of a partition: skip `_` markers, `.` work
     * dirs/hidden files — the same rule Spark's own file index applies. */
   private def dataFiles(fs: FileSystem, dir: Path): Seq[(String, Long)] =
@@ -85,8 +98,11 @@ object Compaction {
     val total = files.map(_._2).sum
     val wanted = math.min(65536L,
       math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
-    if (files.size <= wanted)
+    if (files.size <= wanted) {
+      MaintenanceMetrics.add("maintenance.compaction.skipped")
       return CompactStats(files.size, files.size, total, healed, skipped = true)
+    }
+    val t0 = System.nanoTime()
 
     // rewrite: reading N small files gives ~N input partitions; coalesce
     // is narrow (no shuffle) and the target count is exact
@@ -154,6 +170,7 @@ object Compaction {
     fs.delete(tmp, true)
     log.info(s"compacted $dataPath: ${files.size} files / $total bytes " +
       s"-> ${newFiles.size} files")
+    recordCompaction(files.size, newFiles.size, total, t0)
     CompactStats(files.size, newFiles.size, total, healed, skipped = false)
   }
 
@@ -212,6 +229,7 @@ object Compaction {
     fs.delete(manifest, false)
     log.warn(s"healed interrupted compaction swap at $dataPath " +
       s"(${oldNames.size} committed files restored)")
+    MaintenanceMetrics.add("maintenance.heal.rolledBack")
     true
   }
 
@@ -282,8 +300,11 @@ object Compaction {
     val total = files.map(_._2).sum
     val wanted = math.min(65536L,
       math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
-    if (files.size <= wanted)
+    if (files.size <= wanted) {
+      MaintenanceMetrics.add("maintenance.compaction.skipped")
       return CompactStats(files.size, files.size, total, healed, skipped = true)
+    }
+    val t0 = System.nanoTime()
 
     val tmp = new Path(dataPath, TmpDir)
     fs.delete(tmp, true)
@@ -309,6 +330,7 @@ object Compaction {
       files, newFiles, tmp, kv, failpoint)
     log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
       s"bytes -> ${newFiles.size} files")
+    recordCompaction(files.size, newFiles.size, total, t0)
     CompactStats(files.size, newFiles.size, total, healed, skipped = false)
   }
 
@@ -444,6 +466,7 @@ object Compaction {
             fs.delete(new Path(dataPath, n), false) }
           log.warn(s"healed interrupted kv compaction at $dataPath: " +
             s"rolled FORWARD (${newFiles.size} new files committed)")
+          MaintenanceMetrics.add("maintenance.heal.rolledForward")
         } else {
           // ROLL BACK: the ordering invariant says the old set is
           // complete — but VERIFY that before destroying the new copies
@@ -462,6 +485,7 @@ object Compaction {
             fs.delete(new Path(dataPath, n), false) }
           log.warn(s"healed interrupted kv compaction at $dataPath: " +
             s"rolled BACK (${oldFiles.size} committed files intact)")
+          MaintenanceMetrics.add("maintenance.heal.rolledBack")
         }
         marker.foreach(m => fs.create(m, true).close())
         fs.delete(new Path(dataPath, TmpDir), true)
@@ -497,9 +521,12 @@ object Compaction {
     val total = files.map(_._2).sum
     val wanted = math.min(65536L,
       math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
-    if (files.size <= wanted)
+    if (files.size <= wanted) {
+      MaintenanceMetrics.add("maintenance.compaction.skipped")
       return DirCompactStats(files.size, files.size, total, healed,
         skipped = true)
+    }
+    val t0 = System.nanoTime()
     val tmp = new Path(dataPath, TmpDir)
     fs.delete(tmp, true)
     spark.read.option("mergeSchema", "true")
@@ -534,6 +561,7 @@ object Compaction {
     fs.delete(new Path(dataPath, DirKvInflight), false)
     log.info(s"compacted (kv) $dataPath: ${files.size} files / $total " +
       s"bytes -> ${newFiles.size} files")
+    recordCompaction(files.size, newFiles.size, total, t0)
     DirCompactStats(files.size, newFiles.size, total, healed,
       skipped = false)
   }
@@ -582,9 +610,12 @@ object Compaction {
     val total = files.map(_._2).sum
     val wanted = math.min(65536L,
       math.max(1L, (total + targetFileBytes - 1) / targetFileBytes))
-    if (files.size <= wanted)
+    if (files.size <= wanted) {
+      MaintenanceMetrics.add("maintenance.compaction.skipped")
       return DirCompactStats(files.size, files.size, total, healed,
         skipped = true)
+    }
+    val t0 = System.nanoTime()
 
     val tmp = new Path(dataPath, TmpDir)
     fs.delete(tmp, true)
@@ -622,6 +653,7 @@ object Compaction {
     fs.delete(tmp, true)
     log.info(s"compacted $dataPath: ${files.size} files / $total bytes " +
       s"-> ${newFiles.size} files")
+    recordCompaction(files.size, newFiles.size, total, t0)
     DirCompactStats(files.size, newFiles.size, total, healed,
       skipped = false)
   }
@@ -668,6 +700,7 @@ object Compaction {
     fs.delete(manifest, false)
     log.warn(s"healed interrupted compactDir swap at $dataPath " +
       s"(${oldNames.size} committed files restored)")
+    MaintenanceMetrics.add("maintenance.heal.rolledBack")
     true
   }
 
@@ -824,11 +857,13 @@ object Compaction {
         Some(System.currentTimeMillis() - createdMs)
       }
       val age = ageOf.getOrElse(return)
-      if (age < ttlMs)
+      if (age < ttlMs) {
+        MaintenanceMetrics.add("maintenance.claim.contention")
         throw new IllegalStateException(
           s"$ctx: compaction in progress at ${claim.getParent} (claim is " +
             s"${age}ms old, TTL ${ttlMs}ms) — retry after it finishes; a " +
             "crashed claimant's claim clears once the TTL passes")
+      }
       val tomb = new Path(claim.getParent,
         s".claim-tombstone-${java.util.UUID.randomUUID()}")
       val won = try fs.rename(claim, tomb)
@@ -836,6 +871,7 @@ object Compaction {
       if (won) {
         log.warn(s"$ctx: cleared STALE maintenance claim at $claim " +
           s"(${age}ms old > ${ttlMs}ms TTL — the claimant died)")
+        MaintenanceMetrics.add("maintenance.claim.staleCleared")
         fs.delete(tomb, false)
         ()
       } else ageOf match {
@@ -843,6 +879,7 @@ object Compaction {
         case None => ()
         // a successor already re-acquired: a FRESH claim stands — defer
         case Some(a) if a < ttlMs =>
+          MaintenanceMetrics.add("maintenance.claim.contention")
           throw new IllegalStateException(
             s"$ctx: compaction in progress at ${claim.getParent} (claim " +
               s"re-acquired ${a}ms ago while clearing a stale one) — " +
@@ -853,6 +890,7 @@ object Compaction {
           log.warn(s"$ctx: clearing STALE claim at $claim via delete " +
             s"(${a}ms old; rename-to-tombstone unsupported here — " +
             "advisory mode, the KV manifest is the hard fence)")
+          MaintenanceMetrics.add("maintenance.claim.staleCleared")
           fs.delete(claim, false)
           ()
       }
@@ -875,17 +913,20 @@ object Compaction {
         finally out.close()
       } catch {
         case e: java.io.IOException =>
-          if (fs.exists(claim))
+          if (fs.exists(claim)) {
+            MaintenanceMetrics.add("maintenance.claim.contention")
             throw new IllegalStateException(
               s"$ctx: lost the claim race on ${claim.getParent} — another " +
                 "claimant took it concurrently; retry later", e)
-          else throw e
+          } else throw e
       }
-      if (!readClaim(fs, claim).exists(_._1 == uuid))
+      if (!readClaim(fs, claim).exists(_._1 == uuid)) {
+        MaintenanceMetrics.add("maintenance.claim.contention")
         throw new IllegalStateException(
           s"$ctx: claim at $claim was overwritten immediately after " +
             "acquire (raced a concurrent stale-clear + re-acquire) — " +
             "the target is owned by another claimant; retry later")
+      }
       uuid
     }
 
@@ -940,10 +981,13 @@ object Compaction {
                 // gone or foreign: ownership lost — stop silently
                 // refreshing what is no longer ours. The claimant's own
                 // destructive steps stay guarded by the KV manifest.
-                if (!stopped.get())
+                if (!stopped.get()) {
+                  MaintenanceMetrics.add(
+                    "maintenance.claim.heartbeatOwnershipLost")
                   log.warn(s"claim heartbeat at $claim stopping: claim " +
                     (if (other.isEmpty) "vanished (released or cleared)"
                      else "re-acquired by another claimant"))
+                }
                 own = false
             }
           } catch { case scala.util.control.NonFatal(e) =>

@@ -918,9 +918,12 @@ object Pq {
       val bytes = fl.map(_._2).sum
       fl.size <= math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     }
-    if (alreadyCompact && dedupById.isEmpty)
+    if (alreadyCompact && dedupById.isEmpty) {
+      graft.compute.MaintenanceMetrics.add("maintenance.compaction.skipped")
       return IvfPqCompactStats(files.size, files.size, total, byCell.size,
         rows = -1L, dedupedRows = 0L, healed, skipped = true)
+    }
+    val t0 = System.nanoTime()
 
     val tmp = new org.apache.hadoop.fs.Path(root, IvfPqTmp)
     fs.delete(tmp, true)
@@ -962,6 +965,8 @@ object Pq {
           CellsPtrPrefix, "cells_v", keepMinSeq = seq)
         val newCells = new org.apache.hadoop.fs.Path(s"$root/$dirName")
         val after = ivfPqDataFiles(fs, newCells)
+        graft.compute.Compaction.recordCompaction(files.size, after.size,
+          total, t0)
         return IvfPqCompactStats(files.size, after.size, total,
           after.groupBy(f => new org.apache.hadoop.fs.Path(f._1)
             .getParent.toString).size,
@@ -994,6 +999,8 @@ object Pq {
     fs.delete(old, true)
 
     val after = ivfPqDataFiles(fs, cells)
+    graft.compute.Compaction.recordCompaction(files.size, after.size,
+      total, t0)
     IvfPqCompactStats(files.size, after.size, total,
       after.groupBy(f => new org.apache.hadoop.fs.Path(f._1)
         .getParent.toString).size,
@@ -1031,6 +1038,7 @@ object Pq {
     fs.delete(manifest, false)
     org.slf4j.LoggerFactory.getLogger(Pq.getClass)
       .warn(s"healed interrupted IVF-PQ compaction at $path (rolled back)")
+    graft.compute.MaintenanceMetrics.add("maintenance.heal.rolledBack")
     true
   }
 
