@@ -879,6 +879,101 @@ object Soak {
       return
     }
 
+    // "aqe_skew" = r16 (VERDICT r15 #6): the AQE-interplay audit for the
+    // two skew families. (a) asofJoin is WINDOW-based (union + running
+    // last over partitionBy(key) — no join node at all), so
+    // spark.sql.adaptive.skewJoin cannot split its hot key; the sweep
+    // below MEASURES that (asof walls must be flat across AQE configs)
+    // and asofJoinSkew's time-chunking remains the only lever.
+    // (b) saltedJoin targets a skewed EQUI-JOIN, where AQE's runtime
+    // skew split IS the built-in alternative — measured head-to-head
+    // (plain SMJ + skewJoin on / off / saltedJoin) with checksum
+    // equality REQUIRED, broadcast disabled (the regime where both
+    // sides are too big to broadcast is where skew handling matters;
+    // thresholds lowered so AQE's split has its best shot at this SF:
+    // skewedPartitionThresholdInBytes=16m, advisory=16m, factor=2).
+    if (only == "aqe_skew") {
+      import graft.operators.{Skew, Temporal}
+      val n = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "10000000").toLong
+      val hotPct = sys.env.getOrElse("SPARK_GRAFT_SKEW_HOT_PCT", "50").toInt
+      val span = 1000000000L
+      val keys = 10000L
+      val hot = n * hotPct / 100
+      val left = spark.range(n).select(
+          col("id").as("lid"),
+          when(col("id") < hot, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(keys - 1)) + 1L).as("k"),
+          pmod(xxhash64(col("id"), lit(7)), lit(span)).as("t"))
+        .repartition(32).localCheckpoint()
+      val rn = n / 50
+      val right = spark.range(rn).select(
+          (col("id") + 5000000000L).as("rid"),
+          when(col("id") < rn / 10, 0L)
+            .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(keys - 1)) + 1L)
+            .as("k"),
+          pmod(xxhash64(col("id"), lit(2)), lit(span)).as("t"),
+          (col("id") % 97).cast("double").as("v"))
+        .repartition(32).localCheckpoint()
+      def setConf(aqe: Boolean, skewSplit: Boolean): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewSplit.toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      }
+      def chk(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum("asof_rid")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      // (a) the window family across the three configs
+      setConf(aqe = true, skewSplit = true)
+      val (aOnOn, tAsofOnOn) = timed(chk(
+        Temporal.asofJoin(left, right, "k", "t", Seq("v"), "rid")))
+      setConf(aqe = true, skewSplit = false)
+      val (aOnOff, tAsofOnOff) = timed(chk(
+        Temporal.asofJoin(left, right, "k", "t", Seq("v"), "rid")))
+      setConf(aqe = false, skewSplit = false)
+      val (aOffOff, tAsofOff) = timed(chk(
+        Temporal.asofJoin(left, right, "k", "t", Seq("v"), "rid")))
+      require(aOnOn == aOnOff && aOnOff == aOffOff,
+        s"asofJoin results diverged across AQE configs: $aOnOn $aOnOff $aOffOff")
+      setConf(aqe = true, skewSplit = true)
+      val (aChunk, tAsofChunk) = timed(chk(
+        Temporal.asofJoinSkew(left, right, "k", "t", Seq("v"), "rid",
+          chunkWidth = span / 256)))
+      require(aChunk == aOnOn,
+        s"asofJoinSkew diverged: $aChunk vs $aOnOn")
+
+      // (b) the equi-join family: big (skewed) ⋈ small on k, SMJ forced
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val small = spark.range(keys).select(col("id").as("k"),
+        (col("id") % 1000).cast("double").as("w")).localCheckpoint()
+      def jchk(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val r = df.agg(count(lit(1)), sum(col("w") + col("t"))).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      try {
+        setConf(aqe = true, skewSplit = true)
+        val (jSplit, tJoinSplit) = timed(jchk(left.join(small, Seq("k"))))
+        setConf(aqe = true, skewSplit = false)
+        val (jNoSplit, tJoinNoSplit) = timed(jchk(left.join(small, Seq("k"))))
+        setConf(aqe = true, skewSplit = true)
+        val (jSalted, tJoinSalted) = timed(jchk(
+          Skew.saltedJoin(left, small, Seq("k"), salts = 32)))
+        require(jSplit == jNoSplit && jNoSplit == jSalted,
+          s"join checksums diverged: $jSplit $jNoSplit $jSalted")
+        println(
+          f"""{"soak":"aqe_skew","left_rows":$n,"hot_pct":$hotPct,"asof_aqe_skewjoin_sec":$tAsofOnOn%.1f,"asof_aqe_noskew_sec":$tAsofOnOff%.1f,"asof_noaqe_sec":$tAsofOff%.1f,"asof_chunked_sec":$tAsofChunk%.1f,"join_aqe_split_sec":$tJoinSplit%.1f,"join_no_split_sec":$tJoinNoSplit%.1f,"join_salted_sec":$tJoinSalted%.1f,"join_rows":${jSplit._1}}""")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        setConf(aqe = true, skewSplit = true)
+      }
+      spark.stop()
+      return
+    }
+
     // "ivf2" = the two-level IVF build at the k the single-broadcast
     // path documents as its ceiling: coarse→fine assignment keeps every
     // broadcast small (coarse ≈ √k centroids; fine blocks ride a

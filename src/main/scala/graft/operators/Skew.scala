@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * unaffected by the salt: the big side gets a pseudo-random salt per ROW,
   * the small side is replicated across every salt value, so each (key,
   * salt) bucket joins exactly once.
+  *
+  * Measured head-to-head (r16 `aqe_skew` ledger, BASELINE.md: 10M rows,
+  * one 50%-hot key, SMJ forced, checksums equal): AQE split 2.3 s vs
+  * 4.6 s unsplit vs **1.7 s salted** — leave AQE's split on as the
+  * no-code default, reach for [[saltedJoin]] when one pathological key
+  * dominates or the stage shape is one AQE cannot split. (The window-
+  * based as-of/sessionize family is NOT served by AQE at all — see
+  * [[Temporal.asofJoin]]'s note and the same ledger.)
   */
 object Skew {
 

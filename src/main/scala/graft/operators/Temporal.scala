@@ -31,7 +31,11 @@ object Temporal {
     * Cost is exactly a SortMergeJoin's shuffle+sort without any
     * candidate pairs, so it scales to corpus-sized both sides; a hot
     * key concentrates on one partition (same bound as any windowed
-    * aggregation — pre-split hot keys upstream if that matters).
+    * aggregation). AQE's skew-join split does NOT apply — this plan has
+    * no join node, only a window, and the r16 `aqe_skew` ledger
+    * (BASELINE.md) measures flat walls across AQE configs on a 50%-hot
+    * 10M-row key — so [[asofJoinSkew]]'s time-chunking (via
+    * [[asofJoinAuto]]) is the ONLY hot-key lever for this family.
     *
     * `rightCols` are the right-side columns to attach (prefixed
     * `asof_`); `tolerance` (in the unit of `unix_micros`) drops matches
