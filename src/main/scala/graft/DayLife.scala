@@ -238,9 +238,16 @@ object DayLife {
     val compactions = new java.util.concurrent.atomic.AtomicLong
     val contentions = new java.util.concurrent.atomic.AtomicLong
     val compactor = new Thread(() => {
+      // 1 s sleep grains so shutdown never has to interrupt a sleeping
+      // pass, and the main exit can JOIN an in-flight pass (a sys.exit
+      // mid-swap would leave a fresh heartbeaten claim + half-moved
+      // files that verify would spuriously refuse for the claim TTL)
+      var grains = 0L
       while (!stop.get()) {
-        Thread.sleep(compactEverySec * 1000)
-        if (!stop.get()) {
+        Thread.sleep(1000)
+        grains += 1
+        if (!stop.get() && grains >= compactEverySec) {
+          grains = 0
           try {
             val st = graft.operators.Dedup.compactNearDupIndex(s,
               s"$root/index", claimTtlMs = 60000L)
@@ -293,7 +300,7 @@ object DayLife {
       try {
         val appA = new graft.app.Application("dayshard", s, s"$root/dag/app")
         val appB = new graft.app.Application("dayshard", s, s"$root/dag/app")
-        declareChain2(appA, root); declareChain2(appB, root)
+        declareChain(appA, root); declareChain(appB, root)
         val homesA = Set(0, 1); val homesB = Set(2, 3)
         appA.activateSharded("A", NumShards, Some(homesA),
           leaseTimeoutMillis = 4000L)
@@ -346,9 +353,12 @@ object DayLife {
       if (fs.exists(p)) fs.listStatus(p).length else 0
     }
     while (stagedLeft > 0 || applied < incoming) Thread.sleep(5000)
-    // one final compaction + retention pass, then settle
+    // stop all loops, then WAIT for an in-flight compaction pass to
+    // finish (never exit mid-swap: the claim would stand fresh and the
+    // half-moved files would need a heal verify doesn't owe a clean run)
     stop.set(true)
-    Thread.sleep(3000)
+    compactor.join(180000)
+    Thread.sleep(2000)
     println(s"""{"drive":"done","applied":$applied,""" +
       s""""ingest_restarts":${restarts.get()},""" +
       s""""compactions":${compactions.get()},""" +
@@ -358,15 +368,19 @@ object DayLife {
     sys.exit(0)
   }
 
-  // two declareChain names because each Application instance must
-  // declare the identical dev context (the ShardedDriver contract)
-  private def declareChain2(app: graft.app.Application, root: String): Unit =
-    declareChain(app, root)
-
   private def verify(root: String, sfDir: String): Unit = {
     val s = session()
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // entry heal, same as drive(): every driver is dead by the time the
+    // script runs verify, so a claim left by a killed (or mid-pass
+    // exited) compactor is provably stale NOW — without this, a <TTL
+    // claim would make loadNearDupIndex refuse a healthy index and fail
+    // the whole soak spuriously.
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/index/.neardup-compact-claim"), false)
+    if (graft.operators.Dedup.healNearDupIndex(s, s"$root/index"))
+      println("verify: entry heal rolled back an interrupted swap")
     val base = corpus(s, sfDir).localCheckpoint()
     val nBase = base.count()
     // 1. EXACT index equivalence: probe streamed index == probe rebuild

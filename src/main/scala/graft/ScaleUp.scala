@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× scale-up of a driver-generated sf dir, for gating past
+  * sf0.1 (VERDICT r15 #5). The driver only generates sf0.001/0.01/0.1; this
+  * replicates sf0.1 `factor`× with key remapping so every gate query (and
+  * its DuckDB oracle, which runs on the SAME scaled tables) exercises 10×
+  * the data — the point is to catch constants that only bite past sf0.1
+  * (bucket caps, broadcast guards, exchange sizing), not to re-derive the
+  * TPC-H distributions.
+  *
+  * Replication rules (replica i of `factor`):
+  *  - region/nation: fixed tables, copied once (as at any TPC-H SF).
+  *  - customer/orders/lineitem/part/supplier/events: every key column gets
+  *    a replica stride (1e7) so referential integrity holds within each
+  *    replica and never collides across replicas; money/balance/value
+  *    columns get a +i cent/millis perturbation so cross-replica rows are
+  *    never exact value-ties (top-k gate rows would otherwise become
+  *    order-ambiguous between Spark and the oracle).
+  *  - documents: doc_id strided; every TOKEN of `text` is suffixed with the
+  *    replica id, which preserves the intra-replica near-dup structure
+  *    exactly while making replica vocabularies disjoint (no artificial
+  *    cross-replica near-dup clusters — new data is genuinely new, as it
+  *    would be at a real higher SF); n_chars recomputed to stay consistent.
+  *  - embeddings: vec_id strided; replica i's vectors are CYCLICALLY
+  *    ROTATED by 7i components (norms and all intra-replica pairwise
+  *    cosines preserved exactly, cross-replica directions decorrelated —
+  *    without this every replica is a cosine-0.9999 near-dup of replica
+  *    0 and the near-dup/semantic-dedup gate rows drown in cross-replica
+  *    pairs their oracles never planted), plus a deterministic hash
+  *    jitter (~1e-4 vs unit-ish coords) so no residual top-k ties.
+  *
+  * The stride is 1e9: several gate fixtures PLANT near-dup rows at
+  * id + 1e7 / 2e7, so a 1e7 stride collides replica-1 ids with planted
+  * ids (measured: p11's media join fans out 4× on the 40 collided ids).
+  *
+  * Layout matches the driver's: one plain parquet FILE per table (DuckDB's
+  * read_parquet in tools/selfcheck.py reads files, not directories).
+  *
+  * Usage: graft.ScaleUp <srcSfDir> <dstDir> [factor=10]
+  */
+object ScaleUp {
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dst/.tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
+      val out = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")
+      fs.delete(out, false)
+      fs.rename(part, out)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      println(s"$name: ${s.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    def tbl(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
+
+    // replicate: one select per replica, unioned — Catalyst folds the
+    // per-replica literals, so this is `factor` scans of the source file
+    // (cheap: the source is the small SF) and one linear write.
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      writeOne((0 until factor).map(i => f(tbl(name), i))
+        .reduce(_ unionByName _), name)
+
+    def strided(c: String, i: Int) = col(c) + lit(i * Stride)
+    def cents(c: String, i: Int) = col(c) + lit(i * 0.01)
+
+    writeOne(tbl("region"), "region")
+    writeOne(tbl("nation"), "nation")
+
+    rep("customer")((d, i) => d.select(
+      strided("c_custkey", i).as("c_custkey"), col("c_name"), col("c_nationkey"),
+      cents("c_acctbal", i).as("c_acctbal"), col("c_mktsegment")))
+
+    rep("supplier")((d, i) => d.select(
+      strided("s_suppkey", i).as("s_suppkey"), col("s_name"), col("s_nationkey"),
+      cents("s_acctbal", i).as("s_acctbal")))
+
+    rep("part")((d, i) => d.select(
+      strided("p_partkey", i).as("p_partkey"), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"),
+      cents("p_retailprice", i).as("p_retailprice")))
+
+    rep("orders")((d, i) => d.select(
+      strided("o_orderkey", i).as("o_orderkey"),
+      strided("o_custkey", i).as("o_custkey"), col("o_orderstatus"),
+      cents("o_totalprice", i).as("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+
+    rep("lineitem")((d, i) => d.select(
+      strided("l_orderkey", i).as("l_orderkey"),
+      strided("l_partkey", i).as("l_partkey"),
+      strided("l_suppkey", i).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"),
+      cents("l_extendedprice", i).as("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")))
+
+    rep("events")((d, i) => d.select(
+      strided("event_id", i).as("event_id"), col("ts"),
+      strided("user_id", i).as("user_id"), col("event_type"),
+      (col("value") + lit(i * 0.001)).as("value"), col("props")))
+
+    rep("documents") { (d, i) =>
+      val salted = regexp_replace(col("text"), "(\\S+)", "$1" + i.toString)
+      d.select(strided("doc_id", i).as("doc_id"), salted.as("text"),
+        col("lang"), col("source"), length(salted).cast("long").as("n_chars"))
+    }
+
+    rep("embeddings") { (d, i) =>
+      val dim = 64
+      val shift = (i * 7) % dim
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      d.select(
+        strided("vec_id", i).as("vec_id"),
+        transform(rotated, (x, j) =>
+          (x + (pmod(hash(col("vec_id"), lit(i), j), lit(9973)) - lit(4986))
+            .cast("float") * lit(1e-7f)).cast("float")).as("embedding"),
+        col("label"))
+    }
+
+    s.stop()
+  }
+}

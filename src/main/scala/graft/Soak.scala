@@ -950,9 +950,15 @@ object Soak {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val small = spark.range(keys).select(col("id").as("k"),
         (col("id") % 1000).cast("double").as("w")).localCheckpoint()
-      def jchk(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
-        val r = df.agg(count(lit(1)), sum(col("w") + col("t"))).collect().head
-        (r.getLong(0), r.getDouble(1))
+      // checksum summed as LONG: w and t are integral-valued, and an
+      // integer sum is order-independent — a Double sum over the three
+      // different plans (AQE split / no split / salted) only compares
+      // exactly-equal while the total stays under 2^53, which a larger
+      // SPARK_GRAFT_SKEW_ROWS would silently cross.
+      def jchk(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum((col("w") + col("t")).cast("long"))).collect().head
+        (r.getLong(0), r.getLong(1))
       }
       try {
         setConf(aqe = true, skewSplit = true)

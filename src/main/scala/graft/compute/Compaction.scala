@@ -823,15 +823,54 @@ object Compaction {
       * file is absent or unreadable (racing delete, torn write). */
     private def readClaim(fs: FileSystem,
                           claim: Path): Option[(String, Long)] =
+      readClaimState(fs, claim) match {
+        case ClaimHeld(u, ts) => Some(u -> ts)
+        case _ => None
+      }
+
+    /** Three-way claim read for paths that must distinguish "the claim is
+      * GONE" from "the claim exists but the read FAILED" (r16): acquire's
+      * read-back and release would otherwise treat a transient store
+      * error (503, socket reset) as a foreign claimant and orphan a
+      * live claim for the full TTL. */
+    private sealed trait ClaimState
+    private case class ClaimHeld(uuid: String, createdMs: Long)
+      extends ClaimState
+    private case object ClaimAbsent extends ClaimState
+    private case object ClaimUnreadable extends ClaimState
+
+    private def readClaimState(fs: FileSystem, claim: Path): ClaimState =
       try {
         val in = fs.open(claim)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         s.split('\t') match {
-          case Array(u, ts) => ts.trim.toLongOption.map(u -> _)
-          case _ => None
+          case Array(u, ts) => ts.trim.toLongOption
+            .map(ClaimHeld(u, _)).getOrElse(ClaimUnreadable)
+          case _ => ClaimUnreadable
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch {
+        case _: java.io.FileNotFoundException => ClaimAbsent
+        case scala.util.control.NonFatal(_) =>
+          if (try !fs.exists(claim) catch {
+            case scala.util.control.NonFatal(_) => false
+          }) ClaimAbsent else ClaimUnreadable
+      }
+
+    /** Retry transient read failures before declaring a claim
+      * unreadable: one bad round-trip must not decide ownership. */
+    private def readClaimRetry(fs: FileSystem, claim: Path,
+                               attempts: Int = 3): ClaimState = {
+      var last: ClaimState = ClaimUnreadable
+      var i = 0
+      while (i < attempts) {
+        last = readClaimState(fs, claim)
+        if (last != ClaimUnreadable) return last
+        i += 1
+        if (i < attempts) Thread.sleep(200L * i)
+      }
+      last
+    }
 
     /** Throw while a FRESH claim exists (a live claimant owns the
       * target); clear a STALE one (the claimant died — the caller's
@@ -920,12 +959,38 @@ object Compaction {
                 "claimant took it concurrently; retry later", e)
           } else throw e
       }
-      if (!readClaim(fs, claim).exists(_._1 == uuid)) {
-        MaintenanceMetrics.add("maintenance.claim.contention")
-        throw new IllegalStateException(
-          s"$ctx: claim at $claim was overwritten immediately after " +
-            "acquire (raced a concurrent stale-clear + re-acquire) — " +
-            "the target is owned by another claimant; retry later")
+      readClaimRetry(fs, claim) match {
+        case ClaimHeld(u, _) if u == uuid => // verified ours
+        case ClaimHeld(_, _) =>
+          // a racing stale-clear deleted our create and a third party
+          // re-acquired: their claim stands, we abort touching nothing.
+          MaintenanceMetrics.add("maintenance.claim.contention")
+          throw new IllegalStateException(
+            s"$ctx: claim at $claim was overwritten immediately after " +
+              "acquire (raced a concurrent stale-clear + re-acquire) — " +
+              "the target is owned by another claimant; retry later")
+        case ClaimAbsent =>
+          // our claim was cleared between create and read-back; nothing
+          // of ours is left to clean up.
+          MaintenanceMetrics.add("maintenance.claim.contention")
+          throw new IllegalStateException(
+            s"$ctx: claim at $claim vanished immediately after acquire " +
+              "(raced a concurrent stale-clear) — retry later")
+        case ClaimUnreadable =>
+          // persistent read failure right after OUR successful create:
+          // overwhelmingly our own claim behind a flaky read path. Best-
+          // effort delete it rather than orphan the index for the full
+          // TTL with a claim nobody holds (the caller never gets the
+          // uuid, so nothing could release it). If the file was in fact
+          // a racer's fresh claim, that racer's own read-back verify
+          // fails loudly too — the protocol tolerates mutual abort; the
+          // KV manifest stays the hard fence for destructive steps.
+          try { fs.delete(claim, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw new IllegalStateException(
+            s"$ctx: claim at $claim unreadable immediately after acquire " +
+              "(transient store failure) — claim removed best-effort; " +
+              "retry later")
       }
       uuid
     }
@@ -937,9 +1002,22 @@ object Compaction {
       * round-trip (vs the whole compaction for the unconditional form)
       * and the KV manifest stays the hard fence regardless. */
     def release(fs: FileSystem, claim: Path, uuid: String): Unit =
-      if (readClaim(fs, claim).exists(_._1 == uuid)) {
-        fs.delete(claim, false)
-        ()
+      readClaimRetry(fs, claim) match {
+        case ClaimHeld(u, _) if u == uuid => fs.delete(claim, false); ()
+        case ClaimHeld(_, _) | ClaimAbsent => // not ours to delete / gone
+        case ClaimUnreadable =>
+          // persistent read failure at release time: the file is
+          // overwhelmingly our own (we held the claim until this call);
+          // skipping the delete would orphan the index for the TTL.
+          // Delete, logged — the narrow mis-delete risk (a successor's
+          // claim written in the same instant behind a flaky read path)
+          // is the documented advisory-mode caveat; the KV manifest is
+          // the hard fence.
+          log.warn(s"release: claim at $claim unreadable after retries — " +
+            "deleting best-effort (it should be ours; leaving it would " +
+            "block maintenance for the full TTL)")
+          try { fs.delete(claim, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
       }
 
     /** Keep a held claim FRESH while a long rewrite runs: without this,
@@ -976,6 +1054,19 @@ object Compaction {
                   try out.write((s"$uuid\t${System.currentTimeMillis()}")
                     .getBytes("UTF-8"))
                   finally out.close()
+                  // close() only joins 5 s: a create that BLOCKED past
+                  // that (hung store call) completes here AFTER release
+                  // already deleted the claim — a resurrected claim with
+                  // no owner. Undo our own late rewrite (owner-checked:
+                  // the claim we just wrote carries our uuid; a foreign
+                  // claim is left alone).
+                  if (stopped.get() &&
+                      readClaim(fs, claim).exists(_._1 == uuid)) {
+                    log.warn(s"claim heartbeat at $claim: rewrite landed " +
+                      "after release — deleting own resurrected claim")
+                    fs.delete(claim, false)
+                    ()
+                  }
                 }
               case other =>
                 // gone or foreign: ownership lost — stop silently

@@ -528,6 +528,19 @@ object Pq {
       s"candidates ($candidates) must be >= k ($k)")
     val shortlist = topK(codes, idCol, cb, queryVec, candidates, codeCol)
       .select(col(idCol))
+    refine(shortlist, vectors, idCol, vecCol, queryVec, k)
+  }
+
+  /** The shared exact re-rank tail of [[topKRefined]] /
+    * [[ivfPqTopKRefined]]: broadcast the `candidates`-row id shortlist
+    * against the true-vector table (one narrow BHJ pass, no shuffle),
+    * compute exact cosine ONLY for surviving rows, return top-k with the
+    * id tie-break. Both refine surfaces MUST share this block — a
+    * tie-break or dedup change applied to one alone would silently
+    * diverge the two retrieval paths. */
+  private def refine(shortlist: DataFrame, vectors: DataFrame,
+                     idCol: String, vecCol: String, queryVec: Seq[Float],
+                     k: Int): DataFrame = {
     val q = array(queryVec.map(v => lit(v)): _*)
     vectors.join(broadcast(shortlist), idCol)
       .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine"))
@@ -551,12 +564,7 @@ object Pq {
       s"candidates ($candidates) must be >= k ($k)")
     val shortlist = ivfPqTopK(pqCells, ivfCentroids, cb, idCol, queryVec,
       candidates, nProbe, codeCol).select(col(idCol))
-    val q = array(queryVec.map(v => lit(v)): _*)
-    vectors.join(broadcast(shortlist), idCol)
-      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine"))
-      .where(col("cosine").isNotNull)
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    refine(shortlist, vectors, idCol, vecCol, queryVec, k)
   }
 
   /** Encode an [[Similarity.IvfIndex]]'s cell table into the classic

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL ranking under a unique total order — the
+  * scale-safe replacement for `Window.orderBy(...)` ranking functions
+  * (`row_number`/`ntile`/`percent_rank`/`cume_dist` with no
+  * PARTITION BY), which Spark executes by moving the ENTIRE input to a
+  * single partition (WindowExec warns exactly that). Same pattern as
+  * [[Clustering.runningTotal]]: range-repartition by the total order,
+  * rank locally per partition, then fold one numPartitions-row offset
+  * table back in via a broadcast join — O(1) plan size and a balanced
+  * sort at any scale.
+  *
+  * The order MUST be total (include a unique tiebreaker column):
+  * under a unique order `rank == row_number`, which is what makes the
+  * derived `percent_rank`/`cume_dist` exact; with ties the result is
+  * partition-dependent and this operator refuses nothing — the caller
+  * owns the tiebreaker, as with [[Clustering.runningTotal]].
+  */
+object Ranking {
+
+  /** Adds `outCol` = the global 1-based row number of each row under
+    * `order`. Returns the augmented frame and the total row count
+    * (already known driver-side from the offset fold — callers deriving
+    * ntile/percent_rank need it, a second `count()` job would be
+    * wasted). */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
+                          outCol: String = "rn",
+                          partitions: Int = 0): (DataFrame, Long) = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    // checkpoint pins ONE range partitioning (boundaries come from
+    // sampling) for both the count pass and the final projection
+    val local = df
+      .repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
+          .orderBy(order: _*)))
+      .localCheckpoint()
+    val counts = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__pcnt")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.toSeq.map { case (pid, c) =>
+      val e = (pid, acc); acc += c; e
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__pid", "__offset")
+    val out = local.join(broadcast(offsetDf), Seq("__pid"), "left")
+      .withColumn(outCol,
+        col("__lrn").cast("long") + coalesce(col("__offset"), lit(0L)))
+      .drop("__pid", "__lrn", "__offset")
+    (out, acc)
+  }
+
+  /** Exact SQL `NTILE(tiles)` from a global row number: the first
+    * `total mod tiles` tiles get `ceil(total/tiles)` rows, the rest
+    * `floor(total/tiles)` — the standard remainder-first rule, matched
+    * bit-for-bit so a single-window replay agrees. */
+  def ntileOf(rn: Column, total: Long, tiles: Int): Column = {
+    require(tiles >= 1, s"tiles must be positive, got $tiles")
+    val small = total / tiles
+    val big = total % tiles
+    val sizeBig = small + 1
+    val inBig = rn <= lit(big * sizeBig)
+    val tile = when(inBig, floor((rn - 1) / lit(sizeBig.toDouble)) + 1)
+      .otherwise(lit(big) +
+        floor((rn - 1 - lit(big * sizeBig)) / lit(small.toDouble)) + 1)
+    tile.cast("int")
+  }
+
+  /** `PERCENT_RANK()` under a unique total order: (rn-1)/(total-1);
+    * 0.0 for a single-row input, per the SQL definition. */
+  def percentRankOf(rn: Column, total: Long): Column =
+    if (total <= 1) lit(0.0)
+    else (rn - 1).cast("double") / lit((total - 1).toDouble)
+
+  /** `CUME_DIST()` under a unique total order: rn/total. */
+  def cumeDistOf(rn: Column, total: Long): Column =
+    rn.cast("double") / lit(total.toDouble)
+}

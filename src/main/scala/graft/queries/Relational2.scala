@@ -54,15 +54,21 @@ object Relational2 {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // ---- ntile + percent_rank + cume_dist
+    // ---- ntile + percent_rank + cume_dist — via the distributed
+    // global-rank operator, NOT Window.orderBy with no partition: the
+    // single-window form drags the whole table onto one partition
+    // (WindowExec's own warning), a scale-killer for an SF-proportional
+    // input. The order is total (o_orderkey tiebreak), so the derived
+    // ranks match the single-window answer exactly (RankingSuite pins).
     "q25_ntile" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+      import graft.operators.Ranking
+      val (ranked, total) = Ranking.withGlobalRowNumber(
+        t(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+      ranked.select(col("o_orderkey"),
+          Ranking.ntileOf(col("rn"), total, 4).as("quartile"),
+          round(Ranking.percentRankOf(col("rn"), total), 6).as("pct_rank"),
+          round(Ranking.cumeDistOf(col("rn"), total), 6).as("cume"))
         .orderBy("o_orderkey")
     }),
 

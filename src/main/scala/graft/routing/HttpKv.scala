@@ -47,8 +47,13 @@ final class HttpConditionalKv(endpoint: String,
   private val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(requestTimeoutMs)).build()
 
-  private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
+  // RFC 3986 percent-encoding, NOT form encoding: URLEncoder alone maps
+  // space to '+', which a real S3/GCS/Azure endpoint would store as a
+  // LITERAL plus in the key — breaking the byte-exact round-trip this
+  // adapter promises (only a matching form-decoding server would undo
+  // it). '%20' is the wire form every real object store speaks.
+  private[routing] def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   private def req(key: String): HttpRequest.Builder =
     HttpRequest.newBuilder(URI.create(s"$base/${enc(key)}"))
@@ -213,16 +218,18 @@ final class LocalHttpObjectStore extends AutoCloseable {
         case "DELETE" =>
           Option(ex.getRequestHeaders.getFirst("If-Match")) match {
             case Some(want) =>
-              // conditional delete: ETag must match, atomically
+              // conditional delete: ETag must match, atomically. Decide
+              // under the lock, respond OUTSIDE it — a stalled client
+              // socket must not convoy every other conditional op.
               val tag = want.stripPrefix("\"").stripSuffix("\"")
-              lock.synchronized {
+              val outcome = lock.synchronized {
                 store.get(key) match {
-                  case null => respond(404, "NoSuchKey")
-                  case o if o.etag == tag =>
-                    store.remove(key); respond(204, "")
-                  case _ => respond(412, "PreconditionFailed: etag mismatch")
+                  case null => (404, "NoSuchKey")
+                  case o if o.etag == tag => store.remove(key); (204, "")
+                  case _ => (412, "PreconditionFailed: etag mismatch")
                 }
               }
+              respond(outcome._1, outcome._2)
             case None =>
               lock.synchronized { store.remove(key) }
               respond(204, "")

@@ -94,6 +94,55 @@ class FsClaimSuite extends AnyFunSuite {
     } finally hb.close()
   }
 
+  /** Injects read (open) failures — the transient-503 shape of an
+    * object store — while create/delete/exists stay healthy. */
+  private class FlakyReadFs(underlying: FileSystem, failures: Int)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    private val remaining =
+      new java.util.concurrent.atomic.AtomicInteger(failures)
+    override def open(f: Path, bufferSize: Int)
+        : org.apache.hadoop.fs.FSDataInputStream = {
+      if (remaining.getAndDecrement() > 0)
+        throw new java.io.IOException("injected transient read failure")
+      super.open(f, bufferSize)
+    }
+  }
+
+  test("acquire tolerates transient read-back failures (retries)") {
+    val claim = tmpClaim()
+    val flaky = new FlakyReadFs(fs, failures = 2)
+    val uuid = FsClaim.acquire(flaky, claim, "t")
+    assert(read(claim).startsWith(uuid + "\t"),
+      "two transient read failures must not abort a won acquire")
+    FsClaim.release(fs, claim, uuid)
+  }
+
+  test("acquire on persistent read failure removes its own claim " +
+      "(no ownerless orphan blocking the index for a TTL)") {
+    val claim = tmpClaim()
+    val dead = new FlakyReadFs(fs, failures = Int.MaxValue)
+    val e = intercept[IllegalStateException] {
+      FsClaim.acquire(dead, claim, "t")
+    }
+    assert(e.getMessage.contains("unreadable immediately after acquire"))
+    assert(!fs.exists(claim),
+      "an unverifiable just-created claim must be best-effort deleted — " +
+        "nobody holds its uuid, nothing could ever release it")
+  }
+
+  test("release tolerates transient read failures; persistent read " +
+      "failure still deletes (the claim is the releaser's own)") {
+    val claim = tmpClaim()
+    val uuid = FsClaim.acquire(fs, claim, "t")
+    FsClaim.release(new FlakyReadFs(fs, failures = 2), claim, uuid)
+    assert(!fs.exists(claim), "transient read failures must not skip release")
+    val uuid2 = FsClaim.acquire(fs, claim, "t")
+    FsClaim.release(new FlakyReadFs(fs, failures = Int.MaxValue), claim, uuid2)
+    assert(!fs.exists(claim),
+      "a persistently unreadable claim at release time must be deleted, " +
+        "not orphaned for the TTL")
+  }
+
   test("heartbeat never resurrects a released (vanished) claim") {
     val claim = tmpClaim()
     val uuid = FsClaim.acquire(fs, claim, "t")

@@ -39,6 +39,19 @@ class HttpKvSuite extends AnyFunSuite with BeforeAndAfterAll {
     kv.delete(k) // idempotent — 404 is success
   }
 
+  test("keys are RFC 3986 percent-encoded on the wire — space is %20, " +
+      "never the form-encoding '+' a real object store would store " +
+      "as a literal plus") {
+    assert(kv.enc("a b") == "a%20b")
+    assert(kv.enc("a+b") == "a%2Bb")
+    assert(kv.enc("compact/some dir/x") == "compact%2Fsome%20dir%2Fx")
+    // and literal-plus keys stay distinct from space keys end-to-end
+    kv.put("enc/a b", "space")
+    kv.put("enc/a+b", "plus")
+    assert(kv.get("enc/a b").contains("space"))
+    assert(kv.get("enc/a+b").contains("plus"))
+  }
+
   test("putIfNoneMatch: exactly one winner under a 16-way socket race") {
     val key = "race/claim"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
