@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * (`row_number`/`ntile`/`percent_rank`/`cume_dist` with no
   * PARTITION BY), which Spark executes by moving the ENTIRE input to a
   * single partition (WindowExec warns exactly that). Same pattern as
-  * [[Clustering.runningTotal]]: range-repartition by the total order,
+  * [[Sampling.runningTotal]]: range-repartition by the total order,
   * rank locally per partition, then fold one numPartitions-row offset
   * table back in via a broadcast join — O(1) plan size and a balanced
   * sort at any scale.
@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * under a unique order `rank == row_number`, which is what makes the
   * derived `percent_rank`/`cume_dist` exact; with ties the result is
   * partition-dependent and this operator refuses nothing — the caller
-  * owns the tiebreaker, as with [[Clustering.runningTotal]].
+  * owns the tiebreaker, as with [[Sampling.runningTotal]].
   */
 object Ranking {
 
@@ -82,4 +82,48 @@ object Ranking {
   /** `CUME_DIST()` under a unique total order: rn/total. */
   def cumeDistOf(rn: Column, total: Long): Column =
     rn.cast("double") / lit(total.toDouble)
+
+  /** Distributed `COUNT(*) OVER (PARTITION BY part ORDER BY value
+    * RANGE BETWEEN width PRECEDING AND CURRENT ROW)` — the shape the
+    * sf1 gate caught quadratic (BASELINE r16 "sf1 gate"): Spark's
+    * sliding RANGE frame re-aggregates the whole frame buffer for every
+    * row (O(rows × frame) per partition) AND runs one task per
+    * partition key — 850 s for 1.5M orders over 3 statuses, against
+    * ~1 s for everything else in the gate.
+    *
+    * Rewrite: a moving range frame is the difference of two GROWING
+    * prefix counts, peers(p) = cnt(v ≤ p) − cnt(v < p−width). Each row
+    * spawns three events at (value, tie): the row's weight at (v, 1), a
+    * frame-END probe at (v, 2) — after all equal-valued rows, so RANGE's
+    * all-peers CURRENT ROW semantics hold — and a frame-START probe at
+    * (v−width, 0) — before equal-valued rows, so the width-PRECEDING
+    * bound stays inclusive. One [[Sampling.runningTotal]] pass over
+    * the 3n events (range-repartitioned by the total order — parallel
+    * across ALL cores, not one task per partition key; per-group offsets
+    * cancel in the subtraction because both probes of a row share every
+    * prefix group) then groupBy key and subtract. O(n log n), O(1) plan.
+    *
+    * `keyCol` must be unique per row; `valueCol` non-null. The
+    * v−width arithmetic is the same IEEE double op the window frame
+    * evaluates, so boundary ties match the single-window answer
+    * exactly (RankingSuite pins planted boundary collisions). */
+  def rangeCountPreceding(df: DataFrame, partCols: Seq[String],
+                          valueCol: String, width: Double, keyCol: String,
+                          outCol: String = "range_count",
+                          partitions: Int = 0): DataFrame = {
+    val part = partCols.map(col)
+    def ev(v: Column, tie: Int, w: Long) =
+      df.select((part :+ col(keyCol).as("__k") :+ v.cast("double").as("__v")
+        :+ lit(tie).as("__tie") :+ lit(w).as("__w")): _*)
+    val events = ev(col(valueCol), 1, 1L)
+      .unionByName(ev(col(valueCol), 2, 0L))
+      .unionByName(ev(col(valueCol) - lit(width), 0, 0L))
+    val order = part ++ Seq(col("__v"), col("__tie"), col("__k"))
+    val cum = Sampling.runningTotal(events, "__w", order,
+      partitions = partitions)
+    val peers = cum.groupBy("__k").agg(
+      (max(when(col("__tie") === 2, col("cum_tokens"))) -
+        max(when(col("__tie") === 0, col("cum_tokens")))).as(outCol))
+    df.join(peers, col(keyCol) === col("__k")).drop("__k")
+  }
 }

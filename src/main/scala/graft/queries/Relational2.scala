@@ -186,14 +186,20 @@ object Relational2 {
 
     // ---- RANGE-frame window: value-based frame (orders within 50k price
     // below the current row), vs the row-based frames of q08
+    // RANGE-frame count via the distributed prefix-count rewrite, NOT a
+    // native RANGE window: Spark's sliding range frame re-aggregates the
+    // frame buffer per row AND parallelizes only across the 3 statuses —
+    // the sf1 gate measured 850 s for this one row (BASELINE r16) vs
+    // seconds for the rewrite. Results are bit-identical (RankingSuite).
     "q35_range_frame" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("ord35")
-      s.sql("""
-        SELECT o_orderkey, o_orderstatus, o_totalprice,
-               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                 RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
-                 AS peers_within_50k
-        FROM ord35 ORDER BY o_orderkey""")
+      graft.operators.Ranking.rangeCountPreceding(
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          Seq("o_orderstatus"), "o_totalprice", 50000.0,
+          keyCol = "o_orderkey", outCol = "peers_within_50k")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "peers_within_50k")
+        .orderBy("o_orderkey")
     })
   )
 

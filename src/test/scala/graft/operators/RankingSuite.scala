@@ -69,6 +69,36 @@ class RankingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0)
   }
 
+  test("rangeCountPreceding == native RANGE frame, incl. boundary ties") {
+    // values on an integral grid with a width that PLANTS exact
+    // collisions at both frame bounds: many rows share each value, and
+    // v - width lands exactly on other rows' values — the inclusive/
+    // exclusive bound semantics are exercised, not dodged
+    val df = spark.range(5000).select(
+      col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      (pmod(xxhash64(col("id")), lit(200)) * 10).cast("double").as("v"))
+    val native = df.selectExpr("id", "g", "v",
+      """COUNT(*) OVER (PARTITION BY g ORDER BY v
+         RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS c""")
+    val got = Ranking.rangeCountPreceding(df, Seq("g"), "v", 500.0,
+      keyCol = "id", outCol = "c")
+      .select("id", "g", "v", "c")
+    assert(got.exceptAll(native).isEmpty && native.exceptAll(got).isEmpty,
+      "distributed range-frame count diverged from the native window")
+  }
+
+  test("rangeCountPreceding with no partition columns") {
+    val df = spark.range(1000).select(col("id"),
+      pmod(xxhash64(col("id")), lit(100)).cast("double").as("v"))
+    val native = df.selectExpr("id", "v",
+      """COUNT(*) OVER (ORDER BY v
+         RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS c""")
+    val got = Ranking.rangeCountPreceding(df, Seq.empty, "v", 10.0,
+      keyCol = "id", outCol = "c").select("id", "v", "c")
+    assert(got.exceptAll(native).isEmpty && native.exceptAll(got).isEmpty)
+  }
+
   test("plan never contains an empty-partition-spec Window") {
     val (ranked, _) = Ranking.withGlobalRowNumber(fixture,
       Seq(col("v"), col("id")), partitions = 8)
