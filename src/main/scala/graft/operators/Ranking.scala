@@ -110,14 +110,32 @@ object Ranking {
   def rangeCountPreceding(df: DataFrame, partCols: Seq[String],
                           valueCol: String, width: Double, keyCol: String,
                           outCol: String = "range_count",
-                          partitions: Int = 0): DataFrame = {
+                          partitions: Int = 0): DataFrame =
+    rangeAggPreceding(df, partCols, valueCol, width, keyCol, lit(1L),
+      outCol, partitions)
+
+  /** [[rangeCountPreceding]] generalized to any SUM-decomposable
+    * aggregate: `SUM(weight) OVER (PARTITION BY part ORDER BY value
+    * RANGE BETWEEN width PRECEDING AND CURRENT ROW)`. COUNT is
+    * weight 1; AVG is two calls (sum / count). The weight rides the
+    * row event; the frame-end/frame-start probes carry zero, so the
+    * prefix-sum subtraction yields exactly the frame total. The weight
+    * is cast to LONG — integral weights fold exactly through the prefix
+    * sum at any partition count; a fractional weight would need the
+    * reorder-sensitive double prefix path and is deliberately not
+    * offered (scale a fractional measure to integer units instead,
+    * e.g. cents). */
+  def rangeAggPreceding(df: DataFrame, partCols: Seq[String],
+                        valueCol: String, width: Double, keyCol: String,
+                        weight: Column, outCol: String = "range_sum",
+                        partitions: Int = 0): DataFrame = {
     val part = partCols.map(col)
-    def ev(v: Column, tie: Int, w: Long) =
+    def ev(v: Column, tie: Int, w: Column) =
       df.select((part :+ col(keyCol).as("__k") :+ v.cast("double").as("__v")
-        :+ lit(tie).as("__tie") :+ lit(w).as("__w")): _*)
-    val events = ev(col(valueCol), 1, 1L)
-      .unionByName(ev(col(valueCol), 2, 0L))
-      .unionByName(ev(col(valueCol) - lit(width), 0, 0L))
+        :+ lit(tie).as("__tie") :+ w.cast("long").as("__w")): _*)
+    val events = ev(col(valueCol), 1, weight)
+      .unionByName(ev(col(valueCol), 2, lit(0L)))
+      .unionByName(ev(col(valueCol) - lit(width), 0, lit(0L)))
     val order = part ++ Seq(col("__v"), col("__tie"), col("__k"))
     val cum = Sampling.runningTotal(events, "__w", order,
       partitions = partitions)

@@ -88,6 +88,23 @@ class RankingSuite extends AnyFunSuite with BeforeAndAfterAll {
       "distributed range-frame count diverged from the native window")
   }
 
+  test("rangeAggPreceding: weighted SUM over the range frame matches " +
+      "the native window") {
+    val df = spark.range(3000).select(
+      col("id"),
+      (col("id") % 2).cast("string").as("g"),
+      (pmod(xxhash64(col("id")), lit(150)) * 10).cast("double").as("v"),
+      pmod(xxhash64(col("id"), lit(3)), lit(97)).as("w"))
+    val native = df.selectExpr("id", "g", "v", "w",
+      """SUM(w) OVER (PARTITION BY g ORDER BY v
+         RANGE BETWEEN 400.0 PRECEDING AND CURRENT ROW) AS s""")
+    val got = Ranking.rangeAggPreceding(df, Seq("g"), "v", 400.0,
+      keyCol = "id", weight = col("w"), outCol = "s")
+      .select("id", "g", "v", "w", "s")
+    assert(got.exceptAll(native).isEmpty && native.exceptAll(got).isEmpty,
+      "distributed range-frame sum diverged from the native window")
+  }
+
   test("rangeCountPreceding with no partition columns") {
     val df = spark.range(1000).select(col("id"),
       pmod(xxhash64(col("id")), lit(100)).cast("double").as("v"))
