@@ -61,7 +61,17 @@ object ScaleUp {
 
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/.tmp-$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // single FILE per table (the driver layout; DuckDB's read_parquet
+      // wants a file), but 1 MB row groups: a parquet scan is splittable
+      // ONLY at row-group boundaries, and these text tables compress so
+      // well (150k docs = 17.6 MB) that default 128 MB groups give the
+      // whole scaled corpus ONE scan task — while the per-row text
+      // kernels above it carry ~70 s of CPU. Bytes do not predict CPU
+      // for compute-heavy columns; row groups must be sized for task
+      // granularity (BASELINE r16 "sf1 gate" scaling note).
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (1024 * 1024).toString)
+        .parquet(tmp)
       val part = fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$tmp/part-*")).head.getPath
       val out = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")

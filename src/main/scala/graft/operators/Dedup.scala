@@ -30,7 +30,7 @@ object Dedup {
     * forces full physical planning + file listing per operator call.
     * Unknown-size relations report Long.Max-ish sizes and therefore skip
     * the repartition — exactly right at scale, where inputs are large. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes

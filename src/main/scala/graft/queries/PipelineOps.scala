@@ -16,8 +16,14 @@ import graft.operators.{Dedup, Multimodal, Pq, Similarity}
   */
 object PipelineOps {
 
+  // spread: the corpus file is tiny in BYTES (text compresses ~10x) but
+  // the per-row text kernels above it carry real CPU — a bytes-based
+  // scan split runs them on 1-2 tasks regardless of core count. The
+  // Dedup operators spread internally; rows applying raw Column kernels
+  // (p23/p09/p33/p06...) need the scan spread here. Measured at 30×
+  // scale: p23 78 s -> 18 s (BASELINE r16 "sf1 gate" scaling note).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.Dedup.spread(s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
