@@ -181,7 +181,7 @@ object DayLife {
     // interrupted sigs/grams swap rolls back to committed state. This is
     // the documented operator runbook for a known-dead compactor.
     fs.delete(new org.apache.hadoop.fs.Path(
-      s"$root/index/.neardup-compact-claim"), false)
+      s"$root/index/${graft.operators.Dedup.NearDupClaim}"), false)
     val healedAtEntry = graft.operators.Dedup.healNearDupIndex(s, s"$root/index")
     if (healedAtEntry) note("entry heal: rolled back an interrupted swap")
 
@@ -357,7 +357,19 @@ object DayLife {
     // finish (never exit mid-swap: the claim would stand fresh and the
     // half-moved files would need a heal verify doesn't owe a clean run)
     stop.set(true)
-    compactor.join(180000)
+    // loop-join with loud notes: a single bounded join falling through
+    // silently would exit mid-swap anyway. A pass is finite; cap at
+    // 10 min only as a hung-Spark escape hatch (verify heals at entry).
+    var joined = 0
+    while (compactor.isAlive && joined < 10) {
+      compactor.join(60000)
+      joined += 1
+      if (compactor.isAlive)
+        note(s"shutdown waiting on in-flight compaction (${joined}m)")
+    }
+    if (compactor.isAlive)
+      note("shutdown PROCEEDING with compaction still in flight after " +
+        "10 min — verify must heal")
     Thread.sleep(2000)
     println(s"""{"drive":"done","applied":$applied,""" +
       s""""ingest_restarts":${restarts.get()},""" +
@@ -378,7 +390,7 @@ object DayLife {
     // claim would make loadNearDupIndex refuse a healthy index and fail
     // the whole soak spuriously.
     fs.delete(new org.apache.hadoop.fs.Path(
-      s"$root/index/.neardup-compact-claim"), false)
+      s"$root/index/${graft.operators.Dedup.NearDupClaim}"), false)
     if (graft.operators.Dedup.healNearDupIndex(s, s"$root/index"))
       println("verify: entry heal rolled back an interrupted swap")
     val base = corpus(s, sfDir).localCheckpoint()

@@ -135,8 +135,18 @@ object ScaleUp {
         col("lang"), col("source"), length(salted).cast("long").as("n_chars"))
     }
 
+    // dim from the data, not a constant: a hardcoded 64 would silently
+    // TRUNCATE a wider corpus through the rotation slices (and skip the
+    // rotation entirely past shift >= dim on a narrower one)
+    val dim = tbl("embeddings").select(size(col("embedding")))
+      .head().getInt(0)
+    // rotation shifts must be pairwise distinct or two replicas share a
+    // direction and become the cross-replica near-dup flood again
+    val shifts = (0 until factor).map(i => (i * 7) % dim)
+    require(shifts.distinct.size == shifts.size,
+      s"replica rotation shifts collide (dim=$dim, factor=$factor) — " +
+        "use a rotation step coprime to dim")
     rep("embeddings") { (d, i) =>
-      val dim = 64
       val shift = (i * 7) % dim
       val rotated =
         if (shift == 0) col("embedding")

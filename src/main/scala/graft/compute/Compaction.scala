@@ -978,21 +978,73 @@ object Compaction {
               "(raced a concurrent stale-clear) — retry later")
         case ClaimUnreadable =>
           // persistent read failure right after OUR successful create:
-          // overwhelmingly our own claim behind a flaky read path. Best-
-          // effort delete it rather than orphan the index for the full
-          // TTL with a claim nobody holds (the caller never gets the
-          // uuid, so nothing could release it). If the file was in fact
-          // a racer's fresh claim, that racer's own read-back verify
-          // fails loudly too — the protocol tolerates mutual abort; the
-          // KV manifest stays the hard fence for destructive steps.
-          try { fs.delete(claim, false); () }
-          catch { case scala.util.control.NonFatal(_) => () }
+          // overwhelmingly our own claim behind a flaky read path.
+          // Remove it OWNERSHIP-SAFELY rather than orphan the index for
+          // the full TTL with a claim nobody holds (the caller never
+          // gets the uuid, so nothing could release it). removeIfOwn's
+          // tombstone rename keeps a racer's live claim intact even
+          // when only OUR read path is the flaky one.
+          removeIfOwn(fs, claim, uuid,
+            deleteWhenUnreadable = true, ctx = s"$ctx acquire-verify")
           throw new IllegalStateException(
             s"$ctx: claim at $claim unreadable immediately after acquire " +
-              "(transient store failure) — claim removed best-effort; " +
+              "(transient store failure) — own claim removed best-effort; " +
               "retry later")
       }
       uuid
+    }
+
+    /** Remove the claim only if it turns out to be OURS, without ever
+      * trusting a failing read to decide: atomically RENAME the claim to
+      * a private tombstone (no other claimant can acquire a renamed-away
+      * file), read the tombstone at leisure (it is exclusively ours), and
+      * either delete it (ours) or rename it BACK (a foreign live claim —
+      * restored intact; the sub-second gap where it is off-path is the
+      * documented advisory-mode caveat, the KV manifest stays the hard
+      * fence). Where rename is unsupported (pure object store), fall
+      * back to delete-if-readably-ours, or — only when
+      * `deleteWhenUnreadable` — a logged blind delete. */
+    private def removeIfOwn(fs: FileSystem, claim: Path, uuid: String,
+                            deleteWhenUnreadable: Boolean,
+                            ctx: String): Unit = {
+      val tomb = new Path(claim.getParent,
+        s".claim-tombstone-${java.util.UUID.randomUUID()}")
+      val renamed = try fs.rename(claim, tomb)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (renamed) {
+        readClaimRetry(fs, tomb, attempts = 5) match {
+          case ClaimHeld(u, _) if u == uuid =>
+            fs.delete(tomb, false); ()
+          case ClaimHeld(_, _) =>
+            // a foreign LIVE claim — put it back where its owner and
+            // every checker expects it
+            if (!fs.rename(tomb, claim)) {
+              log.warn(s"$ctx: could not restore a foreign claim from " +
+                s"$tomb back to $claim — leaving the tombstone for audit")
+            }
+          case ClaimAbsent => // tombstone vanished?! nothing to do
+          case ClaimUnreadable =>
+            // even exclusive reads fail: the store's read path is down.
+            // Ours-vs-foreign is undecidable; keep the conservative side
+            // unless the caller KNOWS it should be ours.
+            if (deleteWhenUnreadable) { fs.delete(tomb, false); () }
+            else if (!fs.rename(tomb, claim)) {
+              log.warn(s"$ctx: claim unreadable and un-restorable at " +
+                s"$tomb — leaving the tombstone for audit")
+            }
+        }
+      } else readClaim(fs, claim) match {
+        // rename unsupported (advisory object-store mode): best effort
+        case Some((u, _)) if u == uuid => fs.delete(claim, false); ()
+        case None if deleteWhenUnreadable &&
+            (try fs.exists(claim)
+             catch { case scala.util.control.NonFatal(_) => false }) =>
+          log.warn(s"$ctx: deleting unreadable claim at $claim without " +
+            "rename support (should be ours; leaving it would block " +
+            "maintenance for the full TTL)")
+          fs.delete(claim, false); ()
+        case _ => ()
+      }
     }
 
     /** Delete the claim only while it is still OURS: if a bystander
@@ -1009,14 +1061,15 @@ object Compaction {
           // persistent read failure at release time: the file is
           // overwhelmingly our own (we held the claim until this call);
           // skipping the delete would orphan the index for the TTL.
-          // Delete, logged — the narrow mis-delete risk (a successor's
-          // claim written in the same instant behind a flaky read path)
-          // is the documented advisory-mode caveat; the KV manifest is
-          // the hard fence.
+          // removeIfOwn's tombstone rename decides ownership on an
+          // exclusive read where rename is supported, restoring a
+          // foreign live claim intact; only a store whose reads are
+          // down entirely gets the logged blind delete.
           log.warn(s"release: claim at $claim unreadable after retries — " +
-            "deleting best-effort (it should be ours; leaving it would " +
-            "block maintenance for the full TTL)")
-          try { fs.delete(claim, false); () }
+            "removing via ownership-safe tombstone (it should be ours; " +
+            "leaving it would block maintenance for the full TTL)")
+          try removeIfOwn(fs, claim, uuid,
+            deleteWhenUnreadable = true, ctx = "release")
           catch { case scala.util.control.NonFatal(_) => () }
       }
 
@@ -1047,8 +1100,13 @@ object Compaction {
         while (own &&
             !stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
           try {
-            readClaim(fs, claim) match {
-              case Some((u, _)) if u == uuid =>
+            // RETRYING read: one transient store failure must not read
+            // as "ownership lost" and kill the heartbeat mid-compaction
+            // — the claim would then age past TTL while the rewrite
+            // still runs, exactly the unguarded-second-compactor window
+            // the heartbeat exists to close.
+            readClaimRetry(fs, claim) match {
+              case ClaimHeld(u, _) if u == uuid =>
                 if (!stopped.get()) {
                   val out = fs.create(claim, true)
                   try out.write((s"$uuid\t${System.currentTimeMillis()}")
@@ -1057,17 +1115,22 @@ object Compaction {
                   // close() only joins 5 s: a create that BLOCKED past
                   // that (hung store call) completes here AFTER release
                   // already deleted the claim — a resurrected claim with
-                  // no owner. Undo our own late rewrite (owner-checked:
-                  // the claim we just wrote carries our uuid; a foreign
-                  // claim is left alone).
-                  if (stopped.get() &&
-                      readClaim(fs, claim).exists(_._1 == uuid)) {
+                  // no owner. Undo our own late rewrite ownership-safely
+                  // (tombstone rename; a foreign claim is restored; an
+                  // unreadable one is deleted — we JUST wrote it).
+                  if (stopped.get()) {
                     log.warn(s"claim heartbeat at $claim: rewrite landed " +
-                      "after release — deleting own resurrected claim")
-                    fs.delete(claim, false)
-                    ()
+                      "after release — removing own resurrected claim")
+                    removeIfOwn(fs, claim, uuid,
+                      deleteWhenUnreadable = true, ctx = "heartbeat-undo")
                   }
                 }
+              case ClaimUnreadable =>
+                // read path down even after retries: keep ticking — the
+                // claim ages like an unheartbeaten one until reads heal,
+                // no worse, and ownership is NOT decided on bad reads.
+                log.warn(s"claim heartbeat at $claim: claim unreadable " +
+                  "after retries — skipping this refresh, will retry")
               case other =>
                 // gone or foreign: ownership lost — stop silently
                 // refreshing what is no longer ours. The claimant's own
@@ -1076,7 +1139,8 @@ object Compaction {
                   MaintenanceMetrics.add(
                     "maintenance.claim.heartbeatOwnershipLost")
                   log.warn(s"claim heartbeat at $claim stopping: claim " +
-                    (if (other.isEmpty) "vanished (released or cleared)"
+                    (if (other == ClaimAbsent)
+                       "vanished (released or cleared)"
                      else "re-acquired by another claimant"))
                 }
                 own = false

@@ -33,6 +33,20 @@ object Dedup {
   private[graft] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    // idempotent: a plan that already carries a >=target repartition
+    // (e.g. the gate's docs() helper spreads before handing the corpus
+    // to an operator that spreads internally) must not shuffle AGAIN —
+    // the size-estimate below still sees the small file bytes and would
+    // re-issue the round-robin exchange on every wrap.
+    val alreadySpread = df.queryExecution.analyzed.exists {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+        r.numPartitions >= target
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression =>
+        r.optNumPartitions.exists(_ >= target)
+      case _ => false
+    }
+    if (alreadySpread) return df
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val estParts = ((sizeInBytes + maxPart - 1) / maxPart).min(Int.MaxValue)
@@ -718,7 +732,7 @@ object Dedup {
       sigs: graft.compute.Compaction.DirCompactStats,
       grams: graft.compute.Compaction.DirCompactStats)
 
-  private val NearDupClaim = ".neardup-compact-claim"
+  private[graft] val NearDupClaim = ".neardup-compact-claim"
 
   /** Compact a [[saveNearDupIndex]]-written index's APPENDED row tables
     * (`sigs/`, `grams/` — [[updateNearDupIndex]] parquet-appends ≥1

@@ -29,32 +29,26 @@ object Ranking {
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
                           outCol: String = "rn",
                           partitions: Int = 0): (DataFrame, Long) = {
-    val n = if (partitions > 0) partitions
-      else df.sparkSession.sparkContext.defaultParallelism
-    // checkpoint pins ONE range partitioning (boundaries come from
-    // sampling) for both the count pass and the final projection
-    val local = df
-      .repartitionByRange(n, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
-          .orderBy(order: _*)))
-      .localCheckpoint()
-    val counts = local.groupBy("__pid")
-      .agg(count(lit(1)).as("__pcnt")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.toSeq.map { case (pid, c) =>
-      val e = (pid, acc); acc += c; e
+    // a global row number IS the running total of a weight-1 column
+    // under the same unique total order — reuse runningTotal's
+    // range-repartition + checkpoint-pinned offset fold rather than
+    // re-implementing it (its null-partition and offset-family fixes
+    // must never have to land twice). With a UNIQUE order there are no
+    // window ties, so the running sum of ones equals row_number; with
+    // ties both forms are documented-undefined.
+    val cum = Sampling.runningTotal(
+        df.withColumn("__one", lit(1L)), "__one", order,
+        partitions = partitions)
+      .withColumnRenamed("cum_tokens", outCol)
+      .drop("__one")
+    // total = max row number: one narrow scan over the checkpointed
+    // blocks runningTotal already materialized (no shuffle, no re-read
+    // of the input)
+    val total = cum.agg(max(col(outCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toDF("__pid", "__offset")
-    val out = local.join(broadcast(offsetDf), Seq("__pid"), "left")
-      .withColumn(outCol,
-        col("__lrn").cast("long") + coalesce(col("__offset"), lit(0L)))
-      .drop("__pid", "__lrn", "__offset")
-    (out, acc)
+    (cum, total)
   }
 
   /** Exact SQL `NTILE(tiles)` from a global row number: the first
@@ -139,9 +133,19 @@ object Ranking {
     val order = part ++ Seq(col("__v"), col("__tie"), col("__k"))
     val cum = Sampling.runningTotal(events, "__w", order,
       partitions = partitions)
+    // the uniqueness precondition fails LOUDLY, not silently: a
+    // duplicated (or multiply-null) key merges two rows' probes and
+    // the max()-of-each-side subtraction would span both frames —
+    // raise_error costs nothing on valid data (the branch never taken)
     val peers = cum.groupBy("__k").agg(
-      (max(when(col("__tie") === 2, col("cum_tokens"))) -
-        max(when(col("__tie") === 0, col("cum_tokens")))).as(outCol))
-    df.join(peers, col(keyCol) === col("__k")).drop("__k")
+      when(count(when(col("__tie") === 1, 1)) > 1,
+        raise_error(concat(lit("rangeAggPreceding: keyCol is not " +
+          "unique (key "), col("__k").cast("string"), lit(")"))))
+        .otherwise(
+          max(when(col("__tie") === 2, col("cum_tokens"))) -
+            max(when(col("__tie") === 0, col("cum_tokens")))).as(outCol))
+    // null-safe join: a single null-keyed row is legal (its probes
+    // group together) and must not be dropped by an equi-join
+    df.join(peers, col(keyCol) <=> col("__k")).drop("__k")
   }
 }

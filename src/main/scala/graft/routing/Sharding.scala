@@ -383,6 +383,29 @@ final class ShardLease(val shard: Int, val ownerId: String,
 
   private def claim(k: Long): Option[Long] =
     if (store.putIfAbsent(epochName(k), ownerId)) {
+      // EPOCH-REUSE GUARD: the hygiene pruning below deletes epoch keys
+      // more than 64 behind, so a claimant acting on a STALE current()
+      // read (descheduled under load, eventually-consistent list) can
+      // re-CREATE a pruned epoch key and "win" an epoch number some
+      // other owner already held — two holders of one fencing token
+      // across time (and EpochWal segment names key off the epoch, so a
+      // resurrected epoch could overwrite a historical WAL segment).
+      // After winning the create, re-read the highest epoch: if anyone
+      // is beyond k, our k is a resurrected relic — abdicate and delete
+      // it. Inside the un-pruned top-64 window the conditional create
+      // itself is the authority, and no concurrent claimant can be
+      // beyond k (claiming k+1 requires first OBSERVING k with an
+      // expired heartbeat), so a legitimate win never abdicates here.
+      val highest = store.list().filter(_.startsWith("epoch-"))
+        .flatMap(_.stripPrefix("epoch-").toLongOption)
+        .foldLeft(0L)(math.max)
+      if (highest > k) {
+        store.delete(epochName(k))
+        None
+      } else claimWon(k)
+    } else None // lost the race; caller re-reads on its next cycle
+
+  private def claimWon(k: Long): Option[Long] = {
       store.put(hbName(k), clock().toString)
       hbMissingSince.filterInPlace((e, _) => e >= k) // strikes for dead epochs
       // namespace hygiene: entries far below the new epoch are
@@ -417,7 +440,7 @@ final class ShardLease(val shard: Int, val ownerId: String,
         held = k
         Some(k)
       } else None // lost a non-atomic create race — k belongs to the other
-    } else None // lost the race; caller re-reads on its next cycle
+  }
 
   /** Heartbeat renewal — the ONLY recurring shared-store write. Before
     * renewing, re-verifies the epoch file still carries this owner's id

@@ -370,6 +370,45 @@ class MultiDriverSuite extends AnyFunSuite {
       s"only ${claims.asScala.map(_._2).toSet} ever won — no contention exercised")
   }
 
+  test("a pruned epoch can never be re-won: a stale claimant abdicates") {
+    // the bug this pins (caught by the contention test under co-tenant
+    // load): claim()'s hygiene pruning deletes epoch keys >64 behind,
+    // so a claimant acting on a STALE current() read could re-CREATE a
+    // pruned epoch key and win an epoch number another owner already
+    // held — two holders of one fencing token across time
+    val kv = new InMemoryConditionalKv
+    def lease(owner: String, store: LeaseStore) =
+      new ShardLease(0, owner, store, leaseTimeoutMillis = -1L,
+        clock = () => 0L)
+    val store = new ConditionalLeaseStore(kv, "l")
+    var last = 0L
+    (1 to 200).foreach { _ =>
+      last = lease("A", store).tryAcquire().get
+    }
+    assert(last == 200L)
+    assert(kv.get("l/epoch-000000005").isEmpty, "old epochs must be pruned")
+    // a zombie claimant whose FIRST list is a stale snapshot (epoch-5 as
+    // the shard's max) — a descheduled racer / eventually-consistent list
+    val stale = new LeaseStore {
+      private var served = false
+      def putIfAbsent(n: String, c: String): Boolean = store.putIfAbsent(n, c)
+      def put(n: String, c: String): Unit = store.put(n, c)
+      def get(n: String): Option[String] = store.get(n)
+      def list(): Seq[String] =
+        if (!served) { served = true; Seq("epoch-000000005") }
+        else store.list()
+      def atomicCreate: Boolean = true
+      override def delete(n: String): Unit = store.delete(n)
+    }
+    val z = lease("Z", stale)
+    assert(z.tryAcquire().isEmpty, "a stale claimant re-won a pruned epoch")
+    assert(z.heldEpoch == -1L)
+    assert(kv.get("l/epoch-000000006").isEmpty,
+      "the resurrected epoch key must be cleaned up on abdication")
+    // the real owner's path is untouched: the next claim advances
+    assert(lease("A", store).tryAcquire().contains(201L))
+  }
+
   test("conditional-write lease: live-lease protection, expiry, release handover") {
     val kv = new InMemoryConditionalKv
     var now = 0L
