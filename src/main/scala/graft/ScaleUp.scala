@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Replication rules (replica i of `factor`):
   *  - region/nation: fixed tables, copied once (as at any TPC-H SF).
   *  - customer/orders/lineitem/part/supplier/events: every key column gets
-  *    a replica stride (1e7) so referential integrity holds within each
+  *    a replica stride (1e9) so referential integrity holds within each
   *    replica and never collides across replicas; money/balance/value
   *    columns get a +i cent/millis perturbation so cross-replica rows are
   *    never exact value-ties (top-k gate rows would otherwise become

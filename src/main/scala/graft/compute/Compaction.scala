@@ -275,15 +275,18 @@ object Compaction {
     * loudly instead of deleting files that a restored `_SUCCESS` now
     * presents as committed. `healMinClaimAgeMs` > 0 additionally makes
     * the ENTRY heal refuse manifests younger than that lease-style TTL
-    * (a fresh claim is likely a live claimant); 0 (default) heals
-    * unconditionally — right for single-compactor crash recovery, while
-    * deployments where compactors can overlap should pass a TTL above
-    * their longest expected swap. */
+    * (a fresh claim is likely a live claimant). The DEFAULT is
+    * [[FsClaim.DefaultTtlMs]] — the safe side: a direct caller cannot
+    * accidentally roll back a live overlapping compactor mid-copy
+    * (r15-ADVICE race). Pass 0 ONLY where compactors provably never
+    * overlap (single-driver crash recovery that must heal immediately
+    * rather than wait out the TTL). */
   def compactPartitionKv(spark: SparkSession, output: Signal,
                          targetFileBytes: Long,
                          kv: graft.routing.ConditionalKv,
                          failpoint: String => Unit = _ => (),
-                         healMinClaimAgeMs: Long = 0L): CompactStats = {
+                         healMinClaimAgeMs: Long = FsClaim.DefaultTtlMs)
+      : CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val attrs = output.source.attrs
     val root = new Path(output.materializedPaths.head)
@@ -511,7 +514,8 @@ object Compaction {
   def compactDirKv(spark: SparkSession, dir: String, targetFileBytes: Long,
                    kv: graft.routing.ConditionalKv,
                    failpoint: String => Unit = _ => (),
-                   healMinClaimAgeMs: Long = 0L): DirCompactStats = {
+                   healMinClaimAgeMs: Long = FsClaim.DefaultTtlMs)
+      : DirCompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dataPath = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1027,7 +1031,14 @@ object Compaction {
             // even exclusive reads fail: the store's read path is down.
             // Ours-vs-foreign is undecidable; keep the conservative side
             // unless the caller KNOWS it should be ours.
-            if (deleteWhenUnreadable) { fs.delete(tomb, false); () }
+            if (deleteWhenUnreadable) {
+              // the one path that can kill a FOREIGN live claim (a racing
+              // stale-clear replaced ours and the store's read path is
+              // down): surface it as an alarmable metric so operators see
+              // when the advisory-mode caveat actually fired
+              MaintenanceMetrics.add("maintenance.claim.blindDelete")
+              fs.delete(tomb, false); ()
+            }
             else if (!fs.rename(tomb, claim)) {
               log.warn(s"$ctx: claim unreadable and un-restorable at " +
                 s"$tomb — leaving the tombstone for audit")
@@ -1042,6 +1053,7 @@ object Compaction {
           log.warn(s"$ctx: deleting unreadable claim at $claim without " +
             "rename support (should be ours; leaving it would block " +
             "maintenance for the full TTL)")
+          MaintenanceMetrics.add("maintenance.claim.blindDelete")
           fs.delete(claim, false); ()
         case _ => ()
       }

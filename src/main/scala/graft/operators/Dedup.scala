@@ -37,12 +37,25 @@ object Dedup {
     // (e.g. the gate's docs() helper spreads before handing the corpus
     // to an operator that spreads internally) must not shuffle AGAIN —
     // the size-estimate below still sees the small file bytes and would
-    // re-issue the round-robin exchange on every wrap.
-    val alreadySpread = df.queryExecution.analyzed.exists {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
-        r.numPartitions >= target
-      case r: org.apache.spark.sql.catalyst.plans.logical
-          .RepartitionByExpression =>
+    // re-issue the round-robin exchange on every wrap. Only a
+    // repartition that still GOVERNS the output counts: we walk down
+    // from the root through partitioning-preserving nodes (project/
+    // filter/generate/typed maps) and inspect the first node that sets
+    // partitioning — a Repartition buried beneath a later aggregation
+    // or join no longer makes the output wide and must not suppress
+    // the spread (a plan-wide exists() did, falsely).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @scala.annotation.tailrec
+    def partitioningRoot(p: LogicalPlan): LogicalPlan = p match {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Generate |
+          _: TypedFilter | _: MapElements | _: SerializeFromObject |
+          _: DeserializeToObject =>
+        partitioningRoot(p.children.head)
+      case other => other
+    }
+    val alreadySpread = partitioningRoot(df.queryExecution.analyzed) match {
+      case r: Repartition => r.shuffle && r.numPartitions >= target
+      case r: RepartitionByExpression =>
         r.optNumPartitions.exists(_ >= target)
       case _ => false
     }

@@ -114,20 +114,34 @@ object Ranking {
     * weight 1; AVG is two calls (sum / count). The weight rides the
     * row event; the frame-end/frame-start probes carry zero, so the
     * prefix-sum subtraction yields exactly the frame total. The weight
-    * is cast to LONG — integral weights fold exactly through the prefix
-    * sum at any partition count; a fractional weight would need the
-    * reorder-sensitive double prefix path and is deliberately not
-    * offered (scale a fractional measure to integer units instead,
-    * e.g. cents). */
+    * must be NON-NULL and INTEGRAL (like `valueCol`): it rides the
+    * long prefix sum, which folds exactly at any partition count, so
+    * a null or fractional weight cannot reproduce native SUM-OVER
+    * semantics (null-only frames yield NULL natively; doubles are
+    * reorder-sensitive). Both are rejected LOUDLY per row rather than
+    * silently coerced — scale a fractional measure to integer units
+    * (e.g. cents) and COALESCE nulls before calling. */
   def rangeAggPreceding(df: DataFrame, partCols: Seq[String],
                         valueCol: String, width: Double, keyCol: String,
                         weight: Column, outCol: String = "range_sum",
                         partitions: Int = 0): DataFrame = {
     val part = partCols.map(col)
+    // reject (don't coerce) the two weight shapes the long prefix sum
+    // cannot carry: null (native SUM yields NULL for all-null frames;
+    // 0 would be wrong) and fractional (double prefix sums are
+    // reorder-sensitive). raise_error is free on valid data.
+    val guarded = when(weight.isNull, raise_error(lit(
+        "rangeAggPreceding: weight must be non-null (like valueCol) — " +
+          "COALESCE a default before calling")))
+      .when(weight.cast("double") =!= weight.cast("long").cast("double"),
+        raise_error(concat(lit("rangeAggPreceding: fractional weight "),
+          weight.cast("string"),
+          lit(" — scale to integer units (e.g. cents) first"))))
+      .otherwise(weight.cast("long"))
     def ev(v: Column, tie: Int, w: Column) =
       df.select((part :+ col(keyCol).as("__k") :+ v.cast("double").as("__v")
         :+ lit(tie).as("__tie") :+ w.cast("long").as("__w")): _*)
-    val events = ev(col(valueCol), 1, weight)
+    val events = ev(col(valueCol), 1, guarded)
       .unionByName(ev(col(valueCol), 2, lit(0L)))
       .unionByName(ev(col(valueCol) - lit(width), 0, lit(0L)))
     val order = part ++ Seq(col("__v"), col("__tie"), col("__k"))

@@ -104,7 +104,11 @@ class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
           failpoint = l => if (l == fp) sys.error(s"boom at $l"))
       }
       assert(boom.getMessage.contains(fp))
-      val stats = Compaction.compactPartitionKv(spark, s, 64L << 20, kv)
+      // healMinClaimAgeMs = 0: this IS the known-crashed-compactor case
+      // the explicit-0 escape hatch exists for (the default TTL would
+      // refuse the fresh manifest — see the dedicated pin below)
+      val stats = Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+        healMinClaimAgeMs = 0L)
       assert(stats.filesAfter <= 2 || stats.skipped, s"[$fp] $stats")
       val rows = spark.read.parquet(dir).select("id").collect()
         .map(_.getLong(0)).sorted
@@ -226,6 +230,48 @@ class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Compaction.healPartitionKv(spark, s, kv))
   }
 
+  test("GENERIC entry points refuse to entry-heal a fresh claim by " +
+    "default (r16 ADVICE)") {
+    // a direct caller of compactPartitionKv/compactDirKv — not the index
+    // wrappers — must not roll back a LIVE overlapping compactor's fresh
+    // manifest: the default healMinClaimAgeMs is the claim TTL, so the
+    // entry heal refuses instead of healing, without any explicit arg
+    val root = tmpRoot()
+    val s = sig(root)
+    appendBatches(s, batches = 2, wide = 10)
+    val kv = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactPartitionKv(spark, s, 64L << 20, kv,
+        failpoint = l => if (l == "new-copied") sys.error("boom"))
+    }
+    val e = intercept[java.io.IOException] {
+      Compaction.compactPartitionKv(spark, s, 64L << 20, kv) // DEFAULTS
+    }
+    assert(e.getMessage.contains("refusing to heal"), e.getMessage)
+
+    val dir = s"$root/sigs"
+    (0 until 6).foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L).toDF("id").repartition(3)
+        .write.mode("append").parquet(dir)
+    }
+    val kv2 = new InMemoryConditionalKv
+    intercept[RuntimeException] {
+      Compaction.compactDirKv(spark, dir, 64L << 20, kv2,
+        failpoint = l => if (l == "new-copied") sys.error("boom"))
+    }
+    val e2 = intercept[java.io.IOException] {
+      Compaction.compactDirKv(spark, dir, 64L << 20, kv2) // DEFAULTS
+    }
+    assert(e2.getMessage.contains("refusing to heal"), e2.getMessage)
+    // the explicit-0 escape hatch still heals (operator decision): the
+    // new-copied crash is PAST the commit point, so the entry heal rolls
+    // forward — dir already compact, manifest cleared, rows intact
+    Compaction.compactDirKv(spark, dir, 64L << 20, kv2,
+      healMinClaimAgeMs = 0L)
+    assert(kv2.list("compact/").isEmpty)
+    assert(spark.read.parquet(dir).count() == 600L)
+  }
+
   test("compactDirKv: flat-table swap runs rename-free and kills heal (r15)") {
     // the near-dup index row tables' object-store path: stage a FLAT
     // parquet dir on the no-rename FS, then (a) compact end-to-end and
@@ -261,7 +307,8 @@ class KvCompactionSuite extends AnyFunSuite with BeforeAndAfterAll {
         Compaction.compactDirKv(spark, dir, 64L << 20, kv,
           failpoint = l => if (l == fp) sys.error(s"boom at $l"))
       }
-      val redo = Compaction.compactDirKv(spark, dir, 64L << 20, kv)
+      val redo = Compaction.compactDirKv(spark, dir, 64L << 20, kv,
+        healMinClaimAgeMs = 0L)
       assert(redo.filesAfter <= 2 || redo.skipped, s"[$fp] $redo")
       assert(rows(dir) == want, s"[$fp] rows diverged")
       assert(kv.list("compact/").isEmpty, s"[$fp] manifest survived")

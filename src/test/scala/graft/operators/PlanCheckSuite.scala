@@ -136,4 +136,30 @@ class PlanCheckSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty,
       s"all-pairs join planned in: ${offenders.mkString(", ")}")
   }
+
+  test("spread: idempotent directly above the scan, but re-spreads when " +
+    "a buried repartition no longer governs output partitioning") {
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    val df = spark.range(100).toDF("id")
+    val once = Dedup.spread(df)
+    assert(once.queryExecution.analyzed.isInstanceOf[Repartition])
+    // wrapping again (even under narrow ops) must not add a second
+    // exchange — the governing repartition is visible through them
+    val twice = Dedup.spread(once.select(col("id") * 2 as "id2")
+      .filter(col("id2") >= 0))
+    assert(twice.queryExecution.analyzed.collect {
+      case r: Repartition => r }.size == 1,
+      "spread re-shuffled a plan already governed by a wide repartition")
+    // an aggregation ABOVE the spread resets the output partitioning;
+    // the buried Repartition must not suppress re-spreading (the old
+    // plan-wide exists() falsely skipped here)
+    val agg = once.groupBy((col("id") % 7).as("k")).count().coalesce(1)
+    val respread = Dedup.spread(agg)
+    respread.queryExecution.analyzed match {
+      case r: Repartition => assert(r.shuffle && r.numPartitions >= target)
+      case other => fail(s"buried repartition suppressed the spread: $other")
+    }
+  }
 }

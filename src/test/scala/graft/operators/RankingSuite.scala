@@ -105,6 +105,23 @@ class RankingSuite extends AnyFunSuite with BeforeAndAfterAll {
       "distributed range-frame sum diverged from the native window")
   }
 
+  test("rangeAggPreceding rejects null and fractional weights loudly " +
+      "(r16 ADVICE: no silent truncation / no 0-for-NULL)") {
+    val df = spark.range(10).select(col("id"),
+      col("id").cast("double").as("v"))
+    def run(w: org.apache.spark.sql.Column): Unit =
+      Ranking.rangeAggPreceding(df, Nil, "v", 3.0, keyCol = "id",
+        weight = w).collect()
+    val eNull = intercept[Exception] {
+      run(when(col("id") === 5, lit(null)).otherwise(lit(1L)))
+    }
+    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    val eFrac = intercept[Exception] { run(lit(2.5)) }
+    assert(eFrac.getMessage.contains("fractional"), eFrac.getMessage)
+    // integral weights of any numeric type still pass
+    assert(run(lit(2).cast("int")) == (()))
+  }
+
   test("rangeCountPreceding with no partition columns") {
     val df = spark.range(1000).select(col("id"),
       pmod(xxhash64(col("id")), lit(100)).cast("double").as("v"))
