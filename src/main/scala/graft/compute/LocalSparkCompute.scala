@@ -141,7 +141,34 @@ object InputLoader {
     effectiveSchema.foreach { js =>
       reader = reader.schema(DataType.fromJson(js).asInstanceOf[StructType])
     }
-    reader.load(paths: _*)
+    // a FileCheck marker that does NOT start with '_'/'.' (a vendor
+    // `manifest.json`) is listed by Spark as DATA and breaks footer
+    // reads/schema inference — expand those partitions to explicit file
+    // paths with the marker names excluded. Driver-side listStatus per
+    // partition is work InMemoryFileIndex would do anyway; partitions
+    // under marker-free protocols keep the plain dir-path load.
+    val vendorMarkers: Set[String] = signal.source.protocol match {
+      case IntegrityProtocol.FileCheck(fs) =>
+        fs.filterNot(f => f.startsWith("_") || f.startsWith(".")).toSet
+      case _ => Set.empty
+    }
+    val loadTargets: Seq[String] =
+      if (vendorMarkers.isEmpty) paths
+      else paths.flatMap { p =>
+        val pp = new Path(p)
+        val fsys = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsys.listStatus(pp).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            !vendorMarkers.contains(n) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(_.getPath.toString)
+      }
+    require(loadTargets.nonEmpty,
+      s"no data files for input '${signal.alias}' after excluding " +
+        s"completion markers ${vendorMarkers.mkString(", ")}")
+    reader.load(loadTargets: _*)
   }
 
   /** S2: catalog scan with partition pushdown — the EXACT materialized

@@ -69,6 +69,38 @@ object Framework {
       app.load(node(fmt(maxDay))).orderBy("o_orderstatus")
     }),
 
+    // ---- FileCheck ALTERNATIVES (reference analysis.py:27-38, protocol
+    // signal.py:118-135): the oldest ranged partition is completed by a
+    // vendor `manifest.json` with NO `_SUCCESS` — the multi-name protocol
+    // must pass the range/integrity check and the union must read it
+    "fw20_alt_marker" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_altm", 3)
+      val fs = new org.apache.hadoop.fs.Path(w)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val oldest = s"$w/orders_altm/${fmt(maxDay.minusDays(2))}"
+      val succ = new org.apache.hadoop.fs.Path(oldest, "_SUCCESS")
+      val mani = new org.apache.hadoop.fs.Path(oldest, "manifest.json")
+      // idempotent vendor re-mark: stage() recreates _SUCCESS when it
+      // (re)writes the partition, which also clears any prior manifest
+      if (fs.exists(succ)) fs.delete(succ, false)
+      // zero-byte on purpose: Spark's scan planning skips empty files, so
+      // a non-underscore marker never reaches the parquet footer reader
+      if (!fs.exists(mani)) fs.create(mani, true).close()
+      val app = new Application("fw20", s, s"$w/app_fw20")
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_altm",
+        daySpec, protocol =
+          graft.signal.IntegrityProtocol.FileCheck("_SUCCESS", "manifest.json"))
+      val node = app.createData("alt_range_agg",
+        Seq(src.latest(3).rangeCheck()), Seq(SqlSlot(
+          """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM orders_daily GROUP BY o_orderstatus""")))
+      app.activate()
+      app.execute(node(fmt(maxDay)))
+      app.load(node(fmt(maxDay))).orderBy("o_orderstatus")
+    }),
+
     // ---- S4: nearest-the-tip — anchor 2 days past the data tip; the probe
     // walks back and reads exactly the newest existing partition
     "fw02_nearest" -> ((s, dir) => {
@@ -675,6 +707,13 @@ object Framework {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "fw01_range_union" ->
+      """SELECT o_orderstatus, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >=
+           (SELECT MAX(CAST(o_orderdate AS DATE)) - 2 FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "fw20_alt_marker" ->
       """SELECT o_orderstatus, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders

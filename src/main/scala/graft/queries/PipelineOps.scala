@@ -24,6 +24,15 @@ object PipelineOps {
   // scale: p23 78 s -> 18 s (BASELINE r16 "sf1 gate" scaling note).
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.spread(s.read.parquet(s"$dir/documents.parquet"))
+  // NO spread: for digest-only rows (md5 -> 16-byte shuffle key) the
+  // per-row CPU is trivial next to a round-robin shuffle of the FULL
+  // text column — spreading p01 cost a uniform ~2x across all bench
+  // reps (r16 BENCH p01 1.156/0.609/0.654 vs r15 0.469/0.347/0.275;
+  // VERDICT r16 Next #2). At real scale the input arrives wide and
+  // spread would be a no-op anyway; only kernel-heavy rows (p23/p09/
+  // p33...) pay for the parallelism they then use.
+  private def rawDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -34,7 +43,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup by content digest (shuffle key = 16-byte md5)
     "p01_exact_dedup" -> ((s, dir) => {
-      Dedup.exactDedup(docs(s, dir), "text", "doc_id")
+      Dedup.exactDedup(rawDocs(s, dir), "text", "doc_id")
         .select("text_hash", "doc_id", "dup_cnt").orderBy("doc_id")
     }),
 

@@ -372,7 +372,8 @@ final class RoutingTable(probe: PathProbe,
       // route waiting on it — each one's completion is equally stalled)
       if (failedKeys.nonEmpty) perRoute.foreach { case (r, ts) =>
         r.noteProbeFailures(
-          ts.count { case (p, proto) => failedKeys.contains(probeKey(p, proto)) })
+          ts.count { case (p, proto) =>
+            probeKeys(p, proto).exists(failedKeys.contains) })
       }
       val sp = new SnapshotProbe(cachingProbe, snap)
       routes.filter(r => sel(r) && r.pendingNodes.nonEmpty)
@@ -380,13 +381,18 @@ final class RoutingTable(probe: PathProbe,
     }
   }
 
-  /** The snapshot/failure map key of a probe target — one derivation
-    * shared by the probe phase and the per-route attribution above. */
-  private def probeKey(p: String,
-                       proto: graft.signal.IntegrityProtocol): String =
+  /** The snapshot/failure map keys of a probe target — one derivation
+    * shared by the probe phase and the per-route attribution above. A
+    * FileCheck with alternative marker names yields one key PER name
+    * (each probed independently; the snapshot view ORs them), so the
+    * multi-name protocol costs exactly its extra exists() calls and
+    * nothing structural. */
+  private def probeKeys(p: String,
+                        proto: graft.signal.IntegrityProtocol): Seq[String] =
     proto match {
-      case graft.signal.IntegrityProtocol.None_        => p
-      case graft.signal.IntegrityProtocol.FileCheck(f) => s"$p/$f"
+      case graft.signal.IntegrityProtocol.None_         => Seq(p)
+      case graft.signal.IntegrityProtocol.FileCheck(fs) =>
+        fs.map(f => s"$p/$f")
     }
 
   /** Phase 2: the sweep's probe I/O, monitor-free. Results land in a
@@ -430,25 +436,27 @@ final class RoutingTable(probe: PathProbe,
     // aborted every route's sweep tick fleet-wide, forever. Transient
     // faults self-heal on a later sweep; the pending node keeps waiting.
     val failures = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
-    val futs = targets.map { case (p, proto) =>
-      pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = {
-          val key = probeKey(p, proto)
-          try {
-            val ok = proto match {
-              case graft.signal.IntegrityProtocol.None_ =>
-                cachingProbe.isComplete(p, proto)
-              case graft.signal.IntegrityProtocol.FileCheck(_) =>
-                cachingProbe.exists(key)
+    val futs = targets.flatMap { case (p, proto) =>
+      probeKeys(p, proto).map { key =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            try {
+              val ok = proto match {
+                case graft.signal.IntegrityProtocol.None_ =>
+                  cachingProbe.isComplete(p, proto)
+                case graft.signal.IntegrityProtocol.FileCheck(_) =>
+                  // per-NAME key: one exists() per alternative marker
+                  cachingProbe.exists(key)
+              }
+              snap.put(key, ok)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                snap.put(key, java.lang.Boolean.FALSE)
+                failures.put(key, e)
             }
-            snap.put(key, ok)
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              snap.put(key, java.lang.Boolean.FALSE)
-              failures.put(key, e)
           }
-        }
-      })
+        })
+      }
     }
     futs.foreach { f =>
       try f.get()
@@ -499,8 +507,8 @@ final class RoutingTable(probe: PathProbe,
           // the live probe's protocol-aware check (mid-write guard incl.)
           val c = snap.get(path)
           if (c != null) c.booleanValue else live.isComplete(path, protocol)
-        case graft.signal.IntegrityProtocol.FileCheck(f) =>
-          exists(s"$path/$f")
+        case graft.signal.IntegrityProtocol.FileCheck(fs) =>
+          fs.exists(f => exists(s"$path/$f"))
       }
   }
 

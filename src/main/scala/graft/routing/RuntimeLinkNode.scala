@@ -12,7 +12,8 @@ trait PathProbe {
   /** Resource is complete when its protocol resource exists. */
   def isComplete(path: String, protocol: IntegrityProtocol): Boolean = protocol match {
     case IntegrityProtocol.None_ => exists(path)
-    case IntegrityProtocol.FileCheck(f) => exists(s"$path/$f")
+    // alternatives in order: ANY listed marker completes the partition
+    case IntegrityProtocol.FileCheck(fs) => fs.exists(f => exists(s"$path/$f"))
   }
 }
 
@@ -39,7 +40,8 @@ final class CachingProbe(underlying: PathProbe) extends PathProbe {
           if (ok) completed.add(path)
           ok
         }
-      case IntegrityProtocol.FileCheck(f) => exists(s"$path/$f")
+      case IntegrityProtocol.FileCheck(fs) =>
+        fs.exists(f => exists(s"$path/$f"))
     }
   /** Cross-node range transfer: pre-seed known-complete resources
     * (reference transfer_ranges, routing_runtime_constructs.py:370-395). */

@@ -10,8 +10,22 @@ sealed trait IntegrityProtocol
 object IntegrityProtocol {
   /** Resource (partition dir) presence is enough. */
   case object None_ extends IntegrityProtocol
-  /** Completion marker file must exist in the partition (e.g. _SUCCESS). */
-  final case class FileCheck(file: String = "_SUCCESS") extends IntegrityProtocol
+  /** Completion marker: ANY of `files` existing in the partition
+    * completes it, probed in order. The reference's FILE_CHECK accepts a
+    * list of acceptable completion resource names for exactly this case
+    * (mixed upstream conventions — a Hive writer's `_SUCCESS` next to a
+    * vendor's `manifest.json`): signal_processing/analysis.py:27-38,
+    * protocol at signal.py:118-135. Internal sinks always WRITE the
+    * first name; alternatives matter on marshaled external data. */
+  final case class FileCheck(files: Seq[String]) extends IntegrityProtocol {
+    require(files.nonEmpty, "FileCheck needs at least one marker name")
+  }
+  object FileCheck {
+    def apply(): FileCheck = FileCheck(Seq("_SUCCESS"))
+    /** Single-name (common) + alternatives as trailing varargs. */
+    def apply(file: String, alternatives: String*): FileCheck =
+      FileCheck(file +: alternatives.toSeq)
+  }
 }
 
 /** REPLACE → SaveMode.Overwrite, APPEND → SaveMode.Append

@@ -107,6 +107,52 @@ class RoutingSuite extends AnyFunSuite {
       Seq("/data/a/2026-08-12", "/data/a/2026-08-11"))
   }
 
+  test("FileCheck alternatives: ANY listed marker completes the " +
+    "partition (reference analysis.py:27-38)") {
+    val proto = IntegrityProtocol.FileCheck("_SUCCESS", "manifest.json")
+    val src = SignalSource.external("/data/a", protocol = proto)
+    val a = Signal("a", src, daySpec,
+      DimFilter.loadRaw(daySpec, DimFilter.RawFilter.leafValues("_:-2")),
+      rangeCheckRequired = true)
+    val node = SignalLinkNode(List(a)).withAutoLinks
+    val route = new Route("alt", node, outputFor(node, "alt", daySpec), Nil)
+    // day 12 completed by the PRIMARY marker; day 11 absent -> pending
+    val probe = new MemProbe(Set("/data/a/2026-08-12/_SUCCESS"))
+    val ev = Signal("a", src, daySpec,
+      DimFilter.branchOf(daySpec, Seq("2026-08-12")))
+    assert(route.receive(ev, probe).isEmpty)
+    assert(route.pendingNodes.length == 1)
+    // day 11 lands with ONLY the vendor marker -> range is complete
+    probe.existing += "/data/a/2026-08-11/manifest.json"
+    val ctxs = route.receive(ev, probe)
+    assert(ctxs.length == 1)
+    assert(ctxs.head.inputs.head.materializedPaths ==
+      Seq("/data/a/2026-08-12", "/data/a/2026-08-11"))
+  }
+
+  test("FileCheck alternatives complete through the sweep's snapshot " +
+    "probe (per-name keys)") {
+    val proto = IntegrityProtocol.FileCheck("_SUCCESS", "manifest.json")
+    val src = SignalSource.external("/data/s", protocol = proto)
+    val a = Signal("a", src, daySpec,
+      DimFilter.loadRaw(daySpec, DimFilter.RawFilter.leafValues("_:-2")),
+      rangeCheckRequired = true)
+    val node = SignalLinkNode(List(a)).withAutoLinks
+    val probe = new MemProbe(Set("/data/s/2026-08-12/_SUCCESS"))
+    val t = new RoutingTable(probe)
+    t.add(new Route("alt2", node, outputFor(node, "alt2", daySpec), Nil))
+    assert(t.receive(Signal("a", src, daySpec,
+      DimFilter.branchOf(daySpec, Seq("2026-08-12")))).isEmpty)
+    // no event for day 11 — ONLY the sweep can observe its alternative
+    // marker appearing, through the out-of-monitor probe phase
+    assert(t.sweepPending().isEmpty)
+    probe.existing += "/data/s/2026-08-11/manifest.json"
+    val ctxs = t.sweepPending()
+    assert(ctxs.length == 1)
+    assert(ctxs.head.inputs.head.materializedPaths ==
+      Seq("/data/s/2026-08-12", "/data/s/2026-08-11"))
+  }
+
   test("nearest-the-tip picks first existing partition in range") {
     val trigger = extSignal("t", "/data/t", daySpec, "*")
     val near = Signal("n", SignalSource.external("/data/n"), daySpec,
