@@ -76,7 +76,10 @@ object Pipeline {
 
   /** Event-driven end-to-end run; returns the final node's DataFrame. */
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val workDir = s"/tmp/graft_entry_${new java.io.File(sfDir).getName}"
+    // fingerprint-keyed like the fw staging: regenerated source data
+    // must never reuse stale staged partitions (VERDICT r16 Next #1)
+    val workDir = s"/tmp/graft_entry_${new java.io.File(sfDir).getName}" +
+      s"_${graft.queries.Framework.sourceFingerprint(sfDir)}"
     val (app, _, statusSummary, days) = build(spark, sfDir, workDir)
     val tip = days.last
     // the tip partition's completion event arrives → range {tip, tip-1}

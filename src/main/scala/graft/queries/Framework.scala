@@ -49,8 +49,47 @@ object Framework {
     maxDay
   }
 
-  private def work(sfDir: String): String =
-    s"/tmp/graft_fw_${new java.io.File(sfDir).getName}"
+  /** Content fingerprint of an sf dir's table files: (name, length,
+    * mtime) per parquet, hashed. Staging dirs are KEYED on it so
+    * regenerated source data can never silently reuse stale staging —
+    * the r16 sf1-gate trap where fw14 kept exactly 1/10 of the oracle's
+    * docs because `_SUCCESS`-guarded staging survived a data regen
+    * (VERDICT r16 Next #1; BASELINE r16 "sf1 gate" finding 2). Any
+    * regeneration rewrites the files, so mtime+length is sufficient and
+    * needs no data read (uncached — a dozen File.length calls per query;
+    * a mid-JVM regen is therefore also caught). Deriving the staging dir
+    * also evicts this sf basename's stale-fingerprint dirs (best-effort,
+    * once per fingerprint per JVM) so /tmp stays bounded across regens. */
+  private[graft] def sourceFingerprint(sfDir: String): String = {
+    val files =
+      Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+    val sig = files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def evictStale(prefix: String, keep: String): Unit =
+    try {
+      def rmRecursive(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRecursive)
+        f.delete(); ()
+      }
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != keep)
+        .foreach(rmRecursive)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private val evicted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def work(sfDir: String): String = {
+    val base = new java.io.File(sfDir).getName
+    val name = s"graft_fw_${base}_${sourceFingerprint(sfDir)}"
+    if (evicted.add(name)) evictStale(s"graft_fw_${base}_", name)
+    s"/tmp/$name"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S3: ranged input = ONE multi-path scan over last-3-calendar-days
