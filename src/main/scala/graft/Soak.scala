@@ -683,9 +683,53 @@ object Soak {
         rs.sum / rs.length
       }
       val ipr4 = ivfPqRefined(4, 100)
+      // r17 (VERDICT r16 #4): the composed-recall decomposition.
+      // (a) CELL CEILING — the fraction of the exact top-10 that lives
+      //     inside the nProbe probed cells (IVF with exact vectors); no
+      //     code-side improvement can beat this, so it attributes the
+      //     composed loss between pruning and quantization.
+      // (b) RESIDUAL codebook (standard IVF-PQ): r = u − c(cell) — finer
+      //     quantization at the same bytes; sweep nProbe for the
+      //     operating curve and the documented defaults.
+      def cellCeiling(nProbe: Int): Double = {
+        val rs = queries.map { case (id, v) =>
+          ids(ivfIdx.topK(v, kTop, nProbe = nProbe))
+            .intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
+      val cbRes = graft.operators.Pq.trainResidual(ivfIdx,
+        m = 8, k = 256, iters = 3,
+        trainFraction = math.min(1.0, 100000.0 / nVecs))
+      val resCells = graft.operators.Pq.encodeCells(ivfIdx, cbRes)
+        .localCheckpoint()
+      def resRecall(nProbe: Int): Double = {
+        val rs = queries.map { case (id, v) =>
+          ids(graft.operators.Pq.ivfPqTopK(resCells, ivfIdx.centroids,
+            cbRes, "vec_id", v, kTop, nProbe = nProbe))
+            .intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
+      def resRefined(nProbe: Int, c: Int): Double = {
+        val rs = queries.map { case (id, v) =>
+          ids(graft.operators.Pq.ivfPqTopKRefined(resCells,
+            ivfIdx.centroids, cbRes, emb, "vec_id", v, kTop,
+            nProbe = nProbe, candidates = c))
+            .intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
+      val (ceil2, ceil4, ceil6, ceil8) =
+        (cellCeiling(2), cellCeiling(4), cellCeiling(6), cellCeiling(8))
+      val (res4, res6, res8) = (resRecall(4), resRecall(6), resRecall(8))
+      val (resR4, resR6, resR8) =
+        (resRefined(4, 100), resRefined(6, 100), resRefined(8, 100))
+      val plainR6 = ivfPqRefined(6, 100)
+      // deeper shortlists at the nProbe that clears the 0.8 ceiling:
+      // candidates bounds how much of the probed set the refine re-ranks
+      val plainR8c200 = ivfPqRefined(8, 200)
+      val resR8c200 = resRefined(8, 200)
       ivfIdx.unpersist()
       println(
-        f"""{"soak":"pqrecall","vectors":$nVecs,"queries":$qn,"k":$kTop,"pq_k":256,"adc_m4":$r4%.3f,"adc_m8":$r8%.3f,"adc_m16":$r16%.3f,"opq_m8":$opq8%.3f,"refined_m8_c50":$ref50%.3f,"refined_m8_c100":$ref100%.3f,"neardup_m4":$nd4%.3f,"neardup_m8":$nd8%.3f,"neardup_m16":$nd16%.3f,"neardup_opq_m8":$opqNd8%.3f,"ivfpq_m8_nprobe2":$ip2%.3f,"ivfpq_m8_nprobe4":$ip4%.3f,"ivfpq_refined_m8_nprobe4_c100":$ipr4%.3f,"neardup_ivfpq_m8_nprobe2":$ipn2%.3f,"neardup_ivfpq_m8_nprobe4":$ipn4%.3f}""")
+        f"""{"soak":"pqrecall","vectors":$nVecs,"queries":$qn,"k":$kTop,"pq_k":256,"adc_m4":$r4%.3f,"adc_m8":$r8%.3f,"adc_m16":$r16%.3f,"opq_m8":$opq8%.3f,"refined_m8_c50":$ref50%.3f,"refined_m8_c100":$ref100%.3f,"neardup_m4":$nd4%.3f,"neardup_m8":$nd8%.3f,"neardup_m16":$nd16%.3f,"neardup_opq_m8":$opqNd8%.3f,"ivfpq_m8_nprobe2":$ip2%.3f,"ivfpq_m8_nprobe4":$ip4%.3f,"ivfpq_refined_m8_nprobe4_c100":$ipr4%.3f,"ivfpq_refined_m8_nprobe6_c100":$plainR6%.3f,"neardup_ivfpq_m8_nprobe2":$ipn2%.3f,"neardup_ivfpq_m8_nprobe4":$ipn4%.3f,"cell_ceiling_nprobe2":$ceil2%.3f,"cell_ceiling_nprobe4":$ceil4%.3f,"cell_ceiling_nprobe6":$ceil6%.3f,"cell_ceiling_nprobe8":$ceil8%.3f,"residual_adc_nprobe4":$res4%.3f,"residual_adc_nprobe6":$res6%.3f,"residual_adc_nprobe8":$res8%.3f,"residual_refined_nprobe4_c100":$resR4%.3f,"residual_refined_nprobe6_c100":$resR6%.3f,"residual_refined_nprobe8_c100":$resR8%.3f,"ivfpq_refined_m8_nprobe8_c200":$plainR8c200%.3f,"residual_refined_nprobe8_c200":$resR8c200%.3f}""")
       spark.stop()
       return
     }

@@ -247,6 +247,39 @@ final case class MatVec(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise vector difference `a − b` over double arrays — the
+  * residual kernel of the IVF-PQ residual formulation
+  * ([[graft.operators.Pq]]: r = u − centroid(cell), quantized instead
+  * of u). NULL on a length mismatch (a ragged embedding must not
+  * silently truncate, the [[MatVec]] contract). */
+final case class SubVec(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sub_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ExprTypeChecks.doubleArray(left.dataType, prettyName, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.doubleArray(right.dataType, prettyName, "right")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.subVec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.expressions.VectorKernels.subVec($a, $b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric int8 quantization of a numeric-array column — kernel form
   * of Similarity.quantizeInt8's aggregate/transform composition: one
   * pass finds max|x|, a second emits round(x·scale) as ints.
@@ -372,6 +405,16 @@ object VectorKernels {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** a − b element-wise over double arrays; null on length mismatch. */
+  def subVec(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new GenericArrayData(out)
   }
 
   /** Spark `round(double)` (scale 0): BigDecimal.valueOf → HALF_UP, with

@@ -59,12 +59,18 @@ object Pq {
     * stored codes, updates, and probes all agree by construction. */
   final case class PqCodebook(dim: Int, m: Int, k: Int,
                               centroids: Array[Array[Array[Double]]],
-                              rotation: Option[Array[Array[Double]]] = None) {
+                              rotation: Option[Array[Array[Double]]] = None,
+                              residual: Boolean = false) {
     rotation.foreach { r =>
       require(r.length == dim && r.forall(_.length == dim),
         s"rotation must be ${dim}x$dim, got ${r.length}x" +
           s"${r.headOption.map(_.length).getOrElse(0)}")
     }
+    // a rotation is trained on (and applies to) whole unit vectors; a
+    // residual codebook quantizes per-cell differences — composing the
+    // two silently would put codes and ADC tables in different spaces
+    require(!(residual && rotation.isDefined),
+      "residual codebooks do not compose with an OPQ rotation")
     require(centroids.length == m, s"codebook has ${centroids.length} sub-spaces, expected $m")
     // every sub-space carries exactly k centroids — the invariant both
     // ADC table builders (this driver-side twin AND the distributed
@@ -182,7 +188,8 @@ object Pq {
 
   private def trainCore(df: DataFrame, vecCol: String, idCol: String,
                         m: Int, k: Int, iters: Int, trainFraction: Double,
-                        rotation: Option[Array[Array[Double]]]): PqCodebook = {
+                        rotation: Option[Array[Array[Double]]],
+                        preNormalized: Boolean = false): PqCodebook = {
     require(m >= 1, s"m must be positive, got $m")
     require(k >= 1 && k <= 256, s"k must be in [1, 256] (one byte per sub-space), got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
@@ -212,10 +219,13 @@ object Pq {
       else df.where(pmod(xxhash64(col(idCol)), lit(1000000L)) <
         lit((trainFraction * 1000000L).toLong))
     // training slices come from the SAME unit→rotate projection encode
-    // applies, so centroids live in exactly the space codes are cut in
+    // applies, so centroids live in exactly the space codes are cut in;
+    // preNormalized inputs (RESIDUALS — already prepared double arrays
+    // that must NOT be re-normalized) pass through untouched
     val base = sampled
       .select(col(idCol).as("__id"),
-        rotated(rotation, unit(col(vecCol))).as("__u"))
+        (if (preNormalized) col(vecCol)
+         else rotated(rotation, unit(col(vecCol)))).as("__u"))
       .where(size(col("__u")) === dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -422,10 +432,61 @@ object Pq {
     * [[graft.expressions.PqEncodeExpr]] kernel. Ragged vectors (length ≠
     * codebook dim) encode as NULL, never mis-encoded. */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebook,
-             codeCol: String = "pq_code"): DataFrame =
+             codeCol: String = "pq_code"): DataFrame = {
+    require(!cb.residual,
+      "residual codebooks encode relative to a cell centroid — use " +
+        "encodeCells/updateIvfPq (they carry the cell assignment)")
+    encodePrepared(df, rotatedUnit(cb, col(vecCol)), cb, codeCol)
+  }
+
+  /** [[encode]] on an already-PREPARED vector column (residuals, or any
+    * caller-projected double array): the kernel quantizes the column
+    * as-is — no unit normalization, no rotation. */
+  private def encodePrepared(df: DataFrame, prepared: Column,
+                             cb: PqCodebook, codeCol: String): DataFrame =
     df.withColumn(codeCol, bridge.column(graft.expressions.PqEncodeExpr(
-      bridge.expression(codebookLit(cb)),
-      bridge.expression(rotatedUnit(cb, col(vecCol))))))
+      bridge.expression(codebookLit(cb)), bridge.expression(prepared))))
+
+  private def subVecCol(a: Column, b: Column): Column =
+    bridge.column(graft.expressions.SubVec(
+      bridge.expression(a), bridge.expression(b)))
+
+  /** `unit(vecCol) − centroid(__cell)` as `out`, via a broadcast join on
+    * the small centroid table — a plan literal indexed by `__cell` would
+    * carry ALL k cells (32 MB at k=65536, dim=64) into every task
+    * binary; the BHJ ships centroids as broadcast DATA instead. */
+  private def withCellResidual(cells: DataFrame, vecCol: String,
+                               cents: Array[Array[Double]],
+                               out: String): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__cell", "__cc")
+    cells.join(broadcast(cdf), "__cell")
+      .withColumn(out, subVecCol(unit(col(vecCol)), col("__cc")))
+      .drop("__cc")
+  }
+
+  /** Train a RESIDUAL codebook over an IVF index (the standard IVF-PQ
+    * formulation — Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, §IV.A): quantize r = u − c(cell)
+    * instead of u itself. Residuals span a fraction of the unit sphere,
+    * so the same m bytes cut far finer cells — on the pqrecall harness
+    * this is what lifts the COMPOSED IVF-PQ recall (the plain composed
+    * path stacks global-quantization error on top of cell-pruning loss;
+    * see BASELINE.md r17 "pqrecall residual"). The returned codebook
+    * carries `residual = true` and travels through
+    * [[saveCodebook]]/[[loadCodebook]]; [[encodeCells]], [[ivfPqTopK]],
+    * [[ivfPqTopKRefined]] and [[updateIvfPq]] all branch on it, so the
+    * durable-index lifecycle is unchanged for callers. */
+  def trainResidual(index: Similarity.IvfIndex, m: Int = 8, k: Int = 256,
+                    iters: Int = 3,
+                    trainFraction: Double = 1.0): PqCodebook = {
+    val resid = withCellResidual(index.cells, index.vecCol,
+      index.centroids, "__resid")
+    trainCore(resid, "__resid", index.idCol, m, k, iters, trainFraction,
+      rotation = None, preNormalized = true).copy(residual = true)
+  }
 
   private def adcCosine(tableCol: Column, codeCol: Column, k: Int): Column =
     lit(1.0) - bridge.column(graft.expressions.PqAdcExpr(
@@ -441,6 +502,9 @@ object Pq {
            queryVec: Seq[Float], k: Int,
            codeCol: String = "pq_code"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(!cb.residual,
+      "residual codes score against per-cell shifted tables — probe " +
+        "through ivfPqTopK/ivfPqTopKRefined")
     val table = cb.tableFor(unitLocal(queryVec))
     codes
       .select(col(idCol),
@@ -472,6 +536,9 @@ object Pq {
                queryVecCol: String = "embedding", idCol: String = "vec_id",
                codeCol: String = "pq_code", maxQueries: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(!cb.residual,
+      "residual codes score against per-cell shifted tables — probe " +
+        "through ivfPqTopK/ivfPqTopKRefined")
     val nq = queries.select(col(queryIdCol)).count()
     require(nq <= maxQueries,
       s"Pq.topKJoin broadcasts an ~${cb.m * cb.k * 8 / 1024} KB ADC table per query " +
@@ -553,7 +620,25 @@ object Pq {
     * ADC shortlist scans only the nProbe nearest cells' codes, the
     * re-rank touches only `candidates` true vectors. The full
     * RAM-resident-index retrieval story: sub-linear candidate scan
-    * (IVF) × 32× smaller scan rows (PQ) × exact end ranking (refine). */
+    * (IVF) × 32× smaller scan rows (PQ) × exact end ranking (refine).
+    *
+    * OPERATING CURVE (measured, pqrecall harness — BASELINE r17): end
+    * recall is CEILING-BOUND by cell pruning — no code-side improvement
+    * recovers a neighbor whose cell was not probed. Decomposed on the
+    * near-isotropic harness corpus (16 cells): exact-vector ceiling
+    * 0.46/0.63/0.73/0.82 at nProbe 2/4/6/8, and this refined path
+    * tracks the ceiling once `candidates` scales with the probed row
+    * count (0.81 at nProbe=8, candidates=200 vs 0.62 at the old
+    * nProbe=4, candidates=100 — the refine was starved, not wrong). So:
+    * pick nProbe from the recall target against the measured ceiling of
+    * YOUR corpus (clustered corpora reach high ceilings at small
+    * nProbe; isotropic ones need nProbe ≈ cells/2), then size
+    * `candidates` ≈ 10–20% of the expected probed rows (nProbe·N/cells)
+    * so ADC noise cannot squeeze true neighbors out of the shortlist.
+    * A residual codebook ([[trainResidual]]) sharpens the ADC ordering
+    * on clustered data (+0.05 pinned in PqResidualSuite) and is parity
+    * on isotropic data — it moves the shortlist quality, never the
+    * ceiling. */
   def ivfPqTopKRefined(pqCells: DataFrame, ivfCentroids: Array[Array[Double]],
                        cb: PqCodebook, vectors: DataFrame, idCol: String,
                        queryVec: Seq[Float], k: Int, nProbe: Int = 2,
@@ -572,7 +657,10 @@ object Pq {
     * vector, the form that keeps a corpus-scale index resident. */
   def encodeCells(index: Similarity.IvfIndex, cb: PqCodebook,
                   codeCol: String = "pq_code"): DataFrame =
-    encode(index.cells, index.vecCol, cb, codeCol)
+    (if (cb.residual)
+       encodePrepared(withCellResidual(index.cells, index.vecCol,
+         index.centroids, "__resid"), col("__resid"), cb, codeCol)
+     else encode(index.cells, index.vecCol, cb, codeCol))
       .select(col(index.idCol), col("__cell"), col(codeCol))
 
   /** IVF-PQ probe: rank cells by the query's dot against the IVF
@@ -596,8 +684,32 @@ object Pq {
     val probeCells = ivfCentroids.zipWithIndex.map { case (c, i) =>
       (c.iterator.zip(qf.iterator).map { case (x, y) => x * y.toDouble }.sum, i)
     }.sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
-    topK(pqCells.where(col("__cell").isin(probeCells.toSeq: _*)),
-      idCol, cb, queryVec, k, codeCol)
+    if (!cb.residual)
+      return topK(pqCells.where(col("__cell").isin(probeCells.toSeq: _*)),
+        idCol, cb, queryVec, k, codeCol)
+    // RESIDUAL probe: cell c's codes quantize r = u − c, so the ADC
+    // table for cell c comes from the SHIFTED query (q − c); then
+    // adc ≈ ‖(q−c) − r̂‖² = ‖q − v̂‖² and pq_cosine = 1 − adc/2 keeps
+    // the exact same contract as the plain path (q, v unit). One small
+    // table per probed cell rides as a when-chain literal keyed on
+    // __cell — nProbe·m·k doubles (≤16 KB each), bounded by nProbe, so
+    // the task binary never scales with the index's total cell count.
+    val tbls = probeCells.map { c =>
+      val cc = ivfCentroids(c)
+      require(cc.length == qn.length,
+        s"query dim ${qn.length} != centroid dim ${cc.length} (cell $c)")
+      c -> cb.tableFor(Array.tabulate(qn.length)(j => qn(j) - cc(j)))
+    }
+    val tblCol = tbls.tail.foldLeft(
+      when(col("__cell") === tbls.head._1, typedlit(tbls.head._2.toSeq))) {
+      case (acc, (c, t)) => acc.when(col("__cell") === c, typedlit(t.toSeq))
+    }
+    pqCells.where(col("__cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol),
+        adcCosine(tblCol, col(codeCol), cb.k).as("pq_cosine"))
+      .where(col("pq_cosine").isNotNull)
+      .orderBy(col("pq_cosine").desc, col(idCol))
+      .limit(k)
   }
 
   /** Persist an IVF-PQ index durably — the probe-able AT-REST form and
@@ -761,7 +873,12 @@ object Pq {
     // file missing or resized afterwards proves a rewrite landed.
     val legacyFp: Option[Seq[(String, Long)]] =
       if (seqBefore.isEmpty) Some(ivfPqDataFiles(ufs, cellsDir)) else None
-    encode(assigned, "__orig", cb, codeCol)
+    // residual indexes encode the batch the same way the build did:
+    // r = unit(orig) − centroid(assigned cell)
+    (if (cb.residual)
+       encodePrepared(withCellResidual(assigned, "__orig", cents, "__resid"),
+         col("__resid"), cb, codeCol)
+     else encode(assigned, "__orig", cb, codeCol))
       .select(col(idCol), col("__cell"), col(codeCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(cellsDir.toString)
@@ -1077,7 +1194,8 @@ object Pq {
     }
     val out = fs.create(p, true)
     try out.write((s"dim=${cb.dim}\nm=${cb.m}\nk=${cb.k}\n" +
-      s"rot=${if (cb.rotation.isDefined) 1 else 0}\n")
+      s"rot=${if (cb.rotation.isDefined) 1 else 0}\n" +
+      s"residual=${if (cb.residual) 1 else 0}\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -1125,6 +1243,8 @@ object Pq {
             "partial write")
         Some(r)
       } else None
-    PqCodebook(dim, m, k, cents, rotation)
+    // absent in pre-r17 indexes → plain (non-residual) codes
+    PqCodebook(dim, m, k, cents, rotation,
+      residual = meta.get("residual").contains("1"))
   }
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** r17: RESIDUAL IVF-PQ (VERDICT r16 #4) — the standard formulation
+  * (Jégou et al. TPAMI'11): codes quantize r = u − centroid(cell)
+  * instead of u, so the same m bytes cut the much smaller residual
+  * space.
+  *
+  * The fixture corpus is strongly CLUSTERED by construction — that is
+  * the geometry residual encoding exists for (residual norms ≈ the
+  * intra-cluster noise, a fraction of the unit sphere). On
+  * near-isotropic data (the pqrecall harness corpus) centroids are weak
+  * and residuals do not shrink — measured parity there, ledgered in
+  * BASELINE r17; the same honest split as the OPQ story (PqOpqSuite
+  * header). All fixtures and training are deterministic, so every pin
+  * below is a constant, not a statistical floor.
+  */
+class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("pq-residual-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val dim = 64
+  private val nClusters = 16
+  private val nRows = 2000
+
+  /** Clustered corpus: 16 well-separated unit centers + per-dim gaussian
+    * noise at sigma 0.02 — residual NORM ≈ 0.02·√64 = 0.16 vs the
+    * unit-norm originals, so residual quantization has ~6x finer
+    * effective resolution at the same code bytes (per-dim sigma scales
+    * by √dim: 0.08 would make 0.64-norm residuals — barely clustered).
+    * Fixed seed -> identical rows every run. */
+  private lazy val corpus: DataFrame = {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nClusters) {
+      val c = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / n).toFloat)
+    }
+    (0L until nRows.toLong).map { id =>
+      val c = centers((id % nClusters).toInt)
+      val v = c.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding").repartition(4).localCheckpoint()
+  }
+
+  private lazy val queries: Array[(Long, Seq[Float])] =
+    corpus.orderBy("vec_id").limit(25)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  private lazy val groundTruth: Map[Long, Set[Long]] = queries.map {
+    case (id, v) =>
+      id -> Similarity.cosineTopK(corpus, "embedding", "vec_id", v, 10)
+        .collect().map(_.getLong(0)).toSet
+  }.toMap
+
+  private lazy val ivf =
+    Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+      k = nClusters, iters = 3)
+  private lazy val plainCb =
+    Pq.train(corpus, "embedding", "vec_id", m = 8, k = 64, iters = 3)
+  private lazy val plainCells =
+    Pq.encodeCells(ivf, plainCb).localCheckpoint()
+  private lazy val resCb = Pq.trainResidual(ivf, m = 8, k = 64, iters = 3)
+  private lazy val resCells = Pq.encodeCells(ivf, resCb).localCheckpoint()
+
+  private def recallOf(probe: Seq[Float] => DataFrame): Double = {
+    val rs = queries.map { case (id, v) =>
+      probe(v).collect().map(_.getLong(0)).toSet
+        .intersect(groundTruth(id)).size.toDouble / 10.0
+    }
+    rs.sum / rs.length
+  }
+
+  test("residual ADC beats plain ADC on clustered data at the same bytes") {
+    val plainR = recallOf(v => Pq.ivfPqTopK(plainCells, ivf.centroids,
+      plainCb, "vec_id", v, 10, nProbe = 2))
+    val resR = recallOf(v => Pq.ivfPqTopK(resCells, ivf.centroids,
+      resCb, "vec_id", v, 10, nProbe = 2))
+    assert(resR >= plainR + 0.05,
+      f"residual must beat global quantization on clustered data: " +
+        f"plain=$plainR%.3f residual=$resR%.3f")
+    // ADC-ONLY recall inside a sigma-tight cluster is resolution-bound
+    // (ordering same-cluster neighbors needs code error below sigma —
+    // that is what the refine stage is for; see the composed pin below),
+    // so the floor pins the measured deterministic constant, not 0.9+
+    assert(resR >= 0.40, f"residual ADC recall floor: $resR%.3f")
+  }
+
+  test("composed refined recall clears 0.8 at the documented defaults " +
+    "(nProbe = cells/2, candidates = 2x the shortlist)") {
+    val r = recallOf(v => Pq.ivfPqTopKRefined(resCells, ivf.centroids,
+      resCb, corpus, "vec_id", v, 10, nProbe = nClusters / 2,
+      candidates = 200))
+    assert(r >= 0.8, f"composed residual refined recall: $r%.3f")
+  }
+
+  test("residual codebook round-trips saveIvfPq/loadIvfPq; probe " +
+    "results identical") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_respq").toString
+    Pq.saveIvfPq(resCells, ivf.centroids, resCb, path)
+    val (cells2, cents2, cb2) = Pq.loadIvfPq(spark, path)
+    assert(cb2.residual, "residual flag lost through save/load")
+    val (_, v) = queries.head
+    val before = Pq.ivfPqTopK(resCells, ivf.centroids, resCb,
+      "vec_id", v, 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val after = Pq.ivfPqTopK(cells2, cents2, cb2,
+      "vec_id", v, 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "loaded residual index probes differently")
+  }
+
+  test("updateIvfPq folds a batch into a residual index with residual " +
+    "encoding (appended rows probe identically to built rows)") {
+    val sp = spark; import sp.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_respq_up").toString
+    Pq.saveIvfPq(resCells, ivf.centroids, resCb, path)
+    // the batch: exact copies of known rows under fresh ids — their
+    // residual codes must equal the originals', so a probe near those
+    // rows returns the clones with identical pq_cosine
+    val batch = corpus.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Pq.updateIvfPq(spark, path, batch, "embedding", "vec_id")
+    val (cells2, cents2, cb2) = Pq.loadIvfPq(spark, path)
+    val (qid, v) = queries.head // vec_id 0 -> clone 100000
+    val got = Pq.ivfPqTopK(cells2, cents2, cb2, "vec_id", v, 10,
+      nProbe = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val self = got.find(_._1 == qid)
+    val clone = got.find(_._1 == qid + 100000L)
+    assert(self.isDefined && clone.isDefined,
+      s"probe must return both the row and its appended clone: " +
+        s"${got.map(_._1).mkString(",")}")
+    assert(self.get._2 == clone.get._2,
+      "appended clone scored differently — update-path residual " +
+        "encoding diverged from the build path")
+  }
+
+  test("guards: flat surfaces refuse residual codebooks; residual + " +
+    "rotation refuses; plain encode of residual cb refuses") {
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.topK(resCells, "vec_id", resCb, queries.head._2, 5)
+    }
+    assert(e1.getMessage.contains("residual"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.encode(corpus, "embedding", resCb)
+    }
+    assert(e2.getMessage.contains("residual"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.topKJoin(corpus.limit(1), resCells, resCb, 5)
+    }
+    assert(e3.getMessage.contains("residual"), e3.getMessage)
+    val eye = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val e4 = intercept[IllegalArgumentException] {
+      resCb.copy(rotation = Some(eye))
+    }
+    assert(e4.getMessage.contains("rotation"), e4.getMessage)
+  }
+
+  test("sub_vec kernel: element-wise difference, NULL on length mismatch") {
+    val sp = spark; import sp.implicits._
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    def sub(a: Column, b: Column) = bridge.column(
+      graft.expressions.SubVec(bridge.expression(a), bridge.expression(b)))
+    val df = Seq((Seq(3.0, 5.0), Seq(1.0, 7.0))).toDF("a", "b")
+    assert(df.select(sub(col("a"), col("b"))).head.getSeq[Double](0) ==
+      Seq(2.0, -2.0))
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    assert(ragged.select(sub(col("a"), col("b"))).head.isNullAt(0),
+      "length mismatch must NULL, not truncate")
+  }
+
+  private type Column = org.apache.spark.sql.Column
+}
