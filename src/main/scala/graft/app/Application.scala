@@ -56,6 +56,14 @@ final class Application(val name: String, val spark: SparkSession,
                         val rootDir: String,
                         args: Map[String, Any] = Map.empty) {
 
+  /** This app's owner identity — the unit cross-app grants are checked
+    * against (the local analog of the reference's AWS account in
+    * `authorize_external_entity`). Defaults to the OS user; override
+    * with `args("owner")` where one user runs apps on several
+    * principals' behalf. */
+  val owner: String = args.get("owner").map(_.toString)
+    .getOrElse(System.getProperty("user.name", "unknown"))
+
   private case class NodeDef(id: String, linkNode: SignalLinkNode,
                              output: Signal, outputLinks: List[DimensionLink],
                              slots: Seq[Slot], ttlMillis: Long, hooks: RouteHooks,
@@ -1898,19 +1906,34 @@ final class Application(val name: String, val spark: SparkSession,
     * each exported node's id, dimension spec, and dataset attrs — the
     * downstream side imports via [[importExported]] WITHOUT re-declaring
     * the spec, and the import is validated against the grant. Returns the
-    * manifest path. */
-  def exportToDownstream(downstreamId: String, nodes: Seq[NodeRef]): String = {
+    * manifest path.
+    *
+    * The grant is STAMPED with this app's [[owner]]; a downstream whose
+    * owner differs is refused at import/connect time unless listed in
+    * `authorizedOwners` — the local analog of the reference's
+    * `authorize_external_entity` (an external account gains access only
+    * when the owner grants it by name). */
+  def exportToDownstream(downstreamId: String, nodes: Seq[NodeRef],
+                         authorizedOwners: Set[String] = Set.empty): String = {
     val exported = nodes.toList.map { n =>
       val id = n.signal.alias
       require(defs.exists(_.id == id),
         s"cannot export undeclared node '$id'")
       ExportedNode(id, n.signal.spec, n.signal.source.attrs)
     }
-    val path = ExportManifest.save(ExportManifest(name, downstreamId, exported),
+    val path = ExportManifest.save(
+      ExportManifest(name, downstreamId, exported, owner, authorizedOwners),
       rootDir, spark.sparkContext.hadoopConfiguration)
     synchronized { manifestCache -= downstreamId } // re-read the new grant
     path
   }
+
+  private def requireGrantAuthorized(m: ExportManifest, ctx: String): Unit =
+    require(m.authorizes(owner),
+      s"$ctx: grant from '${m.upstreamName}' (owner '${m.owner}') does " +
+        s"not authorize owner '$owner' — the upstream must re-export " +
+        s"with authorizedOwners including '$owner' " +
+        "(the authorize_external_entity analog)")
 
   /** Downstream side of [[exportToDownstream]]: import an upstream node
     * THROUGH its export manifest — the dimension spec and dataset attrs
@@ -1921,6 +1944,7 @@ final class Application(val name: String, val spark: SparkSession,
       .load(upstreamRoot, name, spark.sparkContext.hadoopConfiguration)
       .getOrElse(throw new IllegalArgumentException(
         s"upstream at $upstreamRoot exports nothing to application '$name'"))
+    requireGrantAuthorized(manifest, "importExported")
     val node = manifest.nodes.find(_.nodeId == nodeId).getOrElse(
       throw new IllegalArgumentException(
         s"upstream '${manifest.upstreamName}' does not export '$nodeId' to '$name' " +
@@ -1947,6 +1971,7 @@ final class Application(val name: String, val spark: SparkSession,
       .load(root, name, spark.sparkContext.hadoopConfiguration)
       .getOrElse(throw new IllegalArgumentException(
         s"upstream at $root exports nothing to application '$name'"))
+    requireGrantAuthorized(manifest, "importUpstreamApplication")
     synchronized {
       upstreamApps = upstreamApps.filterNot(_._1 == root) :+ (root -> manifest)
     }
@@ -1982,10 +2007,20 @@ final class Application(val name: String, val spark: SparkSession,
     * that app are forwarded. */
   def connectDownstream(app: Application): Unit = synchronized {
     require(app ne this, "cannot connect an application to itself")
-    if (!downstreamApps.exists(_ eq app)) downstreamApps :+= app
     // (re-)connecting re-reads the grant: a manifest written by ANOTHER
     // process since the last propagate becomes visible here
     manifestCache -= app.name
+    // ownership gate BEFORE wiring: pushing completions to a downstream
+    // whose owner the grant never authorized is the same leak an
+    // unauthorized import is (checked only when a grant exists — with
+    // no manifest nothing would propagate anyway)
+    manifestFor(app.name).foreach { m =>
+      require(m.authorizes(app.owner),
+        s"connectDownstream: grant to '${app.name}' (owner '${m.owner}') " +
+          s"does not authorize downstream owner '${app.owner}' — " +
+          s"re-export with authorizedOwners including '${app.owner}'")
+    }
+    if (!downstreamApps.exists(_ eq app)) downstreamApps :+= app
   }
 
   // volatile: connectDownstream writes under synchronized, but sweeper/
@@ -2009,9 +2044,13 @@ final class Application(val name: String, val spark: SparkSession,
 
   private def propagateToDownstreams(path: String): List[String] =
     downstreamApps.flatMap { down =>
-      val granted = manifestFor(down.name).exists(_.nodes.exists(n =>
-        path.startsWith(s"$rootDir/internal_data/${n.nodeId}/") ||
-          path == s"$rootDir/internal_data/${n.nodeId}"))
+      // ownership re-checked per propagation (manifest is cached, so
+      // this is a map lookup): a grant re-written to REVOKE an external
+      // owner after connectDownstream stops leaking immediately
+      val granted = manifestFor(down.name).exists(m =>
+        m.authorizes(down.owner) && m.nodes.exists(n =>
+          path.startsWith(s"$rootDir/internal_data/${n.nodeId}/") ||
+            path == s"$rootDir/internal_data/${n.nodeId}"))
       // a paused/terminated downstream consumes nothing by contract —
       // letting "activate() first" escape from THIS app's completion
       // feed-back would fail an execution that succeeded and drop the

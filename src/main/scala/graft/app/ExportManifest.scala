@@ -14,9 +14,25 @@ final case class ExportedNode(nodeId: String, spec: DimSpec,
   * export_to_downstream_application, application.py:3961-3963), persisted
   * under `<upstreamRoot>/exports/<downstreamId>.bin` so the downstream's
   * import works across processes — the durable face of the reference's
-  * conf.set_downstream registration. */
+  * conf.set_downstream registration.
+  *
+  * `owner` stamps WHO wrote the grant (the exporting app's owner id —
+  * OS user by default) and `authorizedOwners` is the explicit
+  * cross-owner allow-list: an importing app whose owner differs from
+  * the stamp is refused unless listed — the local analog of the
+  * reference's `authorize_external_entity` (application.py), where an
+  * external account only gains access when the resource owner grants it
+  * BY NAME. Same-owner collaboration needs no listing. */
 final case class ExportManifest(upstreamName: String, downstreamId: String,
-                                nodes: List[ExportedNode])
+                                nodes: List[ExportedNode],
+                                owner: String = "",
+                                authorizedOwners: Set[String] = Set.empty) {
+  /** True when `importer` may consume this grant: the owner itself, a
+    * listed external owner, or a pre-r17 unstamped manifest (owner
+    * empty — no ACL to enforce). */
+  def authorizes(importer: String): Boolean =
+    owner.isEmpty || importer == owner || authorizedOwners.contains(importer)
+}
 
 object ExportManifest {
 

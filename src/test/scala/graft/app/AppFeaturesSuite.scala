@@ -623,6 +623,47 @@ class AppFeaturesSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("SlotFunction"))
   }
 
+  test("grant ownership: a mismatched owner is refused at import/connect " +
+    "unless the grant authorizes it (authorize_external_entity analog)") {
+    stageDays(s"$work/src_own", Seq("2026-08-12"))
+    val appU = new Application("appU", spark, s"$work/app_own_u",
+      Map("owner" -> "team-data"))
+    val srcU = appU.marshalExternalData("src", s"$work/src_own", daySpec)
+    val shared = appU.createData("shared", Seq(srcU.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    appU.exportToDownstream("appX", Seq(shared))
+
+    // same grant id, FOREIGN owner -> refused with the remedy named
+    val appX = new Application("appX", spark, s"$work/app_own_x",
+      Map("owner" -> "team-ml"))
+    val eImp = intercept[IllegalArgumentException](
+      appX.importExported("in", appU.rootDir, "shared"))
+    assert(eImp.getMessage.contains("authorizedOwners"), eImp.getMessage)
+    val eAtt = intercept[IllegalArgumentException](
+      appX.importUpstreamApplication(appU.rootDir))
+    assert(eAtt.getMessage.contains("authorize"), eAtt.getMessage)
+    val eCon = intercept[IllegalArgumentException](
+      appU.connectDownstream(appX))
+    assert(eCon.getMessage.contains("authorize"), eCon.getMessage)
+
+    // the explicit authorization (re-export with the owner listed)
+    // unlocks all three surfaces — access is granted BY NAME, never
+    // implicitly
+    appU.exportToDownstream("appX", Seq(shared),
+      authorizedOwners = Set("team-ml"))
+    val in = appX.importExported("in", appU.rootDir, "shared")
+    assert(in.signal.alias == "in")
+    appX.importUpstreamApplication(appU.rootDir)
+    appU.connectDownstream(appX)
+
+    // same-owner apps keep working with no authorization ceremony
+    val appY = new Application("appY", spark, s"$work/app_own_y",
+      Map("owner" -> "team-data"))
+    appU.exportToDownstream("appY", Seq(shared))
+    assert(appY.importExported("in2", appU.rootDir, "shared")
+      .signal.alias == "in2")
+  }
+
   test("downstream export: two apps share data both directions, push-wired") {
     stageDays(s"$work/src_export", Seq("2026-08-12"))
     val appA = new Application("appA", spark, s"$work/app_exp_a")
