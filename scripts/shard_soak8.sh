@@ -21,6 +21,17 @@ rm -rf "$ROOT"; mkdir -p "$ROOT"
 echo "== stage ($SFDIR x$COPIES, ring=16, 8 drivers) =="
 java $JOPTS -cp "$CP" graft.ShardSoak stage "$ROOT" "$SFDIR" "$COPIES" 2>"$ROOT/stage.err" | tail -1
 
+# SPARK_GRAFT_KV_BACKEND=http (VERDICT r16 #6): all shared state through
+# a standalone conditional-PUT HTTP store — one server process, eight
+# driver processes, every lease/WAL/inbox op a real socket round-trip
+KV_PID=""
+if [[ "${SPARK_GRAFT_KV_BACKEND:-}" == "http" ]]; then
+  java $JOPTS -cp "$CP" graft.ShardSoak serve "$ROOT" >"$ROOT/kv.out" 2>&1 &
+  KV_PID=$!
+  for i in $(seq 1 100); do [[ -f "$ROOT/kv_endpoint" ]] && break; sleep 0.1; done
+  echo "== kv store: $(cat "$ROOT/kv_endpoint") (pid $KV_PID) =="
+fi
+
 DRIVERS=(A B C D E F G H)
 declare -A PIDS
 for i in "${!DRIVERS[@]}"; do
@@ -75,4 +86,6 @@ sort -n "$ROOT"/events-*.log | awk -v t0="$T0" '{printf "%+8.1fs %s\n", ($1-t0)/
 
 echo "== verify =="
 java $JOPTS -cp "$CP" graft.ShardSoak verify "$ROOT" 2>"$ROOT/verify.err" | tail -1
-exit $((RC + ${PIPESTATUS[0]}))
+VRC=${PIPESTATUS[0]}
+if [[ -n "$KV_PID" ]]; then touch "$ROOT/kv_stop"; wait "$KV_PID" 2>/dev/null; fi
+exit $((RC + VRC))

@@ -121,11 +121,40 @@ object ShardSoak {
       println(s"""{"mode":"stage","docs":${spark.read.parquet(s"$root/staged/0").count()}}""")
       spark.stop()
 
+    // r17 (VERDICT r16 #6): standalone conditional-PUT HTTP store for
+    // CROSS-PROCESS soaks — the 8-driver churn soak's shared state runs
+    // over real sockets with S3-shaped If-None-Match/If-Match semantics
+    // instead of the shared filesystem. Writes its endpoint to
+    // `<root>/kv_endpoint`, serves until `<root>/kv_stop` appears.
+    case "serve" =>
+      val Array(_, root) = args
+      val store = new graft.routing.LocalHttpObjectStore
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "kv_endpoint"),
+        store.endpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"""{"mode":"serve","endpoint":"${store.endpoint}"}""")
+      val stop = java.nio.file.Paths.get(root, "kv_stop")
+      while (!java.nio.file.Files.exists(stop)) Thread.sleep(200)
+      store.close()
+
     case "drive" =>
       val Array(_, root, driverId, shardsCsv) = args
       val cpus = sys.env.getOrElse("SPARK_GRAFT_SOAK_CPUS", "12").toInt
       val timeoutMs =
         sys.env.getOrElse("SPARK_GRAFT_SHARD_SOAK_TIMEOUT", "600").toLong * 1000
+      // SPARK_GRAFT_KV_BACKEND=http: all shared state (leases AND WAL
+      // AND inbox) through the conditional-PUT endpoint a sibling
+      // `serve` process published — every lease/WAL/inbox op is a real
+      // socket round-trip across OS processes (the kvchain backend at
+      // the 8-driver churn topology)
+      val kvStore: Option[graft.routing.ConditionalKv] =
+        if (sys.env.get("SPARK_GRAFT_KV_BACKEND").contains("http")) {
+          val ep = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(root, "kv_endpoint")),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          Some(new graft.routing.HttpConditionalKv(ep))
+        } else None
+      val kvGc = sys.env.getOrElse("SPARK_GRAFT_KV_GROUP_COMMIT", "64").toInt
       val spark = session(cpus)
       val app = buildApp(spark, root)
       val home = shardsCsv.split(",").filter(_.nonEmpty).map(_.toInt).toSet
@@ -139,7 +168,8 @@ object ShardSoak {
       while (!java.nio.file.Files.exists(go)) Thread.sleep(20)
       app.activateSharded(driverId, NumShards,
         shards = if (home.isEmpty) None else Some(home),
-        leaseTimeoutMillis = 5000L)
+        leaseTimeoutMillis = 5000L,
+        kvStore = kvStore, kvGroupCommit = kvGc)
       log(root, driverId, s"activated owned=${app.ownedShards.toSeq.sorted.mkString("+")}")
       // decoupled lease heartbeat: a hop's Spark job runs inside
       // shardedCycle for seconds — far past the 5 s lease timeout — and

@@ -1153,14 +1153,79 @@ final class Application(val name: String, val spark: SparkSession,
     * [[execute]] keeps throw-on-failure semantics. */
   private def runContextsIsolated(ctxs: List[ExecutionContext]): List[String] =
     ctxs.flatMap { ctx =>
-      try runContexts(List(ctx))
-      catch {
+      try {
+        // EVENT-REDELIVERY idempotency guard (r17, found by the 8-driver
+        // HTTP soak): every context on this surface came from an
+        // at-least-once channel (WAL takeover replay or inbox refold), so
+        // a DUPLICATE here re-RUNS a hop whose output already committed —
+        // and the duplicate's overwrite CLEARS the partition while a
+        // downstream consumer's scan may be mid-read (observed: the final
+        // hop read its input empty and committed an empty output under a
+        // valid _SUCCESS). Skip the rewrite when the output is complete
+        // AND strictly newer than every input partition — a RE-PUBLISHED
+        // input (backfill/correction) carries a newer stamp, so real
+        // recomputes still run; anything unstampable (timers, synthetic
+        // object-store dirs) runs normally. The completion FEEDBACK still
+        // fires on a skip: the redelivery may exist precisely because the
+        // original completion's feedback was lost mid-crash, and
+        // re-feeding a completed path is a finite, Spark-job-free walk of
+        // the downstream DAG (each hop skips the same way).
+        duplicateOutputOf(ctx) match {
+          case Some(completed) =>
+            MaintenanceMetrics.add("routing.execution.duplicateSkipped")
+            completed.flatMap { path =>
+              sharded match {
+                case Some(d) => path :: (runContextsIsolated(d.complete(path)) ++
+                  propagateToDownstreams(path))
+                case None => List(path)
+              }
+            }
+          case None => runContexts(List(ctx))
+        }
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[${name}] sharded execution of route " +
             s"'${ctx.routeId}' failed (driver continues): ${e.getMessage}")
           Nil
       }
     }
+
+  /** `Some(outputPaths)` when `ctx` is provably a DUPLICATE redelivery:
+    * every output partition complete, every input and output completion
+    * stampable on the filesystem, and the oldest output strictly newer
+    * than the newest input. `None` = run it. */
+  private def duplicateOutputOf(ctx: ExecutionContext): Option[List[String]] = {
+    def stamp(path: String,
+              protocol: graft.signal.IntegrityProtocol): Option[Long] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        protocol match {
+          case graft.signal.IntegrityProtocol.FileCheck(names) =>
+            names.iterator
+              .map(n => new org.apache.hadoop.fs.Path(p, n))
+              .find(fs.exists)
+              .map(m => fs.getFileStatus(m).getModificationTime)
+          case graft.signal.IntegrityProtocol.None_ =>
+            // dir mtime bumps on file add/remove (local/HDFS); synthetic
+            // object-store dirs throw or return 0 -> unstampable -> run
+            val st = fs.getFileStatus(p)
+            if (st.getModificationTime > 0L) Some(st.getModificationTime)
+            else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    val outPaths = ctx.output.materializedPaths.toList
+    if (outPaths.isEmpty) return None
+    val outStamps = outPaths.map(stamp(_, ctx.output.source.protocol))
+    if (outStamps.exists(_.isEmpty)) return None // incomplete or unstampable
+    val inPaths = ctx.inputs.filterNot(_.source.attrs.rawContent)
+      .flatMap(in => in.materializedPaths.map(p => (p, in.source.protocol)))
+    if (inPaths.isEmpty) return None // timer-only triggers: cannot assess
+    val inStamps = inPaths.map { case (p, proto) => stamp(p, proto) }
+    if (inStamps.exists(_.isEmpty)) return None
+    if (outStamps.flatten.min > inStamps.flatten.max) Some(outPaths) else None
+  }
 
   /** Re-pin this sharded driver's target shard set at runtime — a
     * deployment-policy change, e.g. widening a driver that was pinned to

@@ -143,6 +143,72 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     dA.terminate(); dB.terminate()
   }
 
+  test("redelivered completion skips the re-run when the output is fresh; " +
+    "a re-published input still recomputes (r17 duplicate guard)") {
+    // the 8-driver HTTP soak's failure shape: an at-least-once
+    // redelivery re-ran a hop whose output had already committed, and
+    // the duplicate's overwrite raced a downstream reader (which
+    // committed an EMPTY result under a valid _SUCCESS)
+    val upId = (0 to 99).map(i => s"dup_up_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 0).get
+    val downId = (0 to 99).map(i => s"dup_dn_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 2) == 1).get
+    val root = s"$work/app_dup"
+    val downRuns = new java.util.concurrent.atomic.AtomicInteger
+    def mkDriver(): Application = {
+      val app = new Application("dup", spark, root)
+      val src = app.marshalExternalData("src", s"$work/src", daySpec)
+      val up = app.createData(upId, Seq(src.latest(1)), Seq(SqlSlot(
+        "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+      app.createData(downId, Seq(up), Seq(graft.compute.ScalaSlot { c =>
+        downRuns.incrementAndGet()
+        c.input(upId).selectExpr("day", "total * 10 AS scaled")
+      }))
+      app
+    }
+    val dA = mkDriver(); val dB = mkDriver()
+    dA.activateSharded("A", 2, shards = Some(Set(0)))
+    dB.activateSharded("B", 2, shards = Some(Set(1)))
+    dA.processPath(s"$work/src/2026-08-12")
+    assert(dB.shardedCycle().exists(_.endsWith(s"$downId/2026-08-12")))
+    assert(downRuns.get == 1)
+    val upOut = s"$root/internal_data/$upId/2026-08-12"
+
+    // redeliver the upstream completion into B's shard-1 inbox — the
+    // crash shape (completing driver died between inbox send and its
+    // delete; or a takeover refolded a surviving message)
+    def redeliver(): Unit = {
+      val dir = new java.io.File(s"$root/sharding/shards/shard-1/inbox")
+      dir.mkdirs()
+      val msg = new java.io.File(dir,
+        f"msg-${System.currentTimeMillis()}%013d-test${downRuns.get}%02d")
+      val w = new java.io.FileWriter(msg)
+      // WalCodec.esc is identity for plain paths (no tabs/newlines)
+      try w.write(s"c\t$upOut\ne\t$upOut\n")
+      finally w.close()
+    }
+    redeliver()
+    val completed = dB.shardedCycle()
+    assert(downRuns.get == 1,
+      "duplicate redelivery must not re-run a fresh output")
+    // feedback still fired (the redelivery may exist because the
+    // original completion's feedback was lost): the skip reports the
+    // completed output path instead of silently swallowing it
+    assert(completed.exists(_.endsWith(s"$downId/2026-08-12")))
+
+    // a RE-PUBLISHED input (backfill/correction: newer completion stamp
+    // than the output) must still recompute — freshness, not amnesia
+    val downOutSucc = new java.io.File(
+      s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+    val upSucc = new java.io.File(s"$upOut/_SUCCESS")
+    assert(upSucc.setLastModified(downOutSucc.lastModified() + 1000))
+    redeliver()
+    dB.shardedCycle()
+    assert(downRuns.get == 2,
+      "a re-published (newer) input must re-run the downstream")
+    dA.terminate(); dB.terminate()
+  }
+
   test("process(signal) forwards a materialized event to the owning driver") {
     // a SIGNAL-form event (fireTimer) ingested on the WRONG driver must
     // cross to the owning shard through the inbox, same as processPath —
