@@ -73,6 +73,16 @@ object Bench {
     "p07_minhash_lsh", "p12_ann_lsh", "p14_dup_clusters",
     "p18_incremental_dedup")
 
+  /** The sf1 (10x) cadence set (VERDICT r16 #8): one representative per
+    * scale-sensitive family — full-scan agg, the distributed RANGE
+    * frame, LSH banding, connected components, incremental dedup, and
+    * the PQ encode+probe path. Select with SPARK_GRAFT_BENCH_SET=sf1
+    * against a ScaleUp'd dir, where per-query walls are seconds-scale
+    * and host noise stops dominating round-over-round drift. */
+  private val sf1Headline = List(
+    "q01_agg_pricing", "q35_range_frame", "p07_minhash_lsh",
+    "p14_dup_clusters", "p18_incremental_dedup", "p38_pq_ann")
+
   private def loadavg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
@@ -197,7 +207,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries
-    val names = headline.filter(n => only.forall(_.contains(n)))
+    val set = sys.env.get("SPARK_GRAFT_BENCH_SET") match {
+      case Some("sf1") => sf1Headline
+      case _ => headline
+    }
+    val names = set.filter(n => only.forall(_.contains(n)))
       .filter(queries.contains)
     // untimed warmup for queries that stage scratch inputs on first run
     List("fw01_range_union").foreach { q =>

@@ -94,6 +94,13 @@ object Compaction {
 
     require(fs.exists(new Path(root, "_SUCCESS")),
       s"refusing to compact incomplete partition $root (no _SUCCESS)")
+    require(!output.source.attrs.versioned &&
+        !fs.listStatus(dataPath).exists(
+          _.getPath.getName.startsWith(OutputWriter.DataPtrPrefix)),
+      s"partition $root uses the versioned REPLACE layout — every " +
+        "versioned write is already a full rewrite; recompact by " +
+        "re-writing the node (in-place file swaps would bypass the " +
+        "pointer commit)")
     val files = dataFiles(fs, dataPath)
     val total = files.map(_._2).sum
     val wanted = math.min(65536L,
@@ -299,6 +306,13 @@ object Compaction {
 
     require(fs.exists(new Path(root, "_SUCCESS")),
       s"refusing to compact incomplete partition $root (no _SUCCESS)")
+    require(!output.source.attrs.versioned &&
+        !fs.listStatus(dataPath).exists(
+          _.getPath.getName.startsWith(OutputWriter.DataPtrPrefix)),
+      s"partition $root uses the versioned REPLACE layout — every " +
+        "versioned write is already a full rewrite; recompact by " +
+        "re-writing the node (in-place file swaps would bypass the " +
+        "pointer commit)")
     val files = dataFiles(fs, dataPath)
     val total = files.map(_._2).sum
     val wanted = math.min(65536L,

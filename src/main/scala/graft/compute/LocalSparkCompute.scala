@@ -99,7 +99,22 @@ object InputLoader {
           s"range check failed for '${signal.alias}': missing ${missing.take(3).mkString(", ")}")
         partPaths
       } else partPaths.filter(complete)
-    val paths: Seq[String] = chosen.map(dataPath)
+    // versioned REPLACE partitions: the data lives under the NEWEST
+    // committed `data_v<N>/` (pointer-resolved) — a rewrite in flight
+    // never changes what this read resolves
+    val paths: Seq[String] =
+      if (attrs.versioned) chosen.map { p =>
+        val pp = new Path(p)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Compaction.VersionedDir
+          .newest(pfs, pp, OutputWriter.DataPtrPrefix) match {
+          case Some((_, d)) => s"$p/$d"
+          case None => throw new IllegalStateException(
+            s"versioned partition $p has no committed version — the " +
+              "pointer is missing or targets an incomplete dir")
+        }
+      }
+      else chosen.map(dataPath)
 
     require(paths.nonEmpty,
       s"no existing partitions for input '${signal.alias}' under ${signal.source.rootPath}")
@@ -256,9 +271,24 @@ object OutputWriter {
       case None => df
     }
 
+  /** Pointer-file prefix of a [[graft.signal.DatasetAttrs.versioned]]
+    * partition ([[Compaction.VersionedDir]] layout inside the
+    * partition dir). */
+  val DataPtrPrefix = "data_ptr.v"
+  val DataDirPrefix = "data_v"
+
   def write(spark: SparkSession, df0: DataFrame, output: Signal): String = {
     val attrs = output.source.attrs
     val path = output.materializedPaths.head
+    if (attrs.versioned) {
+      require(attrs.datasetType == DatasetType.REPLACE,
+        "versioned outputs are REPLACE-only (an APPEND never clears, so " +
+          "it has no reader-vs-rewrite window)")
+      require(attrs.dataFolder.isEmpty,
+        "versioned excludes dataFolder — the version dirs are the data " +
+          "indirection")
+      return writeVersioned(spark, df0, output)
+    }
     // data may live one level under the partition (attrs.dataFolder) —
     // mirror InputLoader, which appends it on read; markers stay at the
     // PARTITION root, where completion probes and feed-back look
@@ -268,15 +298,7 @@ object OutputWriter {
       case DatasetType.APPEND => SaveMode.Append
     }
     val df = governed(spark, df0, attrs)
-    var writer = df.write.format(attrs.format).mode(mode)
-    attrs.maxRecordsPerFile.foreach(n =>
-      writer = writer.option("maxRecordsPerFile", n.toString))
-    if (attrs.format.equalsIgnoreCase("csv"))
-      writer = writer.option("header", attrs.header.toString).option("sep", attrs.delimiter)
-    if (Seq("csv", "json", "text").exists(attrs.format.equalsIgnoreCase))
-      attrs.encoding.foreach(e => writer = writer.option("encoding", e))
-    attrs.compression.foreach(c => writer = writer.option("compression", c))
-    if (attrs.partitionKeys.nonEmpty) writer = writer.partitionBy(attrs.partitionKeys: _*)
+    val writer = configuredWriter(df, attrs, mode)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -311,6 +333,63 @@ object OutputWriter {
             "write _SUCCESS manually or re-run after clearing the batch", e)
       }
     } else finalizeMarkers() // overwrite is idempotent: retry freely
+    path
+  }
+
+  private def configuredWriter(df: DataFrame,
+                               attrs: graft.signal.DatasetAttrs,
+                               mode: SaveMode)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    var writer = df.write.format(attrs.format).mode(mode)
+    attrs.maxRecordsPerFile.foreach(n =>
+      writer = writer.option("maxRecordsPerFile", n.toString))
+    if (attrs.format.equalsIgnoreCase("csv"))
+      writer = writer.option("header", attrs.header.toString)
+        .option("sep", attrs.delimiter)
+    if (Seq("csv", "json", "text").exists(attrs.format.equalsIgnoreCase))
+      attrs.encoding.foreach(e => writer = writer.option("encoding", e))
+    attrs.compression.foreach(c => writer = writer.option("compression", c))
+    if (attrs.partitionKeys.nonEmpty)
+      writer = writer.partitionBy(attrs.partitionKeys: _*)
+    writer
+  }
+
+  /** Versioned REPLACE ([[graft.signal.DatasetAttrs.versioned]]): land
+    * the rewrite in a FRESH `data_v<seq>/`, commit with one immutable
+    * pointer PUT, then refresh the root markers. The partition's root
+    * `_SUCCESS` never disappears (a recompute keeps the partition
+    * complete throughout — readers resolve the previous pointer) and is
+    * RECREATED after each commit so completion stamps (the duplicate-
+    * redelivery freshness guard) see the rewrite. Current + one
+    * previous version survive each write (a reader holding the old
+    * pointer's file list finishes its scan); older versions are GC'd.
+    * A pointer-seq collision from a concurrent writer fails LOUDLY via
+    * the create-if-absent commit — concurrent recomputes of one
+    * partition are a coordination bug, not a case to absorb. */
+  private def writeVersioned(spark: SparkSession, df0: DataFrame,
+                             output: Signal): String = {
+    val attrs = output.source.attrs
+    val path = output.materializedPaths.head
+    val df = governed(spark, df0, attrs)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val seq = Compaction.VersionedDir.newest(fs, dir, DataPtrPrefix)
+      .map(_._1).getOrElse(0) + 1
+    val vname = s"$DataDirPrefix$seq"
+    val vpath = s"$path/$vname"
+    configuredWriter(df, attrs, SaveMode.Overwrite).save(vpath)
+    // pointer validity requires _SUCCESS INSIDE the version dir
+    // (VersionedDir.newest ignores committed-pointer targets without it)
+    if (!fs.exists(new Path(vpath, "_SUCCESS")))
+      fs.create(new Path(vpath, "_SUCCESS"), true).close()
+    Compaction.VersionedDir.commit(fs, dir, DataPtrPrefix, seq, vname)
+    val schemaOut = fs.create(new Path(dir, "_SCHEMA.spark.json"), true)
+    try schemaOut.write(df.schema.json.getBytes("UTF-8"))
+    finally schemaOut.close()
+    fs.create(new Path(dir, "_SUCCESS"), true).close() // fresh mtime
+    Compaction.VersionedDir.gc(fs, dir, DataPtrPrefix, DataDirPrefix,
+      keepMinSeq = seq - 1)
     path
   }
 }

@@ -140,6 +140,35 @@ object Framework {
       app.load(node(fmt(maxDay))).orderBy("o_orderstatus")
     }),
 
+    // ---- versioned REPLACE output (r17): the node's partition commits
+    // via data_v<N> + pointer PUT; a RE-execution (recompute) flips the
+    // pointer instead of clearing in place, and the managed read
+    // resolves the committed version — driven end-to-end through the
+    // orchestrator, including the recompute
+    "fw21_versioned_output" -> ((s, dir) => {
+      val w = work(dir)
+      val maxDay = stage(s, dir, "orders", "o_orderdate", s"$w/orders_daily", 1)
+      val app = new Application("fw21", s, s"$w/app_fw21")
+      val src = app.marshalExternalData("orders_daily", s"$w/orders_daily",
+        daySpec)
+      val node = app.createData("vers_agg", Seq(src.latest(1)), Seq(SqlSlot(
+        """SELECT o_orderpriority, COUNT(*) AS order_cnt,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders_daily GROUP BY o_orderpriority""")),
+        attrs = graft.signal.DatasetAttrs(versioned = true))
+      app.activate()
+      app.execute(node(fmt(maxDay)))
+      // recompute the same partition: the pointer must flip (v2) and the
+      // read must resolve it — identical results, no in-place clear
+      app.execute(node(fmt(maxDay)))
+      val part = s"$w/app_fw21/internal_data/vers_agg/${fmt(maxDay)}"
+      val fs = new org.apache.hadoop.fs.Path(part)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(part, "data_ptr.v2")),
+        "recompute did not commit a second version")
+      app.load(node(fmt(maxDay))).orderBy("o_orderpriority")
+    }),
+
     // ---- S4: nearest-the-tip — anchor 2 days past the data tip; the probe
     // walks back and reads exactly the newest existing partition
     "fw02_nearest" -> ((s, dir) => {
@@ -759,6 +788,13 @@ object Framework {
          WHERE CAST(o_orderdate AS DATE) >=
            (SELECT MAX(CAST(o_orderdate AS DATE)) - 2 FROM orders)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "fw21_versioned_output" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) =
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "fw17_streaming_ingest" ->
       """SELECT o_orderpriority, COUNT(*) AS order_cnt,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -53,6 +53,19 @@ final case class DatasetAttrs(
     primaryKeys: Seq[String] = Nil,
     datasetType: DatasetType = DatasetType.REPLACE,
     dataFolder: Option[String] = None,
+    /** Versioned REPLACE (r17): each rewrite lands in a fresh
+      * `data_v<N>/` dir inside the partition and commits with ONE
+      * immutable pointer PUT (`data_ptr.v<N>` —
+      * [[graft.compute.Compaction.VersionedDir]] semantics). A reader
+      * mid-scan of the previous version keeps reading intact files (the
+      * current + one previous version survive each write), so a
+      * RECOMPUTE (backfill, corrected upstream) can never present a
+      * half-cleared partition to a concurrent consumer — the in-place
+      * overwrite's unavoidable window on object stores without atomic
+      * dir swap. REPLACE-only (an APPEND never clears, so it has no
+      * such window); composes with every format; excludes `dataFolder`
+      * (the version dirs ARE the data indirection). */
+    versioned: Boolean = false,
     /** Trigger-only pseudo-dataset (reference DataType.RAW_CONTENT,
       * application.py:4686): partitions carry a completion marker but no
       * loadable data — compute must not register it as an input view. */
