@@ -712,6 +712,81 @@ object Pq {
       .limit(k)
   }
 
+  /** Batched IVF-PQ probe — the production query shape ([[ivfPqTopK]]
+    * per query row, as ONE plan): every query ranks cells against the
+    * broadcast centroid table, keeps its `nProbe` nearest, and ships one
+    * ADC table PER (query, probed cell) — shifted (q − c) tables for a
+    * residual codebook, the plain rotated-query table otherwise — into a
+    * broadcast hash join ON `__cell`. On a [[saveIvfPq]] layout that
+    * equi-join key is the partition column, so the scan still prunes to
+    * the UNION of all probed cells' directories; each code row then
+    * scores in m lookups against exactly the tables of the queries
+    * probing its cell. Output (query_id, idCol, pq_cosine, rank).
+    *
+    * `maxQueryTables` guards the broadcast (the [[topKJoin]]
+    * convention): nQueries × nProbe tables of m·k doubles (~16 KB at
+    * m=8, k=256) — batch the query set or raise it knowingly. */
+  def ivfPqTopKJoin(queries: DataFrame, pqCells: DataFrame,
+                    ivfCentroids: Array[Array[Double]], cb: PqCodebook,
+                    k: Int, nProbe: Int = 2,
+                    queryIdCol: String = "vec_id",
+                    queryVecCol: String = "embedding",
+                    idCol: String = "vec_id", codeCol: String = "pq_code",
+                    maxQueryTables: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val nq = queries.select(col(queryIdCol)).count()
+    require(nq * nProbe <= maxQueryTables,
+      s"Pq.ivfPqTopKJoin broadcasts an ~${cb.m * cb.k * 8 / 1024} KB ADC " +
+        s"table per (query, probed cell): $nq queries x nProbe=$nProbe " +
+        s"exceeds maxQueryTables=$maxQueryTables " +
+        s"(~${nq * nProbe * cb.m * cb.k * 8 / (1 << 20)} MB). Batch the " +
+        "query set or raise maxQueryTables knowingly.")
+    val cents = ivfCentroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__cell", "__cent").withColumn("__ck", lit(0))
+    // stream-side key derives (non-foldably) from the query vector so
+    // Catalyst cannot constant-fold the equi-key out of the centroid
+    // join and degrade it to a BroadcastNestedLoopJoin (the topKJoin
+    // convention); size(v)*0 ≡ 0 for every non-null vector, and NULL
+    // query vectors drop here — they could not rank cells anyway
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      unit(col(queryVecCol)).as("__qu"))
+      .withColumn("__ck", size(col("__qu")) * lit(0))
+    // cell ranking mirrors [[Similarity.ivfTopKJoin]] (cosine of the
+    // query against each unit centroid — scale-free, so it orders like
+    // the single-query dot); ties break on the lower cell id
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__dot").desc, col("__cell"))
+    val probed = q
+      .join(broadcast(cents), "__ck")
+      .withColumn("__dot", bridge.column(graft.expressions.CosineSim(
+        bridge.expression(col("__qu")), bridge.expression(col("__cent")))))
+      .withColumn("__pr", row_number().over(wSel))
+      .where(col("__pr") <= nProbe)
+    val tableExpr =
+      if (cb.residual)
+        bridge.column(graft.expressions.PqTableExpr(
+          bridge.expression(codebookLit(cb)),
+          bridge.expression(subVecCol(col("__qu"), col("__cent")))))
+      else
+        bridge.column(graft.expressions.PqTableExpr(
+          bridge.expression(codebookLit(cb)),
+          bridge.expression(rotated(cb.rotation, col("__qu")))))
+    val qt = probed.select(col("query_id"), col("__cell"),
+      tableExpr.as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pq_cosine").desc, col(idCol))
+    pqCells.join(broadcast(qt), "__cell")
+      .select(col("query_id"), col(idCol),
+        adcCosine(col("__t"), col(codeCol), cb.k).as("pq_cosine"))
+      .where(col("pq_cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Persist an IVF-PQ index durably — the probe-able AT-REST form and
     * the real sub-linear-probe story: codes written
     * `partitionBy(__cell)` so a probe PRUNES to its nProbe cell

@@ -523,6 +523,65 @@ object Similarity {
     * narrow (query_id, __cell) probe table and the query vectors —
     * zero corpus shuffle; set false for corpus-scale query sets (both
     * sides shuffle on the int cell key). */
+  /** OFFLINE nProbe calibration (r17 — the "auto-derive nProbe from a
+    * target recall" tool): IVF end recall is CEILING-bound by cell
+    * pruning (no code- or refine-side improvement recovers a neighbor
+    * whose cell was not probed), and the ceiling is measurable without
+    * any PQ machinery — the fraction of each sampled query's exact
+    * top-k whose ASSIGNED cell ranks within its nProbe nearest.
+    * Returns (smallest nProbe whose measured ceiling >= targetRecall —
+    * or the cell count when none reaches it, i.e. "probe everything",
+    * which callers should treat as "this corpus defeats IVF pruning at
+    * this k") plus the full ceiling curve for the ledger.
+    *
+    * Cost: `sampleQueries` brute-force scans of the corpus plus one
+    * cell lookup per ground-truth row — an offline calibration pass,
+    * not a query-path operation. Deterministic: the sample is the
+    * lowest-md5 ids (the train-seed convention). */
+  def nProbeForRecall(index: IvfIndex, targetRecall: Double, k: Int = 10,
+                      sampleQueries: Int = 50)
+      : (Int, Map[Int, Double]) = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val nCells = index.centroids.length
+    val sample = index.cells
+      .orderBy(md5(col(index.idCol).cast("string")), col(index.idCol))
+      .limit(sampleQueries)
+      .select(col(index.idCol), col(index.vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // ground truth + its cell memberships, one collect of k rows/query
+    val perQueryGtCells: Array[Array[Int]] = sample.map { case (_, v) =>
+      val gtIds = cosineTopK(index.cells, index.vecCol, index.idCol, v, k)
+        .select(col(index.idCol)).collect().map(_.getLong(0))
+      val cellOf = index.cells
+        .where(col(index.idCol).isin(gtIds.toSeq: _*))
+        .select(col(index.idCol), col("__cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      gtIds.map(cellOf)
+    }
+    // per query: rank of each cell (same float-rounded arithmetic as
+    // IvfIndex.topK, so calibration and probe agree on cell order)
+    val cellRank: Array[Map[Int, Int]] = sample.map { case (_, v) =>
+      val n = math.sqrt(v.iterator.map(x => x.toDouble * x).sum)
+      val qf = (if (n == 0.0) v.map(_.toDouble)
+                else v.map(_ / n)).map(_.toFloat)
+      index.centroids.zipWithIndex.map { case (c, i) =>
+        (c.iterator.zip(qf.iterator)
+          .map { case (x, y) => x * y.toDouble }.sum, i)
+      }.sortBy { case (d, i) => (-d, i) }
+        .zipWithIndex.map { case ((_, cell), rank) => cell -> rank }.toMap
+    }
+    val curve: Map[Int, Double] = (1 to nCells).map { nProbe =>
+      val rs = perQueryGtCells.zip(cellRank).map { case (gtCells, rank) =>
+        gtCells.count(c => rank(c) < nProbe).toDouble / gtCells.length
+      }
+      nProbe -> rs.sum / rs.length
+    }.toMap
+    val pick = (1 to nCells).find(np => curve(np) >= targetRecall)
+      .getOrElse(nCells)
+    (pick, curve)
+  }
+
   def ivfTopKJoin(queries: DataFrame, index: IvfIndex, k: Int,
                   nProbe: Int = 2,
                   broadcastQueries: Boolean = true): DataFrame = {

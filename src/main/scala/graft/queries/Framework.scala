@@ -157,15 +157,19 @@ object Framework {
            FROM orders_daily GROUP BY o_orderpriority""")),
         attrs = graft.signal.DatasetAttrs(versioned = true))
       app.activate()
-      app.execute(node(fmt(maxDay)))
-      // recompute the same partition: the pointer must flip (v2) and the
-      // read must resolve it — identical results, no in-place clear
-      app.execute(node(fmt(maxDay)))
       val part = s"$w/app_fw21/internal_data/vers_agg/${fmt(maxDay)}"
-      val fs = new org.apache.hadoop.fs.Path(part)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      require(fs.exists(new org.apache.hadoop.fs.Path(part, "data_ptr.v2")),
-        "recompute did not commit a second version")
+      val partP = new org.apache.hadoop.fs.Path(part)
+      val fs = partP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def seqNow: Int = graft.compute.Compaction.VersionedDir
+        .newest(fs, partP, graft.compute.OutputWriter.DataPtrPrefix)
+        .map(_._1).getOrElse(0)
+      app.execute(node(fmt(maxDay)))
+      val seq1 = seqNow
+      // recompute the same partition: the pointer must ADVANCE (older
+      // versions GC to current + previous — compare seqs, not names)
+      app.execute(node(fmt(maxDay)))
+      require(seqNow == seq1 + 1,
+        s"recompute did not commit a new version (seq $seq1 -> $seqNow)")
       app.load(node(fmt(maxDay))).orderBy("o_orderpriority")
     }),
 

@@ -172,6 +172,55 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.getMessage.contains("rotation"), e4.getMessage)
   }
 
+  test("ivfPqTopKJoin matches per-query ivfPqTopK (residual AND plain), " +
+    "plans a BHJ on __cell, refuses oversized batches") {
+    val qdf = corpus.where(col("vec_id") < 8)
+    def joined(cells: org.apache.spark.sql.DataFrame,
+               cb: Pq.PqCodebook): Map[Long, Seq[(Long, Double)]] =
+      Pq.ivfPqTopKJoin(qdf, cells, ivf.centroids, cb, k = 5, nProbe = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (q, rs) => q -> rs.sortBy(-_._3).map(t => (t._2, t._3)).toSeq }
+    for ((cells, cb, tag) <- Seq((resCells, resCb, "residual"),
+      (plainCells, plainCb, "plain"))) {
+      val batch = joined(cells, cb)
+      queries.take(8).foreach { case (qid, v) =>
+        val single = Pq.ivfPqTopK(cells, ivf.centroids, cb, "vec_id", v,
+          5, nProbe = 3).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single,
+          s"[$tag] batched join diverged from the single-query probe " +
+            s"for query $qid")
+      }
+    }
+    val plan = Pq.ivfPqTopKJoin(qdf, resCells, ivf.centroids, resCb,
+      k = 5, nProbe = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqTopKJoin(corpus, resCells, ivf.centroids, resCb, k = 5,
+        nProbe = 8, maxQueryTables = 100)
+    }
+    assert(e.getMessage.contains("maxQueryTables"), e.getMessage)
+  }
+
+  test("nProbeForRecall: measured cell-ceiling curve is monotone and the " +
+    "pick clears the target on clustered data at small nProbe") {
+    val (pick, curve) = Similarity.nProbeForRecall(ivf,
+      targetRecall = 0.9, k = 10, sampleQueries = 20)
+    assert(curve(pick) >= 0.9, s"pick $pick ceiling ${curve(pick)}")
+    // sigma-tight clusters: the query's own cluster holds its top-10,
+    // so a small probe fraction must already clear 0.9
+    assert(pick <= nClusters / 2, s"pick $pick of $nClusters cells")
+    (1 until nClusters).foreach(np =>
+      assert(curve(np) <= curve(np + 1) + 1e-9,
+        s"ceiling curve not monotone at $np"))
+    assert(math.abs(curve(nClusters) - 1.0) < 1e-9,
+      "probing every cell must reach ceiling 1.0")
+  }
+
   test("sub_vec kernel: element-wise difference, NULL on length mismatch") {
     val sp = spark; import sp.implicits._
     val bridge = org.apache.spark.sql.GraftColumnBridge
