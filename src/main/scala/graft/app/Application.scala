@@ -1195,34 +1195,55 @@ final class Application(val name: String, val spark: SparkSession,
     * stampable on the filesystem, and the oldest output strictly newer
     * than the newest input. `None` = run it. */
   private def duplicateOutputOf(ctx: ExecutionContext): Option[List[String]] = {
-    def stamp(path: String,
-              protocol: graft.signal.IntegrityProtocol): Option[Long] =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        protocol match {
-          case graft.signal.IntegrityProtocol.FileCheck(names) =>
-            names.iterator
-              .map(n => new org.apache.hadoop.fs.Path(p, n))
-              .find(fs.exists)
-              .map(m => fs.getFileStatus(m).getModificationTime)
-          case graft.signal.IntegrityProtocol.None_ =>
-            // dir mtime bumps on file add/remove (local/HDFS); synthetic
-            // object-store dirs throw or return 0 -> unstampable -> run
-            val st = fs.getFileStatus(p)
-            if (st.getModificationTime > 0L) Some(st.getModificationTime)
-            else None
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+    def markerStamp(fs: org.apache.hadoop.fs.FileSystem,
+                    p: org.apache.hadoop.fs.Path,
+                    protocol: graft.signal.IntegrityProtocol): Option[Long] =
+      protocol match {
+        case graft.signal.IntegrityProtocol.FileCheck(names) =>
+          names.iterator
+            .map(n => new org.apache.hadoop.fs.Path(p, n))
+            .find(fs.exists)
+            .map(m => fs.getFileStatus(m).getModificationTime)
+        case graft.signal.IntegrityProtocol.None_ => None
+      }
+    def dirStamp(fs: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path): Option[Long] = {
+      // dir mtime bumps on file add/remove (local/HDFS); synthetic
+      // object-store dirs throw or report 0 -> unstampable
+      val st = fs.getFileStatus(p)
+      if (st.getModificationTime > 0L) Some(st.getModificationTime) else None
+    }
+    def fsOf(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // SIDE-APPROPRIATE stamps: the skip fires only when
+    // min(outputs) > max(inputs), so outputs must UNDERESTIMATE (the
+    // completion marker alone — written last) and inputs must
+    // OVERESTIMATE (the NEWER of marker and dir mtime): an APPEND input
+    // adds part files without touching its existing `_SUCCESS`, and
+    // only the dir mtime sees that new data — stamping the marker alone
+    // would skip a recompute the appended batch genuinely needs.
     val outPaths = ctx.output.materializedPaths.toList
     if (outPaths.isEmpty) return None
-    val outStamps = outPaths.map(stamp(_, ctx.output.source.protocol))
+    val outStamps = outPaths.map { s =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(s)
+        markerStamp(fsOf(p), p, ctx.output.source.protocol)
+          .orElse(dirStamp(fsOf(p), p))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
     if (outStamps.exists(_.isEmpty)) return None // incomplete or unstampable
     val inPaths = ctx.inputs.filterNot(_.source.attrs.rawContent)
       .flatMap(in => in.materializedPaths.map(p => (p, in.source.protocol)))
     if (inPaths.isEmpty) return None // timer-only triggers: cannot assess
-    val inStamps = inPaths.map { case (p, proto) => stamp(p, proto) }
+    val inStamps = inPaths.map { case (s, proto) =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(s)
+        val fs = fsOf(p)
+        (markerStamp(fs, p, proto).toList ++ dirStamp(fs, p).toList)
+          .maxOption
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
     if (inStamps.exists(_.isEmpty)) return None
     if (outStamps.flatten.min > inStamps.flatten.max) Some(outPaths) else None
   }

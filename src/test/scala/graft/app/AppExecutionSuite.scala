@@ -206,6 +206,22 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     dB.shardedCycle()
     assert(downRuns.get == 2,
       "a re-published (newer) input must re-run the downstream")
+
+    // the APPEND shape: new part files land WITHOUT touching the
+    // existing _SUCCESS — only the dir mtime sees them. The input stamp
+    // must be the NEWER of marker and dir, or the guard would read the
+    // stale marker and skip a recompute the appended batch needs.
+    val downSucc2 = new java.io.File(
+      s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+    assert(upSucc.setLastModified(downSucc2.lastModified() - 5000))
+    val appended = new java.io.File(upOut, "part-99999-appended.parquet")
+    new java.io.FileOutputStream(appended).close() // bumps DIR mtime
+    assert(new java.io.File(upOut)
+      .setLastModified(downSucc2.lastModified() + 2000))
+    redeliver()
+    dB.shardedCycle()
+    assert(downRuns.get == 3,
+      "appended input data (marker untouched) must re-run the downstream")
     dA.terminate(); dB.terminate()
   }
 
