@@ -787,6 +787,42 @@ object Pq {
       .where(col("rank") <= k)
   }
 
+  /** [[ivfPqTopKJoin]] + exact re-rank — the batched form of
+    * [[ivfPqTopKRefined]] (the full retrieval story at the production
+    * query shape): the ADC shortlist prunes to nProbe cells per query,
+    * then ONLY the `candidates` shortlisted ids per query re-rank
+    * against their true vectors (broadcast shortlist → BHJ prune of the
+    * vector table → exact cosine → per-query top-k). Output (query_id,
+    * idCol, cosine, rank) with EXACT similarities. Size `candidates`
+    * per the [[ivfPqTopKRefined]] operating curve. */
+  def ivfPqTopKJoinRefined(queries: DataFrame, pqCells: DataFrame,
+                           ivfCentroids: Array[Array[Double]],
+                           cb: PqCodebook, vectors: DataFrame, k: Int,
+                           nProbe: Int = 2, candidates: Int = 100,
+                           queryIdCol: String = "vec_id",
+                           queryVecCol: String = "embedding",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           codeCol: String = "pq_code",
+                           maxQueryTables: Int = 10000): DataFrame = {
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    val shortlist = ivfPqTopKJoin(queries, pqCells, ivfCentroids, cb,
+      candidates, nProbe, queryIdCol, queryVecCol, idCol, codeCol,
+      maxQueryTables).select(col("query_id"), col(idCol))
+    val qv = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col(idCol))
+    vectors.join(broadcast(shortlist), idCol)
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col(idCol),
+        Similarity.cosine(col(vecCol), col("__qv")).as("cosine"))
+      .where(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Persist an IVF-PQ index durably — the probe-able AT-REST form and
     * the real sub-linear-probe story: codes written
     * `partitionBy(__cell)` so a probe PRUNES to its nProbe cell

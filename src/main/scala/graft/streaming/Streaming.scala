@@ -22,7 +22,22 @@ import graft.app.Application
   *   with processing-time timeout as the TTL analog (J4).
   */
 final class MarkerStream(app: Application, roots: Seq[String],
-                         checkpointDir: String) {
+                         checkpointDir: String,
+                         /** Completion marker names — ANY listed name
+                           * completes a partition, mirroring batch-side
+                           * `IntegrityProtocol.FileCheck` alternatives
+                           * (r17): a vendor `manifest.json` next to Hive
+                           * writers' `_SUCCESS` triggers streaming ingest
+                           * the same way it passes batch range checks.
+                           * Non-underscore markers are also STREAMED as
+                           * trigger files (vendor partitions may have no
+                           * part-* data files at all) — note Spark's
+                           * binaryFile source skips ZERO-LENGTH files, so
+                           * an empty vendor marker only triggers through
+                           * a part-* sibling; real manifests carry
+                           * content. */
+                         markers: Seq[String] = Seq("_SUCCESS")) {
+  require(markers.nonEmpty, "MarkerStream needs at least one marker name")
 
   /** Partition dirs whose data files streamed by before the `_SUCCESS`
     * marker existed. A marker write emits no new `part-*` row, so without
@@ -131,8 +146,10 @@ final class MarkerStream(app: Application, roots: Seq[String],
     val conf = app.spark.sparkContext.hadoopConfiguration
     val candidates = pendingDirs.synchronized { pendingDirs.toVector }
     val ready = candidates.filter { dir =>
-      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-      marker.getFileSystem(conf).exists(marker)
+      markers.exists { m =>
+        val marker = new org.apache.hadoop.fs.Path(dir, m)
+        marker.getFileSystem(conf).exists(marker)
+      }
     }
     // remove a dir only AFTER its completion was actually delivered, so a
     // mid-loop failure re-offers the remainder next batch. Delivery uses
@@ -166,10 +183,20 @@ final class MarkerStream(app: Application, roots: Seq[String],
     require(roots.nonEmpty, "MarkerStream needs at least one root to watch")
     val spark = app.spark
     recheckPending()
+    // non-underscore markers (a vendor manifest.json) are REAL streamable
+    // files — include them in the glob so a partition whose data files
+    // are not part-* named (vendor layouts) still folds to a candidate
+    // dir when its marker lands; `_`-prefixed markers stay invisible to
+    // Spark's file index (the part-* data files carry those dirs in)
+    val vendorMarkers = markers.filterNot(m =>
+      m.startsWith("_") || m.startsWith("."))
+    val glob =
+      if (vendorMarkers.isEmpty) "part-*"
+      else s"{part-*,${vendorMarkers.mkString(",")}}"
     val sources = roots.map { root =>
       spark.readStream.format("binaryFile")
         .schema(binaryFileSchema)
-        .option("pathGlobFilter", "part-*")
+        .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(root)
         .select(col("path"))

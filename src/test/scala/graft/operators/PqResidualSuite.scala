@@ -206,6 +206,27 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxQueryTables"), e.getMessage)
   }
 
+  test("ivfPqTopKJoinRefined matches per-query ivfPqTopKRefined exactly") {
+    val qdf = corpus.where(col("vec_id") < 6)
+    val batch = Pq.ivfPqTopKJoinRefined(qdf, resCells, ivf.centroids,
+      resCb, corpus, k = 5, nProbe = 3, candidates = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(-_._3).map(t => (t._2, t._3)).toSeq }
+    queries.take(6).foreach { case (qid, v) =>
+      val single = Pq.ivfPqTopKRefined(resCells, ivf.centroids, resCb,
+        corpus, "vec_id", v, 5, nProbe = 3, candidates = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"batched refined diverged from single-query for $qid")
+    }
+    val plan = Pq.ivfPqTopKJoinRefined(qdf, resCells, ivf.centroids,
+      resCb, corpus, k = 5, nProbe = 3, candidates = 30)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("nProbeForRecall: measured cell-ceiling curve is monotone and the " +
     "pick clears the target on clustered data at small nProbe") {
     val (pick, curve) = Similarity.nProbeForRecall(ivf,

@@ -51,6 +51,45 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node("2026-08-12")).collect().head.getDouble(1) == 3.0)
   }
 
+  test("vendor marker (manifest.json) triggers streaming ingest — even " +
+    "with no part-* data files (r17 FileCheck alternatives)") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_vendor_src"
+    val day = "2026-08-12"
+    Seq((day, 4.0), (day, 5.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+    // vendor layout: data file NOT part-* named, completion is
+    // manifest.json, no _SUCCESS anywhere
+    val dir = new java.io.File(s"$srcRoot/$day")
+    val part = dir.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(dir, "chunk-0.parquet")))
+    dir.listFiles().filter(f => f.getName.startsWith("_") ||
+      f.getName.startsWith(".")).foreach(_.delete())
+    // NON-empty on purpose: Spark's binaryFile source skips zero-length
+    // files, so only a marker with content (as real vendor manifests
+    // have) is streamable — documented at MarkerStream.markers
+    val mw = new java.io.FileWriter(new java.io.File(dir, "manifest.json"))
+    try mw.write("""{"rows": 2}""") finally mw.close()
+
+    val app = new Application("stream_vendor", spark,
+      s"$work/app_stream_vendor")
+    val src = app.marshalExternalData("src", srcRoot, daySpec,
+      protocol = graft.signal.IntegrityProtocol
+        .FileCheck("_SUCCESS", "manifest.json"))
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+
+    new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_vendor",
+      markers = Seq("_SUCCESS", "manifest.json")).start()
+      .awaitTermination(60000)
+    assert(app.poll(node(day)).isDefined,
+      "manifest.json-completed partition did not trigger")
+    assert(app.load(node(day)).collect().head.getDouble(1) == 9.0)
+  }
+
   test("marker stream feeds a sharded deployment across drivers") {
     val sp = spark
     import sp.implicits._
