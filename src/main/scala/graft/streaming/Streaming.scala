@@ -38,6 +38,12 @@ final class MarkerStream(app: Application, roots: Seq[String],
                            * content. */
                          markers: Seq[String] = Seq("_SUCCESS")) {
   require(markers.nonEmpty, "MarkerStream needs at least one marker name")
+  // non-underscore markers ride into a {a,b} pathGlobFilter alternation —
+  // glob metacharacters in a marker NAME would corrupt the filter
+  // silently (matching nothing, or everything)
+  require(markers.forall(m => !m.exists("*?[]{},\\".contains(_))),
+    s"marker names must be plain file names (no glob metacharacters): " +
+      markers.mkString(", "))
 
   /** Partition dirs whose data files streamed by before the `_SUCCESS`
     * marker existed. A marker write emits no new `part-*` row, so without
