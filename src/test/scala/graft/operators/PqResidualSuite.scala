@@ -206,6 +206,19 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxQueryTables"), e.getMessage)
   }
 
+  test("batched probe over the DURABLE layout: dynamic partition pruning " +
+    "reaches the cells scan (only probed cells' dirs read)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_respq_dpp").toString
+    Pq.saveIvfPq(resCells, ivf.centroids, resCb, path)
+    val (loaded, cents, cb2) = Pq.loadIvfPq(spark, path)
+    val plan = Pq.ivfPqTopKJoin(corpus.where(col("vec_id") < 3), loaded,
+      cents, cb2, 5, nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      "broadcast probe-side did not induce DPP on the __cell " +
+        s"partition column: ${plan.take(1200)}")
+  }
+
   test("ivfPqTopKJoinRefined matches per-query ivfPqTopKRefined exactly") {
     val qdf = corpus.where(col("vec_id") < 6)
     val batch = Pq.ivfPqTopKJoinRefined(qdf, resCells, ivf.centroids,
