@@ -1109,7 +1109,8 @@ final class Application(val name: String, val spark: SparkSession,
     sharded.foreach(_.releaseAll())
     val d = new graft.routing.ShardedDriver(s"$rootDir/sharding", driverId,
       numShards, probe, spark.sparkContext.hadoopConfiguration,
-      leaseTimeoutMillis, clock, leaseStoreFor, kvStore, kvGroupCommit)
+      leaseTimeoutMillis, clock, leaseStoreFor, kvStore, kvGroupCommit,
+      staleOutput = staleOutputOf)
     defs.foreach(df => d.add(() =>
       new Route(df.id, df.linkNode, df.output, df.outputLinks,
         df.ttlMillis, df.hooks)))
@@ -1194,7 +1195,24 @@ final class Application(val name: String, val spark: SparkSession,
     * every output partition complete, every input and output completion
     * stampable on the filesystem, and the oldest output strictly newer
     * than the newest input. `None` = run it. */
-  private def duplicateOutputOf(ctx: ExecutionContext): Option[List[String]] = {
+  private def duplicateOutputOf(ctx: ExecutionContext): Option[List[String]] =
+    if (outputFreshness(ctx).contains(true))
+      Some(ctx.output.materializedPaths.toList)
+    else None
+
+  /** Provably-STALE output: complete, but some input carries a NEWER
+    * completion stamp (a re-published/appended input) — the one case a
+    * recovery replay must RE-OFFER even though the output exists (the
+    * blanket outputs-complete drop silently lost the recompute). */
+  private[app] def staleOutputOf(ctx: ExecutionContext): Boolean =
+    outputFreshness(ctx).contains(false)
+
+  /** Three-way freshness: Some(true) = output complete and strictly
+    * newer than every input (provable duplicate); Some(false) = output
+    * complete but an input is at least as new (provably needs the
+    * recompute); None = unstampable/incomplete — undecidable, callers
+    * keep their surface's default. */
+  private def outputFreshness(ctx: ExecutionContext): Option[Boolean] = {
     def markerStamp(fs: org.apache.hadoop.fs.FileSystem,
                     p: org.apache.hadoop.fs.Path,
                     protocol: graft.signal.IntegrityProtocol): Option[Long] =
@@ -1245,7 +1263,7 @@ final class Application(val name: String, val spark: SparkSession,
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     if (inStamps.exists(_.isEmpty)) return None
-    if (outStamps.flatten.min > inStamps.flatten.max) Some(outPaths) else None
+    Some(outStamps.flatten.min > inStamps.flatten.max)
   }
 
   /** Re-pin this sharded driver's target shard set at runtime — a
@@ -1565,7 +1583,7 @@ final class Application(val name: String, val spark: SparkSession,
     // sharded recovery happens per shard at lease takeover (the WAL
     // replay inside tryAcquireShard) — a cycle drives it
     case Some(_) => shardedCycle()
-    case None => runContexts(table.recover())
+    case None => runContexts(table.recover(staleOutputOf))
   }
 
   // ---- dev-context persistence ------------------------------------------

@@ -290,7 +290,15 @@ final class RoutingTable(probe: PathProbe,
     * log through the normal receive path (reference RouteRecord reload).
     * Returns contexts that became ready but whose outputs never completed —
     * the executions that were mid-flight when the previous driver died. */
-  def recover(): List[ExecutionContext] = synchronized {
+  /** `staleOutput` (r17): a replayed context whose output is COMPLETE is
+    * normally dropped as already-done — but when the caller can prove
+    * the output is STALE (an input re-published with a newer completion
+    * stamp before the crash), dropping it silently loses the recompute.
+    * The predicate re-offers exactly those; the default keeps the
+    * conservative drop (routing has only an exists-probe — stamping
+    * lives at the app layer). */
+  def recover(staleOutput: ExecutionContext => Boolean = _ => false)
+      : List[ExecutionContext] = synchronized {
     checkpoint.flatMap(cp => cp.load().map((cp, _))).map {
       case (cp, (events, completed)) =>
         cachingProbe.markComplete(completed)
@@ -304,7 +312,8 @@ final class RoutingTable(probe: PathProbe,
         // output must re-surface the execution, not strand the rest
         ctxs.filterNot(c => c.output.materializedPaths.nonEmpty &&
           c.output.materializedPaths.forall(p =>
-            cachingProbe.isComplete(p, c.output.source.protocol)))
+            cachingProbe.isComplete(p, c.output.source.protocol)) &&
+          !staleOutput(c))
     }.getOrElse(Nil)
   }
 

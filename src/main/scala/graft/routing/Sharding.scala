@@ -988,7 +988,13 @@ final class ShardedDriver(root: String, val driverId: String,
                           /** Records per WAL PUT on the KV backend (see
                             * [[KvEpochWal]] group commit); 1 = one
                             * synchronous PUT per record. */
-                          kvGroupCommit: Int = 1) {
+                          kvGroupCommit: Int = 1,
+                          /** Takeover-replay re-offer predicate for
+                            * complete-output contexts (see
+                            * [[RoutingTable.recover]]) — the app layer
+                            * passes its freshness stamping. */
+                          staleOutput: ExecutionContext => Boolean =
+                            _ => false) {
 
   private case class RouteDef(id: String, mk: () => Route, canonical: Route)
   private case class Owned(shard: Int, lease: ShardLease, wal: RoutingWal,
@@ -1080,7 +1086,8 @@ final class ShardedDriver(root: String, val driverId: String,
         val wal = walFor(shard, epoch, lease)
         val table = new RoutingTable(probe, Some(wal))
         shardDefs.foreach(d => table.add(d.mk()))
-        val recovered = table.recover() // replay + compact(epoch) inside
+        val recovered = // replay + compact(epoch) inside
+          table.recover(staleOutput)
         owned += shard -> Owned(shard, lease, wal, table)
         recovered ++ drainInbox(shard)
       } catch {

@@ -387,6 +387,31 @@ class RoutingSuite extends AnyFunSuite {
     assert(t3.recover().isEmpty)
   }
 
+  test("recover re-offers a complete output the caller proves STALE " +
+    "(re-published input before the crash — r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_st").toString
+    val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
+      new org.apache.hadoop.conf.Configuration())
+    val probe = new MemProbe()
+    def mkTable(): RoutingTable = {
+      val a = extSignal("a", "/data/sa", daySpec, "*")
+      val node = SignalLinkNode(List(a)).withAutoLinks
+      val t = new RoutingTable(probe, Some(cp))
+      t.add(new Route("st", node, outputFor(node, "st", daySpec), Nil))
+      t
+    }
+    val t1 = mkTable()
+    val ctxs = t1.receivePath("/data/sa/2026-08-12")
+    assert(ctxs.length == 1)
+    probe.existing += s"${ctxs.head.output.materializedPaths.head}/_SUCCESS"
+    // default: complete output -> dropped at recovery (already done)
+    assert(mkTable().recover().isEmpty)
+    // the app layer proves the output STALE (input re-published with a
+    // newer completion stamp) -> the SAME replay re-offers it
+    val again = mkTable().recover(staleOutput = _ => true)
+    assert(again.length == 1, "stale complete output was not re-offered")
+  }
+
   test("WAL skips unmatched events and live-compacts every N events") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt3").toString
     val cp = new RoutingCheckpoint(s"$tmp/routing_state.json",
