@@ -255,6 +255,24 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
       "probing every cell must reach ceiling 1.0")
   }
 
+  test("residual composes with the two-level IVF build (same IvfIndex " +
+    "contract end to end)") {
+    val ivf2 = Similarity.buildIvfIndexTwoLevel(corpus, "embedding",
+      "vec_id", k = nClusters, iters = 2)
+    val cb = Pq.trainResidual(ivf2, m = 8, k = 64, iters = 2)
+    assert(cb.residual)
+    val cells = Pq.encodeCells(ivf2, cb)
+    val hits = queries.take(10).count { case (qid, v) =>
+      Pq.ivfPqTopKRefined(cells, ivf2.centroids, cb, corpus, "vec_id",
+        v, 10, nProbe = nClusters / 2, candidates = 100)
+        .collect().map(_.getLong(0)).contains(qid)
+    }
+    // self-retrieval through coarse->fine cell ranking + residual codes
+    // + exact refine: sigma-tight clusters make this near-certain
+    assert(hits >= 9, s"self-retrieval hits: $hits/10")
+    ivf2.unpersist()
+  }
+
   test("sub_vec kernel: element-wise difference, NULL on length mismatch") {
     val sp = spark; import sp.implicits._
     val bridge = org.apache.spark.sql.GraftColumnBridge
