@@ -745,6 +745,17 @@ object Compaction {
     * re-load per probe batch; the index load paths here do. */
   object VersionedDir {
 
+    /** Leading seq of a version DIR name: `<prefix><int>` or
+      * `<prefix><int>-<suffix>` (unique-per-attempt dirs, r17). Plain
+      * int names parse identically, so existing layouts are untouched. */
+    private def seqOf(name: String, dirPrefix: String): Option[Int] = {
+      val digits = name.stripPrefix(dirPrefix).takeWhile(_.isDigit)
+      val rest = name.stripPrefix(dirPrefix).drop(digits.length)
+      if (digits.nonEmpty && (rest.isEmpty || rest.startsWith("-")))
+        digits.toIntOption
+      else None
+    }
+
     /** Newest valid (seq, dirName); None = no versioned layout here. */
     def newest(fs: FileSystem, root: Path,
                ptrPrefix: String): Option[(Int, String)] = {
@@ -793,7 +804,7 @@ object Compaction {
         val ptr = n.startsWith(ptrPrefix) &&
           n.stripPrefix(ptrPrefix).toIntOption.isDefined
         val dir = !ptr && n.startsWith(dirPrefix) &&
-          n.stripPrefix(dirPrefix).toIntOption.isDefined
+          seqOf(n, dirPrefix).isDefined
         if (ptr) fs.delete(st.getPath, false)
         else if (dir) fs.delete(st.getPath, true)
       }
@@ -811,7 +822,7 @@ object Compaction {
         val stalePtr = n.startsWith(ptrPrefix) &&
           n.stripPrefix(ptrPrefix).toIntOption.exists(_ < keepMinSeq)
         val staleDir = !stalePtr && n.startsWith(dirPrefix) &&
-          n.stripPrefix(dirPrefix).toIntOption.exists(_ < keepMinSeq)
+          seqOf(n, dirPrefix).exists(_ < keepMinSeq)
         if (stalePtr) fs.delete(st.getPath, false)
         else if (staleDir) fs.delete(st.getPath, true)
       }

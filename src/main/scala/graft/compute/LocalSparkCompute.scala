@@ -376,7 +376,14 @@ object OutputWriter {
     fs.mkdirs(dir)
     val seq = Compaction.VersionedDir.newest(fs, dir, DataPtrPrefix)
       .map(_._1).getOrElse(0) + 1
-    val vname = s"$DataDirPrefix$seq"
+    // UNIQUE dir per write attempt: two uncoordinated recomputes that
+    // both read seq N write DISJOINT dirs and race only on the pointer
+    // CAS — the loser fails loudly with its orphan dir intact (never a
+    // shared half-overwritten dir), and orphans age out through gc two
+    // successful writes later (VersionedDir.gc parses the leading seq
+    // digits, suffix ignored)
+    val vname = s"$DataDirPrefix$seq-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val vpath = s"$path/$vname"
     configuredWriter(df, attrs, SaveMode.Overwrite).save(vpath)
     // pointer validity requires _SUCCESS INSIDE the version dir

@@ -43,22 +43,48 @@ class VersionedOutputSuite extends AnyFunSuite with BeforeAndAfterAll {
     def names = new java.io.File(part).list().toSet
 
     OutputWriter.write(spark, spark.range(10).toDF("id"), s)
-    assert(names.contains("data_v1") && names.contains("data_ptr.v1"))
+    assert(names.exists(_.startsWith("data_v1-")) && names.contains("data_ptr.v1"))
     assert(names.contains("_SUCCESS") && names.contains("_SCHEMA.spark.json"))
     assert(InputLoader.load(spark, s, new FsProbe(spark)).count() == 10)
 
     // recompute: new version, pointer flips, reader sees the NEW data
     OutputWriter.write(spark, spark.range(25).toDF("id"), s)
-    assert(names.contains("data_v2") && names.contains("data_ptr.v2"))
+    assert(names.exists(_.startsWith("data_v2-")) && names.contains("data_ptr.v2"))
     assert(InputLoader.load(spark, s, new FsProbe(spark)).count() == 25)
     // current + previous survive (a reader mid-scan of v1 finishes)
-    assert(names.contains("data_v1"))
+    assert(names.exists(_.startsWith("data_v1-")))
 
     // third write GC's v1
     OutputWriter.write(spark, spark.range(7).toDF("id"), s)
-    assert(names.contains("data_v3") && names.contains("data_v2"))
-    assert(!names.contains("data_v1") && !names.contains("data_ptr.v1"))
+    assert(names.exists(_.startsWith("data_v3-")) &&
+      names.exists(_.startsWith("data_v2-")))
+    assert(!names.exists(_.startsWith("data_v1-")) &&
+      !names.contains("data_ptr.v1"))
     assert(InputLoader.load(spark, s, new FsProbe(spark)).count() == 7)
+  }
+
+  test("a losing concurrent recompute never corrupts the committed " +
+    "version: disjoint dirs, loud pointer CAS, orphan ages out") {
+    val root = tmpRoot()
+    val s = sig(root)
+    val part = s"$root/internal_data/vn/2026-08-10"
+    def names = new java.io.File(part).list().toSet
+    OutputWriter.write(spark, spark.range(10).toDF("id"), s)
+    // simulate the LOSER of a seq-2 race: its unique dir landed fully
+    // (own _SUCCESS) but its pointer CAS lost — a pre-committed orphan
+    val orphan = new java.io.File(s"$part/data_v2-loser00")
+    assert(orphan.mkdirs())
+    new java.io.FileOutputStream(
+      new java.io.File(orphan, "_SUCCESS")).close()
+    // the next write commits the REAL v2; the orphan must not be read
+    OutputWriter.write(spark, spark.range(20).toDF("id"), s)
+    assert(InputLoader.load(spark, s, new FsProbe(spark)).count() == 20)
+    assert(names.contains("data_v2-loser00"), "orphan GC'd too early")
+    // two more writes age the orphan out (gc parses the leading seq)
+    OutputWriter.write(spark, spark.range(30).toDF("id"), s)
+    OutputWriter.write(spark, spark.range(40).toDF("id"), s)
+    assert(!names.contains("data_v2-loser00"), "orphan survived gc")
+    assert(InputLoader.load(spark, s, new FsProbe(spark)).count() == 40)
   }
 
   test("a reader resolved BEFORE a recompute keeps reading intact files " +
