@@ -1231,6 +1231,23 @@ final class Application(val name: String, val spark: SparkSession,
       val st = fs.getFileStatus(p)
       if (st.getModificationTime > 0L) Some(st.getModificationTime) else None
     }
+    // INPUT-side dir stamp, one level deep: a hive-style partitioned
+    // input (key=value subdirs under the signal partition) appends INTO
+    // a subdir without touching the partition root's mtime — take the
+    // newest of root and direct children so such appends still read as
+    // new data. Deeper nesting remains root+1 visible only through the
+    // level-1 dir it lands under (mtime bumps on create, not content);
+    // OUTPUT stamps never use this (they must underestimate).
+    def dirStampDeep(fs: org.apache.hadoop.fs.FileSystem,
+                     p: org.apache.hadoop.fs.Path): Option[Long] = {
+      val own = dirStamp(fs, p)
+      val kids =
+        try fs.listStatus(p).iterator
+          .filter(_.isDirectory).map(_.getModificationTime)
+          .foldLeft(0L)(math.max)
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      (own.toList ++ (if (kids > 0) List(kids) else Nil)).maxOption
+    }
     def fsOf(p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1258,7 +1275,7 @@ final class Application(val name: String, val spark: SparkSession,
       try {
         val p = new org.apache.hadoop.fs.Path(s)
         val fs = fsOf(p)
-        (markerStamp(fs, p, proto).toList ++ dirStamp(fs, p).toList)
+        (markerStamp(fs, p, proto).toList ++ dirStampDeep(fs, p).toList)
           .maxOption
       } catch { case scala.util.control.NonFatal(_) => None }
     }

@@ -222,6 +222,23 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     dB.shardedCycle()
     assert(downRuns.get == 3,
       "appended input data (marker untouched) must re-run the downstream")
+
+    // NESTED append (hive-style key=value subdir): only the SUBDIR's
+    // mtime moves — the one-level-deep input stamp must still see it
+    val downSucc3 = new java.io.File(
+      s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+    assert(upSucc.setLastModified(downSucc3.lastModified() - 5000))
+    val sub = new java.io.File(upOut, "region=eu")
+    assert(sub.mkdirs())
+    assert(sub.setLastModified(downSucc3.lastModified() + 2000))
+    // re-age the ROOT after mkdirs bumped it: ONLY the subdir is newer,
+    // so a root-only stamp would wrongly skip — the deep stamp must see it
+    assert(new java.io.File(upOut)
+      .setLastModified(downSucc3.lastModified() - 5000))
+    redeliver()
+    dB.shardedCycle()
+    assert(downRuns.get == 4,
+      "nested (subdir) append must re-run the downstream")
     dA.terminate(); dB.terminate()
   }
 
