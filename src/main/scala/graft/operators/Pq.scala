@@ -712,6 +712,37 @@ object Pq {
       .limit(k)
   }
 
+  /** Pick PLAIN vs RESIDUAL from the corpus's MEASURED geometry instead
+    * of asking the caller to know it: residual quantization wins when
+    * residuals are materially smaller than the unit vectors they
+    * replace, i.e. when vectors sit close to their assigned centroid —
+    * mean cos(u, c(cell)) ≥ `residualDotThreshold` (‖r‖² = 2·(1−dot)
+    * for unit u, c: the 0.7 default ≈ residual norm 0.77). Measured on
+    * both geometries (BASELINE r17): sigma-tight clusters → dot ≈ 0.99,
+    * residual +0.05 ADC recall; the near-isotropic harness → dot ≈ 0.3,
+    * residual parity-to-slightly-worse, plain picked. One aggregation
+    * pass over the cells decides; the returned codebook's `residual`
+    * flag records the choice and every downstream surface branches on
+    * it, so callers compose identically either way. */
+  def trainAdaptive(index: Similarity.IvfIndex, m: Int = 8, k: Int = 256,
+                    iters: Int = 3, trainFraction: Double = 1.0,
+                    residualDotThreshold: Double = 0.7): PqCodebook = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val cdf = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("__cell", "__cent")
+    val avgDot = index.cells.join(broadcast(cdf), "__cell")
+      .select(avg(bridge.column(graft.expressions.CosineSim(
+        bridge.expression(unit(col(index.vecCol))),
+        bridge.expression(col("__cent"))))).as("d"))
+      .collect().head.getDouble(0)
+    if (avgDot >= residualDotThreshold)
+      trainResidual(index, m, k, iters, trainFraction)
+    else
+      train(index.cells, index.vecCol, index.idCol, m, k, iters,
+        trainFraction)
+  }
+
   /** Batched IVF-PQ probe — the production query shape ([[ivfPqTopK]]
     * per query row, as ONE plan): every query ranks cells against the
     * broadcast centroid table, keeps its `nProbe` nearest, and ships one

@@ -273,6 +273,24 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
     ivf2.unpersist()
   }
 
+  test("trainAdaptive picks residual on clustered data, plain on " +
+    "isotropic data (measured geometry, not caller knowledge)") {
+    val sp = spark; import sp.implicits._
+    // clustered fixture: mean cos(u, centroid) ~ 0.99 -> residual
+    assert(Pq.trainAdaptive(ivf, m = 8, k = 64, iters = 2).residual,
+      "tight clusters must select the residual formulation")
+    // isotropic corpus: centroids are weak -> plain
+    val rnd = new scala.util.Random(23)
+    val iso = (0L until 1500L)
+      .map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val ivfIso = Similarity.buildIvfIndex(iso, "embedding", "vec_id",
+      k = nClusters, iters = 2)
+    assert(!Pq.trainAdaptive(ivfIso, m = 8, k = 64, iters = 2).residual,
+      "isotropic data must select plain quantization")
+    ivfIso.unpersist()
+  }
+
   test("sub_vec kernel: element-wise difference, NULL on length mismatch") {
     val sp = spark; import sp.implicits._
     val bridge = org.apache.spark.sql.GraftColumnBridge
