@@ -139,6 +139,19 @@ final class MarkerStream(app: Application, roots: Seq[String],
     * process the ready ones, keep the rest pending. Runs inside every
     * micro-batch and at `start()` so a restart with no new data files still
     * re-offers completions whose markers landed in between. */
+  /** Pre-seed partition dirs to watch (r17): a partition completed by a
+    * ZERO-LENGTH vendor marker whose data files match no streamable
+    * pattern emits no row at all — registering the EXPECTED dirs here
+    * (e.g. the next N days of a vendor feed's layout) lets
+    * [[recheckPending]] gate them on the marker protocol like any
+    * carried-over dir, durable across restarts with the pending set. */
+  def watch(dirs: Seq[String]): Unit = {
+    pendingDirs.synchronized {
+      pendingDirs ++= dirs.map(new org.apache.hadoop.fs.Path(_))
+    }
+    recheckPending()
+  }
+
   def recheckPending(): Unit = {
     // newly discovered dirs (foreachBatch adds them before calling here)
     // must be durable BEFORE the binaryFile source commits its offsets —

@@ -90,6 +90,45 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node(day)).collect().head.getDouble(1) == 9.0)
   }
 
+  test("watch() pre-seeds expected dirs: an EMPTY vendor marker with no " +
+    "streamable files still gates and triggers") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_watch_src"
+    val day = "2026-08-12"
+    Seq((day, 7.0), (day, 1.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+    val dir = new java.io.File(s"$srcRoot/$day")
+    val part = dir.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(dir, "blob-0.parquet")))
+    dir.listFiles().filter(f => f.getName.startsWith("_") ||
+      f.getName.startsWith(".")).foreach(_.delete())
+
+    val app = new Application("stream_watch", spark,
+      s"$work/app_stream_watch")
+    val src = app.marshalExternalData("src", srcRoot, daySpec,
+      protocol = graft.signal.IntegrityProtocol
+        .FileCheck("_SUCCESS", "manifest.json"))
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+
+    val ms = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_watch",
+      markers = Seq("_SUCCESS", "manifest.json"))
+    // dir registered before its marker exists: stays pending
+    ms.watch(Seq(s"$srcRoot/$day"))
+    assert(app.poll(node(day)).isEmpty)
+    // the EMPTY marker lands (unstreamable); only watch()'s pending set
+    // plus the marker re-check can redeem this completion
+    new java.io.FileOutputStream(
+      new java.io.File(dir, "manifest.json")).close()
+    ms.recheckPending()
+    assert(app.poll(node(day)).isDefined,
+      "watched empty-marker partition did not trigger")
+    assert(app.load(node(day)).collect().head.getDouble(1) == 8.0)
+  }
+
   test("marker stream feeds a sharded deployment across drivers") {
     val sp = spark
     import sp.implicits._
