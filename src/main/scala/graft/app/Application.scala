@@ -64,6 +64,22 @@ final class Application(val name: String, val spark: SparkSession,
   val owner: String = args.get("owner").map(_.toString)
     .getOrElse(System.getProperty("user.name", "unknown"))
 
+  /** Clock-skew margin for the duplicate-redelivery skip
+    * ([[duplicateOutputOf]]): a context is treated as a provable
+    * duplicate only when every output completion stamp is newer than
+    * every input stamp by MORE than this margin. The guard compares
+    * filesystem mtimes, which are coherent only per FS server clock —
+    * coarse-mtime stores (1 s granularity object stores) can stamp an
+    * input and its derived output into the same tick, and cross-writer
+    * skew can back- or forward-date a re-published input. Within the
+    * margin the guard is undecidable and the context RUNS (the safe
+    * direction: a spurious re-run is idempotent, a spurious skip loses
+    * a recompute). Same coherence assumption as ShardLease's clock
+    * docs; override with `args("duplicateSkipSkewMs")` for stores with
+    * known-tighter (or looser) mtime granularity. */
+  val duplicateSkipSkewMs: Long = args.get("duplicateSkipSkewMs")
+    .map(_.toString.toLong).getOrElse(2000L)
+
   private case class NodeDef(id: String, linkNode: SignalLinkNode,
                              output: Signal, outputLinks: List[DimensionLink],
                              slots: Seq[Slot], ttlMillis: Long, hooks: RouteHooks,
@@ -1268,7 +1284,13 @@ final class Application(val name: String, val spark: SparkSession,
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     if (outStamps.exists(_.isEmpty)) return None // incomplete or unstampable
-    val inPaths = ctx.inputs.filterNot(_.source.attrs.rawContent)
+    // rawContent (trigger/artifact) inputs are stamped too: they carry
+    // completion markers even though compute never loads them as
+    // DataFrames, and a RE-PUBLISHED trigger partition is exactly how a
+    // forced recompute is expressed — excluding them would classify the
+    // forced re-run as a provable duplicate and silently skip it
+    // (r17 ADVICE, medium). Unstampable rawContent -> None -> runs.
+    val inPaths = ctx.inputs
       .flatMap(in => in.materializedPaths.map(p => (p, in.source.protocol)))
     if (inPaths.isEmpty) return None // timer-only triggers: cannot assess
     val inStamps = inPaths.map { case (s, proto) =>
@@ -1280,7 +1302,21 @@ final class Application(val name: String, val spark: SparkSession,
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     if (inStamps.exists(_.isEmpty)) return None
-    Some(outStamps.flatten.min > inStamps.flatten.max)
+    // BOTH verdicts are strict, with a skew margin on the skip side:
+    //  - duplicate (skip) only when min(out) > max(in) + margin —
+    //    coarse-mtime stores can tie an input and its derived output
+    //    into the same tick, and a skip there would lose a recompute;
+    //  - stale (re-offer) only when max(in) is STRICTLY newer — a tie
+    //    is plausible for a genuinely-fresh output on a 1 s-granularity
+    //    store, and re-offering it re-runs a REPLACE rewrite that can
+    //    race concurrent readers (the very race the guard closes).
+    // The band between them is None: undecidable, callers keep their
+    // surface's conservative default (redelivery runs, recovery drops).
+    val outMin = outStamps.flatten.min
+    val inMax = inStamps.flatten.max
+    if (outMin > inMax + duplicateSkipSkewMs) Some(true)
+    else if (inMax > outMin) Some(false)
+    else None
   }
 
   /** Re-pin this sharded driver's target shard set at runtime — a

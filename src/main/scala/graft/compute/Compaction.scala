@@ -534,6 +534,20 @@ object Compaction {
     val dataPath = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dataPath.getFileSystem(conf)
+    // the same versioned-REPLACE refusal compactPartition/-Kv apply:
+    // `dir` may be a data_v<N> dir INSIDE a versioned partition (pointer
+    // files live in the PARENT) or a partition root carrying pointers
+    // itself — an in-place swap there mutates a version a reader may
+    // hold, bypassing the pointer commit
+    def hasPtrs(p: Path): Boolean =
+      try fs.listStatus(p).exists(
+        _.getPath.getName.startsWith(OutputWriter.DataPtrPrefix))
+      catch { case _: java.io.FileNotFoundException => false }
+    require(!hasPtrs(dataPath) &&
+        !Option(dataPath.getParent).exists(hasPtrs),
+      s"$dir is (inside) a versioned REPLACE layout — every versioned " +
+        "write is already a full rewrite; recompact by re-writing the " +
+        "node (in-place file swaps would bypass the pointer commit)")
     val healed = healDirKv(spark, dir, kv, healMinClaimAgeMs)
     val files = dataFiles(fs, dataPath)
     val total = files.map(_._2).sum

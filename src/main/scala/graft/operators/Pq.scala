@@ -786,15 +786,24 @@ object Pq {
     val q = queries.select(col(queryIdCol).as("query_id"),
       unit(col(queryVecCol)).as("__qu"))
       .withColumn("__ck", size(col("__qu")) * lit(0))
-    // cell ranking mirrors [[Similarity.ivfTopKJoin]] (cosine of the
-    // query against each unit centroid — scale-free, so it orders like
-    // the single-query dot); ties break on the lower cell id
+    // cell ranking FLOAT-ROUNDS the unit query (cast below) — the same
+    // rounding [[ivfPqTopK]] applies before its driver-side dot — so the
+    // batched and single-query surfaces rank near-equidistant centroids
+    // identically and probe the SAME cells for the same query. Cosine of
+    // the rounded query against each unit centroid is scale-free per
+    // query (its norm divides every cell alike) and the centroid norms
+    // are unit by construction (double-rounding ~1e-16, far below the
+    // ~1e-8 float-rounding both surfaces now share), so this orders as
+    // the single-query dot. The ADC tables below keep the full-double
+    // `__qu`, exactly as the single-query path does. Ties break on the
+    // lower cell id.
     val wSel = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__dot").desc, col("__cell"))
     val probed = q
       .join(broadcast(cents), "__ck")
       .withColumn("__dot", bridge.column(graft.expressions.CosineSim(
-        bridge.expression(col("__qu")), bridge.expression(col("__cent")))))
+        bridge.expression(col("__qu").cast("array<float>")),
+        bridge.expression(col("__cent")))))
       .withColumn("__pr", row_number().over(wSel))
       .where(col("__pr") <= nProbe)
     val tableExpr =

@@ -544,19 +544,23 @@ object Similarity {
     require(targetRecall > 0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     val nCells = index.centroids.length
+    // ids are read GENERICALLY (Any-keyed): index build and probe are
+    // id-type-agnostic, so calibration must not assume LongType ids —
+    // string/int id columns calibrate the same way
     val sample = index.cells
       .orderBy(md5(col(index.idCol).cast("string")), col(index.idCol))
       .limit(sampleQueries)
       .select(col(index.idCol), col(index.vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.get(0), r.getSeq[Float](1)))
     // ground truth + its cell memberships, one collect of k rows/query
     val perQueryGtCells: Array[Array[Int]] = sample.map { case (_, v) =>
-      val gtIds = cosineTopK(index.cells, index.vecCol, index.idCol, v, k)
-        .select(col(index.idCol)).collect().map(_.getLong(0))
-      val cellOf = index.cells
+      val gtIds: Array[Any] =
+        cosineTopK(index.cells, index.vecCol, index.idCol, v, k)
+          .select(col(index.idCol)).collect().map(_.get(0))
+      val cellOf: Map[Any, Int] = index.cells
         .where(col(index.idCol).isin(gtIds.toSeq: _*))
         .select(col(index.idCol), col("__cell")).collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        .map(r => r.get(0) -> r.getInt(1)).toMap
       gtIds.map(cellOf)
     }
     // per query: rank of each cell (same float-rounded arithmetic as

@@ -173,6 +173,15 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(dB.shardedCycle().exists(_.endsWith(s"$downId/2026-08-12")))
     assert(downRuns.get == 1)
     val upOut = s"$root/internal_data/$upId/2026-08-12"
+    // age the input past the skew margin: the skip is provable only when
+    // the output is newer by MORE than duplicateSkipSkewMs (r18), and the
+    // in-cycle write gap is milliseconds
+    val downOutSucc0 = new java.io.File(
+      s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+    assert(new java.io.File(s"$upOut/_SUCCESS")
+      .setLastModified(downOutSucc0.lastModified() - 10000))
+    assert(new java.io.File(upOut)
+      .setLastModified(downOutSucc0.lastModified() - 10000))
 
     // redeliver the upstream completion into B's shard-1 inbox — the
     // crash shape (completing driver died between inbox send and its
@@ -239,7 +248,96 @@ class AppExecutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     dB.shardedCycle()
     assert(downRuns.get == 4,
       "nested (subdir) append must re-run the downstream")
+
+    // SKEW MARGIN (r18): same-tick stamps (coarse-mtime stores round an
+    // input and its derived output into the same second) must RUN — a
+    // spurious re-run is idempotent, a spurious skip loses a recompute
+    val downSucc4 = new java.io.File(
+      s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+    assert(new java.io.File(upOut, "region=eu")
+      .setLastModified(downSucc4.lastModified() - 60000))
+    assert(upSucc.setLastModified(downSucc4.lastModified()))
+    assert(new java.io.File(upOut)
+      .setLastModified(downSucc4.lastModified()))
+    redeliver()
+    dB.shardedCycle()
+    assert(downRuns.get == 5, "same-tick stamps must run (tie = undecidable)")
+
+    // within the margin (newer, but by less than duplicateSkipSkewMs):
+    // still undecidable, still runs
+    val downSucc5 = new java.io.File(
+      s"$root/internal_data/$downId/2026-08-12/_SUCCESS")
+    val withinMargin =
+      downSucc5.lastModified() - dB.duplicateSkipSkewMs + 500
+    assert(upSucc.setLastModified(withinMargin))
+    assert(new java.io.File(upOut).setLastModified(withinMargin))
+    assert(new java.io.File(upOut, "region=eu").setLastModified(withinMargin))
+    redeliver()
+    dB.shardedCycle()
+    assert(downRuns.get == 6, "within-margin stamps must run")
     dA.terminate(); dB.terminate()
+  }
+
+  test("re-published rawContent trigger defeats the duplicate skip " +
+    "(r18: trigger partitions carry stampable markers)") {
+    // a rawContent (artifact/trigger) input is never loaded as a
+    // DataFrame, but its completion marker IS the re-publish signal for
+    // a forced recompute — excluding it from the input-stamp max made
+    // the forced re-run look like a provable duplicate and skipped it
+    val nodeId = (0 to 99).map(i => s"raw_dn_$i")
+      .find(id => graft.routing.Sharding.shardOf(id, 1) == 0).get
+    val root = s"$work/app_rawdup"
+    val modelDir = s"$work/model_rawdup/2026-08-12"
+    new java.io.File(modelDir).mkdirs()
+    new java.io.FileOutputStream(s"$modelDir/_SUCCESS").close()
+    val runs = new java.util.concurrent.atomic.AtomicInteger
+    val app = new Application("rawdup", spark, root)
+    val src = app.marshalExternalData("src", s"$work/src", daySpec)
+    val model = app.marshalExternalModel(
+      "mdl", s"$work/model_rawdup", daySpec)
+    app.createData(nodeId, Seq(src.latest(1), model.latest(1)),
+      Seq(graft.compute.ScalaSlot { c =>
+        runs.incrementAndGet()
+        c.input("src").selectExpr("day", "amount * 2 AS doubled")
+      }))
+    app.activateSharded("A", 1)
+    app.processPath(modelDir)
+    app.processPath(s"$work/src/2026-08-12")
+    app.shardedCycle()
+    assert(runs.get == 1)
+    val outSucc = new java.io.File(
+      s"$root/internal_data/$nodeId/2026-08-12/_SUCCESS")
+    assert(outSucc.exists())
+    // age ALL inputs (markers + dirs) past the margin -> provable dup
+    def age(dir: String, to: Long): Unit = {
+      assert(new java.io.File(dir, "_SUCCESS").setLastModified(to))
+      assert(new java.io.File(dir).setLastModified(to))
+    }
+    val old = outSucc.lastModified() - 10000
+    age(s"$work/src/2026-08-12", old)
+    age(modelDir, old)
+    def redeliver(): Unit = {
+      val dir = new java.io.File(s"$root/sharding/shards/shard-0/inbox")
+      dir.mkdirs()
+      val msg = new java.io.File(dir,
+        f"msg-${System.currentTimeMillis()}%013d-raw${runs.get}%02d")
+      val w = new java.io.FileWriter(msg)
+      // both inputs: the coincidence join needs both events to re-form
+      // the execution context the guard then classifies
+      try w.write(s"c\t${s"$work/src/2026-08-12"}\ne\t${s"$work/src/2026-08-12"}\n" +
+        s"c\t$modelDir\ne\t$modelDir\n")
+      finally w.close()
+    }
+    redeliver()
+    app.shardedCycle()
+    assert(runs.get == 1, "aged inputs: redelivery is a provable duplicate")
+    // RE-PUBLISH the rawContent trigger (newer marker) -> must recompute
+    age(modelDir, outSucc.lastModified() + 1000)
+    redeliver()
+    app.shardedCycle()
+    assert(runs.get == 2,
+      "a re-published rawContent trigger must force the recompute")
+    app.terminate()
   }
 
   test("process(signal) forwards a materialized event to the owning driver") {

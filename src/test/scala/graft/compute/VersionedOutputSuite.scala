@@ -134,5 +134,23 @@ class VersionedOutputSuite extends AnyFunSuite with BeforeAndAfterAll {
       Compaction.compactPartition(spark, s, 64L << 20)
     }
     assert(eComp.getMessage.contains("versioned"), eComp.getMessage)
+
+    // compactDirKv must refuse too (r18): pointed at a data_v<N> dir
+    // INSIDE a versioned partition (pointers live in the PARENT) it
+    // would otherwise in-place swap files of a version a reader may
+    // hold, bypassing the pointer commit
+    val part = new java.io.File(s"$root/internal_data/vn/2026-08-10")
+    val vDir = part.list().find(_.startsWith("data_v1-")).get
+    val kv = new graft.routing.InMemoryConditionalKv
+    val eDir = intercept[IllegalArgumentException] {
+      Compaction.compactDirKv(spark, s"${part.getPath}/$vDir",
+        64L << 20, kv)
+    }
+    assert(eDir.getMessage.contains("versioned"), eDir.getMessage)
+    // and pointed at the partition root itself (pointers right there)
+    val eRoot = intercept[IllegalArgumentException] {
+      Compaction.compactDirKv(spark, part.getPath, 64L << 20, kv)
+    }
+    assert(eRoot.getMessage.contains("versioned"), eRoot.getMessage)
   }
 }
