@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   * - `"loadavg"` records the 1-min /proc/loadavg read at the START of
   *   each rep sweep plus a final read — a reading taken at load 8 on a
   *   32-cpu box explains itself;
+  * - (r18) `"window":"disturbed"` + `"disturbed":[names]` when any
+  *   query's reps spread more than 4x max/min — the r17 artifact ran a
+  *   16 s q01 rep under a "calm" label because an iowait/page-cache
+  *   stall is invisible to busy-jiffy accounting; per-sweep
+  *   `"iowait_pct"`/`"steal_pct"` series ([[statPctOver]]) say which
+  *   kind of stall a bad sweep met;
   * - `"window"` states the adjudication outright: "calm" ONLY when
   *   EVERY sweep started with other-load < 2 (r13 — the r12 artifact
   *   labeled itself calm off its first sweep, then absorbed a mid-run
@@ -137,15 +143,40 @@ object Bench {
     * namespaced, so the aggregate line spans the HOST's CPUs —
     * Runtime.availableProcessors (quota-aware under containers) would
     * under-scale the busy fraction and read a saturated host as calm. */
-  private def procStatJiffies(): Option[(Long, Long, Int)] =
+  /** Full /proc/stat aggregate snapshot: (busy, total, iowait, steal,
+    * hostCpus). iowait and steal ship separately (r18): the r17 artifact
+    * carried an 8x q01 stall with other_cores 0.0 — a page-cache/IO
+    * stall is INVISIBLE to busy-jiffy accounting (iowait is idle time),
+    * and steal means the hypervisor took the cycles; both series let the
+    * artifact name which kind of disturbance a bad sweep met. */
+  private def procStatFull(): Option[(Long, Long, Long, Long, Int)] =
     try {
       val lines = scala.io.Source.fromFile("/proc/stat").getLines().toList
       val f = lines.head.trim.split("\\s+").drop(1).map(_.toLong)
-      val busy = f.take(8).sum - f(3) - (if (f.length > 4) f(4) else 0L)
+      val iowait = if (f.length > 4) f(4) else 0L
+      val steal = if (f.length > 7) f(7) else 0L
+      val busy = f.take(8).sum - f(3) - iowait
       val total = f.take(8).sum // user nice system idle iowait irq softirq steal
       val nCpus = lines.count(l => l.startsWith("cpu") && !l.startsWith("cpu "))
-      if (nCpus < 1 || total <= 0) None else Some((busy, total, nCpus))
+      if (nCpus < 1 || total <= 0)
+        None else Some((busy, total, iowait, steal, nCpus))
     } catch { case _: Throwable => None }
+
+  private def procStatJiffies(): Option[(Long, Long, Int)] =
+    procStatFull().map { case (b, t, _, _, n) => (b, t, n) }
+
+  /** Percentage of a sweep's jiffy capacity spent in `pick`ed state
+    * (iowait or steal) between two [[procStatFull]] snapshots; -1.0
+    * when either snapshot is unavailable. */
+  private[graft] def statPctOver(
+      s0: Option[(Long, Long, Long, Long, Int)],
+      s1: Option[(Long, Long, Long, Long, Int)],
+      pick: ((Long, Long, Long, Long, Int)) => Long): Double =
+    (s0, s1) match {
+      case (Some(a), Some(b)) if b._2 > a._2 =>
+        math.max(0.0, (pick(b) - pick(a)).toDouble / (b._2 - a._2) * 100.0)
+      case _ => -1.0
+    }
 
   /** Co-tenant cores over a sweep from /proc/stat + own-CPU deltas. */
   private[graft] def otherCoresOver(stat0: Option[(Long, Long, Int)],
@@ -173,6 +204,33 @@ object Bench {
     if (preSweepOtherLoad.nonEmpty && sweepOtherCores.nonEmpty &&
         preSweepOtherLoad.forall(l => l >= 0 && l < 2.0) &&
         sweepOtherCores.forall(c => c >= 0 && c < 2.0)) "calm" else "loaded"
+
+  /** Per-query rep-dispersion rule (r18, VERDICT r17 #2): BENCH_r17
+    * labeled itself "calm" while q01's middle rep ran 16.18 s against
+    * 2.1 s neighbors — the CPU-side telemetry is blind to iowait/
+    * page-cache stalls (iowait is idle time to the busy counters) and
+    * to one-off hypervisor steals shorter than a jiffy-window average.
+    * The reps themselves are the most direct stall detector: within one
+    * query, max/min > `maxRatio` cannot be warmup (warmup inflates the
+    * FIRST rep only, observed <= ~3x even on the loaded r14 artifact)
+    * nor plan variance (same plan every rep) — something took the
+    * machine mid-rep. Returns the offending query names, sorted. */
+  def disturbedQueries(repsByQuery: Map[String, Seq[Double]],
+                       maxRatio: Double = 4.0): List[String] =
+    repsByQuery.toList.collect {
+      case (q, ts) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > maxRatio
+        => q
+    }.sorted
+
+  /** The full adjudication: dispersion trumps the CPU-side label — a
+    * run whose CPU telemetry reads calm but whose reps carry a >4x
+    * within-query spread labels "disturbed" (the artifact names the
+    * queries in `"disturbed"`), so a stall-contaminated total can never
+    * again ship under a "calm" banner. */
+  def runLabel(preSweepOtherLoad: Seq[Double], sweepOtherCores: Seq[Double],
+               repsByQuery: Map[String, Seq[Double]]): String =
+    if (disturbedQueries(repsByQuery).nonEmpty) "disturbed"
+    else windowLabel(preSweepOtherLoad, sweepOtherCores)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,6 +314,8 @@ object Bench {
     val heapMb = scala.collection.mutable.ArrayBuffer[Long]()
     val ownCores = scala.collection.mutable.ArrayBuffer[Double]()
     val otherCores = scala.collection.mutable.ArrayBuffer[Double]()
+    val iowaitPct = scala.collection.mutable.ArrayBuffer[Double]()
+    val stealPct = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { _ =>
       while (otherLoad1m() >= 2.0 && burstBudgetSecs > 0) {
         System.err.println(
@@ -266,7 +326,8 @@ object Bench {
       }
       loads += loadavg1m()
       otherLoads += otherLoad1m()
-      val stat0 = procStatJiffies()
+      val statFull0 = procStatFull()
+      val stat0 = statFull0.map { case (b, t, _, _, n) => (b, t, n) }
       val (gc0, cpu0, wall0) = (gcMillis(), cpuNanos(), System.nanoTime())
       names.foreach { name =>
         val fn = queries(name)
@@ -288,7 +349,11 @@ object Bench {
       val wall = math.max(1L, System.nanoTime() - wall0)
       val ownCpu = if (cpu0 < 0) -1L else cpuNanos() - cpu0
       ownCores += (if (ownCpu < 0) -1.0 else ownCpu.toDouble / wall)
-      otherCores += otherCoresOver(stat0, procStatJiffies(), ownCpu, wall)
+      val statFull1 = procStatFull()
+      otherCores += otherCoresOver(stat0,
+        statFull1.map { case (b, t, _, _, n) => (b, t, n) }, ownCpu, wall)
+      iowaitPct += statPctOver(statFull0, statFull1, _._3)
+      stealPct += statPctOver(statFull0, statFull1, _._4)
     }
     loads += loadavg1m()
 
@@ -312,13 +377,27 @@ object Bench {
     // caught). Unavailable readings (-1) never count as calm. All
     // series ship in the artifact for audit; the rule itself is
     // [[windowLabel]], unit-tested with the BENCH_r14 shape.
-    val window = windowLabel(otherLoads.toSeq, otherCores.toSeq)
+    // (r18) the label additionally consumes the reps themselves: a >4x
+    // within-query spread marks the run "disturbed" and names the
+    // queries — the r17 artifact's 8x q01 stall ran under other_cores
+    // 0.0 (iowait/steal are invisible to busy-jiffy accounting), and
+    // the per-sweep iowait/steal percentages ship so the artifact can
+    // say which kind of stall a bad sweep met.
+    val timesMap = times.toMap
+    val window = runLabel(otherLoads.toSeq, otherCores.toSeq, timesMap)
+    val disturbed = disturbedQueries(timesMap)
+    val disturbedJson =
+      if (disturbed.isEmpty) ""
+      else disturbed.map("\"" + _ + "\"")
+        .mkString(""","disturbed":[""", ",", "]")
     val jvmJson =
       s"""{"gc_ms":${gcMs.mkString("[", ",", "]")},""" +
         s""""heap_mb":${heapMb.mkString("[", ",", "]")},""" +
         s""""own_cores":${ownCores.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
-        s""""other_cores":${otherCores.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$errJson,"sf":"$sfDir"}""")
+        s""""other_cores":${otherCores.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
+        s""""iowait_pct":${iowaitPct.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
+        s""""steal_pct":${stealPct.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$disturbedJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -43,6 +43,57 @@ class BenchLabelSuite extends AnyFunSuite {
     assert(Bench.windowLabel(Seq(2.0), Seq(0.0)) == "loaded")
   }
 
+  test("the BENCH_r17 shape self-labels disturbed and names the queries") {
+    // r18 (VERDICT r17 #2): the exact r17 artifact — CPU telemetry calm
+    // (other_cores 0.0) but q01's middle rep 8x its neighbors (an
+    // iowait/page-cache stall the busy-jiffy counters cannot see). The
+    // dispersion rule must catch it FROM THE REPS and name the queries.
+    val r17 = Map(
+      "q01_agg_pricing" -> Seq(2.106, 16.179, 2.149),
+      "q02_join_agg_topk" -> Seq(1.711, 6.416, 1.434),
+      "q03_star_join" -> Seq(1.028, 3.158, 0.695),
+      "q07_window_rank" -> Seq(0.910, 2.065, 0.652),
+      "q21_count_distinct" -> Seq(0.911, 1.449, 0.736),
+      "fw01_range_union" -> Seq(1.232, 1.147, 0.898),
+      "p01_exact_dedup" -> Seq(0.630, 0.445, 0.333),
+      "p05_cosine_topk" -> Seq(0.593, 0.452, 0.309),
+      "p07_minhash_lsh" -> Seq(3.350, 2.336, 1.836),
+      "p12_ann_lsh" -> Seq(0.563, 0.389, 0.285),
+      "p14_dup_clusters" -> Seq(4.162, 4.696, 2.627),
+      "p18_incremental_dedup" -> Seq(4.876, 1.885, 2.150))
+    assert(Bench.disturbedQueries(r17) ==
+      List("q01_agg_pricing", "q02_join_agg_topk", "q03_star_join"))
+    // dispersion TRUMPS a calm CPU window — r17's exact failure
+    assert(Bench.runLabel(Seq(0.0, 0.0, 0.0), Seq(0.0, 0.0, 0.1), r17)
+      == "disturbed")
+  }
+
+  test("warmup-shaped first-rep inflation does not trip the dispersion " +
+    "rule; a calm run stays calm end-to-end") {
+    // observed warmup inflation tops out ~3x (even the loaded r14
+    // artifact's worst clean query was 3.7x); the threshold sits above it
+    val calm = Map(
+      "q01_agg_pricing" -> Seq(2.2, 1.6, 1.5),
+      "p01_exact_dedup" -> Seq(0.9, 0.35, 0.30)) // 3x warmup
+    assert(Bench.disturbedQueries(calm).isEmpty)
+    assert(Bench.runLabel(Seq(0.1, 0.0), Seq(0.2, 0.3), calm) == "calm")
+    // a loaded CPU window still labels loaded when reps are tight
+    assert(Bench.runLabel(Seq(0.1, 4.4), Seq(0.2, 0.3), calm) == "loaded")
+    // degenerate rows never divide by zero or trip on a single rep
+    assert(Bench.disturbedQueries(Map("x" -> Seq(5.0))).isEmpty)
+    assert(Bench.disturbedQueries(Map("x" -> Seq(0.0, 1.0))).isEmpty)
+  }
+
+  test("statPctOver reads iowait/steal percentages from stat snapshots") {
+    // 100k-jiffy window, 8k of it iowait, 1k steal
+    val s0 = Some((50000L, 1000000L, 2000L, 100L, 32))
+    val s1 = Some((90000L, 1100000L, 10000L, 1100L, 32))
+    assert(math.abs(Bench.statPctOver(s0, s1, _._3) - 8.0) < 1e-9)
+    assert(math.abs(Bench.statPctOver(s0, s1, _._4) - 1.0) < 1e-9)
+    assert(Bench.statPctOver(None, s1, _._3) == -1.0)
+    assert(Bench.statPctOver(s0, s0, _._3) == -1.0) // zero-width window
+  }
+
   test("otherCoresOver measures co-tenant cores from jiffy deltas") {
     // 10 s wall on a 64-cpu HOST where /proc/stat says 40% of capacity
     // was busy while this process used 2 cores: co-tenant = 0.4*64 - 2.
