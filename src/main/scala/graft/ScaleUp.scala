@@ -140,21 +140,30 @@ object ScaleUp {
     // rotation entirely past shift >= dim on a narrower one)
     val dim = tbl("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    // rotation shifts must be pairwise distinct or two replicas share a
-    // direction and become the cross-replica near-dup flood again
-    val shifts = (0 until factor).map(i => (i * 7) % dim)
+    // (shift, flip) must be pairwise distinct or two replicas share a
+    // direction and become the cross-replica near-dup flood again. The
+    // rotation alone offers only `dim` distinct shifts (7 is coprime to
+    // the dim so the cycle is full-length); replicas past the first
+    // `dim` NEGATE the rotated vector (r18, the factor-100 probe) —
+    // negation preserves norms and every intra-replica pairwise cosine
+    // exactly, while a formerly-shared direction lands at cosine ~ -1,
+    // far from any near-dup threshold. Supports factor <= 2*dim.
+    val shifts = (0 until factor).map(i => ((i * 7) % dim, (i / dim) % 2 == 1))
     require(shifts.distinct.size == shifts.size,
-      s"replica rotation shifts collide (dim=$dim, factor=$factor) — " +
-        "use a rotation step coprime to dim")
+      s"replica (rotation, flip) pairs collide (dim=$dim, factor=$factor)" +
+        s" — factor must be <= ${2 * dim} at this dim (add a second " +
+        "decorrelator past that)")
     rep("embeddings") { (d, i) =>
       val shift = (i * 7) % dim
       val rotated =
         if (shift == 0) col("embedding")
         else concat(slice(col("embedding"), shift + 1, dim - shift),
           slice(col("embedding"), 1, shift))
+      val oriented =
+        if ((i / dim) % 2 == 1) transform(rotated, x => -x) else rotated
       d.select(
         strided("vec_id", i).as("vec_id"),
-        transform(rotated, (x, j) =>
+        transform(oriented, (x, j) =>
           (x + (pmod(hash(col("vec_id"), lit(i), j), lit(9973)) - lit(4986))
             .cast("float") * lit(1e-7f)).cast("float")).as("embedding"),
         col("label"))

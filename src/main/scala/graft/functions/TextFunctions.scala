@@ -19,9 +19,34 @@ object TextFunctions {
   def wordTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Cheap byte-pair-encoding token-count estimate (~4 chars/token). */
+  /** Cheap byte-pair-encoding token-count estimate (~4 chars/token) —
+    * fine for FILTERING; use [[bpeTokenCount]] when the budget must be
+    * tokenizer-exact (training-mix assembly). */
   def bpeTokenEstimate(text: Column): Column =
     ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Tokenizer-EXACT token count: a loadable BPE model (GPT-2
+    * `merges.txt` format) applied by a codegen'd Catalyst expression —
+    * the real count the packing/budget operators
+    * (`Sampling.takeByTokenBudget`, `Packing.packSequences`,
+    * `Packing.chunkDocuments`) should budget with when assembling a
+    * training mix (`bpeTokenEstimate` mis-sizes a budget by ±20% on
+    * natural text). Executors load the model once per JVM from
+    * `mergesPath` (any Hadoop-visible FS); the plan ships only the
+    * path. */
+  def bpeTokenCount(text: Column, mergesPath: String): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BpeTokenCountExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), mergesPath))
+
+  /** Full BPE encoding to vocab ids (`merges.txt` + `vocab.json`,
+    * GPT-2 format): array<int> token ids, e.g. for exact-length
+    * sequence packing or token-level dedup. */
+  def bpeEncode(text: Column, mergesPath: String, vocabPath: String): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BpeEncodeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        mergesPath, vocabPath))
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")

@@ -689,6 +689,23 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- tokenizer-exact budget selection: the p27 shape with the
+    // BPE count (planted single-round fixture merges) as the tokenCol —
+    // the "wire bpeTokenCount into the budget operators" row. The
+    // fixture's pairwise-distinct letters make the oracle exact:
+    // count = utf8-bytes − Σ non-overlapping pair occurrences (see
+    // graft.functions.Bpe.FixtureMerges).
+    "p42_bpe_budget" -> ((s, dir) => {
+      val merges = graft.functions.Bpe.fixtureMergesPath()
+      val scored = docs(s, dir).select(col("doc_id"),
+        bpeTokenCount(col("text"), merges).as("n_tokens"))
+      val total = scored.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+      graft.operators.Sampling.takeByTokenBudget(scored,
+        "n_tokens", "n_tokens", "doc_id", budget = (total * 2) / 5)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- bloom-prefiltered incremental exact dedup: a batch of half
     // exact-dups / half fresh docs against the whole corpus — only the
     // fresh half survives; the bloom prunes the confirm join
@@ -1238,6 +1255,24 @@ object PipelineOps {
                 CAST(FLOOR((cum - nt) / 512.0) AS BIGINT) AS first_seq,
                 CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS last_seq
          FROM c WHERE nt > 0 ORDER BY doc_id""",
+    "p42_bpe_budget" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(octet_length(encode(text))
+             - (length(text) - length(replace(text, 'er', ''))) // 2
+             - (length(text) - length(replace(text, 'th', ''))) // 2
+             - (length(text) - length(replace(text, 'an', ''))) // 2
+             - (length(text) - length(replace(text, 'is', ''))) // 2
+             - (length(text) - length(replace(text, 'ou', ''))) // 2
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 2 // 5 AS budget
+               FROM d),
+         s AS (SELECT doc_id, n_tokens,
+                      CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC,
+                        doc_id) AS BIGINT) AS cum_tokens
+               FROM d)
+         SELECT doc_id, n_tokens, cum_tokens FROM s
+         WHERE cum_tokens <= (SELECT budget FROM b) ORDER BY doc_id""",
     "p30_incremental_exact" ->
       """WITH batch AS (SELECT doc_id + 1000000 AS doc_id,
            CASE WHEN doc_id % 2 = 0 THEN text
