@@ -138,6 +138,34 @@ final case class HashedGramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional (ordered, NOT deduped) n-gram hashes — [[HashedGramsExpr]]
+  * minus the sort/dedup, so array index == token position. Seed table
+  * for variable-length shared-span detection (Dedup.maximalSharedSpans):
+  * a span shared at positions (p1, p2) seeds a hit at EVERY window
+  * offset inside it, and those hits are what the diagonal-run merge
+  * coalesces back into one maximal span. */
+final case class PositionalGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.string(child.dataType, prettyName)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.positionalGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextVectorKernels.positionalGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection SIZE of two SORTED distinct long arrays — the verify-join
   * kernel pairing [[HashedGramsExpr]]: a single merge pass, no per-pair
   * allocation. Equals `size(array_intersect(a, b))` when both inputs are
@@ -493,6 +521,26 @@ object TextVectorKernels {
       g += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** POSITIONAL xxhash64 gram hashes: hs(i) = hash of the n-gram starting
+    * at token position i, in token order, neither sorted nor deduped —
+    * the seed table for maximal-shared-span detection (position i must
+    * be recoverable from the array index). Same tokenization, gram
+    * construction, and hash (seed 42) as [[hashedGrams]]. */
+  def positionalGramHashes(text: UTF8String, n: Int): ArrayData = {
+    val grams = wordNgrams(text, n)
+    val m = grams.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val g = grams.getUTF8String(i)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(hs)
   }
 
   /** Sorted distinct xxhash64 (seed 42, Spark's `xxhash64`) values of the

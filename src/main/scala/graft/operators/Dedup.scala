@@ -1163,6 +1163,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_spans"))
   }
 
+  private def positionalGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PositionalGramsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** VARIABLE-LENGTH exact-substring dedup, the full Lee et al. form
+    * (arXiv:2107.06499 §4: report MAXIMAL duplicated substrings with
+    * their lengths, not just fixed-width hit counts —
+    * [[sharedSpanPairs]] is the fixed-width reduction). One row per
+    * maximal shared token span ≥ `minSpanTokens` between two documents:
+    * (d1, d2, p1, p2, span_tokens) with d1 < d2 and p1/p2 the 0-based
+    * token offsets of the span's start in each document.
+    *
+    * ALGORITHM — diagonal-run merging, not suffix arrays and not
+    * iterative hash doubling: a span of L tokens shared at (p1, p2)
+    * matches the width-w window at EVERY offset o ∈ [0, L−w], and all
+    * those seed hits lie on one DIAGONAL (p1−p2 constant) at
+    * consecutive p1 — so maximal spans are exactly the maximal
+    * consecutive runs per (d1, d2, diagonal): length = (max p1 − min p1)
+    * + w. One equi-join on the 64-bit window hash + one partitioned
+    * window pass recovers them; the doubling alternative re-shuffles
+    * the corpus O(log L) times for the same answer, and suffix arrays
+    * don't distribute. Exact for token equality up to an xxhash64
+    * window collision (~2⁻⁶⁴ per window pair — the [[lineDedup]] harm
+    * model).
+    *
+    * SCALE: seeds join on an 8-byte hash; grams occurring more than
+    * `maxGramOccurrences` times corpus-wide are excluded BEFORE the
+    * self-join (boilerplate and pathological repetition would square —
+    * such text is what [[repetitionRatios]]-style filters remove
+    * upstream; a dropped gram can at worst split a span that contains
+    * it). The per-(pair, diagonal) window partitions by (d1, d2, diag),
+    * so no single-partition window; partition size is bounded by the
+    * shorter document's token count. */
+  def maximalSharedSpans(df: DataFrame, textCol: String, idCol: String,
+                         minSpanTokens: Int = 50,
+                         maxGramOccurrences: Int = 1000): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be >= 2")
+    require(maxGramOccurrences >= 2, "maxGramOccurrences must be >= 2")
+    val w = minSpanTokens
+    val pos = spread(df).select(col(idCol).as("__id"),
+        posexplode(positionalGrams(col(textCol), w)))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__g")
+    // corpus-wide occurrence cap: one map-side-combined count over the
+    // 8-byte keys, then a semi-join filter (both keyed by __g, so AQE
+    // can plan them into the self-join's exchange)
+    val keep = pos.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .where(col("__c") <= maxGramOccurrences && col("__c") > 1)
+      .select("__g")
+    val seeds = pos.join(keep, Seq("__g"))
+    val hits = seeds.select(col("__g"), col("__id").as("d1"),
+        col("__p").as("p1"))
+      .join(seeds.select(col("__g"), col("__id").as("d2"),
+        col("__p").as("p2")), Seq("__g"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("p1") - col("p2"))
+      .orderBy(col("p1"))
+    // island detection: within a diagonal, p1 − row_number is constant
+    // exactly on a consecutive run (no lag/running-sum two-pass needed)
+    hits
+      .withColumn("__island",
+        col("p1") - row_number().over(wnd))
+      .groupBy(col("d1"), col("d2"), (col("p1") - col("p2")).as("__diag"),
+        col("__island"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+        (max(col("p1")) - min(col("p1")) + w).as("span_tokens"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"),
+        col("span_tokens"))
+  }
+
   /** LINE-level corpus dedup (CCNet's duplicated-paragraph removal /
     * RefinedWeb's line-wise filter, arXiv:1911.00359 §3.1 +
     * arXiv:2306.01116 §3.4): a line whose TRIMMED text occurs at least

@@ -689,6 +689,37 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- variable-length maximal shared spans (Lee et al. full form):
+    // planted pairs derived purely from doc_id — doc i and doc i+1000
+    // share exactly one span of 6+(i%5) tokens (tokens carry i, so no
+    // cross-pair matches; boundary tokens are unique per side, so the
+    // recovered span cannot extend). Lengths AND positions must come
+    // back exactly; the oracle replays the window-join + diagonal-run
+    // rule with DuckDB list operations, no hashes.
+    "p43_maximal_spans" -> ((s, dir) => {
+      val i = col("i").cast("string")
+      def tok(parts: org.apache.spark.sql.Column*) = concat(parts: _*)
+      val ids = rawDocs(s, dir).where(col("doc_id") < 20)
+        .select(col("doc_id").cast("long").as("i"))
+      val spanTxt = array_join(transform(
+        sequence(lit(0), (col("i") % 5 + 5).cast("int")),
+        k => concat(lit("p"), i, lit("t"), k.cast("string"))), " ")
+      val a = ids.select(col("i").as("doc_id"),
+        concat_ws(" ", tok(lit("a"), i, lit("w0")),
+          tok(lit("a"), i, lit("w1")), tok(lit("a"), i, lit("w2")),
+          tok(lit("La"), i), spanTxt).as("text"))
+      val b = ids.select((col("i") + 1000L).as("doc_id"),
+        concat_ws(" ", tok(lit("b"), i, lit("w0")),
+          tok(lit("b"), i, lit("w1")), tok(lit("Rb"), i),
+          spanTxt).as("text"))
+      graft.operators.Dedup.maximalSharedSpans(a.unionByName(b),
+          "text", "doc_id", minSpanTokens = 6)
+        .select(col("d1"), col("d2"), col("p1").cast("long").as("p1"),
+          col("p2").cast("long").as("p2"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy("d1", "p1")
+    }),
+
     // ---- tokenizer-exact budget selection: the p27 shape with the
     // BPE count (planted single-round fixture merges) as the tokenCol —
     // the "wire bpeTokenCount into the budget operators" row. The
@@ -1255,6 +1286,32 @@ object PipelineOps {
                 CAST(FLOOR((cum - nt) / 512.0) AS BIGINT) AS first_seq,
                 CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS last_seq
          FROM c WHERE nt > 0 ORDER BY doc_id""",
+    "p43_maximal_spans" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+           WHERE doc_id < 20),
+         mk AS (SELECT i,
+             ['a'||i||'w0', 'a'||i||'w1', 'a'||i||'w2', 'La'||i]
+               || list_transform(generate_series(0, 5 + CAST(i % 5 AS INT)),
+                    k -> 'p'||i||'t'||k) AS ta,
+             ['b'||i||'w0', 'b'||i||'w1', 'Rb'||i]
+               || list_transform(generate_series(0, 5 + CAST(i % 5 AS INT)),
+                    k -> 'p'||i||'t'||k) AS tb
+           FROM ids),
+         ga AS (SELECT i, UNNEST(generate_series(1, len(ta) - 5)) AS pa, ta
+                FROM mk),
+         gb AS (SELECT i, UNNEST(generate_series(1, len(tb) - 5)) AS pb, tb
+                FROM mk),
+         hits AS (SELECT a.i, a.pa - 1 AS p1, b.pb - 1 AS p2
+                  FROM ga a JOIN gb b ON a.i = b.i
+                    AND a.ta[a.pa : a.pa + 5] = b.tb[b.pb : b.pb + 5]),
+         runs AS (SELECT i, p1 - p2 AS diag, p1, p2,
+             p1 - ROW_NUMBER() OVER (PARTITION BY i, p1 - p2 ORDER BY p1)
+               AS grp
+           FROM hits)
+         SELECT i AS d1, i + 1000 AS d2,
+                CAST(MIN(p1) AS BIGINT) AS p1, CAST(MIN(p2) AS BIGINT) AS p2,
+                CAST(MAX(p1) - MIN(p1) + 6 AS BIGINT) AS span_tokens
+         FROM runs GROUP BY i, diag, grp ORDER BY d1, p1""",
     "p42_bpe_budget" ->
       """WITH d AS (SELECT doc_id,
            CAST(octet_length(encode(text))

@@ -927,6 +927,46 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(guarded.isEmpty, "an over-shared span must be guard-dropped")
   }
 
+  test("maximal shared spans recover variable lengths, positions, and " +
+    "multiple spans per pair exactly (Lee et al. full form)") {
+    val sp = spark; import sp.implicits._
+    val span9 = "s1 s2 s3 s4 s5 s6 s7 s8 s9" // 9 tokens
+    val span4 = "u1 u2 u3 u4"                // 4 tokens (= minSpanTokens)
+    val df = Seq(
+      // doc pair (0,1): TWO maximal spans — 9 tokens at (2,1) and
+      // 4 tokens further right; boundaries unique per doc so neither
+      // span can extend
+      (0L, s"a0 a1 $span9 a2 a3 $span4 a4"),
+      (1L, s"b0 $span9 b1 $span4"),
+      // doc 2 shares ONLY a 3-token prefix of span9 -> below width, no row
+      (2L, "c0 s1 s2 s3 c1 c2 c3 c4"),
+      // docs 3,4: span of exactly 4 at different offsets
+      (3L, "d0 d1 d2 v1 v2 v3 v4"),
+      (4L, "v1 v2 v3 v4 e0 e1 e2 e3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.maximalSharedSpans(df, "text", "doc_id",
+      minSpanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (0L, 1L, 2, 1, 9),   // span9: p1=2 (a0 a1), p2=1 (b0), len 9
+      (0L, 1L, 13, 11, 4), // span4: after a0 a1 span9 a2 a3 = 13
+      (3L, 4L, 3, 0, 4)),  // span4 between 3 and 4
+      s"got $got")
+    // a self-repeating gram above the occurrence cap is excluded
+    val loop = Seq(
+      (0L, "x y " + Array.fill(50)("r1 r2").mkString(" ")),
+      (1L, Array.fill(50)("r1 r2").mkString(" "))).toDF("doc_id", "text")
+    val capped = Dedup.maximalSharedSpans(loop, "text", "doc_id",
+      minSpanTokens = 4, maxGramOccurrences = 20).collect()
+    assert(capped.isEmpty, "pathological repetition must be guard-dropped")
+    // no cartesian/BNLJ: the seed self-join is hash-keyed
+    val plan = Dedup.maximalSharedSpans(df, "text", "doc_id",
+      minSpanTokens = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("token-budget selection equals the single-window cumulative answer") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7)
