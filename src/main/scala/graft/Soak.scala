@@ -727,9 +727,34 @@ object Soak {
       // candidates bounds how much of the probed set the refine re-ranks
       val plainR8c200 = ivfPqRefined(8, 200)
       val resR8c200 = resRefined(8, 200)
+      // r18 (VERDICT r17 #5): AUTO-CALIBRATED operating point — measure
+      // the cell-pruning ceiling once at build time, persist it in the
+      // durable index meta, and probe with a recall TARGET; the ledger
+      // records what the auto-chosen (nProbe, candidates) actually hit.
+      val autoTarget = 0.8
+      val (_, curve) = Similarity.nProbeForRecall(ivfIdx, autoTarget,
+        k = kTop, sampleQueries = qn)
+      val autoDir =
+        s"/tmp/graft_soak_pqauto_${ProcessHandle.current().pid()}"
+      graft.operators.Pq.saveIvfPqCalibrated(resCells, ivfIdx.centroids,
+        cbRes, autoDir, curve, calibK = kTop)
+      val (ldCells, ldCents, ldCb) =
+        graft.operators.Pq.loadIvfPq(spark, autoDir)
+      val (storedCurve, _) =
+        graft.operators.Pq.loadRecallCurve(spark, autoDir).get
+      val (autoNp, autoC) = graft.operators.Pq.operatingPoint(storedCurve,
+        autoTarget, ldCents.length, nVecs, kTop)
+      val autoRecall = {
+        val rs = queries.map { case (id, v) =>
+          ids(graft.operators.Pq.ivfPqTopKRefinedAuto(ldCells, ldCents,
+            ldCb, emb, "vec_id", v, kTop, autoTarget, storedCurve,
+            corpusRows = nVecs))
+            .intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
       ivfIdx.unpersist()
       println(
-        f"""{"soak":"pqrecall","vectors":$nVecs,"queries":$qn,"k":$kTop,"pq_k":256,"adc_m4":$r4%.3f,"adc_m8":$r8%.3f,"adc_m16":$r16%.3f,"opq_m8":$opq8%.3f,"refined_m8_c50":$ref50%.3f,"refined_m8_c100":$ref100%.3f,"neardup_m4":$nd4%.3f,"neardup_m8":$nd8%.3f,"neardup_m16":$nd16%.3f,"neardup_opq_m8":$opqNd8%.3f,"ivfpq_m8_nprobe2":$ip2%.3f,"ivfpq_m8_nprobe4":$ip4%.3f,"ivfpq_refined_m8_nprobe4_c100":$ipr4%.3f,"ivfpq_refined_m8_nprobe6_c100":$plainR6%.3f,"neardup_ivfpq_m8_nprobe2":$ipn2%.3f,"neardup_ivfpq_m8_nprobe4":$ipn4%.3f,"cell_ceiling_nprobe2":$ceil2%.3f,"cell_ceiling_nprobe4":$ceil4%.3f,"cell_ceiling_nprobe6":$ceil6%.3f,"cell_ceiling_nprobe8":$ceil8%.3f,"residual_adc_nprobe4":$res4%.3f,"residual_adc_nprobe6":$res6%.3f,"residual_adc_nprobe8":$res8%.3f,"residual_refined_nprobe4_c100":$resR4%.3f,"residual_refined_nprobe6_c100":$resR6%.3f,"residual_refined_nprobe8_c100":$resR8%.3f,"ivfpq_refined_m8_nprobe8_c200":$plainR8c200%.3f,"residual_refined_nprobe8_c200":$resR8c200%.3f}""")
+        f"""{"soak":"pqrecall","vectors":$nVecs,"queries":$qn,"k":$kTop,"pq_k":256,"adc_m4":$r4%.3f,"adc_m8":$r8%.3f,"adc_m16":$r16%.3f,"opq_m8":$opq8%.3f,"refined_m8_c50":$ref50%.3f,"refined_m8_c100":$ref100%.3f,"neardup_m4":$nd4%.3f,"neardup_m8":$nd8%.3f,"neardup_m16":$nd16%.3f,"neardup_opq_m8":$opqNd8%.3f,"ivfpq_m8_nprobe2":$ip2%.3f,"ivfpq_m8_nprobe4":$ip4%.3f,"ivfpq_refined_m8_nprobe4_c100":$ipr4%.3f,"ivfpq_refined_m8_nprobe6_c100":$plainR6%.3f,"neardup_ivfpq_m8_nprobe2":$ipn2%.3f,"neardup_ivfpq_m8_nprobe4":$ipn4%.3f,"cell_ceiling_nprobe2":$ceil2%.3f,"cell_ceiling_nprobe4":$ceil4%.3f,"cell_ceiling_nprobe6":$ceil6%.3f,"cell_ceiling_nprobe8":$ceil8%.3f,"residual_adc_nprobe4":$res4%.3f,"residual_adc_nprobe6":$res6%.3f,"residual_adc_nprobe8":$res8%.3f,"residual_refined_nprobe4_c100":$resR4%.3f,"residual_refined_nprobe6_c100":$resR6%.3f,"residual_refined_nprobe8_c100":$resR8%.3f,"ivfpq_refined_m8_nprobe8_c200":$plainR8c200%.3f,"residual_refined_nprobe8_c200":$resR8c200%.3f,"auto_target":$autoTarget%.2f,"auto_nprobe":$autoNp,"auto_candidates":$autoC,"auto_recall":$autoRecall%.3f}""")
       spark.stop()
       return
     }

@@ -255,6 +255,60 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
       "probing every cell must reach ceiling 1.0")
   }
 
+  test("calibrated save round-trips the recall curve; auto operating " +
+    "point picks from it and the auto probe hits the target (r18)") {
+    val target = 0.8
+    val (_, curve) = Similarity.nProbeForRecall(ivf, targetRecall = target,
+      k = 10, sampleQueries = 20)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqauto").toString
+    Pq.saveIvfPqCalibrated(resCells, ivf.centroids, resCb, path,
+      curve, calibK = 10)
+    // meta round-trip: every (nProbe, ceiling) point and the calib k
+    val (stored, calibK) = Pq.loadRecallCurve(spark, path).get
+    assert(calibK == 10)
+    assert(stored.size == curve.size &&
+      curve.forall { case (np, c) => math.abs(stored(np) - c) < 1e-12 },
+      "stored curve differs from measured")
+    // a pre-curve index loads None (callers keep the manual path)
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_pqlegacy").toString
+    Pq.saveIvfPq(resCells, ivf.centroids, resCb, legacy)
+    assert(Pq.loadRecallCurve(spark, legacy).isEmpty)
+    // operating point: smallest nProbe whose CEILING clears the target;
+    // candidates = 15% of probed rows, floored at k
+    val (cells2, cents2, cb2) = Pq.loadIvfPq(spark, path)
+    val n = nRows.toLong
+    val (np, c) = Pq.operatingPoint(stored, target, cents2.length, n, 10)
+    // smallest nProbe whose CEILING clears target + the 0.05 headroom
+    // (composed recall tracks the ceiling from a few points below)
+    assert(stored(np) >= target + 0.05 &&
+      (np == 1 || stored(np - 1) < target + 0.05), s"np=$np not minimal")
+    val probed = math.ceil(np * n.toDouble / nClusters).toLong
+    assert(c == math.min(math.max(probed, 10L), math.max(100L,
+      math.ceil(0.20 * probed).toLong)).toInt, s"c=$c probed=$probed")
+    // the auto probe (stored curve, no hand-carried constants) hits the
+    // target end-to-end — deterministic fixture, so a constant pin
+    val r = recallOf(v => Pq.ivfPqTopKRefinedAuto(cells2, cents2, cb2,
+      corpus, "vec_id", v, 10, target, stored, corpusRows = n))
+    assert(r >= target, f"auto-chosen point missed the target: $r%.3f")
+    // batched auto surface agrees with the per-query auto surface
+    val sp = spark; import sp.implicits._
+    val qdf = queries.take(5).map { case (id, v) => (id + 50000L, v) }
+      .toSeq.toDF("vec_id", "embedding")
+    val batched = Pq.ivfPqTopKJoinRefinedAuto(qdf, cells2, cents2, cb2,
+      corpus, 10, target, stored, corpusRows = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet
+    val single = queries.take(5).flatMap { case (id, v) =>
+      Pq.ivfPqTopKRefinedAuto(cells2, cents2, cb2, corpus, "vec_id", v,
+        10, target, stored, corpusRows = n)
+        .collect().zipWithIndex
+        .map { case (row, i) => (id + 50000L, row.getLong(0), i + 1) }
+    }.toSet
+    assert(batched == single, "batched auto != per-query auto")
+  }
+
   test("residual composes with the two-level IVF build (same IvfIndex " +
     "contract end to end)") {
     val ivf2 = Similarity.buildIvfIndexTwoLevel(corpus, "embedding",

@@ -129,6 +129,54 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(app.load(node(day)).collect().head.getDouble(1) == 8.0)
   }
 
+  test("watchUpcoming derives the expected dirs from the dimension spec: " +
+    "an empty-marker vendor feed needs only root + protocol (r18)") {
+    val sp = spark
+    import sp.implicits._
+    val srcRoot = s"$work/stream_upcoming_src"
+    val anchor = java.time.LocalDateTime.of(2026, 8, 12, 0, 0)
+    val day = "2026-08-13" // anchor + 1: inside the derived window
+    Seq((day, 2.0), (day, 4.0)).toDF("day", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcRoot/$day")
+    val dir = new java.io.File(s"$srcRoot/$day")
+    val part = dir.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(dir, "blob-0.parquet")))
+    dir.listFiles().filter(f => f.getName.startsWith("_") ||
+      f.getName.startsWith(".")).foreach(_.delete())
+
+    val app = new Application("stream_upc", spark,
+      s"$work/app_stream_upc")
+    val src = app.marshalExternalData("src", srcRoot, daySpec,
+      protocol = graft.signal.IntegrityProtocol
+        .FileCheck("_SUCCESS", "manifest.json"))
+    val node = app.createData("daily", Seq(src.latest(1)), Seq(SqlSlot(
+      "SELECT day, CAST(SUM(amount) AS DOUBLE) AS total FROM src GROUP BY day")))
+    app.activate()
+
+    val ms = new MarkerStream(app, Seq(srcRoot), s"$work/ckpt_upcoming",
+      markers = Seq("_SUCCESS", "manifest.json"))
+    // NO explicit dir list: the next 3 days derive from the declared spec
+    ms.watchUpcoming(src, periods = 3, anchor = Some(anchor))
+    assert(app.poll(node(day)).isEmpty)
+    // the EMPTY marker lands (unstreamable) in a derived-watched dir
+    new java.io.FileOutputStream(
+      new java.io.File(dir, "manifest.json")).close()
+    ms.recheckPending()
+    assert(app.poll(node(day)).isDefined,
+      "derived-watched empty-marker partition did not trigger")
+    assert(app.load(node(day)).collect().head.getDouble(1) == 6.0)
+    // a spec with no datetime dimension refuses loudly
+    val flat = app.marshalExternalData("flat", s"$work/flat_src",
+      graft.dimension.DimSpec.pretty(
+        "region" -> (graft.dimension.DimType.STRING,
+          Map[String, Any]())))
+    val e = intercept[IllegalArgumentException] {
+      ms.watchUpcoming(flat, periods = 2)
+    }
+    assert(e.getMessage.contains("DATETIME"), e.getMessage)
+  }
+
   test("marker stream feeds a sharded deployment across drivers") {
     val sp = spark
     import sp.implicits._
