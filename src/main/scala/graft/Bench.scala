@@ -27,9 +27,11 @@ import org.apache.spark.sql.SparkSession
   *   each rep sweep plus a final read — a reading taken at load 8 on a
   *   32-cpu box explains itself;
   * - (r18) `"window":"disturbed"` + `"disturbed":[names]` when any
-  *   query's reps spread more than 4x max/min — the r17 artifact ran a
-  *   16 s q01 rep under a "calm" label because an iowait/page-cache
-  *   stall is invisible to busy-jiffy accounting; per-sweep
+  *   query's NON-FIRST reps spread more than 4x max/min (the first rep
+  *   is deterministic warmup — codegen/JIT/first-scan — and grows with
+  *   SF, so it is excluded when 3+ reps exist) — the r17 artifact ran a
+  *   16 s q01 MIDDLE rep under a "calm" label because an iowait/page-
+  *   cache stall is invisible to busy-jiffy accounting; per-sweep
   *   `"iowait_pct"`/`"steal_pct"` series ([[statPctOver]]) say which
   *   kind of stall a bad sweep met;
   * - `"window"` states the adjudication outright: "calm" ONLY when
@@ -210,16 +212,28 @@ object Bench {
     * 2.1 s neighbors — the CPU-side telemetry is blind to iowait/
     * page-cache stalls (iowait is idle time to the busy counters) and
     * to one-off hypervisor steals shorter than a jiffy-window average.
-    * The reps themselves are the most direct stall detector: within one
-    * query, max/min > `maxRatio` cannot be warmup (warmup inflates the
-    * FIRST rep only, observed <= ~3x even on the loaded r14 artifact)
-    * nor plan variance (same plan every rep) — something took the
-    * machine mid-rep. Returns the offending query names, sorted. */
+    * The reps themselves are the most direct stall detector — but the
+    * FIRST rep is excluded when 3+ reps exist: a fresh JVM's first rep
+    * carries deterministic warmup (whole-stage codegen compile, C2 JIT,
+    * first parquet-footer reads) that GROWS with data scale (~3x at
+    * sf0.1, measured 5x at sf10 on an idle machine), so judging it
+    * would permanently label every large-SF run "disturbed" and the
+    * label would stop carrying information. A stall, by contrast, hits
+    * a NON-first rep (the r17 artifact: 16.18 s MIDDLE rep between
+    * 2.1 s neighbors — still flagged by the non-first rule). Within the
+    * non-first reps, max/min > `maxRatio` cannot be warmup (rep 2
+    * onward runs compiled code over a warm cache) nor plan variance
+    * (same plan every rep) — something took the machine mid-rep.
+    * With only 2 reps there is no warmup-free pair, so both are judged
+    * (conservative: a 2-rep run can still flag). Returns the offending
+    * query names, sorted. */
   def disturbedQueries(repsByQuery: Map[String, Seq[Double]],
                        maxRatio: Double = 4.0): List[String] =
     repsByQuery.toList.collect {
-      case (q, ts) if ts.size >= 2 && ts.min > 0 && ts.max / ts.min > maxRatio
-        => q
+      case (q, ts0) if ts0.size >= 2 && {
+        val ts = if (ts0.size >= 3) ts0.drop(1) else ts0
+        ts.min > 0 && ts.max / ts.min > maxRatio
+      } => q
     }.sorted
 
   /** The full adjudication: dispersion trumps the CPU-side label — a

@@ -147,12 +147,24 @@ object ShardSoak {
       // `serve` process published — every lease/WAL/inbox op is a real
       // socket round-trip across OS processes (the kvchain backend at
       // the 8-driver churn topology)
+      // r18 (VERDICT r17 #8): SPARK_GRAFT_KV_LATENCY_MS stacks a
+      // deterministic per-op sleep ON TOP of the real socket round-trip —
+      // the cross-AZ shape (10-50 ms RTT) that loopback cannot produce.
+      // Every lease claim/heartbeat/WAL append/inbox op pays it, so the
+      // soak's failover timings justify the 5 s lease-timeout / 1 s
+      // heartbeat defaults against realistic object-store distance, not
+      // sub-ms localhost.
+      val kvLatencyMs =
+        sys.env.getOrElse("SPARK_GRAFT_KV_LATENCY_MS", "0").toLong
       val kvStore: Option[graft.routing.ConditionalKv] =
         if (sys.env.get("SPARK_GRAFT_KV_BACKEND").contains("http")) {
           val ep = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(root, "kv_endpoint")),
             java.nio.charset.StandardCharsets.UTF_8).trim
-          Some(new graft.routing.HttpConditionalKv(ep))
+          val raw = new graft.routing.HttpConditionalKv(ep)
+          Some(if (kvLatencyMs > 0)
+            new graft.routing.LatencyInjectedKv(raw, kvLatencyMs)
+          else raw)
         } else None
       val kvGc = sys.env.getOrElse("SPARK_GRAFT_KV_GROUP_COMMIT", "64").toInt
       val spark = session(cpus)
@@ -170,7 +182,8 @@ object ShardSoak {
         shards = if (home.isEmpty) None else Some(home),
         leaseTimeoutMillis = 5000L,
         kvStore = kvStore, kvGroupCommit = kvGc)
-      log(root, driverId, s"activated owned=${app.ownedShards.toSeq.sorted.mkString("+")}")
+      log(root, driverId, s"activated owned=${app.ownedShards.toSeq.sorted.mkString("+")}" +
+        (if (kvLatencyMs > 0) s" kvLatencyMs=$kvLatencyMs" else ""))
       // decoupled lease heartbeat: a hop's Spark job runs inside
       // shardedCycle for seconds — far past the 5 s lease timeout — and
       // must not let the live peer steal the executing shard

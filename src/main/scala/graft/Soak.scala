@@ -1205,8 +1205,26 @@ object Soak {
           k = 20, nProbe = 4).collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       }
-      require(postProbe == preProbe,
-        s"compaction changed the probe answer:\n$preProbe\nvs\n$postProbe")
+      // r18 (found by the sf10 maintenance loop): raw probe equality is
+      // the WRONG invariant — the deliberately replayed batch leaves a
+      // byte-identical duplicate row that the pre-compaction probe
+      // correctly reports TWICE (at-least-once ingest is visible to
+      // queries until compaction; dedupById is exactly the feature that
+      // resolves it), and whether the duplicate ranks inside top-k is
+      // parameter-dependent (it did at updates=10, never at the
+      // updates=100 runs of r10-r17). The honest invariant: the post-
+      // compaction top-k must equal the DEDUPED pre-compaction sequence
+      // (duplicate rows collapse to their first occurrence — scores are
+      // exactly equal, the rows are byte-identical), extended only by
+      // new tail entries ranked no higher than the last deduped entry
+      // (dedup frees slots; whatever fills them must come from below).
+      val preDedup = preProbe.distinct
+      require(postProbe.take(preDedup.length) == preDedup,
+        s"compaction changed the deduped probe answer:\n$preDedup\nvs\n$postProbe")
+      require(postProbe.drop(preDedup.length)
+          .forall(_._2 <= preDedup.last._2 + 1e-12),
+        s"compaction admitted a tail entry ranked above the pre-compaction " +
+          s"floor:\n$preDedup\nvs\n$postProbe")
       require(stats.dedupedRows == batchOf(3).count(),
         s"dedup must drop exactly the replayed batch, got ${stats.dedupedRows}")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))

@@ -84,6 +84,26 @@ class BenchLabelSuite extends AnyFunSuite {
     assert(Bench.disturbedQueries(Map("x" -> Seq(0.0, 1.0))).isEmpty)
   }
 
+  test("large-SF warmup (first rep only, any magnitude) stays calm; a " +
+    "non-first-rep stall still flags (r18 first-rep exclusion)") {
+    // the exact sf10 shape measured on an IDLE machine: a fresh JVM's
+    // first rep pays codegen+JIT+first-scan that grows with SF (27.2 s
+    // vs 5.5 s steady = 5x) — judging it would permanently label every
+    // large-SF run disturbed and the label would stop meaning anything
+    val sf10warm = Map(
+      "q01_agg_pricing" -> Seq(27.223, 5.601, 5.494),
+      "p07_minhash_lsh" -> Seq(69.281, 9.120, 10.757))
+    assert(Bench.disturbedQueries(sf10warm).isEmpty)
+    assert(Bench.runLabel(Seq(0.0, 0.0, 0.0), Seq(0.1, 0.1, 0.1), sf10warm)
+      == "calm")
+    // but a stall in any NON-first rep is still named (the r17 failure
+    // was the MIDDLE rep — warmup can never explain that)
+    val midStall = Map("q01" -> Seq(27.0, 5.5, 30.1))
+    assert(Bench.disturbedQueries(midStall) == List("q01"))
+    // 2-rep runs have no warmup-free pair: both reps are judged
+    assert(Bench.disturbedQueries(Map("q" -> Seq(9.0, 2.0))) == List("q"))
+  }
+
   test("statPctOver reads iowait/steal percentages from stat snapshots") {
     // 100k-jiffy window, 8k of it iowait, 1k steal
     val s0 = Some((50000L, 1000000L, 2000L, 100L, 32))
