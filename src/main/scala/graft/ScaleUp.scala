@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *    cross-replica near-dup clusters — new data is genuinely new, as it
   *    would be at a real higher SF); n_chars recomputed to stay consistent.
   *  - embeddings: vec_id strided; replica i's vectors are CYCLICALLY
-  *    ROTATED by 7i components (norms and all intra-replica pairwise
-  *    cosines preserved exactly, cross-replica directions decorrelated —
+  *    ROTATED by 7i components, NEGATED past i >= dim, and Rademacher-
+  *    sign-flipped per 2*dim-replica block past i >= 2*dim (each step
+  *    preserves norms and all intra-replica pairwise
+  *    cosines exactly, cross-replica directions decorrelated —
   *    without this every replica is a cosine-0.9999 near-dup of replica
   *    0 and the near-dup/semantic-dedup gate rows drown in cross-replica
   *    pairs their oracles never planted), plus a deterministic hash
@@ -140,19 +142,40 @@ object ScaleUp {
     // rotation entirely past shift >= dim on a narrower one)
     val dim = tbl("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    // (shift, flip) must be pairwise distinct or two replicas share a
-    // direction and become the cross-replica near-dup flood again. The
-    // rotation alone offers only `dim` distinct shifts (7 is coprime to
-    // the dim so the cycle is full-length); replicas past the first
-    // `dim` NEGATE the rotated vector (r18, the factor-100 probe) —
+    // (shift, flip, signs) must be pairwise distinct or two replicas
+    // share a direction and become the cross-replica near-dup flood
+    // again. The rotation alone offers only `dim` distinct shifts (7 is
+    // coprime to the dim so the cycle is full-length); replicas past the
+    // first `dim` NEGATE the rotated vector (r18, the factor-100 probe) —
     // negation preserves norms and every intra-replica pairwise cosine
-    // exactly, while a formerly-shared direction lands at cosine ~ -1,
-    // far from any near-dup threshold. Supports factor <= 2*dim.
-    val shifts = (0 until factor).map(i => ((i * 7) % dim, (i / dim) % 2 == 1))
-    require(shifts.distinct.size == shifts.size,
-      s"replica (rotation, flip) pairs collide (dim=$dim, factor=$factor)" +
-        s" — factor must be <= ${2 * dim} at this dim (add a second " +
-        "decorrelator past that)")
+    // exactly, while a formerly-shared direction lands at cosine ~ -1.
+    // Replicas past 2*dim (r18, the factor-1000 probe) additionally get a
+    // per-replica RADEMACHER sign pattern s ∈ {±1}^dim (deterministic,
+    // driver-computed, one pattern per block of 2*dim replicas): since
+    // s_k² = 1, ⟨s⊙x, s⊙y⟩ = ⟨x, y⟩ — norms and every intra-replica
+    // cosine are preserved EXACTLY — while a cross-replica pair with the
+    // same (shift, flip) sees ⟨s⊙x, x⟩ = Σ ±x_k², a ±-signed sum whose
+    // magnitude concentrates near 1/√dim, nowhere near any near-dup
+    // threshold. Pattern distinctness is CHECKED on the driver (the
+    // patterns are plain Scala arrays), so the guard is exact, not
+    // probabilistic.
+    def signPattern(block: Int): Array[Float] =
+      if (block == 0) Array.fill(dim)(1f)
+      else Array.tabulate(dim) { j =>
+        if (scala.util.hashing.MurmurHash3.productHash((block, j)) % 2 == 0)
+          1f else -1f
+      }
+    val nBlocks = (factor + 2 * dim - 1) / (2 * dim)
+    val patterns = (0 until nBlocks).map(b => signPattern(b).toSeq)
+    require(patterns.distinct.size == patterns.size,
+      s"Rademacher sign patterns collide across replica blocks " +
+        s"(dim=$dim, factor=$factor) — astronomically unlikely; " +
+        "change the pattern hash seed")
+    val keys = (0 until factor)
+      .map(i => ((i * 7) % dim, (i / dim) % 2 == 1, i / (2 * dim)))
+    require(keys.distinct.size == keys.size,
+      s"replica (rotation, flip, sign-block) keys collide " +
+        s"(dim=$dim, factor=$factor)")
     rep("embeddings") { (d, i) =>
       val shift = (i * 7) % dim
       val rotated =
@@ -161,9 +184,17 @@ object ScaleUp {
           slice(col("embedding"), 1, shift))
       val oriented =
         if ((i / dim) % 2 == 1) transform(rotated, x => -x) else rotated
+      val block = i / (2 * dim)
+      val signed =
+        if (block == 0) oriented
+        else {
+          val s = signPattern(block)
+          transform(oriented, (x, j) =>
+            x * element_at(array(s.map(lit(_)): _*), j + 1))
+        }
       d.select(
         strided("vec_id", i).as("vec_id"),
-        transform(oriented, (x, j) =>
+        transform(signed, (x, j) =>
           (x + (pmod(hash(col("vec_id"), lit(i), j), lit(9973)) - lit(4986))
             .cast("float") * lit(1e-7f)).cast("float")).as("embedding"),
         col("label"))

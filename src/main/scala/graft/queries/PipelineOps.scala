@@ -577,8 +577,16 @@ object PipelineOps {
       val planted = e.where(col("vec_id") < 30)
         .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      // k = 0 ⇒ auto-size (Dedup.semanticK): a hard-coded k=8 tripped the
+      // every-cell-over-cap refusal at the sf10 (100×) gate — 200k
+      // vectors / 8 cells = 25k per cell > the 10k cap. The ground truth
+      // is k-independent: each planted row is COLINEAR with its source
+      // (same unit direction ⇒ same nearest centroid at any k), so the
+      // pair is co-cellular in every clustering and the drop list never
+      // changes; auto-k just keeps cells under the quadratic guard at
+      // every SF.
       Dedup.semanticDedupDrops(e.unionByName(planted), "embedding",
-          "vec_id", minCosine = 0.999, k = 8, iters = 2)
+          "vec_id", minCosine = 0.999, k = 0, iters = 2)
         .select(col("dropped"), col("keeper"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("dropped")

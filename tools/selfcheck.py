@@ -8,11 +8,25 @@ import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Big-SF knobs (r18, the sf10 gate): DuckDB's default memory cap is 80%
+# of RAM, which OOM-killed the whole run on a 60M-row join oracle, and
+# its default temp dir is ./.tmp on whatever (possibly small) partition
+# cwd sits on. All unset => behavior identical to the driver's runs.
+if os.environ.get("GRAFT_DUCKDB_MEMORY"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMORY']}'")
+if os.environ.get("GRAFT_DUCKDB_TEMP"):
+    os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
+only = set(os.environ["GRAFT_SELFCHECK_ONLY"].split(",")) \
+    if os.environ.get("GRAFT_SELFCHECK_ONLY") else None
+verbose = bool(os.environ.get("GRAFT_SELFCHECK_VERBOSE"))
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     d = f"{out_dir}/{name}"
@@ -39,5 +53,7 @@ for name, sql in sorted(oracle.items()):
         fail += 1
     else:
         ok += 1
+        if verbose:
+            print(f"ok       {name}", flush=True)
 print(f"\n{ok} ok, {fail} failed of {len(oracle)}")
 sys.exit(1 if fail else 0)
