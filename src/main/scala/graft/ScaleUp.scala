@@ -156,9 +156,19 @@ object ScaleUp {
     // cosine are preserved EXACTLY — while a cross-replica pair with the
     // same (shift, flip) sees ⟨s⊙x, x⟩ = Σ ±x_k², a ±-signed sum whose
     // magnitude concentrates near 1/√dim, nowhere near any near-dup
-    // threshold. Pattern distinctness is CHECKED on the driver (the
-    // patterns are plain Scala arrays), so the guard is exact, not
-    // probabilistic.
+    // threshold — but that concentration is PROBABILISTIC. What the
+    // driver enforces (ADVICE r18 #1: mere distinctness would admit two
+    // patterns at Hamming distance 1, whose cross-replica cosine
+    // 1 − 2/dim ≈ 0.97 at dim=64 EXCEEDS the 0.95 near-dup default) is
+    // a pairwise minimum Hamming distance ≥ dim/4 between block
+    // patterns: two replicas sharing (shift, flip) then see cosine
+    // 1 − 2·Σ_{disagreeing k} x_k², = 0.5 for coordinate-flat vectors
+    // and ≈ 1 − 2h/dim in expectation for the spread-mass embeddings of
+    // this corpus. (For a vector concentrated on the agreeing
+    // coordinates the bound is per-vector probabilistic, not exact —
+    // the floor removes the DISTINCTNESS loophole, it does not replace
+    // the concentration argument.) O(nBlocks²·dim) driver-side — 8
+    // blocks at factor 1000, negligible.
     def signPattern(block: Int): Array[Float] =
       if (block == 0) Array.fill(dim)(1f)
       else Array.tabulate(dim) { j =>
@@ -166,11 +176,16 @@ object ScaleUp {
           1f else -1f
       }
     val nBlocks = (factor + 2 * dim - 1) / (2 * dim)
-    val patterns = (0 until nBlocks).map(b => signPattern(b).toSeq)
-    require(patterns.distinct.size == patterns.size,
-      s"Rademacher sign patterns collide across replica blocks " +
-        s"(dim=$dim, factor=$factor) — astronomically unlikely; " +
-        "change the pattern hash seed")
+    val patterns = (0 until nBlocks).map(b => signPattern(b))
+    for (a <- patterns.indices; b <- (a + 1) until patterns.size) {
+      val hamming =
+        patterns(a).zip(patterns(b)).count { case (x, y) => x != y }
+      require(hamming >= dim / 4,
+        s"Rademacher sign patterns for blocks $a and $b are only " +
+          s"Hamming-$hamming apart (need >= ${dim / 4} for cross-replica " +
+          s"|cosine| <= 0.5 at dim=$dim, factor=$factor) — " +
+          "change the pattern hash seed")
+    }
     val keys = (0 until factor)
       .map(i => ((i * 7) % dim, (i / dim) % 2 == 1, i / (2 * dim)))
     require(keys.distinct.size == keys.size,

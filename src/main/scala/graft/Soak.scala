@@ -1219,6 +1219,12 @@ object Soak {
       // new tail entries ranked no higher than the last deduped entry
       // (dedup frees slots; whatever fills them must come from below).
       val preDedup = preProbe.distinct
+      // ADVICE r18 #2: an empty pre-compaction probe (a probe regression
+      // returning zero rows) must fail with a diagnostic, not an
+      // unhelpful NoSuchElementException from preDedup.last below
+      require(preDedup.nonEmpty,
+        s"pre-compaction probe returned zero rows (nBase=$nBase, " +
+          s"updates=$updates) — probe regression, not a compaction issue")
       require(postProbe.take(preDedup.length) == preDedup,
         s"compaction changed the deduped probe answer:\n$preDedup\nvs\n$postProbe")
       require(postProbe.drop(preDedup.length)

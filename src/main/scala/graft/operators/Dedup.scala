@@ -1235,6 +1235,46 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Diagnostic face of [[maximalSharedSpans]]' gram-frequency cap
+    * (VERDICT r18: this was the one dedup-family guard whose drops were
+    * invisible — its sibling [[ngramJaccardPairs]] refuses loudly on the
+    * same breach, and [[lshBucketStats]] is the pattern this mirrors).
+    * One row describing the width-`minSpanTokens` gram occurrence
+    * distribution and what `maxGramOccurrences` silently drops:
+    * distinct grams, the most frequent gram's count, dropped-gram
+    * count, the diagonal seed pairs those drops avoided (each
+    * c-occurrence gram would emit c(c−1)/2), and the number of
+    * DOCUMENTS containing at least one dropped gram — each such doc is
+    * the only place the documented at-worst harm ("a dropped gram can
+    * split a span that contains it") can occur, so docs_affected = 0
+    * proves a spans run was drop-free. Run alongside scale soaks the
+    * way lshBucketStats runs for the LSH family. */
+  def sharedSpanGramStats(df: DataFrame, textCol: String, idCol: String,
+                          minSpanTokens: Int = 50,
+                          maxGramOccurrences: Int = 1000): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be >= 2")
+    require(maxGramOccurrences >= 2, "maxGramOccurrences must be >= 2")
+    // the SAME positional-gram stream the operator seeds from — the
+    // diagnostic must describe the distribution the cap actually sees
+    val pos = spread(df).select(col(idCol).as("__id"),
+        explode(positionalGrams(col(textCol), minSpanTokens)).as("__g"))
+    val counts = pos.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val gramAgg = counts.agg(
+      count(lit(1)).as("grams"),
+      max(col("__c")).as("max_occurrences"),
+      sum(when(col("__c") > maxGramOccurrences, 1).otherwise(0))
+        .as("dropped_grams"),
+      sum(when(col("__c") > maxGramOccurrences,
+        (col("__c") * (col("__c") - 1) / 2).cast("long")).otherwise(0L))
+        .as("seed_pairs_avoided"))
+    val docsAffected = pos
+      .join(counts.where(col("__c") > maxGramOccurrences).select("__g"),
+        Seq("__g"))
+      .agg(count_distinct(col("__id")).as("docs_affected"))
+    gramAgg.crossJoin(docsAffected) // two 1-row aggregates
+  }
+
   /** LINE-level corpus dedup (CCNet's duplicated-paragraph removal /
     * RefinedWeb's line-wise filter, arXiv:1911.00359 §3.1 +
     * arXiv:2306.01116 §3.4): a line whose TRIMMED text occurs at least

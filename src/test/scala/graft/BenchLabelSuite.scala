@@ -104,6 +104,40 @@ class BenchLabelSuite extends AnyFunSuite {
     assert(Bench.disturbedQueries(Map("q" -> Seq(9.0, 2.0))) == List("q"))
   }
 
+  test("a first-rep outlier under hypervisor steal labels disturbed; " +
+    "the same shape with clean steal is accepted as warmup (r19)") {
+    // ADVICE r18 #4: a stall landing in the FIRST rep of a 3+-rep run is
+    // shape-indistinguishable from warmup, so the label consults the
+    // first sweep's steal percentage — warmup (codegen/JIT/first-scan)
+    // spends CPU and iowait, never steal.
+    val firstRepStall = Map(
+      "q01_agg_pricing" -> Seq(31.2, 5.6, 5.5), // 5.6x the non-first median
+      "p14_dup_clusters" -> Seq(6.1, 5.8, 5.9))
+    assert(Bench.firstRepOutliers(firstRepStall) == List("q01_agg_pricing"))
+    // steal present during the first sweep: not warmup -> disturbed
+    assert(Bench.runLabel(Seq(0.0, 0.0, 0.0), Seq(0.1, 0.1, 0.1),
+      firstRepStall, firstSweepStealPct = 3.2) == "disturbed")
+    // clean steal (the sf100 cold-scan shape ran 29% IOWAIT, 0 steal):
+    // accepted as warmup, run stays calm — but the outlier still ships
+    // in the artifact's first_rep_outliers for re-adjudication
+    assert(Bench.runLabel(Seq(0.0, 0.0, 0.0), Seq(0.1, 0.1, 0.1),
+      firstRepStall, firstSweepStealPct = 0.0) == "calm")
+    // unavailable steal telemetry (-1) cannot corroborate a stall: the
+    // conservative default is the pre-r19 behavior (warmup accepted)
+    assert(Bench.runLabel(Seq(0.0, 0.0, 0.0), Seq(0.1, 0.1, 0.1),
+      firstRepStall) == "calm")
+    // steal WITHOUT a first-rep outlier does not flip the label on its
+    // own (ambient steal with tight reps is the window rules' business)
+    assert(Bench.runLabel(Seq(0.0, 0.0, 0.0), Seq(0.1, 0.1, 0.1),
+      Map("q" -> Seq(5.6, 5.5, 5.7)), firstSweepStealPct = 3.2) == "calm")
+    // the median guard: one fast later rep cannot manufacture an outlier
+    // (head/min would read 10.0/0.9 = 11x; head/median reads ~1.1x)
+    assert(Bench.firstRepOutliers(Map("q" -> Seq(10.0, 9.5, 0.9))).isEmpty)
+    // 2-rep runs have no warmup-free pair and are already judged whole
+    // by disturbedQueries; firstRepOutliers stays out of their way
+    assert(Bench.firstRepOutliers(Map("q" -> Seq(9.0, 2.0))).isEmpty)
+  }
+
   test("statPctOver reads iowait/steal percentages from stat snapshots") {
     // 100k-jiffy window, 8k of it iowait, 1k steal
     val s0 = Some((50000L, 1000000L, 2000L, 100L, 32))

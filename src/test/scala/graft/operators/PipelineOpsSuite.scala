@@ -967,6 +967,36 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sharedSpanGramStats makes the gram cap's silent drops observable " +
+    "(r19, VERDICT r18: the one dedup guard without a counter)") {
+    val sp = spark; import sp.implicits._
+    // the exact pathological-repetition fixture the cap exists for:
+    // doc0 = "x y" + (r1 r2)*50, doc1 = (r1 r2)*50; width-4 grams are
+    // {x y r1 r2: 1, y r1 r2 r1: 1, r1 r2 r1 r2: 49+49, r2 r1 r2 r1:
+    // 48+48} -> 2 of 4 grams dropped at cap 20, seed pairs avoided =
+    // C(98,2)+C(96,2), and BOTH docs contain a dropped gram (each may
+    // report a split span — the documented at-worst harm)
+    val loop = Seq(
+      (0L, "x y " + Array.fill(50)("r1 r2").mkString(" ")),
+      (1L, Array.fill(50)("r1 r2").mkString(" "))).toDF("doc_id", "text")
+    val s = Dedup.sharedSpanGramStats(loop, "text", "doc_id",
+      minSpanTokens = 4, maxGramOccurrences = 20).head()
+    assert(s.getLong(0) == 4L, s"grams: $s")
+    assert(s.getLong(1) == 98L, s"max_occurrences: $s")
+    assert(s.getLong(2) == 2L, s"dropped_grams: $s")
+    assert(s.getLong(3) == 98L * 97 / 2 + 96L * 95 / 2,
+      s"seed_pairs_avoided: $s")
+    assert(s.getLong(4) == 2L, s"docs_affected: $s")
+    // a drop-free corpus reads zero drops / zero affected docs — the
+    // certificate that a maximalSharedSpans run reported UNSPLIT spans
+    val clean = Seq(
+      (0L, "a0 a1 s1 s2 s3 s4 s5 a2"),
+      (1L, "b0 s1 s2 s3 s4 s5 b1")).toDF("doc_id", "text")
+    val c = Dedup.sharedSpanGramStats(clean, "text", "doc_id",
+      minSpanTokens = 4, maxGramOccurrences = 1000).head()
+    assert(c.getLong(2) == 0L && c.getLong(4) == 0L, s"clean: $c")
+  }
+
   test("token-budget selection equals the single-window cumulative answer") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7)

@@ -26,6 +26,13 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 if only:
+    # ADVICE r18 #3: a typo'd GRAFT_SELFCHECK_ONLY name silently matched
+    # nothing and exited 0 ("0 ok, 0 failed" read as a pass)
+    unknown = only - oracle.keys()
+    if unknown:
+        print(f"ERROR: GRAFT_SELFCHECK_ONLY names not in oracle_sql.json: "
+              f"{sorted(unknown)}")
+        sys.exit(2)
     oracle = {k: v for k, v in oracle.items() if k in only}
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
