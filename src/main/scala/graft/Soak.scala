@@ -63,6 +63,120 @@ object Soak {
         lit("standard legal disclaimer text repeated verbatim across the corpus every day").as("text"))
     val corpus = replicated.unionByName(boilerplate)
 
+    // "bpe" = tokenizer throughput at production model scale (VERDICT
+    // r18 #3): a 50k-merge synthetic model (chained like a trained one,
+    // Bpe.syntheticModel) over the replicated corpus — distributed
+    // count wall (cold incl. per-JVM model load, then warm where the
+    // word cache holds the working set), a single-core ns/token figure
+    // from a driver-side loop, and the O(len²) worst case (one
+    // 10,010-char unbroken pre-token). Ledgered in BASELINE.md.
+    if (only == "bpe") {
+      import graft.functions.{Bpe, TextFunctions}
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "50000").toInt
+      val (mergesTxt, vocabTxt) = Bpe.syntheticModel(nMerges)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bpe_soak")
+      val mp = dir.resolve("merges.txt")
+      java.nio.file.Files.write(mp, mergesTxt.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("vocab.json"),
+        vocabTxt.getBytes("UTF-8"))
+      val docs = replicated.localCheckpoint()
+      val nD = docs.count()
+      val chars = docs.agg(sum(length(col("text")))).head().getLong(0)
+      def sweep(): Long = docs
+        .agg(sum(TextFunctions.bpeTokenCount(col("text"), mp.toString)))
+        .head().getLong(0)
+      val (toks, tCold) = timed(sweep())
+      val (toks2, tWarm) = timed(sweep())
+      require(toks == toks2, s"non-deterministic token count: $toks vs $toks2")
+      require(toks > 0 && toks < chars,
+        s"token count out of range: $toks of $chars chars")
+      // single-core ns/token: driver loop over a 1k-doc sample on the
+      // already-loaded state with a warm word cache (the steady state)
+      val sample = docs.limit(1000).collect().map(_.getString(1))
+      val st = Bpe.stateFor(mp.toString, "")
+      sample.foreach(st.count) // warm the word cache for the sample
+      val (sampleToks, tLoop) = timed {
+        var n = 0L; sample.foreach(n += st.count(_)); n
+      }
+      // worst case: one unbroken 10,010-char pre-token — every merge
+      // round rescans the whole symbol buffer (O(len²) total)
+      val word = "abcdefghijklmnopqrstuvwxyz" * 385
+      val (wTok, tWorst) = timed(st.count(word))
+      val (_, tWorstHit) = timed(st.count(word)) // memoized second read
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      println(
+        f"""{"soak":"bpe","merges":$nMerges,"docs":$nD,"chars":$chars,"tokens":$toks,"cold_sec":$tCold%.2f,"warm_sec":$tWarm%.2f,"tokens_per_sec_warm":${toks / tWarm}%.0f,"single_core_tokens_per_sec":${sampleToks / tLoop}%.0f,"single_core_ns_per_token":${tLoop * 1e9 / sampleToks}%.0f,"worst10k_ms":${tWorst * 1000}%.1f,"worst10k_tokens":$wTok,"worst10k_hit_ms":${tWorstHit * 1000}%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // "spans" = maximalSharedSpans at 100x docs with PLANTED ground
+    // truth (VERDICT r18 #4 second half): the sf corpus replicated
+    // `copies`x with per-copy token salting (so replicas share no
+    // grams), plus 100 planted doc pairs each sharing TWO spans of
+    // known lengths/offsets, plus a 3000-doc verbatim boilerplate
+    // cluster whose grams all breach the occurrence cap — the run
+    // verifies every planted span is recovered EXACTLY (length and
+    // both offsets), the boilerplate emits zero pairs (the guard,
+    // engaging), and sharedSpanGramStats reports the drops that
+    // avoided the C(3000,2)-pair explosion.
+    if (only == "spans") {
+      val w = 30
+      val salted = base.crossJoin(spark.range(copies.toLong).toDF("copy"))
+        .select((col("doc_id") * copies + col("copy")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("c"), col("copy"))), " ").as("text"))
+      val nPairs = 100
+      val plantedRows = (0 until nPairs).flatMap { p =>
+        val s1 = (0 until 60).map(k => s"x${p}u$k")
+        val s2 = (0 until 35).map(k => s"y${p}u$k")
+        def fill(tag: String, n: Int) = (0 until n).map(k => s"$tag${p}n$k")
+        val a = fill("fa", 10) ++ s1 ++ fill("fb", 7) ++ s2 ++ fill("fc", 5)
+        val b = fill("ga", 3) ++ s1 ++ fill("gb", 9) ++ s2
+        Seq((900000000L + 2 * p, a.mkString(" ")),
+          (900000000L + 2 * p + 1, b.mkString(" ")))
+      }
+      val planted = spark.createDataset(plantedRows)(
+        org.apache.spark.sql.Encoders.product[(Long, String)])
+        .toDF("doc_id", "text")
+      val boilerTxt = (0 until 35).map(k => s"bp$k").mkString(" ")
+      val boiler2 = spark.range(3000L)
+        .select((col("id") + 950000000L).as("doc_id"),
+          lit(boilerTxt).as("text"))
+      val spanCorpus = salted.unionByName(planted).unionByName(boiler2)
+        .localCheckpoint()
+      val nD = spanCorpus.count()
+      val (stats, tStats) = timed(Dedup.sharedSpanGramStats(
+        spanCorpus, "text", "doc_id", minSpanTokens = w).head())
+      // boilerplate: 6 width-30 grams, each in all 3000 docs (> cap)
+      require(stats.getLong(2) >= 6, s"dropped_grams: $stats")
+      require(stats.getLong(4) >= 3000, s"docs_affected: $stats")
+      require(stats.getLong(3) >= 6L * 3000 * 2999 / 2,
+        s"seed_pairs_avoided: $stats")
+      val (spanRows, tSpans) = timed(Dedup.maximalSharedSpans(
+        spanCorpus, "text", "doc_id", minSpanTokens = w).localCheckpoint())
+      val nSpans = spanRows.count()
+      val plantedGot = spanRows.where(col("d1") >= 900000000L &&
+          col("d1") < 950000000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSet
+      val plantedWant = (0 until nPairs).flatMap { p =>
+        val a = 900000000L + 2 * p; val b = a + 1
+        Seq((a, b, 10, 3, 60), (a, b, 77, 72, 35))
+      }.toSet
+      require(plantedGot == plantedWant,
+        s"planted spans not recovered exactly: missing " +
+          s"${plantedWant -- plantedGot}, extra ${plantedGot -- plantedWant}")
+      val boilerPairs = spanRows.where(col("d1") >= 950000000L).count()
+      require(boilerPairs == 0,
+        s"boilerplate emitted $boilerPairs pair rows — the gram cap " +
+          "did not engage")
+      println(
+        f"""{"soak":"spans","docs":$nD,"copies":$copies,"planted_pairs":$nPairs,"span_rows":$nSpans,"grams":${stats.getLong(0)},"max_gram_occurrences":${stats.getLong(1)},"dropped_grams":${stats.getLong(2)},"seed_pairs_avoided":${stats.getLong(3)},"docs_affected":${stats.getLong(4)},"stats_sec":$tStats%.1f,"spans_sec":$tSpans%.1f,"planted_recovered_exactly":true,"boilerplate_pairs":0}""")
+      spark.stop()
+      return
+    }
+
     val (nDocs, tStage) = timed(corpus.count())
 
     // "p07split" = stage attribution for the p07 shape only: signature

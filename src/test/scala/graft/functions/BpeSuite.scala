@@ -118,6 +118,67 @@ class BpeSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("production-scale model (50k merges): naive parity + " +
+    "count==len(encode) on a 1k-doc corpus sample (r19, VERDICT r18 #3)") {
+    // The gate fixture has 5 merges; GPT-2 ships ~50k. At that scale the
+    // rank table's size and the cascade depth are what the 200-doc
+    // cascading test cannot see. The synthetic model is deterministic
+    // and chains like a trained one (see Bpe.syntheticModel).
+    val (mergesTxt, vocabTxt) = Bpe.syntheticModel(50000)
+    assert(mergesTxt.linesIterator.count(l =>
+      l.nonEmpty && !l.startsWith("#")) == 50000)
+    val mp = write("synth50k_merges.txt", mergesTxt)
+    val vp = write("synth50k_vocab.json", vocabTxt)
+    val st = Bpe.stateFor(mp, vp)
+    val mergePairs = mergesTxt.linesIterator.filter(l =>
+      l.nonEmpty && !l.startsWith("#")).map { l =>
+      val sp = l.lastIndexOf(' '); (l.substring(0, sp), l.substring(sp + 1))
+    }.toSeq
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("text").limit(1000).collect().map(_.getString(0))
+    assert(texts.length == 1000)
+    var toks = 0L
+    texts.foreach { t =>
+      val ids = st.encode(t)
+      val n = st.count(t)
+      assert(n == ids.length.toLong, s"count!=encode on: ${t.take(80)}")
+      toks += n
+    }
+    // the model must actually ENGAGE on English text (merges fire, the
+    // cascade runs) — unmerged bytes would be ~5x the whitespace count
+    val bytes = texts.map(_.getBytes(StandardCharsets.UTF_8).length.toLong).sum
+    assert(toks < bytes / 2, s"model barely merged: $toks tokens / $bytes bytes")
+    // naive parity on a 100-doc subsample (the naive reference is
+    // deliberately unoptimized; 1k docs x 50k-rank minBy is minutes)
+    texts.take(100).foreach { t =>
+      assert(st.count(t) == naiveBpe(t, mergePairs).length.toLong,
+        s"50k-model parity mismatch on: ${t.take(80)}")
+    }
+  }
+
+  test("merge-loop worst case: a 10k-char unbroken word stays bounded " +
+    "and matches naive (r19)") {
+    val (mergesTxt, vocabTxt) = Bpe.syntheticModel(50000)
+    val st = Bpe.stateFor(write("synth50k_m2.txt", mergesTxt),
+      write("synth50k_v2.json", vocabTxt))
+    // one pre-token of 10,010 chars: the O(len) pair scan re-runs after
+    // every merge round, the O(len^2) shape the Scaladoc warns about
+    val word = "abcdefghijklmnopqrstuvwxyz" * 385
+    val t0 = System.nanoTime()
+    val n = st.count(word)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n > 0 && n < word.length)
+    assert(n == st.encode(word).length.toLong)
+    // generous CI bound — the measured figure is ledgered by the bpe
+    // soak; this guards against an accidental O(len^3) regression
+    assert(sec < 60.0, f"10k-char word took $sec%.1f s")
+    // cache hit: second call must be near-instant and identical
+    val t1 = System.nanoTime()
+    assert(st.count(word) == n)
+    assert((System.nanoTime() - t1) / 1e9 < 0.1)
+  }
+
   test("naive-reference parity on adversarial strings (fixture model)") {
     val st = Bpe.stateFor(Bpe.fixtureMergesPath(), "")
     val merges = Seq(("e", "r"), ("t", "h"), ("a", "n"), ("i", "s"),
