@@ -19,21 +19,33 @@ if os.environ.get("GRAFT_DUCKDB_TEMP"):
     con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
 only = set(os.environ["GRAFT_SELFCHECK_ONLY"].split(",")) \
     if os.environ.get("GRAFT_SELFCHECK_ONLY") else None
+# r19 (sf10_gate.sh): names whose oracle is replayed by a SUBSTITUTE
+# checker at big SF (tools/bigsf_oracles.py) — excluded here so the gate
+# is one command; validated like ONLY so a typo cannot silently skip a
+# real check
+exclude = set(os.environ["GRAFT_SELFCHECK_EXCLUDE"].split(",")) \
+    if os.environ.get("GRAFT_SELFCHECK_EXCLUDE") else set()
 verbose = bool(os.environ.get("GRAFT_SELFCHECK_VERBOSE"))
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-if only:
-    # ADVICE r18 #3: a typo'd GRAFT_SELFCHECK_ONLY name silently matched
-    # nothing and exited 0 ("0 ok, 0 failed" read as a pass)
-    unknown = only - oracle.keys()
+# ADVICE r18 #3: a typo'd GRAFT_SELFCHECK_ONLY (or _EXCLUDE) name silently
+# matched nothing and exited 0 ("0 ok, 0 failed" read as a pass) — both
+# validate against the FULL oracle key set, before any filtering
+for label, names in (("ONLY", only), ("EXCLUDE", exclude)):
+    unknown = (names or set()) - oracle.keys()
     if unknown:
-        print(f"ERROR: GRAFT_SELFCHECK_ONLY names not in oracle_sql.json: "
+        print(f"ERROR: GRAFT_SELFCHECK_{label} names not in oracle_sql.json: "
               f"{sorted(unknown)}")
         sys.exit(2)
+if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
+if exclude:
+    print(f"excluding {sorted(exclude & oracle.keys())} "
+          f"(substitute oracle replays them)")
+    oracle = {k: v for k, v in oracle.items() if k not in exclude}
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     d = f"{out_dir}/{name}"
