@@ -255,6 +255,59 @@ class PqResidualSuite extends AnyFunSuite with BeforeAndAfterAll {
       "probing every cell must reach ceiling 1.0")
   }
 
+  test("calibration sample is decorrelated from the k-means seed order " +
+    "(r19: a seed-biased curve read 0.954 where the unbiased truth was " +
+    "0.128 at k=1024/200k)") {
+    // Isotropic corpus, cells small relative to neighborhoods — the
+    // geometry where seed bias inflates: buildIvfIndex seeds k-means
+    // with the first k md5(id)-ordered vectors, so a calibration sample
+    // drawn by the SAME ordering measures recall at the cells' own
+    // anchor points. The pin: the curve's recall@1 must track the
+    // FULL-POPULATION membership recall@1 (every vector as a query,
+    // computed directly from the cells + centroid ranks), not exceed it
+    // by the seed-anchoring gap.
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val isoDim = 16
+    val iso = (0L until 512L).map { i =>
+      (i, Seq.fill(isoDim)(rnd.nextGaussian().toFloat))
+    }
+    val isoDf = iso.toDF("vec_id", "embedding").repartition(4)
+      .localCheckpoint()
+    val ivfIso = Similarity.buildIvfIndex(isoDf, "embedding", "vec_id",
+      k = 64, iters = 3)
+    val (_, curve) = Similarity.nProbeForRecall(ivfIso, targetRecall = 0.9,
+      k = 10, sampleQueries = 32)
+    // full-population membership recall@1, straight from definitions
+    val cellOf = ivfIso.cells.select(col("vec_id"), col("__cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val unit = iso.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(x => (x / n).toFloat).toArray
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y }.sum
+    val fullRecall1 = iso.map { case (qid, _) =>
+      val qv = unit(qid)
+      val gt = iso.map { case (id, _) => (dot(qv, unit(id)), id) }
+        .sortBy { case (d, id) => (-d, id) }.take(10).map(_._2)
+      // same ranking arithmetic as nProbeForRecall/IvfIndex.topK: cells
+      // by centroid-dot desc, index tiebreak; recall@1 = top cell only
+      val top1 = ivfIso.centroids.zipWithIndex.map { case (c, i) =>
+        (c.iterator.zip(qv.iterator)
+          .map { case (x, y) => x * y.toDouble }.sum, i)
+      }.minBy { case (d, i) => (-d, i) }._2
+      gt.count(id => cellOf(id) == top1).toDouble / gt.length
+    }.sum / iso.length
+    assert(curve(1) <= fullRecall1 + 0.1,
+      f"curve(1)=${curve(1)}%.3f exceeds full-population recall@1 " +
+        f"$fullRecall1%.3f by more than sampling noise — the " +
+        "calibration sample is seed-correlated again")
+    assert(curve(1) >= fullRecall1 - 0.1,
+      f"curve(1)=${curve(1)}%.3f far below truth $fullRecall1%.3f")
+    ivfIso.unpersist()
+  }
+
   test("calibrated save round-trips the recall curve; auto operating " +
     "point picks from it and the auto probe hits the target (r18)") {
     val target = 0.8

@@ -177,6 +177,60 @@ class StreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("DATETIME"), e.getMessage)
   }
 
+  test("watchUpcoming steps hour and month granularities and is " +
+    "DST-correct under a declared timezone (r19, VERDICT r18 #6)") {
+    // The derived-dir path shares the F2 stepping, which is granularity-
+    // and tz-aware; these pins keep it that way. The pending set is the
+    // observable: watchUpcoming registers dirs there, durably.
+    val app = new Application("stream_gran", spark, s"$work/app_stream_gran")
+    def pendingOf(ckpt: String): Seq[String] = {
+      val f = java.nio.file.Paths.get(ckpt, "_graft_pending_dirs")
+      assert(java.nio.file.Files.exists(f), s"no pending file at $f")
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f)).asScala.toList
+        .filter(_.nonEmpty).map(_.split('/').last).sorted
+    }
+    // HOUR granularity rolls over midnight
+    val hourSpec = DimSpec.pretty("hour" -> (DimType.DATETIME,
+      Map[String, Any]("format" -> "%Y-%m-%d-%H", "granularity" -> "HOUR")))
+    val srcH = app.marshalExternalData("uph", s"$work/uph_src", hourSpec)
+    val msH = new MarkerStream(app, Seq(s"$work/uph_src"), s"$work/ckpt_uph")
+    msH.watchUpcoming(srcH, periods = 3,
+      anchor = Some(java.time.LocalDateTime.of(2026, 8, 12, 22, 0)))
+    assert(pendingOf(s"$work/ckpt_uph") ==
+      Seq("2026-08-12-22", "2026-08-12-23", "2026-08-13-00"))
+    // MONTH granularity rolls over the year
+    val monthSpec = DimSpec.pretty("month" -> (DimType.DATETIME,
+      Map[String, Any]("format" -> "%Y-%m", "granularity" -> "MONTH")))
+    val srcM = app.marshalExternalData("upm", s"$work/upm_src", monthSpec)
+    val msM = new MarkerStream(app, Seq(s"$work/upm_src"), s"$work/ckpt_upm")
+    msM.watchUpcoming(srcM, periods = 3,
+      anchor = Some(java.time.LocalDateTime.of(2026, 11, 15, 0, 0)))
+    assert(pendingOf(s"$work/ckpt_upm") ==
+      Seq("2026-11", "2026-12", "2027-01"))
+    // spring-forward: America/New_York 2026-03-08 02:xx does not exist;
+    // zone-aware hour stepping lands 01 -> 03 -> 04, never emitting an
+    // impossible 02 partition (naive LocalDateTime.plusHours would)
+    val dstSpec = DimSpec.pretty("hour" -> (DimType.DATETIME,
+      Map[String, Any]("format" -> "%Y-%m-%d-%H", "granularity" -> "HOUR",
+        "timezone" -> "America/New_York")))
+    val srcD = app.marshalExternalData("upd", s"$work/upd_src", dstSpec)
+    val msD = new MarkerStream(app, Seq(s"$work/upd_src"), s"$work/ckpt_upd")
+    msD.watchUpcoming(srcD, periods = 3,
+      anchor = Some(java.time.LocalDateTime.of(2026, 3, 8, 1, 0)))
+    assert(pendingOf(s"$work/ckpt_upd") ==
+      Seq("2026-03-08-01", "2026-03-08-03", "2026-03-08-04"))
+    // fall-back: 01:00 occurs twice (EDT then EST) but renders to ONE
+    // partition dir — the pending set dedupes; three periods yield two
+    // dirs, no phantom third hour
+    val srcF = app.marshalExternalData("upf", s"$work/upf_src", dstSpec)
+    val msF = new MarkerStream(app, Seq(s"$work/upf_src"), s"$work/ckpt_upf")
+    msF.watchUpcoming(srcF, periods = 3,
+      anchor = Some(java.time.LocalDateTime.of(2026, 11, 1, 1, 0)))
+    assert(pendingOf(s"$work/ckpt_upf") ==
+      Seq("2026-11-01-01", "2026-11-01-02"))
+  }
+
   test("marker stream feeds a sharded deployment across drivers") {
     val sp = spark
     import sp.implicits._
