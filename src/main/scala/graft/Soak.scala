@@ -932,10 +932,14 @@ object Soak {
       // from the salted-md5 calibration sample (vec_id order)
       val evalQ = emb.orderBy("vec_id").limit(qn).localCheckpoint()
       val brute = bruteOf(evalQ)
+      // maxQueryTables raised knowingly: the HONEST curve on this
+      // near-isotropic corpus picks nProbe in the hundreds (50 queries
+      // x ~219 probed cells ≈ 171 MB of broadcast ADC tables — fine on
+      // this box; the default guard exists for unattended callers)
       val (autoRecall, tProbe) = timed(recallOf(
         graft.operators.Pq.ivfPqTopKJoinRefinedAuto(evalQ, ldCells,
           ldCents, ldCb, emb, kTop, autoTarget, storedCurve,
-          corpusRows = nVecs), brute))
+          corpusRows = nVecs, maxQueryTables = 20000), brute))
       // the ceiling the auto pick bought: IVF with EXACT vectors at the
       // same nProbe — the gap autoRecall..ceiling is quantization+refine
       val ceilAuto = recallOf(
