@@ -305,9 +305,18 @@ object Bench {
     // comma-separated subset filter for local A/B iterating (driver unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Shuffle partitions default to the thread count (the sf0.1
+    // headline config, unchanged) but are OVERRIDABLE for big-SF runs:
+    // at sf100 (600M-row lineitem) 32 partitions put ~19M rows in every
+    // sort task and 32 concurrent tasks exhausted a 64g execution pool
+    // (q35 died UNABLE_TO_ACQUIRE_MEMORY) — partition count must scale
+    // with data, exactly as it would on a real cluster. AQE coalesces
+    // small partitions back, so oversizing costs little.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

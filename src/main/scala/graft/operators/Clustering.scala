@@ -135,14 +135,26 @@ object Sampling {
       else df.sparkSession.sparkContext.defaultParallelism
     // the checkpoint pins ONE range partitioning for both the offset
     // pass and the final projection (range boundaries come from
-    // sampling — two independent evaluations must not disagree on pids)
+    // sampling — two independent evaluations must not disagree on
+    // pids). DISK_ONLY storage, not the default (r19, found by the
+    // sf100 bench): default checkpoint storage is memory-first, and its
+    // block unroll materializes each partition as ONE in-heap array —
+    // at 600M-row lineitem (q35's events table is 3n rows) 32
+    // concurrent ~1.2 GB unrolls starved the unified pool and killed
+    // the window sort with UNABLE_TO_ACQUIRE_MEMORY + GCLocker thrash.
+    // DISK_ONLY streams blocks through serialization (no unroll) and
+    // costs nothing measurable at small SF; the checkpoint (vs a bare
+    // persist) keeps the GC-managed block lifecycle and per-call
+    // isolation (CacheManager persist dedupes by plan — repeated calls
+    // would silently share session-lifetime cache entries).
     val local = df
       .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", sum(col(tokenCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
           .orderBy(order: _*)))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // one row per non-empty partition; range partitions ascend with the
     // total order, so the exclusive prefix over pid order is the offset.
     // sum(tokenCol) — not max(__local) — is the partition total, which
