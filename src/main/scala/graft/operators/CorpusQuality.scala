@@ -63,6 +63,150 @@ object CorpusQuality {
           lit((total + v).toDouble))).as("mean_logprob"))
   }
 
+  /** Interpolated bigram-LM document scoring against a REFERENCE corpus —
+    * the next rung above [[unigramLogProbScore]] on the CCNet ladder
+    * (arXiv:1911.00359 §3.2 trains a 5-gram KenLM on clean Wikipedia and
+    * filters web text by its perplexity; the deterministic,
+    * engine-replayable core of that signal at order 2 is a
+    * reference-trained bigram model Jelinek–Mercer-interpolated with the
+    * add-one unigram — Chen & Goodman 1996 eq. 3). Per target bigram
+    * (prev, cur):
+    * `ln(λ · c(prev,cur)/c(prev) + (1−λ) · (c(cur)+1)/(total+V))`,
+    * counts from the REFERENCE; a bigram unseen there contributes only
+    * the back-off term, and a token unseen there only the +1 smoothing
+    * mass — so garbled/out-of-distribution target text scores LOW, the
+    * CCNet separation. (Self-scoring — `target eq reference` — measures
+    * context PREDICTABILITY instead: every observed bigram has
+    * c(prev,cur) ≥ 1, so hapax chains score `ln(λ·1 + …)`; repeated
+    * boilerplate still scores high, but one-off text is penalized only
+    * where its contexts branch. The reference/target split is the
+    * filtering deployment.) A document's score is the MEAN over its
+    * `size−1` bigrams; documents with fewer than two tokens yield NO row.
+    *
+    * Scale shape: tokenization happens ONCE per corpus into per-doc
+    * arrays (reference side checkpointed — it feeds the unigram explode
+    * AND the bigram explode; self-scoring tokenizes once total, reusing
+    * the checkpointed id-carrying table for both roles). The bigram
+    * stream is built array-side
+    * (`transform` over `sequence`) — no positional self-join and no
+    * per-doc window, so nothing shuffles on (doc, pos). c(prev) folds
+    * into the bigram model at |bigram-types| cardinality, so the
+    * target-sized work is ONE left join on (prev, cur) against the
+    * pre-assembled model plus one left join on the token key for the
+    * back-off unigram. All aggregations are map-side combinable;
+    * (total, V) are a 1-row collect folded in as literals. No sampling,
+    * no RNG — bit-stable across runs and engines.
+    *
+    * Returns (idCol, n_bigrams, mean_logprob). */
+  def bigramLogProbScoreAgainst(target: DataFrame, reference: DataFrame,
+                                textCol: String, idCol: String,
+                                lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    def words(df: DataFrame, withId: Boolean) =
+      Dedup.spread(df).select(
+        (if (withId) Seq(col(idCol)) else Seq.empty) :+
+          filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+            .as("__w"): _*)
+    def toPairs(w: DataFrame, keepId: Boolean) =
+      w.where(size(col("__w")) >= 2).select(
+        (if (keepId) Seq(col(idCol)) else Seq.empty) :+
+          explode(transform(sequence(lit(2), size(col("__w"))),
+            i => struct(element_at(col("__w"), i - 1).as("__prev"),
+              element_at(col("__w"), i).as("__cur")))).as("__bg"): _*)
+        .select((if (keepId) Seq(col(idCol)) else Seq.empty) ++
+          Seq(col("__bg.__prev").as("__prev"),
+            col("__bg.__cur").as("__cur")): _*)
+    val selfScore = target eq reference
+    // feeds the unigram explode AND the bigram explode (and, when
+    // self-scoring, the target pairs too — one tokenization pass total)
+    val refWords = words(reference, withId = selfScore).localCheckpoint()
+    // unigram model feeds the scalar collect, the model fold, and the
+    // back-off join
+    val uni = refWords.select(explode(col("__w")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val statsRow = uni.agg(sum(col("__c")), count(lit(1))).collect().head
+    if (statsRow.isNullAt(0))
+      return target.sparkSession.createDataFrame(
+        target.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          target.schema(idCol),
+          org.apache.spark.sql.types.StructField("n_bigrams",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mean_logprob",
+            org.apache.spark.sql.types.DoubleType))))
+    val (total, v) = (statsRow.getLong(0), statsRow.getLong(1))
+    val bi = toPairs(refWords, keepId = false)
+      .groupBy("__prev", "__cur").agg(count(lit(1)).as("__bc"))
+    // fold c(prev) in at |bigram-types| cardinality — the target-sized
+    // join below then touches ONE model table for the bigram term
+    val model = bi.join(
+      uni.select(col("__t").as("__prev"), col("__c").as("__cp")), "__prev")
+    val pairs = toPairs(
+      if (selfScore) refWords else words(target, withId = true),
+      keepId = true)
+    pairs
+      .join(model, Seq("__prev", "__cur"), "left")
+      .join(uni.select(col("__t").as("__cur"), col("__c").as("__cc")),
+        Seq("__cur"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(lit(lambda) * coalesce(
+          col("__bc").cast("double") / col("__cp"), lit(0.0)) +
+          lit(1.0 - lambda) * ((coalesce(col("__cc"), lit(0L)) + 1)
+            .cast("double") / lit((total + v).toDouble))))
+          .as("mean_logprob"))
+  }
+
+  /** Self-scored form of [[bigramLogProbScoreAgainst]] (model trained on
+    * `df` itself — the oracle-replayable gate surface; see the
+    * predictability caveat there). */
+  def bigramLogProbScore(df: DataFrame, textCol: String, idCol: String,
+                         lambda: Double = 0.7): DataFrame =
+    bigramLogProbScoreAgainst(df, df, textCol, idCol, lambda)
+
+  /** Top-k TF-IDF terms per document — keyword extraction / topic
+    * fingerprinting for corpus curation (the classic tf·idf weighting,
+    * Salton & Buckley 1988): `tfidf = tf(doc, t) · ln(N / df(t))` over
+    * the same lowercased whitespace tokens the LM scores use. The score
+    * is rounded to 4 dp BEFORE ranking so the rank order is
+    * engine-replayable (two terms within float noise of each other tie
+    * at 4 dp and break on the term text — deterministic at any
+    * parallelism and identical in the SQL replay; ranking raw doubles
+    * would let a 1-ulp `ln` difference swap neighbors). Empty documents
+    * yield no rows.
+    *
+    * Scale shape: one explode + one map-side-combined groupBy(doc, term)
+    * builds the tf table (checkpointed — it feeds the document-frequency
+    * aggregate AND the scoring join); df(t) aggregates tf at
+    * |vocabulary| cardinality; the scoring join is tf ⋈ df on the term
+    * key; the top-k window partitions by document (per-doc vocabulary
+    * sized — thousands of partitionable keys, never a global sort). N is
+    * a metadata-cheap count folded in as a literal.
+    *
+    * Returns (idCol, term_rank, term, tfidf). */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val n = df.count()
+    val tf = Dedup.spread(df).select(col(idCol),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => t =!= "")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfm = tf.groupBy("__t").agg(count(lit(1)).as("__dft"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("__t").asc)
+    tf.join(dfm, "__t")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("__dft")), 4))
+      .withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= topK)
+      .select(col(idCol), col("term_rank"), col("__t").as("term"),
+        col("tfidf"))
+  }
+
   /** Corpus vocabulary: the top-k most frequent word tokens with counts —
     * tokenizer-training corpus prep (BPE seeds from exactly this table)
     * and boilerplate/contamination analysis. One explode over the

@@ -745,6 +745,57 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- interpolated bigram-LM quality (CCNet ladder, order 2):
+    // corpus-trained Jelinek–Mercer bigram⊕unigram mean logprob per doc
+    "p44_bigram_lm" -> ((s, dir) => {
+      graft.operators.CorpusQuality
+        .bigramLogProbScore(docs(s, dir), "text", "doc_id", lambda = 0.7)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("mean_logprob"), 4).as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- reference/target bigram-LM scoring (the CCNet deployment):
+    // model trained on the EVEN docs scores the ODD docs — gates the
+    // unseen-bigram and unseen-token back-off branches p44's
+    // self-scoring can never reach (its joins always hit)
+    "p47_bigram_backoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.CorpusQuality.bigramLogProbScoreAgainst(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0), "text", "doc_id", lambda = 0.7)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("mean_logprob"), 4).as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-trained per-DIMENSION SQ8 (FAISS ScalarQuantizer tier):
+    // integer surface (extrema + position-weighted sum) is engine-exact,
+    // pinning every code's value and order — the p19 oracle idea applied
+    // to the trained-scales quantizer
+    "p45_sq8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val scales = Similarity.trainSq8(e, "embedding")
+      Similarity.sq8Encode(e, "embedding", scales, "q")
+        .select(col("vec_id"),
+          array_max(col("q")).cast("long").as("max_q"),
+          array_min(col("q")).cast("long").as("min_q"),
+          aggregate(
+            zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")),
+              (q, i) => q.cast("long") * i),
+            lit(0L), (acc, x) => acc + x).as("pos_weighted"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- top-3 TF-IDF terms per document (keyword extraction for
+    // curation); rank on the 4-dp-rounded score, term-text tiebreak —
+    // engine-replayable order at any parallelism
+    "p46_tfidf_terms" -> ((s, dir) => {
+      graft.operators.CorpusQuality
+        .tfIdfTopTerms(docs(s, dir), "text", "doc_id", topK = 3)
+        .orderBy("doc_id", "term_rank")
+    }),
+
     // ---- bloom-prefiltered incremental exact dedup: a batch of half
     // exact-dups / half fresh docs against the whole corpus — only the
     // fresh half survives; the bloom prunes the confirm join
@@ -1240,6 +1291,94 @@ object PipelineOps {
                 ROUND(AVG(LN((c + 1) / (SELECT total + v FROM scal))), 4)
                   AS mean_logprob
          FROM nz JOIN model USING (t) GROUP BY doc_id ORDER BY doc_id""",
+    // λ and (1−λ) are written as DOUBLE expressions so both engines
+    // evaluate the SAME IEEE constants (1 − 0.7 in binary64 is
+    // 0.30000000000000004; a decimal-typed 0.3 would differ at 1e-17)
+    "p44_bigram_lm" ->
+      """WITH words AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS w
+           FROM documents),
+         uni AS (SELECT UNNEST(w) AS t FROM words),
+         um AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+         scal AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM um),
+         bg AS (SELECT doc_id, UNNEST(generate_series(2, len(w))) AS i, w
+                FROM words WHERE len(w) >= 2),
+         pairs AS (SELECT doc_id, w[i-1] AS prev, w[i] AS cur FROM bg),
+         bm AS (SELECT prev, cur, COUNT(*) AS bc FROM pairs
+                GROUP BY prev, cur),
+         model AS (SELECT bm.prev, bm.cur, bc, up.c AS cp, uc.c AS cc
+                   FROM bm JOIN um up ON bm.prev = up.t
+                           JOIN um uc ON bm.cur = uc.t)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(AVG(LN(CAST(0.7 AS DOUBLE) * (bc / cp)
+                  + (1 - CAST(0.7 AS DOUBLE))
+                    * ((cc + 1) / (SELECT total + v FROM scal)))), 4)
+                  AS mean_logprob
+         FROM pairs JOIN model USING (prev, cur)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "p47_bigram_backoff" ->
+      """WITH wr AS (SELECT list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '') AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         wt AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '') AS w
+           FROM documents WHERE doc_id % 2 = 1),
+         um AS (SELECT t, COUNT(*) AS c
+                FROM (SELECT UNNEST(w) AS t FROM wr) GROUP BY t),
+         scal AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM um),
+         bgr AS (SELECT UNNEST(generate_series(2, len(w))) AS i, w
+                 FROM wr WHERE len(w) >= 2),
+         bm AS (SELECT prev, cur, COUNT(*) AS bc
+                FROM (SELECT w[i-1] AS prev, w[i] AS cur FROM bgr)
+                GROUP BY prev, cur),
+         model AS (SELECT bm.prev, bm.cur, bc, up.c AS cp
+                   FROM bm JOIN um up ON bm.prev = up.t),
+         bgt AS (SELECT doc_id, UNNEST(generate_series(2, len(w))) AS i, w
+                 FROM wt WHERE len(w) >= 2),
+         pt AS (SELECT doc_id, w[i-1] AS prev, w[i] AS cur FROM bgt)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(AVG(LN(CAST(0.7 AS DOUBLE) * COALESCE(bc / cp, 0)
+                  + (1 - CAST(0.7 AS DOUBLE))
+                    * ((COALESCE(cc, 0) + 1)
+                       / (SELECT total + v FROM scal)))), 4)
+                  AS mean_logprob
+         FROM pt LEFT JOIN model USING (prev, cur)
+                 LEFT JOIN (SELECT t AS cur, c AS cc FROM um) ucur
+                   USING (cur)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "p45_sq8" ->
+      """WITH dims AS (SELECT vec_id, UNNEST(embedding) AS x,
+           generate_subscripts(embedding, 1) AS d FROM embeddings),
+         mx AS (SELECT d, MAX(ABS(CAST(x AS DOUBLE))) / 127 AS s
+                FROM dims GROUP BY d),
+         q AS (SELECT vec_id, d,
+                 CASE WHEN s = 0 THEN 0
+                      ELSE CAST(LEAST(127, GREATEST(-127,
+                             ROUND(CAST(x AS DOUBLE) / s))) AS BIGINT)
+                 END AS qx
+               FROM dims JOIN mx USING (d))
+         SELECT vec_id, MAX(qx) AS max_q, MIN(qx) AS min_q,
+                CAST(SUM(qx * d) AS BIGINT) AS pos_weighted
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
+    "p46_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+           UNNEST(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+         dfm AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY t),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (SELECT doc_id, t AS term,
+                      ROUND(tf * LN((SELECT n FROM n) / dft), 4) AS tfidf,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY ROUND(tf * LN((SELECT n FROM n) / dft), 4)
+                          DESC, t ASC) AS term_rank
+               FROM tf JOIN dfm USING (t))
+         SELECT doc_id, term_rank, term, tfidf FROM s WHERE term_rank <= 3
+         ORDER BY doc_id, term_rank""",
     "p26_shared_spans" ->
       """WITH t AS (SELECT doc_id,
            text || ' planted shared span of exactly eight tokens' AS tt

@@ -717,6 +717,115 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigram LM: hand-computed JM interpolation, <2-token docs absent") {
+    val sp = spark; import sp.implicits._
+    // corpus: a:3 b:3 c:1 -> total=7, V=3; bigrams (a,b):3, (b,a):1
+    val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.CorpusQuality
+      .bigramLogProbScore(df, "text", "doc_id", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // mirror the operator's arithmetic exactly (same doubles)
+    def p(bc: Long, cp: Long, cc: Long): Double =
+      math.log(0.7 * (bc.toDouble / cp) + (1.0 - 0.7) * ((cc + 1).toDouble / 10.0))
+    val ab = p(3, 3, 3); val ba = p(1, 3, 3)
+    assert(out.keySet == Set(0L, 1L), "1-token doc must yield no row")
+    assert(out(0L)._1 == 3 && out(1L)._1 == 1)
+    assert(math.abs(out(0L)._2 - (ab + ba + ab) / 3.0) < 1e-9)
+    assert(math.abs(out(1L)._2 - ab) < 1e-9)
+    // the CCNet deployment: model trained on a clean REFERENCE corpus
+    // separates in-distribution target text from garbled text (unseen
+    // bigrams fall back to the unigram term; unseen tokens to +1 mass)
+    val reference = docsDf
+    val tgt = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (11L, "dog lazy the over jumps fox brown quick the"), // seen tokens, unseen bigrams
+      (12L, "zqx wvk pjm trl ngh")                          // fully out-of-model
+    ).toDF("doc_id", "text")
+    val s = graft.operators.CorpusQuality
+      .bigramLogProbScoreAgainst(tgt, reference, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(10L) > s(11L), "in-model bigrams must outscore shuffled text")
+    assert(s(11L) > s(12L), "seen tokens must outscore unseen tokens")
+    // empty corpus: empty 3-col frame, not an NPE
+    val empty = graft.operators.CorpusQuality.bigramLogProbScore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "mean_logprob") && empty.count() == 0)
+  }
+
+  test("tfidf top terms: known idf separation, 4-dp tie broken by term") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana durian"),
+      (2L, "cherry cherry cherry banana"),
+      (3L, "emu fig") // equal tf and df -> equal score -> term-text order
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusQuality
+      .tfIdfTopTerms(df, "text", "doc_id", topK = 2)
+      .orderBy("doc_id", "term_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    def tfidf(tf: Long, dft: Long): Double =
+      new java.math.BigDecimal(tf * math.log(4.0 / dft))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(out.filter(_._1 == 0L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("apple", tfidf(2, 1)), ("banana", tfidf(1, 3))))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq("durian", "banana"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("cherry", "banana"))
+    // the tie: emu and fig share (tf=1, df=1) — rank order is term asc
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1, "emu"), (2, "fig")))
+  }
+
+  test("sq8: per-dim trained scales, zero-dim safe, decode within scale/2") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.0f)),
+      (1L, Seq(-4.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val scales = Similarity.trainSq8(df, "embedding")
+    assert(scales.toSeq == Seq(4.0 / 127.0, 2.0 / 127.0, 0.0))
+    val enc = Similarity.sq8Encode(df, "embedding", scales, "q")
+      .orderBy("vec_id").collect().map(_.getSeq[Byte](2))
+    assert(enc(0) == Seq[Byte](32, -127, 0)) // round(31.75)=32; exact -127; 0-scale dim
+    assert(enc(1) == Seq[Byte](-127, 64, 0)) // round(63.5)=64 half-up
+    // reconstruction error bounded by scale/2 on every non-degenerate dim
+    val dec = Similarity.sq8Encode(df, "embedding", scales, "q")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.sq8Decode(col("q"), scales).as("xhat"))
+      .collect()
+    dec.foreach { r =>
+      val x = r.getSeq[Float](1); val xh = r.getSeq[Double](2)
+      (0 until 3).foreach { d =>
+        assert(math.abs(x(d) - xh(d)) <= scales(d) / 2 + 1e-12,
+          s"dim $d of vec ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("sq8TopK: quantized scan preserves the exact scan's top-1") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val scales = Similarity.trainSq8(corpus, "embedding")
+    val encoded = Similarity.sq8Encode(corpus, "embedding", scales, "q")
+      .localCheckpoint()
+    val qs = corpus.where(col("vec_id").isin(5L, 23L, 41L))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    qs.foreach { case (qid, qv) =>
+      val top = Similarity.sq8TopK(encoded, "q", "vec_id", qv, k = 1, scales)
+        .collect().head
+      assert(top.getLong(0) == qid,
+        s"query $qid: 8-bit reconstruction must keep the identical vector on top")
+      assert(top.getDouble(1) > 0.999, s"query $qid cosine ${top.getDouble(1)}")
+    }
+  }
+
   test("batched ANN join retrieves planted neighbors; paths agree") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(7)
