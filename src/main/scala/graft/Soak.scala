@@ -598,12 +598,96 @@ object Soak {
       return
     }
 
+    // "sq8" = r19: per-dimension scalar quantization quality on REAL
+    // embeddings — recall@10 of the SQ8-reconstructed scan vs the float
+    // scan, near-dup (5%-perturbed planted copy) recall, mean squared
+    // reconstruction error, train wall, and the MEASURED on-disk ratio
+    // (tinyint codes vs float32, both parquet-encoded — the honest form
+    // of the "4x smaller" claim; parquet compression moves it).
+    if (only == "sq8") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val qn = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "50").toInt
+      val kTop = 10
+      val tMode0 = System.nanoTime()
+      // evaluation flows through the batched join surfaces (the pqauto
+      // lesson: one plan per metric, not 3·qn driver-sequenced jobs —
+      // the first cut of this mode timed out at 20k vectors on exactly
+      // that shape)
+      val (queries, tQ) = timed(emb.orderBy("vec_id").limit(qn)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))))
+      val sp2 = spark; import sp2.implicits._
+      val qDf = queries.toSeq.toDF("vec_id", "embedding")
+      def topSets(j: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        j.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val (brute, tBrute) = timed(topSets(Similarity.cosineTopKJoin(
+        qDf, emb, "embedding", "vec_id", kTop)))
+      val (scales, tTrain) = timed(Similarity.trainSq8(emb, "embedding"))
+      val encFull = Similarity.sq8Encode(emb, "embedding", scales, "q")
+        .localCheckpoint()
+      // quantized corpus scan = exact join over the RECONSTRUCTED vectors;
+      // materialized so the interpreted decode lambda runs once per
+      // corpus row, not once per (query, corpus) pair after Catalyst
+      // inlines the projection into the join
+      val recon = encFull.select(col("vec_id"),
+        Similarity.sq8Decode(col("q"), scales).as("embedding"))
+        .localCheckpoint()
+      val (sq8Tops, tSq8) = timed(topSets(Similarity.cosineTopKJoin(
+        qDf, recon, "embedding", "vec_id", kTop)))
+      val rs = queries.map { case (id, _) =>
+        sq8Tops(id).intersect(brute(id)).size.toDouble / kTop }
+      val recall10 = rs.sum / rs.length
+      val perturbed = queries.map { case (id, v) =>
+        val rnd = new scala.util.Random(id)
+        (id, v.zipWithIndex.map { case (x, i) =>
+          x * (1.0f + 0.05f * rnd.nextFloat()) }.toSeq)
+      }
+      val (ndTops, tNd) = timed(topSets(Similarity.cosineTopKJoin(
+        perturbed.toSeq.toDF("vec_id", "embedding"), recon,
+        "embedding", "vec_id", kTop)))
+      val ndRecall = perturbed.count { case (id, _) =>
+        ndTops(id).contains(id) }.toDouble / perturbed.length
+      // mean per-vector MSE of the reconstruction, over the whole corpus
+      val (mse, tMse) = timed(encFull.select(
+          (aggregate(zip_with(col("embedding"),
+              Similarity.sq8Decode(col("q"), scales),
+              (x, xh) => (x.cast("double") - xh) * (x.cast("double") - xh)),
+            lit(0.0), (acc, e) => acc + e) /
+            size(col("embedding"))).as("m"))
+        .agg(avg(col("m"))).collect().head.getDouble(0))
+      // measured storage: both sides parquet-encoded, same row count
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+      val (_, tW) = timed {
+        emb.write.mode("overwrite").parquet(s"$tmp/f32")
+        encFull.select("vec_id", "q").write.mode("overwrite")
+          .parquet(s"$tmp/sq8")
+      }
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      }
+      val (bF32, bSq8) = (dirBytes(s"$tmp/f32"), dirBytes(s"$tmp/sq8"))
+      val n = emb.count()
+      val tAll = (System.nanoTime() - tMode0) / 1e9
+      println(
+        f"""{"soak":"sq8","n":$n,"queries":$qn,"k":$kTop,"recall10":$recall10%.3f,"neardup_recall":$ndRecall%.3f,"mse":$mse%.3e,"train_s":$tTrain%.2f,"brute_s":$tBrute%.2f,"sq8_s":$tSq8%.2f,"nd_s":$tNd%.2f,"mse_s":$tMse%.2f,"q_s":$tQ%.2f,"write_s":$tW%.2f,"mode_s":$tAll%.2f,"bytes_f32":$bF32,"bytes_sq8":$bSq8,"ratio":${bF32.toDouble / bSq8}%.2f}""")
+      spark.stop()
+      return
+    }
+
     // p07 shape: banded candidates + exact-Jaccard verify, guard at 1000.
     // The verified pairs are checkpointed and REUSED as the p14 input —
     // the soak's duplicate graph is the true one (copy-chains collapse
     // into one component per base doc), not a synthetic edge list.
+    //
+    // Guarded to the "all" fall-through: these stages feed ONLY the
+    // final full-soak JSON. They used to run (minutes of 10x-corpus
+    // minhash + connected components) for every early-return mode that
+    // happens to sit below them in this file — found when the sq8 mode
+    // measured 16 s of work inside a 7-minute JVM.
     val (p07Pairs, tP07, p14Comps, tP14) =
-      if (only == "ivf") (0L, 0.0, 0L, 0.0)
+      if (only != "all") (0L, 0.0, 0L, 0.0)
       else {
         val (pairsDf, tPairs) = timed( // localCheckpoint is eager
           Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
@@ -621,7 +705,7 @@ object Soak {
         (nPairs, tPairs, comps, tCc)
       }
     val (buckets, maxBucket, dropped, avoided) =
-      if (only == "ivf") (0L, 0L, 0L, 0L)
+      if (only != "all") (0L, 0L, 0L, 0L)
       else {
         val stats = Dedup.lshBucketStats(corpus, "text", "doc_id",
           k = 64, bands = 16, shingleN = 2, maxBucketSize = 1000)
@@ -682,6 +766,7 @@ object Soak {
       spark.stop()
       return
     }
+
 
     // "pqrecall" = r14 (VERDICT r13 #7): PQ quality on REAL (non-planted)
     // embeddings — the gate's planted-colinear rows prove retrieval
