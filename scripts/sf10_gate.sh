@@ -3,7 +3,7 @@
 # the full contract at 100x but took hand-set env knobs and two manual
 # oracle substitutions; this makes it ONE command. Scales sf0.1 up 100x
 # with graft.ScaleUp, runs the FULL driver contract (graft.Verify), then
-# replays every oracle: 115 rows through tools/selfcheck.py (with the
+# replays every oracle: all standard rows through tools/selfcheck.py (with the
 # DuckDB big-SF presets that the r18 run learned the hard way — the
 # default 80%-of-RAM cap OOM-killed a 60M-row join oracle, and cwd-
 # relative temp spill orphaned 49 GB), and the 2 rows whose naive oracles
@@ -12,10 +12,11 @@
 # replication-structure — see that file's header).
 #
 # CADENCE: once per round, on the final tree, after the sf0.01 gate is
-# green — ledger the "117/117 effective" line in BASELINE.md.
+# green — ledger the "N/N effective" line in BASELINE.md (121 rows as
+# of r19: 119 standard + 2 substitute).
 #
 # Usage: scripts/sf10_gate.sh [srcSfDir] [factor] [workRoot]
-# Exit 0 = all 117 rows match (115 standard + 2 substitute).
+# Exit 0 = every row matches (standard + the 2 substitutes).
 set -u
 SRC="${1:-/root/testdata/sf0.1}"
 FACTOR="${2:-100}"
@@ -44,7 +45,7 @@ SPARK_GRAFT_CPUS="$CPUS" java $JOPTS -cp "$CP" \
   graft.Verify "$WROOT/data" "$OUT" 2>"$WROOT.verify.err" | tail -3
 
 T2=$(date +%s)
-echo "== selfcheck (DuckDB oracle replay, 115 standard rows) =="
+echo "== selfcheck (DuckDB oracle replay, standard rows) =="
 GRAFT_SELFCHECK_EXCLUDE="p06_label_affinity,p07_minhash_lsh" \
   python3 "$REPO/tools/selfcheck.py" "$WROOT/data" "$OUT"
 RC1=$?
