@@ -281,6 +281,34 @@ object Bench {
       firstRepOutliers(repsByQuery).nonEmpty) "disturbed"
     else windowLabel(preSweepOtherLoad, sweepOtherCores)
 
+  // ---- host-speed canary (r20, VERDICT r19 #3): two consecutive rounds
+  // of UNIFORM artifact-to-artifact drift on unchanged code (sf0.1
+  // 14.1->23.4 s, sf10 52.7->64.3 s) were attributed to hypervisor
+  // shaving that the calm label cannot see — loadavg, busy-jiffies,
+  // iowait and steal all read near-zero while every row ran 1.2-1.9x
+  // slower. A fixed, deterministic, single-thread integer loop measured
+  // once per sweep gives the artifact an absolute CPU-speed reference:
+  // cross-round comparisons divide by the canary ratio (a slower canary
+  // = slower host, not a regression; tools/compare_bench.py does the
+  // arithmetic). xorshift64* is pure register arithmetic — no memory
+  // traffic, no allocation, immune to page cache and GC — so its
+  // ops/sec is a clean clock-speed proxy.
+  @volatile private var canarySink: Long = 0
+  private[graft] def hostCanaryOpsPerSec(
+      iters: Long = 400000000L): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < iters) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      x *= 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    val dt = math.max(1L, System.nanoTime() - t0) / 1e9
+    canarySink = x // consume the result so the loop cannot be DCE'd
+    iters / dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -374,6 +402,10 @@ object Bench {
     val otherCores = scala.collection.mutable.ArrayBuffer[Double]()
     val iowaitPct = scala.collection.mutable.ArrayBuffer[Double]()
     val stealPct = scala.collection.mutable.ArrayBuffer[Double]()
+    val canary = scala.collection.mutable.ArrayBuffer[Double]()
+    // JIT-compile the canary loop before the first measured reading —
+    // an interpreted first sample would fake a 10x "slow host"
+    hostCanaryOpsPerSec(iters = 50000000L)
     (1 to reps).foreach { _ =>
       while (otherLoad1m() >= 2.0 && burstBudgetSecs > 0) {
         System.err.println(
@@ -384,6 +416,7 @@ object Bench {
       }
       loads += loadavg1m()
       otherLoads += otherLoad1m()
+      canary += hostCanaryOpsPerSec()
       val statFull0 = procStatFull()
       val stat0 = statFull0.map { case (b, t, _, _, n) => (b, t, n) }
       val (gc0, cpu0, wall0) = (gcMillis(), cpuNanos(), System.nanoTime())
@@ -473,7 +506,9 @@ object Bench {
         s""""iowait_pct":${iowaitPct.map(c => f"$c%.1f").mkString("[", ",", "]")},""" +
         s""""steal_pct":${stealPct.map(c => f"$c%.1f").mkString("[", ",", "]")}}"""
     val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "headline")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"set":"$setName","queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"window":"$window"$disturbedJson$firstOutJson$errJson,"sf":"$sfDir"}""")
+    val canaryJson = canary.map(c => f"${c / 1e6}%.1f")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"set":"$setName","queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"host_canary_mops_per_sec":$canaryJson,"window":"$window"$disturbedJson$firstOutJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

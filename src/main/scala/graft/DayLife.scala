@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Day-in-the-life composite soak (r16, VERDICT r15 #4): every
   * long-running production concern at once, on ONE corpus, in one
@@ -85,7 +86,7 @@ object DayLife {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val base = corpus(s, sfDir).localCheckpoint()
+    val base = corpus(s, sfDir).diskCheckpoint()
     val nBase = base.count()
     val idx = graft.operators.Dedup.buildNearDupIndex(base, "text", "doc_id")
     graft.operators.Dedup.saveNearDupIndex(idx, s"$root/index")
@@ -393,13 +394,13 @@ object DayLife {
       s"$root/index/${graft.operators.Dedup.NearDupClaim}"), false)
     if (graft.operators.Dedup.healNearDupIndex(s, s"$root/index"))
       println("verify: entry heal rolled back an interrupted swap")
-    val base = corpus(s, sfDir).localCheckpoint()
+    val base = corpus(s, sfDir).diskCheckpoint()
     val nBase = base.count()
     // 1. EXACT index equivalence: probe streamed index == probe rebuild
     val probe = base.where(col("doc_id") < 200)
       .select((col("doc_id") + 90000000L).as("doc_id"),
         concat(col("text"), lit(" probetail")).as("text"))
-      .localCheckpoint()
+      .diskCheckpoint()
     def pairs(idx: graft.operators.Dedup.NearDupIndex): Set[(Long, Long)] =
       graft.operators.Dedup.incrementalJaccardPairs(probe, idx, "text",
           minJaccard = MinJ, maxBucketSize = MaxBucket)

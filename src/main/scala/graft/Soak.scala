@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Clustering, Dedup, Similarity}
+import graft.operators.Ckpt._
 
 /** Scale soak (VERDICT r3 item 10): run the scale-critical dedup ops on a
   * 10× corpus (sf0.1 documents replicated with perturbed ids/text) PLUS a
@@ -79,7 +80,7 @@ object Soak {
       java.nio.file.Files.write(mp, mergesTxt.getBytes("UTF-8"))
       java.nio.file.Files.write(dir.resolve("vocab.json"),
         vocabTxt.getBytes("UTF-8"))
-      val docs = replicated.localCheckpoint()
+      val docs = replicated.diskCheckpoint()
       val nD = docs.count()
       val chars = docs.agg(sum(length(col("text")))).head().getLong(0)
       def sweep(): Long = docs
@@ -144,7 +145,7 @@ object Soak {
         .select((col("id") + 950000000L).as("doc_id"),
           lit(boilerTxt).as("text"))
       val spanCorpus = salted.unionByName(planted).unionByName(boiler2)
-        .localCheckpoint()
+        .diskCheckpoint()
       val nD = spanCorpus.count()
       val (stats, tStats) = timed(Dedup.sharedSpanGramStats(
         spanCorpus, "text", "doc_id", minSpanTokens = w).head())
@@ -154,7 +155,7 @@ object Soak {
       require(stats.getLong(3) >= 6L * 3000 * 2999 / 2,
         s"seed_pairs_avoided: $stats")
       val (spanRows, tSpans) = timed(Dedup.maximalSharedSpans(
-        spanCorpus, "text", "doc_id", minSpanTokens = w).localCheckpoint())
+        spanCorpus, "text", "doc_id", minSpanTokens = w).diskCheckpoint())
       val nSpans = spanRows.count()
       val plantedGot = spanRows.where(col("d1") >= 900000000L &&
           col("d1") < 950000000L).collect()
@@ -226,7 +227,7 @@ object Soak {
               ()
             }
         })
-      val staged = corpus.localCheckpoint() // stage input outside the A/B
+      val staged = corpus.diskCheckpoint() // stage input outside the A/B
       staged.count()
       def measured(run: => Long): (Long, Double, Long, Long) = {
         Thread.sleep(3000) // drain listener events from prior work
@@ -397,7 +398,7 @@ object Soak {
       // "versioned" = the r15 rename-free pointer-commit bucket layout
       // (the object-store path); "legacy" = the rename-swap layout
       val layout = sys.env.getOrElse("SPARK_GRAFT_SOAK_ND_LAYOUT", "versioned")
-      val corpus = base.localCheckpoint()
+      val corpus = base.diskCheckpoint()
       val nDocs = corpus.count()
       val (_, tBuild) = timed {
         Dedup.saveNearDupIndex(
@@ -511,10 +512,10 @@ object Soak {
       val skewed = spark.range(n).select(col("id").as("eid"),
         when(col("id") % 2 === 0, 0L)
           .otherwise(pmod(col("id"), lit(9973L)) + 1L).as("k"),
-        (col("id") * 17 % 1000000L).as("t")).localCheckpoint()
+        (col("id") * 17 % 1000000L).as("t")).diskCheckpoint()
       val uniform = spark.range(n).select(col("id").as("eid"),
         pmod(col("id"), lit(9973L)).as("k"),
-        (col("id") * 17 % 1000000L).as("t")).localCheckpoint()
+        (col("id") * 17 % 1000000L).as("t")).diskCheckpoint()
       def prof(df: org.apache.spark.sql.DataFrame, frac: Double): (Boolean, Double) = {
         val (d, t) = timed(Temporal.profileIsHot(df, "k", 4.0, frac))
         (d, t)
@@ -606,7 +607,8 @@ object Soak {
     // of the "4x smaller" claim; parquet compression moves it).
     if (only == "sq8") {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).diskCheckpoint()
+      val nAll = emb.count()
       val qn = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "50").toInt
       val kTop = 10
       val tMode0 = System.nanoTime()
@@ -625,14 +627,14 @@ object Soak {
         qDf, emb, "embedding", "vec_id", kTop)))
       val (scales, tTrain) = timed(Similarity.trainSq8(emb, "embedding"))
       val encFull = Similarity.sq8Encode(emb, "embedding", scales, "q")
-        .localCheckpoint()
+        .diskCheckpoint()
       // quantized corpus scan = exact join over the RECONSTRUCTED vectors;
       // materialized so the interpreted decode lambda runs once per
       // corpus row, not once per (query, corpus) pair after Catalyst
       // inlines the projection into the join
       val recon = encFull.select(col("vec_id"),
         Similarity.sq8Decode(col("q"), scales).as("embedding"))
-        .localCheckpoint()
+        .diskCheckpoint()
       val (sq8Tops, tSq8) = timed(topSets(Similarity.cosineTopKJoin(
         qDf, recon, "embedding", "vec_id", kTop)))
       val rs = queries.map { case (id, _) =>
@@ -656,6 +658,43 @@ object Soak {
             lit(0.0), (acc, e) => acc + e) /
             size(col("embedding"))).as("m"))
         .agg(avg(col("m"))).collect().head.getDouble(0))
+      // durable-index trade (r20, VERDICT r19 #4): float vs SQ8-encoded
+      // ANN index. Buckets are computed from the original floats on BOTH
+      // layouts, so candidate sets are identical and the recall delta
+      // isolates the reconstructed-rerank effect; the byte ratio is the
+      // measured on-disk saving of the index scan.
+      def treeBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          else f.length
+        walk(new java.io.File(p))
+      }
+      val planes = Similarity.planesFor(nAll)
+      val annIdx = Similarity.buildIndex(emb, "embedding", "vec_id",
+        planes, persist = false)
+      val idxDirF = java.nio.file.Files.createTempDirectory("graft_annf").toString
+      val idxDirQ = java.nio.file.Files.createTempDirectory("graft_annq").toString
+      val (_, tIdxSaveF) = timed(Similarity.saveAnnIndex(annIdx, idxDirF))
+      val (_, tIdxSaveQ) = timed(Similarity.saveAnnIndexSq8(annIdx, idxDirQ, scales))
+      val (bIdxF, bIdxQ) = (treeBytes(s"$idxDirF/sigs"), treeBytes(s"$idxDirQ/sigs"))
+      val f32Idx = Similarity.loadAnnIndex(spark, idxDirF, persist = false)
+      val sq8Idx = Similarity.loadAnnIndex(spark, idxDirQ, persist = false)
+      val (fIdxTops, tProbeF) = timed(topSets(Similarity.lshTopKJoin(
+        qDf, f32Idx, kTop, probeBits = 1, broadcastQueries = true)))
+      val (qIdxTops, tProbeQ) = timed(topSets(Similarity.lshTopKJoin(
+        qDf, sq8Idx, kTop, probeBits = 1, broadcastQueries = true)))
+      def annRecall(tops: Map[Long, Set[Long]]): Double = {
+        val rs = queries.map { case (id, _) =>
+          tops.getOrElse(id, Set.empty).intersect(brute(id)).size.toDouble / kTop }
+        rs.sum / rs.length
+      }
+      val (annRecF, annRecQ) = (annRecall(fIdxTops), annRecall(qIdxTops))
+      locally {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+        }
+        rmTree(new java.io.File(idxDirF)); rmTree(new java.io.File(idxDirQ))
+      }
       // measured storage: both sides parquet-encoded, same row count
       val tmp = java.nio.file.Files.createTempDirectory("graft_sq8").toString
       val (_, tW) = timed {
@@ -668,10 +707,70 @@ object Soak {
         d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
       }
       val (bF32, bSq8) = (dirBytes(s"$tmp/f32"), dirBytes(s"$tmp/sq8"))
-      val n = emb.count()
+      val n = nAll
+      // the copies exist only to be sized — drop them now (r19 advice:
+      // repeated soak runs were accumulating full corpus copies in /tmp)
+      locally {
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+        }
+        rmTree(new java.io.File(tmp))
+      }
       val tAll = (System.nanoTime() - tMode0) / 1e9
       println(
-        f"""{"soak":"sq8","n":$n,"queries":$qn,"k":$kTop,"recall10":$recall10%.3f,"neardup_recall":$ndRecall%.3f,"mse":$mse%.3e,"train_s":$tTrain%.2f,"brute_s":$tBrute%.2f,"sq8_s":$tSq8%.2f,"nd_s":$tNd%.2f,"mse_s":$tMse%.2f,"q_s":$tQ%.2f,"write_s":$tW%.2f,"mode_s":$tAll%.2f,"bytes_f32":$bF32,"bytes_sq8":$bSq8,"ratio":${bF32.toDouble / bSq8}%.2f}""")
+        f"""{"soak":"sq8","n":$n,"queries":$qn,"k":$kTop,"recall10":$recall10%.3f,"neardup_recall":$ndRecall%.3f,"mse":$mse%.3e,"train_s":$tTrain%.2f,"brute_s":$tBrute%.2f,"sq8_s":$tSq8%.2f,"nd_s":$tNd%.2f,"mse_s":$tMse%.2f,"q_s":$tQ%.2f,"write_s":$tW%.2f,"mode_s":$tAll%.2f,"bytes_f32":$bF32,"bytes_sq8":$bSq8,"ratio":${bF32.toDouble / bSq8}%.2f,"idx_planes":$planes,"idx_bytes_f32":$bIdxF,"idx_bytes_sq8":$bIdxQ,"idx_ratio":${bIdxF.toDouble / bIdxQ}%.2f,"idx_save_f32_s":$tIdxSaveF%.2f,"idx_save_sq8_s":$tIdxSaveQ%.2f,"idx_probe_f32_s":$tProbeF%.2f,"idx_probe_sq8_s":$tProbeQ%.2f,"idx_recall_f32":$annRecF%.3f,"idx_recall_sq8":$annRecQ%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // "bigram" = r20 (VERDICT r19 #1 done-criterion + #5): the corpus-LM
+    // family at 100x docs (SPARK_GRAFT_SOAK_COPIES=100 -> the ~503k-doc
+    // corpus the spans soak uses), now that their corpus-proportional
+    // checkpoints are DISK_ONLY (Ckpt policy — the memory-first unroll
+    // was the q35 killer shape and p44/p46/p47 had never run past sf1).
+    // Measures: (a) bigramLogProbScoreAgainst wall on a reference/target
+    // split, (b) the CCNet deployment property — separation margin
+    // between in-distribution targets and deterministically-garbled
+    // (token-REVERSED: same unigrams, unseen bigrams) copies of the same
+    // docs, plus the fraction of garbled docs scoring above the
+    // in-distribution 10th percentile (0 = clean separation at a p10
+    // filter threshold), (c) tfIdfTopTerms and unigramLogProbScore walls
+    // over the full corpus (the other two unroll-path operators).
+    if (only == "bigram") {
+      val corpusB = corpus.diskCheckpoint()
+      val nD = corpusB.count()
+      val reference = corpusB.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val inTgt = corpusB.where(pmod(col("doc_id"), lit(10)) === 0)
+      val outTgt = inTgt.select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat_ws(" ", reverse(filter(
+          split(trim(lower(col("text"))), "\\s+"), t => t =!= "")))
+          .as("text"))
+      val target = inTgt.unionByName(outTgt).diskCheckpoint()
+      val (scored, tScore) = timed(graft.operators.CorpusQuality
+        .bigramLogProbScoreAgainst(target, reference, "text", "doc_id")
+        .diskCheckpoint())
+      val nScored = scored.count()
+      val g = scored.select(
+          when(col("doc_id") >= 2000000000L, "out").otherwise("in").as("g"),
+          col("mean_logprob"))
+      val agg = g.groupBy("g").agg(
+          avg("mean_logprob").as("mean"),
+          expr("percentile(mean_logprob, 0.1)").as("p10"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+      val (meanIn, p10In, nIn) = agg("in")
+      val (meanOut, _, nOut) = agg("out")
+      val outAboveP10In = g.where(col("g") === "out" &&
+        col("mean_logprob") > p10In).count()
+      val (_, tTfidf) = timed(graft.operators.CorpusQuality
+        .tfIdfTopTerms(corpusB, "text", "doc_id", 3)
+        .write.format("noop").mode("overwrite").save())
+      val (_, tUni) = timed(graft.operators.CorpusQuality
+        .unigramLogProbScore(corpusB, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save())
+      println(
+        f"""{"soak":"bigram","docs":$nD,"scored":$nScored,"in_docs":$nIn,"out_docs":$nOut,"mean_in":$meanIn%.4f,"mean_out":$meanOut%.4f,"margin":${meanIn - meanOut}%.4f,"p10_in":$p10In%.4f,"out_above_p10_in":$outAboveP10In,"bigram_s":$tScore%.1f,"tfidf_s":$tTfidf%.1f,"unigram_s":$tUni%.1f}""")
       spark.stop()
       return
     }
@@ -692,7 +791,7 @@ object Soak {
         val (pairsDf, tPairs) = timed( // localCheckpoint is eager
           Dedup.lshVerifiedJaccardPairs(corpus, "text", "doc_id",
             k = 64, bands = 16, shingleN = 2, minJaccard = 0.9,
-            maxBucketSize = 1000).localCheckpoint())
+            maxBucketSize = 1000).diskCheckpoint())
         val nPairs = pairsDf.count()
         // p14 shape: connected components over EVERY corpus id with the
         // verified near-dup pairs as edges — at copies=100 this is the
@@ -780,7 +879,7 @@ object Soak {
     // recall than a rotated PQ would lose.
     if (only == "pqrecall") {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).diskCheckpoint()
       val nVecs = emb.count()
       val qn = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "50").toInt
       val kTop = 10
@@ -800,7 +899,7 @@ object Soak {
           m = m, k = 256, iters = 3,
           trainFraction = math.min(1.0, 100000.0 / nVecs))
         val codes = graft.operators.Pq.encode(emb, "embedding", cb)
-          .select(col("vec_id"), col("pq_code")).localCheckpoint()
+          .select(col("vec_id"), col("pq_code")).diskCheckpoint()
         val rs = queries.map { case (id, v) =>
           ids(graft.operators.Pq.topK(codes, "vec_id", cb, v, kTop))
             .intersect(brute(id)).size.toDouble / kTop }
@@ -823,7 +922,7 @@ object Soak {
           m = 8, k = 256, iters = 3,
           trainFraction = math.min(1.0, 100000.0 / nVecs))
         val codes = graft.operators.Pq.encode(emb, "embedding", cb)
-          .select(col("vec_id"), col("pq_code")).localCheckpoint()
+          .select(col("vec_id"), col("pq_code")).diskCheckpoint()
         val rs = queries.map { case (id, v) =>
           ids(graft.operators.Pq.topK(codes, "vec_id", cb, v, kTop))
             .intersect(brute(id)).size.toDouble / kTop }
@@ -837,7 +936,7 @@ object Soak {
           m = 8, k = 256, iters = 3,
           trainFraction = math.min(1.0, 100000.0 / nVecs))
         val codes = graft.operators.Pq.encode(emb, "embedding", cb)
-          .select(col("vec_id"), col("pq_code")).localCheckpoint()
+          .select(col("vec_id"), col("pq_code")).diskCheckpoint()
         def refinedAt(c: Int): Double = {
           val rs = queries.map { case (id, v) =>
             ids(graft.operators.Pq.topKRefined(codes, emb, cb, v, kTop,
@@ -857,7 +956,7 @@ object Soak {
         m = 8, k = 256, iters = 3,
         trainFraction = math.min(1.0, 100000.0 / nVecs))
       val pqCells = graft.operators.Pq.encodeCells(ivfIdx, cb8)
-        .localCheckpoint()
+        .diskCheckpoint()
       def ivfPqRecall(nProbe: Int): Double = {
         val rs = queries.map { case (id, v) =>
           ids(graft.operators.Pq.ivfPqTopK(pqCells, ivfIdx.centroids, cb8,
@@ -900,7 +999,7 @@ object Soak {
         m = 8, k = 256, iters = 3,
         trainFraction = math.min(1.0, 100000.0 / nVecs))
       val resCells = graft.operators.Pq.encodeCells(ivfIdx, cbRes)
-        .localCheckpoint()
+        .diskCheckpoint()
       def resRecall(nProbe: Int): Double = {
         val rs = queries.map { case (id, v) =>
           ids(graft.operators.Pq.ivfPqTopK(resCells, ivfIdx.centroids,
@@ -971,7 +1070,7 @@ object Soak {
     // the ceiling at the 0.05 headroom is measured, not assumed.
     if (only == "pqauto") {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).diskCheckpoint()
       val nVecs = emb.count()
       val qn = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "50").toInt
       val kTop = 10
@@ -985,7 +1084,7 @@ object Soak {
         m = 8, k = 256, iters = 3,
         trainFraction = math.min(1.0, 100000.0 / nVecs)))
       val (resCells, tEnc) = timed(
-        graft.operators.Pq.encodeCells(ivfIdx, cbRes).localCheckpoint())
+        graft.operators.Pq.encodeCells(ivfIdx, cbRes).diskCheckpoint())
       val dir = s"/tmp/graft_soak_pqauto_${ProcessHandle.current().pid()}"
       graft.operators.Pq.saveIvfPqCalibrated(resCells, ivfIdx.centroids,
         cbRes, dir, curve, calibK = kTop)
@@ -1015,7 +1114,7 @@ object Soak {
           .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
       // held-out evaluation queries: a deterministic slice DIFFERENT
       // from the salted-md5 calibration sample (vec_id order)
-      val evalQ = emb.orderBy("vec_id").limit(qn).localCheckpoint()
+      val evalQ = emb.orderBy("vec_id").limit(qn).diskCheckpoint()
       val brute = bruteOf(evalQ)
       // maxQueryTables raised knowingly: the HONEST curve on this
       // near-isotropic corpus picks nProbe in the hundreds (50 queries
@@ -1040,7 +1139,7 @@ object Soak {
       val calibQ = ivfIdx.cells
         .orderBy(md5(concat(col("vec_id").cast("string"), lit("#calib"))),
           col("vec_id"))
-        .limit(qn).select(col("vec_id"), col("embedding")).localCheckpoint()
+        .limit(qn).select(col("vec_id"), col("embedding")).diskCheckpoint()
       val calibCeilAuto = recallOf(
         Similarity.ivfTopKJoin(calibQ, ivfIdx, kTop, nProbe = autoNp),
         bruteOf(calibQ))
@@ -1105,7 +1204,7 @@ object Soak {
         .select((col("vec_id") * copies + col("copy")).as("vec_id"),
           transform(col("embedding"),
             x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
-            .as("embedding")).localCheckpoint()
+            .as("embedding")).diskCheckpoint()
       val nCorpus = embAll.count()
       val qn = sys.env.getOrElse("SPARK_GRAFT_ANNJOIN_QUERIES", "1000").toLong
       val queries = embAll.where(col("vec_id") < qn)
@@ -1114,7 +1213,7 @@ object Soak {
       val (top, tJoin) = timed(
         Similarity.lshTopKJoin(queries, embAll, "embedding", "vec_id",
             k = 10, planes = 8, probeBits = 1)
-          .localCheckpoint())
+          .diskCheckpoint())
       // every copy of a base vector is colinear (cosine 1.0 ties), so the
       // provable claim is FAMILY recall: the top-1 must share the query's
       // source's base id (ties break to the lowest id in the family)
@@ -1143,7 +1242,7 @@ object Soak {
         .select((col("user_id") + col("copy") * 100000L).as("user_id"),
           (col("event_id") * copies + col("copy")).as("event_id"),
           col("event_type"), col("ts"), col("value"))
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       val nEv = evAll.count()
       val clicks = evAll.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1202,7 +1301,7 @@ object Soak {
           when(col("id") < hot, 0L)
             .otherwise(pmod(xxhash64(col("id")), lit(keys - 1)) + 1L).as("k"),
           pmod(xxhash64(col("id"), lit(7)), lit(span)).as("t"))
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       val rn = n / 50
       val right = spark.range(rn).select(
           (col("id") + 5000000000L).as("rid"),
@@ -1211,7 +1310,7 @@ object Soak {
             .as("k"),
           pmod(xxhash64(col("id"), lit(2)), lit(span)).as("t"),
           (col("id") % 97).cast("double").as("v"))
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       val nL = left.count(); val nR = right.count()
       val width = span / 256
       def chk(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
@@ -1270,7 +1369,7 @@ object Soak {
           when(col("id") < hot, 0L)
             .otherwise(pmod(xxhash64(col("id")), lit(keys - 1)) + 1L).as("k"),
           pmod(xxhash64(col("id"), lit(7)), lit(span)).as("t"))
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       val rn = n / 50
       val right = spark.range(rn).select(
           (col("id") + 5000000000L).as("rid"),
@@ -1279,7 +1378,7 @@ object Soak {
             .as("k"),
           pmod(xxhash64(col("id"), lit(2)), lit(span)).as("t"),
           (col("id") % 97).cast("double").as("v"))
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       def setConf(aqe: Boolean, skewSplit: Boolean): Unit = {
         spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewSplit.toString)
@@ -1315,7 +1414,7 @@ object Soak {
       val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val small = spark.range(keys).select(col("id").as("k"),
-        (col("id") % 1000).cast("double").as("w")).localCheckpoint()
+        (col("id") % 1000).cast("double").as("w")).diskCheckpoint()
       // checksum summed as LONG: w and t are integral-valued, and an
       // integer sum is order-independent — a Double sum over the three
       // different plans (AQE split / no split / salted) only compares
@@ -1381,7 +1480,7 @@ object Soak {
             x + ((col("copy") * 31 + i) % 7 - 3).cast("float") / lit(100f))
             .as("embedding"))
         .unionByName(planted)
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       val nVecs = corpus.count()
       val frac = math.min(1.0, 100000.0 / nVecs)
       val (cb, tTrain) = timed(graft.operators.Pq.train(
@@ -1444,7 +1543,7 @@ object Soak {
       val batchSz = sys.env.getOrElse("SPARK_GRAFT_SOAK_PQ_BATCH", "500").toInt
       val pqIvfK = sys.env.getOrElse("SPARK_GRAFT_SOAK_PQ_IVF_K", "64").toInt
       val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).diskCheckpoint()
       val dim = embBase.select(size(col("embedding"))).head().getInt(0)
       val nBase = embBase.count()
       val qv = embBase.where(col("vec_id") === 0)
@@ -1545,7 +1644,7 @@ object Soak {
           transform(col("embedding"),
             x => x * (lit(1.0f) + col("copy").cast("float") / lit(100f)))
             .as("embedding"))
-        .repartition(32).localCheckpoint()
+        .repartition(32).diskCheckpoint()
       val nVecs = embCorpus.count()
       val k2 = sys.env.getOrElse("SPARK_GRAFT_SOAK_IVF_K", "65536").toInt
       val (idx, tBuild) = timed(Similarity.buildIvfIndexTwoLevel(
@@ -1649,10 +1748,10 @@ object Soak {
         val queries = emb.where(col("vec_id") < qn)
           .select((col("vec_id") + 10000000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-          .localCheckpoint() // qn rows only — pin the query batch
+          .diskCheckpoint() // qn rows only — pin the query batch
         val (top, tJoin) = timed(
           Similarity.lshTopKJoin(queries, ix, k = 10, probeBits = 1,
-            broadcastQueries = true).localCheckpoint())
+            broadcastQueries = true).diskCheckpoint())
         val hits = top.where(col("rank") === 1 &&
           floor(col("vec_id") / lit(c)) ===
             floor((col("query_id") - 10000000L) / lit(c))).count()
@@ -1667,7 +1766,7 @@ object Soak {
                 sin(col("vec_id").cast("double") * lit(7.0) +
                   i.cast("double")).cast("float"))).as("embedding"))
         val topN = Similarity.lshTopKJoin(noisy, ix, k = 10, probeBits = 1,
-          broadcastQueries = true).localCheckpoint()
+          broadcastQueries = true).diskCheckpoint()
         val noisyHits = topN.where(col("rank") === 1 &&
           floor(col("vec_id") / lit(c)) ===
             floor((col("query_id") - 20000000L) / lit(c))).count()

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Sustained streaming near-dup ingest soak (VERDICT r11 #7): a
   * 100-micro-batch [[graft.streaming.StreamingDedup.nearDupIngest]]
@@ -86,7 +87,7 @@ object StreamSoak {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val base = corpus(s, sfDir).localCheckpoint()
+    val base = corpus(s, sfDir).diskCheckpoint()
     val nBase = base.count()
     val idx = graft.operators.Dedup.buildNearDupIndex(base, "text", "doc_id")
     graft.operators.Dedup.saveNearDupIndex(idx, s"$root/index")
@@ -140,7 +141,7 @@ object StreamSoak {
 
   private def verify(root: String, sfDir: String): Unit = {
     val s = session()
-    val base = corpus(s, sfDir).localCheckpoint()
+    val base = corpus(s, sfDir).diskCheckpoint()
     val nBase = base.count()
     // probe: fresh near-dups of corpus docs — must flag identically
     // against the streamed index and a from-scratch rebuild over
@@ -148,7 +149,7 @@ object StreamSoak {
     val probe = base.where(col("doc_id") < 200)
       .select((col("doc_id") + 90000000L).as("doc_id"),
         concat(col("text"), lit(" probetail")).as("text"))
-      .localCheckpoint()
+      .diskCheckpoint()
     def pairs(idx: graft.operators.Dedup.NearDupIndex): Set[(Long, Long)] =
       graft.operators.Dedup.incrementalJaccardPairs(probe, idx, "text",
           minJaccard = MinJ, maxBucketSize = MaxBucket)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Duplicate-cluster resolution + deterministic sampling for corpus
   * curation.
@@ -40,11 +41,15 @@ object Clustering {
       // read `propagated`, and without materialization each re-executed
       // the heavy edges-join + min aggregation above — double the
       // dominant per-round cost on a large pair graph
+      // DISK_ONLY (Ckpt policy): three longs/row but O(nodes) ROWS —
+      // at 600M docs that is ~14 GB per round of blocks; the default
+      // memory-first unroll is the q35 kill shape, and the loop holds
+      // TWO generations live across the convergence probe
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .localCheckpoint()
+        .diskCheckpoint()
       // pointer-jump (2-hop min): adopt your label's own label — labels
       // always point at in-component ids, so this halves chain depth each
       // round and makes convergence O(log diameter), not O(diameter)
@@ -54,7 +59,7 @@ object Clustering {
         .select(col("id"), col("old"),
           least(col("component"), coalesce(col("ccomp"), col("component")))
             .as("component"))
-        .localCheckpoint() // cut iterative lineage
+        .diskCheckpoint() // cut iterative lineage (DISK_ONLY: O(nodes))
       converged = updated.where(col("component") =!= col("old"))
         .limit(1).count() == 0
       labels = updated.drop("old")
@@ -136,25 +141,19 @@ object Sampling {
     // the checkpoint pins ONE range partitioning for both the offset
     // pass and the final projection (range boundaries come from
     // sampling — two independent evaluations must not disagree on
-    // pids). DISK_ONLY storage, not the default (r19, found by the
-    // sf100 bench): default checkpoint storage is memory-first, and its
-    // block unroll materializes each partition as ONE in-heap array —
-    // at 600M-row lineitem (q35's events table is 3n rows) 32
-    // concurrent ~1.2 GB unrolls starved the unified pool and killed
-    // the window sort with UNABLE_TO_ACQUIRE_MEMORY + GCLocker thrash.
-    // DISK_ONLY streams blocks through serialization (no unroll) and
-    // costs nothing measurable at small SF; the checkpoint (vs a bare
-    // persist) keeps the GC-managed block lifecycle and per-call
-    // isolation (CacheManager persist dedupes by plan — repeated calls
-    // would silently share session-lifetime cache entries).
+    // pids). This call site is where the r19 sf100 bench found the
+    // memory-first unroll failure (q35's 3n-row events table, 32
+    // concurrent ~1.2 GB unrolls, UNABLE_TO_ACQUIRE_MEMORY) — the
+    // post-mortem and the repo-wide DISK_ONLY policy it produced live
+    // in [[Ckpt]]; r20 applied it to every corpus-proportional
+    // checkpoint, not just this one.
     val local = df
       .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", sum(col(tokenCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
           .orderBy(order: _*)))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .diskCheckpoint()
     // one row per non-empty partition; range partitions ascend with the
     // total order, so the exclusive prefix over pid order is the offset.
     // sum(tokenCol) — not max(__local) — is the partition total, which

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt._
+
 /** Corpus-relative quality scoring — the signals that need a pass over
   * the WHOLE corpus, complementing the per-row ones in
   * [[graft.functions.TextFunctions]] (stopword ratio, repetition, ...).
@@ -34,15 +36,20 @@ object CorpusQuality {
                           idCol: String): DataFrame = {
     // checkpoint: the exploded token table feeds the model groupBy, the
     // totals agg, AND the scoring join — without it the corpus is
-    // re-scanned and re-exploded three times per call
+    // re-scanned and re-exploded three times per call. DISK_ONLY: the
+    // token table is O(total tokens) rows — LARGER than the corpus text
+    // (see Ckpt's sf100 post-mortem; the memory-first unroll is the q35
+    // killer at 100x)
     val toks = Dedup.spread(df).select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .where(col("__t") =!= "")
-      .localCheckpoint()
+      .diskCheckpoint()
     // the model feeds BOTH the stats collect and the scoring join —
-    // un-materialized, the inverted-index-sized aggregation runs twice
+    // un-materialized, the inverted-index-sized aggregation runs twice.
+    // DISK_ONLY too: |vocabulary| is sublinear but UNBOUNDED at web
+    // scale (billions of distinct tokens)
     val model = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .diskCheckpoint()
     // empty/whitespace-only corpus: sum() is null — return the empty
     // result instead of NPE-ing on getLong
     val statsRow = model.agg(sum(col("__c")), count(lit(1))).collect().head
@@ -75,7 +82,8 @@ object CorpusQuality {
     * counts from the REFERENCE; a bigram unseen there contributes only
     * the back-off term, and a token unseen there only the +1 smoothing
     * mass — so garbled/out-of-distribution target text scores LOW, the
-    * CCNet separation. (Self-scoring — `target eq reference` — measures
+    * CCNet separation. (Self-scoring — target and reference
+    * plan-canonically identical — measures
     * context PREDICTABILITY instead: every observed bigram has
     * c(prev,cur) ≥ 1, so hapax chains score `ln(λ·1 + …)`; repeated
     * boilerplate still scores high, but one-off text is penalized only
@@ -116,15 +124,16 @@ object CorpusQuality {
         .select((if (keepId) Seq(col(idCol)) else Seq.empty) ++
           Seq(col("__bg.__prev").as("__prev"),
             col("__bg.__cur").as("__cur")): _*)
-    val selfScore = target eq reference
+    val selfScore = plansSameResult(target, reference)
     // feeds the unigram explode AND the bigram explode (and, when
-    // self-scoring, the target pairs too — one tokenization pass total)
-    val refWords = words(reference, withId = selfScore).localCheckpoint()
+    // self-scoring, the target pairs too — one tokenization pass total).
+    // DISK_ONLY: per-doc token ARRAYS — corpus-text-scale (Ckpt policy)
+    val refWords = words(reference, withId = selfScore).diskCheckpoint()
     // unigram model feeds the scalar collect, the model fold, and the
-    // back-off join
+    // back-off join; |vocabulary| rows — unbounded at web scale
     val uni = refWords.select(explode(col("__w")).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .diskCheckpoint()
     val statsRow = uni.agg(sum(col("__c")), count(lit(1))).collect().head
     if (statsRow.isNullAt(0))
       return target.sparkSession.createDataFrame(
@@ -158,6 +167,19 @@ object CorpusQuality {
           .as("mean_logprob"))
   }
 
+  /** Self-score detection by CANONICALIZED PLAN, not object identity
+    * (r19 verdict: `target eq reference` missed logically-identical
+    * DataFrames — e.g. two `df.select(...)` wrappers over the same
+    * table — and double-tokenized them; `sameResult` compares the
+    * canonicalized analyzed plans, which normalize attribute ids and
+    * commutative operand order, so any pair Catalyst can PROVE
+    * result-identical takes the single-tokenization path). Plans
+    * Catalyst cannot prove equal — e.g. one side re-read through a
+    * different scan — fall back to the two-pass reference/target path,
+    * which is semantically identical, just one tokenization slower. */
+  private[operators] def plansSameResult(a: DataFrame, b: DataFrame): Boolean =
+    a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+
   /** Self-scored form of [[bigramLogProbScoreAgainst]] (model trained on
     * `df` itself — the oracle-replayable gate surface; see the
     * predictability caveat there). */
@@ -177,23 +199,30 @@ object CorpusQuality {
     * yield no rows.
     *
     * Scale shape: one explode + one map-side-combined groupBy(doc, term)
-    * builds the tf table (checkpointed — it feeds the document-frequency
-    * aggregate AND the scoring join); df(t) aggregates tf at
-    * |vocabulary| cardinality; the scoring join is tf ⋈ df on the term
-    * key; the top-k window partitions by document (per-doc vocabulary
-    * sized — thousands of partitionable keys, never a global sort). N is
-    * a metadata-cheap count folded in as a literal.
+    * builds the tf table (checkpointed — it feeds the N count, the
+    * document-frequency aggregate, AND the scoring join); df(t)
+    * aggregates tf at |vocabulary| cardinality; the scoring join is
+    * tf ⋈ df on the term key; the top-k window partitions by document
+    * (per-doc vocabulary sized — thousands of partitionable keys, never
+    * a global sort). N is the count of documents WITH TOKENS, derived
+    * from the already-materialized tf table — NOT an extra corpus scan
+    * (r19 verdict: the old `df.count()` burned a full input pass per
+    * call; a token-free document contributes no tf rows and receives no
+    * output rows anyway, so excluding it from N is the standard "N =
+    * documents in the index" idf convention and costs one narrow
+    * checkpoint read instead of a corpus job).
     *
     * Returns (idCol, term_rank, term, tfidf). */
   def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
                     topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
-    val n = df.count()
+    // DISK_ONLY: O(doc x distinct-term) rows ≈ token-scale (Ckpt policy)
     val tf = Dedup.spread(df).select(col(idCol),
         explode(filter(split(trim(lower(col(textCol))), "\\s+"),
           t => t =!= "")).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .diskCheckpoint()
+    val n = tf.select(col(idCol)).distinct.count()
     val dfm = tf.groupBy("__t").agg(count(lit(1)).as("__dft"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.operators.Ckpt._
 
 /** Deduplication operators for 100TB-class corpora. Scale notes per op:
   *
@@ -319,15 +320,17 @@ object Dedup {
                       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     // sigs feeds banding AND both verify joins: single-compute it via
-    // localCheckpoint (k longs/doc — tiny). Unlike persist(), the
-    // checkpoint blocks are reclaimed by the ContextCleaner when the
-    // DataFrame is GC'd, so repeated calls don't accumulate
-    // session-lifetime cached storage, and the eager materialization
-    // makes the downstream stages deterministic instead of paying the
-    // explode+groupBy three times (r3 bench showed a 4x run-to-run swing
-    // from exactly that recompute amplifying host noise).
+    // checkpoint (k longs/doc — narrow, but O(n) ROWS: 64 longs x 600M
+    // docs is 300 GB, the Ckpt unroll-kill shape — hence DISK_ONLY).
+    // Unlike persist(), the checkpoint blocks are reclaimed by the
+    // ContextCleaner when the DataFrame is GC'd, so repeated calls don't
+    // accumulate session-lifetime cached storage, and the eager
+    // materialization makes the downstream stages deterministic instead
+    // of paying the explode+groupBy three times (r3 bench showed a 4x
+    // run-to-run swing from exactly that recompute amplifying host
+    // noise).
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-      .localCheckpoint()
+      .diskCheckpoint()
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     // verify: re-join the (numDocs-sized) signature table on each side
     // est J = positional agreement / k via the zero-allocation codegen
@@ -355,11 +358,12 @@ object Dedup {
                               minJaccard: Double = 0.9,
                               maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // Signature table single-computed (localCheckpoint): it feeds banding
-    // AND bucket-size stats, and its explode+groupBy is the expensive,
-    // noise-amplified stage — see minhashLshPairs for the rationale.
+    // Signature table single-computed (DISK_ONLY checkpoint — O(n·k)
+    // rows, Ckpt policy): it feeds banding AND bucket-size stats, and
+    // its explode+groupBy is the expensive, noise-amplified stage — see
+    // minhashLshPairs for the rationale.
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-      .localCheckpoint()
+      .diskCheckpoint()
     val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     // Gram table also single-computed. History: r3 measured persist() here
     // 10x SLOWER (cache barrier defeated broadcast-join pipelining when
@@ -370,10 +374,11 @@ object Dedup {
     // narrow projection checkpoint only removes a duplicate scan.
     // r8: grams are now sorted distinct HASHES (8 bytes each) — the
     // checkpointed table and every verify-join payload shrank ~an order
-    // of magnitude vs gram strings; see hashedShingles.
+    // of magnitude vs gram strings; see hashedShingles. Still
+    // text-scale (O(total shingles) hashes) — DISK_ONLY per Ckpt.
     val grams = spread(df)
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__g"))
-      .localCheckpoint()
+      .diskCheckpoint()
     jaccardVerify(pairs,
       grams.select(col(idCol).as("d1"), col("__g").as("g1")),
       grams.select(col(idCol).as("d2"), col("__g").as("g2")),
@@ -423,9 +428,12 @@ object Dedup {
     // tables as parquet — a loaded index recomputes from durable files
     // on executor loss and produces byte-identical pairs (round-trip
     // pinned in PipelineOpsSuite).
+    // persist path uses MEMORY_AND_DISK (persist SPILLS per-record, no
+    // partition-sized unroll); the checkpoint path pins DISK_ONLY —
+    // sigs/grams/buckets are all O(corpus) (Ckpt policy)
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else d.localCheckpoint()
+      else d.diskCheckpoint()
     val sigsM = maybe(sigs)
     // collected corpus buckets, query-guard-free at build time
     // (maxBucketSize is a query parameter — the probe filters on list
@@ -652,10 +660,12 @@ object Dedup {
     }
     val idCol = idx.idCol
     // checkpoint: the batch signatures feed both the append and the
-    // banding below — hash the batch once
+    // banding below — hash the batch once. DISK_ONLY: a "batch" is
+    // O(ingest day), not O(corpus), but a day of web data is still
+    // hundreds of GB — same Ckpt policy
     val newSigs = precomputedSigs.getOrElse(
       minhashSignatures(newDf, textCol, idCol, idx.k, idx.shingleN)
-        .localCheckpoint())
+        .diskCheckpoint())
     val newGrams = spread(newDf)
       .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
     val newBuckets = boundedIdCollect(
@@ -1258,8 +1268,9 @@ object Dedup {
     // diagnostic must describe the distribution the cap actually sees
     val pos = spread(df).select(col(idCol).as("__id"),
         explode(positionalGrams(col(textCol), minSpanTokens)).as("__g"))
+    // DISK_ONLY: |distinct positional grams| is text-scale (Ckpt policy)
     val counts = pos.groupBy("__g").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .diskCheckpoint()
     val gramAgg = counts.agg(
       count(lit(1)).as("grams"),
       max(col("__c")).as("max_occurrences"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -70,11 +71,19 @@ object Similarity {
     * O(dim × partitions) rows regardless of corpus size; the collect is
     * `dim` rows. Train on a sample at 100 TB if even one corpus pass is
     * unwanted — absmax is monotone, a sample only tightens the range. */
-  def trainSq8(df: DataFrame, vecCol: String): Array[Double] =
-    df.select(posexplode(col(vecCol)))
+  def trainSq8(df: DataFrame, vecCol: String): Array[Double] = {
+    val scales = df.select(posexplode(col(vecCol)))
       .groupBy("pos").agg(max(abs(col("col").cast("double"))).as("m"))
       .orderBy("pos").collect()
       .map(r => r.getDouble(1) / 127.0)
+    // fail HERE, not three operators later: an empty/all-null corpus
+    // yields zero scales, and sq8Encode's element_at over array() would
+    // surface as nulls (or an ANSI error) far from the root cause
+    require(scales.nonEmpty,
+      s"trainSq8: no vectors to train on (column '$vecCol' is empty or " +
+        "all-null)")
+    scales
+  }
 
   /** SQ8-encode a float-vector column against trained per-dimension
     * scales: q[d] = clamp(round(x[d] / scale(d)), −127, 127) as TINYINT
@@ -85,6 +94,8 @@ object Similarity {
     * along as a plan literal (`dim` doubles — bytes, not a join). */
   def sq8Encode(df: DataFrame, vecCol: String, scales: Array[Double],
                 outCol: String = "q"): DataFrame = {
+    require(scales.nonEmpty, "sq8Encode: empty scales (train on a " +
+      "non-empty corpus with trainSq8 first)")
     val s = array(scales.map(lit): _*)
     df.withColumn(outCol,
       transform(col(vecCol), (x, i) => {
@@ -116,6 +127,62 @@ object Similarity {
         cosine(sq8Decode(col(qCol), scales), qv).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Persist trained SQ8 scales at `path` (a file) — every other trained
+    * artifact (PQ codebooks, AnnIndex, IvfPq, calibration curves)
+    * survives a driver restart; r19 shipped the scales as an ephemeral
+    * Array[Double] only. The format is a small text file with the
+    * doubles as raw IEEE-754 bit patterns (hex `doubleToLongBits` — the
+    * round trip is EXACT, no decimal formatting drift) plus a CRC32 over
+    * the payload so a torn/corrupted write refuses loudly at load
+    * instead of silently mis-scaling every vector. */
+  def saveSq8(spark: org.apache.spark.sql.SparkSession,
+              scales: Array[Double], path: String): Unit = {
+    require(scales.nonEmpty, "saveSq8: empty scales")
+    val bits = scales.map(d =>
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
+      .mkString(",")
+    val payload = s"dim=${scales.length}\nbits=$bits\n"
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"version=1\n$payload" +
+        s"crc=${java.lang.Long.toHexString(crc.getValue)}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load [[saveSq8]]-written scales — bit-exact round trip; refuses on
+    * version/dim/CRC mismatch with the failure named. */
+  def loadSq8(spark: org.apache.spark.sql.SparkSession,
+              path: String): Array[Double] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(a, b) = l.split("=", 2); a -> b }.toMap
+      finally in.close()
+    def fail(msg: String) = throw new IllegalStateException(
+      s"corrupt SQ8 scales at $path: $msg")
+    if (!kv.get("version").contains("1")) fail(s"version=${kv.get("version")}")
+    val (dimS, bitsS) = (kv.getOrElse("dim", fail("missing dim")),
+      kv.getOrElse("bits", fail("missing bits")))
+    val payload = s"dim=$dimS\nbits=$bitsS\n"
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!kv.get("crc").contains(java.lang.Long.toHexString(crc.getValue)))
+      fail(s"CRC mismatch (stored ${kv.get("crc")})")
+    val scales = bitsS.split(",").map(h =>
+      java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16)))
+    if (scales.length != dimS.toInt)
+      fail(s"dim=$dimS but ${scales.length} values")
+    scales
   }
 
   /** Random-hyperplane (sign) signature of a vector: `planes` bits packed
@@ -382,19 +449,62 @@ object Similarity {
     finally out.close()
   }
 
-  /** Load a [[saveAnnIndex]]-written index. `persist=true` additionally
-    * caches the signature table MEMORY_AND_DISK for repeated probes —
-    * still fault-tolerant: the cache's lineage is the parquet scan. */
-  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                   persist: Boolean = true): AnnIndex = {
+  /** [[saveAnnIndex]] with the stored vectors SQ8-ENCODED against
+    * `scales` (train with [[trainSq8]]): sigs/ holds (id, `__q8`
+    * array<tinyint>, __bucket) — a ~4x smaller index scan at 100 TB of
+    * embeddings — plus the scales as a CRC-guarded `sq8_scales` file
+    * ([[saveSq8]]). [[loadAnnIndex]] auto-detects the layout and
+    * reconstructs the vector column lazily ([[sq8Decode]] inside the
+    * probe projection), so every probe surface (topK, lshTopKJoin,
+    * updateAnnIndex) works unchanged; recall vs the float index is the
+    * measured SQ8 reconstruction property (soak `sq8`: 0.978-0.980
+    * recall@10 on real embeddings). BUCKETS are computed from the
+    * ORIGINAL float vectors (identical to the float index — quantization
+    * moves only the rerank cosines, never the candidate sets). */
+  def saveAnnIndexSq8(index: AnnIndex, path: String,
+                      scales: Array[Double]): Unit = {
+    require(index.vecCol != Sq8Col,
+      s"saveAnnIndexSq8: vecCol may not be named $Sq8Col")
+    sq8Encode(index.sigs, index.vecCol, scales, Sq8Col)
+      .select(col(index.idCol), col(Sq8Col), col("__bucket"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val spark = index.sigs.sparkSession
+    saveSq8(spark, scales, s"$path/$Sq8ScalesFile")
+    val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"idCol=${index.idCol}\nvecCol=${index.vecCol}\n" +
+        s"planes=${index.planes}\nsq8=1\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private val Sq8Col = "__q8"
+  private val Sq8ScalesFile = "sq8_scales"
+
+  private def readAnnMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/index_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    val meta =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.contains("=")).map { l =>
-          val Array(a, b) = l.split("=", 2); a -> b }.toMap
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains("=")).map { l =>
+        val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    finally in.close()
+  }
+
+  /** Load a [[saveAnnIndex]]- or [[saveAnnIndexSq8]]-written index.
+    * `persist=true` additionally caches the signature table
+    * MEMORY_AND_DISK for repeated probes — still fault-tolerant: the
+    * cache's lineage is the parquet scan. For an SQ8 layout the cache
+    * holds the DECODED vectors (probe-ready; the 4x saving is the
+    * durable scan + executor-loss re-read path, not the hot cache). */
+  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   persist: Boolean = true): AnnIndex = {
+    val fs = new org.apache.hadoop.fs.Path(s"$path/index_meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readAnnMeta(spark, path)
     // mid-compaction-swap safety (the loadNearDupIndex convention): a
     // fresh claim = live compactor -> refuse; an orphaned FS swap heals
     // here; an orphaned OBJECT-STORE swap needs the manifest store ->
@@ -417,7 +527,15 @@ object Similarity {
         ()
       }
     }
-    val sigs = spark.read.parquet(s"$path/sigs")
+    val raw = spark.read.parquet(s"$path/sigs")
+    // SQ8 layout: reconstruct the vector column lazily so every probe
+    // surface sees the float-index schema (vecCol as a numeric array)
+    val sigs =
+      if (meta.get("sq8").contains("1"))
+        raw.withColumn(meta("vecCol"),
+            sq8Decode(col(Sq8Col), loadSq8(spark, s"$path/$Sq8ScalesFile")))
+          .drop(Sq8Col)
+      else raw
     AnnIndex(
       if (persist) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs,
@@ -448,10 +566,22 @@ object Similarity {
       graft.compute.Compaction.healDir(spark, s"$path/sigs")
       ()
     }
-    val idx = loadAnnIndex(spark, path, persist = false)
-    newDf.select(col(idx.idCol), col(idx.vecCol),
-        planeSignature(col(idx.vecCol), idx.planes).as("__bucket"))
-      .write.mode("append").parquet(s"$path/sigs")
+    val meta = readAnnMeta(spark, path)
+    val (idCol, vecCol, planes) =
+      (meta("idCol"), meta("vecCol"), meta("planes").toInt)
+    // SQ8 layout: append ENCODED rows (the on-disk schema is tinyint
+    // codes); the bucket still comes from the raw batch vector — same
+    // rule as the build, so candidate sets are quantization-independent
+    if (meta.get("sq8").contains("1")) {
+      val scales = loadSq8(spark, s"$path/$Sq8ScalesFile")
+      sq8Encode(newDf, vecCol, scales, Sq8Col)
+        .select(col(idCol), col(Sq8Col),
+          planeSignature(col(vecCol), planes).as("__bucket"))
+        .write.mode("append").parquet(s"$path/sigs")
+    } else
+      newDf.select(col(idCol), col(vecCol),
+          planeSignature(col(vecCol), planes).as("__bucket"))
+        .write.mode("append").parquet(s"$path/sigs")
   }
 
   private val AnnClaim = ".ann-compact-claim"
@@ -772,7 +902,8 @@ object Similarity {
         val c = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count() // materialize so the build projection can be released
         c
-      } else cells.localCheckpoint() // sever from base before unpersisting
+      } else cells.diskCheckpoint() // sever from base before unpersisting
+      // (DISK_ONLY: cells carry the full VECTOR — O(corpus) bytes)
     base.unpersist()
     IvfIndex(kept, centroids, vecCol, idCol)
   }
@@ -876,7 +1007,7 @@ object Similarity {
         val c = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count()
         c
-      } else cells.localCheckpoint()
+      } else cells.diskCheckpoint() // DISK_ONLY: vector-carrying, O(corpus)
     base.unpersist()
     IvfIndex(kept, fine, vecCol, idCol)
   }

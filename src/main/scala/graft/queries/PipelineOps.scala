@@ -1370,7 +1370,7 @@ object PipelineOps {
            FROM documents),
          tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
          dfm AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY t),
-         n AS (SELECT COUNT(*) AS n FROM documents),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
          s AS (SELECT doc_id, t AS term,
                       ROUND(tf * LN((SELECT n FROM n) / dft), 4) AS tfidf,
                       ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -350,6 +350,11 @@ object StreamingDedup {
             s"$indexPath/applied/${ns}batch-$batchId")
           val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(marker)) {
+            // default (memory-first) checkpoint storage is DELIBERATE
+            // here, unlike the corpus-scale sites under Ckpt policy:
+            // both tables are micro-batch-bounded (the stream's trigger
+            // sizes them, independent of corpus size), and the ingest
+            // path is latency-sensitive
             val b = batch.localCheckpoint()
             // ONE index load and ONE batch hashing per micro-batch: the
             // checkpointed signature table is shared between the probe and

@@ -172,4 +172,18 @@ class BenchLabelSuite extends AnyFunSuite {
     assert(Bench.otherCoresOver(Some((0L, total0, n)),
       Some((busyD, total0 + totalD, n)), 100L * wall, wall) == 0.0)
   }
+
+  test("host canary is positive, finite, and repeatable within 2x") {
+    // r20 (VERDICT r19 #3): the canary is a fixed single-thread integer
+    // loop — its ops/sec must be a stable clock proxy, not noise. Two
+    // back-to-back JIT-warm readings on the same host must agree within
+    // 2x (in practice they agree within a few percent; 2x keeps the pin
+    // honest on a co-tenanted CI host).
+    Bench.hostCanaryOpsPerSec(iters = 10000000L) // JIT warmup
+    val a = Bench.hostCanaryOpsPerSec(iters = 100000000L)
+    val b = Bench.hostCanaryOpsPerSec(iters = 100000000L)
+    assert(a > 0 && java.lang.Double.isFinite(a), s"canary a=$a")
+    assert(b > 0 && java.lang.Double.isFinite(b), s"canary b=$b")
+    assert(math.max(a, b) / math.min(a, b) < 2.0, s"canary spread: $a vs $b")
+  }
 }

@@ -780,6 +780,73 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1, "emu"), (2, "fig")))
   }
 
+  test("tfidf N = documents WITH TOKENS (from the tf table, no corpus scan)") {
+    val sp = spark; import sp.implicits._
+    // r19 verdict #6: N used to come from df.count() — a full extra
+    // input pass. It is now derived from the already-checkpointed tf
+    // table, which makes N the count of documents with >=1 token: a
+    // token-free document gets no output rows either way, so scores for
+    // the docs that DO appear must be unchanged by its presence.
+    val base = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana durian"),
+      (2L, "cherry cherry cherry banana"),
+      (3L, "emu fig")).toDF("doc_id", "text")
+    val withEmpties = base.unionByName(
+      Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusQuality.tfIdfTopTerms(df, "text", "doc_id", 2)
+        .orderBy("doc_id", "term_rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    // empty/whitespace docs contribute no rows AND no N inflation —
+    // bit-identical output with and without them
+    assert(rows(withEmpties) == rows(base))
+    // the idf uses N=4 (docs with tokens), not 6 (raw corpus rows)
+    val apple = rows(withEmpties).find(_._3 == "apple").get
+    val expect = new java.math.BigDecimal(2 * math.log(4.0 / 1))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(apple._4 == java.lang.Double.doubleToLongBits(expect))
+  }
+
+  test("bigram self-score detection is by canonicalized plan, not eq") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text").localCheckpoint()
+    // two DIFFERENT DataFrame objects over result-identical plans: the
+    // old `target eq reference` test missed these and tokenized twice
+    val t = df.select(col("doc_id"), col("text"))
+    val r = df.select(col("doc_id"), col("text"))
+    assert(!(t eq r))
+    assert(graft.operators.CorpusQuality.plansSameResult(t, r),
+      "canonicalized plans must match for select-wrapped identical input")
+    assert(!graft.operators.CorpusQuality.plansSameResult(
+      t, df.where(col("doc_id") > 0)),
+      "a genuinely different plan must NOT be treated as self-scoring")
+    // the single-tokenization path must be score-identical to the
+    // explicit self-score surface
+    val viaWrapped = graft.operators.CorpusQuality
+      .bigramLogProbScoreAgainst(t, r, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        java.lang.Double.doubleToLongBits(x.getDouble(2))).toMap
+    val direct = graft.operators.CorpusQuality
+      .bigramLogProbScore(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        java.lang.Double.doubleToLongBits(x.getDouble(2))).toMap
+    assert(viaWrapped == direct)
+  }
+
+  test("trainSq8/sq8Encode fail fast on empty input") {
+    val sp = spark; import sp.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.trainSq8(empty, "embedding"))
+    assert(e.getMessage.contains("empty or all-null"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.sq8Encode(empty, "embedding", Array.empty[Double]))
+    assert(e2.getMessage.contains("empty scales"))
+  }
+
   test("sq8: per-dim trained scales, zero-dim safe, decode within scale/2") {
     val sp = spark; import sp.implicits._
     val df = Seq(
@@ -905,6 +972,101 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
           probeBits = 2, broadcastQueries = true)))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("sq8 scales: save/load round-trip bit-exact; corruption refused") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sq8scales").toString
+    try {
+      // scales with awkward doubles (subnormal-ish, exact-binary, zero)
+      val scales = Array(1.0 / 3.0, 4.0 / 127.0, 0.0, 1e-300, math.Pi)
+      val p = s"$dir/sq8_scales"
+      Similarity.saveSq8(sp, scales, p)
+      val back = Similarity.loadSq8(sp, p)
+      assert(back.length == scales.length)
+      scales.zip(back).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"$a != $b") }
+      // corruption: flip one payload character -> OUR CRC refusal, named.
+      // (Hadoop's LocalFileSystem keeps its own .crc sidecar that would
+      // fire first on an out-of-band rewrite — drop it so the test
+      // exercises the format's OWN guard, the one that exists on object
+      // stores where no sidecar does.)
+      def rewrite(content: String): Unit = {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          content.getBytes("UTF-8"))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/.sq8_scales.crc"))
+        ()
+      }
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      val iBits = txt.indexOf("bits=") + 5
+      rewrite(txt.updated(iBits, if (txt(iBits) == '1') '2' else '1'))
+      val e = intercept[IllegalStateException](Similarity.loadSq8(sp, p))
+      assert(e.getMessage.contains("CRC mismatch"), e.getMessage)
+      // truncated dim -> refused
+      rewrite("version=1\ndim=3\nbits=0\ncrc=0\n")
+      intercept[IllegalStateException](Similarity.loadSq8(sp, p))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("sq8 ANN index: identical candidate sets, decoded rerank, O(batch) update") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id").isin(7L, 22L))
+      .select((col("vec_id") + 300L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.2f)).as("embedding"))
+    def rows(idx: Similarity.AnnIndex, k: Int) =
+      Similarity.lshTopKJoin(queries, idx, k = k, probeBits = 2,
+          broadcastQueries = true)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idx = Similarity.buildIndex(corpus, "embedding", "vec_id",
+      planes = 4, persist = false)
+    val scales = Similarity.trainSq8(corpus, "embedding")
+    val dirF = java.nio.file.Files.createTempDirectory("annf32").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("annsq8").toString
+    try {
+      Similarity.saveAnnIndex(idx, dirF)
+      Similarity.saveAnnIndexSq8(idx, dirQ, scales)
+      val f32 = Similarity.loadAnnIndex(sp, dirF, persist = false)
+      val q8 = Similarity.loadAnnIndex(sp, dirQ, persist = false)
+      // buckets come from the ORIGINAL floats on both layouts, so the
+      // CANDIDATE sets are identical; the rerank runs on reconstructed
+      // vectors — at 16 random dims and k well under bucket size the
+      // quantization perturbation must not change the id sets here
+      assert(rows(q8, 3).map(_._1).toSet == rows(f32, 3).map(_._1).toSet)
+      assert(rows(q8, 3) == rows(f32, 3),
+        "sq8 rerank diverged from float on a coarse-k probe")
+      // single-query surface works on the decoded schema too
+      val one = queries.limit(1).collect().head.getSeq[Float](1)
+      assert(q8.topK(one, 3).count() == 3)
+      // O(batch) update appends ENCODED rows: probe still green and
+      // matches the float index updated with the same batch
+      val batch = (400L until 410L).map(i =>
+        (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+      Similarity.updateAnnIndex(sp, dirQ, batch)
+      Similarity.updateAnnIndex(sp, dirF, batch)
+      val q8u = Similarity.loadAnnIndex(sp, dirQ, persist = false)
+      val f32u = Similarity.loadAnnIndex(sp, dirF, persist = false)
+      assert(rows(q8u, 5) == rows(f32u, 5))
+      // the sq8 sigs on disk really are tinyint codes (the 4x claim is
+      // about the STORED bytes, not the probe-time projection)
+      val onDisk = sp.read.parquet(s"$dirQ/sigs")
+      assert(onDisk.schema.fieldNames.contains("__q8") &&
+        !onDisk.schema.fieldNames.contains("embedding"))
+      assert(onDisk.schema("__q8").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.ByteType)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirF))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirQ))
     }
   }
 
