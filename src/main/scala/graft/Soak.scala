@@ -729,29 +729,44 @@ object Soak {
     // checkpoints are DISK_ONLY (Ckpt policy — the memory-first unroll
     // was the q35 killer shape and p44/p46/p47 had never run past sf1).
     // Measures: (a) bigramLogProbScoreAgainst wall on a reference/target
-    // split, (b) the CCNet deployment property — separation margin
-    // between in-distribution targets and deterministically-garbled
-    // (token-REVERSED: same unigrams, unseen bigrams) copies of the same
-    // docs, plus the fraction of garbled docs scoring above the
-    // in-distribution 10th percentile (0 = clean separation at a p10
-    // filter threshold), (c) tfIdfTopTerms and unigramLogProbScore walls
-    // over the full corpus (the other two unroll-path operators).
+    // split, (b) the CCNet deployment property — separation margins
+    // between in-distribution targets and TWO deterministic garbles of
+    // the same docs: "oov" (every other token suffixed out-of-vocabulary
+    // — exercises the unseen-token +1 mass AND the unseen-bigram
+    // backoff) and "rev" (token order reversed — same unigrams, reversed
+    // bigrams; exercises ONLY directional bigram structure). The first
+    // 100x run of this mode produced the honest negative result the
+    // ledger documents: the synthetic corpus is near reversal-SYMMETRIC
+    // (word-salad text has no directional bigram structure, so margin_rev
+    // ≈ 0 and can dip negative) — real web/reference text is where the
+    // reversal margin exists; margin_oov is the corpus-independent
+    // separation. Also reports the fraction of each out-group scoring
+    // above the in-distribution 10th percentile (0 = clean separation at
+    // a p10 filter threshold), and (c) tfIdfTopTerms +
+    // unigramLogProbScore walls over the full corpus (the other two
+    // formerly-unroll-path operators).
     if (only == "bigram") {
       val corpusB = corpus.diskCheckpoint()
       val nD = corpusB.count()
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        t => t =!= "")
       val reference = corpusB.where(pmod(col("doc_id"), lit(10)) =!= 0)
       val inTgt = corpusB.where(pmod(col("doc_id"), lit(10)) === 0)
-      val outTgt = inTgt.select((col("doc_id") + 2000000000L).as("doc_id"),
-        concat_ws(" ", reverse(filter(
-          split(trim(lower(col("text"))), "\\s+"), t => t =!= "")))
-          .as("text"))
-      val target = inTgt.unionByName(outTgt).diskCheckpoint()
+      val outOov = inTgt.select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat_ws(" ", transform(toks, (t, i) =>
+          when(i % 2 === 0, concat(t, lit("~zq"))).otherwise(t))).as("text"))
+      val outRev = inTgt.select((col("doc_id") + 3000000000L).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text"))
+      val target = inTgt.unionByName(outOov).unionByName(outRev)
+        .diskCheckpoint()
       val (scored, tScore) = timed(graft.operators.CorpusQuality
         .bigramLogProbScoreAgainst(target, reference, "text", "doc_id")
         .diskCheckpoint())
       val nScored = scored.count()
       val g = scored.select(
-          when(col("doc_id") >= 2000000000L, "out").otherwise("in").as("g"),
+          when(col("doc_id") >= 3000000000L, "rev")
+            .when(col("doc_id") >= 2000000000L, "oov")
+            .otherwise("in").as("g"),
           col("mean_logprob"))
       val agg = g.groupBy("g").agg(
           avg("mean_logprob").as("mean"),
@@ -760,9 +775,9 @@ object Soak {
         .collect().map(r => r.getString(0) ->
           (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
       val (meanIn, p10In, nIn) = agg("in")
-      val (meanOut, _, nOut) = agg("out")
-      val outAboveP10In = g.where(col("g") === "out" &&
+      def above(grp: String) = g.where(col("g") === grp &&
         col("mean_logprob") > p10In).count()
+      val (oovAbove, revAbove) = (above("oov"), above("rev"))
       val (_, tTfidf) = timed(graft.operators.CorpusQuality
         .tfIdfTopTerms(corpusB, "text", "doc_id", 3)
         .write.format("noop").mode("overwrite").save())
@@ -770,7 +785,7 @@ object Soak {
         .unigramLogProbScore(corpusB, "text", "doc_id")
         .write.format("noop").mode("overwrite").save())
       println(
-        f"""{"soak":"bigram","docs":$nD,"scored":$nScored,"in_docs":$nIn,"out_docs":$nOut,"mean_in":$meanIn%.4f,"mean_out":$meanOut%.4f,"margin":${meanIn - meanOut}%.4f,"p10_in":$p10In%.4f,"out_above_p10_in":$outAboveP10In,"bigram_s":$tScore%.1f,"tfidf_s":$tTfidf%.1f,"unigram_s":$tUni%.1f}""")
+        f"""{"soak":"bigram","docs":$nD,"scored":$nScored,"in_docs":$nIn,"mean_in":$meanIn%.4f,"p10_in":$p10In%.4f,"mean_oov":${agg("oov")._1}%.4f,"margin_oov":${meanIn - agg("oov")._1}%.4f,"oov_above_p10_in":$oovAbove,"oov_docs":${agg("oov")._3},"mean_rev":${agg("rev")._1}%.4f,"margin_rev":${meanIn - agg("rev")._1}%.4f,"rev_above_p10_in":$revAbove,"rev_docs":${agg("rev")._3},"bigram_s":$tScore%.1f,"tfidf_s":$tTfidf%.1f,"unigram_s":$tUni%.1f}""")
       spark.stop()
       return
     }

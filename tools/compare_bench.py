@@ -20,12 +20,27 @@ import sys
 
 
 def load(path):
+    """Accept either a raw one-line bench artifact (BENCH_SF10_r19.json)
+    or the round driver's wrapper ({"n":..,"tail":..,"parsed":{...}})."""
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-    raise SystemExit(f"no JSON object line in {path}")
+        txt = f.read()
+    scan = txt
+    try:
+        doc = json.loads(txt)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc
+        if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+            return doc["parsed"]
+        if isinstance(doc, dict) and isinstance(doc.get("tail"), str):
+            scan = doc["tail"]  # older wrappers: bench line in the log tail
+    except json.JSONDecodeError:
+        pass
+    for line in scan.splitlines():
+        line = line.strip()
+        brace = line.find("{")  # sbt prefixes lines with [info]/[error]
+        if brace >= 0 and '"queries"' in line:
+            return json.loads(line[brace:])
+    raise SystemExit(f"no bench JSON object in {path}")
 
 
 def canary_median(doc):
