@@ -342,9 +342,32 @@ object Bench {
     // small partitions back, so oversizing costs little.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // r20 (guide §2.2/§6): two PARALLELISM FLOORS, both inert at scale
+    // and parameterized for it.
+    // - files.minPartitionNum floors SCAN parallelism at the core count:
+    //   at bench SF one 11 MB parquet file yields 3 x 128 MB-sized splits
+    //   and q01's whole scan+agg ran on 3 of 32 cores (measured 1.29 ->
+    //   1.08 s calm A/B; q21 0.74 -> 0.60). At 100 TB scans carry
+    //   thousands of splits and a floor of #cores is a no-op — this is
+    //   the knob's documented purpose, not a local-mode trick.
+    // - adaptive.coalescePartitions.minPartitionSize lowers AQE's 1 MB
+    //   coalesce floor: CPU-heavy kernel stages over FEW bytes (LSH
+    //   bucket collect + pair explode + verify: ~1.6 MB of shuffle at
+    //   sf0.1) coalesce to 1-2 tasks while 30 cores idle (measured p07
+    //   1.77 -> 1.42, p18 2.34 -> 1.72, p14 3.96 -> 3.04 in a worse
+    //   window). At scale the 64 MB advisory size governs long before
+    //   a 64k floor can matter; it only bites when a stage's total
+    //   bytes are under ~cores x 1 MB — exactly the case it fixes.
+    val scanMinPartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SCAN_MIN_PARTITIONS", cpus)
+    val aqeMinPartitionSize =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.minPartitionNum", scanMinPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        aqeMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

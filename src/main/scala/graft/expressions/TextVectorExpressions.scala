@@ -98,6 +98,57 @@ final case class MinHashSig(child: Expression, k: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature derived from a document's RAW 64-bit gram hashes
+  * (the [[HashedGramsExpr]] array) instead of its text — the one-pass
+  * fusion of the dedup signature+gram build (r20): every LSH pipeline
+  * that needs BOTH tables used to tokenize and XXH64-hash the corpus
+  * text twice (once inside [[MinHashSig]], once inside
+  * [[HashedGramsExpr]]); deriving the signature from the already-hashed
+  * gram array removes the second full tokenize+hash pass.
+  *
+  * Signature values are IDENTICAL to [[MinHashSig]] over the same text:
+  * both reduce each gram to `pmod(xxhash64(gram), P)` and take k affine
+  * mins, and the min over the DISTINCT gram-hash set equals the min over
+  * the gram multiset (duplicates cannot change a min — the same
+  * equivalence [[MinHashSig]]'s doc documents vs the historical
+  * explode+array_distinct pipeline). Input order is irrelevant for the
+  * same reason. Empty arrays return NULL, matching [[MinHashSig]] on
+  * gramless docs (equivalence pinned in TextVectorExpressionsSuite). */
+final case class MinHashSigFromHashes(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_from_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ExprTypeChecks.longArray(child.dataType, prettyName, "input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextVectorKernels.minhashSigFromHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // kernel returns null for empty arrays — null-guard the result
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expressions.TextVectorKernels.minhashSigFromHashes(
+            ${c.value}, $k);
+          ${ev.isNull} = (${ev.value} == null);
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SORTED DISTINCT 64-bit gram hashes of a document: the verify-join
   * representation of its word-n-gram set. Semantics = the Column
   * composition `array_sort(array_distinct(transform(wordNgrams(text, n),
@@ -512,6 +563,31 @@ object TextVectorKernels {
       val raw = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
       val h = java.lang.Math.floorMod(raw, MersennePrime)
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * h + b(i)) % MersennePrime
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** k-min signature from RAW xxhash64 gram hashes — [[minhashSig]] with
+    * the tokenize+hash pass already done (see [[MinHashSigFromHashes]]):
+    * same `floorMod(raw, P)` reduction, same affine permutations, null
+    * for empty inputs. Values are bit-identical to [[minhashSig]] over
+    * the text the hashes came from. */
+  def minhashSigFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val (a, b) = coeffs(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var g = 0
+    while (g < m) {
+      val h = java.lang.Math.floorMod(hashes.getLong(g), MersennePrime)
       var i = 0
       while (i < k) {
         val v = (a(i) * h + b(i)) % MersennePrime

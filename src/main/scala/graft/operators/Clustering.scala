@@ -21,19 +21,33 @@ object Clustering {
     * singleton components. */
   def connectedComponents(ids: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // pre-partition the cached edge table by the PER-ROUND join key
+    // (r20): the loop joins edges on `dst` EVERY round, but distinct()
+    // leaves them hash-partitioned on (src, dst), so each round paid a
+    // fresh full shuffle of the edge table — the largest table in the
+    // loop. One explicit repartition at build time gives the cache a
+    // partitioning every round's join reuses; only the (smaller) label
+    // table shuffles per round. Rounds >= 2 always, so this is a net
+    // shuffle reduction at any scale.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("dst")).cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min of (its label, neighbors' labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("nmin"))
+      // each node adopts the min of (its label, neighbors' labels).
+      // Round 1 skips the labels join entirely: labels are pristine
+      // (label(id) == id), so the neighbor minimum is just min(dst) per
+      // src — one aggregation instead of join + aggregation (r20).
+      val neighborMin =
+        if (iter == 0)
+          edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+        else edges
+          .join(labels.withColumnRenamed("id", "dst2"),
+            col("dst") === col("dst2"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("nmin"))
       // carry the previous label as `old` through the round so convergence
       // needs NO extra join: the probe below is a short-circuit scan of
       // the checkpoint blocks this same round already materialized
@@ -50,19 +64,32 @@ object Clustering {
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .diskCheckpoint()
-      // pointer-jump (2-hop min): adopt your label's own label — labels
-      // always point at in-component ids, so this halves chain depth each
-      // round and makes convergence O(log diameter), not O(diameter)
-      val updated = propagated.as("a")
-        .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
-          col("component") === col("cid"), "left")
-        .select(col("id"), col("old"),
-          least(col("component"), coalesce(col("ccomp"), col("component")))
-            .as("component"))
-        .diskCheckpoint() // cut iterative lineage (DISK_ONLY: O(nodes))
-      converged = updated.where(col("component") =!= col("old"))
+      // convergence probes the PROPAGATE step, not the jump (r20): a
+      // fixed point of neighbor-min propagation already has constant
+      // labels along every edge (any edge with unequal labels would
+      // change its larger end), i.e. per-component-constant labels =
+      // converged — and the pointer jump can never change a fixed point
+      // (it only reads labels the propagate left stable). Labels are
+      // monotone non-increasing, so a round whose propagate DID change
+      // something can never be undone by the jump either. Probing here
+      // skips the final round's jump join + checkpoint outright — one
+      // full O(nodes) join + materialization saved per call.
+      converged = propagated.where(col("component") =!= col("old"))
         .limit(1).count() == 0
-      labels = updated.drop("old")
+      if (converged) {
+        labels = propagated.drop("old")
+      } else {
+        // pointer-jump (2-hop min): adopt your label's own label — labels
+        // always point at in-component ids, so this halves chain depth each
+        // round and makes convergence O(log diameter), not O(diameter)
+        labels = propagated.as("a")
+          .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
+            col("component") === col("cid"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("ccomp"), col("component")))
+              .as("component"))
+          .diskCheckpoint() // cut iterative lineage (DISK_ONLY: O(nodes))
+      }
       iter += 1
     }
     edges.unpersist()

@@ -112,6 +112,19 @@ object Dedup {
       graft.expressions.HashedGramsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** MinHash signature DERIVED from a [[hashedShingles]] array — the
+    * one-pass sig+gram fusion (r20): pipelines needing both tables used
+    * to tokenize + XXH64-hash the corpus text twice (MinHashSig and
+    * HashedGramsExpr each re-hash every gram). Values are bit-identical
+    * to [[minhashSignatures]]' sig column over the same text (min over
+    * the distinct hash set = min over the gram multiset; equivalence
+    * pinned in TextVectorExpressionsSuite); NULL for gramless docs,
+    * matching the isNotNull row-set contract. */
+  private[graft] def sigFromGrams(grams: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinHashSigFromHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(grams), k))
+
   private def positionalEqCount(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.PositionalEqCount(
@@ -358,27 +371,24 @@ object Dedup {
                               minJaccard: Double = 0.9,
                               maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // Signature table single-computed (DISK_ONLY checkpoint — O(n·k)
-    // rows, Ckpt policy): it feeds banding AND bucket-size stats, and
-    // its explode+groupBy is the expensive, noise-amplified stage — see
-    // minhashLshPairs for the rationale.
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
-      .diskCheckpoint()
-    val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
-    // Gram table also single-computed. History: r3 measured persist() here
-    // 10x SLOWER (cache barrier defeated broadcast-join pipelining when
-    // the signature stage still rode on the same lineage); the r4 A/B
-    // (BASELINE.md) re-measured AFTER the sigs checkpoint above and
-    // localCheckpoint(grams) won: min-of-5 1.60s vs 1.84s recompute at
-    // sf0.1 — with the heavy explode stage materialized separately, the
-    // narrow projection checkpoint only removes a duplicate scan.
-    // r8: grams are now sorted distinct HASHES (8 bytes each) — the
-    // checkpointed table and every verify-join payload shrank ~an order
-    // of magnitude vs gram strings; see hashedShingles. Still
-    // text-scale (O(total shingles) hashes) — DISK_ONLY per Ckpt.
+    // ONE corpus pass (r20): the gram table is the only text-derived
+    // intermediate — signatures DERIVE from it (sigFromGrams: same
+    // pmod+affine-min arithmetic over the already-hashed gram set, so
+    // the second tokenize+hash pass and its spread shuffle and
+    // checkpoint are gone; bit-equal pairs pinned in suites). History
+    // of the storage choice: r3 measured persist() 10x slower than
+    // checkpoint here (cache barrier vs broadcast pipelining); r8 moved
+    // grams to sorted distinct HASHES (8 bytes/gram) — see
+    // hashedShingles. Text-scale rows — DISK_ONLY per Ckpt policy.
     val grams = spread(df)
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__g"))
       .diskCheckpoint()
+    // narrow projection over the checkpointed grams: k affine mins per
+    // doc, consumed once by the banding — no second materialization
+    val sigs = grams
+      .select(col(idCol), sigFromGrams(col("__g"), k).as("sig"))
+      .where(col("sig").isNotNull)
+    val pairs = bandCandidates(sigs, idCol, bands, k / bands, maxBucketSize)
     jaccardVerify(pairs,
       grams.select(col(idCol).as("d1"), col("__g").as("g1")),
       grams.select(col(idCol).as("d2"), col("__g").as("g2")),
@@ -406,7 +416,11 @@ object Dedup {
                         k: Int = 64, bands: Int = 16, shingleN: Int = 2,
                         persist: Boolean = true): NearDupIndex = {
     require(k % bands == 0, "bands must divide k")
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    // ONE corpus pass (r20): only the gram table is text-derived; the
+    // signature table DERIVES from it per read (sigFromGrams — k affine
+    // mins over the already-hashed gram set, bit-identical to
+    // minhashSignatures and far cheaper than the tokenize+hash pass it
+    // replaces, so it is deliberately NOT materialized a second time).
     val grams = spread(df)
       .select(col(idCol), hashedShingles(col(textCol), shingleN).as("__g"))
     // persist=false still single-computes via localCheckpoint: the index
@@ -434,7 +448,10 @@ object Dedup {
     def maybe(d: DataFrame) =
       if (persist) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d.diskCheckpoint()
-    val sigsM = maybe(sigs)
+    val gramsM = maybe(grams)
+    val sigs = gramsM
+      .select(col(idCol), sigFromGrams(col("__g"), k).as("sig"))
+      .where(col("sig").isNotNull)
     // collected corpus buckets, query-guard-free at build time
     // (maxBucketSize is a query parameter — the probe filters on list
     // size) but MEMORY-bounded: a pathological universal bucket stops
@@ -445,8 +462,8 @@ object Dedup {
     // (band, band_hash) survives materialization, so a batch probe
     // shuffles only the batch side of the join.
     val buckets = boundedIdCollect(
-      bandExplode(sigsM, idCol, bands, k / bands), idCol)
-    NearDupIndex(sigsM, maybe(grams), maybe(buckets), idCol, k, bands, shingleN)
+      bandExplode(sigs, idCol, bands, k / bands), idCol)
+    NearDupIndex(sigs, gramsM, maybe(buckets), idCol, k, bands, shingleN)
   }
 
   /** Persist a [[NearDupIndex]] as parquet under `path` (sigs/, grams/,
@@ -659,15 +676,27 @@ object Dedup {
       ()
     }
     val idCol = idx.idCol
-    // checkpoint: the batch signatures feed both the append and the
-    // banding below — hash the batch once. DISK_ONLY: a "batch" is
-    // O(ingest day), not O(corpus), but a day of web data is still
-    // hundreds of GB — same Ckpt policy
-    val newSigs = precomputedSigs.getOrElse(
-      minhashSignatures(newDf, textCol, idCol, idx.k, idx.shingleN)
+    // ONE batch pass (r20): hash the batch text once into the gram
+    // table (checkpointed — it feeds the grams append AND, via the
+    // derived signatures, the banding and the sigs append; DISK_ONLY: a
+    // "batch" is O(ingest day), not O(corpus), but a day of web data is
+    // still hundreds of GB — same Ckpt policy). Signatures DERIVE from
+    // it (sigFromGrams, bit-identical to minhashSignatures).
+    val newBoth = precomputedSigs match {
+      case Some(_) => None
+      case None => Some(spread(newDf)
+        .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
         .diskCheckpoint())
-    val newGrams = spread(newDf)
-      .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
+    }
+    val newSigs = precomputedSigs.getOrElse(
+      newBoth.get.select(col(idCol),
+          sigFromGrams(col("__g"), idx.k).as("sig"))
+        .where(col("sig").isNotNull))
+    val newGrams = newBoth match {
+      case Some(both) => both
+      case None => spread(newDf)
+        .select(col(idCol), hashedShingles(col(textCol), idx.shingleN).as("__g"))
+    }
     val newBuckets = boundedIdCollect(
       bandExplode(newSigs, idCol, idx.bands, idx.k / idx.bands), idCol)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -887,8 +916,24 @@ object Dedup {
         "truncated buckets and silently drop near-dup pairs")
     val idCol = index.idCol
     val r = index.k / index.bands
+    // ONE batch pass (r20): the probe needs the batch's signatures (for
+    // banding) AND its grams (for the verify) — hash the batch text once
+    // into the gram table and DERIVE the signatures from it
+    // (sigFromGrams, bit-identical). The combined table is consumed
+    // twice, so it is checkpointed (O(ingest day) rows — DISK_ONLY per
+    // Ckpt policy); the old shape re-scanned and re-hashed the batch
+    // text for each of the two tables instead.
+    val newBoth = precomputedSigs match {
+      case Some(_) => None
+      case None => Some(spread(newDf)
+        .select(col(idCol),
+          hashedShingles(col(textCol), index.shingleN).as("__g"))
+        .diskCheckpoint())
+    }
     val newSigs = precomputedSigs.getOrElse(
-      minhashSignatures(newDf, textCol, idCol, index.k, index.shingleN))
+      newBoth.get.select(col(idCol),
+          sigFromGrams(col("__g"), index.k).as("sig"))
+        .where(col("sig").isNotNull))
     val newBanded = bandExplode(newSigs, idCol, index.bands, r)
       .select(col(idCol).as("d1"), col("band"), col("band_hash"))
     // probe the PRECOMPUTED corpus buckets: O(batch) banded rows join the
@@ -900,9 +945,11 @@ object Dedup {
         Seq("band", "band_hash"))
       .select(col("d1"), explode(col("__ids")).as("d2"))
       .distinct()
-    val newGrams = spread(newDf)
-      .select(col(idCol).as("d1"),
+    val newGrams = newBoth match {
+      case Some(both) => both.select(col(idCol).as("d1"), col("__g").as("g1"))
+      case None => spread(newDf).select(col(idCol).as("d1"),
         hashedShingles(col(textCol), index.shingleN).as("g1"))
+    }
     val oldGrams = index.grams.select(col(idCol).as("d2"), col("__g").as("g2"))
     jaccardVerify(pairs, newGrams, oldGrams, minJaccard)
   }

@@ -297,4 +297,30 @@ class TextVectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("MinHashSigFromHashes over HashedGrams equals MinHashSig over text") {
+    // the r20 one-pass fusion contract: deriving the signature from the
+    // already-hashed (sorted DISTINCT) gram array must be bit-identical
+    // to hashing the text directly — min over the distinct set = min
+    // over the multiset — including the NULL-for-gramless-docs row-set
+    // rule (empty array → null sig, exactly like a too-short doc)
+    val sp = spark; import sp.implicits._
+    val df = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    Seq((16, 2), (64, 2), (32, 3), (64, 8)).foreach { case (k, n) =>
+      val direct = graft.operators.Dedup
+        .minhashSignatures(df, "text", "id", k, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val derived = df.select(col("id"),
+          graft.operators.Dedup.sigFromGrams(
+            graft.operators.Dedup.hashedShingles(col("text"), n), k).as("sig"))
+        .where(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(derived.keySet == direct.keySet,
+        s"row sets differ (k=$k n=$n): gramless-doc NULL contract broken")
+      direct.foreach { case (id, sig) =>
+        assert(derived(id) == sig, s"signature differs for id=$id (k=$k n=$n)")
+      }
+    }
+  }
 }

@@ -426,6 +426,26 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon == Set(0L, 3L, 5L))
   }
 
+  test("connected components match driver-side union-find on a random graph " +
+      "(r20 loop rework: round-1 agg, edge pre-partitioning, early probe)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val n = 120
+    val edges = (0 until 150).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong)).filter { case (a, b) => a != b }
+    val parent = (0 until n).toArray
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val cc = Clustering.connectedComponents(
+        (0L until n.toLong).toDF("doc_id"), "doc_id", edges.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expected)
+  }
+
   test("connected components: non-convergence throws instead of silently splitting") {
     val sp = spark; import sp.implicits._
     val ids = (0L to 4L).toDF("doc_id")
