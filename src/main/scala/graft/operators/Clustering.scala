@@ -162,7 +162,8 @@ object Sampling {
     * unique tiebreaker) or the result is partition-dependent. */
   private[operators] def runningTotal(df: DataFrame, tokenCol: String,
                                       order: Seq[org.apache.spark.sql.Column],
-                                      partitions: Int = 0): DataFrame = {
+                                      partitions: Int = 0,
+                                      retain: Seq[String] = Nil): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
     // the checkpoint pins ONE range partitioning for both the offset
@@ -174,12 +175,27 @@ object Sampling {
     // post-mortem and the repo-wide DISK_ONLY policy it produced live
     // in [[Ckpt]]; r20 applied it to every corpus-proportional
     // checkpoint, not just this one.
-    val local = df
+    // `retain` (r20): columns to KEEP through the checkpoint (plus
+    // tokenCol, which the offset fold reads). The checkpoint stores FULL
+    // rows and downstream column pruning cannot reach back through it,
+    // so order-only columns a caller never reads again (q35's partition
+    // strings and the probe value `__v`) would otherwise be serialized,
+    // written and re-read twice for nothing — at 100x the events table
+    // is 45M rows and the checkpoint serde is the row's dominant cost.
+    // Nil (the default) retains everything, the historical behavior.
+    // The projection happens AFTER the window (same plan, pre-storage):
+    // the range partitioning and the order still see every order column.
+    val keep: Option[Seq[org.apache.spark.sql.Column]] =
+      if (retain.isEmpty) None
+      else Some((retain :+ tokenCol).distinct.map(col) ++
+        Seq(col("__pid"), col("__local")))
+    val staged = df
       .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", sum(col(tokenCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
           .orderBy(order: _*)))
+    val local = keep.map(cs => staged.select(cs: _*)).getOrElse(staged)
       .diskCheckpoint()
     // one row per non-empty partition; range partitions ascend with the
     // total order, so the exclusive prefix over pid order is the offset.

@@ -145,8 +145,13 @@ object Ranking {
       .unionByName(ev(col(valueCol), 2, lit(0L)))
       .unionByName(ev(col(valueCol) - lit(width), 0, lit(0L)))
     val order = part ++ Seq(col("__v"), col("__tie"), col("__k"))
+    // retain only what the peers aggregation reads (__k, __tie, cum and
+    // the weight): the partition strings and the probe value __v exist
+    // for the ORDER only — without the retain list they would ride the
+    // runningTotal checkpoint's serialize/write/read cycle at 3n-row
+    // scale for nothing (guide §2.3, projection before materialization)
     val cum = Sampling.runningTotal(events, "__w", order,
-      partitions = partitions)
+      partitions = partitions, retain = Seq("__k", "__tie"))
     // the uniqueness precondition fails LOUDLY, not silently: a
     // duplicated (or multiply-null) key merges two rows' probes and
     // the max()-of-each-side subtraction would span both frames —
