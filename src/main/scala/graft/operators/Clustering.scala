@@ -21,17 +21,28 @@ object Clustering {
     * singleton components. */
   def connectedComponents(ids: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // pre-partition the cached edge table by the PER-ROUND join key
-    // (r20): the loop joins edges on `dst` EVERY round, but distinct()
-    // leaves them hash-partitioned on (src, dst), so each round paid a
-    // fresh full shuffle of the edge table — the largest table in the
-    // loop. One explicit repartition at build time gives the cache a
-    // partitioning every round's join reuses; only the (smaller) label
-    // table shuffles per round. Rounds >= 2 always, so this is a net
-    // shuffle reduction at any scale.
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().repartition(col("dst")).cache()
+    // Edge-table build (r20, three changes):
+    // - both directions come from ONE explode pass — the historical
+    //   union(pairs, swap(pairs)) executed the caller's whole
+    //   pair-generation pipeline twice at cache fill;
+    // - no distinct(): every repo caller passes already-distinct pairs
+    //   (d1 < d2 by construction), and min-aggregation is
+    //   duplicate-insensitive anyway — a duplicated edge can only
+    //   repeat a min operand, never change it — so the distinct
+    //   exchange bought nothing (callers with heavily-duplicated pairs
+    //   should dedupe before calling: dupes inflate every round's join
+    //   input, though never the result);
+    // - pre-partitioned by the PER-ROUND join key `dst`: the loop joins
+    //   edges on dst EVERY round, and the old (src,dst)-hashed table
+    //   paid a fresh full shuffle of the largest table in the loop each
+    //   round. One build-time repartition gives the cache a partitioning
+    //   every round's join reuses; only the (smaller) label table
+    //   shuffles per round. Rounds >= 2 always — net win at any scale.
+    val edges = pairs.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .repartition(col("dst")).cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
     var converged = false
     var iter = 0

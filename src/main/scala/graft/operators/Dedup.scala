@@ -414,7 +414,23 @@ object Dedup {
 
   def buildNearDupIndex(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16, shingleN: Int = 2,
-                        persist: Boolean = true): NearDupIndex = {
+                        persist: Boolean = true): NearDupIndex =
+    buildNearDupIndex(df, textCol, idCol, k, bands, shingleN, persist,
+      materializeBuckets = true)
+
+  /** [[buildNearDupIndex]] with the bucket materialization optional
+    * (r20): an index that will be PROBED ONCE (the one-shot convenience
+    * overload of incrementalJaccardPairs) consumes `buckets` exactly
+    * once — materializing the collected-bucket table then paid a full
+    * write+read round trip of an O(corpus-bands) table for a single
+    * consumer (guide §5: cache only what is reused). Lazy buckets still
+    * ride the checkpointed gram table, so no text re-hash either way;
+    * repeated-probe callers (streaming ingest, the durable save path's
+    * load-side) keep the default. */
+  private[graft] def buildNearDupIndex(df: DataFrame, textCol: String,
+                                       idCol: String, k: Int, bands: Int,
+                                       shingleN: Int, persist: Boolean,
+                                       materializeBuckets: Boolean): NearDupIndex = {
     require(k % bands == 0, "bands must divide k")
     // ONE corpus pass (r20): only the gram table is text-derived; the
     // signature table DERIVES from it per read (sigFromGrams — k affine
@@ -463,7 +479,9 @@ object Dedup {
     // shuffles only the batch side of the join.
     val buckets = boundedIdCollect(
       bandExplode(sigs, idCol, bands, k / bands), idCol)
-    NearDupIndex(sigs, gramsM, maybe(buckets), idCol, k, bands, shingleN)
+    NearDupIndex(sigs, gramsM,
+      if (materializeBuckets) maybe(buckets) else buckets,
+      idCol, k, bands, shingleN)
   }
 
   /** Persist a [[NearDupIndex]] as parquet under `path` (sigs/, grams/,
@@ -962,8 +980,11 @@ object Dedup {
                               minJaccard: Double = 0.9,
                               maxBucketSize: Int = 1000): DataFrame =
     incrementalJaccardPairs(newDf,
+      // one-shot probe: buckets consumed exactly once below, so they
+      // stay a lazy plan over the checkpointed gram table instead of
+      // paying a write+read materialization for a single consumer (r20)
       buildNearDupIndex(existingDf, textCol, idCol, k, bands, shingleN,
-        persist = false),
+        persist = false, materializeBuckets = false),
       textCol, minJaccard, maxBucketSize)
 
   /** SimHash near-dup pairs: fingerprint per row (narrow), candidates via
