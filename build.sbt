@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED (VERDICT r20 #2): sbt's
+// default logger prepends "[info] " to every line, which broke the
+// driver's parse of the bench's one-line JSON artifact two rounds
+// straight ("parsed": null in BENCH_r19/r20). StdoutOutput hands the
+// child's stdout/stderr straight through, so `sbt "runMain graft.Bench"`
+// emits the JSON line exactly as printed. (Bench ALSO writes the line to
+// BENCH_LAST.json — belt and braces.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

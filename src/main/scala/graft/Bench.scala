@@ -531,7 +531,22 @@ object Bench {
     val setName = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "headline")
     val canaryJson = canary.map(c => f"${c / 1e6}%.1f")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"set":"$setName","queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"host_canary_mops_per_sec":$canaryJson,"window":"$window"$disturbedJson$firstOutJson$errJson,"sf":"$sfDir"}""")
+    val jsonLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"set":"$setName","queries":$qs,"reps_detail":$detail,"loadavg":$loadJson,"loadavg_other":$otherJson,"jvm":$jvmJson,"host_canary_mops_per_sec":$canaryJson,"window":"$window"$disturbedJson$firstOutJson$errJson,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // VERDICT r20 #2: the driver's artifact parser read "parsed": null
+    // two rounds straight because sbt's logger prefixed the stdout line
+    // with "[info] ". Ship the SAME line as a FILE next to the repo root
+    // (cwd under `sbt run`) so the artifact survives any stdout framing;
+    // build.sbt additionally sets run/outputStrategy := StdoutOutput so
+    // the println above reaches stdout unprefixed. Path overridable for
+    // out-of-repo invocations; write failures are non-fatal (stdout
+    // remains the artifact of record).
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LAST.json"))
+      java.nio.file.Files.write(out, (jsonLine + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

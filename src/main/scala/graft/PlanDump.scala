@@ -42,8 +42,11 @@ object PlanDump {
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         // settle AQE on THIS df's queryExecution (a noop write would
-        // execute a separate plan copy)
-        df.collect()
+        // execute a separate plan copy) — WITHOUT collecting the result
+        // to the driver (ADVICE r20 #3: collect() OOMs on large-result
+        // queries at big SFs); iterating the executed RDD computes every
+        // partition and discards rows executor-side
+        df.queryExecution.toRdd.foreach(_ => ())
         val settled = df.queryExecution.executedPlan.toString
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
           (s"== $name @ $sfDir (shuffle.partitions=" +

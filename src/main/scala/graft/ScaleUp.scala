@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
   * Layout matches the driver's: one plain parquet FILE per table (DuckDB's
   * read_parquet in tools/selfcheck.py reads files, not directories).
   *
-  * Usage: graft.ScaleUp <srcSfDir> <dstDir> [factor=10]
+  * Usage: graft.ScaleUp <srcSfDir> <dstDir> [factor=10] [tables,csv]
+  * (the optional 4th arg limits generation to the named tables — for
+  * targeted big-factor survival proofs, e.g. orders@x1000 for q35,
+  * where writing every table would take an hour for one query's rig)
   */
 object ScaleUp {
   private val Stride = 1000000000L
@@ -50,6 +53,9 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val onlyTables: Option[Set[String]] =
+      if (args.length > 3 && args(3).nonEmpty)
+        Some(args(3).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val s = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,6 +68,7 @@ object ScaleUp {
     fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
 
     def writeOne(df: DataFrame, name: String): Unit = {
+      if (onlyTables.exists(!_.contains(name))) return
       val tmp = s"$dst/.tmp-$name"
       // single FILE per table (the driver layout; DuckDB's read_parquet
       // wants a file), but 1 MB row groups: a parquet scan is splittable
@@ -140,6 +147,7 @@ object ScaleUp {
     // dim from the data, not a constant: a hardcoded 64 would silently
     // TRUNCATE a wider corpus through the rotation slices (and skip the
     // rotation entirely past shift >= dim on a narrower one)
+    if (onlyTables.exists(!_.contains("embeddings"))) { s.stop(); return }
     val dim = tbl("embeddings").select(size(col("embedding")))
       .head().getInt(0)
     // (shift, flip, signs) must be pairwise distinct or two replicas

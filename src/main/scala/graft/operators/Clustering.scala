@@ -18,7 +18,17 @@ object Clustering {
 
   /** (id, component) for every id in `ids`; component = min id reachable
     * through `pairs` (columns d1, d2). Isolated ids form their own
-    * singleton components. */
+    * singleton components.
+    *
+    * PRECONDITION (load-bearing since the r20 round-1 shortcut, ADVICE
+    * r20 #1): every endpoint of `pairs` must appear in `ids`. Round 1
+    * computes neighbor-min over RAW edges without the labels join the
+    * later rounds do, so an out-of-`ids` endpoint — which the old inner
+    * join silently dropped every round — would become a permanent,
+    * nonexistent component label. All repo callers derive pairs from the
+    * id table itself (pair emitters join docs to docs), so this is a
+    * contract note, not a behavior change; callers with foreign pairs
+    * must semi-join them against `ids` first. */
   def connectedComponents(ids: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Edge-table build (r20, three changes):
@@ -59,23 +69,27 @@ object Clustering {
             col("dst") === col("dst2"))
           .groupBy(col("src").as("id"))
           .agg(min(col("component")).as("nmin"))
-      // carry the previous label as `old` through the round so convergence
-      // needs NO extra join: the probe below is a short-circuit scan of
-      // the checkpoint blocks this same round already materialized
       // checkpoint BEFORE the self-join: both sides of the pointer-jump
       // read `propagated`, and without materialization each re-executed
       // the heavy edges-join + min aggregation above — double the
-      // dominant per-round cost on a large pair graph
-      // DISK_ONLY (Ckpt policy): three longs/row but O(nodes) ROWS —
-      // at 600M docs that is ~14 GB per round of blocks; the default
-      // memory-first unroll is the q35 kill shape, and the loop holds
-      // TWO generations live across the convergence probe
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
-        .diskCheckpoint()
-      // convergence probes the PROPAGATE step, not the jump (r20): a
+      // dominant per-round cost on a large pair graph.
+      // Ckpt policy storage: two longs/row but O(nodes) ROWS — at 600M
+      // docs ~10 GB per round of blocks; the deserialized memory-first
+      // unroll is the q35 kill shape, and the loop holds TWO
+      // generations live across the pointer jump.
+      //
+      // Convergence rides the SAME job as the checkpoint via observe()
+      // (r21, VERDICT r20 #5 — the loop was driver-round-trip bound at
+      // ~50 jobs per call at bench SF): the changed-row count is
+      // collected by a CollectMetrics node evaluated WHILE the
+      // checkpoint job materializes the blocks, so the separate
+      // probe-count job per round disappears — and with it the need to
+      // STORE the previous label: `old` is consumed by the metric below
+      // the projection and never reaches the checkpoint, cutting the
+      // stored row from three longs to two (guide §2.3, projection
+      // before materialization).
+      //
+      // The probe targets the PROPAGATE step, not the jump (r20): a
       // fixed point of neighbor-min propagation already has constant
       // labels along every edge (any edge with unequal labels would
       // change its larger end), i.e. per-component-constant labels =
@@ -85,10 +99,18 @@ object Clustering {
       // something can never be undone by the jump either. Probing here
       // skips the final round's jump join + checkpoint outright — one
       // full O(nodes) join + materialization saved per call.
-      converged = propagated.where(col("component") =!= col("old"))
-        .limit(1).count() == 0
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .observe(obs,
+          count(when(col("component") =!= col("old"), 1)).as("changed"))
+        .drop("old")
+        .diskCheckpoint()
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       if (converged) {
-        labels = propagated.drop("old")
+        labels = propagated
       } else {
         // pointer-jump (2-hop min): adopt your label's own label — labels
         // always point at in-component ids, so this halves chain depth each

@@ -138,12 +138,22 @@ object Ranking {
           weight.cast("string"),
           lit(" — scale to integer units (e.g. cents) first"))))
       .otherwise(weight.cast("long"))
-    def ev(v: Column, tie: Int, w: Column) =
-      df.select((part :+ col(keyCol).as("__k") :+ v.cast("double").as("__v")
-        :+ lit(tie).as("__tie") :+ w.cast("long").as("__w")): _*)
-    val events = ev(col(valueCol), 1, guarded)
-      .unionByName(ev(col(valueCol), 2, lit(0L)))
-      .unionByName(ev(col(valueCol) - lit(width), 0, lit(0L)))
+    // ONE scan pass (r21, guide §1.2): the historical 3-way unionByName
+    // executed three separate scans of `df` (one per event kind); the
+    // same 3n event rows come out of a single narrow projection + one
+    // codegen'd explode. Values/casts are expression-identical per event
+    // — (v − width) subtracts BEFORE the double cast, exactly as before
+    // — so the event multiset is bit-equal to the union's.
+    def evStruct(v: Column, tie: Int, w: Column) =
+      struct(v.cast("double").as("__v"), lit(tie).as("__tie"),
+        w.cast("long").as("__w"))
+    val events = df.select((part :+ col(keyCol).as("__k") :+
+        explode(array(
+          evStruct(col(valueCol), 1, guarded),
+          evStruct(col(valueCol), 2, lit(0L)),
+          evStruct(col(valueCol) - lit(width), 0, lit(0L)))).as("__e")): _*)
+      .select((part :+ col("__k") :+ col("__e.__v").as("__v")
+        :+ col("__e.__tie").as("__tie") :+ col("__e.__w").as("__w")): _*)
     val order = part ++ Seq(col("__v"), col("__tie"), col("__k"))
     // retain only what the peers aggregation reads (__k, __tie, cum and
     // the weight): the partition strings and the probe value __v exist

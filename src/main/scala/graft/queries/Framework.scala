@@ -37,9 +37,13 @@ object Framework {
     // window membership (r20: the old agg(max) + windowed distinct ran
     // two collect jobs over the table per query construction — every
     // timed bench rep paid both; the distinct-day set is tiny at any
-    // scale, and the max/window filter are driver-side over it)
-    val allDays = df.select("__day").distinct()
-      .collect().map(_.getString(0)).sorted
+    // scale, and the max/window filter are driver-side over it).
+    // isNotNull (r21, ADVICE r20 #2): a null dateCol yields a null
+    // __day, which the pre-r20 shape excluded implicitly (max() skips
+    // nulls; the window filter dropped them before distinct) but the
+    // collected `.sorted` NPE'd on — restore the null-safe behavior.
+    val allDays = df.select("__day").where(col("__day").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
     val maxDay = anchor.getOrElse(java.time.LocalDate.parse(allDays.last))
     val lo = fmt(maxDay.minusDays(windowDays - 1L))
     val days = allDays.filter(d => d >= lo && d <= fmt(maxDay))

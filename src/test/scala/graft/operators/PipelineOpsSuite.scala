@@ -1481,4 +1481,23 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       expectedItems = 10000000L)
     assert(kept.collect().map(_.getLong(0)).toSeq.sorted == Seq(12L))
   }
+
+  test("diskCheckpoint pins the Ckpt policy storage level (r21: " +
+    "serialized memory-first with disk spill, rows intact)") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = graft.operators.Ckpt.DiskCheckpoint(df).diskCheckpoint()
+    assert(ck.as[Long].collect().sorted.toSeq == (0L until 1000L))
+    val fresh = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    assert(fresh.nonEmpty, "checkpoint left no persistent RDD")
+    // default policy = MEMORY_AND_DISK_SER: serialized (incremental
+    // unroll — the r19 sf100 kill was the deserialized unroll), memory
+    // eligible (the r20 DISK_ONLY read price), disk-backed (eviction
+    // spills instead of losing non-recomputable checkpoint blocks)
+    assert(fresh.values.exists(_.getStorageLevel == Ckpt.level))
+    assert(!Ckpt.level.deserialized, "policy level must be SERIALIZED")
+    assert(Ckpt.level.useDisk, "policy level must spill to disk")
+  }
 }
