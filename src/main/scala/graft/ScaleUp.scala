@@ -95,9 +95,15 @@ object ScaleUp {
     // replicate: one select per replica, unioned — Catalyst folds the
     // per-replica literals, so this is `factor` scans of the source file
     // (cheap: the source is the small SF) and one linear write.
-    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      // skip BEFORE constructing: building the factor-way union re-runs
+      // analysis on a growing plan per unionByName (O(factor²)) — at
+      // factor=1000 a skipped table burned minutes of driver CPU on a
+      // plan writeOne then discarded
+      if (onlyTables.exists(!_.contains(name))) return
       writeOne((0 until factor).map(i => f(tbl(name), i))
         .reduce(_ unionByName _), name)
+    }
 
     def strided(c: String, i: Int) = col(c) + lit(i * Stride)
     def cents(c: String, i: Int) = col(c) + lit(i * 0.01)

@@ -13,28 +13,30 @@ import org.apache.spark.storage.StorageLevel
   * and killed the downstream sort with UNABLE_TO_ACQUIRE_MEMORY +
   * GCLocker thrash — twice, at 32 AND 256 shuffle partitions.
   *
-  * Policy (r20: DISK_ONLY repo-wide; r21: MEMORY_AND_DISK_SER): any
-  * checkpointed intermediate PROPORTIONAL to the operator's input —
-  * exploded token/gram tables (larger than the corpus text), per-doc
-  * signature/label/cell tables (narrow but O(n) rows), tf/vocabulary
-  * aggregates (unbounded at web scale) — goes through [[diskCheckpoint]].
+  * Policy (r20, re-proved r21): any checkpointed intermediate
+  * PROPORTIONAL to the operator's input — exploded token/gram tables
+  * (larger than the corpus text), per-doc signature/label/cell tables
+  * (narrow but O(n) rows), tf/vocabulary aggregates (unbounded at web
+  * scale) — goes through [[diskCheckpoint]], pinned to `DISK_ONLY`.
   *
-  * Why MEMORY_AND_DISK_SER and not DISK_ONLY (r21, VERDICT r20 next #1):
-  * DISK_ONLY made every downstream read a disk round-trip even when the
-  * blocks fit comfortably in storage memory — at 100x, q35's 45M-row
-  * events checkpoint paid ~43% of the query in serde+disk. SERIALIZED
-  * memory storage keeps the exact safety property that killed the
-  * deserialized default: `putIteratorAsBytes` unrolls INCREMENTALLY into
-  * chunked byte buffers (no single per-partition array), bails out to
-  * disk mid-unroll when storage memory runs short, and under later
-  * memory pressure blocks EVICT to disk (never vanish — eviction of a
-  * checkpoint block would otherwise fail the read outright, since
-  * checkpoint blocks are not recomputable). Worst case it degrades to
-  * exactly DISK_ONLY behavior; best case the round-trip is a memory
-  * read. Re-proved at sf100 (450M-row events checkpoint, r21): q35
-  * completes, no UNABLE_TO_ACQUIRE_MEMORY — see OPTIMIZATION_r21.md.
-  * `SPARK_GRAFT_CKPT_LEVEL` overrides (e.g. DISK_ONLY) for A/B and for
-  * deployments whose storage-memory budget is committed elsewhere.
+  * MEMORY_AND_DISK_SER was TRIED AND MEASURED WORSE (r21, VERDICT r20
+  * next #1 — a negative result, kept here so it is not re-tried): the
+  * hypothesis was that serialized memory storage would reclaim a
+  * presumed DISK_ONLY read round-trip while keeping the incremental
+  * unroll + mid-unroll disk bail-out that survives the r19 sf100 kill
+  * shape. Both levels were A/B'd on the same rig, same day, calm
+  * windows, identical canary: q35 at sf100 (450M-row events checkpoint)
+  * 577.8 s SER vs 375.5 s DISK_ONLY (1.54x), at 100x min-of-3 58.8 s
+  * SER vs 26.8 s DISK_ONLY. Mechanism, from the artifacts' own
+  * telemetry: SER blocks live ON-HEAP and thrash GC (gc 2.6–6.6 s per
+  * sweep vs 0.06–0.3 s) while competing with the unified execution
+  * pool; DISK_ONLY's blocks ride the OS PAGE CACHE (iowait ~0 in every
+  * sweep), i.e. its "disk round-trip" is already a memory read with
+  * zero heap cost, and at sf100 — where the blocks exceed storage
+  * memory — SER additionally pays unroll-then-evict churn for blocks
+  * that end on disk anyway. `SPARK_GRAFT_CKPT_LEVEL` keeps both sides
+  * re-runnable (and lets a deployment with heap to spare and genuinely
+  * slow local disks choose SER deliberately).
   *
   * The memory-first DESERIALIZED default remains appropriate ONLY for
   * intermediates with a bound independent of input size (micro-batch
@@ -54,16 +56,18 @@ import org.apache.spark.storage.StorageLevel
 object Ckpt {
 
   /** Storage level for data-proportional checkpoints; see the object doc
-    * for why the default is serialized memory with disk spill. */
+    * for why the default is DISK_ONLY (and for the measured negative
+    * result on MEMORY_AND_DISK_SER). */
   private[operators] val level: StorageLevel =
     StorageLevel.fromString(
-      sys.env.getOrElse("SPARK_GRAFT_CKPT_LEVEL", "MEMORY_AND_DISK_SER"))
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_LEVEL", "DISK_ONLY"))
 
   implicit final class DiskCheckpoint(private val df: DataFrame)
       extends AnyVal {
-    /** Eager localCheckpoint pinned to spill-capable SERIALIZED storage —
-      * use for every intermediate proportional to the input (see the
-      * object doc for the policy and the sf100 post-mortems). */
+    /** Eager localCheckpoint pinned to the Ckpt policy level (DISK_ONLY)
+      * — use for every intermediate proportional to the input (see the
+      * object doc for the policy, the sf100 post-mortems, and the
+      * measured A/B behind the level choice). */
     def diskCheckpoint(): DataFrame =
       df.localCheckpoint(true, level)
   }

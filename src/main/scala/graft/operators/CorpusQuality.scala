@@ -216,13 +216,30 @@ object CorpusQuality {
   def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
                     topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
-    // DISK_ONLY: O(doc x distinct-term) rows ≈ token-scale (Ckpt policy)
-    val tf = Dedup.spread(df).select(col(idCol),
-        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
-          t => t =!= "")).as("__t"))
+    // N rides the tf checkpoint job via observe() (r21, VERDICT r20 #6 /
+    // guide §1.2): the old `tf.select(id).distinct.count()` re-scanned
+    // the whole O(doc × distinct-term) checkpoint and shuffled a
+    // distinct just to count documents. BEFORE the explode every
+    // document is exactly ONE row, so "documents with tokens" is a
+    // plain conditional count on the token array — no distinct needed —
+    // and CollectMetrics evaluates it while the checkpoint job
+    // materializes the blocks (same mechanism as the CC convergence
+    // probe). Identical N for unique ids (the documented contract: one
+    // row per document); null/empty/whitespace-only docs count in
+    // neither form (explode of an empty array emitted no row; size of
+    // null is not > 0).
+    val obs = new org.apache.spark.sql.Observation("tfidf_n_docs")
+    // checkpoint storage = Ckpt policy: O(doc x distinct-term) rows
+    val tf = Dedup.spread(df)
+      .select(col(idCol),
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => t =!= "").as("__toks"))
+      .observe(obs,
+        count(when(size(col("__toks")) > 0, 1)).as("n_docs"))
+      .select(col(idCol), explode(col("__toks")).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
       .diskCheckpoint()
-    val n = tf.select(col(idCol)).distinct.count()
+    val n = obs.get("n_docs").asInstanceOf[Long]
     val dfm = tf.groupBy("__t").agg(count(lit(1)).as("__dft"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))

@@ -20,6 +20,35 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** On-storage size of a table — driver-side FS metadata, no job.
+    * 0 on any failure (gates that consume this must fail CLOSED to the
+    * un-optimized path). */
+  private def parquetBytes(dir: String, name: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.getContentSummary(p).getLength
+    } catch { case _: Exception => 0L }
+
+  /** EXACT row count from the parquet footer (row-group metadata) —
+    * driver-side, no Spark job. */
+  private def parquetRows(s: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = s.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** q02's bloom gate (guide §3.2): below this orders-table size the
+    * customer⋈orders side broadcasts and lineitem never shuffles, so the
+    * bloom build would be pure overhead. Data-size-adaptive (same plan
+    * at any core count); env-overridable for deployments with different
+    * broadcast budgets. */
+  private val bloomMinOrdersBytes: Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      sys.env.getOrElse("SPARK_GRAFT_Q02_BLOOM_MIN_ORDERS_BYTES", "200m"))
+
   /** Exact sum of a double column: sum over DECIMAL(18,scale), as double. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
@@ -47,14 +76,86 @@ object Relational {
     "q02_join_agg_topk" -> ((s, dir) => {
       val cust  = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord   = t(s, dir, "orders")
-      val li    = t(s, dir, "lineitem")
-      cust
-        .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
+      val li0   = t(s, dir, "lineitem")
+      val co = cust.join(ord, col("c_custkey") === col("o_custkey"))
+      // Bloom pre-filter of the lineitem side (r21, guide §3.2 / VERDICT
+      // r20 #4), SCALE-GATED: the BUILDING filter keeps ~1/5 of
+      // customers, so ~4/5 of lineitem rows have no matching order — yet
+      // once orders outgrows the broadcast threshold the join shuffles
+      // ALL of lineitem. A Bloom filter over the surviving o_orderkeys
+      // (one cheap extra pass over the customer⋈orders join, 2 narrow
+      // columns) drops definitely-non-matching lineitem rows BEFORE the
+      // exchange. False positives just ride to the inner join and fail
+      // there; no false negatives — the RESULT is bit-identical (the
+      // oracle replay pins it). Spark's own runtime bloom
+      // (SPARK-32268) does not fire here: the creation side's estimate
+      // exceeds its 10 MB threshold.
+      // The gate is DATA-size-adaptive, not core-count-tuned: below
+      // `SPARK_GRAFT_Q02_BLOOM_MIN_ORDERS_BYTES` (default 200 MB of
+      // orders parquet — sf0.1 is 2.6 MB, the 100× rig 260 MB) AQE
+      // broadcasts one side and lineitem never shuffles, so the bloom
+      // would be pure overhead; past it the shuffle it prunes dwarfs the
+      // build pass. At a fixed SF the query runs the same plan at any
+      // core count.
+      if (parquetBytes(dir, "orders") < bloomMinOrdersBytes)
+        // small-SF shape (historical): AQE broadcasts, nothing to prune
+        co.join(li0, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      else {
+        // Bloom sizing: expectedItems = orders rows × the BUILDING
+        // customer fraction (one narrow pushed-down count over the
+        // customer table — ~1/10 of orders rows — instead of sizing for
+        // ALL orders, which made each map task's partial filter 5×
+        // larger and the treeAggregate merge shuffle with it), ×1.25
+        // slack because order-per-customer counts are not exactly
+        // uniform; an undersized filter only raises fpp (extra rows ride
+        // to the join and fail there — still correct).
+        // putLong(o_orderkey) on the build side, raw l_orderkey on the
+        // probe side: same 64-bit value domain by construction.
+        import org.apache.spark.util.sketch.BloomFilter
+        val nOrders = math.max(1L, parquetRows(s, dir, "orders"))
+        val nCust = math.max(1L, parquetRows(s, dir, "customer"))
+        val nBuilding = math.max(1L, cust.count())
+        val expected = math.max(1L,
+          (nOrders.toDouble * nBuilding / nCust * 1.25).toLong)
+        val keys = co.select(col("o_orderkey"))
+          .where(col("o_orderkey").isNotNull)
+          .queryExecution.toRdd.map(_.getLong(0))
+        val bf = keys.treeAggregate(BloomFilter.create(expected, 0.02))(
+          (f, v) => { f.putLong(v); f },
+          (a, b) => a.mergeInPlace(b),
+          depth = 2)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val bridge = org.apache.spark.sql.GraftColumnBridge
+        // codegen'd predicate (no per-row UDF): the same
+        // BloomFilterMightContain the runtime-filter rule injects
+        val might = bridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            bridge.expression(lit(bos.toByteArray)),
+            bridge.expression(col("l_orderkey"))))
+        // Aggregate BEFORE the join (guide §2.3 "aggregate before you
+        // shuffle"): every aggregated column comes from lineitem and
+        // customer⋈orders is UNIQUE per o_orderkey (o_orderkey is the
+        // orders key; each order has one customer), so the join is a
+        // pure key filter and sum-per-key commutes with it — the
+        // shuffle carries one partially-summed DECIMAL row per
+        // (orderkey × map task) instead of every line row. The sum is
+        // DECIMAL(18,4) (exact, associative), so the regrouping cannot
+        // change a single bit of the revenue. Proven against the DuckDB
+        // oracle with the gate forced on (OPTIMIZATION_r21.md).
+        val liAgg = li0.where(might)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        co.select(col("o_orderkey"))
+          .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }
     }),
 
     // ---- star join through region→nation→customer→orders (Q5 shape).

@@ -812,8 +812,12 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "banana durian"),
       (2L, "cherry cherry cherry banana"),
       (3L, "emu fig")).toDF("doc_id", "text")
+    // null text too (r21: N is now a conditional count on the token
+    // array riding the checkpoint job via observe — size(null) is not
+    // > 0, exactly as explode-of-null emitted no tf row before)
     val withEmpties = base.unionByName(
-      Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text"))
+      Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text")).unionByName(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       graft.operators.CorpusQuality.tfIdfTopTerms(df, "text", "doc_id", 2)
         .orderBy("doc_id", "term_rank")
@@ -1483,7 +1487,7 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("diskCheckpoint pins the Ckpt policy storage level (r21: " +
-    "serialized memory-first with disk spill, rows intact)") {
+    "DISK_ONLY after the measured SER-memory A/B, rows intact)") {
     val sp = spark; import sp.implicits._
     val df = (0L until 1000L).toDF("id")
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -1492,10 +1496,12 @@ class PipelineOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val fresh = spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !before.contains(id) }
     assert(fresh.nonEmpty, "checkpoint left no persistent RDD")
-    // default policy = MEMORY_AND_DISK_SER: serialized (incremental
-    // unroll — the r19 sf100 kill was the deserialized unroll), memory
-    // eligible (the r20 DISK_ONLY read price), disk-backed (eviction
-    // spills instead of losing non-recomputable checkpoint blocks)
+    // default policy = DISK_ONLY: serialized, streaming unroll (the r19
+    // sf100 kill was the DESERIALIZED per-partition array unroll), disk-
+    // backed (blocks are non-recomputable — they must never be evictable
+    // into nothing), and OFF-HEAP by way of the OS page cache — the r21
+    // A/B measured MEMORY_AND_DISK_SER 1.5–2.2x slower at 100x/1000x
+    // from GC thrash (see Ckpt's object doc)
     assert(fresh.values.exists(_.getStorageLevel == Ckpt.level))
     assert(!Ckpt.level.deserialized, "policy level must be SERIALIZED")
     assert(Ckpt.level.useDisk, "policy level must spill to disk")
