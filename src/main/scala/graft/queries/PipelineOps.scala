@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Pq, Similarity}
+import graft.operators.Ckpt._
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables. Every query carries a DuckDB oracle. For the hash-based ops
@@ -677,10 +678,19 @@ object PipelineOps {
     // ---- deterministic token-budget selection (training-mix assembly):
     // keep the best-scoring prefix fitting 40% of the corpus tokens
     "p27_token_budget" -> ((s, dir) => {
+      // ONE text pass (r21, guide §1.2): the budget total used to run
+      // its own agg job over the same lazy plan, re-tokenizing the
+      // corpus; now the narrow scored rows are checkpointed once (3
+      // numeric cols — Ckpt policy) with the total riding the
+      // checkpoint job via observe(), and the budget selection reads
+      // the materialized blocks. Same exact long sum, same rows.
+      val obs = new org.apache.spark.sql.Observation("p27_total")
       val scored = docs(s, dir).select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        round(stopwordRatio(col("text")), 6).as("score"))
-      val total = scored.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+          tokenCount(col("text")).as("n_tokens"),
+          round(stopwordRatio(col("text")), 6).as("score"))
+        .observe(obs, sum(col("n_tokens")).as("total"))
+        .diskCheckpoint()
+      val total = obs.get("total").asInstanceOf[Long]
       graft.operators.Sampling.takeByTokenBudget(scored,
         "n_tokens", "score", "doc_id", budget = (total * 2) / 5)
         .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_tokens"))
@@ -736,9 +746,17 @@ object PipelineOps {
     // graft.functions.Bpe.FixtureMerges).
     "p42_bpe_budget" -> ((s, dir) => {
       val merges = graft.functions.Bpe.fixtureMergesPath()
+      // ONE BPE pass (r21, guide §1.2): bpeTokenCount is the most
+      // expensive text kernel in the repo (per-doc merge loop), and the
+      // budget total used to run it a SECOND time in its own agg job.
+      // Checkpoint the 2-numeric-col scored rows once, total via
+      // observe() on the same job (see p27).
+      val obs = new org.apache.spark.sql.Observation("p42_total")
       val scored = docs(s, dir).select(col("doc_id"),
-        bpeTokenCount(col("text"), merges).as("n_tokens"))
-      val total = scored.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+          bpeTokenCount(col("text"), merges).as("n_tokens"))
+        .observe(obs, sum(col("n_tokens")).as("total"))
+        .diskCheckpoint()
+      val total = obs.get("total").asInstanceOf[Long]
       graft.operators.Sampling.takeByTokenBudget(scored,
         "n_tokens", "n_tokens", "doc_id", budget = (total * 2) / 5)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
